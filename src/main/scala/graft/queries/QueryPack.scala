@@ -1,0 +1,20 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine capability exposed through the driver contract:
+  * a named DataFrame query over the testdata tables plus (when the
+  * semantics are ANSI-SQL-expressible) a DuckDB oracle that must
+  * hash-match it row-for-row.
+  */
+final case class GQ(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryPack {
+  /** Full registry; SparkEntry derives `queries`/`oracleSql` from this. */
+  def all: Seq[GQ] =
+    Relational.qs ++ LakeQueries.qs ++ TextOps.qs ++ DedupOps.qs ++
+      SimilarityOps.qs ++ MultimodalOps.qs
+}

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.util.Tables._
+
+/** Relational operator coverage (SURVEY.md §2.3–§2.8) expressed over the
+  * driver testdata tables, each with a DuckDB oracle.
+  *
+  * Scale notes (100 TB design intent):
+  *  - every query is a declarative DataFrame plan: filters/projections
+  *    reach the parquet scan (PushedFilters/ReadSchema), aggregates get
+  *    map-side partial aggregation, joins pick broadcast-hash for the
+  *    dimension sides automatically (nation/region/customer are tiny
+  *    relative to fact tables at any SF);
+  *  - no collect(), no driver-side loops, no UDFs — whole plans stay
+  *    inside WholeStageCodegen.
+  */
+object Relational {
+
+  /** q1 — TPC-H Q1-shaped scan+filter+groupBy aggregate.
+    * Covers SURVEY §2.5 aggregations + §2.3 P4/P9 filter/literal.
+    * Ref behavior: SparkSQLDemo.scala:65-67 (scan-project-show) widened
+    * to a real aggregate; preCombine-free path.
+    */
+  private val q1 = GQ(
+    "q1_pricing_summary",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(netExpr(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** q2 — filter + isin + per-row computed projection.
+    * Covers §2.3 P1-P6/P9 (select, cast, isin, filter, lit). */
+  private val q2 = GQ(
+    "q2_filter_project",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.filter(col("l_returnflag").isin("A", "R") && col("l_quantity") >= 30)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          netExpr(col("l_extendedprice"), col("l_discount"))
+            .cast("double").as("net_price"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price
+      FROM lineitem
+      WHERE l_returnflag IN ('A','R') AND l_quantity >= 30"""))
+
+  /** q3 — 4-way equi-join + aggregate (fact×fact×dim×dim).
+    * Covers §2.4 J1/J4. nation/customer broadcast at any SF; the
+    * lineitem⋈orders fact join shuffles on the key — correct and
+    * AQE-managed at 100 TB. */
+  private val q3 = GQ(
+    "q3_join_revenue_by_nation",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(netExpr(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** q4 — UNION with distinct semantics (SQL UNION).
+    * Covers §2.7 / W3 (SparkSQLDemo.scala:57-61 union-insert). */
+  private val q4 = GQ(
+    "q4_union_distinct",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F" && col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      a.union(b).distinct().orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+      UNION
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 300000
+      ORDER BY o_custkey"""))
+
+  /** q5 — distinct count per group (§2.5 A2/A3). */
+  private val q5 = GQ(
+    "q5_distinct_count",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+      count(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** q6 — arg-max-per-key: the preCombine/latest-record primitive
+    * (§2.5 A4 — the workhorse Hudi dedup semantic). Window row_number
+    * with a total ordering (ts desc, event_id desc tie-break) exactly
+    * like Hudi's DefaultHoodieRecordPayload largest-ordering-wins.
+    * At scale: single shuffle on the key, no driver involvement. */
+  private val q6 = GQ(
+    "q6_latest_event_per_user",
+    (s, dir) => {
+      val e = events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1 ORDER BY user_id"""))
+
+  /** q7 — anti join (§2.4 note: the idiomatic form of the reference's
+    * `!isin` pattern, SyncCommentsAcrossClusters.scala:59,71). */
+  private val q7 = GQ(
+    "q7_customers_without_big_orders",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 350000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+      ORDER BY c_custkey"""))
+
+  /** q8 — semi join (EXISTS). */
+  private val q8 = GQ(
+    "q8_orders_with_max_qty_item",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l.filter(col("l_quantity") === 50), o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity = 50)
+      ORDER BY o_orderkey"""))
+
+  /** q9 — total-order top-k (§2.6 O1-O4); tie-broken for determinism.
+    * At scale this is TakeOrderedAndProject: per-partition top-k then
+    * driver merge of k×partitions rows — no global sort. */
+  private val q9 = GQ(
+    "q9_top10_orders",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** q10 — ComplexKeyGenerator formula (§2.11; JavaClientHive2Hudi.java
+    * :390-439): "field:value,field2:value2" with __null__/__empty__
+    * placeholders + hive-style partition path. Pure codegen'd string
+    * expressions — no UDF. */
+  private val q10 = GQ(
+    "q10_complex_keygen",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def part(c: String) = {
+        val v = col(c).cast("string")
+        concat(lit(c + ":"),
+          when(col(c).isNull, lit("__null__"))
+            .when(v === "", lit("__empty__"))
+            .otherwise(v))
+      }
+      o.select(
+        col("o_orderkey"),
+        concat_ws(",", part("o_orderkey"), part("o_orderstatus")).as("record_key"),
+        concat(lit("dt="), date_format(col("o_orderdate"), "yyyy-MM-dd")).as("partition_path"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+      'o_orderkey:' || CASE WHEN o_orderkey IS NULL THEN '__null__'
+         WHEN CAST(o_orderkey AS VARCHAR) = '' THEN '__empty__'
+         ELSE CAST(o_orderkey AS VARCHAR) END
+      || ',o_orderstatus:' || CASE WHEN o_orderstatus IS NULL THEN '__null__'
+         WHEN o_orderstatus = '' THEN '__empty__' ELSE o_orderstatus END AS record_key,
+      'dt=' || strftime(o_orderdate, '%Y-%m-%d') AS partition_path
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** q11 — commit-range semantics (begin-exclusive, end-inclusive) as
+    * used by incremental query (§2.1 S3, IncrementalQuery.scala:48-53),
+    * applied to the events timeline. */
+  private val q11 = GQ(
+    "q11_incremental_range",
+    (s, dir) => {
+      val e = events(s, dir)
+      e.filter(col("ts") > lit("2024-01-10 00:00:00") &&
+          col("ts") <= lit("2024-01-20 00:00:00"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE ts > TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** q12 — windowed running aggregate per key (scale extension;
+    * exact decimal running sum for hash stability). */
+  private val q12 = GQ(
+    "q12_running_total",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.filter(col("o_custkey") <= 50)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      FROM orders WHERE o_custkey <= 50
+      ORDER BY o_custkey, o_orderkey"""))
+
+  def qs: Seq[GQ] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12)
+}
