@@ -1,0 +1,610 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Merge policy against the stored record, mirroring the payload classes
+  * the reference selects between (`JavaClientHive2Hudi.java:145-148`):
+  * - [[MergePolicy.OverwriteWithLatest]]: incoming always replaces
+  *   (OverwriteWithLatestAvroPayload);
+  * - [[MergePolicy.LatestByOrdering]]: larger preCombine value wins,
+  *   incoming wins ties (DefaultHoodieRecordPayload).
+  */
+sealed trait MergePolicy
+object MergePolicy {
+  case object OverwriteWithLatest extends MergePolicy
+  case object LatestByOrdering extends MergePolicy
+}
+
+/** A keyed, versioned, partitioned COW lake table over Parquet with a
+  * JSON commit timeline — the Spark-native re-implementation of the
+  * lake-table semantics the reference demos exercise (SURVEY.md §1.1).
+  *
+  * Meta columns (cf. Hudi's `_hoodie_*`): `_commit_time`,
+  * `_record_key`, `_partition_path` — stored in every managed file;
+  * rewritten-but-unchanged rows keep their original `_commit_time`, so
+  * incremental queries see only genuinely changed records.
+  *
+  * Scale design:
+  * - the timeline is the only source of truth for the live file set:
+  *   no recursive storage listing on any read path;
+  * - upsert/delete rewrite only files that actually contain matching
+  *   keys (one key semi-join against the candidate files, candidates
+  *   driver-pruned to the batch's partitions first) — classic COW;
+  * - matching is partition-scoped `(record_key, partition_path)` like
+  *   Hudi's default (non-global) index, so writes shuffle only the
+  *   incoming batch + affected-file rows, never the whole table;
+  * - writes salt hot partitions across `writeSaltBuckets` files
+  *   (SURVEY §4 small-file bin packing);
+  * - single-writer: concurrent commits on one instant fail atomically.
+  */
+final class LakeTable private[core] (
+    val spark: SparkSession,
+    val basePath: String,
+    val timeline: Timeline) {
+  import LakeTable._
+  import spark.implicits._
+
+  lazy val props: TableProps = timeline.readProps()
+
+  private def fs: FileSystem =
+    new Path(basePath).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def keyCol: Column = KeyGen.recordKey(props.primaryKey)
+  private def ppCol: Column =
+    KeyGen.partitionPath(props.partitionFields, props.hiveStylePartitioning)
+
+  /** Current table schema (data columns only, no meta). */
+  def schema: StructType = timeline.commits().lastOption match {
+    case Some(c) => StructType.fromDDL(c.schemaDdl)
+    case None => new StructType()
+  }
+
+  private def withMetaSchema(dataSchema: StructType): StructType =
+    StructType(MetaCols.map(StructField(_, StringType, nullable = true)) ++
+      dataSchema.fields)
+
+  private def emptyDf(s: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+
+  // ---------------------------------------------------------------- reads
+
+  /** Snapshot view: latest version of every live record (meta columns
+    * included; `.drop(LakeTable.MetaCols: _*)` for data only). */
+  def snapshot(asOf: Option[String] = None): DataFrame = {
+    val live = timeline.liveFiles(asOf)
+    val s = withMetaSchema(schemaAsOf(asOf))
+    if (live.isEmpty) return emptyDf(s)
+    val (ext, managed) = live.partition { case (f, c) => c.external.contains(f) }
+    val parts = Seq(
+      if (managed.nonEmpty)
+        Some(spark.read.schema(s).parquet(managed.map(f => abs(f._1)): _*))
+      else None,
+      if (ext.nonEmpty) Some(readExternal(ext)) else None
+    ).flatten
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def schemaAsOf(asOf: Option[String]): StructType =
+    timeline.commits().filter(c => asOf.forall(c.instant <= _)).lastOption
+      .map(c => StructType.fromDDL(c.schemaDdl)).getOrElse(new StructType())
+
+  /** Metadata-bootstrapped foreign files carry no meta columns
+    * (BootstrapDemo.scala:207-232): synthesize them at read time. */
+  private def readExternal(files: Seq[(String, CommitMeta)]): DataFrame =
+    files.groupBy(_._2.instant).toSeq.sortBy(_._1).map { case (instant, fc) =>
+      val df = spark.read.parquet(fc.map(f => abs(f._1)): _*)
+      df.withColumn(CommitTimeCol, lit(instant))
+        .withColumn(RecordKeyCol, keyCol)
+        .withColumn(PartitionPathCol, ppCol)
+        .select((MetaCols ++ df.columns.toSeq).map(col): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Snapshot with driver-side partition pruning: only files whose
+    * partition-path string satisfies `pred` are planned — zero I/O for
+    * pruned partitions, O(#live files) driver work. */
+  def snapshotWhere(pred: String => Boolean): DataFrame = {
+    val live = timeline.liveFiles(None)
+      .filter { case (f, c) => pred(c.partitions.getOrElse(f, "")) }
+    if (live.isEmpty) emptyDf(withMetaSchema(schema))
+    else spark.read.schema(withMetaSchema(schema))
+      .parquet(live.map(f => abs(f._1)): _*)
+  }
+
+  /** Incremental query: records written in `(begin, end]` —
+    * begin-exclusive / end-inclusive exactly like the reference
+    * (`IncrementalQuery.scala:48-53`), with optional partition-path
+    * glob (`INCR_PATH_GLOB`, e.g. `dt=2022-11*`). */
+  def incremental(
+      beginInstant: String,
+      endInstant: Option[String] = None,
+      pathGlob: Option[String] = None): DataFrame = {
+    val files = timeline.liveFiles(endInstant)
+      .filter { case (_, c) => c.instant > beginInstant }
+      .filter { case (f, c) =>
+        pathGlob.forall(g => globMatch(g, c.partitions.getOrElse(f, "")))
+      }
+    val s = withMetaSchema(schemaAsOf(endInstant))
+    if (files.isEmpty) return emptyDf(s)
+    spark.read.schema(s).parquet(files.map(f => abs(f._1)): _*)
+      .filter(col(CommitTimeCol) > lit(beginInstant) &&
+        endInstant.map(e => col(CommitTimeCol) <= lit(e)).getOrElse(lit(true)))
+  }
+
+  /** Newest-first commit listing (`call show_commits`,
+    * IncrementalQuery.scala:36-37). */
+  def commits(): DataFrame =
+    timeline.commits().reverse
+      .map(c => (c.instant, c.action, c.added.size, c.removed.size, c.totalRecords))
+      .toDF("commit_time", "action", "files_added", "files_removed", "total_records")
+
+  // --------------------------------------------------------------- writes
+
+  /** Plain insert: preCombine-dedup the batch, append files. Does not
+    * consult the existing snapshot (Hudi `insert` op); use [[upsert]]
+    * for key-merge semantics. */
+  def insert(df: DataFrame): String = {
+    val instant = timeline.nextInstant()
+    val newSchema = unionSchema(df)
+    val (added, parts, n) =
+      writeFiles(conform(withMeta(dedupBatch(df), instant), newSchema), instant)
+    doCommit(instant, "insert", added, Seq.empty, parts, newSchema, n)
+    instant
+  }
+
+  /** Keyed upsert (COW): rewrite only files containing matching keys;
+    * the merge policy decides incoming-vs-existing per key. */
+  def upsert(
+      df: DataFrame,
+      policy: MergePolicy = MergePolicy.LatestByOrdering): String = {
+    val instant = timeline.nextInstant()
+    val newSchema = unionSchema(df)
+    val incoming = conform(withMeta(dedupBatch(df), instant), newSchema)
+    val affected = affectedFiles(incoming)
+    val existing = readAffected(affected, newSchema)
+    val ordCol: Column = props.preCombineField.map(col).getOrElse(lit(0))
+    val pick = policy match {
+      case MergePolicy.OverwriteWithLatest =>
+        Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
+          .orderBy(col(IncomingFlag).desc)
+      case MergePolicy.LatestByOrdering =>
+        Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
+          .orderBy(ordCol.desc, col(IncomingFlag).desc)
+    }
+    val merged = existing.withColumn(IncomingFlag, lit(0))
+      .unionByName(incoming.withColumn(IncomingFlag, lit(1)))
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .drop("__rn", IncomingFlag)
+    val (added, parts, n) = writeFiles(merged, instant)
+    doCommit(instant, "upsert", added, affected, parts, newSchema, n)
+    instant
+  }
+
+  /** Delete by key: `keys` needs the primary-key (and, for partitioned
+    * tables, partition) columns. Partition-scoped like Hudi's default
+    * index — a key arriving with a different partition value does not
+    * match (pinned by the SparkSQLDemo merge-DELETE scenario,
+    * SparkSQLDemo.scala:84). */
+  def delete(keys: DataFrame): String = {
+    val instant = timeline.nextInstant()
+    val delKeys = keys
+      .withColumn(RecordKeyCol, keyCol)
+      .withColumn(PartitionPathCol, ppCol)
+      .select(RecordKeyCol, PartitionPathCol).distinct()
+    val affected = affectedFiles(delKeys)
+    val kept = readAffected(affected, schema)
+      .join(broadcast(delKeys), Seq(RecordKeyCol, PartitionPathCol), "left_anti")
+    val (added, parts, n) = writeFiles(kept, instant)
+    doCommit(instant, "delete", added, affected, parts, schema, n)
+    instant
+  }
+
+  /** DELETE FROM ... WHERE (SparkSQLDemo.scala:73-75): rewrite only
+    * files containing matches (parquet min/max prunes the probe). */
+  def deleteWhere(cond: Column): String = {
+    val instant = timeline.nextInstant()
+    val affected = filesMatching(cond)
+    val kept = readAffected(affected, schema)
+      .filter(!coalesce(cond, lit(false)))
+    val (added, parts, n) = writeFiles(kept, instant)
+    doCommit(instant, "delete", added, affected, parts, schema, n)
+    instant
+  }
+
+  /** UPDATE ... SET ... WHERE (SparkSQLDemo.scala:69-71). Updated rows
+    * take the new commit time; untouched rows in rewritten files keep
+    * theirs (incremental-query correctness). */
+  def updateWhere(cond: Column, set: Map[String, Column]): String = {
+    val instant = timeline.nextInstant()
+    val affected = filesMatching(cond)
+    val hit = coalesce(cond, lit(false))
+    val cur = schema
+    val updated = readAffected(affected, cur).select(
+      (MetaCols ++ cur.fieldNames.toSeq).map {
+        case CommitTimeCol =>
+          when(hit, lit(instant)).otherwise(col(CommitTimeCol)).as(CommitTimeCol)
+        case c if set.contains(c) =>
+          when(hit, set(c).cast(cur(c).dataType)).otherwise(col(c)).as(c)
+        case c => col(c)
+      }: _*)
+    val (added, parts, n) = writeFiles(updated, instant)
+    doCommit(instant, "update", added, affected, parts, cur, n)
+    instant
+  }
+
+  /** MERGE INTO (SparkSQLDemo.scala:77-91): conditional matched-update
+    * / matched-delete / not-matched-insert in one COW commit, with
+    * `update set *` / `insert *` semantics. Clause conditions see the
+    * source row's columns; update is checked before delete, matching
+    * the demo's clause order.
+    *
+    * Matching is on the record key GLOBALLY (across partitions), like
+    * Hudi's MergeIntoHoodieTableCommand which joins on the user's ON
+    * condition and tags rows with their existing location — so the
+    * demo's DELETE row for id=3 with a mismatched dt still deletes the
+    * stored row (SparkSQLDemo.scala:84; SURVEY §5 pinned semantic).
+    * An update whose source row carries a different partition value
+    * migrates the record to the new partition. */
+  def merge(
+      source: DataFrame,
+      matchedUpdate: Option[Column] = None,
+      matchedDelete: Option[Column] = None,
+      notMatchedInsert: Option[Column] = None): String = {
+    val instant = timeline.nextInstant()
+    val cur = schema
+    // Clause conditions resolve against the source's own columns (the
+    // demo's conditions only reference source fields, e.g. opt_type),
+    // evaluated BEFORE projecting the source onto the table schema so
+    // extra routing columns remain visible to them.
+    val srcRaw = withMeta(dedupBatch(source), instant)
+      .withColumn("__c_upd", matchedUpdate.getOrElse(lit(true)))
+      .withColumn("__c_del", matchedDelete.getOrElse(lit(true)))
+      .withColumn("__c_ins", notMatchedInsert.getOrElse(lit(true)))
+    val flagCols = Seq("__c_upd", "__c_del", "__c_ins")
+    val src = conform(srcRaw, cur, extra = flagCols)
+    val affected = affectedFiles(src, global = true)
+    val existing = readAffected(affected, cur)
+
+    val srcAliased = src.select(src.columns.toSeq.map(c => col(c).as(s"__s_$c")): _*)
+    val joined = existing.join(srcAliased,
+      col(RecordKeyCol) === col(s"__s_$RecordKeyCol"), "full_outer")
+
+    val matched = col(RecordKeyCol).isNotNull && col(s"__s_$RecordKeyCol").isNotNull
+    val onlySource = col(RecordKeyCol).isNull
+    val doUpd = matched && col("__s___c_upd")
+    val doDel = matched && col("__s___c_del")
+    val doIns = onlySource && col("__s___c_ins")
+
+    val route = when(doUpd, lit("u")).when(doDel, lit("d"))
+      .when(doIns, lit("i"))
+      .when(onlySource, lit("x")) // source-only, insert condition failed
+      .otherwise(lit("k")) // unmatched existing or no clause applies
+    val takeSource = col("__route") === "u" || col("__route") === "i"
+    val out = joined.withColumn("__route", route)
+      .filter(col("__route") =!= "d" && col("__route") =!= "x")
+      .select((MetaCols ++ cur.fieldNames.toSeq).map { c =>
+        (c match {
+          case CommitTimeCol => when(takeSource, lit(instant)).otherwise(col(c))
+          case _ => when(takeSource, col(s"__s_$c")).otherwise(col(c))
+        }).as(c)
+      }: _*)
+    val (added, parts, n) = writeFiles(out, instant)
+    doCommit(instant, "merge", added, affected, parts, cur, n)
+    instant
+  }
+
+  // ------------------------------------------------------------ internals
+
+  private def abs(rel: String): String =
+    if (rel.startsWith("/") || rel.contains(":/")) rel
+    else s"$basePath/$rel"
+
+  /** table-relative form of a path that may be an absolute URI
+    * (`file:///...`) coming from `_metadata.file_path`. basePath is
+    * always fully qualified (see companion), so normalizing the
+    * candidate through Hadoop Path makes the prefixes comparable. */
+  private def relativize(p: String): String = {
+    val q = new Path(p).toString
+    if (q.startsWith(basePath + "/")) q.stripPrefix(basePath + "/") else q
+  }
+
+  private def readFilesWithMeta(files: Seq[String], dataSchema: StructType): DataFrame = {
+    val s = withMetaSchema(dataSchema)
+    if (files.isEmpty) emptyDf(s)
+    else spark.read.schema(s).parquet(files.map(abs): _*)
+  }
+
+  /** Current rows of `affected` files, synthesizing meta columns for
+    * external (bootstrapped) members — which thereby migrate to managed
+    * files on this rewrite. */
+  private def readAffected(affected: Seq[String], dataSchema: StructType): DataFrame = {
+    val extByPath: Map[String, CommitMeta] = timeline.liveFiles(None)
+      .filter { case (f, c) => c.external.contains(f) }.toMap
+    val (ext, managed) = affected.partition(extByPath.contains)
+    val m = readFilesWithMeta(managed, dataSchema)
+    if (ext.isEmpty) m
+    else m.unionByName(
+      conform(readExternal(ext.map(f => (f, extByPath(f)))), dataSchema),
+      allowMissingColumns = true)
+  }
+
+  /** Files containing at least one row whose key matches the batch.
+    * Partition-scoped by default (Hudi's non-global index): candidates
+    * are driver-pruned to the batch's partitions and the match is on
+    * (key, partition). `global = true` (MERGE) matches on key across
+    * all partitions. One semi-join collecting only distinct paths. */
+  private def affectedFiles(
+      incoming: DataFrame, global: Boolean = false): Seq[String] = {
+    val all = timeline.liveFiles(None)
+    val (liveExt, live) = all.partition { case (f, c) => c.external.contains(f) }
+    if (live.isEmpty && liveExt.isEmpty) return Seq.empty
+    val batchParts: Set[String] =
+      if (global || props.partitionFields.isEmpty) Set.empty
+      else incoming.select(PartitionPathCol).distinct()
+        .collect().map(_.getString(0)).toSet
+    def inScope(f: String, c: CommitMeta): Boolean =
+      global || props.partitionFields.isEmpty ||
+        c.partitions.get(f).forall(batchParts.contains)
+    val candidates = live.collect { case (f, c) if inScope(f, c) => abs(f) }
+    // external (bootstrapped) files carry no stored keys: any external
+    // file in scope is conservatively affected (it is rewritten into
+    // managed form on first touch — the reference's "upserts migrate
+    // bootstrapped files" behavior)
+    val extAffected = liveExt.collect { case (f, c) if inScope(f, c) => f }
+    val joinKeys = if (global) Seq(RecordKeyCol) else Seq(RecordKeyCol, PartitionPathCol)
+    val managedAffected = if (candidates.isEmpty) Seq.empty[String]
+    else {
+      spark.read.schema(withMetaSchema(schema)).parquet(candidates: _*)
+        .select(col(RecordKeyCol), col(PartitionPathCol),
+          col("_metadata.file_path").as("__file"))
+        .join(broadcast(incoming.select(joinKeys.map(col): _*).distinct()),
+          joinKeys, "left_semi")
+        .select("__file").distinct()
+        .collect().map(r => relativize(r.getString(0))).toSeq
+    }
+    managedAffected ++ extAffected
+  }
+
+  /** Files containing at least one row matching a predicate (for
+    * deleteWhere/updateWhere); parquet footer stats prune the probe. */
+  private def filesMatching(cond: Column): Seq[String] = {
+    val live = timeline.liveFiles(None)
+    if (live.isEmpty) return Seq.empty
+    val (ext, managed) = live.partition { case (f, c) => c.external.contains(f) }
+    val m = if (managed.isEmpty) Seq.empty[String]
+    else spark.read.schema(withMetaSchema(schema))
+      .parquet(managed.map(f => abs(f._1)): _*)
+      .filter(cond)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(r => relativize(r.getString(0))).toSeq
+    m ++ ext.map(_._1) // conservatively rewrite external files
+  }
+
+  /** preCombine within the batch: largest ordering value per
+    * (key, partition) wins; deterministic tie-break on a stable row
+    * hash (Hudi keeps an arbitrary one, JavaClientHive2Hudi:325-327). */
+  private def dedupBatch(df: DataFrame): DataFrame = props.preCombineField match {
+    case None => df
+    case Some(f) =>
+      val w = Window.partitionBy(keyCol, ppCol)
+        .orderBy(col(f).desc, xxhash64(struct(df.columns.map(col): _*)).desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def withMeta(df: DataFrame, instant: String): DataFrame =
+    df.withColumn(CommitTimeCol, lit(instant))
+      .withColumn(RecordKeyCol, keyCol)
+      .withColumn(PartitionPathCol, ppCol)
+      .select((MetaCols ++ df.columns.toSeq).map(col): _*)
+
+  /** Project a meta'd frame onto meta ++ `target` schema (+ passthrough
+    * `extra` columns), nulling missing columns (additive evolution). */
+  private def conform(
+      df: DataFrame, target: StructType, extra: Seq[String] = Seq.empty): DataFrame =
+    df.select((MetaCols.map(col) ++ target.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ extra.map(col)): _*)
+
+  /** Additive schema merge (mergeSchema semantics — the Flink
+    * ROW_DATA_TYPE_WIDER fixture, Configurations.java:35-42). */
+  private def unionSchema(incoming: DataFrame): StructType = {
+    val cur = schema
+    val in = StructType(incoming.schema
+      .filterNot(f => MetaCols.contains(f.name)).map(_.copy(nullable = true)))
+    if (cur.isEmpty) in
+    else StructType(cur.fields ++
+      in.fields.filterNot(f => cur.fieldNames.contains(f.name)))
+  }
+
+  /** Stage-write (salted per partition), then rename into the final
+    * layout. Returns (relative paths, partition map, row count — read
+    * back from parquet footers, a metadata-only count). */
+  private def writeFiles(
+      df: DataFrame, instant: String): (Seq[String], Map[String, String], Long) = {
+    val stagingDir = new Path(basePath, s".staging/$instant")
+    if (props.partitionFields.isEmpty) {
+      // keep the incoming partitioning: files ≈ upstream parallelism
+      df.write.mode("overwrite").parquet(stagingDir.toString)
+    } else {
+      // co-locate each partition's rows; salt spreads hot partitions
+      // across writeSaltBuckets files (small-file vs max-file sizing)
+      val salted =
+        if (props.writeSaltBuckets > 1)
+          df.repartition(col(PartitionPathCol),
+            pmod(xxhash64(col(RecordKeyCol)), lit(props.writeSaltBuckets)))
+        else df.repartition(col(PartitionPathCol))
+      salted.withColumn(StagePartCol, col(PartitionPathCol))
+        .write.partitionBy(StagePartCol).mode("overwrite")
+        .parquet(stagingDir.toString)
+    }
+    val (added, parts) = moveStaged(stagingDir, instant)
+    val n = if (added.isEmpty) 0L
+    else spark.read.schema(withMetaSchema(schema))
+      .parquet(added.map(abs): _*).count() // footer-only count
+    (added, parts, n)
+  }
+
+  private def moveStaged(
+      stagingDir: Path, instant: String): (Seq[String], Map[String, String]) = {
+    val f = fs
+    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    val parts = scala.collection.mutable.Map.empty[String, String]
+    var seq = 0
+    def moveFile(file: Path, pp: String): Unit = {
+      val destDir = if (pp.isEmpty) new Path(basePath) else new Path(basePath, pp)
+      f.mkdirs(destDir)
+      val rel = (if (pp.isEmpty) "" else pp + "/") + f"${instant}_$seq%05d.parquet"
+      seq += 1
+      if (!f.rename(file, new Path(basePath, rel)))
+        throw new IllegalStateException(s"rename failed: $file -> $rel")
+      added += rel
+      parts(rel) = pp
+    }
+    def walk(p: Path, pp: String): Unit =
+      f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith(StagePartCol + "="))
+          walk(st.getPath, unescapePath(name.stripPrefix(StagePartCol + "=")))
+        else if (name.endsWith(".parquet")) moveFile(st.getPath, pp)
+      }
+    if (f.exists(stagingDir)) walk(stagingDir, "")
+    f.delete(stagingDir, true)
+    val stagingRoot = stagingDir.getParent
+    if (f.exists(stagingRoot) && f.listStatus(stagingRoot).isEmpty)
+      f.delete(stagingRoot, false)
+    (added.toSeq, parts.toMap)
+  }
+
+  private def doCommit(
+      instant: String, action: String, added: Seq[String],
+      removed: Seq[String], parts: Map[String, String],
+      schemaOut: StructType, n: Long): Unit =
+    timeline.commit(CommitMeta(
+      instant, action, added, removed.map(relativize), Seq.empty,
+      schemaOut.toDDL, n, parts))
+}
+
+object LakeTable {
+  val CommitTimeCol = "_commit_time"
+  val RecordKeyCol = "_record_key"
+  val PartitionPathCol = "_partition_path"
+  val MetaCols: Seq[String] = Seq(CommitTimeCol, RecordKeyCol, PartitionPathCol)
+  private[core] val IncomingFlag = "__incoming"
+  private[core] val StagePartCol = "__pp__"
+
+  /** Fully-qualified base (scheme + absolute path): all stored paths
+    * are relative to this, so prefix matching is exact regardless of
+    * how the caller spelled the location. */
+  private def qualify(spark: SparkSession, basePath: String): String = {
+    val p = new Path(basePath)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString
+  }
+
+  /** CREATE TABLE (SparkSQLDemo.scala:36-53). */
+  def create(spark: SparkSession, basePath: String, props: TableProps): LakeTable = {
+    val base = qualify(spark, basePath)
+    val tl = new Timeline(spark.sessionState.newHadoopConf(), base)
+    if (tl.exists)
+      throw new IllegalStateException(s"table already exists at $base")
+    tl.writeProps(props)
+    new LakeTable(spark, base, tl)
+  }
+
+  def load(spark: SparkSession, basePath: String): LakeTable = {
+    val base = qualify(spark, basePath)
+    val tl = new Timeline(spark.sessionState.newHadoopConf(), base)
+    require(tl.exists, s"no lake table at $base")
+    new LakeTable(spark, base, tl)
+  }
+
+  def exists(spark: SparkSession, basePath: String): Boolean =
+    new Timeline(spark.sessionState.newHadoopConf(),
+      qualify(spark, basePath)).exists
+
+  /** Full bootstrap (BootstrapDemo.scala:234-259): rewrite an existing
+    * parquet directory into a managed table. Partition columns must be
+    * present in the file data (the reference has the same caveat for
+    * hive-style sources without them, BootstrapDemo.scala:136-138).
+    * All columns forced nullable (makeDfColNullable, :275-280). */
+  def bootstrapFull(
+      spark: SparkSession, basePath: String, srcPath: String,
+      props: TableProps): LakeTable = {
+    val t = create(spark, basePath, props)
+    val src = spark.read.parquet(srcPath)
+    val nullable = spark.createDataFrame(src.rdd,
+      StructType(src.schema.map(_.copy(nullable = true))))
+    t.insert(nullable)
+    t
+  }
+
+  /** Metadata bootstrap (BootstrapDemo.scala:207-232): adopt existing
+    * parquet files in place — the commit references them as external;
+    * no data is rewritten until an upsert first touches a file. The
+    * one-time source listing happens here only, never on reads. */
+  def bootstrapMetadata(
+      spark: SparkSession, basePath: String, srcPath: String,
+      props: TableProps): LakeTable = {
+    val t = create(spark, basePath, props)
+    val conf = spark.sessionState.newHadoopConf()
+    val sp = new Path(srcPath)
+    val fs = sp.getFileSystem(conf)
+    val qualifiedSrc = fs.makeQualified(sp)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def walk(p: Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && !name.startsWith(".") && !name.startsWith("_"))
+          walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        else if (name.endsWith(".parquet"))
+          files += ((st.getPath.toString, rel))
+      }
+    walk(qualifiedSrc, "")
+    require(files.nonEmpty, s"no parquet files under $srcPath")
+    val schemaDdl = StructType(spark.read
+      .parquet(files.map(_._1).toSeq: _*).schema.map(_.copy(nullable = true))).toDDL
+    val instant = t.timeline.nextInstant()
+    t.timeline.commit(CommitMeta(
+      instant, "bootstrap",
+      added = files.map(_._1).toSeq,
+      removed = Seq.empty,
+      external = files.map(_._1).toSeq,
+      schemaDdl = schemaDdl,
+      totalRecords = -1L,
+      partitions = files.map { case (f, rel) => f -> rel }.toMap))
+    t
+  }
+
+  /** DROP TABLE IF EXISTS (SparkSQLDemo.scala:31) + purge. */
+  def drop(spark: SparkSession, basePath: String): Unit = {
+    val p = new Path(basePath)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  /** Glob match for partition-path globs (`dt=2022-11*`):
+    * `*` = any run, `?` = one char. */
+  private[core] def globMatch(glob: String, s: String): Boolean = {
+    val rx = ("\\Q" + glob.replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "\\E").r
+    rx.pattern.matcher(s).matches()
+  }
+
+  private[core] def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,5 +1,187 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{LakeTable, TableProps}
+import graft.util.Tables._
+
+/** Lake-table DML surface (SURVEY §2.1-§2.2, §2.9) exposed through the
+  * driver gate: each query rebuilds a scratch table from the testdata
+  * `customer` table, applies the operation under test, and returns the
+  * resulting snapshot; the DuckDB oracle recomputes the expected state
+  * relationally from the raw parquet.
+  *
+  * Determinism: every mutated value is derived with exact decimal
+  * arithmetic; every batch keys off `c_custkey` modulo classes; output
+  * is the data-column snapshot ordered by key.
+  */
 object LakeQueries {
-  def qs: Seq[GQ] = Seq()
+
+  private def props(partitioned: Boolean) = TableProps(
+    name = "scratch",
+    primaryKey = Seq("c_custkey"),
+    preCombineField = Some("ts"),
+    partitionFields = if (partitioned) Seq("c_mktsegment") else Seq.empty)
+
+  private def scratch(s: SparkSession, sfDir: String, name: String): String = {
+    val p = s"target/graft_scratch/${name}_${math.abs(sfDir.hashCode)}"
+    LakeTable.drop(s, p)
+    p
+  }
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").withColumn("ts", lit(1L))
+
+  private def dataCols(df: DataFrame): DataFrame =
+    df.drop(LakeTable.MetaCols: _*).orderBy(col("c_custkey"))
+
+  /** Keyed upsert → snapshot (W12 + S1: the append2Hudi flow,
+    * BootstrapDemo.scala:261-273). */
+  private val upsertQ = GQ(
+    "lake1_upsert_snapshot",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake1"), props(true))
+      tab.upsert(base(s, dir))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 5 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_acctbal", (dec2(col("c_acctbal")) * 2).cast("double"))
+        .withColumn("c_name", concat(col("c_name"), lit("_v2"))))
+      dataCols(tab.snapshot())
+    },
+    Some("""SELECT c_custkey,
+      CASE WHEN c_custkey % 5 = 0 THEN c_name || '_v2' ELSE c_name END AS c_name,
+      c_nationkey,
+      CASE WHEN c_custkey % 5 = 0
+        THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE)
+        ELSE c_acctbal END AS c_acctbal,
+      c_mktsegment,
+      CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS ts
+      FROM customer ORDER BY c_custkey"""))
+
+  /** Delete by key (W16 / HoodieJavaWriteClientExample delete flow). */
+  private val deleteQ = GQ(
+    "lake2_delete",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake2"), props(true))
+      tab.upsert(base(s, dir))
+      tab.delete(base(s, dir).filter(col("c_custkey") % 7 === 0)
+        .select("c_custkey", "c_mktsegment"))
+      dataCols(tab.snapshot())
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      CAST(1 AS BIGINT) AS ts
+      FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"""))
+
+  /** Incremental query, begin-exclusive (S3, IncrementalQuery.scala:48-53):
+    * three key-disjoint commits, read everything after the first. */
+  private val incrementalQ = GQ(
+    "lake3_incremental",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake3"), props(true))
+      val c1 = tab.upsert(base(s, dir).filter(col("c_custkey") < 200))
+      tab.upsert(base(s, dir).filter(col("c_custkey") >= 200 && col("c_custkey") <= 700))
+      tab.upsert(base(s, dir).filter(col("c_custkey") > 700))
+      dataCols(tab.incremental(c1))
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      CAST(1 AS BIGINT) AS ts
+      FROM customer WHERE c_custkey >= 200 ORDER BY c_custkey"""))
+
+  /** MERGE INTO with update/delete/insert routing (W6,
+    * SparkSQLDemo.scala:77-91 shape). */
+  private val mergeQ = GQ(
+    "lake4_merge",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake4"), props(true))
+      tab.upsert(base(s, dir))
+      val matchedPart = base(s, dir).filter(col("c_custkey") % 2 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_acctbal", (dec2(col("c_acctbal")) + 1000).cast("double"))
+        .withColumn("c_name", concat(col("c_name"), lit("_m")))
+        .withColumn("opt_type",
+          when(col("c_custkey") % 10 === 0, lit("DELETE")).otherwise(lit("UPDATE")))
+      val insertPart = base(s, dir).filter(col("c_custkey") % 2 === 1)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_custkey", col("c_custkey") + 1000000)
+        .withColumn("c_name", concat(col("c_name"), lit("_new")))
+        .withColumn("opt_type", lit("INSERT"))
+      tab.merge(matchedPart.unionByName(insertPart),
+        matchedUpdate = Some(col("opt_type") === "UPDATE"),
+        matchedDelete = Some(col("opt_type") === "DELETE"),
+        notMatchedInsert = Some(col("opt_type") === "INSERT"))
+      dataCols(tab.snapshot())
+    },
+    Some("""SELECT * FROM (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 2 = 0 THEN c_name || '_m' ELSE c_name END AS c_name,
+        c_nationkey,
+        CASE WHEN c_custkey % 2 = 0
+          THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 1000 AS DOUBLE)
+          ELSE c_acctbal END AS c_acctbal,
+        c_mktsegment,
+        CAST(CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
+      FROM customer WHERE NOT (c_custkey % 2 = 0 AND c_custkey % 10 = 0)
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name || '_new', c_nationkey, c_acctbal,
+        c_mktsegment, CAST(2 AS BIGINT) AS ts
+      FROM customer WHERE c_custkey % 2 = 1
+      ) ORDER BY c_custkey"""))
+
+  /** Additive schema evolution on upsert (§1.3, Configurations.java:35-42). */
+  private val evolutionQ = GQ(
+    "lake5_schema_evolution",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake5"), props(true))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 2 === 0))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 2 === 1)
+        .withColumn("bonus", (col("c_custkey") * 2).cast("long")))
+      dataCols(tab.snapshot())
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      CAST(1 AS BIGINT) AS ts,
+      CASE WHEN c_custkey % 2 = 1 THEN c_custkey * 2 END AS bonus
+      FROM customer ORDER BY c_custkey"""))
+
+  /** Commit-timeline listing (C1 `call show_commits`): deterministic
+    * projection (action, record counts) of three disjoint commits. */
+  private val commitsQ = GQ(
+    "lake6_show_commits",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake6"), props(true))
+      tab.upsert(base(s, dir).filter(col("c_custkey") < 200))
+      tab.upsert(base(s, dir).filter(col("c_custkey") >= 200 && col("c_custkey") <= 700))
+      tab.upsert(base(s, dir).filter(col("c_custkey") > 700))
+      tab.commits().select(col("action"), col("total_records"))
+        .orderBy(col("total_records"))
+    },
+    Some("""SELECT 'upsert' AS action, count(*) AS total_records
+        FROM customer WHERE c_custkey < 200
+      UNION ALL
+      SELECT 'upsert', count(*) FROM customer WHERE c_custkey BETWEEN 200 AND 700
+      UNION ALL
+      SELECT 'upsert', count(*) FROM customer WHERE c_custkey > 700
+      ORDER BY total_records"""))
+
+  /** Full bootstrap of an existing parquet directory (W14,
+    * BootstrapDemo.scala:234-259): rewrite into managed table, then
+    * upsert-append on top (the :66 append flow). */
+  private val bootstrapQ = GQ(
+    "lake7_bootstrap",
+    (s, dir) => {
+      val srcDir = scratch(s, dir, "lake7src")
+      base(s, dir).filter(col("c_custkey") % 3 =!= 0)
+        .write.mode("overwrite").parquet(srcDir)
+      val tab = LakeTable.bootstrapFull(
+        s, scratch(s, dir, "lake7"), srcDir, props(true))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 3 === 0)
+        .withColumn("ts", lit(2L)))
+      dataCols(tab.snapshot())
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
+      FROM customer ORDER BY c_custkey"""))
+
+  def qs: Seq[GQ] = Seq(
+    upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ)
 }

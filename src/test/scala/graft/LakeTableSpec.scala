@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** Scenario + unit specs for the LakeTable core, transcribed from the
+  * reference demos (SURVEY.md §5.1-5.2). */
+class LakeTableSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "lake_").toString + "/t"
+
+  private def demoProps = TableProps(
+    name = "test_hudi_table",
+    primaryKey = Seq("id"),
+    preCombineField = Some("ts"),
+    partitionFields = Seq("dt"))
+
+  private def rows(df: DataFrame): Set[(Int, String, Double, Long, String)] =
+    df.select("id", "name", "price", "ts", "dt").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+      .toSet
+
+  test("SparkSQLDemo full scenario: create→insert→update→delete→merge") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, demoProps)
+
+    // insert into values (1,...),(2,...) — SparkSQLDemo.scala:56
+    t.upsert(Seq((1, "hudi", 10.0, 100L, "2022-09-05"),
+      (2, "hudi", 10.0, 100L, "2022-09-05"))
+      .toDF("id", "name", "price", "ts", "dt"))
+    // insert select 3 union select 4 — :57-61 (UNION dedups)
+    t.upsert(Seq((3, "hudi", 10.0, 100L, "2022-09-25"),
+      (4, "hudi", 10.0, 100L, "2022-09-25"))
+      .toDF("id", "name", "price", "ts", "dt").distinct())
+    assert(rows(t.snapshot()).size == 4)
+
+    // update set price = 20.0 where id = 1 — :69-71
+    t.updateWhere(col("id") === 1, Map("price" -> lit(20.0)))
+    assert(rows(t.snapshot()).contains((1, "hudi", 20.0, 100L, "2022-09-05")))
+
+    // delete where id = 1 — :73-75
+    t.deleteWhere(col("id") === 1)
+    assert(!rows(t.snapshot()).exists(_._1 == 1))
+
+    // merge — :77-91
+    val source = Seq(
+      (1, "hudi", 112.0, 98L, "2022-09-05", "INSERT"),
+      (2, "hudi_2", 10.0, 100L, "2022-09-05", "UPDATE"),
+      (3, "hudi", 10.0, 100L, "2021-09-25", "DELETE"))
+      .toDF("id", "name", "price", "ts", "dt", "opt_type")
+    t.merge(source,
+      matchedUpdate = Some(col("opt_type") =!= "DELETE"),
+      matchedDelete = Some(col("opt_type") === "DELETE"),
+      notMatchedInsert = Some(col("opt_type") =!= "DELETE"))
+
+    val finalRows = rows(t.snapshot())
+    assert(finalRows == Set(
+      (1, "hudi", 112.0, 98L, "2022-09-05"),
+      (2, "hudi_2", 10.0, 100L, "2022-09-05"),
+      (4, "hudi", 10.0, 100L, "2022-09-25")),
+      s"got $finalRows")
+  }
+
+  test("preCombine semantics: batch dedup + LatestByOrdering vs OverwriteWithLatest") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, demoProps)
+    // intra-batch dup: larger ts wins
+    t.upsert(Seq((1, "a", 1.0, 100L, "d1"), (1, "b", 2.0, 200L, "d1"))
+      .toDF("id", "name", "price", "ts", "dt"))
+    assert(rows(t.snapshot()) == Set((1, "b", 2.0, 200L, "d1")))
+    // stale update (ts=50 < 200) loses under LatestByOrdering
+    t.upsert(Seq((1, "stale", 9.0, 50L, "d1")).toDF("id", "name", "price", "ts", "dt"))
+    assert(rows(t.snapshot()) == Set((1, "b", 2.0, 200L, "d1")))
+    // equal ts: incoming wins (DefaultHoodieRecordPayload tie rule)
+    t.upsert(Seq((1, "tie", 3.0, 200L, "d1")).toDF("id", "name", "price", "ts", "dt"))
+    assert(rows(t.snapshot()) == Set((1, "tie", 3.0, 200L, "d1")))
+    // OverwriteWithLatest: stale ts still replaces
+    t.upsert(Seq((1, "force", 4.0, 10L, "d1")).toDF("id", "name", "price", "ts", "dt"),
+      MergePolicy.OverwriteWithLatest)
+    assert(rows(t.snapshot()) == Set((1, "force", 4.0, 10L, "d1")))
+  }
+
+  test("partition-scoped upsert: same key in another partition is a new record") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, demoProps)
+    t.upsert(Seq((1, "a", 1.0, 100L, "d1")).toDF("id", "name", "price", "ts", "dt"))
+    t.upsert(Seq((1, "b", 2.0, 200L, "d2")).toDF("id", "name", "price", "ts", "dt"))
+    assert(rows(t.snapshot()) == Set((1, "a", 1.0, 100L, "d1"), (1, "b", 2.0, 200L, "d2")))
+    // delete keyed to d2 only removes the d2 copy
+    t.delete(Seq((1, "d2")).toDF("id", "dt"))
+    assert(rows(t.snapshot()) == Set((1, "a", 1.0, 100L, "d1")))
+  }
+
+  test("IncrementalQuery scenario: commit-range reads, begin-exclusive") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, demoProps)
+    // 5 single-row commits — IncrementalQuery.scala:84-88
+    val batches = Seq(
+      (1, "hudi", 10.0, 100L, "2022-11-25"),
+      (2, "hudi", 10.0, 100L, "2022-11-25"),
+      (3, "hudi", 10.0, 100L, "2022-11-26"),
+      (4, "hudi", 10.0, 100L, "2022-12-26"),
+      (5, "hudi", 10.0, 100L, "2022-12-27"))
+    val instants = batches.map(b =>
+      t.upsert(Seq(b).toDF("id", "name", "price", "ts", "dt")))
+    // commits() is newest-first like show_commits
+    val listed = t.commits().select("commit_time").as[String].collect().toSeq
+    assert(listed == instants.reverse)
+    // begin = commits(1) (second newest) ⇒ only the newest commit's row
+    val inc = t.incremental(listed(1))
+    assert(rows(inc) == Set(batches(4)))
+    // begin..end window: (2nd, 4th] ⇒ rows 3 and 4
+    val win = t.incremental(instants(1), Some(instants(3)))
+    assert(rows(win) == Set(batches(2), batches(3)))
+    // path glob restricts partitions — INCR_PATH_GLOB IncrementalQuery.scala:52
+    val glob = t.incremental(instants(0), None, Some("dt=2022-11*"))
+    assert(rows(glob) == Set(batches(1), batches(2)))
+  }
+
+  test("unchanged rows keep their commit time through COW rewrites") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, demoProps)
+    val c1 = t.upsert(Seq((1, "a", 1.0, 100L, "d1"), (2, "b", 1.0, 100L, "d1"))
+      .toDF("id", "name", "price", "ts", "dt"))
+    val c2 = t.upsert(Seq((1, "a2", 2.0, 200L, "d1")).toDF("id", "name", "price", "ts", "dt"))
+    val byId = t.snapshot().select(col("id"), col(LakeTable.CommitTimeCol))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(byId(1) == c2 && byId(2) == c1)
+    // incremental after c1 sees only id=1
+    assert(rows(t.incremental(c1)).map(_._1) == Set(1))
+  }
+
+  test("schema evolution: additive column on upsert") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, demoProps)
+    t.upsert(Seq((1, "a", 1.0, 100L, "d1")).toDF("id", "name", "price", "ts", "dt"))
+    t.upsert(Seq((2, "b", 2.0, 100L, "d1", 999.0))
+      .toDF("id", "name", "price", "ts", "dt", "salary"))
+    val snap = t.snapshot()
+    assert(snap.columns.contains("salary"))
+    val sal = snap.select("id", "salary").collect()
+      .map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(sal(1).isEmpty && sal(2).contains(999.0))
+  }
+
+  test("KeyGen placeholders and composite keys") {
+    val df = Seq((Some(1), Some("x")), (None, Some("")), (Some(3), None))
+      .toDF("a", "b")
+    val out = df.select(
+      KeyGen.recordKey(Seq("a", "b")).as("k"),
+      KeyGen.partitionPath(Seq("b"), hiveStyle = true).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSet == Set(
+      ("a:1,b:x", "b=x"),
+      ("a:__null__,b:__empty__", "b=default"),
+      ("a:3,b:__null__", "b=default")))
+  }
+
+  test("BootstrapDemo: full + metadata bootstrap, then upsert-append") {
+    // F2 fixture: existing parquet source, then the :66/:113 append batch
+    val srcRows = Seq((1, "a1", 10, 1000, "2022-10-08"), (2, "a2", 20, 2000, "2022-10-09"))
+    val appendBatch = Seq((2, "a2", 22, 2200, "2022-10-09"), (4, "a4", 40, 4000, "2022-10-08"))
+    val props = TableProps("bootstrap_t", Seq("id"), Some("ts"), Seq.empty)
+    def checkFinal(t: LakeTable): Unit = {
+      val got = t.snapshot().select("id", "name", "value", "ts", "dt").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+      assert(got == Set(
+        (1, "a1", 10, 1000, "2022-10-08"),
+        (2, "a2", 22, 2200, "2022-10-09"),
+        (4, "a4", 40, 4000, "2022-10-08")), s"got $got")
+    }
+    val srcDir = tmp()
+    srcRows.toDF("id", "name", "value", "ts", "dt").write.parquet(srcDir)
+
+    val full = LakeTable.bootstrapFull(spark, tmp(), srcDir, props)
+    full.upsert(appendBatch.toDF("id", "name", "value", "ts", "dt"))
+    checkFinal(full)
+
+    val meta = LakeTable.bootstrapMetadata(spark, tmp(), srcDir, props)
+    // snapshot over foreign files works before any rewrite
+    assert(meta.snapshot().count() == 2)
+    meta.upsert(appendBatch.toDF("id", "name", "value", "ts", "dt"))
+    checkFinal(meta)
+    // first touch migrated the external file: no external refs remain live
+    val stillExternal = meta.timeline.liveFiles(None)
+      .filter { case (f, c) => c.external.contains(f) }
+    assert(stillExternal.isEmpty)
+  }
+
+  test("snapshotWhere prunes partitions driver-side") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, demoProps)
+    t.upsert(Seq((1, "a", 1.0, 100L, "d1"), (2, "b", 1.0, 100L, "d2"))
+      .toDF("id", "name", "price", "ts", "dt"))
+    val pruned = t.snapshotWhere(_ == "dt=d1")
+    assert(rows(pruned).map(_._1) == Set(1))
+    // plan should reference exactly one file
+    assert(pruned.inputFiles.length == 1)
+  }
+}
