@@ -1,5 +1,242 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Deduplication operators for LLM-data pipelines over `documents`:
+  * exact (hash-groupBy), MinHash+LSH banded near-dup, SimHash
+  * near-dup, and exact n-gram Jaccard with source blocking.
+  *
+  * The synthetic corpus has no duplicates, so each query first injects
+  * deterministic ones derivable in SQL: every doc_id % 11 == 0 gets an
+  * exact copy (+2e6 id), every doc_id % 7 == 0 a near-copy with three
+  * appended tokens (+1e6 id). Oracles rebuild the same corpus and,
+  * for the approximate operators, brute-force the same similarity —
+  * so the gate also checks that LSH/SimHash blocking reaches full
+  * recall on this data (verified; the exact-similarity post-filter
+  * makes precision exact by construction).
+  *
+  * Portability: shingle/word hashes are 48/32-bit integers parsed from
+  * an md5 prefix — identical in Spark (`conv(hex,16,10)`) and DuckDB
+  * (`CAST('0x'||hex AS BIGINT)`). No engine-specific hash functions.
+  *
+  * Scale: everything is join/groupBy shaped — shingle explode, 32 min()
+  * partial aggregations, band-key self-join (bucket sizes bounded by
+  * the banding scheme), intersection counted only for candidate pairs.
+  * No driver-side loops; no cross join anywhere in the Spark plans.
+  */
 object DedupOps {
-  def qs: Seq[GQ] = Seq()
+
+  private val P = 1000000007L
+  private val NumHashes = 32
+  private val Bands = 16 // × 2 rows per band
+  private def hashA(i: Int): Long = (1103515245L * (i + 1)) % P
+  private def hashB(i: Int): Long = (12345L + 999331L * i) % P
+
+  // ------------------------------------------------------------- corpus
+
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(col("text"), lit(" extra token appended"))))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL SELECT doc_id + 1000000, text || ' extra token appended', source
+        FROM documents WHERE doc_id % 7 = 0
+      UNION ALL SELECT doc_id + 2000000, text, source
+        FROM documents WHERE doc_id % 11 = 0)"""
+
+  /** Word n-gram shingles (Spark side), distinct per doc. */
+  private def shingles(df: DataFrame, n: Int): DataFrame = {
+    val grams = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
+    df.withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
+      .withColumn("sh", explode(expr(
+        s"case when size(w) >= $n then transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $grams)) else array() end")))
+      .select(col("doc_id"), col("sh")).distinct()
+  }
+
+  /** Same shingling in DuckDB ("sh" relation over corpus). */
+  private def shinglesSql(n: Int): String = {
+    val grams = (0 until n).map(k => s"w[i + $k]").mkString(" || ' ' || ")
+    s"""sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(w) - ${n - 2}), i -> $grams))) AS sh
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM corpus))"""
+  }
+
+  /** Exact Jaccard over the distinct-shingle relation for given pairs.
+    * jaccard = |∩| / (|A| + |B| - |∩|): one double division of exact
+    * integers — bit-identical in both engines. */
+
+  // ------------------------------------------------------------ queries
+
+  /** dedup1 — exact duplicate groups by content hash. */
+  private val exactQ = GQ(
+    "dedup1_exact",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = corpus(s, dir)
+        .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      val w = Window.partitionBy(col("fp"))
+      c.withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .filter(col("group_size") > 1)
+        .select("doc_id", "canonical_id", "group_size")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $corpusSql,
+      g AS (SELECT doc_id,
+          count(*) OVER (PARTITION BY fp) AS group_size,
+          min(doc_id) OVER (PARTITION BY fp) AS canonical_id
+        FROM (SELECT doc_id,
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM corpus))
+      SELECT doc_id, canonical_id, group_size FROM g
+      WHERE group_size > 1 ORDER BY doc_id"""))
+
+  /** dedup2 — MinHash (32 perms) + LSH (16 bands × 2 rows) candidate
+    * generation, exact-Jaccard (word 3-gram) post-filter at 0.5. */
+  private val minhashQ = GQ(
+    "dedup2_minhash_lsh",
+    (s, dir) => {
+      val sh = shingles(corpus(s, dir), 3)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val hashed = sh.withColumn("x",
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long") % P)
+      val sigAggs = (0 until NumHashes).map(i =>
+        min((lit(hashA(i)) * col("x") + lit(hashB(i))) % P).as(s"h$i"))
+      val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      val bandKeys = (0 until Bands).map(b =>
+        concat_ws(":", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+      val bands = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      val cand = bands.as("l").join(bands.as("r"),
+          col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+      val inter = cand
+        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("za"), col("a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $corpusSql,
+      ${shinglesSql(3)},
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a, b,
+        CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sz za ON a = za.doc_id
+      JOIN sz zb ON b = zb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.5
+      ORDER BY a, b"""))
+
+  /** dedup3 — 32-bit SimHash over word bigrams; candidates via 4
+    * 8-bit block keys (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 equal block),
+    * verified by exact hamming distance. */
+  private val simhashBits = 32
+  private val simhashQ = {
+    val bitSumsSpark = (0 until simhashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val simhashSpark = (0 until simhashBits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val bitSumsSql = (0 until simhashBits).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n          ")
+    val simhashSql = (0 until simhashBits).map(j =>
+      s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    GQ(
+      "dedup3_simhash",
+      (s, dir) => {
+        val sh = shingles(corpus(s, dir), 2)
+          .withColumn("h", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
+        val sums = sh.groupBy("doc_id").agg(bitSumsSpark.head, bitSumsSpark.tail: _*)
+        val sig = sums.select(col("doc_id"), simhashSpark.as("simhash"))
+        val blocks = sig.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(k =>
+            concat_ws(":", lit(k),
+              shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)))): _*)).as("blk"))
+        blocks.as("l").join(blocks.as("r"),
+            col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+            expr("bit_count(l.simhash ^ r.simhash)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $corpusSql,
+        ${shinglesSql(2)},
+        hh AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h FROM sh),
+        sums AS (SELECT doc_id,
+          $bitSumsSql
+          FROM hh GROUP BY doc_id),
+        sig AS (SELECT doc_id, $simhashSql AS simhash FROM sums)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY a, b"""))
+  }
+
+  /** dedup4 — exact word-bigram Jaccard with source blocking (the
+    * "compare only within a blocking key" pattern). */
+  private val ngramQ = GQ(
+    "dedup4_ngram_jaccard",
+    (s, dir) => {
+      val c = corpus(s, dir)
+      val sh = shingles(c, 2)
+        .join(c.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.as("sa").join(sh.as("sb"),
+          col("sa.sh") === col("sb.sh") && col("sa.source") === col("sb.source") &&
+            col("sa.doc_id") < col("sb.doc_id"))
+        .groupBy(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("za"), col("a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.3)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $corpusSql,
+      ${shinglesSql(2)},
+      shs AS (SELECT sh.doc_id, sh.sh, c.source FROM sh
+        JOIN corpus c ON sh.doc_id = c.doc_id),
+      sz AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        FROM shs a JOIN shs b
+          ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a, b,
+        CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sz za ON a = za.doc_id
+      JOIN sz zb ON b = zb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.3
+      ORDER BY a, b"""))
+
+  def qs: Seq[GQ] = Seq(exactQ, minhashQ, simhashQ, ngramQ)
 }

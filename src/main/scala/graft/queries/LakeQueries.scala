@@ -79,14 +79,14 @@ object LakeQueries {
     "lake3_incremental",
     (s, dir) => {
       val tab = LakeTable.create(s, scratch(s, dir, "lake3"), props(true))
-      val c1 = tab.upsert(base(s, dir).filter(col("c_custkey") < 200))
-      tab.upsert(base(s, dir).filter(col("c_custkey") >= 200 && col("c_custkey") <= 700))
-      tab.upsert(base(s, dir).filter(col("c_custkey") > 700))
+      val c1 = tab.upsert(base(s, dir).filter(col("c_custkey") % 3 === 0))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 3 === 1))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 3 === 2))
       dataCols(tab.incremental(c1))
     },
     Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
       CAST(1 AS BIGINT) AS ts
-      FROM customer WHERE c_custkey >= 200 ORDER BY c_custkey"""))
+      FROM customer WHERE c_custkey % 3 <> 0 ORDER BY c_custkey"""))
 
   /** MERGE INTO with update/delete/insert routing (W6,
     * SparkSQLDemo.scala:77-91 shape). */
@@ -149,18 +149,18 @@ object LakeQueries {
     "lake6_show_commits",
     (s, dir) => {
       val tab = LakeTable.create(s, scratch(s, dir, "lake6"), props(true))
-      tab.upsert(base(s, dir).filter(col("c_custkey") < 200))
-      tab.upsert(base(s, dir).filter(col("c_custkey") >= 200 && col("c_custkey") <= 700))
-      tab.upsert(base(s, dir).filter(col("c_custkey") > 700))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 4 === 0))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 4 === 1))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 4 > 1))
       tab.commits().select(col("action"), col("total_records"))
         .orderBy(col("total_records"))
     },
     Some("""SELECT 'upsert' AS action, count(*) AS total_records
-        FROM customer WHERE c_custkey < 200
+        FROM customer WHERE c_custkey % 4 = 0
       UNION ALL
-      SELECT 'upsert', count(*) FROM customer WHERE c_custkey BETWEEN 200 AND 700
+      SELECT 'upsert', count(*) FROM customer WHERE c_custkey % 4 = 1
       UNION ALL
-      SELECT 'upsert', count(*) FROM customer WHERE c_custkey > 700
+      SELECT 'upsert', count(*) FROM customer WHERE c_custkey % 4 > 1
       ORDER BY total_records"""))
 
   /** Full bootstrap of an existing parquet directory (W14,

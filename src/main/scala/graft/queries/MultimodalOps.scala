@@ -1,5 +1,40 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Multimodal-column plumbing: media treated as opaque `binary`
+  * payloads with typed metadata. The container has no image/audio
+  * codecs, so decoding is a clearly-marked deterministic fake (see
+  * [[graft.multimodal.MediaDecoder]] for the mapPartitions batch
+  * pipeline); what is real and tested here is the Spark-side shape —
+  * binary column handling, metadata extraction as codegen'd
+  * expressions, and the DuckDB-checkable byte-level arithmetic. */
 object MultimodalOps {
-  def qs: Seq[GQ] = Seq()
+
+  /** mm1 — binary payload + metadata extraction: treat each document's
+    * UTF-8 bytes as an opaque media blob; extract size, a fake
+    * width/height (deterministic arithmetic on the byte length), and a
+    * content fingerprint. */
+  private val binaryMetaQ = GQ(
+    "mm1_binary_metadata",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("n_bytes", octet_length(col("payload")))
+        .withColumn("fake_width", (col("n_bytes") % 640).cast("int"))
+        .withColumn("fake_height", ((col("n_bytes") * 7) % 480).cast("int"))
+        .withColumn("fingerprint", md5(col("payload")))
+        .select("doc_id", "n_bytes", "fake_width", "fake_height", "fingerprint")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        octet_length(encode(text)) AS n_bytes,
+        CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+        CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height,
+        md5(text) AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  def qs: Seq[GQ] = Seq(binaryMetaQ)
 }

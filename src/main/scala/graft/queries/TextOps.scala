@@ -1,5 +1,167 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Text-analysis operators for LLM-data pipelines over `documents`
+  * (builder-prompt scale extensions): quality scoring, language ID,
+  * token statistics, fingerprinting. All pure codegen'd column
+  * expressions — no UDFs — so they run at full scan speed at 100 TB
+  * and every one is DuckDB-oracle-checkable.
+  *
+  * Float determinism: every ratio is a single double division of
+  * integer counts and the quality score is one fixed-order weighted
+  * sum, so Spark and DuckDB produce bit-identical doubles.
+  */
 object TextOps {
-  def qs: Seq[GQ] = Seq()
+
+  private val Stopwords =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+  private def sqlList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString(", ")
+
+  /** Tokens of the lowercased text (both engines split on \s+). */
+  private val toksExpr = "split(lower(trim(text)), '\\\\s+')"
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** text1 — quality scoring: length/stopword/alpha ratios combined
+    * into one score (the heuristic-filter stage of a data pipeline). */
+  private val quality = GQ(
+    "text1_quality_score",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop", size(expr(
+          s"filter(toks, w -> w in (${sqlList(Stopwords)}))")))
+        .withColumn("n_alpha", size(expr(
+          "filter(toks, w -> w rlike '^[a-z]+$')")))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("alpha_ratio",
+          col("n_alpha").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("len_score",
+          least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+        .withColumn("quality",
+          lit(0.4) * col("stop_ratio") + lit(0.3) * col("alpha_ratio") +
+            lit(0.3) * col("len_score"))
+        .select("doc_id", "n_tokens", "n_stop", "n_alpha",
+          "stop_ratio", "alpha_ratio", "len_score", "quality")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (
+        SELECT doc_id, $toksSql AS toks FROM documents)
+      SELECT doc_id, n_tokens, n_stop, n_alpha,
+        CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS alpha_ratio,
+        least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS len_score,
+        0.4 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          + 0.3 * (CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS quality
+      FROM (SELECT doc_id,
+          CAST(len(toks) AS INT) AS n_tokens,
+          CAST(len(list_filter(toks, w -> w IN (${sqlList(Stopwords)}))) AS INT) AS n_stop,
+          CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+'))) AS INT) AS n_alpha
+        FROM tk)
+      ORDER BY doc_id"""))
+
+  /** text2 — language ID: fixed per-language stopword lexicons + a CJK
+    * character test; argmax with a fixed tie order. (On the synthetic
+    * corpus every text is English-like, so the interesting property is
+    * that the scorer is deterministic and oracle-checked.) */
+  private val langLex: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "is", "of", "to", "in"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "un", "une", "dans"))
+
+  private val langId = GQ(
+    "text2_lang_id",
+    (s, dir) => {
+      var df = t(s, dir, "documents").withColumn("toks", expr(toksExpr))
+      for ((l, lex) <- langLex)
+        df = df.withColumn(s"c_$l",
+          size(expr(s"filter(toks, w -> w in (${sqlList(lex)}))")))
+      df = df.withColumn("c_zh",
+        when(col("text").rlike("[\\u4e00-\\u9fff]"), lit(1000)).otherwise(lit(0)))
+      val langs = langLex.map(_._1) :+ "zh"
+      // argmax, ties resolved by the fixed order of `langs`
+      val best = langs.tail.foldLeft(
+        (col(s"c_${langs.head}"), lit(langs.head))) { case ((bc, bl), l) =>
+        (when(col(s"c_$l") > bc, col(s"c_$l")).otherwise(bc),
+          when(col(s"c_$l") > bc, lit(l)).otherwise(bl))
+      }._2
+      df.withColumn("predicted_lang", best)
+        .withColumn("agrees", (col("predicted_lang") === col("lang")).cast("int"))
+        .select(Seq("doc_id").map(col) ++ langs.map(l => col(s"c_$l")) ++
+          Seq(col("predicted_lang"), col("agrees")): _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val counts = langLex.map { case (l, lex) =>
+        s"CAST(len(list_filter(toks, w -> w IN (${sqlList(lex)}))) AS INT) AS c_$l"
+      }.mkString(",\n          ")
+      // same left-fold argmax as the Spark side: strictly-greater wins
+      val langs = langLex.map(_._1) :+ "zh"
+      def arg(i: Int): String =
+        if (i == langs.length) "" else ""
+      val foldExpr = langs.tail.foldLeft((s"c_${langs.head}", s"'${langs.head}'")) {
+        case ((bc, bl), l) =>
+          (s"CASE WHEN c_$l > ($bc) THEN c_$l ELSE ($bc) END",
+            s"CASE WHEN c_$l > ($bc) THEN '$l' ELSE ($bl) END")
+      }._2
+      s"""WITH tk AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+        sc AS (SELECT doc_id, lang,
+          $counts,
+          CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 1000 ELSE 0 END AS c_zh
+        FROM tk)
+      SELECT doc_id, ${langs.map(l => s"c_$l").mkString(", ")},
+        $foldExpr AS predicted_lang,
+        CAST(($foldExpr) = lang AS INT) AS agrees
+      FROM sc ORDER BY doc_id"""
+    })
+
+  /** text3 — token statistics: whitespace tokens, word-regex tokens,
+    * a BPE-ish subword estimate (chars/4 ceiling), chars per token. */
+  private val tokenStats = GQ(
+    "text3_token_stats",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_ws_tokens", size(expr(toksExpr)))
+        .withColumn("n_word_tokens",
+          size(expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)")))
+        .withColumn("bpe_estimate", ceil(col("n_chars").cast("double") / lit(4.0)).cast("long"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_ws_tokens").cast("double"))
+        .select("doc_id", "n_chars", "n_ws_tokens", "n_word_tokens",
+          "bpe_estimate", "chars_per_token")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_chars,
+        CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_word_tokens,
+        CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS bpe_estimate,
+        CAST(n_chars AS DOUBLE) /
+          CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS chars_per_token
+      FROM documents ORDER BY doc_id"""))
+
+  /** text4 — document fingerprinting: md5 of the whitespace-normalized
+    * text plus a 48-bit integer prefix (the join-friendly form used by
+    * the dedup operators). */
+  private val fingerprint = GQ(
+    "text4_fingerprint",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .withColumn("fp", md5(col("norm")))
+        .withColumn("fp48", conv(substring(col("fp"), 1, 12), 16, 10).cast("long"))
+        .select("doc_id", "fp", "fp48")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 12) AS BIGINT) AS fp48
+      FROM documents ORDER BY doc_id"""))
+
+  def qs: Seq[GQ] = Seq(quality, langId, tokenStats, fingerprint)
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.MediaDecoder
+import graft.queries.SimilarityOps
+import graft.util.Tables
+
+/** Specs for the LLM-data pipeline operators (dedup / similarity /
+  * multimodal) beyond what the DuckDB oracles check. */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("dedup: injected exact and near duplicates are found") {
+    val exact = SparkEntry.queries("dedup1_exact")(spark, sf)
+    // every doc_id % 11 == 0 copy forms a group with its original
+    val canon = exact.select("canonical_id").collect().map(_.getLong(0)).toSet
+    assert(canon.nonEmpty && canon.forall(_ % 11 == 0))
+    val minhash = SparkEntry.queries("dedup2_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every %7 near-copy pairs with its original
+    val expectedNear = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 7 === 0).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(expectedNear.subsetOf(minhash),
+      s"missing near-dup pairs: ${expectedNear -- minhash}")
+  }
+
+  test("ann lsh recall vs brute force on sf0.001") {
+    val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sf)
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("sim3_ann_lsh_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // single-probe 8-bit sign-LSH on random vectors: modest recall is
+    // expected; the gate is that buckets are consistent and non-trivial
+    assert(recall > 0.0, s"ANN found nothing from the exact top-5 set")
+    assert(ann.nonEmpty)
+  }
+
+  test("media decode: batch pipeline matches column-expression metadata") {
+    val docs = Tables.t(spark, sf, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+    val decoded = MediaDecoder.decode(docs, "doc_id", "payload")
+    val viaUdfPath = decoded.select("doc_id", "n_bytes", "fingerprint")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2)))).toMap
+    val viaExpr = SparkEntry.queries("mm1_binary_metadata")(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(4)))).toMap
+    assert(viaUdfPath.size == viaExpr.size)
+    viaExpr.foreach { case (id, (nBytes, fp)) =>
+      val (gotBytes, gotFp) = (viaUdfPath(id)._1, viaUdfPath(id)._2)
+      assert(gotBytes == nBytes && gotFp == fp, s"doc $id mismatch")
+    }
+    // feature vector shape
+    assert(decoded.head().features.length == 8)
+  }
+
+  test("frame sampling emits one row per Nth window") {
+    val docs = Tables.t(spark, sf, "documents").limit(10)
+      .withColumn("payload", col("text").cast("binary"))
+    val frames = MediaDecoder.sampleFrames(docs, "doc_id", "payload", 64, 2)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = docs.select(col("doc_id"), octet_length(col("payload")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    sizes.foreach { case (id, n) =>
+      val windows = math.ceil(n / 64.0).toInt
+      val expected = (windows + 1) / 2
+      assert(perDoc.getOrElse(id, 0L) == expected, s"doc $id")
+    }
+  }
+}
