@@ -1,29 +1,38 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.Tables._
 
 /** Similarity search over the `embeddings` table (64-dim float
-  * vectors): brute-force cosine top-k as the exactness baseline, a
-  * cosine near-duplicate pair scan, and a sign-LSH bucketed ANN
-  * variant as the scale path (tested for recall in SimilaritySpec;
-  * approximate ⇒ no SQL oracle).
+  * vectors): brute-force cosine top-k as the exactness baseline, an
+  * LSH-pruned cosine near-duplicate pair scan, and a multiprobe
+  * sign-LSH bucketed ANN top-k as the scale path.
   *
   * Cosine is computed in double with a strict left-to-right fold over
   * the element order (`aggregate`), matching DuckDB's `list_sum` over
-  * `list_transform` order, and the ranking key is the score rounded
-  * to 9 dp with vec_id tie-breaks — fully deterministic in both
-  * engines.
+  * `list_transform` order, and every ranking/threshold key uses the
+  * score rounded to 9 dp with vec_id tie-breaks — deterministic in
+  * both engines. Norms are computed once per vector, not per pair.
   *
-  * Scale: top-k for Q query vectors against N vectors is a broadcast
-  * of Q rows against a scan of N (no N×N blowup); the near-dup pair
-  * scan uses LSH-bucketed self-join, not a cross join, when run
-  * through [[annBuckets]]; window top-k is one shuffle on query id.
+  * Scale design:
+  * - top-k for Q query vectors broadcasts Q rows against one scan of
+  *   N (no N×N);
+  * - the near-dup scan self-joins on LSH bucket ∪ hamming-1 probes —
+  *   candidate pairs ≈ N²(bits+1)/2^bits instead of N², and the
+  *   exact-cosine post-filter keeps precision exact. Identical
+  *   vectors always share a bucket, so exact-duplicate recall is 1.0
+  *   by construction (near-1.0 for near-dups; the 0.999-cosine pairs
+  *   this query targets split a hyperplane with p ≈ 1.4% per bit);
+  * - hyperplane coefficients are md5-derived constants materialized
+  *   driver-side into array literals — no per-row hashing.
   */
 object SimilarityOps {
+
+  private val Dims = 64
+  private val AnnBits = 6
 
   /** dot(a,b) with deterministic summation order. */
   private def dotExpr(a: String, b: String): String =
@@ -32,22 +41,48 @@ object SimilarityOps {
   private def normExpr(a: String): String = s"sqrt(${dotExpr(a, a)})"
 
   private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"list_sum(list_transform(range(1, ${Dims + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** ±1 hyperplane coefficients for plane j — md5-derived, computed
+    * once on the driver (deterministic, no RNG). */
+  private def planeCoefs(j: Int): Seq[Double] = (0 until Dims).map { i =>
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+    if ((h(0) & 0x80) == 0) 1.0 else -1.0
+  }
+
+  /** Sign-LSH bucket id over `bits` fixed hyperplanes. */
+  def annBuckets(df: DataFrame, embCol: String, bits: Int = AnnBits): DataFrame = {
+    val bitCols = (0 until bits).map { j =>
+      val coefs = planeCoefs(j).mkString("array(", ", ", ")")
+      val proj = s"""aggregate(zip_with($embCol, $coefs,
+        (x, c) -> CAST(x AS DOUBLE) * c), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+      when(expr(proj) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", bitCols.reduce(_ + _))
+  }
+
+  /** Embeddings with bucket + precomputed norm. */
+  private def prepared(s: SparkSession, dir: String): DataFrame =
+    annBuckets(t(s, dir, "embeddings"), "embedding")
+      .withColumn("nrm", expr(normExpr("embedding")))
+
+  private def cosineCol: Column = round(
+    expr(dotExpr("q_emb", "embedding")) / (col("q_nrm") * col("nrm")), 9)
 
   /** sim1 — brute-force cosine top-10 for the first 5 vectors.
     * Deterministic rank: (round(cos, 9) DESC, vec_id ASC). */
   private val topkQ = GQ(
     "sim1_cosine_topk",
     (s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = t(s, dir, "embeddings").withColumn("nrm", expr(normExpr("embedding")))
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", round(
-          expr(dotExpr("q_emb", "embedding")) /
-            (expr(normExpr("q_emb")) * expr(normExpr("embedding"))), 9))
+        .withColumn("cosine", cosineCol)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -67,23 +102,29 @@ object SimilarityOps {
       SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 10 ORDER BY q_id, rank"""))
 
-  /** sim2 — embedding-cosine near-duplicate pairs: inject exact copies
-    * of every vec_id % 9 == 0 (id + 1e6), find all pairs with cosine
-    * ≥ 0.999. The oracle brute-forces the same pair set. */
+  /** sim2 — embedding-cosine near-duplicate pairs at cosine ≥ 0.999
+    * over the corpus with injected exact copies (vec_id % 9 == 0,
+    * +1e6 id). Spark prunes candidates through LSH buckets +
+    * hamming-1 multiprobe before the exact check; the oracle
+    * brute-forces all pairs — equality of the two is itself the
+    * recall check (identical vectors cannot split buckets). */
   private val nearDupQ = GQ(
     "sim2_cosine_neardup",
     (s, dir) => {
-      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val c = e.unionByName(e.filter(col("vec_id") % 9 === 0)
+      val e0 = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val c = e0.unionByName(e0.filter(col("vec_id") % 9 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L))
-      val a = c.select(col("vec_id").as("a"), col("embedding").as("ea"))
-      val b = c.select(col("vec_id").as("b"), col("embedding").as("eb"))
-      a.join(b, col("a") < col("b"))
-        .withColumn("cosine", round(
-          expr(dotExpr("ea", "eb")) /
-            (expr(normExpr("ea")) * expr(normExpr("eb"))), 9))
+      val prep = annBuckets(c, "embedding")
+        .withColumn("nrm", expr(normExpr("embedding")))
+      val probes = (0 to AnnBits).map(j =>
+        if (j == 0) col("bucket") else expr(s"bucket ^ ${1L << (j - 1)}"))
+      val left = prep.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), explode(array(probes: _*)).as("q_bucket"))
+      left.join(prep, col("bucket") === col("q_bucket") && col("q_id") < col("vec_id"))
+        .withColumn("cosine", cosineCol)
         .filter(col("cosine") >= 0.999)
-        .select("a", "b", "cosine")
+        .select(col("q_id").as("a"), col("vec_id").as("b"), col("cosine"))
+        .distinct()
         .orderBy("a", "b")
     },
     Some(s"""WITH corpus AS (
@@ -98,41 +139,20 @@ object SimilarityOps {
           (${normSql("a.embedding")} * ${normSql("b.embedding")}), 9) >= 0.999
       ORDER BY a, b"""))
 
-  /** Sign-LSH bucket id: sign bits of `bits` deterministic hyperplanes
-    * (hyperplane j has ±1 coefficients derived from md5(j:i) —
-    * reproducible with no RNG; constant-folded at plan time). */
-  def annBuckets(df: DataFrame, embCol: String, bits: Int = 6): DataFrame = {
-    val bitCols = (0 until bits).map { j =>
-      val proj = s"""aggregate(zip_with($embCol, sequence(0, 63),
-        (x, i) -> CAST(x AS DOUBLE) * (CASE WHEN substring(md5(concat('$j', ':', CAST(i AS STRING))), 1, 1) < '8' THEN 1.0 ELSE -1.0 END)),
-        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
-      when(expr(proj) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    df.withColumn("bucket", bitCols.reduce(_ + _))
-  }
-
-  private val AnnBits = 6
-
-  /** sim3 — ANN top-k via sign-LSH buckets with hamming-1 multiprobe:
-    * each query searches its own bucket plus the `bits` single-bit
-    * flips (probing (bits+1)/2^bits of the space; candidates per query
-    * ≈ N·(bits+1)/2^bits at scale, tunable via `AnnBits`).
+  /** sim3 — ANN top-5 via sign-LSH buckets with hamming-1 multiprobe.
     * Approximate — recall asserted in PipelineOpsSpec, no SQL oracle. */
   private val annQ = GQ(
     "sim3_ann_lsh_topk",
     (s, dir) => {
-      val e = annBuckets(t(s, dir, "embeddings"), "embedding", AnnBits)
+      val e = prepared(s, dir)
       val probes = (0 to AnnBits).map(j =>
-        if (j == 0) col("bucket")
-        else expr(s"bucket ^ ${1L << (j - 1)}"))
+        if (j == 0) col("bucket") else expr(s"bucket ^ ${1L << (j - 1)}"))
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          explode(array(probes: _*)).as("q_bucket"))
+          col("nrm").as("q_nrm"), explode(array(probes: _*)).as("q_bucket"))
       val scored = e.join(broadcast(q),
           col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", round(
-          expr(dotExpr("q_emb", "embedding")) /
-            (expr(normExpr("q_emb")) * expr(normExpr("embedding"))), 9))
+        .withColumn("cosine", cosineCol)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
       scored.withColumn("rank", row_number().over(w))
