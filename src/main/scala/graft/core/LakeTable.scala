@@ -57,9 +57,11 @@ final class LakeTable private[core] (
   private def ppCol: Column =
     KeyGen.partitionPath(props.partitionFields, props.hiveStylePartitioning)
 
-  /** Current table schema (data columns only, no meta). */
+  /** Current table schema (data columns only, no meta): the last
+    * commit's written schema, else the declared CREATE TABLE schema. */
   def schema: StructType = timeline.commits().lastOption match {
     case Some(c) => StructType.fromDDL(c.schemaDdl)
+    case None if props.schemaDdl.nonEmpty => StructType.fromDDL(props.schemaDdl)
     case None => new StructType()
   }
 
@@ -155,6 +157,18 @@ final class LakeTable private[core] (
     instant
   }
 
+  /** INSERT OVERWRITE / replace-table contents: one commit that adds
+    * the new data and removes every previously-live file. */
+  def overwrite(df: DataFrame): String = {
+    val instant = timeline.nextInstant()
+    val newSchema = unionSchema(df)
+    val removed = timeline.liveFiles(None).map(_._1)
+    val (added, parts, n) =
+      writeFiles(conform(withMeta(dedupBatch(df), instant), newSchema), instant)
+    doCommit(instant, "replace", added, removed, parts, newSchema, n)
+    instant
+  }
+
   /** Keyed upsert (COW): rewrite only files containing matching keys;
     * the merge policy decides incoming-vs-existing per key. */
   def upsert(
@@ -195,6 +209,19 @@ final class LakeTable private[core] (
       .withColumn(RecordKeyCol, keyCol)
       .withColumn(PartitionPathCol, ppCol)
       .select(RecordKeyCol, PartitionPathCol).distinct()
+    val affected = affectedFiles(delKeys)
+    val kept = readAffected(affected, schema)
+      .join(broadcast(delKeys), Seq(RecordKeyCol, PartitionPathCol), "left_anti")
+    val (added, parts, n) = writeFiles(kept, instant)
+    doCommit(instant, "delete", added, affected, parts, schema, n)
+    instant
+  }
+
+  /** Delete by pre-computed row identity (`_record_key`,
+    * `_partition_path`) — the SQL row-level-operation path. */
+  def deleteByRowId(ids: DataFrame): String = {
+    val instant = timeline.nextInstant()
+    val delKeys = ids.select(RecordKeyCol, PartitionPathCol).distinct()
     val affected = affectedFiles(delKeys)
     val kept = readAffected(affected, schema)
       .join(broadcast(delKeys), Seq(RecordKeyCol, PartitionPathCol), "left_anti")

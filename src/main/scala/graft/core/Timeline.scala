@@ -48,7 +48,10 @@ final case class TableProps(
     hiveStylePartitioning: Boolean = true,
     /** Files a hot partition's write is spread over (key-hash salt) —
       * the small-file/max-file sizing knob (SURVEY §4 bin packing). */
-    writeSaltBuckets: Int = 1)
+    writeSaltBuckets: Int = 1,
+    /** Declared schema DDL (SQL CREATE TABLE), used until the first
+      * commit records a written schema. Empty = infer from first write. */
+    schemaDdl: String = "")
 
 /** Driver-side commit log. All metadata ops are O(#commits) small-JSON
   * reads — never a Spark job. Data-plane listing never happens at read

@@ -1,0 +1,211 @@
+package graft.sql
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{LakeTable, TableProps}
+
+/** DSv2 catalog for graft lake tables (SURVEY §7.4): register with
+  *
+  * {{{
+  * spark.sql.catalog.graft = graft.sql.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * and Spark 4's parser/planner provides CREATE/DROP/INSERT/DELETE/
+  * SELECT over `graft.<db>.<table>` with no custom rules. Table
+  * layout: `<warehouse>/<db>/<table>` (a [[graft.core.LakeTable]]).
+  * Also a [[ProcedureCatalog]]: `CALL graft.system.show_commits(...)`
+  * replicates the reference's `call show_commits`
+  * (IncrementalQuery.scala:36-37).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+      .getOrElse("target/graft_warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(warehouse + "/", "/", "")
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  // --------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace).mkString("/"))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => LakeTable.exists(spark, (warehouse +: namespace).mkString("/") + s"/$t"))
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (!LakeTable.exists(spark, path)) throw new NoSuchTableException(ident)
+    new GraftTable(spark, ident.toString, LakeTable.load(spark, path))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      columns: Array[Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = tablePath(ident)
+    if (LakeTable.exists(spark, path)) throw new TableAlreadyExistsException(ident)
+    val schema = StructType(columns.map { c =>
+      val f = org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable())
+      Option(c.comment()).fold(f)(f.withComment)
+    })
+    val partitionFields = partitions.map {
+      case t if t.name() == "identity" =>
+        t.references().head.fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft supports only identity partitioning, got $other")
+    }
+    val opts = properties.asScala
+    val props = TableProps(
+      name = ident.name(),
+      primaryKey = opts.get("primaryKey").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq.empty),
+      preCombineField = opts.get("preCombineField").filter(_.nonEmpty),
+      partitionFields = partitionFields.toSeq,
+      tableType = opts.getOrElse("type", "cow"),
+      writeSaltBuckets = opts.getOrElse("writeSaltBuckets", "1").toInt,
+      schemaDdl = schema.toDDL)
+    require(props.primaryKey.nonEmpty,
+      "graft tables require a primaryKey table option (SparkSQLDemo.scala:48)")
+    new GraftTable(spark, ident.toString, LakeTable.create(spark, path, props))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    val lake = LakeTable.load(spark, path)
+    var schema = lake.schema
+    changes.foreach {
+      case c: TableChange.UpdateColumnComment =>
+        // W8: alter table change column comment
+        // (SyncCommentsAcrossClusters.scala:94-109)
+        schema = StructType(schema.map { f =>
+          if (f.name == c.fieldNames.mkString(".")) f.withComment(c.newComment) else f
+        })
+      case c: TableChange.AddColumn =>
+        schema = schema.add(c.fieldNames.mkString("."), c.dataType, true)
+      case other => throw new UnsupportedOperationException(s"alter: $other")
+    }
+    lake.timeline.writeProps(lake.props.copy(schemaDdl = schema.toDDL))
+    // schema changes beyond the declared DDL propagate on next write
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    val existed = LakeTable.exists(spark, path)
+    if (existed) LakeTable.drop(spark, path)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!fs.rename(new Path(tablePath(oldIdent)), new Path(tablePath(newIdent))))
+      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+  }
+
+  // ----------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).filter(_.isDirectory).map(d => Array(d.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(new Path((warehouse +: namespace).mkString("/")))
+
+  override def createNamespace(
+      namespace: Array[String], metadata: JMap[String, String]): Unit =
+    fs.mkdirs(new Path((warehouse +: namespace).mkString("/")))
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new Path((warehouse +: namespace).mkString("/"))
+    fs.exists(p) && fs.delete(p, cascade)
+  }
+
+  // ----------------------------------------------------------- procedures
+
+  /** `CALL graft.system.show_commits(table => 'db.t')` — C1. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val pname = ident.name().toLowerCase
+    if (pname != "show_commits")
+      throw new UnsupportedOperationException(s"unknown procedure $ident")
+    new UnboundProcedure {
+      override def name(): String = "show_commits"
+      override def description(): String =
+        "newest-first commit timeline of a graft table"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "show_commits"
+        override def description(): String = "graft commit timeline"
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", org.apache.spark.sql.types.DataTypes.StringType)
+            .build())
+        private val outType = StructType.fromDDL(
+          "commit_time STRING, action STRING, files_added INT, " +
+            "files_removed INT, total_records BIGINT")
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val tableRef = input.getUTF8String(0).toString
+          val parts = tableRef.split("\\.")
+          val ident = Identifier.of(parts.dropRight(1), parts.last)
+          val lake = LakeTable.load(spark, tablePath(ident))
+          val commitRows = lake.timeline.commits().reverse.map { c =>
+            InternalRow(
+              UTF8String.fromString(c.instant), UTF8String.fromString(c.action),
+              c.added.size, c.removed.size, c.totalRecords)
+          }.toArray
+          val scan: Scan = new LocalScan {
+            override def rows(): Array[InternalRow] = commitRows
+            override def readSchema(): StructType = outType
+          }
+          java.util.List.of(scan).iterator()
+        }
+      }
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array("system"), "show_commits"))
+}

@@ -1,0 +1,144 @@
+package graft.sql
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.util.V2ExpressionSQLBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.LakeTable
+
+/** DSv2 table over a [[graft.core.LakeTable]] — the SQL surface of the
+  * engine (SURVEY §2.2 W1-W7, §3.1). Spark 4's own parser/planner
+  * drives everything; this class only supplies connector hooks:
+  *
+  * - reads delegate to Spark's vectorized parquet scan over the
+  *   timeline-resolved live file set (snapshot; time travel via
+  *   `option("asOfInstant", t)`). Incremental reads are deliberately
+  *   NOT available on catalog tables — the reference pins exactly this
+  *   (read options don't apply to `spark.table`,
+  *   IncrementalQuery.scala:54-55); they live on the path-based
+  *   `format("graft")` source ([[DefaultSource]]);
+  * - `INSERT INTO` = keyed upsert; `INSERT OVERWRITE` = replace
+  *   (V1Write fallback — the write is one DataFrame handoff);
+  * - `DELETE FROM ... WHERE` with pushable predicates is a metadata
+  *   delete (SupportsDeleteV2) → COW rewrite of only affected files;
+  * - Hudi-style meta columns are exposed as DSv2 metadata columns:
+  *   `SELECT _commit_time FROM t` works, `SELECT *` stays clean.
+  */
+final class GraftTable(
+    spark: SparkSession,
+    tableName: String,
+    val lake: LakeTable)
+  extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+  with SupportsMetadataColumns with SupportsRowLevelOperations {
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(spark, this, info)
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = lake.schema
+
+  override def partitioning(): Array[Transform] =
+    lake.props.partitionFields.map(Expressions.identity).toArray
+
+  override def properties(): JMap[String, String] = Map(
+    "primaryKey" -> lake.props.primaryKey.mkString(","),
+    "preCombineField" -> lake.props.preCombineField.getOrElse(""),
+    "type" -> lake.props.tableType,
+    "path" -> lake.basePath).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    LakeTable.MetaCols.map { c =>
+      new MetadataColumn {
+        override def name: String = c
+        override def dataType: DataType = StringType
+        // non-nullable: always present in managed files, and row-level
+        // operations use (_record_key, _partition_path) as the row id,
+        // which Spark requires to be non-nullable
+        override def isNullable: Boolean = false
+        override def comment: String = "graft lake meta column"
+      }
+    }.toArray
+
+  // ----------------------------------------------------------------- read
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val files = lake.timeline.liveFiles(Option(options.get("asOfInstant")))
+      .map(f => absPath(f._1))
+    val metaSchema = StructType(
+      LakeTable.MetaCols.map(c =>
+        org.apache.spark.sql.types.StructField(c, StringType, nullable = true)) ++
+        lake.schema.fields)
+    // Delegate to Spark's own vectorized parquet scan (pushdown,
+    // column pruning, row-group skipping all included). An empty table
+    // still needs a valid relation: point at the (empty) timeline dir.
+    val paths = if (files.nonEmpty) files else Seq(lake.basePath + "/" +
+      graft.core.Timeline.META_DIR)
+    ParquetTable(tableName, spark, options, paths.toList,
+      Some(metaSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+  }
+
+  private def absPath(rel: String): String =
+    if (rel.startsWith("/") || rel.contains(":/")) rel
+    else s"${lake.basePath}/$rel"
+
+  // ---------------------------------------------------------------- write
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+              if (overwrite || overwriteFlag) lake.overwrite(data)
+              else lake.upsert(data)
+          }
+      }
+    }
+
+  // --------------------------------------------------------------- delete
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    try { predicates.foreach(p => new V2ExpressionSQLBuilder().build(p)); true }
+    catch { case _: Throwable => false }
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val cond =
+      if (predicates.isEmpty) expr("true")
+      else predicates.map(p => expr(new V2ExpressionSQLBuilder().build(p)))
+        .reduce(_ && _)
+    lake.deleteWhere(cond)
+  }
+
+  override def toString: String = s"GraftTable($tableName)"
+}
+
+object GraftTable {
+  private[sql] def globMatch(glob: String, s: String): Boolean = {
+    val rx = ("\\Q" + glob.replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "\\E").r
+    rx.pattern.matcher(s).matches()
+  }
+}

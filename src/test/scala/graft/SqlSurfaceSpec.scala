@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.LakeTable
+
+/** The SQL surface (SURVEY §2.2) driven through spark.sql against the
+  * graft DSv2 catalog, plus the path-based format("graft") API. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val wh = "target/graft_warehouse_test"
+  spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+  spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+
+  private def sql(s: String) = spark.sql(s)
+
+  test("SQL DDL + DML: create, insert values, insert select union, delete, select") {
+    sql("DROP TABLE IF EXISTS graft.db.t1")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    sql("""CREATE TABLE graft.db.t1 (
+      id INT, name STRING, price DOUBLE, ts BIGINT, dt STRING
+    ) USING graft PARTITIONED BY (dt)
+    TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts', type = 'cow')""")
+
+    // W2: insert into values — SparkSQLDemo.scala:56
+    sql("INSERT INTO graft.db.t1 VALUES (1,'hudi',10,100,'2022-09-05'),(2,'hudi',10,100,'2022-09-05')")
+    // W3: insert into select ... union — :57-61
+    sql("""INSERT INTO graft.db.t1
+      SELECT 3 AS id, 'hudi' AS name, CAST(10 AS DOUBLE), CAST(100 AS BIGINT), '2022-09-25' UNION
+      SELECT 4, 'hudi', 10, 100, '2022-09-25'""")
+
+    val rows = sql("SELECT id, name, price, ts, dt FROM graft.db.t1 ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+    assert(rows.length == 4 && rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+
+    // metadata columns exposed on demand, hidden from SELECT *
+    assert(!sql("SELECT * FROM graft.db.t1").columns.contains("_commit_time"))
+    val ct = sql("SELECT _commit_time, _record_key FROM graft.db.t1 WHERE id = 1").head()
+    assert(ct.getString(0).length == 17 && ct.getString(1) == "1")
+
+    // W5: delete from ... where — SparkSQLDemo.scala:73-75
+    sql("DELETE FROM graft.db.t1 WHERE id = 1")
+    assert(sql("SELECT id FROM graft.db.t1").collect().map(_.getInt(0)).toSet == Set(2, 3, 4))
+
+    // filter pushdown on snapshot scan
+    assert(sql("SELECT id FROM graft.db.t1 WHERE dt = '2022-09-25'")
+      .collect().map(_.getInt(0)).toSet == Set(3, 4))
+  }
+
+  test("INSERT INTO is an upsert on the primary key") {
+    sql("DROP TABLE IF EXISTS graft.db.t2")
+    sql("""CREATE TABLE graft.db.t2 (id INT, v STRING, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')""")
+    sql("INSERT INTO graft.db.t2 VALUES (1,'a',100),(2,'b',100)")
+    sql("INSERT INTO graft.db.t2 VALUES (1,'a2',200)")
+    val got = sql("SELECT id, v FROM graft.db.t2 ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a2"), (2, "b")))
+    // INSERT OVERWRITE replaces contents
+    sql("INSERT OVERWRITE graft.db.t2 VALUES (9,'z',1)")
+    assert(sql("SELECT id FROM graft.db.t2").collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  test("CALL graft.system.show_commits") {
+    sql("DROP TABLE IF EXISTS graft.db.t3")
+    sql("""CREATE TABLE graft.db.t3 (id INT, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')""")
+    sql("INSERT INTO graft.db.t3 VALUES (1,100)")
+    sql("INSERT INTO graft.db.t3 VALUES (2,100)")
+    val commits = sql("CALL graft.system.show_commits(`table` => 'db.t3')").collect()
+    assert(commits.length == 2)
+    // newest-first like the reference's show_commits
+    assert(commits(0).getString(0) > commits(1).getString(0))
+    assert(commits.forall(_.getString(1) == "upsert"))
+  }
+
+  test("full SparkSQLDemo sequence through spark.sql incl. UPDATE and MERGE") {
+    sql("DROP TABLE IF EXISTS graft.db.demo")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    sql("""CREATE TABLE graft.db.demo (
+      id INT, name STRING, price DOUBLE, ts BIGINT, dt STRING
+    ) USING graft PARTITIONED BY (dt)
+    TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts', type = 'cow')""")
+    sql("INSERT INTO graft.db.demo VALUES (1,'hudi',10,100,'2022-09-05'),(2,'hudi',10,100,'2022-09-05')")
+    sql("""INSERT INTO graft.db.demo
+      SELECT 3 AS id, 'hudi' AS name, CAST(10 AS DOUBLE), CAST(100 AS BIGINT), '2022-09-25' UNION
+      SELECT 4, 'hudi', 10, 100, '2022-09-25'""")
+    // W4: UPDATE — SparkSQLDemo.scala:69-71
+    sql("UPDATE graft.db.demo SET price = 20.0 WHERE id = 1")
+    assert(sql("SELECT price FROM graft.db.demo WHERE id = 1").head().getDouble(0) == 20.0)
+    // W5: DELETE — :73-75
+    sql("DELETE FROM graft.db.demo WHERE id = 1")
+    // W6: MERGE — :77-91
+    sql("""MERGE INTO graft.db.demo AS t0
+      USING (
+        SELECT 1 AS id, 'hudi' AS name, CAST(112 AS DOUBLE) AS price, CAST(98 AS BIGINT) AS ts, '2022-09-05' AS dt, 'INSERT' AS opt_type UNION
+        SELECT 2, 'hudi_2', 10, 100, '2022-09-05', 'UPDATE' UNION
+        SELECT 3, 'hudi', 10, 100, '2021-09-25', 'DELETE'
+      ) AS s0
+      ON t0.id = s0.id
+      WHEN MATCHED AND opt_type != 'DELETE' THEN UPDATE SET t0.id = s0.id, t0.name = s0.name, t0.price = s0.price, t0.ts = s0.ts, t0.dt = s0.dt
+      WHEN MATCHED AND opt_type = 'DELETE' THEN DELETE
+      WHEN NOT MATCHED AND opt_type != 'DELETE' THEN INSERT (id, name, price, ts, dt) VALUES (s0.id, s0.name, s0.price, s0.ts, s0.dt)""")
+    val finalRows = sql("SELECT id, name, price, ts, dt FROM graft.db.demo ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4))).toSet
+    assert(finalRows == Set(
+      (1, "hudi", 112.0, 98L, "2022-09-05"),
+      (2, "hudi_2", 10.0, 100L, "2022-09-05"),
+      (4, "hudi", 10.0, 100L, "2022-09-25")), s"got $finalRows")
+  }
+
+  test("format(graft) path API: write modes + snapshot/incremental reads") {
+    val path = "target/graft_path_api_test"
+    LakeTable.drop(spark, path)
+    val w1 = Seq((1, "a", 100L, "d1"), (2, "b", 100L, "d2")).toDF("id", "v", "ts", "dt")
+    w1.write.format("graft")
+      .option("primaryKey", "id").option("preCombineField", "ts")
+      .option("partitionFields", "dt")
+      .save(path)
+    Seq((2, "b2", 200L, "d2"), (3, "c", 100L, "d1")).toDF("id", "v", "ts", "dt")
+      .write.format("graft").mode("append").save(path)
+
+    val snap = spark.read.format("graft").load(path)
+      .select("id", "v").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(snap == Seq((1, "a"), (2, "b2"), (3, "c")))
+
+    // incremental after the first commit → only the second batch
+    val commits = LakeTable.load(spark, path).timeline.commits()
+    val inc = spark.read.format("graft")
+      .option("queryType", "incremental")
+      .option("beginInstant", commits.head.instant)
+      .load(path)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(inc == Set(2, 3))
+
+    // pushdown path: filter + prune through the DSv1 relation
+    val pruned = spark.read.format("graft").load(path)
+      .filter(col("dt") === "d1").select("id")
+      .collect().map(_.getInt(0)).toSet
+    assert(pruned == Set(1, 3))
+
+    // delete operation via the writer
+    Seq((3, "d1")).toDF("id", "dt").write.format("graft")
+      .mode("append").option("operation", "delete").save(path)
+    assert(spark.read.format("graft").load(path).count() == 2)
+  }
+}
