@@ -27,9 +27,26 @@ import graft.core.{LakeTable, MergePolicy, TableProps}
   * incremental row-level `(begin, end]` semantics are exact.
   */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
-  with DataSourceRegister {
+  with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft").option(...).start(path)` — the
+    * streaming upsert sink (SURVEY §2.10 ST2, the Flink HoodiePipeline
+    * sink / TestStreamingMOR insert-select flow). Batch replay after a
+    * restart re-applies the same upsert, which converges to the same
+    * state (keyed upsert is state-idempotent); the recorded batch id
+    * skips clean replays entirely. */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    new GraftStreamSink(sqlContext.sparkSession,
+      parameters ++ (if (partitionColumns.nonEmpty)
+        Map("partitionFields" -> partitionColumns.mkString(",")) else Map.empty))
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -42,8 +59,10 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
   override def createRelation(
       sqlContext: SQLContext,
       mode: SaveMode,
-      parameters: Map[String, String],
+      rawParameters: Map[String, String],
       data: DataFrame): BaseRelation = {
+    val parameters: Map[String, String] =
+      org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(rawParameters)
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft writes require a path"))
@@ -82,8 +101,11 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
 final case class GraftRelation(
     sqlContext: SQLContext,
     path: String,
-    parameters: Map[String, String])
+    rawParameters: Map[String, String])
   extends BaseRelation with PrunedFilteredScan {
+
+  private val parameters: Map[String, String] =
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(rawParameters)
 
   private def spark: SparkSession = sqlContext.sparkSession
   private def lake: LakeTable = LakeTable.load(spark, path)

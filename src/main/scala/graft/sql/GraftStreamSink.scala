@@ -1,0 +1,86 @@
+package graft.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+
+import graft.core.{LakeTable, MergePolicy, TableProps}
+
+/** Streaming upsert sink: every micro-batch becomes one keyed-upsert
+  * (or insert/delete) commit on the lake table. The last applied batch
+  * id is recorded under `_streaming/` so a restarted query skips
+  * already-applied batches; even without the marker, replaying an
+  * upsert of the same rows converges to the same table state.
+  */
+final class GraftStreamSink(
+    spark: SparkSession,
+    rawParameters: Map[String, String]) extends Sink {
+
+  private val parameters: Map[String, String] =
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(rawParameters)
+
+  private val path = parameters.getOrElse("path",
+    throw new IllegalArgumentException("graft streaming sink requires a path"))
+  private val operation = parameters.getOrElse("operation", "upsert")
+  private val policy = parameters.get("mergePolicy") match {
+    case Some("overwrite") => MergePolicy.OverwriteWithLatest
+    case _ => MergePolicy.LatestByOrdering
+  }
+
+  private def lake(): LakeTable =
+    if (LakeTable.exists(spark, path)) LakeTable.load(spark, path)
+    else LakeTable.create(spark, path, TableProps(
+      name = new Path(path).getName,
+      primaryKey = parameters.getOrElse("primaryKey",
+        throw new IllegalArgumentException(
+          "first streaming write to a new graft table requires option primaryKey"))
+        .split(",").map(_.trim).toSeq,
+      preCombineField = parameters.get("preCombineField").filter(_.nonEmpty),
+      partitionFields = parameters.get("partitionFields")
+        .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
+      writeSaltBuckets = parameters.getOrElse("writeSaltBuckets", "1").toInt))
+
+  // marker scoped to the query's checkpoint: different queries on the
+  // same table each track their own last-applied batch id
+  private val markerName: String = {
+    val ckpt = parameters.getOrElse("checkpointLocation", "default")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(ckpt.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"last_batch_$h"
+  }
+
+  private def markerPath(l: LakeTable) =
+    new Path(l.basePath, s"_streaming/$markerName")
+
+  private def lastBatchId(l: LakeTable): Long = {
+    val p = markerPath(l)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeBatchId(l: LakeTable, id: Long): Unit = {
+    val p = markerPath(l)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val l = lake()
+    if (batchId <= lastBatchId(l)) return // clean replay after restart
+    // a streaming Sink's frame can't feed new batch jobs directly:
+    // re-wrap its rows as a batch frame (distributed, no collect)
+    val batch = org.apache.spark.sql.graftshim.StreamBatchShim.rewrap(data)
+    operation match {
+      case "insert" => l.insert(batch)
+      case "delete" => l.delete(batch)
+      case _ => l.upsert(batch, policy)
+    }
+    writeBatchId(l, batchId)
+  }
+}

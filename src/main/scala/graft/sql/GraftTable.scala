@@ -65,7 +65,7 @@ final class GraftTable(
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def metadataColumns(): Array[MetadataColumn] =
     LakeTable.MetaCols.map { c =>
@@ -94,9 +94,14 @@ final class GraftTable(
     // still needs a valid relation: point at the (empty) timeline dir.
     val paths = if (files.nonEmpty) files else Seq(lake.basePath + "/" +
       graft.core.Timeline.META_DIR)
-    ParquetTable(tableName, spark, options, paths.toList,
+    val delegate = ParquetTable(tableName, spark, options, paths.toList,
       Some(metaSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options)
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
+    // Streaming relations bypass column pruning: their output is the
+    // table's data schema, so that is what the stream must emit.
+    new GraftScanBuilder(delegate,
+      _ => new graft.streaming.CommitTailStream(spark, lake, options, lake.schema))
   }
 
   private def absPath(rel: String): String =

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.LakeTable
+
+/** Structured-streaming surface (SURVEY §2.10): streaming upsert sink
+  * (ST2/ST3) and the commit-tailing streaming read (ST4/S11). */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), prefix).toString + "/t"
+
+  test("streaming upsert sink: micro-batches become keyed commits") {
+    val path = tmp("stream_sink_")
+    val checkpoint = tmp("stream_ckpt_")
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Int, String, Long)]
+    val q = input.toDF().toDF("id", "v", "ts")
+      .writeStream
+      .format("graft")
+      .option("checkpointLocation", checkpoint)
+      .option("primaryKey", "id")
+      .option("preCombineField", "ts")
+      .start(path)
+    try {
+      input.addData((1, "a", 100L), (2, "b", 100L))
+      q.processAllAvailable()
+      input.addData((1, "a2", 200L), (3, "c", 100L))
+      q.processAllAvailable()
+      val snap = LakeTable.load(spark, path).snapshot()
+        .select("id", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(snap == Set((1, "a2"), (2, "b"), (3, "c")))
+      // two micro-batches -> two upsert commits
+      assert(LakeTable.load(spark, path).timeline.commits().size == 2)
+    } finally q.stop()
+  }
+
+  test("rate-source-style synthesized stream into the sink (ST1 shape)") {
+    val path = tmp("stream_rate_")
+    val checkpoint = tmp("stream_rate_ckpt_")
+    implicit val sctx = spark.sqlContext
+    // bounded stand-in for the Flink datagen source: sequence ids +
+    // deterministic synthesized columns (TestStreamingMOR.java:23-36)
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("user_id")
+      .withColumn("product", substring(md5(col("user_id").cast("string")), 1, 5))
+      .withColumn("amount", (col("user_id") % 100).cast("double"))
+      .withColumn("ts", col("user_id"))
+      .writeStream.format("graft")
+      .option("checkpointLocation", checkpoint)
+      .option("primaryKey", "user_id").option("preCombineField", "ts")
+      .start(path)
+    try {
+      input.addData(1L to 100L: _*)
+      q.processAllAvailable()
+      assert(LakeTable.load(spark, path).snapshot().count() == 100)
+    } finally q.stop()
+  }
+
+  test("commit-tail streaming read of a catalog table") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.tail")
+    spark.sql("""CREATE TABLE graft.db.tail (id INT, v STRING, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')""")
+    spark.sql("INSERT INTO graft.db.tail VALUES (1,'a',100)")
+
+    val q = spark.readStream.table("graft.db.tail")
+      .writeStream.format("memory").queryName("tail_out")
+      .option("checkpointLocation", tmp("tail_ckpt_"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("tail_out").select("id").as[Int].collect().toSet
+      assert(first == Set(1))
+      // new commit → next micro-batch sees ONLY the new/changed rows
+      spark.sql("INSERT INTO graft.db.tail VALUES (2,'b',100),(1,'a2',200)")
+      q.processAllAvailable()
+      val all = spark.table("tail_out")
+        .select("id", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      // id=1 appears twice (original + changed version), id=2 once
+      assert(all.count(_ == (1, "a")) == 1 && all.count(_ == (1, "a2")) == 1 &&
+        all.count(_._1 == 2) == 1, s"got $all")
+    } finally q.stop()
+  }
+}
