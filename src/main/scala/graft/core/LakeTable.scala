@@ -80,10 +80,10 @@ final class LakeTable private[core] (
     val live = timeline.liveFiles(asOf)
     val s = withMetaSchema(schemaAsOf(asOf))
     if (live.isEmpty) return emptyDf(s)
-    val (ext, managed) = live.partition { case (f, c) => c.external.contains(f) }
+    val (ext, managed) = live.partition(_.external)
     val parts = Seq(
       if (managed.nonEmpty)
-        Some(spark.read.schema(s).parquet(managed.map(f => abs(f._1)): _*))
+        Some(spark.read.schema(s).parquet(managed.map(f => abs(f.path)): _*))
       else None,
       if (ext.nonEmpty) Some(readExternal(ext)) else None
     ).flatten
@@ -96,9 +96,9 @@ final class LakeTable private[core] (
 
   /** Metadata-bootstrapped foreign files carry no meta columns
     * (BootstrapDemo.scala:207-232): synthesize them at read time. */
-  private def readExternal(files: Seq[(String, CommitMeta)]): DataFrame =
-    files.groupBy(_._2.instant).toSeq.sortBy(_._1).map { case (instant, fc) =>
-      val df = spark.read.parquet(fc.map(f => abs(f._1)): _*)
+  private def readExternal(files: Seq[FileEntry]): DataFrame =
+    files.groupBy(_.instant).toSeq.sortBy(_._1).map { case (instant, fc) =>
+      val df = spark.read.parquet(fc.map(f => abs(f.path)): _*)
       df.withColumn(CommitTimeCol, lit(instant))
         .withColumn(RecordKeyCol, keyCol)
         .withColumn(PartitionPathCol, ppCol)
@@ -109,11 +109,10 @@ final class LakeTable private[core] (
     * partition-path string satisfies `pred` are planned — zero I/O for
     * pruned partitions, O(#live files) driver work. */
   def snapshotWhere(pred: String => Boolean): DataFrame = {
-    val live = timeline.liveFiles(None)
-      .filter { case (f, c) => pred(c.partitions.getOrElse(f, "")) }
+    val live = timeline.liveFiles(None).filter(f => pred(f.partition))
     if (live.isEmpty) emptyDf(withMetaSchema(schema))
     else spark.read.schema(withMetaSchema(schema))
-      .parquet(live.map(f => abs(f._1)): _*)
+      .parquet(live.map(f => abs(f.path)): _*)
   }
 
   /** Incremental query: records written in `(begin, end]` —
@@ -125,13 +124,11 @@ final class LakeTable private[core] (
       endInstant: Option[String] = None,
       pathGlob: Option[String] = None): DataFrame = {
     val files = timeline.liveFiles(endInstant)
-      .filter { case (_, c) => c.instant > beginInstant }
-      .filter { case (f, c) =>
-        pathGlob.forall(g => globMatch(g, c.partitions.getOrElse(f, "")))
-      }
+      .filter(_.instant > beginInstant)
+      .filter(f => pathGlob.forall(g => globMatch(g, f.partition)))
     val s = withMetaSchema(schemaAsOf(endInstant))
     if (files.isEmpty) return emptyDf(s)
-    spark.read.schema(s).parquet(files.map(f => abs(f._1)): _*)
+    spark.read.schema(s).parquet(files.map(f => abs(f.path)): _*)
       .filter(col(CommitTimeCol) > lit(beginInstant) &&
         endInstant.map(e => col(CommitTimeCol) <= lit(e)).getOrElse(lit(true)))
   }
@@ -151,9 +148,9 @@ final class LakeTable private[core] (
   def insert(df: DataFrame): String = {
     val instant = timeline.nextInstant()
     val newSchema = unionSchema(df)
-    val (added, parts, n) =
+    val (added, parts, n, kb) =
       writeFiles(conform(withMeta(dedupBatch(df), instant), newSchema), instant)
-    doCommit(instant, "insert", added, Seq.empty, parts, newSchema, n)
+    doCommit(instant, "insert", added, Seq.empty, parts, newSchema, n, kb)
     instant
   }
 
@@ -162,10 +159,10 @@ final class LakeTable private[core] (
   def overwrite(df: DataFrame): String = {
     val instant = timeline.nextInstant()
     val newSchema = unionSchema(df)
-    val removed = timeline.liveFiles(None).map(_._1)
-    val (added, parts, n) =
+    val removed = timeline.liveFiles(None).map(_.path)
+    val (added, parts, n, kb) =
       writeFiles(conform(withMeta(dedupBatch(df), instant), newSchema), instant)
-    doCommit(instant, "replace", added, removed, parts, newSchema, n)
+    doCommit(instant, "replace", added, removed, parts, newSchema, n, kb)
     instant
   }
 
@@ -193,8 +190,8 @@ final class LakeTable private[core] (
       .withColumn("__rn", row_number().over(pick))
       .filter(col("__rn") === 1)
       .drop("__rn", IncomingFlag)
-    val (added, parts, n) = writeFiles(merged, instant)
-    doCommit(instant, "upsert", added, affected, parts, newSchema, n)
+    val (added, parts, n, kb) = writeFiles(merged, instant)
+    doCommit(instant, "upsert", added, affected, parts, newSchema, n, kb)
     instant
   }
 
@@ -212,8 +209,8 @@ final class LakeTable private[core] (
     val affected = affectedFiles(delKeys)
     val kept = readAffected(affected, schema)
       .join(broadcast(delKeys), Seq(RecordKeyCol, PartitionPathCol), "left_anti")
-    val (added, parts, n) = writeFiles(kept, instant)
-    doCommit(instant, "delete", added, affected, parts, schema, n)
+    val (added, parts, n, kb) = writeFiles(kept, instant)
+    doCommit(instant, "delete", added, affected, parts, schema, n, kb)
     instant
   }
 
@@ -225,8 +222,8 @@ final class LakeTable private[core] (
     val affected = affectedFiles(delKeys)
     val kept = readAffected(affected, schema)
       .join(broadcast(delKeys), Seq(RecordKeyCol, PartitionPathCol), "left_anti")
-    val (added, parts, n) = writeFiles(kept, instant)
-    doCommit(instant, "delete", added, affected, parts, schema, n)
+    val (added, parts, n, kb) = writeFiles(kept, instant)
+    doCommit(instant, "delete", added, affected, parts, schema, n, kb)
     instant
   }
 
@@ -237,8 +234,8 @@ final class LakeTable private[core] (
     val affected = filesMatching(cond)
     val kept = readAffected(affected, schema)
       .filter(!coalesce(cond, lit(false)))
-    val (added, parts, n) = writeFiles(kept, instant)
-    doCommit(instant, "delete", added, affected, parts, schema, n)
+    val (added, parts, n, kb) = writeFiles(kept, instant)
+    doCommit(instant, "delete", added, affected, parts, schema, n, kb)
     instant
   }
 
@@ -258,8 +255,8 @@ final class LakeTable private[core] (
           when(hit, set(c).cast(cur(c).dataType)).otherwise(col(c)).as(c)
         case c => col(c)
       }: _*)
-    val (added, parts, n) = writeFiles(updated, instant)
-    doCommit(instant, "update", added, affected, parts, cur, n)
+    val (added, parts, n, kb) = writeFiles(updated, instant)
+    doCommit(instant, "update", added, affected, parts, cur, n, kb)
     instant
   }
 
@@ -319,8 +316,8 @@ final class LakeTable private[core] (
           case _ => when(takeSource, col(s"__s_$c")).otherwise(col(c))
         }).as(c)
       }: _*)
-    val (added, parts, n) = writeFiles(out, instant)
-    doCommit(instant, "merge", added, affected, parts, cur, n)
+    val (added, parts, n, kb) = writeFiles(out, instant)
+    doCommit(instant, "merge", added, affected, parts, cur, n, kb)
     instant
   }
 
@@ -349,13 +346,13 @@ final class LakeTable private[core] (
     * external (bootstrapped) members — which thereby migrate to managed
     * files on this rewrite. */
   private def readAffected(affected: Seq[String], dataSchema: StructType): DataFrame = {
-    val extByPath: Map[String, CommitMeta] = timeline.liveFiles(None)
-      .filter { case (f, c) => c.external.contains(f) }.toMap
+    val extByPath: Map[String, FileEntry] = timeline.liveFiles(None)
+      .filter(_.external).map(f => f.path -> f).toMap
     val (ext, managed) = affected.partition(extByPath.contains)
     val m = readFilesWithMeta(managed, dataSchema)
     if (ext.isEmpty) m
     else m.unionByName(
-      conform(readExternal(ext.map(f => (f, extByPath(f)))), dataSchema),
+      conform(readExternal(ext.map(extByPath)), dataSchema),
       allowMissingColumns = true)
   }
 
@@ -367,21 +364,38 @@ final class LakeTable private[core] (
   private def affectedFiles(
       incoming: DataFrame, global: Boolean = false): Seq[String] = {
     val all = timeline.liveFiles(None)
-    val (liveExt, live) = all.partition { case (f, c) => c.external.contains(f) }
+    val (liveExt, live) = all.partition(_.external)
     if (live.isEmpty && liveExt.isEmpty) return Seq.empty
-    val batchParts: Set[String] =
-      if (global || props.partitionFields.isEmpty) Set.empty
-      else incoming.select(PartitionPathCol).distinct()
-        .collect().map(_.getString(0)).toSet
-    def inScope(f: String, c: CommitMeta): Boolean =
-      global || props.partitionFields.isEmpty ||
-        c.partitions.get(f).forall(batchParts.contains)
-    val candidates = live.collect { case (f, c) if inScope(f, c) => abs(f) }
+    // one job: per-partition record-key bounds of the batch
+    val batchStats: Map[String, (String, String)] =
+      incoming.groupBy(PartitionPathCol)
+        .agg(min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"))
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+        .toMap
+    // candidate pruning (SURVEY §4 bloom/range-index analog):
+    // partition scope first, then stored per-file key bounds vs the
+    // batch's bounds for that partition — zero-I/O, driver-side
+    def inScope(f: FileEntry): Boolean = {
+      val partOk = global || props.partitionFields.isEmpty ||
+        batchStats.contains(f.partition)
+      if (!partOk) return false
+      val bounds =
+        if (global) {
+          if (batchStats.isEmpty) None
+          else Some((batchStats.values.map(_._1).min, batchStats.values.map(_._2).max))
+        } else batchStats.get(f.partition)
+      (bounds, f.minKey, f.maxKey) match {
+        case (Some((bMin, bMax)), Some(fMin), Some(fMax)) =>
+          fMin <= bMax && bMin <= fMax
+        case _ => true // no stats → cannot prune
+      }
+    }
+    val candidates = live.collect { case f if inScope(f) => abs(f.path) }
     // external (bootstrapped) files carry no stored keys: any external
     // file in scope is conservatively affected (it is rewritten into
     // managed form on first touch — the reference's "upserts migrate
     // bootstrapped files" behavior)
-    val extAffected = liveExt.collect { case (f, c) if inScope(f, c) => f }
+    val extAffected = liveExt.collect { case f if inScope(f) => f.path }
     val joinKeys = if (global) Seq(RecordKeyCol) else Seq(RecordKeyCol, PartitionPathCol)
     val managedAffected = if (candidates.isEmpty) Seq.empty[String]
     else {
@@ -401,14 +415,14 @@ final class LakeTable private[core] (
   private def filesMatching(cond: Column): Seq[String] = {
     val live = timeline.liveFiles(None)
     if (live.isEmpty) return Seq.empty
-    val (ext, managed) = live.partition { case (f, c) => c.external.contains(f) }
+    val (ext, managed) = live.partition(_.external)
     val m = if (managed.isEmpty) Seq.empty[String]
     else spark.read.schema(withMetaSchema(schema))
-      .parquet(managed.map(f => abs(f._1)): _*)
+      .parquet(managed.map(f => abs(f.path)): _*)
       .filter(cond)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(r => relativize(r.getString(0))).toSeq
-    m ++ ext.map(_._1) // conservatively rewrite external files
+    m ++ ext.map(_.path) // conservatively rewrite external files
   }
 
   /** preCombine within the batch: largest ordering value per
@@ -450,31 +464,73 @@ final class LakeTable private[core] (
   }
 
   /** Stage-write (salted per partition), then rename into the final
-    * layout. Returns (relative paths, partition map, row count — read
-    * back from parquet footers, a metadata-only count). */
-  private def writeFiles(
-      df: DataFrame, instant: String): (Seq[String], Map[String, String], Long) = {
+    * layout. Returns (relative paths, partition map, row count,
+    * per-file record-key bounds) — count and bounds come from one
+    * driver-side parquet-footer pass, no Spark job. */
+  private def writeFiles(df: DataFrame, instant: String)
+      : (Seq[String], Map[String, String], Long, Map[String, Seq[String]]) = {
     val stagingDir = new Path(basePath, s".staging/$instant")
-    if (props.partitionFields.isEmpty) {
-      // keep the incoming partitioning: files ≈ upstream parallelism
-      df.write.mode("overwrite").parquet(stagingDir.toString)
-    } else {
-      // co-locate each partition's rows; salt spreads hot partitions
-      // across writeSaltBuckets files (small-file vs max-file sizing)
-      val salted =
+    val writerDf =
+      if (props.partitionFields.isEmpty) df // files ≈ upstream parallelism
+      else {
+        // co-locate each partition's rows; salt spreads hot partitions
+        // across writeSaltBuckets files (small-file vs max-file sizing)
         if (props.writeSaltBuckets > 1)
           df.repartition(col(PartitionPathCol),
             pmod(xxhash64(col(RecordKeyCol)), lit(props.writeSaltBuckets)))
         else df.repartition(col(PartitionPathCol))
-      salted.withColumn(StagePartCol, col(PartitionPathCol))
-        .write.partitionBy(StagePartCol).mode("overwrite")
-        .parquet(stagingDir.toString)
-    }
+      }
+    // parquet bloom filter on the record key: point-lookup row-group
+    // skipping for free (SURVEY §4, JavaClientHive2Hudi bloom tuning).
+    // Adaptive sizing + byte cap, or every small file pays the default
+    // 1 MB fixed-NDV bitset.
+    val writer0 = (if (props.partitionFields.isEmpty) writerDf
+      else writerDf.withColumn(StagePartCol, col(PartitionPathCol)))
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$RecordKeyCol", "true")
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
+      .option(s"parquet.bloom.filter.max.bytes", 128 * 1024)
+    (if (props.partitionFields.isEmpty) writer0
+     else writer0.partitionBy(StagePartCol)).parquet(stagingDir.toString)
     val (added, parts) = moveStaged(stagingDir, instant)
-    val n = if (added.isEmpty) 0L
-    else spark.read.schema(withMetaSchema(schema))
-      .parquet(added.map(abs): _*).count() // footer-only count
-    (added, parts, n)
+    val (n, bounds) = footerStats(added)
+    (added, parts, n, bounds)
+  }
+
+  /** Row count + `_record_key` min/max per file from parquet footers
+    * (driver-side, metadata-only I/O). */
+  private def footerStats(relPaths: Seq[String]): (Long, Map[String, Seq[String]]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val conf = spark.sessionState.newHadoopConf()
+    var total = 0L
+    val bounds = relPaths.flatMap { rel =>
+      try {
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(abs(rel)), conf))
+        try {
+          var mn: String = null
+          var mx: String = null
+          r.getFooter.getBlocks.forEach { b =>
+            total += b.getRowCount
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == RecordKeyCol) {
+                val st = c.getStatistics
+                if (st != null && st.hasNonNullValue) {
+                  val bmn = st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
+                  val bmx = st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
+                  if (mn == null || bmn < mn) mn = bmn
+                  if (mx == null || bmx > mx) mx = bmx
+                }
+              }
+            }
+          }
+          if (mn != null) Some(rel -> Seq(mn, mx)) else None
+        } finally r.close()
+      } catch { case _: Exception => total = -1L; None }
+    }.toMap
+    (total, bounds)
   }
 
   private def moveStaged(
@@ -511,10 +567,23 @@ final class LakeTable private[core] (
   private def doCommit(
       instant: String, action: String, added: Seq[String],
       removed: Seq[String], parts: Map[String, String],
-      schemaOut: StructType, n: Long): Unit =
+      schemaOut: StructType, n: Long,
+      keyBounds: Map[String, Seq[String]]): Unit =
     timeline.commit(CommitMeta(
       instant, action, added, removed.map(relativize), Seq.empty,
-      schemaOut.toDDL, n, parts))
+      schemaOut.toDDL, n, parts,
+      if (keyBounds.nonEmpty) Some(keyBounds) else None))
+
+  /** Clean service: physically delete file versions replaced before
+    * the retention window (retainCommits — JavaClientHive2Hudi:185). */
+  def clean(retainCommits: Int): Seq[String] =
+    timeline.clean(basePath, retainCommits)
+
+  /** Archive service: fold old commits into the timeline checkpoint
+    * once more than maxToKeep are active, keeping minToKeep
+    * (HoodieJavaWriteClientExample.java:85). */
+  def archive(minToKeep: Int, maxToKeep: Int): Int =
+    timeline.archive(minToKeep, maxToKeep)
 }
 
 object LakeTable {

@@ -35,7 +35,28 @@ final case class CommitMeta(
     external: Seq[String],
     schemaDdl: String,
     totalRecords: Long,
-    partitions: Map[String, String])
+    partitions: Map[String, String],
+    /** per added file: [min, max] of `_record_key` from the parquet
+      * footer — drives candidate-file pruning on keyed DML (the
+      * bloom/range-index analog, SURVEY §4; JavaClientHive2Hudi
+      * bloom-index tuning :167-180). */
+    keyBounds: Option[Map[String, Seq[String]]] = None)
+
+/** One live data file as seen by readers: its path, the commit that
+  * (logically) wrote its rows, partition path, and optional record-key
+  * bounds. The unit the timeline's checkpoint stores. */
+final case class FileEntry(
+    path: String,
+    instant: String,
+    partition: String,
+    external: Boolean,
+    minKey: Option[String],
+    maxKey: Option[String])
+
+/** Net live file set as of `asOf`, produced when old commits are
+  * archived; file entries keep their original commit instants so
+  * incremental reads spanning the archive boundary stay correct. */
+final case class CheckpointMeta(asOf: String, files: Seq[FileEntry])
 
 /** Declared table properties — SparkSQLDemo.scala:47-51's
   * (primaryKey, preCombineField, type, partitioned by) surface. */
@@ -113,15 +134,89 @@ final class Timeline(conf: Configuration, val basePath: String) {
     atomicWrite(target, Serialization.write(meta)(formats))
   }
 
-  /** Live file set as of `asOf` (inclusive; None = latest): all added
-    * minus later removed. Returns (relativePath, commitMeta-that-added). */
-  def liveFiles(asOf: Option[String] = None): Seq[(String, CommitMeta)] = {
+  /** Live file set as of `asOf` (inclusive; None = latest): the
+    * archive checkpoint's net files plus active commits' added files,
+    * minus everything removed at-or-before `asOf`. */
+  def liveFiles(asOf: Option[String] = None): Seq[FileEntry] = {
+    val cp = readCheckpoint()
+    cp.foreach { c =>
+      asOf.foreach { t =>
+        require(t >= c.asOf,
+          s"history before ${c.asOf} is archived; cannot read as of $t")
+      }
+    }
     val cs = commits().filter(c => asOf.forall(c.instant <= _))
     val removed = cs.flatMap(_.removed).toSet
-    for {
+    val fromCheckpoint = cp.toSeq.flatMap(_.files)
+      .filterNot(f => removed.contains(f.path))
+    val fromCommits = for {
       c <- cs
       f <- c.added if !removed.contains(f)
-    } yield (f, c)
+    } yield FileEntry(f, c.instant, c.partitions.getOrElse(f, ""),
+      c.external.contains(f),
+      c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
+      c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)))
+    fromCheckpoint ++ fromCommits
+  }
+
+  // ------------------------------------------------------- table services
+
+  private def checkpointPath = new Path(dir, CHECKPOINT_FILE)
+
+  def readCheckpoint(): Option[CheckpointMeta] = {
+    if (!fs.exists(checkpointPath)) return None
+    val in = fs.open(checkpointPath)
+    try Some(JsonMethods.parse(in)
+      .extract[CheckpointMeta](formats, manifest[CheckpointMeta]))
+    finally in.close()
+  }
+
+  /** Archive: fold the oldest active commits into the checkpoint once
+    * more than `maxToKeep` are active, leaving `minToKeep`
+    * (HoodieJavaWriteClientExample.java:85 archive window semantics).
+    * show_commits afterwards lists only the active timeline. */
+  def archive(minToKeep: Int, maxToKeep: Int): Int = {
+    val cs = commits()
+    if (cs.size <= maxToKeep) return 0
+    val toArchive = cs.dropRight(minToKeep)
+    val removed = commits().flatMap(_.removed).toSet // any removal, any time
+    val prior = readCheckpoint().toSeq.flatMap(_.files)
+    val archivedEntries = for {
+      c <- toArchive
+      f <- c.added if !removed.contains(f)
+    } yield FileEntry(f, c.instant, c.partitions.getOrElse(f, ""),
+      c.external.contains(f),
+      c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
+      c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)))
+    val cp = CheckpointMeta(
+      asOf = toArchive.last.instant,
+      files = (prior.filterNot(f => removed.contains(f.path)) ++ archivedEntries))
+    atomicWrite(checkpointPath, Serialization.write(cp)(formats))
+    val archiveDir = new Path(dir, "archived")
+    fs.mkdirs(archiveDir)
+    toArchive.foreach { c =>
+      val name = c.instant + COMMIT_SUFFIX
+      fs.rename(new Path(dir, name), new Path(archiveDir, name))
+    }
+    toArchive.size
+  }
+
+  /** Clean: physically delete files replaced by commits older than the
+    * `retainCommits`-th newest commit (JavaClientHive2Hudi.java:185
+    * retainCommits semantics). Snapshots as-of instants older than the
+    * cutoff can no longer be served. Returns paths deleted. */
+  def clean(basePath: String, retainCommits: Int): Seq[String] = {
+    val cs = commits()
+    if (cs.size <= retainCommits) return Seq.empty
+    val cutoff = cs(cs.size - retainCommits).instant
+    val live = liveFiles(None).map(_.path).toSet
+    val candidates = cs.filter(_.instant <= cutoff)
+      .flatMap(_.removed).distinct
+      .filterNot(live.contains)
+    candidates.filter { rel =>
+      val p = new Path(basePath, rel)
+      !fs.exists(p) || fs.delete(p, false)
+    }
   }
 
   private def atomicWrite(target: Path, body: String): Unit = {
@@ -139,6 +234,7 @@ object Timeline {
   val META_DIR = "_timeline"
   val TABLE_FILE = "table.json"
   val COMMIT_SUFFIX = ".commit.json"
+  val CHECKPOINT_FILE = "checkpoint.json"
   private val formats: Formats = DefaultFormats
   private val instantFormat =
     java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")

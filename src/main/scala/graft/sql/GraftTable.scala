@@ -84,7 +84,7 @@ final class GraftTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val files = lake.timeline.liveFiles(Option(options.get("asOfInstant")))
-      .map(f => absPath(f._1))
+      .map(f => absPath(f.path))
     val metaSchema = StructType(
       LakeTable.MetaCols.map(c =>
         org.apache.spark.sql.types.StructField(c, StringType, nullable = true)) ++

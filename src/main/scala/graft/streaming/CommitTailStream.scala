@@ -76,9 +76,10 @@ final class CommitTailStream(
     val until = end.asInstanceOf[CommitOffset].instant
     if (until <= begin) return Array.empty
     val files = lake.timeline.liveFiles(Some(until))
-      .filter { case (_, c) => c.instant > begin }
-      .map { case (f, _) =>
-        if (f.startsWith("/") || f.contains(":/")) f else s"${lake.basePath}/$f"
+      .filter(_.instant > begin)
+      .map { e =>
+        if (e.path.startsWith("/") || e.path.contains(":/")) e.path
+        else s"${lake.basePath}/${e.path}"
       }
     if (files.isEmpty) return Array.empty
     val inner = ParquetTable("graft-stream", spark,

@@ -191,8 +191,7 @@ class LakeTableSpec extends AnyFunSuite {
     meta.upsert(appendBatch.toDF("id", "name", "value", "ts", "dt"))
     checkFinal(meta)
     // first touch migrated the external file: no external refs remain live
-    val stillExternal = meta.timeline.liveFiles(None)
-      .filter { case (f, c) => c.external.contains(f) }
+    val stillExternal = meta.timeline.liveFiles(None).filter(_.external)
     assert(stillExternal.isEmpty)
   }
 

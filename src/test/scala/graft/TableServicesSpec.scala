@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** Table services (SURVEY §7.7): clean, archive, and the key-range
+  * candidate index. */
+class TableServicesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "svc_").toString + "/t"
+
+  private def props = TableProps("svc", Seq("id"), Some("ts"), Seq("dt"))
+
+  private def row(id: Int, v: String, ts: Long = 1L, dt: String = "d1") =
+    (id, v, ts, dt)
+
+  private def mkDf(rows: (Int, String, Long, String)*) =
+    rows.toDF("id", "v", "ts", "dt")
+
+  test("commits record per-file record-key bounds from footers") {
+    val t = LakeTable.create(spark, tmp(), props)
+    t.upsert(mkDf(row(1, "a"), row(5, "b"), row(9, "c")))
+    val c = t.timeline.commits().head
+    val bounds = c.keyBounds.get.values.toSeq
+    assert(bounds.nonEmpty)
+    val (mins, maxs) = (bounds.map(_.head), bounds.map(_(1)))
+    assert(mins.min == "1" && maxs.max == "9")
+    assert(c.totalRecords == 3)
+  }
+
+  test("key-range pruning: disjoint-key upsert rewrites no files") {
+    val t = LakeTable.create(spark, tmp(), props)
+    t.upsert(mkDf((100 to 150).map(i => row(i, s"v$i")): _*))
+    // keys 900.. are outside [100,150] lexicographically? use same-width
+    val c2 = t.upsert(mkDf((300 to 320).map(i => row(i, s"w$i")): _*))
+    val commit = t.timeline.commits().find(_.instant == c2).get
+    assert(commit.removed.isEmpty,
+      s"range-pruned upsert should rewrite nothing, removed=${commit.removed}")
+    assert(t.snapshot().count() == 51 + 21)
+  }
+
+  test("clean deletes replaced file versions beyond retention") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, props)
+    t.upsert(mkDf(row(1, "a")))
+    t.upsert(mkDf(row(1, "b", ts = 2)))
+    t.upsert(mkDf(row(1, "c", ts = 3)))
+    t.upsert(mkDf(row(1, "d", ts = 4)))
+    // all replaced versions still on disk before clean
+    val fsDir = new java.io.File(path, "dt=d1")
+    val before = fsDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 4)
+    val deleted = t.clean(retainCommits = 2)
+    assert(deleted.nonEmpty)
+    val after = fsDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < before)
+    // snapshot still correct
+    assert(t.snapshot().select("v").as[String].collect().toSeq == Seq("d"))
+  }
+
+  test("archive folds old commits into a checkpoint; reads stay correct") {
+    val t = LakeTable.create(spark, tmp(), props)
+    val instants = (1 to 6).map(i => t.upsert(mkDf(row(i, s"v$i", dt = s"d${i % 2}"))))
+    assert(t.timeline.commits().size == 6)
+    val archived = t.archive(minToKeep = 2, maxToKeep = 4)
+    assert(archived == 4)
+    // active timeline shrank; snapshot unchanged
+    assert(t.timeline.commits().size == 2)
+    assert(t.snapshot().count() == 6)
+    // incremental across the archive boundary still works (entries
+    // keep original instants)
+    val inc = t.incremental(instants(2))
+    assert(inc.select("id").as[Int].collect().toSet == Set(4, 5, 6))
+    // upserts after archive still merge correctly
+    t.upsert(mkDf(row(1, "v1b", ts = 9, dt = "d1")))
+    assert(t.snapshot().filter(col("id") === 1).select("v").as[String].head() == "v1b")
+    // asOf older than the checkpoint is refused
+    val e = intercept[IllegalArgumentException](t.snapshot(Some("0")).count())
+    assert(e.getMessage.contains("archived"))
+  }
+}
