@@ -173,7 +173,9 @@ final class LakeTable private[core] (
       policy: MergePolicy = MergePolicy.LatestByOrdering): String = {
     val instant = timeline.nextInstant()
     val newSchema = unionSchema(df)
-    val incoming = conform(withMeta(dedupBatch(df), instant), newSchema)
+    // the batch feeds three jobs (partition/key stats, candidate
+    // probe, merge write): keep it materialized once
+    val incoming = conform(withMeta(dedupBatch(df), instant), newSchema).persist()
     val affected = affectedFiles(incoming)
     val existing = readAffected(affected, newSchema)
     val ordCol: Column = props.preCombineField.map(col).getOrElse(lit(0))
@@ -191,6 +193,7 @@ final class LakeTable private[core] (
       .filter(col("__rn") === 1)
       .drop("__rn", IncomingFlag)
     val (added, parts, n, kb) = writeFiles(merged, instant)
+    incoming.unpersist()
     doCommit(instant, "upsert", added, affected, parts, newSchema, n, kb)
     instant
   }
@@ -205,11 +208,12 @@ final class LakeTable private[core] (
     val delKeys = keys
       .withColumn(RecordKeyCol, keyCol)
       .withColumn(PartitionPathCol, ppCol)
-      .select(RecordKeyCol, PartitionPathCol).distinct()
+      .select(RecordKeyCol, PartitionPathCol).distinct().persist()
     val affected = affectedFiles(delKeys)
     val kept = readAffected(affected, schema)
       .join(broadcast(delKeys), Seq(RecordKeyCol, PartitionPathCol), "left_anti")
     val (added, parts, n, kb) = writeFiles(kept, instant)
+    delKeys.unpersist()
     doCommit(instant, "delete", added, affected, parts, schema, n, kb)
     instant
   }

@@ -198,20 +198,33 @@ object DedupOps {
         ORDER BY a, b"""))
   }
 
-  /** dedup4 — exact word-bigram Jaccard with source blocking (the
-    * "compare only within a blocking key" pattern). */
+  /** dedup4 — exact word-bigram Jaccard with blocking (the "compare
+    * only within a blocking key" pattern of entity resolution): block
+    * key = (source, ⌊n_chars/64⌋), with pairs in adjacent length
+    * buckets also compared via an asymmetric upward probe — the
+    * lower-bucket doc probes its own and the next bucket, so every
+    * |Δbucket| ≤ 1 pair is generated exactly once and the shingle
+    * join never crosses block boundaries. At scale this bounds the
+    * self-join to block-local work instead of all same-source pairs. */
+  private val ngramBlock = 64
   private val ngramQ = GQ(
     "dedup4_ngram_jaccard",
     (s, dir) => {
       val c = corpus(s, dir)
+        .withColumn("blk", floor(length(col("text")) / ngramBlock))
       val sh = shingles(c, 2)
-        .join(c.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .join(c.select(col("doc_id"), col("source"), col("blk")), Seq("doc_id"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.as("sa").join(sh.as("sb"),
+      val probes = sh.withColumn("probe", explode(array(col("blk"), col("blk") + 1)))
+      val inter = probes.as("sa").join(sh.as("sb"),
           col("sa.sh") === col("sb.sh") && col("sa.source") === col("sb.source") &&
-            col("sa.doc_id") < col("sb.doc_id"))
-        .groupBy(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
+            col("sa.probe") === col("sb.blk") &&
+            (col("sa.blk") < col("sb.blk") ||
+              (col("sa.blk") === col("sb.blk") && col("sa.doc_id") < col("sb.doc_id"))))
+        .groupBy(col("sa.doc_id").as("x"), col("sb.doc_id").as("y"))
         .agg(count(lit(1)).as("inter"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"), col("inter"))
       inter
         .join(sizes.as("za"), col("a") === col("za.doc_id"))
         .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
@@ -223,13 +236,18 @@ object DedupOps {
     },
     Some(s"""WITH $corpusSql,
       ${shinglesSql(2)},
-      shs AS (SELECT sh.doc_id, sh.sh, c.source FROM sh
-        JOIN corpus c ON sh.doc_id = c.doc_id),
+      shs AS (SELECT sh.doc_id, sh.sh, c.source,
+          CAST(floor(length(c.text) / $ngramBlock) AS BIGINT) AS blk
+        FROM sh JOIN corpus c ON sh.doc_id = c.doc_id),
       sz AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
-      inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-        FROM shs a JOIN shs b
-          ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+      probes AS (SELECT doc_id, sh, source, blk,
+          unnest([blk, blk + 1]) AS probe FROM shs),
+      inter AS (SELECT least(a.doc_id, b.doc_id) AS a,
+          greatest(a.doc_id, b.doc_id) AS b, count(*) AS inter
+        FROM probes a JOIN shs b
+          ON a.sh = b.sh AND a.source = b.source AND a.probe = b.blk
+          AND (a.blk < b.blk OR (a.blk = b.blk AND a.doc_id < b.doc_id))
+        GROUP BY a.doc_id, b.doc_id)
       SELECT a, b,
         CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) AS jaccard
       FROM inter

@@ -1,0 +1,67 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** DataFrame helpers mirroring the reference's `common/DfUtils.scala`
+  * and schema-surgery patterns — re-expressed without the `df.rdd`
+  * round-trips the reference uses (pure projections keep codegen and
+  * pushdown intact).
+  */
+object DfUtils {
+
+  /** JDBC source with full query pushdown: the query runs inside the
+    * remote database (`dbtable = "(...) a"` — DfUtils.scala:17-19,
+    * SyncCommentsAcrossClusters.scala:126-139). */
+  def readJdbc(
+      spark: SparkSession, url: String, dbtable: String,
+      user: String, password: String,
+      driver: String = "com.mysql.cj.jdbc.Driver"): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", dbtable)
+      .option("user", user).option("password", password)
+      .option("driver", driver)
+      .load()
+
+  /** Lowercase + strip spaces from column names
+    * (DfUtils.scala:21-26 `schemaToLowerCase`, minus the rdd rebuild). */
+  def lowercaseColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase.replaceAll(" ", "")).toSeq: _*)
+
+  /** Cast every column to string (DfUtils.scala:28-32). */
+  def castAllToString(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).cast(StringType).as(c)).toSeq: _*)
+
+  /** Force-nullable schema (BootstrapDemo.scala:275-280
+    * `makeDfColNullable`, minus the rdd rebuild). */
+  def forceNullable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(df.rdd,
+      org.apache.spark.sql.types.StructType(df.schema.map(_.copy(nullable = true))))
+  }
+}
+
+/** Filesystem helpers mirroring `common/FsUtils.scala`. */
+object FsUtils {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Child directory names (FsUtils.scala:12-27 dirs-only listing). */
+  def listDirs(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
+  /** Recursive delete-if-exists (FsUtils.scala:29-35; used by
+    * IncrementalQuery.scala:28). */
+  def deletePath(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    f.exists(p) && f.delete(p, true)
+  }
+}
