@@ -177,21 +177,25 @@ final class LakeTable private[core] (
     // probe, merge write): keep it materialized once
     val incoming = conform(withMeta(dedupBatch(df), instant), newSchema).persist()
     val affected = affectedFiles(incoming)
-    val existing = readAffected(affected, newSchema)
-    val ordCol: Column = props.preCombineField.map(col).getOrElse(lit(0))
-    val pick = policy match {
-      case MergePolicy.OverwriteWithLatest =>
-        Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
-          .orderBy(col(IncomingFlag).desc)
-      case MergePolicy.LatestByOrdering =>
-        Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
-          .orderBy(ordCol.desc, col(IncomingFlag).desc)
+    // insert-only fast path: no affected files means no existing
+    // versions to merge against — skip the merge window shuffle
+    val merged = if (affected.isEmpty) incoming else {
+      val existing = readAffected(affected, newSchema)
+      val ordCol: Column = props.preCombineField.map(col).getOrElse(lit(0))
+      val pick = policy match {
+        case MergePolicy.OverwriteWithLatest =>
+          Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
+            .orderBy(col(IncomingFlag).desc)
+        case MergePolicy.LatestByOrdering =>
+          Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
+            .orderBy(ordCol.desc, col(IncomingFlag).desc)
+      }
+      existing.withColumn(IncomingFlag, lit(0))
+        .unionByName(incoming.withColumn(IncomingFlag, lit(1)))
+        .withColumn("__rn", row_number().over(pick))
+        .filter(col("__rn") === 1)
+        .drop("__rn", IncomingFlag)
     }
-    val merged = existing.withColumn(IncomingFlag, lit(0))
-      .unionByName(incoming.withColumn(IncomingFlag, lit(1)))
-      .withColumn("__rn", row_number().over(pick))
-      .filter(col("__rn") === 1)
-      .drop("__rn", IncomingFlag)
     val (added, parts, n, kb) = writeFiles(merged, instant)
     incoming.unpersist()
     doCommit(instant, "upsert", added, affected, parts, newSchema, n, kb)
@@ -210,6 +214,11 @@ final class LakeTable private[core] (
       .withColumn(PartitionPathCol, ppCol)
       .select(RecordKeyCol, PartitionPathCol).distinct().persist()
     val affected = affectedFiles(delKeys)
+    if (affected.isEmpty) { // nothing matches: empty commit, no write
+      delKeys.unpersist()
+      doCommit(instant, "delete", Seq.empty, Seq.empty, Map.empty, schema, 0L, Map.empty)
+      return instant
+    }
     val kept = readAffected(affected, schema)
       .join(broadcast(delKeys), Seq(RecordKeyCol, PartitionPathCol), "left_anti")
     val (added, parts, n, kb) = writeFiles(kept, instant)
