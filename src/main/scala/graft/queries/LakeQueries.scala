@@ -182,6 +182,36 @@ object LakeQueries {
       CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
       FROM customer ORDER BY c_custkey"""))
 
+  /** Time travel: snapshot as of an earlier instant (S1 + Hudi
+    * as-of semantics): state before the second upsert. */
+  private val timeTravelQ = GQ(
+    "lake8_time_travel",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake8"), props(true))
+      val c1 = tab.upsert(base(s, dir))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 5 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_name", concat(col("c_name"), lit("_v2"))))
+      dataCols(tab.snapshot(Some(c1)))
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      CAST(1 AS BIGINT) AS ts
+      FROM customer ORDER BY c_custkey"""))
+
+  /** Partition-pruned snapshot (SnapshotWhere — the driver-side
+    * partition pruning path; §2.1 S2 glob-scan analog). */
+  private val pruneQ = GQ(
+    "lake9_partition_pruned",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake9"), props(true))
+      tab.upsert(base(s, dir))
+      dataCols(tab.snapshotWhere(_ == "c_mktsegment=BUILDING"))
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      CAST(1 AS BIGINT) AS ts
+      FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey"""))
+
   def qs: Seq[GQ] = Seq(
-    upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ)
+    upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
+    timeTravelQ, pruneQ)
 }
