@@ -65,17 +65,30 @@ final class LakeTable private[core] (
     case None => new StructType()
   }
 
-  private def withMetaSchema(dataSchema: StructType): StructType =
-    StructType(MetaCols.map(StructField(_, StringType, nullable = true)) ++
-      dataSchema.fields)
+  private def withMetaSchema(dataSchema: StructType): StructType = {
+    val meta = MetaCols.map(StructField(_, StringType, nullable = true))
+    val del = if (props.tableType == "mor")
+      Seq(StructField(DeletedCol, org.apache.spark.sql.types.BooleanType,
+        nullable = true))
+    else Seq.empty
+    StructType(meta ++ del ++ dataSchema.fields)
+  }
 
   private def emptyDf(s: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
 
   // ---------------------------------------------------------------- reads
 
+  private def isMor: Boolean = props.tableType == "mor"
+
   /** Snapshot view: latest version of every live record (meta columns
-    * included; `.drop(LakeTable.MetaCols: _*)` for data only). */
+    * included; `.drop(LakeTable.MetaCols: _*)` for data only).
+    *
+    * COW: the live files already hold exactly the latest versions.
+    * MOR: live files include base + delta files with multiple versions
+    * per key and possibly tombstones — merge on read: arg-max per
+    * (key, partition) by (preCombine, commit time), drop tombstones.
+    */
   def snapshot(asOf: Option[String] = None): DataFrame = {
     val live = timeline.liveFiles(asOf)
     val s = withMetaSchema(schemaAsOf(asOf))
@@ -87,7 +100,24 @@ final class LakeTable private[core] (
       else None,
       if (ext.nonEmpty) Some(readExternal(ext)) else None
     ).flatten
-    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val raw = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (isMor) mergeOnRead(raw) else raw
+  }
+
+  /** The MOR read-side merge: latest commit wins per (key, partition),
+    * preCombine breaks ties within a commit, tombstones drop the key.
+    * (Commit-ordered — a deliberate, documented simplification of
+    * Hudi's per-payload ordering for the MOR log-merge path; COW
+    * carries the full LatestByOrdering/Overwrite policy choice.) */
+  private def mergeOnRead(raw: DataFrame): DataFrame = {
+    val ordCol: Column = props.preCombineField.map(col).getOrElse(lit(0))
+    val w = Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
+      .orderBy(col(CommitTimeCol).desc, ordCol.desc)
+    val picked = raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (picked.columns.contains(DeletedCol))
+      picked.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
+    else picked
   }
 
   private def schemaAsOf(asOf: Option[String]): StructType =
@@ -166,11 +196,16 @@ final class LakeTable private[core] (
     instant
   }
 
-  /** Keyed upsert (COW): rewrite only files containing matching keys;
-    * the merge policy decides incoming-vs-existing per key. */
+  /** Keyed upsert. COW (default): rewrite only files containing
+    * matching keys; the merge policy decides incoming-vs-existing per
+    * key. MOR (`type='mor'`): append the batch as a delta commit — no
+    * read, no rewrite, O(batch) write cost (the streaming-ingest path,
+    * TestStreamingMOR) — merged on read; inline compaction after
+    * `compactDeltaCommits` delta commits. */
   def upsert(
       df: DataFrame,
       policy: MergePolicy = MergePolicy.LatestByOrdering): String = {
+    if (isMor) return morAppend(df, "deltacommit")
     val instant = timeline.nextInstant()
     val newSchema = unionSchema(df)
     // the batch feeds three jobs (partition/key stats, candidate
@@ -208,6 +243,7 @@ final class LakeTable private[core] (
     * match (pinned by the SparkSQLDemo merge-DELETE scenario,
     * SparkSQLDemo.scala:84). */
   def delete(keys: DataFrame): String = {
+    if (isMor) return morDelete(keys)
     val instant = timeline.nextInstant()
     val delKeys = keys
       .withColumn(RecordKeyCol, keyCol)
@@ -230,6 +266,7 @@ final class LakeTable private[core] (
   /** Delete by pre-computed row identity (`_record_key`,
     * `_partition_path`) — the SQL row-level-operation path. */
   def deleteByRowId(ids: DataFrame): String = {
+    if (isMor) compact()
     val instant = timeline.nextInstant()
     val delKeys = ids.select(RecordKeyCol, PartitionPathCol).distinct()
     val affected = affectedFiles(delKeys)
@@ -243,6 +280,7 @@ final class LakeTable private[core] (
   /** DELETE FROM ... WHERE (SparkSQLDemo.scala:73-75): rewrite only
     * files containing matches (parquet min/max prunes the probe). */
   def deleteWhere(cond: Column): String = {
+    if (isMor) compact() // predicate ops run against a single-version view
     val instant = timeline.nextInstant()
     val affected = filesMatching(cond)
     val kept = readAffected(affected, schema)
@@ -256,6 +294,7 @@ final class LakeTable private[core] (
     * take the new commit time; untouched rows in rewritten files keep
     * theirs (incremental-query correctness). */
   def updateWhere(cond: Column, set: Map[String, Column]): String = {
+    if (isMor) compact() // predicate ops run against a single-version view
     val instant = timeline.nextInstant()
     val affected = filesMatching(cond)
     val hit = coalesce(cond, lit(false))
@@ -291,6 +330,7 @@ final class LakeTable private[core] (
       matchedUpdate: Option[Column] = None,
       matchedDelete: Option[Column] = None,
       notMatchedInsert: Option[Column] = None): String = {
+    if (isMor) compact() // merge runs against a single-version view
     val instant = timeline.nextInstant()
     val cur = schema
     // Clause conditions resolve against the source's own columns (the
@@ -587,6 +627,62 @@ final class LakeTable private[core] (
       schemaOut.toDDL, n, parts,
       if (keyBounds.nonEmpty) Some(keyBounds) else None))
 
+  // ---------------------------------------------------------- MOR paths
+
+  /** Delta-append write: batch dedup + meta columns, no snapshot
+    * consultation, one commit. */
+  private def morAppend(df: DataFrame, action: String): String = {
+    val instant = timeline.nextInstant()
+    val newSchema = unionSchema(df.drop(DeletedCol))
+    val out =
+      if (df.columns.contains(DeletedCol)) {
+        // tombstones: distinct keys (no preCombine column to dedup by),
+        // data columns nulled
+        val keysOnly = df.drop(DeletedCol).distinct()
+        withMeta(keysOnly, instant)
+          .withColumn(DeletedCol, lit(true))
+          .select((MetaCols :+ DeletedCol).map(col) ++
+            newSchema.fields.toSeq.map { f =>
+              if (keysOnly.columns.contains(f.name))
+                col(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }: _*)
+      } else conform(withMeta(dedupBatch(df), instant), newSchema)
+    val (added, parts, n, kb) = writeFiles(out, instant)
+    doCommit(instant, action, added, Seq.empty, parts, newSchema, n, kb)
+    maybeInlineCompact()
+    instant
+  }
+
+  /** MOR delete = tombstone delta rows (key + partition, data nulled,
+    * `_deleted` = true), honored by the read-side merge. */
+  private def morDelete(keys: DataFrame): String =
+    morAppend(keys.withColumn(DeletedCol, lit(true)), "deltacommit")
+
+  /** Compaction (TestBatchMOR inline-compaction semantics): fold the
+    * merged snapshot into fresh base files, replacing all previous
+    * live files in one commit. Original per-row commit times survive,
+    * so incremental reads stay exact. */
+  def compact(): String = {
+    val snap = snapshot() // merged view, tombstones resolved
+    val instant = timeline.nextInstant()
+    val removed = timeline.liveFiles(None).map(_.path)
+    if (removed.isEmpty) return instant
+    val (added, parts, n, kb) = writeFiles(
+      snap.select((MetaCols ++ schema.fieldNames.toSeq).map(col): _*), instant)
+    doCommit(instant, "commit", added, removed, parts, schema, n, kb)
+    instant
+  }
+
+  /** Inline compaction after `compactDeltaCommits` consecutive delta
+    * commits (TestBatchMOR.java:40-46, TestStreamingMOR.java:51). */
+  private def maybeInlineCompact(): Unit = {
+    val n = props.compactDeltaCommits
+    if (n <= 0) return
+    val trailing = timeline.commits().reverse.takeWhile(_.action == "deltacommit")
+    if (trailing.size >= n) compact()
+  }
+
   /** Clean service: physically delete file versions replaced before
     * the retention window (retainCommits — JavaClientHive2Hudi:185). */
   def clean(retainCommits: Int): Seq[String] =
@@ -603,6 +699,8 @@ object LakeTable {
   val CommitTimeCol = "_commit_time"
   val RecordKeyCol = "_record_key"
   val PartitionPathCol = "_partition_path"
+  /** MOR tombstone marker column (delta files only). */
+  val DeletedCol = "_deleted"
   val MetaCols: Seq[String] = Seq(CommitTimeCol, RecordKeyCol, PartitionPathCol)
   private[core] val IncomingFlag = "__incoming"
   private[core] val StagePartCol = "__pp__"

@@ -72,7 +72,11 @@ final case class TableProps(
     writeSaltBuckets: Int = 1,
     /** Declared schema DDL (SQL CREATE TABLE), used until the first
       * commit records a written schema. Empty = infer from first write. */
-    schemaDdl: String = "")
+    schemaDdl: String = "",
+    /** MOR inline compaction cadence: compact after this many
+      * consecutive delta commits (TestBatchMOR.java:40-46
+      * `compaction.delta_commits`; 0 = never inline). */
+    compactDeltaCommits: Int = 0)
 
 /** Driver-side commit log. All metadata ops are O(#commits) small-JSON
   * reads — never a Spark job. Data-plane listing never happens at read
@@ -223,6 +227,10 @@ final class Timeline(conf: Configuration, val basePath: String) {
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    // local FS rename refuses to overwrite; rewrites (table.json,
+    // checkpoint.json) are legitimate — commit-file uniqueness is
+    // enforced by the exists check in commit() before this point
+    if (fs.exists(target)) fs.delete(target, false)
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(s"Commit rename failed for $target")

@@ -95,7 +95,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       partitionFields = partitionFields.toSeq,
       tableType = opts.getOrElse("type", "cow"),
       writeSaltBuckets = opts.getOrElse("writeSaltBuckets", "1").toInt,
-      schemaDdl = schema.toDDL)
+      schemaDdl = schema.toDDL,
+      compactDeltaCommits =
+        opts.getOrElse("compaction.delta_commits", "0").toInt)
     require(props.primaryKey.nonEmpty,
       "graft tables require a primaryKey table option (SparkSQLDemo.scala:48)")
     new GraftTable(spark, ident.toString, LakeTable.create(spark, path, props))

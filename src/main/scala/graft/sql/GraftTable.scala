@@ -83,17 +83,28 @@ final class GraftTable(
   // ----------------------------------------------------------------- read
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val files = lake.timeline.liveFiles(Option(options.get("asOfInstant")))
-      .map(f => absPath(f.path))
+    val live = lake.timeline.liveFiles(Option(options.get("asOfInstant")))
+    // MOR catalog reads are the READ-OPTIMIZED view (base files only —
+    // Hudi's `_ro` table): raw delta files hold multiple versions the
+    // delegated scan cannot merge. The real-time merged view is the
+    // path API (format("graft")) / LakeTable.snapshot.
+    val actions = lake.timeline.commits().map(c => c.instant -> c.action).toMap
+    val files = (if (lake.props.tableType == "mor")
+      live.filter(e => actions.get(e.instant).forall(_ != "deltacommit"))
+    else live).map(f => absPath(f.path))
     val metaSchema = StructType(
       LakeTable.MetaCols.map(c =>
         org.apache.spark.sql.types.StructField(c, StringType, nullable = true)) ++
         lake.schema.fields)
     // Delegate to Spark's own vectorized parquet scan (pushdown,
     // column pruning, row-group skipping all included). An empty table
-    // still needs a valid relation: point at the (empty) timeline dir.
-    val paths = if (files.nonEmpty) files else Seq(lake.basePath + "/" +
-      graft.core.Timeline.META_DIR)
+    // still needs a valid relation: point at an empty marker dir.
+    val paths = if (files.nonEmpty) files else {
+      val empty = new org.apache.hadoop.fs.Path(
+        lake.basePath, graft.core.Timeline.META_DIR + "/.empty")
+      empty.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(empty)
+      Seq(empty.toString)
+    }
     val delegate = ParquetTable(tableName, spark, options, paths.toList,
       Some(metaSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options)

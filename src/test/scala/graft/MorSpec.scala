@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** MOR table type (SURVEY §2.10 ST6, TestBatchMOR / TestStreamingMOR):
+  * delta-append upserts, merge-on-read snapshots, tombstone deletes,
+  * inline + explicit compaction, read-optimized SQL view. */
+class MorSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "mor_").toString + "/t"
+
+  private def morProps(compactEvery: Int = 0) = TableProps(
+    "mor_t", Seq("id"), Some("ts"), Seq("dt"),
+    tableType = "mor", compactDeltaCommits = compactEvery)
+
+  private def rows(t: LakeTable): Set[(Int, String, Long)] =
+    t.snapshot().select("id", "v", "ts").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+
+  test("delta upserts merge on read; no files are rewritten") {
+    val t = LakeTable.create(spark, tmp(), morProps())
+    t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d1")).toDF("id", "v", "ts", "dt"))
+    t.upsert(Seq((1, "a2", 2L, "d1"), (3, "c", 1L, "d1")).toDF("id", "v", "ts", "dt"))
+    assert(rows(t) == Set((1, "a2", 2L), (2, "b", 1L), (3, "c", 1L)))
+    val cs = t.timeline.commits()
+    assert(cs.forall(_.action == "deltacommit"))
+    assert(cs.forall(_.removed.isEmpty), "MOR upserts must not rewrite files")
+  }
+
+  test("tombstone delete is honored by the merged view; compaction folds it") {
+    val t = LakeTable.create(spark, tmp(), morProps())
+    t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d1")).toDF("id", "v", "ts", "dt"))
+    t.delete(Seq((1, "d1")).toDF("id", "dt"))
+    assert(rows(t) == Set((2, "b", 1L)))
+    // delete then re-insert: later commit wins
+    t.upsert(Seq((1, "back", 3L, "d1")).toDF("id", "v", "ts", "dt"))
+    assert(rows(t) == Set((1, "back", 3L), (2, "b", 1L)))
+    val c = t.compact()
+    assert(rows(t) == Set((1, "back", 3L), (2, "b", 1L)))
+    // after compaction only the base files are live
+    val live = t.timeline.liveFiles(None)
+    assert(live.forall(_.instant == c))
+  }
+
+  test("inline compaction after N delta commits (compaction.delta_commits)") {
+    val t = LakeTable.create(spark, tmp(), morProps(compactEvery = 2))
+    t.upsert(Seq((1, "a", 1L, "d1")).toDF("id", "v", "ts", "dt"))
+    assert(t.timeline.commits().map(_.action) == Seq("deltacommit"))
+    t.upsert(Seq((2, "b", 1L, "d1")).toDF("id", "v", "ts", "dt"))
+    // 2nd delta commit triggered an inline compaction commit
+    assert(t.timeline.commits().map(_.action) ==
+      Seq("deltacommit", "deltacommit", "commit"))
+    assert(rows(t) == Set((1, "a", 1L), (2, "b", 1L)))
+  }
+
+  test("incremental read returns the delta rows of the range") {
+    val t = LakeTable.create(spark, tmp(), morProps())
+    val c1 = t.upsert(Seq((1, "a", 1L, "d1")).toDF("id", "v", "ts", "dt"))
+    t.upsert(Seq((1, "a2", 2L, "d1"), (2, "b", 1L, "d1")).toDF("id", "v", "ts", "dt"))
+    val inc = t.incremental(c1).select("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(inc == Set((1, "a2"), (2, "b")))
+  }
+
+  test("streaming ingest into MOR with inline compaction (TestStreamingMOR shape)") {
+    val path = tmp()
+    LakeTable.create(spark, path, morProps(compactEvery = 2))
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Int, String, Long, String)]
+    val q = input.toDF().toDF("id", "v", "ts", "dt")
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmp())
+      .start(path)
+    try {
+      input.addData((1, "a", 1L, "d1")); q.processAllAvailable()
+      input.addData((2, "b", 1L, "d1"), (1, "a2", 2L, "d1")); q.processAllAvailable()
+      val t = LakeTable.load(spark, path)
+      assert(rows(t) == Set((1, "a2", 2L), (2, "b", 1L)))
+      // the second micro-batch tripped the inline compaction
+      assert(t.timeline.commits().map(_.action).contains("commit"))
+    } finally q.stop()
+  }
+
+  test("SQL catalog read of MOR is the read-optimized view") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.mor1")
+    spark.sql("""CREATE TABLE graft.db.mor1 (id INT, v STRING, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts', type = 'mor')""")
+    spark.sql("INSERT INTO graft.db.mor1 VALUES (1,'a',1)")
+    // delta-only table: RO view is empty until compaction
+    assert(spark.sql("SELECT * FROM graft.db.mor1").count() == 0)
+    val wh = "target/graft_warehouse_test/db/mor1"
+    LakeTable.load(spark, wh).compact()
+    assert(spark.sql("SELECT v FROM graft.db.mor1").head().getString(0) == "a")
+    // real-time view through the path API sees deltas immediately
+    spark.sql("INSERT INTO graft.db.mor1 VALUES (2,'b',1)")
+    assert(spark.read.format("graft").load(wh).count() == 2)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.LakeTable
+import graft.util.{DfUtils, FsUtils}
+
+/** Small SURVEY §2 parity items not covered elsewhere: ALTER COLUMN
+  * COMMENT (W8), rate source (S9), CSV source (S10), typed Dataset.map
+  * (T1), DfUtils/FsUtils helpers (P2/P10/P11, S14/W21). */
+class ParitySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), prefix).toString
+
+  test("W8: ALTER TABLE ... ALTER COLUMN ... COMMENT round-trips") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.cmt")
+    spark.sql("""CREATE TABLE graft.db.cmt (id INT, v STRING) USING graft
+      TBLPROPERTIES (primaryKey = 'id')""")
+    spark.sql("ALTER TABLE graft.db.cmt ALTER COLUMN v COMMENT 'the value column'")
+    val desc = spark.sql("DESCRIBE TABLE graft.db.cmt")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc("v") == "the value column")
+  }
+
+  test("S9: rate source feeds the graft streaming sink (Flink datagen shape)") {
+    val path = tmp("rate_") + "/t"
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select(col("value").cast("int").as("user_id"),
+        substring(md5(col("value").cast("string")), 1, 5).as("product"),
+        (col("value") % 100).cast("double").as("amount"),
+        col("value").as("ts"))
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmp("rate_ckpt_"))
+      .option("primaryKey", "user_id").option("preCombineField", "ts")
+      .start(path)
+    try {
+      // wait for at least one non-empty micro-batch to commit
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        (!LakeTable.exists(spark, path) ||
+          LakeTable.load(spark, path).snapshot().count() == 0)) Thread.sleep(500)
+      assert(LakeTable.load(spark, path).snapshot().count() > 0)
+    } finally q.stop()
+  }
+
+  test("S10: CSV source into a lake table (Flink CSV DDL shape)") {
+    val dir = tmp("csv_")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "in.csv"),
+      "uuid,name,age,ts,part\nu1,n1,30,1,p1\nu2,n2,40,1,p2\nu1,n1b,31,2,p1\n")
+    val df = spark.read.option("header", "true")
+      .schema("uuid STRING, name STRING, age INT, ts BIGINT, part STRING")
+      .csv(dir)
+    val path = tmp("csvlake_") + "/t"
+    df.write.format("graft")
+      .option("primaryKey", "uuid").option("preCombineField", "ts")
+      .option("partitionFields", "part").save(path)
+    val got = LakeTable.load(spark, path).snapshot()
+      .select("uuid", "name").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("u1", "n1b"), ("u2", "n2")))
+  }
+
+  test("T1: typed Dataset.map over commit listing (IncrementalQuery.scala:37)") {
+    val path = tmp("typed_") + "/t"
+    val t = LakeTable.create(spark, path,
+      graft.core.TableProps("t", Seq("id"), Some("ts"), Seq.empty))
+    t.upsert(Seq((1, 1L)).toDF("id", "ts"))
+    t.upsert(Seq((2, 1L)).toDF("id", "ts"))
+    val commits = t.commits().select("commit_time")
+      .map(_.getString(0)).collect().toSeq // Dataset[String] via encoder
+    assert(commits.size == 2 && commits == commits.sorted.reverse)
+  }
+
+  test("DfUtils: lowercase columns, cast-all-string, force-nullable") {
+    val df = Seq((1, "x")).toDF("Some Col", "OTHER")
+    val lc = DfUtils.lowercaseColumns(df)
+    assert(lc.columns.toSeq == Seq("somecol", "other"))
+    val st = DfUtils.castAllToString(lc)
+    assert(st.schema.fields.forall(_.dataType.typeName == "string"))
+    val nn = DfUtils.forceNullable(df)
+    assert(nn.schema.fields.forall(_.nullable))
+  }
+
+  test("FsUtils: listDirs + deletePath") {
+    val dir = tmp("fs_")
+    new java.io.File(dir, "a").mkdirs()
+    new java.io.File(dir, "b").mkdirs()
+    assert(FsUtils.listDirs(spark, dir).toSet == Set("a", "b"))
+    assert(FsUtils.deletePath(spark, dir + "/a"))
+    assert(FsUtils.listDirs(spark, dir).toSet == Set("b"))
+    assert(!FsUtils.deletePath(spark, dir + "/missing"))
+  }
+}
