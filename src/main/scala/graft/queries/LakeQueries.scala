@@ -211,7 +211,28 @@ object LakeQueries {
       CAST(1 AS BIGINT) AS ts
       FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey"""))
 
+  /** MOR table: delta-append upserts + tombstone delete, merged on
+    * read (ST6/TestStreamingMOR semantics; commit-ordered merge). */
+  private val morQ = GQ(
+    "lake10_mor_read",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake10"),
+        props(true).copy(tableType = "mor"))
+      tab.upsert(base(s, dir))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 5 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_name", concat(col("c_name"), lit("_v2"))))
+      tab.delete(base(s, dir).filter(col("c_custkey") % 7 === 0)
+        .select("c_custkey", "c_mktsegment"))
+      dataCols(tab.snapshot())
+    },
+    Some("""SELECT c_custkey,
+      CASE WHEN c_custkey % 5 = 0 THEN c_name || '_v2' ELSE c_name END AS c_name,
+      c_nationkey, c_acctbal, c_mktsegment,
+      CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
+      FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
-    timeTravelQ, pruneQ)
+    timeTravelQ, pruneQ, morQ)
 }
