@@ -527,9 +527,13 @@ final class LakeTable private[core] (
       if (props.partitionFields.isEmpty) df // files ≈ upstream parallelism
       else {
         // co-locate each partition's rows; salt spreads hot partitions
-        // across writeSaltBuckets files (small-file vs max-file sizing)
+        // across up to writeSaltBuckets files (small-file vs max-file
+        // sizing). The explicit partition count keeps AQE from
+        // coalescing the salted shuffle back into one task.
         if (props.writeSaltBuckets > 1)
-          df.repartition(col(PartitionPathCol),
+          df.repartition(
+            math.max(props.writeSaltBuckets, spark.sparkContext.defaultParallelism),
+            col(PartitionPathCol),
             pmod(xxhash64(col(RecordKeyCol)), lit(props.writeSaltBuckets)))
         else df.repartition(col(PartitionPathCol))
       }

@@ -47,6 +47,26 @@ class TableServicesSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 51 + 21)
   }
 
+  test("writeSaltBuckets spreads a hot partition across files") {
+    val t = LakeTable.create(spark, tmp(), props.copy(writeSaltBuckets = 4))
+    t.upsert(mkDf((1 to 400).map(i => row(i, s"v$i")): _*))
+    val files = t.timeline.commits().head.added
+    assert(files.size >= 3, s"expected salted spread, got ${files.size} file(s)")
+    assert(t.snapshot().count() == 400)
+  }
+
+  test("single-writer: conflicting commit on the same instant fails atomically") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, props)
+    t.upsert(mkDf(row(1, "a")))
+    val existing = t.timeline.commits().head
+    intercept[IllegalStateException] {
+      t.timeline.commit(existing.copy(action = "upsert"))
+    }
+    // table state untouched
+    assert(t.timeline.commits().size == 1 && t.snapshot().count() == 1)
+  }
+
   test("clean deletes replaced file versions beyond retention") {
     val path = tmp()
     val t = LakeTable.create(spark, path, props)
