@@ -264,5 +264,25 @@ object Relational {
       FROM orders WHERE o_custkey <= 50
       ORDER BY o_custkey, o_orderkey"""))
 
-  def qs: Seq[GQ] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12)
+  /** q13 — event-time tumbling-window aggregation (the streaming
+    * windowed-agg shape, SURVEY §2.10 scale extension; batch form here
+    * for the oracle, watermarked streaming form in StreamingSpec). */
+  private val q13 = GQ(
+    "q13_windowed_agg",
+    (s, dir) => {
+      val e = events(s, dir)
+      e.groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+      event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def qs: Seq[GQ] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13)
 }

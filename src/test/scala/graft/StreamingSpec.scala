@@ -65,6 +65,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked tumbling-window aggregation over a stream (scale extension)") {
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = input.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((t(1), "click", 1.0), (t(2), "click", 2.0), (t(7), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("window.start").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "click", 2L),
+        ("2024-01-01 10:05:00", "view", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("commit-tail streaming read of a catalog table") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
