@@ -263,6 +263,52 @@ final class LakeTable private[core] (
     instant
   }
 
+  /** Apply one SQL row-level operation's deltas in a single atomic
+    * commit: `deleteIds` rows disappear, `upserts` rows are merged in
+    * (an UPDATE arrives as its key in `deleteIds` plus the new row in
+    * `upserts`). One COW rewrite of the affected files — no
+    * intermediate state between the delete and the insert halves. */
+  def applyDeltas(
+      deleteIds: Option[DataFrame],
+      upserts: Option[DataFrame],
+      action: String = "merge"): String = {
+    val instant = timeline.nextInstant()
+    val newSchema = upserts.map(unionSchema).getOrElse(schema)
+    val incoming = upserts.map(df =>
+      conform(withMeta(dedupBatch(df), instant), newSchema).persist())
+    val delKeys = deleteIds.map(
+      _.select(RecordKeyCol, PartitionPathCol).distinct().persist())
+    val allKeys = (incoming.map(_.select(RecordKeyCol, PartitionPathCol)).toSeq ++
+      delKeys.toSeq).reduceOption(_.unionByName(_))
+    val affected = allKeys.map(k => affectedFiles(k)).getOrElse(Seq.empty)
+    // MOR read schema carries _deleted; the row-level guard compacted
+    // beforehand, so it is all-null here — drop it for the merge union
+    val existing0 = readAffected(affected, newSchema).drop(DeletedCol)
+    val existing = delKeys match {
+      case Some(k) => existing0.join(broadcast(k),
+        Seq(RecordKeyCol, PartitionPathCol), "left_anti")
+      case None => existing0
+    }
+    val ordCol: Column = props.preCombineField.map(col).getOrElse(lit(0))
+    val merged = incoming match {
+      case None => existing
+      case Some(inc) if affected.isEmpty => inc
+      case Some(inc) =>
+        val pick = Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
+          .orderBy(ordCol.desc, col(IncomingFlag).desc)
+        existing.withColumn(IncomingFlag, lit(0))
+          .unionByName(inc.withColumn(IncomingFlag, lit(1)))
+          .withColumn("__rn", row_number().over(pick))
+          .filter(col("__rn") === 1)
+          .drop("__rn", IncomingFlag)
+    }
+    val (added, parts, n, kb) = writeFiles(merged, instant)
+    incoming.foreach(_.unpersist())
+    delKeys.foreach(_.unpersist())
+    doCommit(instant, action, added, affected, parts, newSchema, n, kb)
+    instant
+  }
+
   /** Delete by pre-computed row identity (`_record_key`,
     * `_partition_path`) — the SQL row-level-operation path. */
   def deleteByRowId(ids: DataFrame): String = {

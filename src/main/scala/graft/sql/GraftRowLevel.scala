@@ -60,7 +60,8 @@ final class GraftRowLevelOperation(
       override def build(): DeltaWrite = new DeltaWrite {
         override def description(): String = s"graft delta ${command()}"
         override def toBatch: DeltaBatchWrite =
-          new GraftDeltaBatchWrite(spark, lake, winfo.schema())
+          new GraftDeltaBatchWrite(spark, lake, winfo.schema(),
+            command().toString.toLowerCase)
       }
     }
 }
@@ -68,7 +69,8 @@ final class GraftRowLevelOperation(
 private final class GraftDeltaBatchWrite(
     spark: SparkSession,
     lake: LakeTable,
-    rowSchema: StructType)
+    rowSchema: StructType,
+    action: String)
   extends DeltaBatchWrite {
 
   private val stagingDir =
@@ -108,15 +110,17 @@ private final class GraftDeltaBatchWrite(
     val deletes = new Path(stagingDir, "deletes")
     val inserts = new Path(stagingDir, "inserts")
     try {
-      if (fs.exists(deletes) && fs.listStatus(deletes).nonEmpty) {
-        val delDf = spark.read.schema(idSchema).parquet(deletes.toString)
-        lake.deleteByRowId(delDf)
-      }
-      if (fs.exists(inserts) && fs.listStatus(inserts).nonEmpty) {
-        val insDf = spark.read.schema(rowSchema).parquet(inserts.toString)
-          .drop(LakeTable.MetaCols: _*)
-        lake.upsert(insDf)
-      }
+      val delDf =
+        if (fs.exists(deletes) && fs.listStatus(deletes).nonEmpty)
+          Some(spark.read.schema(idSchema).parquet(deletes.toString))
+        else None
+      val insDf =
+        if (fs.exists(inserts) && fs.listStatus(inserts).nonEmpty)
+          Some(spark.read.schema(rowSchema).parquet(inserts.toString)
+            .drop(LakeTable.MetaCols: _*))
+        else None
+      if (delDf.nonEmpty || insDf.nonEmpty)
+        lake.applyDeltas(delDf, insDf, action) // one atomic commit
     } finally fs.delete(new Path(stagingDir), true)
   }
 

@@ -47,8 +47,13 @@ final class GraftTable(
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // MOR: the catalog scan this operation reads is the RO view;
+    // compact first so it equals the full view and the rewrite is
+    // correct (predicate DML on MOR always runs post-compaction)
+    if (lake.props.tableType == "mor") lake.compact()
     () => new GraftRowLevelOperation(spark, this, info)
+  }
 
   override def name(): String = tableName
 
