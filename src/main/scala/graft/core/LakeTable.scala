@@ -58,11 +58,25 @@ final class LakeTable private[core] (
     KeyGen.partitionPath(props.partitionFields, props.hiveStylePartitioning)
 
   /** Current table schema (data columns only, no meta): the last
-    * commit's written schema, else the declared CREATE TABLE schema. */
-  def schema: StructType = timeline.commits().lastOption match {
-    case Some(c) => StructType.fromDDL(c.schemaDdl)
-    case None if props.schemaDdl.nonEmpty => StructType.fromDDL(props.schemaDdl)
-    case None => new StructType()
+    * commit's written schema merged with declared-but-not-yet-written
+    * additions (ALTER TABLE ADD COLUMN before the next write) and
+    * declared column comments. */
+  def schema: StructType = {
+    val declared =
+      if (props.schemaDdl.nonEmpty) StructType.fromDDL(props.schemaDdl)
+      else new StructType()
+    timeline.commits().lastOption match {
+      case None => declared
+      case Some(c) =>
+        val written = StructType.fromDDL(c.schemaDdl)
+        val comments = declared.map(f => f.name -> f).toMap
+        val merged = written.map { f =>
+          comments.get(f.name).flatMap(_.getComment())
+            .map(f.withComment).getOrElse(f)
+        }
+        val extra = declared.filterNot(f => written.fieldNames.contains(f.name))
+        StructType(merged ++ extra)
+    }
   }
 
   private def withMetaSchema(dataSchema: StructType): StructType = {

@@ -32,6 +32,25 @@ class ParitySpec extends AnyFunSuite {
     assert(desc("v") == "the value column")
   }
 
+  test("ALTER TABLE ADD COLUMN surfaces on a table with data") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.addc")
+    spark.sql("""CREATE TABLE graft.db.addc (id INT, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')""")
+    spark.sql("INSERT INTO graft.db.addc VALUES (1, 100)")
+    spark.sql("ALTER TABLE graft.db.addc ADD COLUMN note STRING")
+    // new column visible immediately, null for existing rows
+    val r = spark.sql("SELECT id, note FROM graft.db.addc").head()
+    assert(r.getInt(0) == 1 && r.isNullAt(1))
+    // and writable on the next insert
+    spark.sql("INSERT INTO graft.db.addc VALUES (2, 100, 'hello')")
+    val got = spark.sql("SELECT id, note FROM graft.db.addc ORDER BY id")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq((1, None), (2, Some("hello"))))
+  }
+
   test("S9: rate source feeds the graft streaming sink (Flink datagen shape)") {
     val path = tmp("rate_") + "/t"
     val q = spark.readStream.format("rate")
