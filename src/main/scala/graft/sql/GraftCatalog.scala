@@ -68,6 +68,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new GraftTable(spark, ident.toString, LakeTable.load(spark, path))
   }
 
+  /** SQL time travel: `SELECT ... VERSION AS OF '<instant>'`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    require(version.matches("\\d{1,17}"),
+      s"graft versions are commit instants (yyyyMMddHHmmssSSS), got '$version'")
+    val path = tablePath(ident)
+    if (!LakeTable.exists(spark, path)) throw new NoSuchTableException(ident)
+    new GraftTable(spark, ident.toString, LakeTable.load(spark, path),
+      asOf = Some(version))
+  }
+
+  /** SQL time travel: `SELECT ... TIMESTAMP AS OF '<wall clock>'` —
+    * micros since epoch converted to the instant-id format. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val instant = java.time.Instant.ofEpochMilli(timestamp / 1000)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS"))
+    loadTable(ident, instant)
+  }
+
   override def createTable(
       ident: Identifier,
       columns: Array[Column],

@@ -41,7 +41,10 @@ import graft.core.LakeTable
 final class GraftTable(
     spark: SparkSession,
     tableName: String,
-    val lake: LakeTable)
+    val lake: LakeTable,
+    /** pinned snapshot instant for SQL time travel (VERSION AS OF /
+      * TIMESTAMP AS OF — GraftCatalog.loadTable overloads) */
+    asOf: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
   with SupportsMetadataColumns with SupportsRowLevelOperations {
 
@@ -88,7 +91,8 @@ final class GraftTable(
   // ----------------------------------------------------------------- read
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val live = lake.timeline.liveFiles(Option(options.get("asOfInstant")))
+    val live = lake.timeline.liveFiles(
+      asOf.orElse(Option(options.get("asOfInstant"))))
     // MOR catalog reads are the READ-OPTIMIZED view (base files only —
     // Hudi's `_ro` table): raw delta files hold multiple versions the
     // delegated scan cannot merge. The real-time merged view is the

@@ -112,6 +112,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
       (4, "hudi", 10.0, 100L, "2022-09-25")), s"got $finalRows")
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    sql("DROP TABLE IF EXISTS graft.db.tt")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    sql("""CREATE TABLE graft.db.tt (id INT, v STRING, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')""")
+    sql("INSERT INTO graft.db.tt VALUES (1,'old',100)")
+    val c1 = sql("CALL graft.system.show_commits(`table` => 'db.tt')")
+      .head().getString(0)
+    sql("INSERT INTO graft.db.tt VALUES (1,'new',200),(2,'b',100)")
+    assert(sql("SELECT count(*) FROM graft.db.tt").head().getLong(0) == 2)
+    val versioned = sql(s"SELECT id, v FROM graft.db.tt VERSION AS OF '$c1'")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(versioned == Seq((1, "old")))
+    // TIMESTAMP AS OF now → current snapshot
+    val nowState = sql(
+      "SELECT count(*) FROM graft.db.tt TIMESTAMP AS OF current_timestamp()")
+      .head().getLong(0)
+    assert(nowState == 2)
+  }
+
   test("format(graft) path API: write modes + snapshot/incremental reads") {
     val path = "target/graft_path_api_test"
     LakeTable.drop(spark, path)
