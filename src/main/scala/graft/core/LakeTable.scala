@@ -545,7 +545,7 @@ final class LakeTable private[core] (
     case None => df
     case Some(f) =>
       val w = Window.partitionBy(keyCol, ppCol)
-        .orderBy(col(f).desc, xxhash64(struct(df.columns.map(col): _*)).desc)
+        .orderBy(col(f).desc, xxhash64(struct(df.columns.toSeq.map(col): _*)).desc)
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
   }

@@ -163,5 +163,38 @@ object TextOps {
         CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 12) AS BIGINT) AS fp48
       FROM documents ORDER BY doc_id"""))
 
-  def qs: Seq[GQ] = Seq(quality, langId, tokenStats, fingerprint)
+  /** text5 — per-language character-bigram profile: top 5 bigrams per
+    * lang label by frequency (deterministic tie-break on the bigram).
+    * The n-gram-statistics building block behind real language ID. */
+  private val ngramProfile = GQ(
+    "text5_ngram_profile",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = t(s, dir, "documents")
+        .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .withColumn("bg", explode(expr(
+          "transform(sequence(1, length(norm) - 1), i -> substring(norm, i, 2))")))
+        .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("bg").asc)
+      grams.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("lang", "bg", "n", "rank")
+        .orderBy("lang", "rank")
+    },
+    Some("""WITH g AS (
+        SELECT lang,
+          unnest(list_transform(range(1, length(norm)),
+            i -> substr(norm, CAST(i AS INT), 2))) AS bg
+        FROM (SELECT lang,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents)),
+      counts AS (SELECT lang, bg, count(*) AS n FROM g GROUP BY 1, 2),
+      ranked AS (SELECT lang, bg, n,
+          row_number() OVER (PARTITION BY lang ORDER BY n DESC, bg ASC) AS rank
+        FROM counts)
+      SELECT lang, bg, n, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY lang, rank"""))
+
+  def qs: Seq[GQ] = Seq(quality, langId, tokenStats, fingerprint, ngramProfile)
 }

@@ -28,7 +28,7 @@ final class GraftScanBuilder(
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
     delegate.pushFilters(filters)
 
-  override def pushedFilters(): Array[Predicate] = delegate.pushedFilters
+  override def pushedFilters: Array[Predicate] = delegate.pushedFilters
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     delegate.pushAggregation(aggregation)
