@@ -134,9 +134,12 @@ final class LakeTable private[core] (
     else picked
   }
 
-  private def schemaAsOf(asOf: Option[String]): StructType =
-    timeline.commits().filter(c => asOf.forall(c.instant <= _)).lastOption
-      .map(c => StructType.fromDDL(c.schemaDdl)).getOrElse(new StructType())
+  private def schemaAsOf(asOf: Option[String]): StructType = asOf match {
+    case None => schema // current view: includes declared-only additions
+    case Some(t) =>
+      timeline.commits().filter(_.instant <= t).lastOption
+        .map(c => StructType.fromDDL(c.schemaDdl)).getOrElse(new StructType())
+  }
 
   /** Metadata-bootstrapped foreign files carry no meta columns
     * (BootstrapDemo.scala:207-232): synthesize them at read time. */
