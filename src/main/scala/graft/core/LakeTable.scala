@@ -134,6 +134,11 @@ final class LakeTable private[core] (
     else picked
   }
 
+  /** Schema as of an instant (exact for time travel): the schema the
+    * last commit at-or-before `asOf` recorded; current merged view for
+    * None. */
+  def schemaAt(asOf: Option[String]): StructType = schemaAsOf(asOf)
+
   private def schemaAsOf(asOf: Option[String]): StructType = asOf match {
     case None => schema // current view: includes declared-only additions
     case Some(t) =>

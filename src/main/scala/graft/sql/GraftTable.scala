@@ -60,7 +60,7 @@ final class GraftTable(
 
   override def name(): String = tableName
 
-  override def schema(): StructType = lake.schema
+  override def schema(): StructType = lake.schemaAt(asOf)
 
   override def partitioning(): Array[Transform] =
     lake.props.partitionFields.map(Expressions.identity).toArray
@@ -104,7 +104,7 @@ final class GraftTable(
     val metaSchema = StructType(
       LakeTable.MetaCols.map(c =>
         org.apache.spark.sql.types.StructField(c, StringType, nullable = true)) ++
-        lake.schema.fields)
+        lake.schemaAt(asOf).fields)
     // Delegate to Spark's own vectorized parquet scan (pushdown,
     // column pruning, row-group skipping all included). An empty table
     // still needs a valid relation: point at an empty marker dir.
