@@ -162,5 +162,54 @@ object SimilarityOps {
     },
     None)
 
-  def qs: Seq[GQ] = Seq(topkQ, nearDupQ, annQ)
+  /** sim4 — IVF ANN: k-means coarse quantizer (MLlib, fixed seed),
+    * queries probe their 2 nearest centroids (nprobe=2). The classic
+    * inverted-file index: candidates per query ≈ 2N/k at scale, and
+    * the partition-by-centroid layout is exactly how a 100 TB vector
+    * corpus would be stored. Approximate — recall asserted in
+    * PipelineOpsSpec, no SQL oracle. */
+  private val ivfK = 16
+  private val ivfQ = GQ(
+    "sim4_ann_ivf_topk",
+    (s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.ml.linalg.Vector
+      val e = t(s, dir, "embeddings")
+        .withColumn("vec", array_to_vector(col("embedding")))
+        .withColumn("nrm", expr(normExpr("embedding")))
+      val model = new KMeans().setK(ivfK).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("vec").setPredictionCol("centroid")
+      val fitted = model.fit(e.select("vec"))
+      val assigned = fitted.transform(e).drop("vec")
+      // nprobe=2: each query probes its own and second-nearest centroid
+      val centers = fitted.clusterCenters.zipWithIndex
+      val centersB = s.sparkContext.broadcast(centers)
+      val probe2 = udf { (emb: Seq[Float]) =>
+        val v = emb.map(_.toDouble).toArray
+        centersB.value.map { case (c, i) =>
+          var d = 0.0
+          var j = 0
+          val ca = c.asInstanceOf[Vector].toArray
+          while (j < ca.length) { val x = v(j) - ca(j); d += x * x; j += 1 }
+          (i, d)
+        }.sortBy(_._2).take(2).map(_._1)
+      }
+      val q = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"),
+          explode(probe2(col("embedding"))).as("q_centroid"))
+      val scored = assigned.join(broadcast(q),
+          col("centroid") === col("q_centroid") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosineCol)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+    None)
+
+  def qs: Seq[GQ] = Seq(topkQ, nearDupQ, annQ, ivfQ)
 }

@@ -40,6 +40,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("ivf ann: non-trivial recall vs brute force") {
+    val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sf)
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("sim4_ann_ivf_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & ivf).size.toDouble / exact.size
+    assert(ivf.nonEmpty && overlap > 0.0,
+      s"IVF found none of the exact top-5 (overlap $overlap)")
+  }
+
   test("media decode: batch pipeline matches column-expression metadata") {
     val docs = Tables.t(spark, sf, "documents")
       .withColumn("payload", col("text").cast("binary"))
