@@ -107,6 +107,16 @@ final class LakeTable private[core] (
     val live = timeline.liveFiles(asOf)
     val s = withMetaSchema(schemaAsOf(asOf))
     if (live.isEmpty) return emptyDf(s)
+    val raw = readLive(live, s)
+    if (isMor) mergeOnRead(raw) else raw
+  }
+
+  /** Read a set of live file entries with full meta columns: managed
+    * files carry them in-file; external (bootstrapped) files get them
+    * synthesized. Every read path (snapshot, pruned snapshot,
+    * incremental, catalog scan) funnels through here so external files
+    * never surface with null meta columns. */
+  private[graft] def readLive(live: Seq[FileEntry], s: StructType): DataFrame = {
     val (ext, managed) = live.partition(_.external)
     val parts = Seq(
       if (managed.nonEmpty)
@@ -114,8 +124,7 @@ final class LakeTable private[core] (
       else None,
       if (ext.nonEmpty) Some(readExternal(ext)) else None
     ).flatten
-    val raw = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    if (isMor) mergeOnRead(raw) else raw
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The MOR read-side merge: latest commit wins per (key, partition),
@@ -143,7 +152,12 @@ final class LakeTable private[core] (
     case None => schema // current view: includes declared-only additions
     case Some(t) =>
       timeline.commits().filter(_.instant <= t).lastOption
-        .map(c => StructType.fromDDL(c.schemaDdl)).getOrElse(new StructType())
+        .map(c => StructType.fromDDL(c.schemaDdl))
+        // no active commit at-or-before t: t sits between the archive
+        // boundary and the first active commit — the checkpoint's schema
+        .orElse(timeline.readCheckpoint().filter(_.schemaDdl.nonEmpty)
+          .map(c => StructType.fromDDL(c.schemaDdl)))
+        .getOrElse(new StructType())
   }
 
   /** Metadata-bootstrapped foreign files carry no meta columns
@@ -162,9 +176,14 @@ final class LakeTable private[core] (
     * pruned partitions, O(#live files) driver work. */
   def snapshotWhere(pred: String => Boolean): DataFrame = {
     val live = timeline.liveFiles(None).filter(f => pred(f.partition))
-    if (live.isEmpty) emptyDf(withMetaSchema(schema))
-    else spark.read.schema(withMetaSchema(schema))
-      .parquet(live.map(f => abs(f.path)): _*)
+    val s = withMetaSchema(schema)
+    if (live.isEmpty) return emptyDf(s)
+    // same shape as snapshot(): external files get synthesized meta
+    // columns; MOR merges on read. Pruning before the merge is sound
+    // because the merge is per (key, partition) — a partition's versions
+    // all live under that partition's paths.
+    val raw = readLive(live, s)
+    if (isMor) mergeOnRead(raw) else raw
   }
 
   /** Incremental query: records written in `(begin, end]` —
@@ -180,7 +199,10 @@ final class LakeTable private[core] (
       .filter(f => pathGlob.forall(g => globMatch(g, f.partition)))
     val s = withMetaSchema(schemaAsOf(endInstant))
     if (files.isEmpty) return emptyDf(s)
-    spark.read.schema(s).parquet(files.map(f => abs(f.path)): _*)
+    // readLive synthesizes _commit_time (= adopting commit's instant)
+    // for external files, so bootstrap-adopted records participate in
+    // the (begin, end] filter instead of nulling out
+    readLive(files, s)
       .filter(col(CommitTimeCol) > lit(beginInstant) &&
         endInstant.map(e => col(CommitTimeCol) <= lit(e)).getOrElse(lit(true)))
   }
@@ -197,12 +219,12 @@ final class LakeTable private[core] (
   /** Plain insert: preCombine-dedup the batch, append files. Does not
     * consult the existing snapshot (Hudi `insert` op); use [[upsert]]
     * for key-merge semantics. */
-  def insert(df: DataFrame): String = {
+  def insert(df: DataFrame, tag: Option[String] = None): String = {
     val instant = timeline.nextInstant()
     val newSchema = unionSchema(df)
     val (added, parts, n, kb) =
       writeFiles(conform(withMeta(dedupBatch(df), instant), newSchema), instant)
-    doCommit(instant, "insert", added, Seq.empty, parts, newSchema, n, kb)
+    doCommit(instant, "insert", added, Seq.empty, parts, newSchema, n, kb, tag)
     instant
   }
 
@@ -226,8 +248,9 @@ final class LakeTable private[core] (
     * `compactDeltaCommits` delta commits. */
   def upsert(
       df: DataFrame,
-      policy: MergePolicy = MergePolicy.LatestByOrdering): String = {
-    if (isMor) return morAppend(df, "deltacommit")
+      policy: MergePolicy = MergePolicy.LatestByOrdering,
+      tag: Option[String] = None): String = {
+    if (isMor) return morAppend(df, "deltacommit", tag)
     val instant = timeline.nextInstant()
     val newSchema = unionSchema(df)
     // the batch feeds three jobs (partition/key stats, candidate
@@ -255,7 +278,7 @@ final class LakeTable private[core] (
     }
     val (added, parts, n, kb) = writeFiles(merged, instant)
     incoming.unpersist()
-    doCommit(instant, "upsert", added, affected, parts, newSchema, n, kb)
+    doCommit(instant, "upsert", added, affected, parts, newSchema, n, kb, tag)
     instant
   }
 
@@ -264,8 +287,8 @@ final class LakeTable private[core] (
     * index — a key arriving with a different partition value does not
     * match (pinned by the SparkSQLDemo merge-DELETE scenario,
     * SparkSQLDemo.scala:84). */
-  def delete(keys: DataFrame): String = {
-    if (isMor) return morDelete(keys)
+  def delete(keys: DataFrame, tag: Option[String] = None): String = {
+    if (isMor) return morDelete(keys, tag)
     val instant = timeline.nextInstant()
     val delKeys = keys
       .withColumn(RecordKeyCol, keyCol)
@@ -274,14 +297,15 @@ final class LakeTable private[core] (
     val affected = affectedFiles(delKeys)
     if (affected.isEmpty) { // nothing matches: empty commit, no write
       delKeys.unpersist()
-      doCommit(instant, "delete", Seq.empty, Seq.empty, Map.empty, schema, 0L, Map.empty)
+      doCommit(instant, "delete", Seq.empty, Seq.empty, Map.empty, schema, 0L,
+        Map.empty, tag)
       return instant
     }
     val kept = readAffected(affected, schema)
       .join(broadcast(delKeys), Seq(RecordKeyCol, PartitionPathCol), "left_anti")
     val (added, parts, n, kb) = writeFiles(kept, instant)
     delKeys.unpersist()
-    doCommit(instant, "delete", added, affected, parts, schema, n, kb)
+    doCommit(instant, "delete", added, affected, parts, schema, n, kb, tag)
     instant
   }
 
@@ -630,6 +654,7 @@ final class LakeTable private[core] (
     import org.apache.parquet.io.api.Binary
     val conf = spark.sessionState.newHadoopConf()
     var total = 0L
+    var failed = false
     val bounds = relPaths.flatMap { rel =>
       try {
         val r = ParquetFileReader.open(
@@ -653,9 +678,11 @@ final class LakeTable private[core] (
           }
           if (mn != null) Some(rel -> Seq(mn, mx)) else None
         } finally r.close()
-      } catch { case _: Exception => total = -1L; None }
+      } catch { case _: Exception => failed = true; None }
     }.toMap
-    (total, bounds)
+    // any unreadable footer makes the total unknown — keep the -1
+    // sentinel instead of an arbitrary partial sum
+    (if (failed) -1L else total, bounds)
   }
 
   private def moveStaged(
@@ -693,17 +720,19 @@ final class LakeTable private[core] (
       instant: String, action: String, added: Seq[String],
       removed: Seq[String], parts: Map[String, String],
       schemaOut: StructType, n: Long,
-      keyBounds: Map[String, Seq[String]]): Unit =
+      keyBounds: Map[String, Seq[String]],
+      tag: Option[String] = None): Unit =
     timeline.commit(CommitMeta(
       instant, action, added, removed.map(relativize), Seq.empty,
       schemaOut.toDDL, n, parts,
-      if (keyBounds.nonEmpty) Some(keyBounds) else None))
+      if (keyBounds.nonEmpty) Some(keyBounds) else None, tag))
 
   // ---------------------------------------------------------- MOR paths
 
   /** Delta-append write: batch dedup + meta columns, no snapshot
     * consultation, one commit. */
-  private def morAppend(df: DataFrame, action: String): String = {
+  private def morAppend(
+      df: DataFrame, action: String, tag: Option[String] = None): String = {
     val instant = timeline.nextInstant()
     val newSchema = unionSchema(df.drop(DeletedCol))
     val out =
@@ -721,15 +750,15 @@ final class LakeTable private[core] (
             }: _*)
       } else conform(withMeta(dedupBatch(df), instant), newSchema)
     val (added, parts, n, kb) = writeFiles(out, instant)
-    doCommit(instant, action, added, Seq.empty, parts, newSchema, n, kb)
+    doCommit(instant, action, added, Seq.empty, parts, newSchema, n, kb, tag)
     maybeInlineCompact()
     instant
   }
 
   /** MOR delete = tombstone delta rows (key + partition, data nulled,
     * `_deleted` = true), honored by the read-side merge. */
-  private def morDelete(keys: DataFrame): String =
-    morAppend(keys.withColumn(DeletedCol, lit(true)), "deltacommit")
+  private def morDelete(keys: DataFrame, tag: Option[String] = None): String =
+    morAppend(keys.withColumn(DeletedCol, lit(true)), "deltacommit", tag)
 
   /** Compaction (TestBatchMOR inline-compaction semantics): fold the
     * merged snapshot into fresh base files, replacing all previous
@@ -753,6 +782,24 @@ final class LakeTable private[core] (
     if (n <= 0) return
     val trailing = timeline.commits().reverse.takeWhile(_.action == "deltacommit")
     if (trailing.size >= n) compact()
+  }
+
+  /** Rewrite all live external (metadata-bootstrapped) files into
+    * managed files carrying real stored meta columns, in one replace
+    * commit. Rows keep the adopting commit's instant as their
+    * `_commit_time` (the value reads have always synthesized), so
+    * incremental queries spanning the bootstrap stay exact. Used before
+    * SQL row-level operations, whose delegated parquet scan cannot
+    * synthesize meta columns (the reference's "first upsert migrates
+    * bootstrapped files" behavior, BootstrapDemo.scala:207-232). */
+  def migrateExternal(): Option[String] = {
+    val ext = timeline.liveFiles(None).filter(_.external)
+    if (ext.isEmpty) return None
+    val instant = timeline.nextInstant()
+    val df = conform(readExternal(ext), schema)
+    val (added, parts, n, kb) = writeFiles(df, instant)
+    doCommit(instant, "replace", added, ext.map(_.path), parts, schema, n, kb)
+    Some(instant)
   }
 
   /** Clean service: physically delete file versions replaced before

@@ -40,7 +40,12 @@ final case class CommitMeta(
       * footer — drives candidate-file pruning on keyed DML (the
       * bloom/range-index analog, SURVEY §4; JavaClientHive2Hudi
       * bloom-index tuning :167-180). */
-    keyBounds: Option[Map[String, Seq[String]]] = None)
+    keyBounds: Option[Map[String, Seq[String]]] = None,
+    /** opaque writer tag recorded atomically WITH the commit — the
+      * streaming sink stores its per-query batch id here so a crash
+      * between commit and sidecar-marker write cannot replay the batch
+      * (exactly-once for all operations, including plain insert). */
+    tag: Option[String] = None)
 
 /** One live data file as seen by readers: its path, the commit that
   * (logically) wrote its rows, partition path, and optional record-key
@@ -56,7 +61,12 @@ final case class FileEntry(
 /** Net live file set as of `asOf`, produced when old commits are
   * archived; file entries keep their original commit instants so
   * incremental reads spanning the archive boundary stay correct. */
-final case class CheckpointMeta(asOf: String, files: Seq[FileEntry])
+final case class CheckpointMeta(
+    asOf: String,
+    files: Seq[FileEntry],
+    /** schema DDL as of the archive boundary — serves time-travel reads
+      * at instants between the boundary and the first active commit */
+    schemaDdl: String = "")
 
 /** Declared table properties — SparkSQLDemo.scala:47-51's
   * (primaryKey, preCombineField, type, partitioned by) surface. */
@@ -183,7 +193,12 @@ final class Timeline(conf: Configuration, val basePath: String) {
     val cs = commits()
     if (cs.size <= maxToKeep) return 0
     val toArchive = cs.dropRight(minToKeep)
-    val removed = commits().flatMap(_.removed).toSet // any removal, any time
+    // Only removals performed by the commits being archived may be folded
+    // in here: a still-active commit's removals are applied at read time by
+    // liveFiles(), and excluding its victims from the checkpoint would lose
+    // their rows for as-of reads between the archive boundary and that
+    // later commit (which liveFiles' require explicitly allows).
+    val removed = toArchive.flatMap(_.removed).toSet
     val prior = readCheckpoint().toSeq.flatMap(_.files)
     val archivedEntries = for {
       c <- toArchive
@@ -194,7 +209,8 @@ final class Timeline(conf: Configuration, val basePath: String) {
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)))
     val cp = CheckpointMeta(
       asOf = toArchive.last.instant,
-      files = (prior.filterNot(f => removed.contains(f.path)) ++ archivedEntries))
+      files = (prior.filterNot(f => removed.contains(f.path)) ++ archivedEntries),
+      schemaDdl = toArchive.last.schemaDdl)
     atomicWrite(checkpointPath, Serialization.write(cp)(formats))
     val archiveDir = new Path(dir, "archived")
     fs.mkdirs(archiveDir)

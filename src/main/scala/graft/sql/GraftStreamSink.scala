@@ -7,10 +7,12 @@ import org.apache.spark.sql.execution.streaming.Sink
 import graft.core.{LakeTable, MergePolicy, TableProps}
 
 /** Streaming upsert sink: every micro-batch becomes one keyed-upsert
-  * (or insert/delete) commit on the lake table. The last applied batch
-  * id is recorded under `_streaming/` so a restarted query skips
-  * already-applied batches; even without the marker, replaying an
-  * upsert of the same rows converges to the same table state.
+  * (or insert/delete) commit on the lake table. Exactly-once: the
+  * per-query batch id is recorded atomically WITH the commit (the
+  * commit's `tag`), so a crash between the commit and the sidecar
+  * `_streaming/` marker write cannot replay the batch — not even for
+  * `operation=insert`, which does no key merge. The sidecar marker is
+  * just the fast path for the common clean-restart case.
   */
 final class GraftStreamSink(
     spark: SparkSession,
@@ -70,16 +72,33 @@ final class GraftStreamSink(
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Highest batch id recorded in a commit tag for this query — the
+    * crash-window safety net. O(#active commits) driver-side JSON; the
+    * relevant commit is always recent on a crash-replay, well inside
+    * any archive window. */
+  private def committedBatchId(l: LakeTable): Long =
+    l.timeline.commits().flatMap(_.tag).collect {
+      case t if t.startsWith(markerName + "=") =>
+        t.stripPrefix(markerName + "=").toLong
+    }.foldLeft(-1L)(math.max)
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val l = lake()
     if (batchId <= lastBatchId(l)) return // clean replay after restart
+    if (committedBatchId(l) >= batchId) {
+      // committed but the marker write was lost (crash in between):
+      // repair the marker, do not re-apply
+      writeBatchId(l, batchId)
+      return
+    }
     // a streaming Sink's frame can't feed new batch jobs directly:
     // re-wrap its rows as a batch frame (distributed, no collect)
     val batch = org.apache.spark.sql.graftshim.StreamBatchShim.rewrap(data)
+    val tag = Some(s"$markerName=$batchId")
     operation match {
-      case "insert" => l.insert(batch)
-      case "delete" => l.delete(batch)
-      case _ => l.upsert(batch, policy)
+      case "insert" => l.insert(batch, tag)
+      case "delete" => l.delete(batch, tag)
+      case _ => l.upsert(batch, policy, tag)
     }
     writeBatchId(l, batchId)
   }

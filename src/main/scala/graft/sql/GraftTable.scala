@@ -55,6 +55,10 @@ final class GraftTable(
     // compact first so it equals the full view and the rewrite is
     // correct (predicate DML on MOR always runs post-compaction)
     if (lake.props.tableType == "mor") lake.compact()
+    // Bootstrapped external files carry no stored meta columns, so the
+    // delegated parquet scan would emit null row ids; migrate them to
+    // managed form first (the reference's first-touch migration).
+    lake.migrateExternal()
     () => new GraftRowLevelOperation(spark, this, info)
   }
 
@@ -75,18 +79,23 @@ final class GraftTable(
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
-  override def metadataColumns(): Array[MetadataColumn] =
+  override def metadataColumns(): Array[MetadataColumn] = {
+    // External (bootstrapped) files read through the delegated scan
+    // carry no stored meta columns → nulls; declare nullable while any
+    // are live. Row-level operations migrate externals to managed form
+    // first (newRowLevelOperationBuilder), so the
+    // (_record_key, _partition_path) row id stays non-nullable where
+    // Spark requires it.
+    val hasExternal = lake.timeline.liveFiles(None).exists(_.external)
     LakeTable.MetaCols.map { c =>
       new MetadataColumn {
         override def name: String = c
         override def dataType: DataType = StringType
-        // non-nullable: always present in managed files, and row-level
-        // operations use (_record_key, _partition_path) as the row id,
-        // which Spark requires to be non-nullable
-        override def isNullable: Boolean = false
+        override def isNullable: Boolean = hasExternal
         override def comment: String = "graft lake meta column"
       }
     }.toArray
+  }
 
   // ----------------------------------------------------------------- read
 

@@ -195,6 +195,22 @@ class LakeTableSpec extends AnyFunSuite {
     assert(stillExternal.isEmpty)
   }
 
+  test("incremental read includes bootstrap-adopted records") {
+    val srcDir = tmp()
+    Seq((1, "a1", 10, 1000, "2022-10-08"), (2, "a2", 20, 2000, "2022-10-09"))
+      .toDF("id", "name", "value", "ts", "dt").write.parquet(srcDir)
+    val props = TableProps("bootstrap_inc", Seq("id"), Some("ts"), Seq.empty)
+    val t = LakeTable.bootstrapMetadata(spark, tmp(), srcDir, props)
+    // external files get synthesized meta columns: the adopted rows
+    // appear in an incremental read spanning the bootstrap commit
+    val inc = t.incremental("0")
+    assert(inc.count() == 2)
+    assert(inc.select("_commit_time").distinct().count() == 1)
+    // and an incremental read beginning AT the bootstrap excludes them
+    val boot = t.timeline.commits().head.instant
+    assert(t.incremental(boot).count() == 0)
+  }
+
   test("snapshotWhere prunes partitions driver-side") {
     val path = tmp()
     val t = LakeTable.create(spark, path, demoProps)

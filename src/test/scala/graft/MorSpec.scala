@@ -63,6 +63,18 @@ class MorSpec extends AnyFunSuite {
     assert(rows(t) == Set((1, "a", 1L), (2, "b", 1L)))
   }
 
+  test("snapshotWhere on MOR merges on read and drops tombstones") {
+    val t = LakeTable.create(spark, tmp(), morProps())
+    t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d1"), (3, "c", 1L, "d2"))
+      .toDF("id", "v", "ts", "dt"))
+    t.upsert(Seq((1, "a2", 2L, "d1")).toDF("id", "v", "ts", "dt"))
+    t.delete(Seq((2, "d1")).toDF("id", "dt"))
+    val pruned = t.snapshotWhere(_ == "dt=d1")
+      .select("id", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // one merged row per key, tombstone dropped, d2 pruned
+    assert(pruned == Set((1, "a2")))
+  }
+
   test("incremental read returns the delta rows of the range") {
     val t = LakeTable.create(spark, tmp(), morProps())
     val c1 = t.upsert(Seq((1, "a", 1L, "d1")).toDF("id", "v", "ts", "dt"))

@@ -112,6 +112,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
       (4, "hudi", 10.0, 100L, "2022-09-25")), s"got $finalRows")
   }
 
+  test("SQL UPDATE on a metadata-bootstrapped table migrates externals first") {
+    import graft.core.TableProps
+    val srcDir = "target/graft_bs_sql_src"
+    LakeTable.drop(spark, srcDir)
+    Seq((1, "a", 1L), (2, "b", 1L)).toDF("id", "v", "ts")
+      .write.mode("overwrite").parquet(srcDir)
+    val path = s"$wh/db/bs1"
+    LakeTable.drop(spark, path)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    LakeTable.bootstrapMetadata(spark, path, srcDir,
+      TableProps("bs1", Seq("id"), Some("ts"), Seq.empty))
+    // row-level op over external files: they carry no stored meta
+    // columns, so the op migrates them to managed form before running
+    sql("UPDATE graft.db.bs1 SET v = 'a2' WHERE id = 1")
+    val got = sql("SELECT id, v FROM graft.db.bs1 ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "a2"), (2, "b")))
+    assert(LakeTable.load(spark, path).timeline.liveFiles(None).forall(!_.external))
+    // post-migration, catalog meta columns are real (non-null)
+    assert(sql("SELECT _commit_time FROM graft.db.bs1")
+      .collect().forall(!_.isNullAt(0)))
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
     sql("DROP TABLE IF EXISTS graft.db.tt")
     sql("CREATE NAMESPACE IF NOT EXISTS graft.db")

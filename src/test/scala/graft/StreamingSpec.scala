@@ -43,6 +43,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sink replay after lost marker does not duplicate insert batches") {
+    val path = tmp("stream_replay_")
+    val ckpt = "replay-ckpt"
+    val sink = new graft.sql.GraftStreamSink(spark, Map(
+      "path" -> path, "operation" -> "insert",
+      "primaryKey" -> "id", "checkpointLocation" -> ckpt))
+    val batch = Seq((1, "a", 1L), (2, "b", 1L)).toDF("id", "v", "ts")
+    sink.addBatch(0L, batch)
+    val t = LakeTable.load(spark, path)
+    assert(t.snapshot().count() == 2)
+    // simulate a crash between commit and marker write: wipe _streaming/
+    val sdir = new org.apache.hadoop.fs.Path(t.basePath, "_streaming")
+    sdir.getFileSystem(spark.sessionState.newHadoopConf()).delete(sdir, true)
+    // the batch id is recorded in the commit tag, so the replayed
+    // insert is detected and skipped instead of appending duplicates
+    sink.addBatch(0L, batch)
+    assert(t.snapshot().count() == 2)
+    assert(t.timeline.commits().size == 1)
+    // and the marker was repaired: next batch applies normally
+    sink.addBatch(1L, Seq((3, "c", 1L)).toDF("id", "v", "ts"))
+    assert(t.snapshot().count() == 3)
+  }
+
   test("rate-source-style synthesized stream into the sink (ST1 shape)") {
     val path = tmp("stream_rate_")
     val checkpoint = tmp("stream_rate_ckpt_")

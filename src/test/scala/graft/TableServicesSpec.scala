@@ -106,4 +106,22 @@ class TableServicesSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](t.snapshot(Some("0")).count())
     assert(e.getMessage.contains("archived"))
   }
+
+  test("archive keeps files removed only by later ACTIVE commits") {
+    val t = LakeTable.create(spark, tmp(), props)
+    t.upsert(mkDf(row(1, "a")))
+    (2 to 4).foreach(i => t.upsert(mkDf(row(i, s"v$i"))))
+    // active commit that rewrites (removes) the file c1 added
+    t.upsert(mkDf(row(1, "b", ts = 2)))
+    assert(t.archive(minToKeep = 2, maxToKeep = 3) == 3)
+    // as-of the archive boundary the rewrite hasn't happened yet:
+    // id=1 must still be present at version "a"
+    val asOf = t.timeline.readCheckpoint().get.asOf
+    val snap = t.snapshot(Some(asOf))
+    assert(snap.count() == 3)
+    assert(snap.filter(col("id") === 1).select("v").as[String].head() == "a")
+    // the latest view does see the active rewrite
+    assert(t.snapshot().filter(col("id") === 1)
+      .select("v").as[String].head() == "b")
+  }
 }
