@@ -20,7 +20,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: touch each table + exercise codegen/shuffle machinery and
-    // the lake write path once (parquet committer + writer JIT)
+    // every hot lake code path once at a realistic (small) size. The
+    // first lake queries otherwise pay all the JIT for the window
+    // merge, broadcast probe, vectorized parquet read/write and footer
+    // reads — round-1 bench showed the first lake ops running 3-6x
+    // slower than identical later ones purely from cold paths.
     try {
       import org.apache.spark.sql.functions._
       import spark.implicits._
@@ -29,14 +33,33 @@ object Bench {
           val df = spark.read.parquet(s"$sfDir/$t.parquet")
           df.limit(1000).groupBy(spark_partition_id()).count().count()
         }
+      import graft.core.{LakeTable, TableProps}
+      val batch = spark.range(3000).select(
+        col("id").cast("int").as("id"),
+        concat(lit("d"), (col("id") % 5).cast("string")).as("dt"),
+        lit(1L).as("ts"),
+        md5(col("id").cast("string")).as("v"))
       val wp = "target/graft_scratch/bench_warmup"
-      graft.core.LakeTable.drop(spark, wp)
-      val wt = graft.core.LakeTable.create(spark, wp, graft.core.TableProps(
+      LakeTable.drop(spark, wp)
+      val wt = LakeTable.create(spark, wp, TableProps(
         "warmup", Seq("id"), Some("ts"), Seq("dt")))
-      wt.upsert(Seq((1, 1L, "d1"), (2, 1L, "d2")).toDF("id", "ts", "dt"))
-      wt.upsert(Seq((1, 2L, "d1")).toDF("id", "ts", "dt"))
+      wt.upsert(batch) // empty-table insert path
+      wt.upsert(batch.filter(col("id") % 3 === 0).withColumn("ts", lit(2L))) // probe + merge
+      wt.delete(batch.filter(col("id") % 11 === 0).select("id", "dt")) // anti-join delete
+      wt.merge(batch.filter(col("id") % 4 === 0).withColumn("ts", lit(3L)) // full-outer merge
+        .withColumn("op", lit("UPDATE")),
+        matchedUpdate = Some(col("op") === "UPDATE"))
       wt.snapshot().count()
-      graft.core.LakeTable.drop(spark, wp)
+      wt.incremental("0").count()
+      LakeTable.drop(spark, wp)
+      val mp = "target/graft_scratch/bench_warmup_mor"
+      LakeTable.drop(spark, mp)
+      val mt = LakeTable.create(spark, mp, TableProps(
+        "warmup_mor", Seq("id"), Some("ts"), Seq("dt"), tableType = "mor"))
+      mt.upsert(batch)
+      mt.delete(batch.filter(col("id") % 13 === 0).select("id", "dt"))
+      mt.snapshot().count() // merged (window) read path
+      LakeTable.drop(spark, mp)
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -256,7 +256,8 @@ final class LakeTable private[core] (
     // the batch feeds three jobs (partition/key stats, candidate
     // probe, merge write): keep it materialized once
     val incoming = conform(withMeta(dedupBatch(df), instant), newSchema).persist()
-    val affected = affectedFiles(incoming)
+    val affected = affectedFiles(incoming,
+      statsOf = Some(df.select(keyCol.as(RecordKeyCol), ppCol.as(PartitionPathCol))))
     // insert-only fast path: no affected files means no existing
     // versions to merge against — skip the merge window shuffle
     val merged = if (affected.isEmpty) incoming else {
@@ -507,13 +508,16 @@ final class LakeTable private[core] (
     * (key, partition). `global = true` (MERGE) matches on key across
     * all partitions. One semi-join collecting only distinct paths. */
   private def affectedFiles(
-      incoming: DataFrame, global: Boolean = false): Seq[String] = {
+      incoming: DataFrame, global: Boolean = false,
+      statsOf: Option[DataFrame] = None): Seq[String] = {
     val all = timeline.liveFiles(None)
     val (liveExt, live) = all.partition(_.external)
     if (live.isEmpty && liveExt.isEmpty) return Seq.empty
-    // one job: per-partition record-key bounds of the batch
+    // one job: per-partition record-key bounds of the batch. Min/max
+    // are dedup-invariant, so callers can supply a cheaper pre-dedup
+    // projection (skips the preCombine window shuffle in this job).
     val batchStats: Map[String, (String, String)] =
-      incoming.groupBy(PartitionPathCol)
+      statsOf.getOrElse(incoming).groupBy(PartitionPathCol)
         .agg(min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"))
         .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
         .toMap
@@ -647,26 +651,30 @@ final class LakeTable private[core] (
   }
 
   /** Row count + `_record_key` min/max per file from parquet footers
-    * (driver-side, metadata-only I/O). */
+    * (driver-side, metadata-only I/O; footers read concurrently — a
+    * large commit can add hundreds of files and each footer read is
+    * dominated by I/O latency). */
   private def footerStats(relPaths: Seq[String]): (Long, Map[String, Seq[String]]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
     val conf = spark.sessionState.newHadoopConf()
-    var total = 0L
-    var failed = false
-    val bounds = relPaths.flatMap { rel =>
+
+    /** (rows, Some(rel -> [min,max])) for one file; None on failure. */
+    def oneFile(rel: String): Option[(Long, Option[(String, Seq[String])])] =
       try {
         val r = ParquetFileReader.open(
           HadoopInputFile.fromPath(new Path(abs(rel)), conf))
         try {
+          var rows = 0L
           var mn: String = null
           var mx: String = null
           r.getFooter.getBlocks.forEach { b =>
-            total += b.getRowCount
+            rows += b.getRowCount
             b.getColumns.forEach { c =>
               if (c.getPath.toDotString == RecordKeyCol) {
-                val st = c.getStatistics
+                val st: org.apache.parquet.column.statistics.Statistics[_] =
+                  c.getStatistics
                 if (st != null && st.hasNonNullValue) {
                   val bmn = st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
                   val bmx = st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
@@ -676,13 +684,29 @@ final class LakeTable private[core] (
               }
             }
           }
-          if (mn != null) Some(rel -> Seq(mn, mx)) else None
+          Some((rows, if (mn != null) Some(rel -> Seq(mn, mx)) else None))
         } finally r.close()
-      } catch { case _: Exception => failed = true; None }
-    }.toMap
+      } catch { case _: Exception => None }
+
+    val results: Seq[Option[(Long, Option[(String, Seq[String])])]] =
+      if (relPaths.size <= 1) relPaths.map(oneFile)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, relPaths.size))
+        try {
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          Await.result(
+            Future.sequence(relPaths.map(rel => Future(oneFile(rel)))),
+            Duration.Inf)
+        } finally pool.shutdown()
+      }
     // any unreadable footer makes the total unknown — keep the -1
     // sentinel instead of an arbitrary partial sum
-    (if (failed) -1L else total, bounds)
+    val total = if (results.exists(_.isEmpty)) -1L else results.flatten.map(_._1).sum
+    (total, results.flatten.flatMap(_._2).toMap)
   }
 
   private def moveStaged(

@@ -110,6 +110,14 @@ final class Timeline(conf: Configuration, val basePath: String) {
     finally in.close()
   }
 
+  /** Commit files are immutable once written (instants are unique and
+    * never rewritten), so parsed metadata is cached per instance — a
+    * write path calls commits() several times per operation, and a
+    * 100 TB table can have thousands of active commits. The directory
+    * listing itself stays uncached (new commits must be visible). */
+  private val commitCache =
+    scala.collection.concurrent.TrieMap.empty[String, CommitMeta]
+
   /** All commits, oldest first. */
   def commits(): Seq[CommitMeta] = {
     if (!fs.exists(dir)) return Seq.empty
@@ -117,7 +125,7 @@ final class Timeline(conf: Configuration, val basePath: String) {
       .map(_.getPath.getName)
       .filter(_.endsWith(COMMIT_SUFFIX))
       .sorted
-      .map(read)
+      .map(f => commitCache.getOrElseUpdate(f, read(f)))
   }
 
   private def read(fileName: String): CommitMeta = {
@@ -146,6 +154,7 @@ final class Timeline(conf: Configuration, val basePath: String) {
       throw new IllegalStateException(
         s"Conflicting commit ${meta.instant} already exists on $basePath")
     atomicWrite(target, Serialization.write(meta)(formats))
+    commitCache.put(meta.instant + COMMIT_SUFFIX, meta)
   }
 
   /** Live file set as of `asOf` (inclusive; None = latest): the
