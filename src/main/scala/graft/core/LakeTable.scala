@@ -222,9 +222,9 @@ final class LakeTable private[core] (
   def insert(df: DataFrame, tag: Option[String] = None): String = {
     val instant = timeline.nextInstant()
     val newSchema = unionSchema(df)
-    val (added, parts, n, kb) =
+    val st =
       writeFiles(conform(withMeta(dedupBatch(df), instant), newSchema), instant)
-    doCommit(instant, "insert", added, Seq.empty, parts, newSchema, n, kb, tag)
+    doCommit(instant, "insert", st, Seq.empty, newSchema, tag)
     instant
   }
 
@@ -234,9 +234,9 @@ final class LakeTable private[core] (
     val instant = timeline.nextInstant()
     val newSchema = unionSchema(df)
     val removed = timeline.liveFiles(None).map(_.path)
-    val (added, parts, n, kb) =
+    val st =
       writeFiles(conform(withMeta(dedupBatch(df), instant), newSchema), instant)
-    doCommit(instant, "replace", added, removed, parts, newSchema, n, kb)
+    doCommit(instant, "replace", st, removed, newSchema)
     instant
   }
 
@@ -277,9 +277,9 @@ final class LakeTable private[core] (
         .filter(col("__rn") === 1)
         .drop("__rn", IncomingFlag)
     }
-    val (added, parts, n, kb) = writeFiles(merged, instant)
+    val st = writeFiles(merged, instant)
     incoming.unpersist()
-    doCommit(instant, "upsert", added, affected, parts, newSchema, n, kb, tag)
+    doCommit(instant, "upsert", st, affected, newSchema, tag)
     instant
   }
 
@@ -298,15 +298,14 @@ final class LakeTable private[core] (
     val affected = affectedFiles(delKeys)
     if (affected.isEmpty) { // nothing matches: empty commit, no write
       delKeys.unpersist()
-      doCommit(instant, "delete", Seq.empty, Seq.empty, Map.empty, schema, 0L,
-        Map.empty, tag)
+      doCommit(instant, "delete", Staged.empty, Seq.empty, schema, tag)
       return instant
     }
     val kept = readAffected(affected, schema)
       .join(broadcast(delKeys), Seq(RecordKeyCol, PartitionPathCol), "left_anti")
-    val (added, parts, n, kb) = writeFiles(kept, instant)
+    val st = writeFiles(kept, instant)
     delKeys.unpersist()
-    doCommit(instant, "delete", added, affected, parts, schema, n, kb, tag)
+    doCommit(instant, "delete", st, affected, schema, tag)
     instant
   }
 
@@ -349,10 +348,10 @@ final class LakeTable private[core] (
           .filter(col("__rn") === 1)
           .drop("__rn", IncomingFlag)
     }
-    val (added, parts, n, kb) = writeFiles(merged, instant)
+    val st = writeFiles(merged, instant)
     incoming.foreach(_.unpersist())
     delKeys.foreach(_.unpersist())
-    doCommit(instant, action, added, affected, parts, newSchema, n, kb)
+    doCommit(instant, action, st, affected, newSchema)
     instant
   }
 
@@ -365,8 +364,8 @@ final class LakeTable private[core] (
     val affected = affectedFiles(delKeys)
     val kept = readAffected(affected, schema)
       .join(broadcast(delKeys), Seq(RecordKeyCol, PartitionPathCol), "left_anti")
-    val (added, parts, n, kb) = writeFiles(kept, instant)
-    doCommit(instant, "delete", added, affected, parts, schema, n, kb)
+    val st = writeFiles(kept, instant)
+    doCommit(instant, "delete", st, affected, schema)
     instant
   }
 
@@ -378,8 +377,8 @@ final class LakeTable private[core] (
     val affected = filesMatching(cond)
     val kept = readAffected(affected, schema)
       .filter(!coalesce(cond, lit(false)))
-    val (added, parts, n, kb) = writeFiles(kept, instant)
-    doCommit(instant, "delete", added, affected, parts, schema, n, kb)
+    val st = writeFiles(kept, instant)
+    doCommit(instant, "delete", st, affected, schema)
     instant
   }
 
@@ -400,8 +399,8 @@ final class LakeTable private[core] (
           when(hit, set(c).cast(cur(c).dataType)).otherwise(col(c)).as(c)
         case c => col(c)
       }: _*)
-    val (added, parts, n, kb) = writeFiles(updated, instant)
-    doCommit(instant, "update", added, affected, parts, cur, n, kb)
+    val st = writeFiles(updated, instant)
+    doCommit(instant, "update", st, affected, cur)
     instant
   }
 
@@ -462,8 +461,8 @@ final class LakeTable private[core] (
           case _ => when(takeSource, col(s"__s_$c")).otherwise(col(c))
         }).as(c)
       }: _*)
-    val (added, parts, n, kb) = writeFiles(out, instant)
-    doCommit(instant, "merge", added, affected, parts, cur, n, kb)
+    val st = writeFiles(out, instant)
+    doCommit(instant, "merge", st, affected, cur)
     instant
   }
 
@@ -513,6 +512,8 @@ final class LakeTable private[core] (
     val all = timeline.liveFiles(None)
     val (liveExt, live) = all.partition(_.external)
     if (live.isEmpty && liveExt.isEmpty) return Seq.empty
+    if (props.bucketIndexBuckets > 0)
+      return bucketAffected(statsOf.getOrElse(incoming), live, liveExt, global)
     // one job: per-partition record-key bounds of the batch. Min/max
     // are dedup-invariant, so callers can supply a cheaper pre-dedup
     // projection (skips the preCombine window shuffle in this job).
@@ -557,6 +558,44 @@ final class LakeTable private[core] (
         .collect().map(r => relativize(r.getString(0))).toSeq
     }
     managedAffected ++ extAffected
+  }
+
+  /** Bucket-index candidate resolution: the batch's (partition, bucket)
+    * set — one small aggregation job, NO probe scan of table files. A
+    * key can only live in its hash bucket, so every file outside the
+    * batch's buckets is untouched by construction; stored per-file key
+    * bounds prune further within a bucket. Files predating the bucket
+    * index (no bucket id) fall back to partition scope. */
+  private def bucketAffected(
+      batch: DataFrame, live: Seq[FileEntry], liveExt: Seq[FileEntry],
+      global: Boolean): Seq[String] = {
+    val rows = batch.groupBy(col(PartitionPathCol), bucketExpr.as(StageBucketCol))
+      .agg(min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"))
+      .collect()
+    val partitions: Set[String] = rows.map(_.getString(0)).toSet
+    val perPartBucket: Map[(String, Int), (String, String)] =
+      rows.map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3)))
+        .toMap
+    val perBucket: Map[Int, (String, String)] =
+      rows.groupBy(_.getInt(1)).map { case (b, rs) =>
+        b -> (rs.map(_.getString(2)).min, rs.map(_.getString(3)).max)
+      }
+    def partInScope(f: FileEntry): Boolean =
+      global || props.partitionFields.isEmpty || partitions.contains(f.partition)
+    def hit(f: FileEntry): Boolean = f.bucket match {
+      case Some(bk) =>
+        val bounds =
+          if (global) perBucket.get(bk) else perPartBucket.get((f.partition, bk))
+        bounds.exists { case (bMin, bMax) =>
+          (f.minKey, f.maxKey) match {
+            case (Some(fMin), Some(fMax)) => fMin <= bMax && bMin <= fMax
+            case _ => true
+          }
+        }
+      case None => partInScope(f) // legacy file: conservative
+    }
+    live.collect { case f if hit(f) => f.path } ++
+      liveExt.collect { case f if partInScope(f) => f.path }
   }
 
   /** Files containing at least one row matching a predicate (for
@@ -612,42 +651,60 @@ final class LakeTable private[core] (
       in.fields.filterNot(f => cur.fieldNames.contains(f.name)))
   }
 
-  /** Stage-write (salted per partition), then rename into the final
-    * layout. Returns (relative paths, partition map, row count,
-    * per-file record-key bounds) — count and bounds come from one
+  /** The bucket a record key belongs to under the bucket index:
+    * stable hash of the key modulo the declared bucket count. */
+  private def bucketExpr: Column =
+    pmod(xxhash64(col(RecordKeyCol)), lit(props.bucketIndexBuckets.toLong))
+      .cast("int")
+
+  /** Stage-write (bucketed or salted per partition), then rename into
+    * the final layout. Counts and key bounds come from one concurrent
     * driver-side parquet-footer pass, no Spark job. */
-  private def writeFiles(df: DataFrame, instant: String)
-      : (Seq[String], Map[String, String], Long, Map[String, Seq[String]]) = {
+  private def writeFiles(df: DataFrame, instant: String): Staged = {
     val stagingDir = new Path(basePath, s".staging/$instant")
+    val partitioned = props.partitionFields.nonEmpty
+    val bucketed = props.bucketIndexBuckets > 0
+    val withCols0 =
+      if (partitioned) df.withColumn(StagePartCol, col(PartitionPathCol)) else df
+    val withCols =
+      if (bucketed) withCols0.withColumn(StageBucketCol, bucketExpr)
+      else withCols0
     val writerDf =
-      if (props.partitionFields.isEmpty) df // files ≈ upstream parallelism
+      if (bucketed) {
+        // one file per (partition, bucket): all rows of a bucket land
+        // in one task, so keyed DML later touches exactly that file
+        val by = (if (partitioned) Seq(col(StagePartCol)) else Nil) :+
+          col(StageBucketCol)
+        withCols.repartition(by: _*)
+      } else if (!partitioned) withCols // files ≈ upstream parallelism
       else {
         // co-locate each partition's rows; salt spreads hot partitions
         // across up to writeSaltBuckets files (small-file vs max-file
         // sizing). The explicit partition count keeps AQE from
         // coalescing the salted shuffle back into one task.
         if (props.writeSaltBuckets > 1)
-          df.repartition(
+          withCols.repartition(
             math.max(props.writeSaltBuckets, spark.sparkContext.defaultParallelism),
             col(PartitionPathCol),
             pmod(xxhash64(col(RecordKeyCol)), lit(props.writeSaltBuckets)))
-        else df.repartition(col(PartitionPathCol))
+        else withCols.repartition(col(PartitionPathCol))
       }
     // parquet bloom filter on the record key: point-lookup row-group
     // skipping for free (SURVEY §4, JavaClientHive2Hudi bloom tuning).
     // Adaptive sizing + byte cap, or every small file pays the default
     // 1 MB fixed-NDV bitset.
-    val writer0 = (if (props.partitionFields.isEmpty) writerDf
-      else writerDf.withColumn(StagePartCol, col(PartitionPathCol)))
+    val writer0 = writerDf
       .write.mode("overwrite")
       .option(s"parquet.bloom.filter.enabled#$RecordKeyCol", "true")
       .option("parquet.bloom.filter.adaptive.enabled", "true")
       .option(s"parquet.bloom.filter.max.bytes", 128 * 1024)
-    (if (props.partitionFields.isEmpty) writer0
-     else writer0.partitionBy(StagePartCol)).parquet(stagingDir.toString)
-    val (added, parts) = moveStaged(stagingDir, instant)
+    val partBy = (if (partitioned) Seq(StagePartCol) else Nil) ++
+      (if (bucketed) Seq(StageBucketCol) else Nil)
+    (if (partBy.isEmpty) writer0 else writer0.partitionBy(partBy: _*))
+      .parquet(stagingDir.toString)
+    val (added, parts, buckets) = moveStaged(stagingDir, instant)
     val (n, bounds) = footerStats(added)
-    (added, parts, n, bounds)
+    Staged(added, parts, n, bounds, buckets)
   }
 
   /** Row count + `_record_key` min/max per file from parquet footers
@@ -709,47 +766,52 @@ final class LakeTable private[core] (
     (total, results.flatten.flatMap(_._2).toMap)
   }
 
-  private def moveStaged(
-      stagingDir: Path, instant: String): (Seq[String], Map[String, String]) = {
+  private def moveStaged(stagingDir: Path, instant: String)
+      : (Seq[String], Map[String, String], Map[String, Int]) = {
     val f = fs
     val added = scala.collection.mutable.ArrayBuffer.empty[String]
     val parts = scala.collection.mutable.Map.empty[String, String]
+    val buckets = scala.collection.mutable.Map.empty[String, Int]
     var seq = 0
-    def moveFile(file: Path, pp: String): Unit = {
+    def moveFile(file: Path, pp: String, bucket: Option[Int]): Unit = {
       val destDir = if (pp.isEmpty) new Path(basePath) else new Path(basePath, pp)
       f.mkdirs(destDir)
-      val rel = (if (pp.isEmpty) "" else pp + "/") + f"${instant}_$seq%05d.parquet"
+      val bk = bucket.map(b => s"b${b}_").getOrElse("")
+      val rel = (if (pp.isEmpty) "" else pp + "/") +
+        f"${instant}_$bk$seq%05d.parquet"
       seq += 1
       if (!f.rename(file, new Path(basePath, rel)))
         throw new IllegalStateException(s"rename failed: $file -> $rel")
       added += rel
       parts(rel) = pp
+      bucket.foreach(buckets(rel) = _)
     }
-    def walk(p: Path, pp: String): Unit =
+    def walk(p: Path, pp: String, bucket: Option[Int]): Unit =
       f.listStatus(p).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory && name.startsWith(StagePartCol + "="))
-          walk(st.getPath, unescapePath(name.stripPrefix(StagePartCol + "=")))
-        else if (name.endsWith(".parquet")) moveFile(st.getPath, pp)
+          walk(st.getPath, unescapePath(name.stripPrefix(StagePartCol + "=")), bucket)
+        else if (st.isDirectory && name.startsWith(StageBucketCol + "="))
+          walk(st.getPath, pp, Some(name.stripPrefix(StageBucketCol + "=").toInt))
+        else if (name.endsWith(".parquet")) moveFile(st.getPath, pp, bucket)
       }
-    if (f.exists(stagingDir)) walk(stagingDir, "")
+    if (f.exists(stagingDir)) walk(stagingDir, "", None)
     f.delete(stagingDir, true)
     val stagingRoot = stagingDir.getParent
     if (f.exists(stagingRoot) && f.listStatus(stagingRoot).isEmpty)
       f.delete(stagingRoot, false)
-    (added.toSeq, parts.toMap)
+    (added.toSeq, parts.toMap, buckets.toMap)
   }
 
   private def doCommit(
-      instant: String, action: String, added: Seq[String],
-      removed: Seq[String], parts: Map[String, String],
-      schemaOut: StructType, n: Long,
-      keyBounds: Map[String, Seq[String]],
+      instant: String, action: String, st: Staged,
+      removed: Seq[String], schemaOut: StructType,
       tag: Option[String] = None): Unit =
     timeline.commit(CommitMeta(
-      instant, action, added, removed.map(relativize), Seq.empty,
-      schemaOut.toDDL, n, parts,
-      if (keyBounds.nonEmpty) Some(keyBounds) else None, tag))
+      instant, action, st.added, removed.map(relativize), Seq.empty,
+      schemaOut.toDDL, st.rows, st.parts,
+      if (st.keyBounds.nonEmpty) Some(st.keyBounds) else None, tag,
+      if (st.buckets.nonEmpty) Some(st.buckets) else None))
 
   // ---------------------------------------------------------- MOR paths
 
@@ -773,8 +835,8 @@ final class LakeTable private[core] (
               else lit(null).cast(f.dataType).as(f.name)
             }: _*)
       } else conform(withMeta(dedupBatch(df), instant), newSchema)
-    val (added, parts, n, kb) = writeFiles(out, instant)
-    doCommit(instant, action, added, Seq.empty, parts, newSchema, n, kb, tag)
+    val st = writeFiles(out, instant)
+    doCommit(instant, action, st, Seq.empty, newSchema, tag)
     maybeInlineCompact()
     instant
   }
@@ -793,9 +855,9 @@ final class LakeTable private[core] (
     val instant = timeline.nextInstant()
     val removed = timeline.liveFiles(None).map(_.path)
     if (removed.isEmpty) return instant
-    val (added, parts, n, kb) = writeFiles(
+    val st = writeFiles(
       snap.select((MetaCols ++ schema.fieldNames.toSeq).map(col): _*), instant)
-    doCommit(instant, "commit", added, removed, parts, schema, n, kb)
+    doCommit(instant, "commit", st, removed, schema)
     instant
   }
 
@@ -821,8 +883,8 @@ final class LakeTable private[core] (
     if (ext.isEmpty) return None
     val instant = timeline.nextInstant()
     val df = conform(readExternal(ext), schema)
-    val (added, parts, n, kb) = writeFiles(df, instant)
-    doCommit(instant, "replace", added, ext.map(_.path), parts, schema, n, kb)
+    val st = writeFiles(df, instant)
+    doCommit(instant, "replace", st, ext.map(_.path), schema)
     Some(instant)
   }
 
@@ -838,6 +900,19 @@ final class LakeTable private[core] (
     timeline.archive(minToKeep, maxToKeep)
 }
 
+/** Result of one stage-write: the new files plus their per-file
+  * metadata destined for the commit record. */
+private[core] final case class Staged(
+    added: Seq[String],
+    parts: Map[String, String],
+    rows: Long,
+    keyBounds: Map[String, Seq[String]],
+    buckets: Map[String, Int])
+
+private[core] object Staged {
+  val empty: Staged = Staged(Seq.empty, Map.empty, 0L, Map.empty, Map.empty)
+}
+
 object LakeTable {
   val CommitTimeCol = "_commit_time"
   val RecordKeyCol = "_record_key"
@@ -847,6 +922,7 @@ object LakeTable {
   val MetaCols: Seq[String] = Seq(CommitTimeCol, RecordKeyCol, PartitionPathCol)
   private[core] val IncomingFlag = "__incoming"
   private[core] val StagePartCol = "__pp__"
+  private[core] val StageBucketCol = "__bk__"
 
   /** Fully-qualified base (scheme + absolute path): all stored paths
     * are relative to this, so prefix matching is exact regardless of

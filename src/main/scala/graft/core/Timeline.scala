@@ -45,7 +45,12 @@ final case class CommitMeta(
       * streaming sink stores its per-query batch id here so a crash
       * between commit and sidecar-marker write cannot replay the batch
       * (exactly-once for all operations, including plain insert). */
-    tag: Option[String] = None)
+    tag: Option[String] = None,
+    /** per added file: its bucket id under the table's bucket index
+      * (hoodie.bucket.index analog, TestStreamingMOR.java:52-53) —
+      * lets keyed DML resolve affected files driver-side with no
+      * probe scan. */
+    buckets: Option[Map[String, Int]] = None)
 
 /** One live data file as seen by readers: its path, the commit that
   * (logically) wrote its rows, partition path, and optional record-key
@@ -56,7 +61,9 @@ final case class FileEntry(
     partition: String,
     external: Boolean,
     minKey: Option[String],
-    maxKey: Option[String])
+    maxKey: Option[String],
+    /** bucket id when the table uses a bucket index */
+    bucket: Option[Int] = None)
 
 /** Net live file set as of `asOf`, produced when old commits are
   * archived; file entries keep their original commit instants so
@@ -86,7 +93,14 @@ final case class TableProps(
     /** MOR inline compaction cadence: compact after this many
       * consecutive delta commits (TestBatchMOR.java:40-46
       * `compaction.delta_commits`; 0 = never inline). */
-    compactDeltaCommits: Int = 0)
+    compactDeltaCommits: Int = 0,
+    /** Bucket index (`hoodie.bucket.index.num.buckets=4`,
+      * TestStreamingMOR.java:52-53): every record key hashes to one of
+      * N fixed buckets per partition; files are written per bucket and
+      * keyed DML resolves affected files driver-side from the batch's
+      * (partition, bucket) set — no probe scan job. 0 = off (range +
+      * bloom probe index instead). Supersedes writeSaltBuckets. */
+    bucketIndexBuckets: Int = 0)
 
 /** Driver-side commit log. All metadata ops are O(#commits) small-JSON
   * reads — never a Spark job. Data-plane listing never happens at read
@@ -178,7 +192,8 @@ final class Timeline(conf: Configuration, val basePath: String) {
     } yield FileEntry(f, c.instant, c.partitions.getOrElse(f, ""),
       c.external.contains(f),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
-      c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)))
+      c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
+      c.buckets.flatMap(_.get(f)))
     fromCheckpoint ++ fromCommits
   }
 
@@ -215,7 +230,8 @@ final class Timeline(conf: Configuration, val basePath: String) {
     } yield FileEntry(f, c.instant, c.partitions.getOrElse(f, ""),
       c.external.contains(f),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
-      c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)))
+      c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
+      c.buckets.flatMap(_.get(f)))
     val cp = CheckpointMeta(
       asOf = toArchive.last.instant,
       files = (prior.filterNot(f => removed.contains(f.path)) ++ archivedEntries),

@@ -232,7 +232,30 @@ object LakeQueries {
       CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
       FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"""))
 
+  /** Bucket-indexed upsert (`hoodie.bucket.index.num.buckets=4`,
+    * TestStreamingMOR.java:52-53): keys route to fixed hash buckets,
+    * so the second upsert resolves its affected files driver-side with
+    * no probe scan; results must equal the probe-indexed path. */
+  private val bucketQ = GQ(
+    "lake11_bucket_index",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake11"),
+        props(true).copy(bucketIndexBuckets = 4))
+      tab.upsert(base(s, dir))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 6 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_name", concat(col("c_name"), lit("_b"))))
+      tab.delete(base(s, dir).filter(col("c_custkey") % 11 === 0)
+        .select("c_custkey", "c_mktsegment"))
+      dataCols(tab.snapshot())
+    },
+    Some("""SELECT c_custkey,
+      CASE WHEN c_custkey % 6 = 0 THEN c_name || '_b' ELSE c_name END AS c_name,
+      c_nationkey, c_acctbal, c_mktsegment,
+      CAST(CASE WHEN c_custkey % 6 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
+      FROM customer WHERE c_custkey % 11 <> 0 ORDER BY c_custkey"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
-    timeTravelQ, pruneQ, morQ)
+    timeTravelQ, pruneQ, morQ, bucketQ)
 }

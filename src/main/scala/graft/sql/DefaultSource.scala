@@ -83,7 +83,9 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           preCombineField = parameters.get("preCombineField").filter(_.nonEmpty),
           partitionFields = parameters.get("partitionFields")
             .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
-          writeSaltBuckets = parameters.getOrElse("writeSaltBuckets", "1").toInt)
+          writeSaltBuckets = parameters.getOrElse("writeSaltBuckets", "1").toInt,
+          bucketIndexBuckets =
+            parameters.getOrElse("bucketIndexBuckets", "0").toInt)
         LakeTable.create(spark, path, props)
       }
     (mode, operation) match {

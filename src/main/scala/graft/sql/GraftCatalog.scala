@@ -116,7 +116,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       writeSaltBuckets = opts.getOrElse("writeSaltBuckets", "1").toInt,
       schemaDdl = schema.toDDL,
       compactDeltaCommits =
-        opts.getOrElse("compaction.delta_commits", "0").toInt)
+        opts.getOrElse("compaction.delta_commits", "0").toInt,
+      // hoodie.bucket.index.num.buckets analog (TestStreamingMOR.java:52)
+      bucketIndexBuckets =
+        opts.getOrElse("bucketIndexBuckets", "0").toInt)
     require(props.primaryKey.nonEmpty,
       "graft tables require a primaryKey table option (SparkSQLDemo.scala:48)")
     new GraftTable(spark, ident.toString, LakeTable.create(spark, path, props))

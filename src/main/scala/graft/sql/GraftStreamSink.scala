@@ -40,7 +40,9 @@ final class GraftStreamSink(
       preCombineField = parameters.get("preCombineField").filter(_.nonEmpty),
       partitionFields = parameters.get("partitionFields")
         .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty),
-      writeSaltBuckets = parameters.getOrElse("writeSaltBuckets", "1").toInt))
+      writeSaltBuckets = parameters.getOrElse("writeSaltBuckets", "1").toInt,
+      bucketIndexBuckets =
+        parameters.getOrElse("bucketIndexBuckets", "0").toInt))
 
   // marker scoped to the query's checkpoint: different queries on the
   // same table each track their own last-applied batch id

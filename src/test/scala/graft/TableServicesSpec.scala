@@ -107,6 +107,32 @@ class TableServicesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("archived"))
   }
 
+  test("bucket index: files are bucketed and DML touches only the key's bucket") {
+    val t = LakeTable.create(spark, tmp(),
+      props.copy(writeSaltBuckets = 1, bucketIndexBuckets = 4))
+    t.upsert(mkDf((1 to 400).map(i => row(i, s"v$i", dt = s"d${i % 2}")): _*))
+    val c1 = t.timeline.commits().head
+    // every file carries its bucket id; ≤ 4 buckets per partition
+    assert(c1.buckets.get.size == c1.added.size)
+    assert(c1.added.groupBy(f => c1.partitions(f)).values.forall(_.size <= 4))
+    // single-key upsert: affected = exactly the one file of that key's
+    // bucket in that partition — no other file rewritten, no probe scan
+    t.upsert(mkDf(row(7, "v7b", ts = 2, dt = "d1")))
+    val c2 = t.timeline.commits().last
+    assert(c2.removed.size == 1, s"expected 1 bucket file, got ${c2.removed}")
+    assert(t.snapshot().count() == 400)
+    assert(t.snapshot().filter(col("id") === 7)
+      .select("v").as[String].head() == "v7b")
+    // delete follows the same routing (key 8 lives in partition d0)
+    t.delete(mkDf(row(8, "x", dt = "d0")).select("id", "dt"))
+    val c3 = t.timeline.commits().last
+    assert(c3.removed.size == 1)
+    assert(t.snapshot().count() == 399)
+    // merged contents stay correct across buckets
+    val survivors = t.snapshot().select("id").as[Int].collect().toSet
+    assert(!survivors.contains(8) && survivors.contains(7) && survivors.size == 399)
+  }
+
   test("archive keeps files removed only by later ACTIVE commits") {
     val t = LakeTable.create(spark, tmp(), props)
     t.upsert(mkDf(row(1, "a")))
