@@ -127,19 +127,41 @@ final class LakeTable private[core] (
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** The MOR read-side merge: latest commit wins per (key, partition),
-    * preCombine breaks ties within a commit, tombstones drop the key.
-    * (Commit-ordered — a deliberate, documented simplification of
-    * Hudi's per-payload ordering for the MOR log-merge path; COW
-    * carries the full LatestByOrdering/Overwrite policy choice.) */
+  /** The MOR read-side merge, per-payload ordered like Hudi's
+    * DefaultHoodieRecordPayload (JavaClientHive2Hudi.java:145-148):
+    *
+    * 1. a key-only tombstone (no preCombine value — Hudi's
+    *    deleteKeys-style unconditional delete) erases every version
+    *    written at-or-before its commit; later writes re-insert;
+    * 2. among surviving versions the LARGEST preCombine value wins
+    *    (commit time breaks ties, nulls sort last) — so a late-arriving
+    *    update with a smaller ordering value loses to the stored row,
+    *    exactly the payload semantics, not commit order;
+    * 3. a tombstone CARRYING a preCombine value competes in (2): if it
+    *    wins the key is dropped, if a data version out-orders it the
+    *    delete is ignored (late delete loses).
+    */
   private def mergeOnRead(raw: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
+    val hasDel = raw.columns.contains(DeletedCol)
+    val isDel: Column =
+      if (hasDel) coalesce(col(DeletedCol), lit(false)) else lit(false)
+    val uncondDel: Column = props.preCombineField match {
+      case Some(f) => isDel && col(f).isNull
+      case None => isDel
+    }
+    // (1) positional erase: drop everything at-or-before the last
+    // unconditional tombstone of the key
+    val alive = raw
+      .withColumn("__delWm", max(when(uncondDel, col(CommitTimeCol))).over(byKey))
+      .filter(col("__delWm").isNull || col(CommitTimeCol) > col("__delWm"))
+      .drop("__delWm")
+    // (2)+(3) payload ordering among survivors
     val ordCol: Column = props.preCombineField.map(col).getOrElse(lit(0))
-    val w = Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
-      .orderBy(col(CommitTimeCol).desc, ordCol.desc)
-    val picked = raw.withColumn("__rn", row_number().over(w))
+    val pick = byKey.orderBy(ordCol.desc_nulls_last, col(CommitTimeCol).desc)
+    val picked = alive.withColumn("__rn", row_number().over(pick))
       .filter(col("__rn") === 1).drop("__rn")
-    if (picked.columns.contains(DeletedCol))
-      picked.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
+    if (hasDel) picked.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
     else picked
   }
 
@@ -661,7 +683,10 @@ final class LakeTable private[core] (
     * the final layout. Counts and key bounds come from one concurrent
     * driver-side parquet-footer pass, no Spark job. */
   private def writeFiles(df: DataFrame, instant: String): Staged = {
-    val stagingDir = new Path(basePath, s".staging/$instant")
+    // random suffix: a concurrent writer from another process could
+    // hold the same wall-clock instant; staging must never collide
+    val stagingDir = new Path(basePath,
+      s".staging/${instant}_${java.util.UUID.randomUUID().toString.take(8)}")
     val partitioned = props.partitionFields.nonEmpty
     val bucketed = props.bucketIndexBuckets > 0
     val withCols0 =
@@ -807,11 +832,21 @@ final class LakeTable private[core] (
       instant: String, action: String, st: Staged,
       removed: Seq[String], schemaOut: StructType,
       tag: Option[String] = None): Unit =
-    timeline.commit(CommitMeta(
+    try timeline.commit(CommitMeta(
       instant, action, st.added, removed.map(relativize), Seq.empty,
       schemaOut.toDDL, st.rows, st.parts,
       if (st.keyBounds.nonEmpty) Some(st.keyBounds) else None, tag,
       if (st.buckets.nonEmpty) Some(st.buckets) else None))
+    catch {
+      case e: CommitConflictException =>
+        // lost the OCC race: the staged files will never be referenced
+        // by the timeline — remove them before the caller retries
+        st.added.foreach { rel =>
+          try fs.delete(new Path(abs(rel)), false)
+          catch { case _: Exception => () }
+        }
+        throw e
+    }
 
   // ---------------------------------------------------------- MOR paths
 
@@ -868,6 +903,27 @@ final class LakeTable private[core] (
     if (n <= 0) return
     val trailing = timeline.commits().reverse.takeWhile(_.action == "deltacommit")
     if (trailing.size >= n) compact()
+  }
+
+  /** Optimistic concurrency control for multi-writer tables: runs a
+    * write operation and, when it loses the commit race
+    * ([[CommitConflictException]]: a concurrent writer rewrote one of
+    * the same file groups, or took the same instant), re-runs it
+    * against the fresh table state — the operation re-probes affected
+    * files, so the retry merges with the other writer's result instead
+    * of losing it. Hudi's OPTIMISTIC_CONCURRENCY_CONTROL analog.
+    *
+    * {{{ table.withOcc() { table.upsert(batch) } }}} */
+  def withOcc[T](maxRetries: Int = 5)(op: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case _: CommitConflictException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Rewrite all live external (metadata-bootstrapped) files into

@@ -102,6 +102,13 @@ final case class TableProps(
       * bloom probe index instead). Supersedes writeSaltBuckets. */
     bucketIndexBuckets: Int = 0)
 
+/** A write lost the optimistic-concurrency race: the operation should
+  * be re-run against the fresh table state ([[LakeTable.withOcc]]).
+  * Extends IllegalStateException for source compatibility with callers
+  * that treated commit collisions as illegal state. */
+final class CommitConflictException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Driver-side commit log. All metadata ops are O(#commits) small-JSON
   * reads — never a Spark job. Data-plane listing never happens at read
   * time: the live file set comes from the timeline, so a 100 TB table
@@ -150,22 +157,43 @@ final class Timeline(conf: Configuration, val basePath: String) {
 
   def latestInstant(): Option[String] = commits().lastOption.map(_.instant)
 
-  /** Next strictly-increasing instant (wall clock, bumped on collision). */
-  def nextInstant(): String = {
+  /** Highest instant handed out by THIS instance — lets concurrent
+    * in-process writers get distinct instants even within one clock
+    * millisecond (distinct staging dirs + file names). */
+  private var lastIssued: String = ""
+
+  /** Next strictly-increasing instant (wall clock, bumped past both
+    * the committed timeline and instants already issued here). */
+  def nextInstant(): String = this.synchronized {
     val now = instantFormat.format(java.time.Instant.now()
       .atZone(java.time.ZoneOffset.UTC))
-    latestInstant() match {
-      case Some(last) if last >= now => bump(last)
-      case _ => now
-    }
+    val floor = (latestInstant().toSeq :+ lastIssued).max
+    val next = if (floor >= now) bump(floor) else now
+    lastIssued = next
+    next
   }
 
-  /** Single-writer optimistic commit: atomic create-no-overwrite of the
-    * commit file; a concurrent commit with the same instant loses. */
-  def commit(meta: CommitMeta): Unit = {
+  /** Optimistic-concurrency commit. Two conflict checks, both raising
+    * [[CommitConflictException]] so writers can retry ([[LakeTable.withOcc]]):
+    * - file-group conflict: a file this commit removes is no longer
+    *   live, i.e. a concurrent writer rewrote or cleaned it after this
+    *   writer probed — committing anyway would lose that update;
+    * - instant collision: another writer took the same instant.
+    * In-process writers serialize on this instance; cross-process, the
+    * create-no-overwrite commit file is the (best-effort on local FS)
+    * arbiter, matching Hudi's optimistic concurrency model. */
+  def commit(meta: CommitMeta): Unit = this.synchronized {
+    if (meta.removed.nonEmpty) {
+      val liveNow = liveFiles(None).map(_.path).toSet
+      val gone = meta.removed.filterNot(liveNow.contains)
+      if (gone.nonEmpty)
+        throw new CommitConflictException(
+          s"commit ${meta.instant} conflicts: concurrently rewritten " +
+            s"file(s) ${gone.take(3).mkString(", ")} on $basePath")
+    }
     val target = new Path(dir, meta.instant + COMMIT_SUFFIX)
     if (fs.exists(target))
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"Conflicting commit ${meta.instant} already exists on $basePath")
     atomicWrite(target, Serialization.write(meta)(formats))
     commitCache.put(meta.instant + COMMIT_SUFFIX, meta)

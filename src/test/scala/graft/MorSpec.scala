@@ -63,6 +63,31 @@ class MorSpec extends AnyFunSuite {
     assert(rows(t) == Set((1, "a", 1L), (2, "b", 1L)))
   }
 
+  test("per-payload ordering: larger preCombine wins over later commit") {
+    val t = LakeTable.create(spark, tmp(), morProps())
+    t.upsert(Seq((1, "fresh", 5L, "d1")).toDF("id", "v", "ts", "dt"))
+    // late-arriving update with a SMALLER ordering value must lose
+    t.upsert(Seq((1, "stale", 3L, "d1")).toDF("id", "v", "ts", "dt"))
+    assert(rows(t) == Set((1, "fresh", 5L)))
+    // equal ordering: later commit wins (incoming-wins tie-break)
+    t.upsert(Seq((1, "tie", 5L, "d1")).toDF("id", "v", "ts", "dt"))
+    assert(rows(t) == Set((1, "tie", 5L)))
+  }
+
+  test("ordered tombstone: late delete with lower preCombine loses") {
+    val t = LakeTable.create(spark, tmp(), morProps())
+    t.upsert(Seq((1, "a", 5L, "d1"), (2, "b", 5L, "d1")).toDF("id", "v", "ts", "dt"))
+    // delete carrying ts=3 < stored 5: ignored (DefaultHoodieRecordPayload)
+    t.delete(Seq((1, 3L, "d1")).toDF("id", "ts", "dt"))
+    assert(rows(t) == Set((1, "a", 5L), (2, "b", 5L)))
+    // delete carrying ts=9 > stored 5: applies
+    t.delete(Seq((2, 9L, "d1")).toDF("id", "ts", "dt"))
+    assert(rows(t) == Set((1, "a", 5L)))
+    // key-only delete (no ordering value) is unconditional
+    t.delete(Seq((1, "d1")).toDF("id", "dt"))
+    assert(rows(t) == Set.empty[(Int, String, Long)])
+  }
+
   test("snapshotWhere on MOR merges on read and drops tombstones") {
     val t = LakeTable.create(spark, tmp(), morProps())
     t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d1"), (3, "c", 1L, "d2"))

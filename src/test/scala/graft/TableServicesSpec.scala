@@ -133,6 +133,48 @@ class TableServicesSpec extends AnyFunSuite {
     assert(!survivors.contains(8) && survivors.contains(7) && survivors.size == 399)
   }
 
+  test("OCC: commit removing a concurrently-rewritten file is rejected") {
+    val t = LakeTable.create(spark, tmp(), props)
+    t.upsert(mkDf(row(1, "a"), row(2, "b")))
+    val f1 = t.timeline.liveFiles(None).head.path
+    // concurrent writer rewrites f1
+    t.timeline.commit(CommitMeta(
+      t.timeline.nextInstant(), "upsert", added = Seq("other.parquet"),
+      removed = Seq(f1), external = Seq.empty,
+      schemaDdl = "id INT", totalRecords = 1, partitions = Map.empty))
+    // a second writer that also staged a rewrite of f1 must lose
+    intercept[CommitConflictException] {
+      t.timeline.commit(CommitMeta(
+        t.timeline.nextInstant(), "upsert", added = Seq("mine.parquet"),
+        removed = Seq(f1), external = Seq.empty,
+        schemaDdl = "id INT", totalRecords = 1, partitions = Map.empty))
+    }
+  }
+
+  test("OCC: concurrent withOcc upserts all land and merge correctly") {
+    val t = LakeTable.create(spark, tmp(), props)
+    t.upsert(mkDf((1 to 100).map(i => row(i, "v0")): _*))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // 4 writers, overlapping file groups (same partition), disjoint keys
+    val writers = (0 until 4).map { w =>
+      Future {
+        t.withOcc() {
+          t.upsert(mkDf((1 to 25).map(i => row(w * 25 + i, s"w$w", ts = 2)): _*))
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val snap = t.snapshot()
+    assert(snap.count() == 100)
+    // every writer's update is present — no lost updates
+    val byWriter = snap.filter(col("ts") === 2).select("v").as[String]
+      .collect().groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(byWriter == Map("w0" -> 25, "w1" -> 25, "w2" -> 25, "w3" -> 25),
+      s"got $byWriter")
+  }
+
   test("archive keeps files removed only by later ACTIVE commits") {
     val t = LakeTable.create(spark, tmp(), props)
     t.upsert(mkDf(row(1, "a")))
