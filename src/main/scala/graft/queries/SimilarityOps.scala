@@ -108,25 +108,40 @@ object SimilarityOps {
     * hamming-1 multiprobe before the exact check; the oracle
     * brute-forces all pairs — equality of the two is itself the
     * recall check (identical vectors cannot split buckets). */
+  /** Near-duplicate pairs (cosine ≥ 0.999) over the corpus with
+    * injected exact copies, LSH-pruned — shared by sim2 and sim5. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val c = e0.unionByName(e0.filter(col("vec_id") % 9 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L))
+    val prep = annBuckets(c, "embedding")
+      .withColumn("nrm", expr(normExpr("embedding")))
+    val probes = (0 to AnnBits).map(j =>
+      if (j == 0) col("bucket") else expr(s"bucket ^ ${1L << (j - 1)}"))
+    val left = prep.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"), explode(array(probes: _*)).as("q_bucket"))
+    left.join(prep, col("bucket") === col("q_bucket") && col("q_id") < col("vec_id"))
+      .withColumn("cosine", cosineCol)
+      .filter(col("cosine") >= 0.999)
+      .select(col("q_id").as("a"), col("vec_id").as("b"), col("cosine"))
+      .distinct()
+  }
+
+  /** The sim2/sim5 corpus + pair graph, DuckDB side. */
+  private def pairsSql: String =
+    s"""corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 1000000, embedding
+          FROM embeddings WHERE vec_id % 9 = 0),
+      pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE round(${dotSql("a.embedding", "b.embedding")} /
+            (${normSql("a.embedding")} * ${normSql("b.embedding")}), 9) >= 0.999)"""
+
   private val nearDupQ = GQ(
     "sim2_cosine_neardup",
-    (s, dir) => {
-      val e0 = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val c = e0.unionByName(e0.filter(col("vec_id") % 9 === 0)
-        .withColumn("vec_id", col("vec_id") + 1000000L))
-      val prep = annBuckets(c, "embedding")
-        .withColumn("nrm", expr(normExpr("embedding")))
-      val probes = (0 to AnnBits).map(j =>
-        if (j == 0) col("bucket") else expr(s"bucket ^ ${1L << (j - 1)}"))
-      val left = prep.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), explode(array(probes: _*)).as("q_bucket"))
-      left.join(prep, col("bucket") === col("q_bucket") && col("q_id") < col("vec_id"))
-        .withColumn("cosine", cosineCol)
-        .filter(col("cosine") >= 0.999)
-        .select(col("q_id").as("a"), col("vec_id").as("b"), col("cosine"))
-        .distinct()
-        .orderBy("a", "b")
-    },
+    (s, dir) => nearDupPairs(s, dir).orderBy("a", "b"),
     Some(s"""WITH corpus AS (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL SELECT vec_id + 1000000, embedding
@@ -138,6 +153,55 @@ object SimilarityOps {
       WHERE round(${dotSql("a.embedding", "b.embedding")} /
           (${normSql("a.embedding")} * ${normSql("b.embedding")}), 9) >= 0.999
       ORDER BY a, b"""))
+
+  /** sim5 — embedding graph dedup: connected components over the
+    * near-duplicate pair graph, min-id label propagation to fixpoint;
+    * every non-canonical member maps to its component representative —
+    * the "drop these duplicates, keep one per cluster" output of a
+    * training-data pipeline. Near-dup components are small clusters,
+    * so propagation converges in a handful of iterations even at
+    * corpus scale; each iteration is one shuffle join + aggregate on
+    * the (tiny relative to the corpus) edge set. Oracle: DuckDB
+    * recursive CTE computing min reachable id per node. */
+  private val graphDedupQ = GQ(
+    "sim5_graph_dedup",
+    (s, dir) => {
+      val p = nearDupPairs(s, dir).select("a", "b")
+      val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
+        .persist()
+      var labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id")).persist()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val next = labels.join(edges, col("id") === col("a"))
+          .select(col("b").as("id"), col("lbl"))
+          .unionByName(labels.select("id", "lbl"))
+          .groupBy("id").agg(min("lbl").as("lbl")).persist()
+        val changed = next.as("n")
+          .join(labels.as("o"), Seq("id"))
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      val out = labels.filter(col("id") =!= col("lbl"))
+        .select(col("id").as("vec_id"), col("lbl").as("canonical"))
+        .orderBy("vec_id")
+      edges.unpersist()
+      out
+    },
+    Some(s"""WITH RECURSIVE $pairsSql,
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      r(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
+      SELECT id AS vec_id, min(lbl) AS canonical FROM r
+      GROUP BY id HAVING min(lbl) <> id ORDER BY vec_id"""))
 
   /** sim3 — ANN top-5 via sign-LSH buckets with hamming-1 multiprobe.
     * Approximate — recall asserted in PipelineOpsSpec, no SQL oracle. */
@@ -211,5 +275,5 @@ object SimilarityOps {
     },
     None)
 
-  def qs: Seq[GQ] = Seq(topkQ, nearDupQ, annQ, ivfQ)
+  def qs: Seq[GQ] = Seq(topkQ, nearDupQ, annQ, ivfQ, graphDedupQ)
 }
