@@ -34,9 +34,12 @@ object SimilarityOps {
   private val Dims = 64
   private val AnnBits = 6
 
-  /** dot(a,b) with deterministic summation order. */
+  /** dot(a,b) with deterministic summation order — the codegen'd
+    * [[graft.functions.VecFloatDot]], bit-identical to the interpreted
+    * `aggregate(zip_with(...))` fold it replaced (same IEEE op order)
+    * but ~10x faster per candidate pair. */
   private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"${graft.functions.GraftFunctions.VecDotName}($a, $b)"
 
   private def normExpr(a: String): String = s"sqrt(${dotExpr(a, a)})"
 
@@ -55,10 +58,12 @@ object SimilarityOps {
 
   /** Sign-LSH bucket id over `bits` fixed hyperplanes. */
   def annBuckets(df: DataFrame, embCol: String, bits: Int = AnnBits): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val bitCols = (0 until bits).map { j =>
-      val coefs = planeCoefs(j).mkString("array(", ", ", ")")
-      val proj = s"""aggregate(zip_with($embCol, $coefs,
-        (x, c) -> CAST(x AS DOUBLE) * c), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+      // D suffix: plain `1.0` parses as DECIMAL in some sessions and
+      // graft_vec_dot takes float/double arrays only
+      val coefs = planeCoefs(j).map(c => s"${c}D").mkString("array(", ", ", ")")
+      val proj = dotExpr(embCol, coefs)
       when(expr(proj) >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     df.withColumn("bucket", bitCols.reduce(_ + _))
@@ -77,6 +82,7 @@ object SimilarityOps {
   private val topkQ = GQ(
     "sim1_cosine_topk",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings").withColumn("nrm", expr(normExpr("embedding")))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -239,6 +245,7 @@ object SimilarityOps {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       import org.apache.spark.ml.linalg.Vector
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
         .withColumn("vec", array_to_vector(col("embedding")))
         .withColumn("nrm", expr(normExpr("embedding")))
