@@ -108,6 +108,9 @@ object DedupOps {
   private val minhashQ = GQ(
     "dedup2_minhash_lsh",
     (s, dir) => {
+      // the shingle relation feeds four branches; its distinct()'s
+      // exchange is identical in all of them, so ReuseExchange already
+      // computes the explode once — no cache needed
       val sh = shingles(corpus(s, dir), 3)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val hashed = sh.withColumn("x",

@@ -177,6 +177,12 @@ object SimilarityOps {
         .persist()
       var labels = edges.select(col("a").as("id")).distinct()
         .withColumn("lbl", col("id")).persist()
+      // labels only ever decrease, so sum(lbl) is strictly decreasing
+      // until the fixpoint — one cheap agg per iteration instead of a
+      // join-based change count
+      def labelSum(): Long =
+        labels.agg(sum("lbl")).head().getLong(0)
+      var prevSum = labelSum()
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -184,12 +190,11 @@ object SimilarityOps {
           .select(col("b").as("id"), col("lbl"))
           .unionByName(labels.select("id", "lbl"))
           .groupBy("id").agg(min("lbl").as("lbl")).persist()
-        val changed = next.as("n")
-          .join(labels.as("o"), Seq("id"))
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
         labels.unpersist()
         labels = next
-        converged = changed == 0
+        val s = labelSum()
+        converged = s == prevSum
+        prevSum = s
         iter += 1
       }
       val out = labels.filter(col("id") =!= col("lbl"))

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{LakeTable, TableProps}
+
+/** Physical-plan assertions: the plans the engine produces must be the
+  * plans you'd want at 100 TB — filters reaching the parquet scan,
+  * column pruning, broadcast for small dims, whole-stage codegen.
+  * These lock in plan shape so a refactor can't silently regress them. */
+class PlanQualitySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formattedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out)(df.explain("formatted"))
+    out.toString("UTF-8")
+  }
+
+  /** `*(n)` is the compact WholeStageCodegen marker in plan toString. */
+  private def hasCodegen(plan: String): Boolean =
+    plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined
+
+  /** Final (post-AQE) physical plan — the formatted initial plan shows
+    * no WholeStageCodegen spans under adaptive execution. */
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // run THIS plan (count() would execute a derived one)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("catalog scan pushes filters and prunes columns") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.plan1")
+    spark.sql("""CREATE TABLE graft.db.plan1 (id INT, v STRING, w STRING, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')""")
+    spark.sql("INSERT INTO graft.db.plan1 VALUES (1,'a','x',1), (2,'b','y',1)")
+    val df = spark.sql("SELECT v FROM graft.db.plan1 WHERE id = 1")
+    val plan = formattedPlan(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,1)]"),
+      s"filter not pushed to parquet:\n$plan")
+    // pruned read schema: id (for the filter) + v, but not w or ts
+    assert(plan.contains("ReadSchema") && !plan.contains("w:string"),
+      s"column pruning failed:\n$plan")
+  }
+
+  test("small-dimension join broadcasts; no shuffle of the dim table") {
+    val lineitem = graft.util.Tables.t(spark, sf, "lineitem")
+    val nation = graft.util.Tables.t(spark, sf, "nation")
+    val supplier = graft.util.Tables.t(spark, sf, "supplier")
+    val q = lineitem
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(nation, supplier("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name")).agg(sum(col("l_quantity")).as("qty"))
+    val plan = formattedPlan(q)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim joins must not shuffle:\n$plan")
+    val ep = executedPlan(q)
+    assert(hasCodegen(ep), s"expected codegen:\n$ep")
+  }
+
+  test("path-API snapshot scan stays within whole-stage codegen") {
+    val p = "target/graft_scratch/plan_path"
+    LakeTable.drop(spark, p)
+    val t = LakeTable.create(spark, p,
+      TableProps("plan", Seq("id"), Some("ts"), Seq("dt")))
+    t.upsert(Seq((1, 1L, "d1"), (2, 1L, "d2")).toDF("id", "ts", "dt"))
+    val df = spark.read.format("graft").load(p).filter(col("id") === 1).select("id")
+    val plan = executedPlan(df)
+    assert(hasCodegen(plan), s"expected codegen:\n$plan")
+  }
+
+  test("graft_vec_dot participates in codegen (no CodegenFallback)") {
+    graft.functions.GraftFunctions.register(spark)
+    // parquet-backed input so the projection can't constant-fold away
+    val df = graft.util.Tables.t(spark, sf, "embeddings")
+      .selectExpr("graft_vec_dot(embedding, embedding) AS d")
+    val plan = executedPlan(df)
+    assert(hasCodegen(plan), s"expected codegen:\n$plan")
+    assert(df.agg(min("d")).head().getDouble(0) > 0.0)
+  }
+}
