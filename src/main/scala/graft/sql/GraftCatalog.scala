@@ -191,45 +191,86 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   // ----------------------------------------------------------- procedures
 
-  /** `CALL graft.system.show_commits(table => 'db.t')` — C1. */
-  override def loadProcedure(ident: Identifier): UnboundProcedure = {
-    val pname = ident.name().toLowerCase
-    if (pname != "show_commits")
-      throw new UnsupportedOperationException(s"unknown procedure $ident")
+  private def lakeOf(tableRef: String): LakeTable = {
+    val parts = tableRef.split("\\.")
+    LakeTable.load(spark, tablePath(Identifier.of(parts.dropRight(1), parts.last)))
+  }
+
+  /** Boilerplate for a procedure returning a small local result set. */
+  private def procedure(
+      pname: String, desc: String,
+      params: Seq[(String, org.apache.spark.sql.types.DataType)],
+      outDdl: String)(
+      run: InternalRow => Array[InternalRow]): UnboundProcedure =
     new UnboundProcedure {
-      override def name(): String = "show_commits"
-      override def description(): String =
-        "newest-first commit timeline of a graft table"
+      override def name(): String = pname
+      override def description(): String = desc
       override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
-        override def name(): String = "show_commits"
-        override def description(): String = "graft commit timeline"
+        override def name(): String = pname
+        override def description(): String = desc
         override def isDeterministic: Boolean = false
-        override def parameters(): Array[ProcedureParameter] = Array(
-          ProcedureParameter.in("table", org.apache.spark.sql.types.DataTypes.StringType)
-            .build())
-        private val outType = StructType.fromDDL(
-          "commit_time STRING, action STRING, files_added INT, " +
-            "files_removed INT, total_records BIGINT")
+        override def parameters(): Array[ProcedureParameter] =
+          params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+        private val outType = StructType.fromDDL(outDdl)
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          val tableRef = input.getUTF8String(0).toString
-          val parts = tableRef.split("\\.")
-          val ident = Identifier.of(parts.dropRight(1), parts.last)
-          val lake = LakeTable.load(spark, tablePath(ident))
-          val commitRows = lake.timeline.commits().reverse.map { c =>
-            InternalRow(
-              UTF8String.fromString(c.instant), UTF8String.fromString(c.action),
-              c.added.size, c.removed.size, c.totalRecords)
-          }.toArray
+          val out = run(input) // name must differ from rows(): `rows` in
+          // the anon class body resolves to the method → infinite loop
           val scan: Scan = new LocalScan {
-            override def rows(): Array[InternalRow] = commitRows
+            override def rows(): Array[InternalRow] = out
             override def readSchema(): StructType = outType
           }
           java.util.List.of(scan).iterator()
         }
       }
     }
-  }
+
+  private val StringT = org.apache.spark.sql.types.DataTypes.StringType
+  private val IntT = org.apache.spark.sql.types.DataTypes.IntegerType
+
+  /** `CALL graft.system.<proc>(...)`: `show_commits` replicates the
+    * reference's C1 (IncrementalQuery.scala:36-37); `run_clean`,
+    * `run_compaction` and `archive_commits` expose the table services
+    * under Hudi's public CALL-procedure names. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    ident.name().toLowerCase match {
+      case "show_commits" => procedure(
+        "show_commits", "newest-first commit timeline of a graft table",
+        Seq("table" -> StringT),
+        "commit_time STRING, action STRING, files_added INT, " +
+          "files_removed INT, total_records BIGINT") { input =>
+        lakeOf(input.getUTF8String(0).toString).timeline.commits().reverse.map { c =>
+          InternalRow(
+            UTF8String.fromString(c.instant), UTF8String.fromString(c.action),
+            c.added.size, c.removed.size, c.totalRecords)
+        }.toArray
+      }
+      case "run_clean" => procedure(
+        "run_clean", "physically delete file versions beyond the retention window",
+        Seq("table" -> StringT, "retain_commits" -> IntT),
+        "deleted_file STRING") { input =>
+        lakeOf(input.getUTF8String(0).toString).clean(input.getInt(1))
+          .map(f => InternalRow(UTF8String.fromString(f))).toArray
+      }
+      case "run_compaction" => procedure(
+        "run_compaction", "fold the merged snapshot into fresh base files (MOR)",
+        Seq("table" -> StringT),
+        "instant STRING") { input =>
+        val instant = lakeOf(input.getUTF8String(0).toString).compact()
+        Array(InternalRow(UTF8String.fromString(instant)))
+      }
+      case "archive_commits" => procedure(
+        "archive_commits", "fold old commits into the timeline checkpoint",
+        Seq("table" -> StringT, "min_to_keep" -> IntT, "max_to_keep" -> IntT),
+        "archived_commits INT") { input =>
+        val n = lakeOf(input.getUTF8String(0).toString)
+          .archive(input.getInt(1), input.getInt(2))
+        Array(InternalRow(n))
+      }
+      case other =>
+        throw new UnsupportedOperationException(s"unknown procedure $other")
+    }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array("system"), "show_commits"))
+    Array("show_commits", "run_clean", "run_compaction", "archive_commits")
+      .map(Identifier.of(Array("system"), _))
 }

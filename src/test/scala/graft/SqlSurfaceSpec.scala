@@ -112,6 +112,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
       (4, "hudi", 10.0, 100L, "2022-09-25")), s"got $finalRows")
   }
 
+  test("CALL service procedures: run_compaction, run_clean, archive_commits") {
+    sql("DROP TABLE IF EXISTS graft.db.svc")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    sql("""CREATE TABLE graft.db.svc (id INT, v STRING, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts', type = 'mor')""")
+    (1 to 5).foreach(i => sql(s"INSERT INTO graft.db.svc VALUES ($i, 'v$i', 1)"))
+    sql("INSERT INTO graft.db.svc VALUES (1, 'v1b', 2)")
+    // compaction folds the six delta commits into base files
+    val inst = sql("CALL graft.system.run_compaction(table => 'db.svc')")
+      .head().getString(0)
+    assert(inst.length == 17)
+    assert(sql("SELECT count(*) FROM graft.db.svc").head().getLong(0) == 5)
+    assert(sql("SELECT v FROM graft.db.svc WHERE id = 1").head().getString(0) == "v1b")
+    // clean drops the replaced delta files beyond retention
+    val cleaned = sql("CALL graft.system.run_clean(table => 'db.svc', retain_commits => 1)")
+    assert(cleaned.count() > 0)
+    // archive folds old commits into the checkpoint
+    val archived = sql(
+      "CALL graft.system.archive_commits(table => 'db.svc', min_to_keep => 2, max_to_keep => 3)")
+      .head().getInt(0)
+    assert(archived > 0)
+    assert(sql("CALL graft.system.show_commits(table => 'db.svc')").count() <= 3)
+    assert(sql("SELECT count(*) FROM graft.db.svc").head().getLong(0) == 5)
+  }
+
   test("SQL UPDATE on a metadata-bootstrapped table migrates externals first") {
     import graft.core.TableProps
     val srcDir = "target/graft_bs_sql_src"
