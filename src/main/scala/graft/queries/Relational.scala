@@ -284,5 +284,65 @@ object Relational {
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  def qs: Seq[GQ] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13)
+  /** q14 — TPC-H Q5-shaped six-table star join (region → nation →
+    * supplier/customer → orders → lineitem) with a local-supplier
+    * constraint. Covers the full dimension set: region/nation/supplier
+    * broadcast; only the two fact tables shuffle. */
+  private val q14 = GQ(
+    "q14_regional_supplier_volume",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su),
+          l("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r),
+          n("n_regionkey") === r("r_regionkey") && r("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(netExpr(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  /** q15 — TPC-H Q14-shaped conditional aggregate over lineitem ⋈ part
+    * (promo revenue share): CASE-gated numerator and total in one pass. */
+  private val q15 = GQ(
+    "q15_promo_revenue",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val net = netExpr(col("l_extendedprice"), col("l_discount"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"), net)
+            .otherwise(dec2(lit(0)))).cast("double").as("promo_revenue"),
+          sum(net).cast("double").as("total_revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT
+      CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey"""))
+
+  def qs: Seq[GQ] =
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15)
 }
