@@ -259,5 +259,66 @@ object DedupOps {
       WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.3
       ORDER BY a, b"""))
 
-  def qs: Seq[GQ] = Seq(exactQ, minhashQ, simhashQ, ngramQ)
+  /** dedup5 — the same blocked exact-Jaccard as dedup4, but candidate
+    * pairs are generated with PPJoin-style PREFIX FILTERING: order every
+    * doc's shingles by global rarity (doc-frequency asc, shingle asc —
+    * one total order for the whole corpus) and index only the first
+    * `|d| - ⌈t·|d|⌉ + 1` of them. Any pair with Jaccard ≥ t must
+    * collide within those prefixes (Bayardo et al.'s All-Pairs lemma),
+    * so recall is exact by construction while the candidate join only
+    * touches each doc's rarest shingles — at corpus scale this bounds
+    * candidate generation by the prefix index size instead of the full
+    * inverted index. Exact verification then runs on full shingle sets
+    * for candidates only. Same oracle as dedup4: the filter is
+    * lossless, so the result set is identical. */
+  private val Threshold = 3 // t = 0.3 as the fraction 3/10, kept integral
+  private val prefixQ = GQ(
+    "dedup5_prefix_jaccard",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = corpus(s, dir)
+        .withColumn("blk", floor(length(col("text")) / ngramBlock))
+      val sh = shingles(c, 2)
+        .join(c.select(col("doc_id"), col("source"), col("blk")), Seq("doc_id"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      // size and rank share one doc-partitioned shuffle (two window
+      // functions over the same partitioning); ⌈t·sz⌉ in exact integer
+      // arithmetic — a float ceil at the boundary could shorten the
+      // prefix and break losslessness
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val ranked = sh.join(dfreq, Seq("sh"))
+        .withColumn("sz", count(lit(1)).over(wDoc))
+        .withColumn("rn", row_number().over(
+          wDoc.orderBy(col("df"), col("sh"))))
+        .filter(col("rn") <=
+          col("sz") - expr(s"(sz * $Threshold + 9) div 10") + 1)
+      val probes = ranked
+        .withColumn("probe", explode(array(col("blk"), col("blk") + 1)))
+      val cand = probes.as("sa").join(ranked.as("sb"),
+          col("sa.sh") === col("sb.sh") && col("sa.source") === col("sb.source") &&
+            col("sa.probe") === col("sb.blk") &&
+            (col("sa.blk") < col("sb.blk") ||
+              (col("sa.blk") === col("sb.blk") &&
+                col("sa.doc_id") < col("sb.doc_id"))))
+        .select(least(col("sa.doc_id"), col("sb.doc_id")).as("a"),
+          greatest(col("sa.doc_id"), col("sb.doc_id")).as("b"))
+        .distinct()
+      val inter = cand
+        .join(sh.as("xa"), col("a") === col("xa.doc_id"))
+        .join(sh.as("xb"),
+          col("b") === col("xb.doc_id") && col("xa.sh") === col("xb.sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("za"), col("a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.3)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    },
+    ngramQ.oracle) // identical result set: prefix filtering is lossless
+
+  def qs: Seq[GQ] = Seq(exactQ, minhashQ, simhashQ, ngramQ, prefixQ)
 }
