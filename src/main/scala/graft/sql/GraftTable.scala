@@ -73,7 +73,10 @@ final class GraftTable(
     "primaryKey" -> lake.props.primaryKey.mkString(","),
     "preCombineField" -> lake.props.preCombineField.getOrElse(""),
     "type" -> lake.props.tableType,
-    "path" -> lake.basePath).asJava
+    "path" -> lake.basePath,
+    "writeSaltBuckets" -> lake.props.writeSaltBuckets.toString,
+    "bucketIndexBuckets" -> lake.props.bucketIndexBuckets.toString,
+    "compaction.delta_commits" -> lake.props.compactDeltaCommits.toString).asJava
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
