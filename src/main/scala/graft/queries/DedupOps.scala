@@ -281,22 +281,30 @@ object DedupOps {
       val sh = shingles(c, 2)
         .join(c.select(col("doc_id"), col("source"), col("blk")), Seq("doc_id"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      // frequency/order/candidate keys use the 64-bit shingle hash, not
+      // the string: a collision only merges two doc-frequency counts
+      // and can only ADD candidates (verified exactly below), and
+      // (df(h), h, sh) is still one consistent total order — both keep
+      // the prefix lemma lossless while the shuffles move 8-byte keys
+      val shh = sh.withColumn("h", xxhash64(col("sh")))
+      val dfreq = shh.groupBy("h").agg(count(lit(1)).as("df"))
       // size and rank share one doc-partitioned shuffle (two window
       // functions over the same partitioning); ⌈t·sz⌉ in exact integer
       // arithmetic — a float ceil at the boundary could shorten the
       // prefix and break losslessness
       val wDoc = Window.partitionBy(col("doc_id"))
-      val ranked = sh.join(dfreq, Seq("sh"))
+      val ranked = shh.join(dfreq, Seq("h"))
         .withColumn("sz", count(lit(1)).over(wDoc))
         .withColumn("rn", row_number().over(
-          wDoc.orderBy(col("df"), col("sh"))))
+          // sh as last tiebreak: colliding shingles share (df, h) and
+          // the order must stay consistent across documents
+          wDoc.orderBy(col("df"), col("h"), col("sh"))))
         .filter(col("rn") <=
           col("sz") - expr(s"(sz * $Threshold + 9) div 10") + 1)
       val probes = ranked
         .withColumn("probe", explode(array(col("blk"), col("blk") + 1)))
       val cand = probes.as("sa").join(ranked.as("sb"),
-          col("sa.sh") === col("sb.sh") && col("sa.source") === col("sb.source") &&
+          col("sa.h") === col("sb.h") && col("sa.source") === col("sb.source") &&
             col("sa.probe") === col("sb.blk") &&
             (col("sa.blk") < col("sb.blk") ||
               (col("sa.blk") === col("sb.blk") &&
