@@ -794,6 +794,11 @@ final class LakeTable private[core] (
   private def moveStaged(stagingDir: Path, instant: String)
       : (Seq[String], Map[String, String], Map[String, Int]) = {
     val f = fs
+    // per-writer token (Hudi write-token analog): a cross-process writer
+    // holding the same wall-clock instant must not collide on final file
+    // names. The staging dir name is `${instant}_${uuid8}`; reuse its
+    // uuid as the token.
+    val token = stagingDir.getName.stripPrefix(instant + "_")
     val added = scala.collection.mutable.ArrayBuffer.empty[String]
     val parts = scala.collection.mutable.Map.empty[String, String]
     val buckets = scala.collection.mutable.Map.empty[String, Int]
@@ -803,10 +808,15 @@ final class LakeTable private[core] (
       f.mkdirs(destDir)
       val bk = bucket.map(b => s"b${b}_").getOrElse("")
       val rel = (if (pp.isEmpty) "" else pp + "/") +
-        f"${instant}_$bk$seq%05d.parquet"
+        f"${instant}_${token}_$bk$seq%05d.parquet"
       seq += 1
-      if (!f.rename(file, new Path(basePath, rel)))
-        throw new IllegalStateException(s"rename failed: $file -> $rel")
+      if (!f.rename(file, new Path(basePath, rel))) {
+        // destination taken (or FS refused): clean our staging dir and
+        // surface as an OCC conflict so withOcc retries with a fresh
+        // instant instead of leaking staged files
+        try f.delete(stagingDir, true) catch { case _: Exception => () }
+        throw new CommitConflictException(s"rename failed: $file -> $rel")
+      }
       added += rel
       parts(rel) = pp
       bucket.foreach(buckets(rel) = _)
@@ -822,9 +832,15 @@ final class LakeTable private[core] (
       }
     if (f.exists(stagingDir)) walk(stagingDir, "", None)
     f.delete(stagingDir, true)
-    val stagingRoot = stagingDir.getParent
-    if (f.exists(stagingRoot) && f.listStatus(stagingRoot).isEmpty)
-      f.delete(stagingRoot, false)
+    // Best-effort tidy of the SHARED .staging root: a concurrent writer
+    // may create its own staging dir between our emptiness check and the
+    // delete, making local-FS delete throw — that must never fail THIS
+    // writer's commit. The root is a single empty dir; leaking it is fine.
+    try {
+      val stagingRoot = stagingDir.getParent
+      if (f.exists(stagingRoot) && f.listStatus(stagingRoot).isEmpty)
+        f.delete(stagingRoot, false)
+    } catch { case _: java.io.IOException => () }
     (added.toSeq, parts.toMap, buckets.toMap)
   }
 

@@ -195,7 +195,7 @@ final class Timeline(conf: Configuration, val basePath: String) {
     if (fs.exists(target))
       throw new CommitConflictException(
         s"Conflicting commit ${meta.instant} already exists on $basePath")
-    atomicWrite(target, Serialization.write(meta)(formats))
+    atomicWrite(target, Serialization.write(meta)(formats), allowOverwrite = false)
     commitCache.put(meta.instant + COMMIT_SUFFIX, meta)
   }
 
@@ -292,16 +292,24 @@ final class Timeline(conf: Configuration, val basePath: String) {
     }
   }
 
-  private def atomicWrite(target: Path, body: String): Unit = {
+  /** Write-then-rename. Commit files are the cross-process OCC arbiter
+    * and must be create-no-overwrite: `allowOverwrite = false` attempts
+    * the rename directly (local FS rename refuses to replace an existing
+    * target) and maps failure to [[CommitConflictException]] — never
+    * delete-then-rename, which would let a racing writer silently
+    * overwrite an already-acknowledged commit (lost commit). Rewrites of
+    * table.json / checkpoint.json keep overwrite semantics. */
+  private def atomicWrite(
+      target: Path, body: String, allowOverwrite: Boolean = true): Unit = {
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    // local FS rename refuses to overwrite; rewrites (table.json,
-    // checkpoint.json) are legitimate — commit-file uniqueness is
-    // enforced by the exists check in commit() before this point
-    if (fs.exists(target)) fs.delete(target, false)
+    if (allowOverwrite && fs.exists(target)) fs.delete(target, false)
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
+      if (!allowOverwrite)
+        throw new CommitConflictException(
+          s"Conflicting commit already exists at $target")
       throw new IllegalStateException(s"Commit rename failed for $target")
     }
   }
