@@ -279,7 +279,7 @@ final class LakeTable private[core] (
     // probe, merge write): keep it materialized once
     val incoming = conform(withMeta(dedupBatch(df), instant), newSchema).persist()
     val affected = affectedFiles(incoming,
-      statsOf = Some(df.select(keyCol.as(RecordKeyCol), ppCol.as(PartitionPathCol))))
+      statsOf = Some(df.select(keyCol.as(RecordKeyCol), ppCol.as(PartitionPathCol)))).files
     // insert-only fast path: no affected files means no existing
     // versions to merge against — skip the merge window shuffle
     val merged = if (affected.isEmpty) incoming else {
@@ -317,14 +317,16 @@ final class LakeTable private[core] (
       .withColumn(RecordKeyCol, keyCol)
       .withColumn(PartitionPathCol, ppCol)
       .select(RecordKeyCol, PartitionPathCol).distinct().persist()
-    val affected = affectedFiles(delKeys)
+    val probe = affectedFiles(delKeys)
+    val affected = probe.files
     if (affected.isEmpty) { // nothing matches: empty commit, no write
       delKeys.unpersist()
       doCommit(instant, "delete", Staged.empty, Seq.empty, schema, tag)
       return instant
     }
     val kept = readAffected(affected, schema)
-      .join(broadcast(delKeys), Seq(RecordKeyCol, PartitionPathCol), "left_anti")
+      .join(gatedBroadcast(delKeys, probe.batchRows),
+        Seq(RecordKeyCol, PartitionPathCol), "left_anti")
     val st = writeFiles(kept, instant)
     delKeys.unpersist()
     doCommit(instant, "delete", st, affected, schema, tag)
@@ -348,12 +350,13 @@ final class LakeTable private[core] (
       _.select(RecordKeyCol, PartitionPathCol).distinct().persist())
     val allKeys = (incoming.map(_.select(RecordKeyCol, PartitionPathCol)).toSeq ++
       delKeys.toSeq).reduceOption(_.unionByName(_))
-    val affected = allKeys.map(k => affectedFiles(k)).getOrElse(Seq.empty)
+    val probe = allKeys.map(k => affectedFiles(k)).getOrElse(Probe(Seq.empty, 0L))
+    val affected = probe.files
     // MOR read schema carries _deleted; the row-level guard compacted
     // beforehand, so it is all-null here — drop it for the merge union
     val existing0 = readAffected(affected, newSchema).drop(DeletedCol)
     val existing = delKeys match {
-      case Some(k) => existing0.join(broadcast(k),
+      case Some(k) => existing0.join(gatedBroadcast(k, probe.batchRows),
         Seq(RecordKeyCol, PartitionPathCol), "left_anti")
       case None => existing0
     }
@@ -383,9 +386,11 @@ final class LakeTable private[core] (
     if (isMor) compact()
     val instant = timeline.nextInstant()
     val delKeys = ids.select(RecordKeyCol, PartitionPathCol).distinct()
-    val affected = affectedFiles(delKeys)
+    val probe = affectedFiles(delKeys)
+    val affected = probe.files
     val kept = readAffected(affected, schema)
-      .join(broadcast(delKeys), Seq(RecordKeyCol, PartitionPathCol), "left_anti")
+      .join(gatedBroadcast(delKeys, probe.batchRows),
+        Seq(RecordKeyCol, PartitionPathCol), "left_anti")
     val st = writeFiles(kept, instant)
     doCommit(instant, "delete", st, affected, schema)
     instant
@@ -457,7 +462,7 @@ final class LakeTable private[core] (
       .withColumn("__c_ins", notMatchedInsert.getOrElse(lit(true)))
     val flagCols = Seq("__c_upd", "__c_del", "__c_ins")
     val src = conform(srcRaw, cur, extra = flagCols)
-    val affected = affectedFiles(src, global = true)
+    val affected = affectedFiles(src, global = true).files
     val existing = readAffected(affected, cur)
 
     val srcAliased = src.select(src.columns.toSeq.map(c => col(c).as(s"__s_$c")): _*)
@@ -523,6 +528,26 @@ final class LakeTable private[core] (
       allowMissingColumns = true)
   }
 
+  /** Result of the write probe: files that may contain batch keys, plus
+    * the batch row count observed by the probe's own stats job — free
+    * (same aggregation), and an upper bound on distinct keys used to
+    * size-gate downstream key-set broadcasts. */
+  private case class Probe(files: Seq[String], batchRows: Long)
+
+  /** Row-count ceiling for write-path key-set broadcast hints. Below it
+    * the batch's key set is broadcast (the probe/anti joins avoid
+    * shuffling the table-scan side — the common small-batch case);
+    * above it the hint is withheld, because force-broadcasting a
+    * backfill batch with tens of millions of distinct keys is a driver
+    * OOM. Without the hint the join plans as a shuffle, and AQE may
+    * still choose broadcast from its runtime size estimate. */
+  private def keyBroadcastMaxRows: Long =
+    spark.conf.getOption("spark.graft.keyBroadcastMaxRows")
+      .map(_.toLong).getOrElse(2000000L)
+
+  private def gatedBroadcast(keys: DataFrame, batchRows: Long): DataFrame =
+    if (batchRows <= keyBroadcastMaxRows) broadcast(keys) else keys
+
   /** Files containing at least one row whose key matches the batch.
     * Partition-scoped by default (Hudi's non-global index): candidates
     * are driver-pruned to the batch's partitions and the match is on
@@ -530,19 +555,23 @@ final class LakeTable private[core] (
     * all partitions. One semi-join collecting only distinct paths. */
   private def affectedFiles(
       incoming: DataFrame, global: Boolean = false,
-      statsOf: Option[DataFrame] = None): Seq[String] = {
+      statsOf: Option[DataFrame] = None): Probe = {
     val all = timeline.liveFiles(None)
     val (liveExt, live) = all.partition(_.external)
-    if (live.isEmpty && liveExt.isEmpty) return Seq.empty
+    if (live.isEmpty && liveExt.isEmpty) return Probe(Seq.empty, 0L)
     if (props.bucketIndexBuckets > 0)
       return bucketAffected(statsOf.getOrElse(incoming), live, liveExt, global)
-    // one job: per-partition record-key bounds of the batch. Min/max
-    // are dedup-invariant, so callers can supply a cheaper pre-dedup
-    // projection (skips the preCombine window shuffle in this job).
+    // one job: per-partition record-key bounds + row count of the
+    // batch. Min/max are dedup-invariant, so callers can supply a
+    // cheaper pre-dedup projection (skips the preCombine window
+    // shuffle in this job).
+    val statRows = statsOf.getOrElse(incoming).groupBy(PartitionPathCol)
+      .agg(min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    val batchRows = statRows.map(_.getLong(3)).sum
     val batchStats: Map[String, (String, String)] =
-      statsOf.getOrElse(incoming).groupBy(PartitionPathCol)
-        .agg(min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"))
-        .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      statRows.map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
         .toMap
     // candidate pruning (SURVEY §4 bloom/range-index analog):
     // partition scope first, then stored per-file key bounds vs the
@@ -574,12 +603,13 @@ final class LakeTable private[core] (
       spark.read.schema(withMetaSchema(schema)).parquet(candidates: _*)
         .select(col(RecordKeyCol), col(PartitionPathCol),
           col("_metadata.file_path").as("__file"))
-        .join(broadcast(incoming.select(joinKeys.map(col): _*).distinct()),
+        .join(gatedBroadcast(
+            incoming.select(joinKeys.map(col): _*).distinct(), batchRows),
           joinKeys, "left_semi")
         .select("__file").distinct()
         .collect().map(r => relativize(r.getString(0))).toSeq
     }
-    managedAffected ++ extAffected
+    Probe(managedAffected ++ extAffected, batchRows)
   }
 
   /** Bucket-index candidate resolution: the batch's (partition, bucket)
@@ -590,9 +620,10 @@ final class LakeTable private[core] (
     * index (no bucket id) fall back to partition scope. */
   private def bucketAffected(
       batch: DataFrame, live: Seq[FileEntry], liveExt: Seq[FileEntry],
-      global: Boolean): Seq[String] = {
+      global: Boolean): Probe = {
     val rows = batch.groupBy(col(PartitionPathCol), bucketExpr.as(StageBucketCol))
-      .agg(min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"))
+      .agg(min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"),
+        count(lit(1)).as("cnt"))
       .collect()
     val partitions: Set[String] = rows.map(_.getString(0)).toSet
     val perPartBucket: Map[(String, Int), (String, String)] =
@@ -616,8 +647,10 @@ final class LakeTable private[core] (
         }
       case None => partInScope(f) // legacy file: conservative
     }
-    live.collect { case f if hit(f) => f.path } ++
-      liveExt.collect { case f if partInScope(f) => f.path }
+    Probe(
+      live.collect { case f if hit(f) => f.path } ++
+        liveExt.collect { case f if partInScope(f) => f.path },
+      rows.map(_.getLong(4)).sum)
   }
 
   /** Files containing at least one row matching a predicate (for

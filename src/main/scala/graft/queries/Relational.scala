@@ -66,9 +66,11 @@ object Relational {
       WHERE l_returnflag IN ('A','R') AND l_quantity >= 30"""))
 
   /** q3 — 4-way equi-join + aggregate (fact×fact×dim×dim).
-    * Covers §2.4 J1/J4. nation/customer broadcast at any SF; the
-    * lineitem⋈orders fact join shuffles on the key — correct and
-    * AQE-managed at 100 TB. */
+    * Covers §2.4 J1/J4. nation is fixed-size (25 rows) — broadcast
+    * unconditionally. customer GROWS with scale factor: no forced hint;
+    * AQE broadcasts it at small SF and falls back to a shuffle join at
+    * 100 TB where a forced multi-GB broadcast would OOM. The
+    * lineitem⋈orders fact join shuffles on the key. */
   private val q3 = GQ(
     "q3_join_revenue_by_nation",
     (s, dir) => {
@@ -77,7 +79,7 @@ object Relational {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
@@ -286,8 +288,10 @@ object Relational {
 
   /** q14 — TPC-H Q5-shaped six-table star join (region → nation →
     * supplier/customer → orders → lineitem) with a local-supplier
-    * constraint. Covers the full dimension set: region/nation/supplier
-    * broadcast; only the two fact tables shuffle. */
+    * constraint. Covers the full dimension set: region/nation are
+    * fixed-size and broadcast unconditionally; customer/supplier grow
+    * with SF, so no forced hint — AQE broadcasts them while small and
+    * shuffles at 100 TB. Only the two fact tables always shuffle. */
   private val q14 = GQ(
     "q14_regional_supplier_volume",
     (s, dir) => {
@@ -298,8 +302,8 @@ object Relational {
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(su),
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su,
           l("l_suppkey") === su("s_suppkey") &&
             c("c_nationkey") === su("s_nationkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
@@ -328,7 +332,7 @@ object Relational {
       val l = t(s, dir, "lineitem")
       val p = t(s, dir, "part")
       val net = netExpr(col("l_extendedprice"), col("l_discount"))
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
         .agg(
           sum(when(col("p_type").startsWith("PROMO"), net)
             .otherwise(dec2(lit(0)))).cast("double").as("promo_revenue"),

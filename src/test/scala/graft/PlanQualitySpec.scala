@@ -75,6 +75,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hasCodegen(plan), s"expected codegen:\n$plan")
   }
 
+  test("SF-scaled dims broadcast via AQE, not forced hints") {
+    // Only fixed-size dims (nation/region) carry an explicit broadcast
+    // hint; customer/supplier/part are left to AQE so a 100 TB run
+    // falls back to a shuffle join instead of a forced multi-GB
+    // broadcast. At test SF, AQE must still pick broadcast for them.
+    val cases = Seq( // (query, expected hint count in the optimized plan)
+      "q3_join_revenue_by_nation" -> 1, // nation
+      "q14_regional_supplier_volume" -> 2, // nation + region
+      "q15_promo_revenue" -> 0)
+    for ((name, hints) <- cases) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val opt = df.queryExecution.optimizedPlan.toString
+      val found = "strategy=broadcast".r.findAllIn(opt).size
+      assert(found == hints, s"$name: expected $hints broadcast hints, got $found:\n$opt")
+      val ep = executedPlan(df)
+      assert(ep.contains("BroadcastHashJoin"),
+        s"$name: AQE should broadcast the small dims at test SF:\n$ep")
+      // q3/q14's fact⋈fact join legitimately shuffles; q15 is a single
+      // fact⋈dim join and must be all-broadcast at this SF
+      if (name == "q15_promo_revenue")
+        assert(!ep.contains("SortMergeJoin"), s"$name: unexpected shuffle join:\n$ep")
+    }
+  }
+
   test("graft_vec_dot participates in codegen (no CodegenFallback)") {
     graft.functions.GraftFunctions.register(spark)
     // parquet-backed input so the projection can't constant-fold away

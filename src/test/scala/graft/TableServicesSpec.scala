@@ -192,4 +192,65 @@ class TableServicesSpec extends AnyFunSuite {
     assert(t.snapshot().filter(col("id") === 1)
       .select("v").as[String].head() == "b")
   }
+
+  test("write-probe key-set broadcast is size-gated") {
+    // capture every internal action's executed plan
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    import scala.jdk.CollectionConverters._
+    def semiPlans: Seq[String] = {
+      // listener bus is async: poll briefly for the probe's plan
+      val deadline = System.nanoTime() + 5000000000L
+      var out = Seq.empty[String]
+      while (out.isEmpty && System.nanoTime() < deadline) {
+        out = captured.asScala.toSeq.filter(_.contains("LeftSemi"))
+        if (out.isEmpty) Thread.sleep(50)
+      }
+      out
+    }
+    val savedKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.graft.keyBroadcastMaxRows")
+    val saved = savedKeys.map(k => k -> spark.conf.getOption(k))
+    spark.listenerManager.register(listener)
+    try {
+      // no size-based broadcasts: only the explicit hint can produce one
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val t = LakeTable.create(spark, tmp(), props)
+      t.upsert(mkDf(row(1, "a"), row(2, "b"), row(3, "c")))
+
+      // batch above the gate: probe semi-join must NOT broadcast
+      spark.conf.set("spark.graft.keyBroadcastMaxRows", "0")
+      t.upsert(mkDf(row(2, "b2"), row(4, "d")))
+      val above = semiPlans
+      assert(above.nonEmpty, "expected a probe semi-join plan")
+      assert(!above.exists(_.contains("BroadcastHashJoin")),
+        s"key set above the gate must not broadcast:\n${above.mkString}")
+
+      // batch below the gate: the hint forces broadcast even with
+      // size thresholds disabled
+      captured.clear()
+      spark.conf.set("spark.graft.keyBroadcastMaxRows", "2000000")
+      t.upsert(mkDf(row(3, "c2"), row(5, "e")))
+      val below = semiPlans
+      assert(below.nonEmpty, "expected a probe semi-join plan")
+      assert(below.exists(_.contains("BroadcastHashJoin")),
+        s"small key set should broadcast:\n${below.mkString}")
+      assert(t.snapshot().count() == 5)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
