@@ -54,13 +54,18 @@ object DedupOps {
       UNION ALL SELECT doc_id + 2000000, text, source
         FROM documents WHERE doc_id % 11 = 0)"""
 
-  /** Word n-gram shingles (Spark side), distinct per doc. */
+  /** Word n-gram shingles (Spark side), distinct per doc. Dedup runs
+    * INSIDE the row via array_distinct before the explode — set
+    * semantics per doc without a relation-wide distinct() shuffle
+    * (the exploded relation is the largest intermediate in every
+    * shingle query; shuffling it once cost more than the rest of
+    * dedup4 combined). */
   private def shingles(df: DataFrame, n: Int): DataFrame = {
     val grams = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
     df.withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
       .withColumn("sh", explode(expr(
-        s"case when size(w) >= $n then transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $grams)) else array() end")))
-      .select(col("doc_id"), col("sh")).distinct()
+        s"case when size(w) >= $n then array_distinct(transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $grams))) else array() end")))
+      .select(col("doc_id"), col("sh"))
   }
 
   /** Same shingling in DuckDB ("sh" relation over corpus). */
@@ -108,9 +113,10 @@ object DedupOps {
   private val minhashQ = GQ(
     "dedup2_minhash_lsh",
     (s, dir) => {
-      // the shingle relation feeds four branches; its distinct()'s
-      // exchange is identical in all of them, so ReuseExchange already
-      // computes the explode once — no cache needed
+      // the shingle relation feeds four branches; it is a narrow
+      // scan→split→explode pipeline (per-doc array_distinct, no
+      // shuffle), so re-deriving it per consumer is cheaper than a
+      // cache round-trip
       val sh = shingles(corpus(s, dir), 3)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val hashed = sh.withColumn("x",
@@ -278,27 +284,41 @@ object DedupOps {
       import org.apache.spark.sql.expressions.Window
       val c = corpus(s, dir)
         .withColumn("blk", floor(length(col("text")) / ngramBlock))
-      val sh = shingles(c, 2)
-        .join(c.select(col("doc_id"), col("source"), col("blk")), Seq("doc_id"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      // frequency/order/candidate keys use the 64-bit shingle hash, not
+      // The exploded shingle relation is a NARROW pipeline (scan →
+      // split → per-doc array_distinct → explode, no shuffle), so each
+      // consumer re-derives it more cheaply than a cache round-trip.
+      //
+      // Frequency/order/candidate keys use the 64-bit shingle hash, not
       // the string: a collision only merges two doc-frequency counts
       // and can only ADD candidates (verified exactly below), and
-      // (df(h), h, sh) is still one consistent total order — both keep
-      // the prefix lemma lossless while the shuffles move 8-byte keys
-      val shh = sh.withColumn("h", xxhash64(col("sh")))
-      val dfreq = shh.groupBy("h").agg(count(lit(1)).as("df"))
+      // (df(h), h) is still one consistent total order — both keep
+      // the prefix lemma lossless while the shuffles move 8-byte keys.
+      val sh = shingles(c, 2)
+        .join(c.select(col("doc_id"), col("source"), col("blk")), Seq("doc_id"))
+        .withColumn("h", xxhash64(col("sh")))
+      // per-doc shingle SET as one array row: verification joins attach
+      // two arrays per candidate pair and intersect in-line — the
+      // exploded relation is never shuffled for verification, and the
+      // doc-array relation is small enough for AQE to broadcast (at
+      // corpus scale it degrades to a doc_id-keyed shuffle join, still
+      // O(candidates), never O(corpus²))
+      val docSets = sh.groupBy("doc_id").agg(
+        collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
+      // the ranking/candidate pipeline never touches the shingle STRING:
+      // every shuffle below moves 8-byte keys only
+      val lean = sh.select("doc_id", "h", "source", "blk")
+      val dfreq = lean.groupBy("h").agg(count(lit(1)).as("df"))
       // size and rank share one doc-partitioned shuffle (two window
       // functions over the same partitioning); ⌈t·sz⌉ in exact integer
       // arithmetic — a float ceil at the boundary could shorten the
-      // prefix and break losslessness
+      // prefix and break losslessness. No tiebreak beyond (df, h) is
+      // needed: rows tied on (df, h) carry the SAME h, so the set of
+      // h's in any prefix is invariant under tie order, and candidates
+      // key on h — losslessness does not depend on how ties sort.
       val wDoc = Window.partitionBy(col("doc_id"))
-      val ranked = shh.join(dfreq, Seq("h"))
+      val ranked = lean.join(dfreq, Seq("h"))
         .withColumn("sz", count(lit(1)).over(wDoc))
-        .withColumn("rn", row_number().over(
-          // sh as last tiebreak: colliding shingles share (df, h) and
-          // the order must stay consistent across documents
-          wDoc.orderBy(col("df"), col("h"), col("sh"))))
+        .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("h"))))
         .filter(col("rn") <=
           col("sz") - expr(s"(sz * $Threshold + 9) div 10") + 1)
       val probes = ranked
@@ -312,14 +332,13 @@ object DedupOps {
         .select(least(col("sa.doc_id"), col("sb.doc_id")).as("a"),
           greatest(col("sa.doc_id"), col("sb.doc_id")).as("b"))
         .distinct()
-      val inter = cand
-        .join(sh.as("xa"), col("a") === col("xa.doc_id"))
-        .join(sh.as("xb"),
-          col("b") === col("xb.doc_id") && col("xa.sh") === col("xb.sh"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("za"), col("a") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+      // exact verification on the STRING shingle sets: both arrays are
+      // per-doc distinct, so |∩| = size(array_intersect) exactly
+      cand
+        .join(docSets.as("za"), col("a") === col("za.doc_id"))
+        .join(docSets.as("zb"), col("b") === col("zb.doc_id"))
+        .withColumn("inter",
+          size(array_intersect(col("za.shs"), col("zb.shs"))).cast("long"))
         .withColumn("jaccard", col("inter").cast("double") /
           (col("za.sz") + col("zb.sz") - col("inter")).cast("double"))
         .filter(col("jaccard") >= 0.3)
