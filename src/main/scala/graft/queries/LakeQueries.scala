@@ -255,7 +255,41 @@ object LakeQueries {
       CAST(CASE WHEN c_custkey % 6 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
       FROM customer WHERE c_custkey % 11 <> 0 ORDER BY c_custkey"""))
 
+  /** MOR real-time view through the SQL catalog (TestBatchMOR.java:52-58):
+    * SQL INSERTs land as delta commits; a SELECT by table name
+    * immediately afterwards must return the MERGED state (latest ts per
+    * key), not the read-optimized base files. Exercises the
+    * compact-on-read path in [[graft.sql.GraftTable.newScanBuilder]]. */
+  private val morRtSqlQ = GQ(
+    "lake12_mor_rt_sql",
+    (s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_gate", "graft.sql.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_gate.warehouse",
+        "target/graft_warehouse_gate")
+      val tbl = s"graft_gate.db.lake12_${math.abs(dir.hashCode)}"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.db")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl (
+        c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, ts BIGINT)
+        USING graft TBLPROPERTIES (
+          primaryKey = 'c_custkey', preCombineField = 'ts', type = 'mor')""")
+      base(s, dir).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .createOrReplaceTempView("lake12_src")
+      s.sql(s"""INSERT INTO $tbl
+        SELECT c_custkey, c_name, c_acctbal, CAST(1 AS BIGINT) FROM lake12_src""")
+      s.sql(s"""INSERT INTO $tbl
+        SELECT c_custkey, c_name || '_v2', c_acctbal, CAST(2 AS BIGINT)
+        FROM lake12_src WHERE c_custkey % 3 = 0""")
+      // read by NAME right after the delta commit: must be merged
+      s.sql(s"SELECT c_custkey, c_name, c_acctbal, ts FROM $tbl ORDER BY c_custkey")
+    },
+    Some("""SELECT c_custkey,
+      CASE WHEN c_custkey % 3 = 0 THEN c_name || '_v2' ELSE c_name END AS c_name,
+      c_acctbal,
+      CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
+      FROM customer ORDER BY c_custkey"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
-    timeTravelQ, pruneQ, morQ, bucketQ)
+    timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ)
 }

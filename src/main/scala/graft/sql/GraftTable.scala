@@ -103,12 +103,29 @@ final class GraftTable(
   // ----------------------------------------------------------------- read
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val live = lake.timeline.liveFiles(
-      asOf.orElse(Option(options.get("asOfInstant"))))
-    // MOR catalog reads are the READ-OPTIMIZED view (base files only —
-    // Hudi's `_ro` table): raw delta files hold multiple versions the
-    // delegated scan cannot merge. The real-time merged view is the
-    // path API (format("graft")) / LakeTable.snapshot.
+    // MOR catalog reads serve the REAL-TIME (merged) view: raw delta
+    // files hold multiple versions that the delegated parquet scan
+    // cannot merge, so a current-state scan that finds un-compacted
+    // delta commits folds them into fresh base files first (compact-
+    // on-read — zero staleness, amortized across subsequent reads;
+    // TestBatchMOR.java:52-58 reads merged rows by table name right
+    // after delta writes). Compaction preserves per-row commit times,
+    // so concurrent incremental and commit-tail streaming readers see
+    // no phantom changes; a lost OCC race means a concurrent writer
+    // advanced the table — fall through and read what is live then.
+    // Time-travel reads at an instant predating compaction still
+    // serve the read-optimized view (deltas of that era cannot be
+    // retro-compacted).
+    val travel = asOf.orElse(Option(options.get("asOfInstant")))
+    if (lake.props.tableType == "mor" && travel.isEmpty) {
+      val acts = lake.timeline.commits().map(c => c.instant -> c.action).toMap
+      val hasDeltas = lake.timeline.liveFiles(None)
+        .exists(e => acts.get(e.instant).contains("deltacommit"))
+      if (hasDeltas)
+        try lake.withOcc()(lake.compact())
+        catch { case _: Exception => () }
+    }
+    val live = lake.timeline.liveFiles(travel)
     val actions = lake.timeline.commits().map(c => c.instant -> c.action).toMap
     val files = (if (lake.props.tableType == "mor")
       live.filter(e => actions.get(e.instant).forall(_ != "deltacommit"))

@@ -128,7 +128,7 @@ class MorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("SQL catalog read of MOR is the read-optimized view") {
+  test("SQL catalog read of MOR is the real-time view (compact-on-read)") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
@@ -136,13 +136,17 @@ class MorSpec extends AnyFunSuite {
     spark.sql("""CREATE TABLE graft.db.mor1 (id INT, v STRING, ts BIGINT) USING graft
       TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts', type = 'mor')""")
     spark.sql("INSERT INTO graft.db.mor1 VALUES (1,'a',1)")
-    // delta-only table: RO view is empty until compaction
-    assert(spark.sql("SELECT * FROM graft.db.mor1").count() == 0)
-    val wh = "target/graft_warehouse_test/db/mor1"
-    LakeTable.load(spark, wh).compact()
+    // delta-only table: the name-based read compacts inline and serves
+    // the merged state — never a stale/empty RO view
     assert(spark.sql("SELECT v FROM graft.db.mor1").head().getString(0) == "a")
-    // real-time view through the path API sees deltas immediately
+    val wh = "target/graft_warehouse_test/db/mor1"
+    // the read left compacted base files behind (amortization)
+    assert(LakeTable.load(spark, wh).timeline.commits()
+      .map(_.action).contains("commit"))
+    // a fresh delta is visible to the next name-based read too
     spark.sql("INSERT INTO graft.db.mor1 VALUES (2,'b',1)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.mor1").head().getLong(0) == 2)
+    // real-time view through the path API agrees
     assert(spark.read.format("graft").load(wh).count() == 2)
   }
 }

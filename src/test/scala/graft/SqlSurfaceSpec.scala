@@ -216,4 +216,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .mode("append").option("operation", "delete").save(path)
     assert(spark.read.format("graft").load(path).count() == 2)
   }
+
+  test("MOR SQL read by name is the real-time merged view") {
+    sql("DROP TABLE IF EXISTS graft.db.mor_rt")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    sql("""CREATE TABLE graft.db.mor_rt (id INT, v STRING, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts', type = 'mor')""")
+    sql("INSERT INTO graft.db.mor_rt VALUES (1, 'a', 1), (2, 'b', 1)")
+    sql("INSERT INTO graft.db.mor_rt VALUES (1, 'a2', 2)") // delta update
+    // read immediately after the delta commit: must be merged, not RO
+    val rows = sql("SELECT id, v FROM graft.db.mor_rt ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "a2"), (2, "b")), s"got $rows")
+    // a late-arriving update with a SMALLER ordering value must lose
+    sql("INSERT INTO graft.db.mor_rt VALUES (1, 'stale', 0)")
+    val v1 = sql("SELECT v FROM graft.db.mor_rt WHERE id = 1").head().getString(0)
+    assert(v1 == "a2", s"payload ordering lost: $v1")
+  }
 }
