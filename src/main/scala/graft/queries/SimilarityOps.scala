@@ -214,8 +214,43 @@ object SimilarityOps {
       SELECT id AS vec_id, min(lbl) AS canonical FROM r
       GROUP BY id HAVING min(lbl) <> id ORDER BY vec_id"""))
 
+  /** sim3's DuckDB oracle: the hyperplanes are fixed md5-derived ±1
+    * constants, so bucket membership is fully SQL-expressible — the
+    * oracle materializes the same coefficient arrays as SQL literals,
+    * recomputes bucket + hamming-1 probes relationally, and exact-
+    * scores the identical candidate set. The projection fold is the
+    * same left-to-right double summation on both engines (see
+    * [[graft.functions.VecFloatDot]]), so bucket signs agree bit-for-
+    * bit and the ANN result stops being a "no oracle" hole. */
+  private def annOracleSql: String = {
+    val planes = (0 until AnnBits).map(j =>
+      planeCoefs(j).map(c => if (c > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]"))
+    val bucket = (0 until AnnBits).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}),
+         i -> CAST(embedding[i] AS DOUBLE) * (${planes(j)})[i])) >= 0
+         THEN ${1L << j} ELSE 0 END)"""
+    }.mkString(" + ")
+    val probes = (Seq("bucket") ++
+      (0 until AnnBits).map(j => s"xor(bucket, ${1L << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket,
+        ${normSql("embedding")} AS nrm FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+          unnest($probes) AS q_bucket FROM e WHERE vec_id < 20),
+      scored AS (SELECT q_id, e.vec_id,
+          round(${dotSql("q_emb", "embedding")} / (q_nrm * e.nrm), 9) AS cosine
+        FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+      ranked AS (SELECT q_id, vec_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
   /** sim3 — ANN top-5 via sign-LSH buckets with hamming-1 multiprobe.
-    * Approximate — recall asserted in PipelineOpsSpec, no SQL oracle. */
+    * Deterministic (fixed hyperplanes): the DuckDB oracle replicates
+    * bucket + probe + exact rerank — see [[annOracleSql]]. */
   private val annQ = GQ(
     "sim3_ann_lsh_topk",
     (s, dir) => {
@@ -235,7 +270,7 @@ object SimilarityOps {
         .select("q_id", "vec_id", "cosine", "rank")
         .orderBy("q_id", "rank")
     },
-    None)
+    Some(annOracleSql))
 
   /** sim4 — IVF ANN: k-means coarse quantizer (MLlib, fixed seed),
     * queries probe their 2 nearest centroids (nprobe=2). The classic
