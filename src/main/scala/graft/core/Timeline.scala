@@ -73,7 +73,13 @@ final case class CheckpointMeta(
     files: Seq[FileEntry],
     /** schema DDL as of the archive boundary — serves time-travel reads
       * at instants between the boundary and the first active commit */
-    schemaDdl: String = "")
+    schemaDdl: String = "",
+    /** max archived writer tag VALUE per tag KEY (tags are
+      * "key=number", e.g. the streaming sink's per-query batch id):
+      * archiving folds commits away, but their exactly-once markers
+      * must survive — a crash-replay whose tagged commit was archived
+      * would otherwise re-apply the batch. */
+    tags: Map[String, Long] = Map.empty)
 
 /** Declared table properties — SparkSQLDemo.scala:47-51's
   * (primaryKey, preCombineField, type, partitioned by) surface. */
@@ -260,10 +266,20 @@ final class Timeline(conf: Configuration, val basePath: String) {
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
       c.buckets.flatMap(_.get(f)))
+    val priorTags = readCheckpoint().map(_.tags).getOrElse(Map.empty)
+    val archivedTags = toArchive.flatMap(_.tag).flatMap { t =>
+      t.split("=", 2) match {
+        case Array(k, v) => v.toLongOption.map(k -> _)
+        case _ => None
+      }
+    }
+    val tags = (priorTags.toSeq ++ archivedTags)
+      .groupMapReduce(_._1)(_._2)(math.max)
     val cp = CheckpointMeta(
       asOf = toArchive.last.instant,
       files = (prior.filterNot(f => removed.contains(f.path)) ++ archivedEntries),
-      schemaDdl = toArchive.last.schemaDdl)
+      schemaDdl = toArchive.last.schemaDdl,
+      tags = tags)
     atomicWrite(checkpointPath, Serialization.write(cp)(formats))
     val archiveDir = new Path(dir, "archived")
     fs.mkdirs(archiveDir)

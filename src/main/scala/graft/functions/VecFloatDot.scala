@@ -14,6 +14,9 @@ import org.apache.spark.sql.types._
   * 0.0D, (acc, v) -> acc + v)` — so results are bit-identical to that
   * interpreted fold (and to DuckDB's `list_sum(list_transform(...))`
   * used by the oracles) while running inside whole-stage codegen.
+  * Edge semantics match the fold too: mismatched array lengths return
+  * NULL (zip_with pads with null and the fold propagates it), and a
+  * null element in either array returns NULL.
   *
   * Exists for performance only: Spark's higher-order functions
   * interpret the lambda per element, which dominated the similarity
@@ -37,18 +40,28 @@ case class VecFloatDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Mismatched lengths (a runtime property) return NULL, so the
+    * result can be null even for non-null inputs. */
+  override def nullable: Boolean = true
+
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def mayHaveNullElems(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val xf = elemType(left) == FloatType
     val yf = elemType(right) == FloatType
+    val checkNulls = mayHaveNullElems(left) || mayHaveNullElems(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -65,13 +78,24 @@ case class VecFloatDot(left: Expression, right: Expression)
       def getter(arr: String, e: Expression): String =
         if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
         else s"$arr.getDouble($i)"
+      // element null checks compile away entirely when the schema says
+      // neither array can contain nulls (the embeddings hot path)
+      val nullCheck =
+        if (mayHaveNullElems(left) || mayHaveNullElems(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $acc = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  $acc += (${getter(a, left)}) * (${getter(b, right)});
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  int $n = $a.numElements();
+        |  double $acc = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $nullCheck
+        |    $acc += (${getter(a, left)}) * (${getter(b, right)});
+        |  }
+        |  if (!${ev.isNull}) ${ev.value} = $acc;
         |}
-        |${ev.value} = $acc;
       """.stripMargin
     })
 

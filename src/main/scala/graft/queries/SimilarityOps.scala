@@ -179,24 +179,38 @@ object SimilarityOps {
         .withColumn("lbl", col("id")).persist()
       // labels only ever decrease, so sum(lbl) is strictly decreasing
       // until the fixpoint — one cheap agg per iteration instead of a
-      // join-based change count
+      // join-based change count. coalesce guards the empty graph
+      // (sum over zero rows is NULL).
       def labelSum(): Long =
-        labels.agg(sum("lbl")).head().getLong(0)
+        labels.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
       var prevSum = labelSum()
-      var converged = false
+      var converged = labels.isEmpty // no near-dup edges: nothing to do
       var iter = 0
-      while (!converged && iter < 20) {
+      val maxIters = 64
+      while (!converged && iter < maxIters) {
         val next = labels.join(edges, col("id") === col("a"))
           .select(col("b").as("id"), col("lbl"))
           .unionByName(labels.select("id", "lbl"))
-          .groupBy("id").agg(min("lbl").as("lbl")).persist()
+          .groupBy("id").agg(min("lbl").as("lbl"))
+        // truncate the per-iteration lineage every few rounds: persist
+        // caches data but the logical plan still grows one join layer
+        // per iteration, so a deep component would otherwise pay
+        // ever-taller analysis/planning (and risk stack overflow)
+        val mat =
+          if ((iter + 1) % 5 == 0) next.localCheckpoint() else next.persist()
         labels.unpersist()
-        labels = next
+        labels = mat
         val s = labelSum()
         converged = s == prevSum
         prevSum = s
         iter += 1
       }
+      // a cap exit with the sum still decreasing would silently emit
+      // wrong canonical labels (components with diameter > maxIters) —
+      // fail loudly instead of diverging from the exact oracle
+      if (!converged)
+        throw new IllegalStateException(
+          s"sim5 label propagation not converged after $maxIters iterations")
       val out = labels.filter(col("id") =!= col("lbl"))
         .select(col("id").as("vec_id"), col("lbl").as("canonical"))
         .orderBy("vec_id")

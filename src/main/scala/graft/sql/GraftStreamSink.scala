@@ -75,14 +75,19 @@ final class GraftStreamSink(
   }
 
   /** Highest batch id recorded in a commit tag for this query — the
-    * crash-window safety net. O(#active commits) driver-side JSON; the
-    * relevant commit is always recent on a crash-replay, well inside
-    * any archive window. */
-  private def committedBatchId(l: LakeTable): Long =
-    l.timeline.commits().flatMap(_.tag).collect {
+    * crash-window safety net. O(#active commits) driver-side JSON,
+    * plus the archive checkpoint's folded tags: archiving is
+    * user-triggerable at any cadence (CALL archive_commits), so the
+    * tagged commit is NOT guaranteed to still be active on replay. */
+  private def committedBatchId(l: LakeTable): Long = {
+    val active = l.timeline.commits().flatMap(_.tag).collect {
       case t if t.startsWith(markerName + "=") =>
         t.stripPrefix(markerName + "=").toLong
-    }.foldLeft(-1L)(math.max)
+    }
+    val archived = l.timeline.readCheckpoint()
+      .flatMap(_.tags.get(markerName))
+    (active ++ archived).foldLeft(-1L)(math.max)
+  }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val l = lake()

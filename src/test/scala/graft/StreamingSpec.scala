@@ -66,6 +66,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 3)
   }
 
+  test("sink replay is refused even after the tagged commit was archived") {
+    val path = tmp("stream_archive_replay_")
+    val ckpt = "archive-replay-ckpt"
+    val sink = new graft.sql.GraftStreamSink(spark, Map(
+      "path" -> path, "operation" -> "insert",
+      "primaryKey" -> "id", "checkpointLocation" -> ckpt))
+    (0 to 3).foreach { b =>
+      sink.addBatch(b.toLong, Seq((10 + b, s"v$b", 1L)).toDF("id", "v", "ts"))
+    }
+    val t = LakeTable.load(spark, path)
+    assert(t.snapshot().count() == 4)
+    // archive EVERY commit (user-triggerable at any cadence), folding
+    // the tagged commits into the checkpoint
+    assert(t.timeline.archive(minToKeep = 0, maxToKeep = 1) == 4)
+    // crash between commit and marker write AND an aggressive archive:
+    // the batch-id tag now lives only in the checkpoint
+    val sdir = new org.apache.hadoop.fs.Path(t.basePath, "_streaming")
+    sdir.getFileSystem(spark.sessionState.newHadoopConf()).delete(sdir, true)
+    sink.addBatch(3L, Seq((13, "v3", 1L)).toDF("id", "v", "ts"))
+    assert(t.snapshot().count() == 4, "archived batch tag must prevent replay")
+    // marker repaired: the next real batch still applies
+    sink.addBatch(4L, Seq((14, "v4", 1L)).toDF("id", "v", "ts"))
+    assert(t.snapshot().count() == 5)
+  }
+
   test("rate-source-style synthesized stream into the sink (ST1 shape)") {
     val path = tmp("stream_rate_")
     val checkpoint = tmp("stream_rate_ckpt_")

@@ -36,4 +36,23 @@ class VecFloatDotSpec extends AnyFunSuite {
     // non-array input is rejected at analysis
     intercept[Exception](df.selectExpr("graft_vec_dot(a, 3)").head())
   }
+
+  test("edge semantics match the fold: length mismatch and null elements -> NULL") {
+    // mismatched lengths: zip_with pads with null, the fold propagates
+    val mism = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .withColumn("fast", expr("graft_vec_dot(a, b)"))
+      .withColumn("slow", expr(hof))
+    val r = mism.select("fast", "slow").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // null element in either side -> NULL (both eval paths)
+    val withNull = Seq(
+      (Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (Seq[java.lang.Float](1.0f, 2.0f, 3.0f), Seq[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .withColumn("fast", expr("graft_vec_dot(a, b)"))
+      .withColumn("slow", expr(hof))
+    val rows = withNull.select("fast", "slow").collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(!rows(1).isNullAt(0) && rows(1).getDouble(0) == rows(1).getDouble(1))
+  }
 }
