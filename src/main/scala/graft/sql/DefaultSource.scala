@@ -26,7 +26,8 @@ import graft.core.{LakeTable, MergePolicy, TableProps}
   * the parquet scans underneath stay vectorized with pushdown — and
   * incremental row-level `(begin, end]` semantics are exact.
   */
-class DefaultSource extends RelationProvider with CreatableRelationProvider
+class DefaultSource extends RelationProvider with SchemaRelationProvider
+  with CreatableRelationProvider
   with DataSourceRegister
   with org.apache.spark.sql.sources.StreamSinkProvider {
 
@@ -54,6 +55,19 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft reads require a path"))
     GraftRelation(sqlContext, path, parameters)
+  }
+
+  /** Catalog-registered (saveAsTable) reads: the session catalog stores
+    * the DATA schema and passes it back here — serve exactly those
+    * columns. Path-based reads (no stored schema) keep exposing the
+    * meta columns. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft reads require a path"))
+    GraftRelation(sqlContext, path, parameters, Some(schema))
   }
 
   override def createRelation(
@@ -94,7 +108,12 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       case (_, "delete") => lake.delete(data)
       case _ => lake.upsert(data, policy)
     }
-    GraftRelation(sqlContext, path, parameters)
+    // Report the DATA schema: saveAsTable records this relation's
+    // schema in the session catalog, and later appends are checked
+    // against it column-for-column — exposing the meta columns here
+    // would make every user append fail the count check (W15,
+    // SyncCommentsAcrossClusters.scala:111-113).
+    GraftRelation(sqlContext, path, parameters, Some(lake.schema))
   }
 }
 
@@ -103,7 +122,10 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
 final case class GraftRelation(
     sqlContext: SQLContext,
     path: String,
-    rawParameters: Map[String, String])
+    rawParameters: Map[String, String],
+    /** When set (catalog-registered tables), the relation serves
+      * exactly these columns; path-based relations expose meta + data. */
+    declaredSchema: Option[StructType] = None)
   extends BaseRelation with PrunedFilteredScan {
 
   private val parameters: Map[String, String] =
@@ -122,7 +144,8 @@ final case class GraftRelation(
     case _ => lake.snapshot(parameters.get("asOfInstant"))
   }
 
-  override lazy val schema: StructType = frame().schema
+  override lazy val schema: StructType =
+    declaredSchema.getOrElse(frame().schema)
 
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
@@ -130,9 +153,11 @@ final case class GraftRelation(
     val filtered = filters.foldLeft(base) { (df, f) =>
       GraftRelation.toColumn(f).map(df.filter).getOrElse(df)
     }
+    val wanted =
+      if (requiredColumns.nonEmpty) requiredColumns.toSeq
+      else schema.fieldNames.toSeq // declared-schema tables: data cols only
     val pruned =
-      if (requiredColumns.isEmpty) filtered
-      else filtered.select(requiredColumns.map(col).toSeq: _*)
+      if (wanted.isEmpty) filtered else filtered.select(wanted.map(col): _*)
     pruned.rdd
   }
 

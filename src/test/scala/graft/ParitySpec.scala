@@ -120,4 +120,55 @@ class ParitySpec extends AnyFunSuite {
     assert(FsUtils.listDirs(spark, dir).toSet == Set("b"))
     assert(!FsUtils.deletePath(spark, dir + "/missing"))
   }
+
+  test("S6/S12/J4: JDBC round-trip with subquery pushdown (embedded Derby)") {
+    // the reference's dbtable = "(select ... left join ...) a" shape
+    // (SyncCommentsAcrossClusters.scala:126-139) against the Derby
+    // jars shipped in /opt/spark/jars — no external DB needed
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE comments (id INT, col_name VARCHAR(64), comment VARCHAR(256))")
+      st.executeUpdate("CREATE TABLE cols (id INT, col_name VARCHAR(64), tbl VARCHAR(64))")
+      st.executeUpdate("INSERT INTO comments VALUES (1, 'a', 'first'), (2, 'b', 'second'), (3, 'c', NULL)")
+      st.executeUpdate("INSERT INTO cols VALUES (1, 'a', 't1'), (2, 'b', 't1'), (4, 'd', 't2')")
+      st.close()
+    } finally conn.close()
+    val pushed = """(SELECT c.id, c.col_name, c.comment, k.tbl
+      FROM comments c LEFT JOIN cols k ON c.col_name = k.col_name) a"""
+    val df = DfUtils.readJdbc(spark, url, pushed, "", "", driver = driver)
+    val got = DfUtils.lowercaseColumns(df)
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.getString(3)))).toSet
+    assert(got == Set((1, "a", Some("t1")), (2, "b", Some("t1")), (3, "c", None)))
+    // predicate pushdown reaches the JDBC source: filtered read works
+    assert(df.filter(col("ID") === 1).count() == 1)
+  }
+
+  test("W15: df.write.saveAsTable append through the graft provider") {
+    // SyncCommentsAcrossClusters.scala:111-113 shape: a managed table
+    // in the session catalog backed by the graft DSv1 provider
+    spark.sql("DROP TABLE IF EXISTS graft_sat")
+    Seq((1, "a", 1L)).toDF("id", "v", "ts")
+      .write.format("graft")
+      .option("primaryKey", "id").option("preCombineField", "ts")
+      .mode("append").saveAsTable("graft_sat")
+    Seq((2, "b", 1L), (1, "a2", 2L)).toDF("id", "v", "ts")
+      .write.format("graft")
+      .option("primaryKey", "id").option("preCombineField", "ts")
+      .mode("append").saveAsTable("graft_sat")
+    // append through the provider is a keyed upsert on the same table
+    val got = spark.table("graft_sat").select("id", "v")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "a2"), (2, "b")), s"got $got")
+    // the catalog-visible schema is the DATA schema (no meta columns)
+    assert(spark.table("graft_sat").columns.toSeq == Seq("id", "v", "ts"))
+    // under the hood it is a regular lake table at the catalog location
+    val loc = spark.sql("DESCRIBE FORMATTED graft_sat")
+      .filter(col("col_name") === "Location").head().getString(1)
+    assert(LakeTable.load(spark, loc).snapshot().count() == 2)
+    spark.sql("DROP TABLE IF EXISTS graft_sat")
+  }
 }
