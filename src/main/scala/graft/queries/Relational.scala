@@ -347,6 +347,111 @@ object Relational {
       count(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey"""))
 
+
+  /** q16 — AS-OF JOIN (event attribution): each click is joined to the
+    * latest purchase of the SAME user at-or-before its timestamp.
+    *
+    * Spark has no asof operator; the scale-right formulation here is
+    * the union + sort + carry-forward window: tag both sides, union,
+    * one window per user ordered by (ts, side, id), and
+    * `last(..., ignoreNulls)` carries the most recent purchase forward
+    * onto each click row. ONE shuffle/sort of (clicks + purchases),
+    * zero join amplification — versus the candidate-join formulation
+    * (every purchase at-or-before every click, then rank) the oracle
+    * uses, which is quadratic per user. Ties are deterministic: at
+    * equal ts a purchase sorts before a click ("at or before" is
+    * inclusive) and the larger purchase id wins.
+    * Scale extension — DuckDB's native ASOF JOIN semantics. */
+  private val q16 = GQ(
+    "q16_asof_attribution",
+    (s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(1).as("__side"),
+          lit(null).cast("long").as("p_id"),
+          lit(null).cast("double").as("p_value"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          col("ts"), lit(0).as("__side"),
+          col("event_id").as("p_id"), col("value").as("p_value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("__side"), col("p_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purch)
+        .withColumn("lp_id", last(col("p_id"), ignoreNulls = true).over(w))
+        .withColumn("lp_value", last(col("p_value"), ignoreNulls = true).over(w))
+        .filter(col("__side") === 1 && col("lp_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("lp_id").as("p_id"), col("lp_value").as("p_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      purch AS (SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+        FROM events WHERE event_type = 'purchase'),
+      cand AS (SELECT c.event_id, c.user_id, p.p_id, p.p_value,
+          row_number() OVER (PARTITION BY c.event_id
+            ORDER BY p.p_ts DESC, p.p_id DESC) AS rn
+        FROM clicks c JOIN purch p
+          ON p.user_id = c.user_id AND p.p_ts <= c.ts)
+      SELECT event_id, user_id, p_id, p_value FROM cand WHERE rn = 1
+      ORDER BY event_id"""))
+
+  /** q17 — RANGE (interval) JOIN with bin bucketing: for every
+    * purchase, count clicks by ANY user within ±30 minutes and sum
+    * their values.
+    *
+    * There is no equi key, so a naive join is a full cartesian
+    * product. The scale shape bins the time axis into 1-hour buckets:
+    * each purchase probes the (≤2) buckets its window overlaps
+    * (array_distinct'd so a window inside one bucket probes once —
+    * also what keeps each (purchase, click) pair generated exactly
+    * once), the join is an EQUI join on the bucket id, and the exact
+    * ±30 min predicate refines. Candidates per purchase are bounded
+    * by two buckets' worth of clicks instead of all clicks; the same
+    * pattern scales to any interval join by picking the bin ≈ window
+    * width. Timestamps compare as unix microseconds in both engines.
+    * Scale extension — DuckDB's IEJoin semantics. */
+  private val q17 = GQ(
+    "q17_range_join",
+    (s, dir) => {
+      val HalfW = 1800000000L // 30 min in us
+      val Bin = 3600000000L // 1 h buckets
+      val e = events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("us").as("p_us"))
+        .withColumn("bk", explode(array_distinct(array(
+          expr(s"(p_us - $HalfW) div $Bin"), expr(s"(p_us + $HalfW) div $Bin")))))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("us").as("c_us"),
+          col("value").as("c_value"))
+        .withColumn("c_bk", expr(s"c_us div $Bin"))
+      // the exact range predicate is part of the JOIN condition: a
+      // post-join filter would drop a purchase whose bucket matched
+      // but whose window didn't (it must surface with n_clicks = 0)
+      purch.join(clicks,
+          col("bk") === col("c_bk") &&
+            col("c_us") >= col("p_us") - HalfW &&
+            col("c_us") <= col("p_us") + HalfW,
+          "left")
+        .groupBy(col("p_id"))
+        .agg(count(col("c_id")).as("n_clicks"),
+          sum(dec2(col("c_value"))).cast("double").as("sum_value"))
+        .orderBy("p_id")
+    },
+    Some("""WITH p AS (SELECT event_id AS p_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS c_id, epoch_us(ts) AS c_us, value AS c_value
+        FROM events WHERE event_type = 'click')
+      SELECT p_id, count(c_id) AS n_clicks,
+        CAST(sum(CAST(c_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM p LEFT JOIN c
+        ON c_us >= p_us - 1800000000 AND c_us <= p_us + 1800000000
+      GROUP BY p_id ORDER BY p_id"""))
+
   def qs: Seq[GQ] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15,
+      q16, q17)
 }
