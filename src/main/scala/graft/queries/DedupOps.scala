@@ -118,7 +118,13 @@ object DedupOps {
       // shuffle), so re-deriving it per consumer is cheaper than a
       // cache round-trip
       val sh = shingles(corpus(s, dir), 3)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // per-doc shingle SET as one array row for the verification step
+      // (same pattern as dedup5): candidate pairs attach two arrays and
+      // intersect in-line instead of re-joining the exploded relation —
+      // AQE broadcasts the small doc-array side; at corpus scale it
+      // degrades to a doc_id-keyed shuffle join, still O(candidates)
+      val docSets = sh.groupBy("doc_id").agg(
+        collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
       val hashed = sh.withColumn("x",
         conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long") % P)
       val sigAggs = (0 until NumHashes).map(i =>
@@ -130,13 +136,11 @@ object DedupOps {
       val cand = bands.as("l").join(bands.as("r"),
           col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
-      val inter = cand
-        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("za"), col("a") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+      cand
+        .join(docSets.as("za"), col("a") === col("za.doc_id"))
+        .join(docSets.as("zb"), col("b") === col("zb.doc_id"))
+        .withColumn("inter",
+          size(array_intersect(col("za.shs"), col("zb.shs"))).cast("long"))
         .withColumn("jaccard", col("inter").cast("double") /
           (col("za.sz") + col("zb.sz") - col("inter")).cast("double"))
         .filter(col("jaccard") >= 0.5)

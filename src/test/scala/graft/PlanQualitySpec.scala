@@ -99,6 +99,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("asof join is window-only; range join never goes cartesian") {
+    // q16: the union + carry-forward-window formulation must contain
+    // NO join operator at all — one shuffle/sort per user
+    val asof = SparkEntry.queries("q16_asof_attribution")(spark, sf)
+    val asofPlan = executedPlan(asof)
+    assert(!asofPlan.contains("Join"), s"asof should be join-free:\n$asofPlan")
+    assert(asofPlan.contains("Window"), s"expected a window:\n$asofPlan")
+    // q17: the bin-bucketed interval join must be an equi (hash) join,
+    // never a cartesian product or nested-loop join
+    val rng = SparkEntry.queries("q17_range_join")(spark, sf)
+    val rngPlan = executedPlan(rng)
+    assert(!rngPlan.contains("Cartesian") && !rngPlan.contains("NestedLoop"),
+      s"range join must stay equi-bucketed:\n$rngPlan")
+  }
+
   test("graft_vec_dot participates in codegen (no CodegenFallback)") {
     graft.functions.GraftFunctions.register(spark)
     // parquet-backed input so the projection can't constant-fold away
