@@ -451,7 +451,74 @@ object Relational {
         ON c_us >= p_us - 1800000000 AND c_us <= p_us + 1800000000
       GROUP BY p_id ORDER BY p_id"""))
 
+
+  /** q18 — PIVOT (wide aggregation): daily event counts pivoted into
+    * one column per event type. Spark's pivot with an EXPLICIT value
+    * list — at scale the value list must be declared (or discovered in
+    * a bounded first pass): an unbounded pivot is a driver-side
+    * distinct collect. coalesce(0) normalizes the empty-cell NULL so
+    * both engines agree. */
+  private val q18 = GQ(
+    "q18_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val e = events(s, dir)
+      val piv = e.groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .pivot("event_type", types).count()
+      piv.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("day")
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      count(*) FILTER (event_type = 'click') AS click,
+      count(*) FILTER (event_type = 'error') AS error,
+      count(*) FILTER (event_type = 'purchase') AS purchase,
+      count(*) FILTER (event_type = 'signup') AS signup,
+      count(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** q19 — ROLLUP hierarchy totals (grand total + per-flag subtotals).
+    * Catalyst expands rollup into a grouping-sets expand + one
+    * aggregate — a single shuffle at any scale. DuckDB sorts NULLS
+    * LAST by default vs Spark's NULLS FIRST: pinned explicitly. */
+  private val q19 = GQ(
+    "q19_rollup",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** q20 — exact discrete percentiles (order statistics) per group:
+    * percentile_disc returns an actual stored value, so there is no
+    * interpolation arithmetic to diverge between engines. Spark sorts
+    * within the aggregation — one shuffle per group set. */
+  private val q20 = GQ(
+    "q20_percentile_disc",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+      quantile_disc(o_totalprice, 0.5) AS p50,
+      quantile_disc(o_totalprice, 0.9) AS p90,
+      count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   def qs: Seq[GQ] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15,
-      q16, q17)
+      q16, q17, q18, q19, q20)
 }
