@@ -518,7 +518,52 @@ object Relational {
       count(*) AS n
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+
+  /** q21 — sessionization (gaps-and-islands): split each user's event
+    * stream into sessions separated by >30 min of inactivity, then
+    * aggregate per session. Two windows over ONE user-partitioned
+    * sort (lag → new-session flag → running sum as session index) —
+    * the canonical batch formulation; the streaming analog is
+    * [[graft.streaming.Sessionize]] (flatMapGroupsWithState). */
+  private val q21 = GQ(
+    "q21_sessionize",
+    (s, dir) => {
+      val Gap = 1800000000L // 30 min in us
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val flagged = e
+        .withColumn("prev", lag(col("us"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > Gap, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+        FROM events),
+      flagged AS (SELECT user_id, event_id, us, value,
+          CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sessions AS (SELECT user_id, us, value,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sessions GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""))
+
   def qs: Seq[GQ] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15,
-      q16, q17, q18, q19, q20)
+      q16, q17, q18, q19, q20, q21)
 }

@@ -135,6 +135,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Sessionize, SessionEvent}
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)] // (user, epochMs, value)
+    val events = input.toDF().toDF("userId", "ms", "value")
+      .selectExpr("userId", "timestamp_millis(ms) AS ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .as[SessionEvent](org.apache.spark.sql.Encoders.product[SessionEvent])
+    val q = Sessionize.sessions(events, gapMs = 60000L) // 1 min gap
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").option("checkpointLocation", tmp("sess_ckpt_")).start()
+    try {
+      val base = 1700000000000L
+      // user 1: two events 10s apart (one session); user 2: one event
+      input.addData((1L, base, 1.0), (1L, base + 10000, 2.0), (2L, base + 5000, 5.0))
+      q.processAllAvailable()
+      // advance the watermark far past both sessions' gaps
+      input.addData((3L, base + 600000, 0.5))
+      q.processAllAvailable()
+      // one more tick so timed-out groups flush on every version
+      input.addData((3L, base + 1200000, 0.5))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      assert(got.contains((1L, 2L, 3.0)), s"user1 session wrong: $got")
+      assert(got.contains((2L, 1L, 5.0)), s"user2 session wrong: $got")
+    } finally q.stop()
+  }
+
   test("commit-tail streaming read of a catalog table") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
