@@ -175,6 +175,35 @@ class TableServicesSpec extends AnyFunSuite {
       s"got $byWriter")
   }
 
+  test("OCC: independent table instances (cross-process shape) all land") {
+    // Separate LakeTable.load per writer = separate Timeline objects
+    // with separate monitors: nothing serializes them in-process, so
+    // the cross-process arbitration paths (create-no-overwrite commit
+    // rename, writer-token file names, shared .staging root) carry the
+    // whole load — the shape a real multi-process deployment exercises.
+    val path = tmp()
+    LakeTable.create(spark, path, props)
+      .upsert(mkDf((1 to 100).map(i => row(i, "v0")): _*))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writers = (0 until 4).map { w =>
+      Future {
+        val own = LakeTable.load(spark, path) // per-writer instance
+        own.withOcc() {
+          own.upsert(mkDf((1 to 25).map(i => row(w * 25 + i, s"w$w", ts = 2)): _*))
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val snap = LakeTable.load(spark, path).snapshot()
+    assert(snap.count() == 100)
+    val byWriter = snap.filter(col("ts") === 2).select("v").as[String]
+      .collect().groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(byWriter == Map("w0" -> 25, "w1" -> 25, "w2" -> 25, "w3" -> 25),
+      s"lost update: $byWriter")
+  }
+
   test("archive keeps files removed only by later ACTIVE commits") {
     val t = LakeTable.create(spark, tmp(), props)
     t.upsert(mkDf(row(1, "a")))
