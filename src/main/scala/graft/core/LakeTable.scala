@@ -558,7 +558,12 @@ final class LakeTable private[core] (
       statsOf: Option[DataFrame] = None): Probe = {
     val all = timeline.liveFiles(None)
     val (liveExt, live) = all.partition(_.external)
-    if (live.isEmpty && liveExt.isEmpty) return Probe(Seq.empty, 0L)
+    // Long.MaxValue sentinel: the batch was never counted here, so the
+    // caller's gatedBroadcast must NOT treat it as provably small — a
+    // forced broadcast of an uncounted (possibly huge) key set is the
+    // exact driver OOM the gate exists to prevent. With no live files
+    // every downstream join is against an empty relation anyway.
+    if (live.isEmpty && liveExt.isEmpty) return Probe(Seq.empty, Long.MaxValue)
     if (props.bucketIndexBuckets > 0)
       return bucketAffected(statsOf.getOrElse(incoming), live, liveExt, global)
     // one job: per-partition record-key bounds + row count of the
@@ -844,9 +849,15 @@ final class LakeTable private[core] (
         f"${instant}_${token}_$bk$seq%05d.parquet"
       seq += 1
       if (!f.rename(file, new Path(basePath, rel))) {
-        // destination taken (or FS refused): clean our staging dir and
-        // surface as an OCC conflict so withOcc retries with a fresh
-        // instant instead of leaking staged files
+        // destination taken (or FS refused): remove the files this
+        // writer ALREADY moved into the final layout (they will never
+        // be referenced by a commit — the retry uses a fresh instant
+        // and token) plus our staging dir, then surface as an OCC
+        // conflict so withOcc retries instead of leaking files
+        added.foreach { a =>
+          try f.delete(new Path(basePath, a), false)
+          catch { case _: Exception => () }
+        }
         try f.delete(stagingDir, true) catch { case _: Exception => () }
         throw new CommitConflictException(s"rename failed: $file -> $rel")
       }
@@ -931,17 +942,35 @@ final class LakeTable private[core] (
     morAppend(keys.withColumn(DeletedCol, lit(true)), "deltacommit", tag)
 
   /** Compaction (TestBatchMOR inline-compaction semantics): fold the
-    * merged snapshot into fresh base files, replacing all previous
-    * live files in one commit. Original per-row commit times survive,
-    * so incremental reads stay exact. */
+    * delta files, together with only the base files whose
+    * (partition, key-range) can overlap them, into fresh merged base
+    * files — base files provably untouched by any delta are left in
+    * place, so compaction cost is O(deltas + overlapping bases), not
+    * O(table): a small delta commit on a large table does not rewrite
+    * the whole table on the next compaction (Hudi compacts only file
+    * groups with pending log files for the same reason). Overlap is
+    * judged conservatively: missing key bounds ⇒ affected. Original
+    * per-row commit times survive, so incremental reads stay exact. */
   def compact(): String = {
-    val snap = snapshot() // merged view, tombstones resolved
+    val live = timeline.liveFiles(None)
+    val (delta, base) = live.partition(_.delta)
+    if (delta.isEmpty) return timeline.nextInstant() // nothing to fold
+    def overlaps(b: FileEntry): Boolean = delta.exists { d =>
+      d.partition == b.partition &&
+        ((d.minKey, d.maxKey, b.minKey, b.maxKey) match {
+          case (Some(dm), Some(dM), Some(bm), Some(bM)) =>
+            dm <= bM && bm <= dM
+          case _ => true // no stats → cannot prune
+        })
+    }
+    val (rewrite, _) = base.partition(overlaps)
+    val affected = delta ++ rewrite
     val instant = timeline.nextInstant()
-    val removed = timeline.liveFiles(None).map(_.path)
-    if (removed.isEmpty) return instant
+    val s = withMetaSchema(schema)
+    val merged = mergeOnRead(readLive(affected, s))
     val st = writeFiles(
-      snap.select((MetaCols ++ schema.fieldNames.toSeq).map(col): _*), instant)
-    doCommit(instant, "commit", st, removed, schema)
+      merged.select((MetaCols ++ schema.fieldNames.toSeq).map(col): _*), instant)
+    doCommit(instant, "commit", st, affected.map(_.path), schema)
     instant
   }
 

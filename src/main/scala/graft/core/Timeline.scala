@@ -63,7 +63,13 @@ final case class FileEntry(
     minKey: Option[String],
     maxKey: Option[String],
     /** bucket id when the table uses a bucket index */
-    bucket: Option[Int] = None)
+    bucket: Option[Int] = None,
+    /** true for files written by a MOR delta commit: they hold
+      * multiple versions/tombstones and must go through the read-side
+      * merge (or compaction). Carried on the entry itself so the flag
+      * SURVIVES archiving — the commit (and its action) may be folded
+      * into the checkpoint while the file is still live. */
+    delta: Boolean = false)
 
 /** Net live file set as of `asOf`, produced when old commits are
   * archived; file entries keep their original commit instants so
@@ -227,7 +233,8 @@ final class Timeline(conf: Configuration, val basePath: String) {
       c.external.contains(f),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
-      c.buckets.flatMap(_.get(f)))
+      c.buckets.flatMap(_.get(f)),
+      delta = c.action == "deltacommit")
     fromCheckpoint ++ fromCommits
   }
 
@@ -265,7 +272,8 @@ final class Timeline(conf: Configuration, val basePath: String) {
       c.external.contains(f),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
-      c.buckets.flatMap(_.get(f)))
+      c.buckets.flatMap(_.get(f)),
+      delta = c.action == "deltacommit")
     val priorTags = readCheckpoint().map(_.tags).getOrElse(Map.empty)
     val archivedTags = toArchive.flatMap(_.tag).flatMap { t =>
       t.split("=", 2) match {

@@ -106,29 +106,29 @@ final class GraftTable(
     // MOR catalog reads serve the REAL-TIME (merged) view: raw delta
     // files hold multiple versions that the delegated parquet scan
     // cannot merge, so a current-state scan that finds un-compacted
-    // delta commits folds them into fresh base files first (compact-
+    // delta files folds them into fresh base files first (compact-
     // on-read — zero staleness, amortized across subsequent reads;
     // TestBatchMOR.java:52-58 reads merged rows by table name right
     // after delta writes). Compaction preserves per-row commit times,
     // so concurrent incremental and commit-tail streaming readers see
-    // no phantom changes; a lost OCC race means a concurrent writer
-    // advanced the table — fall through and read what is live then.
-    // Time-travel reads at an instant predating compaction still
-    // serve the read-optimized view (deltas of that era cannot be
-    // retro-compacted).
+    // no phantom changes. ONLY a lost OCC race is swallowed (a
+    // concurrent writer advanced the table — read what is live then);
+    // any other compaction failure must surface, or the read would
+    // silently fall back to the stale read-optimized view this path
+    // exists to eliminate. Delta-ness comes from FileEntry.delta, not
+    // the commit action, so files whose commits were archived are
+    // still recognized. Time-travel reads at an instant predating
+    // compaction still serve the read-optimized view (deltas of that
+    // era cannot be retro-compacted).
     val travel = asOf.orElse(Option(options.get("asOfInstant")))
-    if (lake.props.tableType == "mor" && travel.isEmpty) {
-      val acts = lake.timeline.commits().map(c => c.instant -> c.action).toMap
-      val hasDeltas = lake.timeline.liveFiles(None)
-        .exists(e => acts.get(e.instant).contains("deltacommit"))
-      if (hasDeltas)
-        try lake.withOcc()(lake.compact())
-        catch { case _: Exception => () }
+    if (lake.props.tableType == "mor" && travel.isEmpty &&
+        lake.timeline.liveFiles(None).exists(_.delta)) {
+      try lake.withOcc()(lake.compact())
+      catch { case _: graft.core.CommitConflictException => () }
     }
     val live = lake.timeline.liveFiles(travel)
-    val actions = lake.timeline.commits().map(c => c.instant -> c.action).toMap
     val files = (if (lake.props.tableType == "mor")
-      live.filter(e => actions.get(e.instant).forall(_ != "deltacommit"))
+      live.filter(!_.delta) // time-travel/lost-race residue: RO view
     else live).map(f => absPath(f.path))
     val metaSchema = StructType(
       LakeTable.MetaCols.map(c =>

@@ -29,10 +29,17 @@ final case class ClosedSession(
   * - state per user is a tiny running aggregate (start/end/n/sum),
   *   NOT the event list — state size is O(#active users), independent
   *   of event volume;
-  * - a batch with new events extends the session and re-arms the
-  *   timeout; a timeout callback emits the closed session and clears
-  *   state. Late events beyond the watermark are dropped by the
-  *   framework before they reach the state function.
+  * - the GAP CHECK runs against event time inside the state function,
+  *   not only via the timeout: a batch may deliver events that are
+  *   already more than `gap` past the stored session (backlog replay,
+  *   or the watermark lagging a trigger), and two >gap-separated
+  *   events can even share one micro-batch — each gap crossing closes
+  *   the open session immediately and starts a new one, so emitted
+  *   sessions match the batch gaps-and-islands semantics exactly;
+  * - the timeout only covers the "stream went quiet" case: it emits
+  *   the trailing open session once the watermark passes end + gap.
+  *   Late events beyond the watermark are dropped by the framework
+  *   before they reach the state function.
   *
   * At scale the state store shards by key across executors like any
   * keyed shuffle; no driver involvement per event.
@@ -51,31 +58,48 @@ object Sessionize {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, batch: Iterator[SessionEvent],
          state: GroupState[SessionAgg]) => {
+          def close(s: SessionAgg): ClosedSession = ClosedSession(
+            userId,
+            new Timestamp(s.startUs / 1000),
+            new Timestamp(s.endUs / 1000),
+            s.nEvents, s.sumValue)
           if (state.hasTimedOut) {
-            // gap elapsed: close and clear
+            // stream went quiet: close and clear
             val s = state.get
             state.remove()
-            Iterator.single(ClosedSession(
-              userId,
-              new Timestamp(s.startUs / 1000),
-              new Timestamp(s.endUs / 1000),
-              s.nEvents, s.sumValue))
+            Iterator.single(close(s))
           } else {
-            val evs = batch.toSeq
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
             if (evs.isEmpty) Iterator.empty
             else {
-              val us = evs.map(e => e.ts.getTime * 1000L)
-              val prev = state.getOption
-              val next = SessionAgg(
-                startUs = math.min(prev.map(_.startUs).getOrElse(Long.MaxValue), us.min),
-                endUs = math.max(prev.map(_.endUs).getOrElse(Long.MinValue), us.max),
-                nEvents = prev.map(_.nEvents).getOrElse(0L) + evs.size,
-                sumValue = prev.map(_.sumValue).getOrElse(0.0) + evs.map(_.value).sum)
-              state.update(next)
-              // close the session when no event arrives for `gap`
-              // past the latest event seen (event time)
-              state.setTimeoutTimestamp(next.endUs / 1000 + gapMs)
-              Iterator.empty
+              val gapUs = gapMs * 1000L
+              val closed = Seq.newBuilder[ClosedSession]
+              var cur = state.getOption
+              for (e <- evs) {
+                val us = e.ts.getTime * 1000L
+                cur = cur match {
+                  case Some(s) if us - s.endUs > gapUs =>
+                    closed += close(s) // event-time gap crossed
+                    Some(SessionAgg(us, us, 1L, e.value))
+                  case Some(s) =>
+                    Some(SessionAgg(math.min(s.startUs, us),
+                      math.max(s.endUs, us), s.nEvents + 1L,
+                      s.sumValue + e.value))
+                  case None =>
+                    Some(SessionAgg(us, us, 1L, e.value))
+                }
+              }
+              val open = cur.get
+              state.update(open)
+              // the trailing session closes when no event arrives for
+              // `gap` past its latest event (event time). Spark rejects
+              // a timeout at/below the current watermark — clamp just
+              // above it, which fires on the next watermark advance
+              // (the session is already gap-expired in event time).
+              state.setTimeoutTimestamp(
+                math.max(open.endUs / 1000 + gapMs,
+                  state.getCurrentWatermarkMs() + 1))
+              closed.result().iterator
             }
           }
         })

@@ -149,4 +149,42 @@ class MorSpec extends AnyFunSuite {
     // real-time view through the path API agrees
     assert(spark.read.format("graft").load(wh).count() == 2)
   }
+
+  test("compaction rewrites only delta-affected partitions' base files") {
+    val t = LakeTable.create(spark, tmp(), morProps())
+    t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d2")).toDF("id", "v", "ts", "dt"))
+    t.compact() // establish base files in both partitions
+    val baseD2 = t.timeline.liveFiles(None)
+      .filter(e => e.partition.contains("d2")).map(_.path).toSet
+    assert(baseD2.nonEmpty)
+    // delta touches only d1
+    t.upsert(Seq((1, "a2", 2L, "d1")).toDF("id", "v", "ts", "dt"))
+    t.compact()
+    val after = t.timeline.liveFiles(None)
+    // d2's base file survived compaction UNTOUCHED (same path) —
+    // compaction is O(deltas + overlapping bases), not O(table)
+    assert(baseD2.subsetOf(after.map(_.path).toSet),
+      s"untouched base files were rewritten: $baseD2 vs ${after.map(_.path)}")
+    assert(after.forall(!_.delta), "no delta files may remain")
+    assert(rows(t) == Set((1, "a2", 2L), (2, "b", 1L)))
+  }
+
+  test("SQL MOR read stays merged after ALL commits are archived") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.mor_arch")
+    spark.sql("""CREATE TABLE graft.db.mor_arch (id INT, v STRING, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts', type = 'mor')""")
+    spark.sql("INSERT INTO graft.db.mor_arch VALUES (1,'a',1), (2,'b',1)")
+    spark.sql("INSERT INTO graft.db.mor_arch VALUES (1,'a2',2)")
+    // archive EVERY delta commit: the action metadata is folded away,
+    // but FileEntry.delta in the checkpoint keeps the files marked
+    val wh = "target/graft_warehouse_test/db/mor_arch"
+    assert(LakeTable.load(spark, wh).timeline.archive(0, 1) == 2)
+    val got = spark.sql("SELECT id, v FROM graft.db.mor_arch ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a2"), (2, "b")),
+      s"archived delta files served unmerged: $got")
+  }
 }

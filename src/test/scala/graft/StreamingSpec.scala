@@ -149,8 +149,11 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").option("checkpointLocation", tmp("sess_ckpt_")).start()
     try {
       val base = 1700000000000L
-      // user 1: two events 10s apart (one session); user 2: one event
-      input.addData((1L, base, 1.0), (1L, base + 10000, 2.0), (2L, base + 5000, 5.0))
+      // user 1: two events 10s apart (one session); user 2: one event;
+      // user 4: two events 5 MINUTES apart in the SAME batch — the
+      // event-time gap check must split them without any timeout
+      input.addData((1L, base, 1.0), (1L, base + 10000, 2.0), (2L, base + 5000, 5.0),
+        (4L, base, 7.0), (4L, base + 300000, 8.0))
       q.processAllAvailable()
       // advance the watermark far past both sessions' gaps
       input.addData((3L, base + 600000, 0.5))
@@ -162,6 +165,9 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
       assert(got.contains((1L, 2L, 3.0)), s"user1 session wrong: $got")
       assert(got.contains((2L, 1L, 5.0)), s"user2 session wrong: $got")
+      // in-batch gap split: two single-event sessions for user 4
+      assert(got.contains((4L, 1L, 7.0)) && got.contains((4L, 1L, 8.0)),
+        s"user4 in-batch split wrong: $got")
     } finally q.stop()
   }
 
