@@ -68,7 +68,11 @@ final class LakeTable private[core] (
     timeline.commits().lastOption match {
       case None => declared
       case Some(c) =>
-        val written = StructType.fromDDL(c.schemaDdl)
+        // an empty commit recorded before any schema exists (e.g. a
+        // no-op delete on a fresh schemaless table) stores ddl = "" —
+        // fromDDL("") throws, which would brick the table forever
+        val written = if (c.schemaDdl.nonEmpty) StructType.fromDDL(c.schemaDdl)
+          else new StructType()
         val comments = declared.map(f => f.name -> f).toMap
         val merged = written.map { f =>
           comments.get(f.name).flatMap(_.getComment())
@@ -156,8 +160,12 @@ final class LakeTable private[core] (
       .withColumn("__delWm", max(when(uncondDel, col(CommitTimeCol))).over(byKey))
       .filter(col("__delWm").isNull || col(CommitTimeCol) > col("__delWm"))
       .drop("__delWm")
-    // (2)+(3) payload ordering among survivors
-    val ordCol: Column = props.preCombineField.map(col).getOrElse(lit(0))
+    // (2)+(3) payload ordering among survivors; the "overwrite"
+    // payload ranks by commit time alone (incoming always replaced at
+    // write time on COW; on MOR the same rule applies at read time)
+    val ordCol: Column =
+      if (props.morPayload == "overwrite") lit(0)
+      else props.preCombineField.map(col).getOrElse(lit(0))
     val pick = byKey.orderBy(ordCol.desc_nulls_last, col(CommitTimeCol).desc)
     val picked = alive.withColumn("__rn", row_number().over(pick))
       .filter(col("__rn") === 1).drop("__rn")
@@ -174,7 +182,8 @@ final class LakeTable private[core] (
     case None => schema // current view: includes declared-only additions
     case Some(t) =>
       timeline.commits().filter(_.instant <= t).lastOption
-        .map(c => StructType.fromDDL(c.schemaDdl))
+        .map(c => if (c.schemaDdl.nonEmpty) StructType.fromDDL(c.schemaDdl)
+          else new StructType())
         // no active commit at-or-before t: t sits between the archive
         // boundary and the first active commit — the checkpoint's schema
         .orElse(timeline.readCheckpoint().filter(_.schemaDdl.nonEmpty)
@@ -216,10 +225,28 @@ final class LakeTable private[core] (
       beginInstant: String,
       endInstant: Option[String] = None,
       pathGlob: Option[String] = None): DataFrame = {
+    val s = withMetaSchema(schemaAsOf(endInstant))
+    if (isMor) {
+      // MOR delta files hold multiple versions and tombstones; the
+      // changed-records view must be the POST-MERGE latest state of
+      // keys changed in the range (exactly the rows a COW rewrite
+      // would have carried) — raw delta rows would surface null-data
+      // tombstones and superseded intermediate versions to CDC
+      // consumers. Merge needs every version of a (key, partition),
+      // so prune only whole partitions (glob) before merging, then
+      // range-filter on the winning version's commit time.
+      val all = timeline.liveFiles(endInstant)
+        .filter(f => pathGlob.forall(g => globMatch(g, f.partition)))
+      // merged output drops the tombstone marker — match it when empty
+      if (all.isEmpty)
+        return emptyDf(StructType(s.filterNot(_.name == DeletedCol)))
+      return mergeOnRead(readLive(all, s))
+        .filter(col(CommitTimeCol) > lit(beginInstant) &&
+          endInstant.map(e => col(CommitTimeCol) <= lit(e)).getOrElse(lit(true)))
+    }
     val files = timeline.liveFiles(endInstant)
       .filter(_.instant > beginInstant)
       .filter(f => pathGlob.forall(g => globMatch(g, f.partition)))
-    val s = withMetaSchema(schemaAsOf(endInstant))
     if (files.isEmpty) return emptyDf(s)
     // readLive synthesizes _commit_time (= adopting commit's instant)
     // for external files, so bootstrap-adopted records participate in
@@ -272,7 +299,18 @@ final class LakeTable private[core] (
       df: DataFrame,
       policy: MergePolicy = MergePolicy.LatestByOrdering,
       tag: Option[String] = None): String = {
-    if (isMor) return morAppend(df, "deltacommit", tag)
+    if (isMor) {
+      // MOR merges at READ time, so the policy is table-level
+      // (props.morPayload) — a per-write policy that disagrees would
+      // be silently ignored; fail loudly instead
+      val tablePolicy =
+        if (props.morPayload == "overwrite") MergePolicy.OverwriteWithLatest
+        else MergePolicy.LatestByOrdering
+      require(policy == tablePolicy,
+        s"MOR merge policy is table-level (morPayload='${props.morPayload}'); " +
+          s"per-write $policy conflicts — declare it on the table instead")
+      return morAppend(df, "deltacommit", tag)
+    }
     val instant = timeline.nextInstant()
     val newSchema = unionSchema(df)
     // the batch feeds three jobs (partition/key stats, candidate
@@ -456,7 +494,18 @@ final class LakeTable private[core] (
     // demo's conditions only reference source fields, e.g. opt_type),
     // evaluated BEFORE projecting the source onto the table schema so
     // extra routing columns remain visible to them.
-    val srcRaw = withMeta(dedupBatch(source), instant)
+    // MERGE matches on key across ALL partitions (global index), so
+    // the source must be deduped per KEY alone: the same key arriving
+    // under two partition values would otherwise full-outer-match the
+    // stored row twice and commit duplicate versions of that key.
+    // Largest preCombine wins; stable-hash tie-break (Hudi keeps an
+    // arbitrary one).
+    val wKey = Window.partitionBy(keyCol).orderBy(
+      (props.preCombineField.map(f => col(f).desc).toSeq :+
+        xxhash64(struct(source.columns.toSeq.map(col): _*)).desc): _*)
+    val srcDeduped = source.withColumn("__rn", row_number().over(wKey))
+      .filter(col("__rn") === 1).drop("__rn")
+    val srcRaw = withMeta(srcDeduped, instant)
       .withColumn("__c_upd", matchedUpdate.getOrElse(lit(true)))
       .withColumn("__c_del", matchedDelete.getOrElse(lit(true)))
       .withColumn("__c_ins", notMatchedInsert.getOrElse(lit(true)))
@@ -588,11 +637,12 @@ final class LakeTable private[core] (
       val bounds =
         if (global) {
           if (batchStats.isEmpty) None
-          else Some((batchStats.values.map(_._1).min, batchStats.values.map(_._2).max))
+          else Some((batchStats.values.map(_._1).min(Utf8Ordering),
+            batchStats.values.map(_._2).max(Utf8Ordering)))
         } else batchStats.get(f.partition)
       (bounds, f.minKey, f.maxKey) match {
         case (Some((bMin, bMax)), Some(fMin), Some(fMax)) =>
-          fMin <= bMax && bMin <= fMax
+          utf8Lte(fMin, bMax) && utf8Lte(bMin, fMax)
         case _ => true // no stats → cannot prune
       }
     }
@@ -636,7 +686,8 @@ final class LakeTable private[core] (
         .toMap
     val perBucket: Map[Int, (String, String)] =
       rows.groupBy(_.getInt(1)).map { case (b, rs) =>
-        b -> (rs.map(_.getString(2)).min, rs.map(_.getString(3)).max)
+        b -> (rs.map(_.getString(2)).min(Utf8Ordering),
+          rs.map(_.getString(3)).max(Utf8Ordering))
       }
     def partInScope(f: FileEntry): Boolean =
       global || props.partitionFields.isEmpty || partitions.contains(f.partition)
@@ -646,7 +697,8 @@ final class LakeTable private[core] (
           if (global) perBucket.get(bk) else perPartBucket.get((f.partition, bk))
         bounds.exists { case (bMin, bMax) =>
           (f.minKey, f.maxKey) match {
-            case (Some(fMin), Some(fMax)) => fMin <= bMax && bMin <= fMax
+            case (Some(fMin), Some(fMax)) =>
+              utf8Lte(fMin, bMax) && utf8Lte(bMin, fMax)
             case _ => true
           }
         }
@@ -798,8 +850,8 @@ final class LakeTable private[core] (
                 if (st != null && st.hasNonNullValue) {
                   val bmn = st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
                   val bmx = st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
-                  if (mn == null || bmn < mn) mn = bmn
-                  if (mx == null || bmx > mx) mx = bmx
+                  if (mn == null || utf8Cmp(bmn, mn) < 0) mn = bmn
+                  if (mx == null || utf8Cmp(bmx, mx) > 0) mx = bmx
                 }
               }
             }
@@ -959,7 +1011,7 @@ final class LakeTable private[core] (
       d.partition == b.partition &&
         ((d.minKey, d.maxKey, b.minKey, b.maxKey) match {
           case (Some(dm), Some(dM), Some(bm), Some(bM)) =>
-            dm <= bM && bm <= dM
+            utf8Lte(dm, bM) && utf8Lte(bm, dM)
           case _ => true // no stats → cannot prune
         })
     }
@@ -992,7 +1044,7 @@ final class LakeTable private[core] (
     * of losing it. Hudi's OPTIMISTIC_CONCURRENCY_CONTROL analog.
     *
     * {{{ table.withOcc() { table.upsert(batch) } }}} */
-  def withOcc[T](maxRetries: Int = 5)(op: => T): T = {
+  def withOcc[T](maxRetries: Int = 10)(op: => T): T = {
     var attempt = 0
     while (true) {
       try return op
@@ -1048,6 +1100,31 @@ private[core] object Staged {
 }
 
 object LakeTable {
+
+  /** Unsigned UTF-8 byte comparison — the ordering BOTH Spark's
+    * UTF8String min/max aggregates and parquet's Binary string stats
+    * use. Java String compareTo orders by UTF-16 code unit, which
+    * disagrees for supplementary-plane characters (U+10000.. sorts
+    * above U+E000.. in UTF-8 but below in UTF-16); mixing the two in
+    * the key-bounds probe could wrongly prune a candidate file and
+    * silently lose an update. Every driver-side record-key comparison
+    * goes through this. */
+  private[core] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+  private[core] def utf8Lte(a: String, b: String): Boolean = utf8Cmp(a, b) <= 0
+  private[core] val Utf8Ordering: Ordering[String] =
+    (a: String, b: String) => utf8Cmp(a, b)
+
   val CommitTimeCol = "_commit_time"
   val RecordKeyCol = "_record_key"
   val PartitionPathCol = "_partition_path"

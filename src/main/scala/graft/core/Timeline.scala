@@ -85,7 +85,14 @@ final case class CheckpointMeta(
       * archiving folds commits away, but their exactly-once markers
       * must survive — a crash-replay whose tagged commit was archived
       * would otherwise re-apply the batch. */
-    tags: Map[String, Long] = Map.empty)
+    tags: Map[String, Long] = Map.empty,
+    /** replaced-file paths recorded by commits that have since been
+      * archived: clean() can only see ACTIVE commits' removed lists,
+      * so without this fold-forward a file replaced by an archived
+      * commit could never be physically deleted — an unbounded
+      * storage leak whenever the archive window is tighter than the
+      * clean retention. */
+    archivedRemoved: Seq[String] = Seq.empty)
 
 /** Declared table properties — SparkSQLDemo.scala:47-51's
   * (primaryKey, preCombineField, type, partitioned by) surface. */
@@ -112,7 +119,15 @@ final case class TableProps(
       * keyed DML resolves affected files driver-side from the batch's
       * (partition, bucket) set — no probe scan job. 0 = off (range +
       * bloom probe index instead). Supersedes writeSaltBuckets. */
-    bucketIndexBuckets: Int = 0)
+    bucketIndexBuckets: Int = 0,
+    /** MOR read-side merge payload, table-level like Hudi's payload
+      * class: "latest" (DefaultHoodieRecordPayload — largest
+      * preCombine wins) or "overwrite" (OverwriteWithLatestAvroPayload
+      * — later commit wins regardless of ordering value). COW applies
+      * the per-write MergePolicy at write time instead; for MOR the
+      * policy MUST be table-level because the merge happens at read
+      * time over commits that may have used different calls. */
+    morPayload: String = "latest")
 
 /** A write lost the optimistic-concurrency race: the operation should
   * be re-run against the fresh table state ([[LakeTable.withOcc]]).
@@ -222,7 +237,13 @@ final class Timeline(conf: Configuration, val basePath: String) {
           s"history before ${c.asOf} is archived; cannot read as of $t")
       }
     }
+    // A commit at-or-before the checkpoint boundary is already folded
+    // into it; skip it here even if its file was not yet moved to
+    // archived/ (the crash window between the checkpoint write and the
+    // renames) — otherwise every file of that commit would be listed
+    // twice and snapshots would return duplicated rows.
     val cs = commits().filter(c => asOf.forall(c.instant <= _))
+      .filterNot(c => cp.exists(c.instant <= _.asOf))
     val removed = cs.flatMap(_.removed).toSet
     val fromCheckpoint = cp.toSeq.flatMap(_.files)
       .filterNot(f => removed.contains(f.path))
@@ -264,17 +285,22 @@ final class Timeline(conf: Configuration, val basePath: String) {
     // their rows for as-of reads between the archive boundary and that
     // later commit (which liveFiles' require explicitly allows).
     val removed = toArchive.flatMap(_.removed).toSet
-    val prior = readCheckpoint().toSeq.flatMap(_.files)
+    val priorCp = readCheckpoint()
+    val prior = priorCp.toSeq.flatMap(_.files)
+    val priorPaths = prior.map(_.path).toSet
+    // priorPaths filter: a partially-failed earlier archive (rename
+    // crash window) can re-present a commit already folded — folding
+    // its files again would duplicate every row they hold
     val archivedEntries = for {
       c <- toArchive
-      f <- c.added if !removed.contains(f)
+      f <- c.added if !removed.contains(f) && !priorPaths.contains(f)
     } yield FileEntry(f, c.instant, c.partitions.getOrElse(f, ""),
       c.external.contains(f),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
       c.buckets.flatMap(_.get(f)),
       delta = c.action == "deltacommit")
-    val priorTags = readCheckpoint().map(_.tags).getOrElse(Map.empty)
+    val priorTags = priorCp.map(_.tags).getOrElse(Map.empty)
     val archivedTags = toArchive.flatMap(_.tag).flatMap { t =>
       t.split("=", 2) match {
         case Array(k, v) => v.toLongOption.map(k -> _)
@@ -287,12 +313,18 @@ final class Timeline(conf: Configuration, val basePath: String) {
       asOf = toArchive.last.instant,
       files = (prior.filterNot(f => removed.contains(f.path)) ++ archivedEntries),
       schemaDdl = toArchive.last.schemaDdl,
-      tags = tags)
+      tags = tags,
+      archivedRemoved =
+        (priorCp.toSeq.flatMap(_.archivedRemoved) ++
+          toArchive.flatMap(_.removed)).distinct)
     atomicWrite(checkpointPath, Serialization.write(cp)(formats))
     val archiveDir = new Path(dir, "archived")
     fs.mkdirs(archiveDir)
     toArchive.foreach { c =>
       val name = c.instant + COMMIT_SUFFIX
+      // result deliberately unchecked: a failed move leaves the file
+      // in the active dir, where liveFiles ignores it (at-or-before
+      // the checkpoint boundary) and the next archive() re-moves it
       fs.rename(new Path(dir, name), new Path(archiveDir, name))
     }
     toArchive.size
@@ -307,8 +339,12 @@ final class Timeline(conf: Configuration, val basePath: String) {
     if (cs.size <= retainCommits) return Seq.empty
     val cutoff = cs(cs.size - retainCommits).instant
     val live = liveFiles(None).map(_.path).toSet
-    val candidates = cs.filter(_.instant <= cutoff)
-      .flatMap(_.removed).distinct
+    // archived commits' removed lists are folded into the checkpoint
+    // (they predate every active commit, so they are always past the
+    // retention cutoff)
+    val folded = readCheckpoint().toSeq.flatMap(_.archivedRemoved)
+    val candidates = (cs.filter(_.instant <= cutoff)
+      .flatMap(_.removed) ++ folded).distinct
       .filterNot(live.contains)
     candidates.filter { rel =>
       val p = new Path(basePath, rel)
@@ -328,6 +364,29 @@ final class Timeline(conf: Configuration, val basePath: String) {
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!allowOverwrite) {
+      // Atomic cross-process claim BEFORE the rename: Hadoop's local
+      // FS refuses a rename onto an existing target, but that refusal
+      // is an internal exists-then-rename (check-then-act) — two
+      // same-instant writers could both slip past it. An O_EXCL lock
+      // file (java.io.File.createNewFile locally; FileSystem
+      // .createNewFile on cluster filesystems, atomic at the NN)
+      // guarantees a single winner. The lock is never reused: a later
+      // writer on the same instant is already stopped by the exists
+      // check in commit() / the rename refusal below.
+      val lock = new Path(dir, target.getName + ".lock")
+      val local = Option(lock.toUri.getScheme).forall(_ == "file")
+      val claimed =
+        try {
+          if (local) new java.io.File(lock.toUri.getPath).createNewFile()
+          else fs.createNewFile(lock)
+        } catch { case _: java.io.IOException => false }
+      if (!claimed) {
+        fs.delete(tmp, false)
+        throw new CommitConflictException(
+          s"Concurrent writer claimed commit $target")
+      }
+    }
     if (allowOverwrite && fs.exists(target)) fs.delete(target, false)
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)

@@ -114,6 +114,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       partitionFields = partitionFields.toSeq,
       tableType = opts.getOrElse("type", "cow"),
       writeSaltBuckets = opts.getOrElse("writeSaltBuckets", "1").toInt,
+      morPayload = opts.getOrElse("morPayload", "latest"),
       schemaDdl = schema.toDDL,
       compactDeltaCommits =
         opts.getOrElse("compaction.delta_commits", "0").toInt,
