@@ -301,14 +301,14 @@ final class LakeTable private[core] (
       tag: Option[String] = None): String = {
     if (isMor) {
       // MOR merges at READ time, so the policy is table-level
-      // (props.morPayload) — a per-write policy that disagrees would
-      // be silently ignored; fail loudly instead
-      val tablePolicy =
-        if (props.morPayload == "overwrite") MergePolicy.OverwriteWithLatest
-        else MergePolicy.LatestByOrdering
-      require(policy == tablePolicy,
-        s"MOR merge policy is table-level (morPayload='${props.morPayload}'); " +
-          s"per-write $policy conflicts — declare it on the table instead")
+      // (props.morPayload). The per-call default (LatestByOrdering)
+      // always defers to the table; an EXPLICIT OverwriteWithLatest on
+      // a 'latest' table would be silently ignored — fail loudly and
+      // point at the table property instead.
+      require(policy == MergePolicy.LatestByOrdering ||
+        props.morPayload == "overwrite",
+        "MOR merge policy is table-level; declare TBLPROPERTY " +
+          "morPayload='overwrite' instead of a per-write policy")
       return morAppend(df, "deltacommit", tag)
     }
     val instant = timeline.nextInstant()

@@ -209,7 +209,45 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * In-process writers serialize on this instance; cross-process, the
     * create-no-overwrite commit file is the (best-effort on local FS)
     * arbiter, matching Hudi's optimistic concurrency model. */
-  def commit(meta: CommitMeta): Unit = this.synchronized {
+  /** Cross-process mutual exclusion for the commit critical section —
+    * the analog of Hudi's FileSystemBasedLockProvider. The conflict
+    * check and the commit-file write must be ATOMIC together: without
+    * a table lock, two different-instant writers can both list the
+    * same file as live, both pass the check, and both commit a removal
+    * of it — a lost update (observed live in the cross-instance OCC
+    * test). Claim = O_EXCL lock-file creation (java.io.File
+    * .createNewFile locally, FileSystem.createNewFile on cluster
+    * filesystems); a lock older than [[LOCK_STALE_MS]] is treated as a
+    * crashed writer's leftover and broken. Timing out surfaces as a
+    * [[CommitConflictException]] so withOcc retries. */
+  private def withTableLock[T](f: => T): T = {
+    val lock = new Path(dir, ".commit.lock")
+    val local = Option(lock.toUri.getScheme).forall(_ == "file")
+    def tryClaim(): Boolean =
+      try {
+        if (local) new java.io.File(lock.toUri.getPath).createNewFile()
+        else fs.createNewFile(lock)
+      } catch { case _: java.io.IOException => false }
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var claimed = tryClaim()
+    while (!claimed) {
+      try {
+        val st = fs.getFileStatus(lock)
+        if (System.currentTimeMillis() - st.getModificationTime > LOCK_STALE_MS)
+          fs.delete(lock, false) // crashed writer's leftover
+      } catch { case _: java.io.IOException => () } // released meanwhile
+      if (System.nanoTime() > deadline)
+        throw new CommitConflictException(s"timed out waiting for $lock")
+      Thread.sleep(10 + scala.util.Random.nextInt(40))
+      claimed = tryClaim()
+    }
+    try f
+    finally {
+      try fs.delete(lock, false) catch { case _: Exception => () }
+    }
+  }
+
+  def commit(meta: CommitMeta): Unit = this.synchronized { withTableLock {
     if (meta.removed.nonEmpty) {
       val liveNow = liveFiles(None).map(_.path).toSet
       val gone = meta.removed.filterNot(liveNow.contains)
@@ -224,7 +262,7 @@ final class Timeline(conf: Configuration, val basePath: String) {
         s"Conflicting commit ${meta.instant} already exists on $basePath")
     atomicWrite(target, Serialization.write(meta)(formats), allowOverwrite = false)
     commitCache.put(meta.instant + COMMIT_SUFFIX, meta)
-  }
+  } }
 
   /** Live file set as of `asOf` (inclusive; None = latest): the
     * archive checkpoint's net files plus active commits' added files,
@@ -275,7 +313,7 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * more than `maxToKeep` are active, leaving `minToKeep`
     * (HoodieJavaWriteClientExample.java:85 archive window semantics).
     * show_commits afterwards lists only the active timeline. */
-  def archive(minToKeep: Int, maxToKeep: Int): Int = {
+  def archive(minToKeep: Int, maxToKeep: Int): Int = withTableLock {
     val cs = commits()
     if (cs.size <= maxToKeep) return 0
     val toArchive = cs.dropRight(minToKeep)
@@ -336,15 +374,24 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * cutoff can no longer be served. Returns paths deleted. */
   def clean(basePath: String, retainCommits: Int): Seq[String] = {
     val cs = commits()
-    if (cs.size <= retainCommits) return Seq.empty
-    val cutoff = cs(cs.size - retainCommits).instant
-    val live = liveFiles(None).map(_.path).toSet
-    // archived commits' removed lists are folded into the checkpoint
-    // (they predate every active commit, so they are always past the
-    // retention cutoff)
+    // archived commits' removed lists are folded into the checkpoint;
+    // they predate every active commit, so they are always past the
+    // retention cutoff — cleanable even when the active timeline is
+    // shorter than the retention window (or empty after an archive)
     val folded = readCheckpoint().toSeq.flatMap(_.archivedRemoved)
-    val candidates = (cs.filter(_.instant <= cutoff)
-      .flatMap(_.removed) ++ folded).distinct
+    if (cs.size <= retainCommits && folded.isEmpty) return Seq.empty
+    val activeRemoved =
+      if (cs.size <= retainCommits) Seq.empty
+      else {
+        // retainCommits = 0 retains nothing: every commit's removals
+        // are eligible (cs(cs.size) would be out of bounds)
+        val cutoff =
+          if (retainCommits == 0) cs.last.instant
+          else cs(cs.size - retainCommits).instant
+        cs.filter(_.instant <= cutoff).flatMap(_.removed)
+      }
+    val live = liveFiles(None).map(_.path).toSet
+    val candidates = (activeRemoved ++ folded).distinct
       .filterNot(live.contains)
     candidates.filter { rel =>
       val p = new Path(basePath, rel)
@@ -364,29 +411,9 @@ final class Timeline(conf: Configuration, val basePath: String) {
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!allowOverwrite) {
-      // Atomic cross-process claim BEFORE the rename: Hadoop's local
-      // FS refuses a rename onto an existing target, but that refusal
-      // is an internal exists-then-rename (check-then-act) — two
-      // same-instant writers could both slip past it. An O_EXCL lock
-      // file (java.io.File.createNewFile locally; FileSystem
-      // .createNewFile on cluster filesystems, atomic at the NN)
-      // guarantees a single winner. The lock is never reused: a later
-      // writer on the same instant is already stopped by the exists
-      // check in commit() / the rename refusal below.
-      val lock = new Path(dir, target.getName + ".lock")
-      val local = Option(lock.toUri.getScheme).forall(_ == "file")
-      val claimed =
-        try {
-          if (local) new java.io.File(lock.toUri.getPath).createNewFile()
-          else fs.createNewFile(lock)
-        } catch { case _: java.io.IOException => false }
-      if (!claimed) {
-        fs.delete(tmp, false)
-        throw new CommitConflictException(
-          s"Concurrent writer claimed commit $target")
-      }
-    }
+    // Commit files are written create-no-overwrite while the table
+    // lock (withTableLock) serializes writers; the rename refusal
+    // below is the residual backstop for lock expiry edge cases.
     if (allowOverwrite && fs.exists(target)) fs.delete(target, false)
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
@@ -400,6 +427,8 @@ final class Timeline(conf: Configuration, val basePath: String) {
 
 object Timeline {
   val META_DIR = "_timeline"
+  /** A .commit.lock older than this is a crashed writer's leftover. */
+  val LOCK_STALE_MS: Long = 60000L
   val TABLE_FILE = "table.json"
   val COMMIT_SUFFIX = ".commit.json"
   val CHECKPOINT_FILE = "checkpoint.json"

@@ -187,4 +187,33 @@ class MorSpec extends AnyFunSuite {
     assert(got == Seq((1, "a2"), (2, "b")),
       s"archived delta files served unmerged: $got")
   }
+
+  test("MOR incremental returns merged changed rows, never raw tombstones") {
+    val t = LakeTable.create(spark, tmp(), morProps())
+    val c1 = t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d1")).toDF("id", "v", "ts", "dt"))
+    t.upsert(Seq((1, "a2", 2L, "d1")).toDF("id", "v", "ts", "dt"))
+    t.delete(Seq((2, "d1")).toDF("id", "dt"))
+    val inc = t.incremental(c1)
+    // no tombstone marker column, no null-data phantom rows
+    assert(!inc.columns.contains(LakeTable.DeletedCol))
+    val got = inc.select("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    // key 1's merged latest changed in range; deleted key 2 is absent
+    assert(got == Set((1, "a2")), s"got $got")
+  }
+
+  test("morPayload='overwrite': later commit wins regardless of ordering value") {
+    val t = LakeTable.create(spark, tmp(), morProps().copy(morPayload = "overwrite"))
+    t.upsert(Seq((1, "fresh", 5L, "d1")).toDF("id", "v", "ts", "dt"))
+    // stale ts=3 arrives later: with the overwrite payload it REPLACES
+    t.upsert(Seq((1, "stale", 3L, "d1")).toDF("id", "v", "ts", "dt"))
+    assert(rows(t) == Set((1, "stale", 3L)))
+    // an EXPLICIT overwrite policy on a 'latest' MOR table would be
+    // silently ignored (the merge happens at read time) — fails loudly
+    intercept[IllegalArgumentException] {
+      LakeTable.create(spark, tmp(), morProps())
+        .upsert(Seq((1, "x", 1L, "d1")).toDF("id", "v", "ts", "dt"),
+          MergePolicy.OverwriteWithLatest)
+    }
+  }
 }

@@ -282,4 +282,40 @@ class TableServicesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("clean deletes files replaced by since-archived commits") {
+    val t = LakeTable.create(spark, tmp(), props)
+    t.upsert(mkDf(row(1, "a"), row(2, "b")))
+    val firstFiles = t.timeline.liveFiles(None).map(_.path)
+    t.upsert(mkDf(row(1, "a2", ts = 2), row(2, "b2", ts = 2))) // replaces v1 files
+    t.upsert(mkDf(row(3, "c")))
+    // archive folds the replacing commits away — their removed lists
+    // must survive in the checkpoint for clean() to act on
+    assert(t.timeline.archive(minToKeep = 0, maxToKeep = 1) == 3)
+    val deleted = t.timeline.clean(t.basePath, retainCommits = 0)
+    assert(firstFiles.forall(deleted.contains),
+      s"replaced-then-archived files leaked: $firstFiles vs $deleted")
+    assert(t.snapshot().count() == 3) // live data intact
+  }
+
+  test("MERGE source carrying one key under two partitions commits one version") {
+    val t = LakeTable.create(spark, tmp(), props)
+    t.upsert(mkDf(row(1, "a")))
+    // same key, two partition values, different ordering values
+    t.merge(Seq((1, "win", 5L, "d2"), (1, "lose", 2L, "d3"))
+      .toDF("id", "v", "ts", "dt"))
+    val got = t.snapshot().select("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(got.length == 1 && got.head == ((1, "win")), s"got ${got.toSeq}")
+  }
+
+  test("no-op delete on a fresh schemaless table does not brick it") {
+    val t = LakeTable.create(spark, tmp(),
+      TableProps("svc", Seq("id"), Some("ts"), Seq("dt")))
+    t.delete(mkDf(row(99, "zz")).select("id", "dt")) // empty commit, ddl=""
+    // schema() must tolerate the empty-DDL commit; the table stays usable
+    assert(t.snapshot().count() == 0)
+    t.upsert(mkDf(row(1, "a")))
+    assert(t.snapshot().count() == 1)
+  }
 }
