@@ -269,7 +269,7 @@ final class LakeTable private[core] (
     * consult the existing snapshot (Hudi `insert` op); use [[upsert]]
     * for key-merge semantics. */
   def insert(df: DataFrame, tag: Option[String] = None): String = {
-    val instant = timeline.nextInstant()
+    val instant = timeline.beginWrite()
     val newSchema = unionSchema(df)
     val st =
       writeFiles(conform(withMeta(dedupBatch(df), instant), newSchema), instant)
@@ -280,7 +280,7 @@ final class LakeTable private[core] (
   /** INSERT OVERWRITE / replace-table contents: one commit that adds
     * the new data and removes every previously-live file. */
   def overwrite(df: DataFrame): String = {
-    val instant = timeline.nextInstant()
+    val instant = timeline.beginWrite()
     val newSchema = unionSchema(df)
     val removed = timeline.liveFiles(None).map(_.path)
     val st =
@@ -311,7 +311,7 @@ final class LakeTable private[core] (
           "morPayload='overwrite' instead of a per-write policy")
       return morAppend(df, "deltacommit", tag)
     }
-    val instant = timeline.nextInstant()
+    val instant = timeline.beginWrite()
     val newSchema = unionSchema(df)
     // the batch feeds three jobs (partition/key stats, candidate
     // probe, merge write): keep it materialized once
@@ -350,7 +350,7 @@ final class LakeTable private[core] (
     * SparkSQLDemo.scala:84). */
   def delete(keys: DataFrame, tag: Option[String] = None): String = {
     if (isMor) return morDelete(keys, tag)
-    val instant = timeline.nextInstant()
+    val instant = timeline.beginWrite()
     val delKeys = keys
       .withColumn(RecordKeyCol, keyCol)
       .withColumn(PartitionPathCol, ppCol)
@@ -380,7 +380,7 @@ final class LakeTable private[core] (
       deleteIds: Option[DataFrame],
       upserts: Option[DataFrame],
       action: String = "merge"): String = {
-    val instant = timeline.nextInstant()
+    val instant = timeline.beginWrite()
     val newSchema = upserts.map(unionSchema).getOrElse(schema)
     val incoming = upserts.map(df =>
       conform(withMeta(dedupBatch(df), instant), newSchema).persist())
@@ -422,7 +422,7 @@ final class LakeTable private[core] (
     * `_partition_path`) — the SQL row-level-operation path. */
   def deleteByRowId(ids: DataFrame): String = {
     if (isMor) compact()
-    val instant = timeline.nextInstant()
+    val instant = timeline.beginWrite()
     val delKeys = ids.select(RecordKeyCol, PartitionPathCol).distinct()
     val probe = affectedFiles(delKeys)
     val affected = probe.files
@@ -438,7 +438,7 @@ final class LakeTable private[core] (
     * files containing matches (parquet min/max prunes the probe). */
   def deleteWhere(cond: Column): String = {
     if (isMor) compact() // predicate ops run against a single-version view
-    val instant = timeline.nextInstant()
+    val instant = timeline.beginWrite()
     val affected = filesMatching(cond)
     val kept = readAffected(affected, schema)
       .filter(!coalesce(cond, lit(false)))
@@ -452,7 +452,7 @@ final class LakeTable private[core] (
     * theirs (incremental-query correctness). */
   def updateWhere(cond: Column, set: Map[String, Column]): String = {
     if (isMor) compact() // predicate ops run against a single-version view
-    val instant = timeline.nextInstant()
+    val instant = timeline.beginWrite()
     val affected = filesMatching(cond)
     val hit = coalesce(cond, lit(false))
     val cur = schema
@@ -488,7 +488,7 @@ final class LakeTable private[core] (
       matchedDelete: Option[Column] = None,
       notMatchedInsert: Option[Column] = None): String = {
     if (isMor) compact() // merge runs against a single-version view
-    val instant = timeline.nextInstant()
+    val instant = timeline.beginWrite()
     val cur = schema
     // Clause conditions resolve against the source's own columns (the
     // demo's conditions only reference source fields, e.g. opt_type),
@@ -544,7 +544,7 @@ final class LakeTable private[core] (
 
   // ------------------------------------------------------------ internals
 
-  private def abs(rel: String): String =
+  private[graft] def abs(rel: String): String =
     if (rel.startsWith("/") || rel.contains(":/")) rel
     else s"$basePath/$rel"
 
@@ -958,7 +958,7 @@ final class LakeTable private[core] (
           catch { case _: Exception => () }
         }
         throw e
-    }
+    } finally timeline.clearInflight(instant)
 
   // ---------------------------------------------------------- MOR paths
 
@@ -966,7 +966,7 @@ final class LakeTable private[core] (
     * consultation, one commit. */
   private def morAppend(
       df: DataFrame, action: String, tag: Option[String] = None): String = {
-    val instant = timeline.nextInstant()
+    val instant = timeline.beginWrite()
     val newSchema = unionSchema(df.drop(DeletedCol))
     val out =
       if (df.columns.contains(DeletedCol)) {
@@ -1017,7 +1017,7 @@ final class LakeTable private[core] (
     }
     val (rewrite, _) = base.partition(overlaps)
     val affected = delta ++ rewrite
-    val instant = timeline.nextInstant()
+    val instant = timeline.beginWrite()
     val s = withMetaSchema(schema)
     val merged = mergeOnRead(readLive(affected, s))
     val st = writeFiles(
@@ -1067,7 +1067,7 @@ final class LakeTable private[core] (
   def migrateExternal(): Option[String] = {
     val ext = timeline.liveFiles(None).filter(_.external)
     if (ext.isEmpty) return None
-    val instant = timeline.nextInstant()
+    val instant = timeline.beginWrite()
     val df = conform(readExternal(ext), schema)
     val st = writeFiles(df, instant)
     doCommit(instant, "replace", st, ext.map(_.path), schema)

@@ -200,6 +200,43 @@ final class Timeline(conf: Configuration, val basePath: String) {
     next
   }
 
+  // ------------------------------------------------- inflight markers
+
+  private def inflightDir = new Path(dir, ".inflight")
+
+  /** Publish write intent for `instant` BEFORE any data is written.
+    * Streaming tails fence on these: without the marker, a slow writer
+    * holding a lower instant that commits after a faster writer would
+    * have its records permanently skipped by a commit-tail stream that
+    * already advanced past it (Hudi caps streaming reads at the
+    * earliest inflight instant for the same reason). Cleared by the
+    * commit funnel; a crashed writer's marker expires after
+    * [[Timeline.INFLIGHT_STALE_MS]]. */
+  def beginWrite(): String = {
+    val instant = nextInstant()
+    try {
+      fs.mkdirs(inflightDir)
+      fs.create(new Path(inflightDir, instant), true).close()
+    } catch { case _: java.io.IOException => () } // fence is best-effort
+    instant
+  }
+
+  def clearInflight(instant: String): Unit =
+    try fs.delete(new Path(inflightDir, instant), false)
+    catch { case _: Exception => () }
+
+  /** Smallest instant some writer is still working on (markers older
+    * than `staleMs` are crashed writers and ignored). */
+  def earliestActiveInflight(
+      staleMs: Long = INFLIGHT_STALE_MS): Option[String] = {
+    if (!fs.exists(inflightDir)) return None
+    val now = System.currentTimeMillis()
+    fs.listStatus(inflightDir).toSeq
+      .filter(st => now - st.getModificationTime <= staleMs)
+      .map(_.getPath.getName)
+      .sorted.headOption
+  }
+
   /** Optimistic-concurrency commit. Two conflict checks, both raising
     * [[CommitConflictException]] so writers can retry ([[LakeTable.withOcc]]):
     * - file-group conflict: a file this commit removes is no longer
@@ -429,6 +466,8 @@ object Timeline {
   val META_DIR = "_timeline"
   /** A .commit.lock older than this is a crashed writer's leftover. */
   val LOCK_STALE_MS: Long = 60000L
+  /** An .inflight marker older than this is a crashed writer's. */
+  val INFLIGHT_STALE_MS: Long = 600000L
   val TABLE_FILE = "table.json"
   val COMMIT_SUFFIX = ".commit.json"
   val CHECKPOINT_FILE = "checkpoint.json"

@@ -85,8 +85,17 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
       case Some("overwrite") => MergePolicy.OverwriteWithLatest
       case _ => MergePolicy.LatestByOrdering
     }
+    val tableExists = LakeTable.exists(spark, path)
+    // CreatableRelationProvider contract: ErrorIfExists (the
+    // DataFrameWriter default) must throw on an existing table, and
+    // Ignore must be a no-op — not a silent upsert
+    if (tableExists && mode == SaveMode.ErrorIfExists)
+      throw new IllegalStateException(
+        s"graft table already exists at $path (SaveMode.ErrorIfExists)")
+    if (tableExists && mode == SaveMode.Ignore)
+      return GraftRelation(sqlContext, path, parameters)
     val lake =
-      if (LakeTable.exists(spark, path)) LakeTable.load(spark, path)
+      if (tableExists) LakeTable.load(spark, path)
       else {
         val props = TableProps(
           name = new org.apache.hadoop.fs.Path(path).getName,

@@ -107,16 +107,21 @@ private final class GraftDeltaBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(stagingDir).getFileSystem(conf.value)
-    val deletes = new Path(stagingDir, "deletes")
-    val inserts = new Path(stagingDir, "inserts")
+    // read ONLY the files reported by committed task attempts: a
+    // killed/speculative attempt may have left a footerless (or
+    // partial) file in the staging dir, which must neither fail the
+    // statement nor contribute rows
+    val committed = messages.collect { case m: DeltaFilesMessage => m }
+    val delFiles = committed.flatMap(_.deletes).toSeq
+    val insFiles = committed.flatMap(_.inserts).toSeq
     try {
       val delDf =
-        if (fs.exists(deletes) && fs.listStatus(deletes).nonEmpty)
-          Some(spark.read.schema(idSchema).parquet(deletes.toString))
+        if (delFiles.nonEmpty)
+          Some(spark.read.schema(idSchema).parquet(delFiles: _*))
         else None
       val insDf =
-        if (fs.exists(inserts) && fs.listStatus(inserts).nonEmpty)
-          Some(spark.read.schema(rowSchema).parquet(inserts.toString)
+        if (insFiles.nonEmpty)
+          Some(spark.read.schema(rowSchema).parquet(insFiles: _*)
             .drop(LakeTable.MetaCols: _*))
         else None
       if (delDf.nonEmpty || insDf.nonEmpty)
@@ -129,6 +134,11 @@ private final class GraftDeltaBatchWrite(
     fs.delete(new Path(stagingDir), true)
   }
 }
+
+/** Paths of the parquet files one committed task attempt wrote. */
+private final case class DeltaFilesMessage(
+    deletes: Option[String], inserts: Option[String])
+  extends WriterCommitMessage
 
 private final class GraftDeltaWriterFactory(
     stagingDir: String,
@@ -156,9 +166,13 @@ private final class GraftDeltaWriter(
 
   private var deleteWriter: ParquetWriter[InternalRow] = _
   private var insertWriter: ParquetWriter[InternalRow] = _
+  private var deletePath: Path = _
+  private var insertPath: Path = _
 
   private def open(sub: String, schema: StructType): ParquetWriter[InternalRow] = {
+    // taskId is attempt-unique, so speculative attempts never collide
     val path = new Path(s"$stagingDir/$sub/part-$partitionId-$taskId.parquet")
+    if (sub == "deletes") deletePath = path else insertPath = path
     new GraftRowParquetWriterBuilder(path, schema)
       .withConf(new Configuration(conf))
       .withCompressionCodec(CompressionCodecName.SNAPPY)
@@ -181,10 +195,21 @@ private final class GraftDeltaWriter(
 
   override def commit(): WriterCommitMessage = {
     close()
-    new WriterCommitMessage {}
+    DeltaFilesMessage(
+      Option(deletePath).map(_.toString), Option(insertPath).map(_.toString))
   }
 
-  override def abort(): Unit = close()
+  /** A cleanly-aborted attempt removes its files so the driver-side
+    * read cannot see them even transiently; hard-killed attempts are
+    * excluded anyway because commit() only reads reported files. */
+  override def abort(): Unit = {
+    close()
+    val f = new Configuration(conf)
+    Seq(Option(deletePath), Option(insertPath)).flatten.foreach { p =>
+      try p.getFileSystem(f).delete(p, false)
+      catch { case _: Exception => () }
+    }
+  }
 
   override def close(): Unit = {
     if (deleteWriter != null) { deleteWriter.close(); deleteWriter = null }

@@ -45,9 +45,16 @@ final class GraftStreamSink(
         parameters.getOrElse("bucketIndexBuckets", "0").toInt))
 
   // marker scoped to the query's checkpoint: different queries on the
-  // same table each track their own last-applied batch id
+  // same table each track their own last-applied batch id. The option
+  // is REQUIRED: a shared fallback marker would let two independent
+  // queries swallow each other's batch ids — query B's early batches
+  // would be silently discarded as "already applied" (permanent data
+  // loss), which is far worse than failing fast here.
   private val markerName: String = {
-    val ckpt = parameters.getOrElse("checkpointLocation", "default")
+    val ckpt = parameters.getOrElse("checkpointLocation",
+      throw new IllegalArgumentException(
+        "graft streaming sink requires option checkpointLocation " +
+          "(it scopes the exactly-once batch marker per query)"))
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(ckpt.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     s"last_batch_$h"

@@ -53,12 +53,14 @@ final class GraftTable(
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     // MOR: the catalog scan this operation reads is the RO view;
     // compact first so it equals the full view and the rewrite is
-    // correct (predicate DML on MOR always runs post-compaction)
-    if (lake.props.tableType == "mor") lake.compact()
+    // correct (predicate DML on MOR always runs post-compaction).
+    // withOcc: a concurrent writer's commit racing the compaction
+    // must retry it, not spuriously abort the user's DML statement.
+    if (lake.props.tableType == "mor") lake.withOcc()(lake.compact())
     // Bootstrapped external files carry no stored meta columns, so the
     // delegated parquet scan would emit null row ids; migrate them to
     // managed form first (the reference's first-touch migration).
-    lake.migrateExternal()
+    lake.withOcc()(lake.migrateExternal())
     () => new GraftRowLevelOperation(spark, this, info)
   }
 
@@ -129,7 +131,7 @@ final class GraftTable(
     val live = lake.timeline.liveFiles(travel)
     val files = (if (lake.props.tableType == "mor")
       live.filter(!_.delta) // time-travel/lost-race residue: RO view
-    else live).map(f => absPath(f.path))
+    else live).map(f => lake.abs(f.path))
     val metaSchema = StructType(
       LakeTable.MetaCols.map(c =>
         org.apache.spark.sql.types.StructField(c, StringType, nullable = true)) ++
@@ -153,9 +155,6 @@ final class GraftTable(
       _ => new graft.streaming.CommitTailStream(spark, lake, options, lake.schema))
   }
 
-  private def absPath(rel: String): String =
-    if (rel.startsWith("/") || rel.contains(":/")) rel
-    else s"${lake.basePath}/$rel"
 
   // ---------------------------------------------------------------- write
 

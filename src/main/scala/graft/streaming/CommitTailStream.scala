@@ -40,24 +40,52 @@ final class CommitTailStream(
   extends MicroBatchStream {
 
   /** Schema physically read: pruned columns plus `_commit_time` for
-    * the range filter (prepended when not already requested). */
+    * the range filter (prepended when not already requested) and, on
+    * MOR tables, the `_deleted` tombstone marker — tombstone delta
+    * rows carry nulled data columns and MUST NOT surface as phantom
+    * records; the reader drops them and projects the marker away.
+    * (The stream is a per-commit CHANGELOG: intermediate versions of
+    * a key each appear with their own commit; only tombstones are
+    * filtered. The batch incremental query returns the post-merge
+    * view instead.) */
   private val needsCtProjection =
     !outputSchema.fieldNames.contains(LakeTable.CommitTimeCol)
+  private val isMor: Boolean = lake.props.tableType == "mor"
+  private val prepended: Seq[StructField] =
+    (if (needsCtProjection)
+      Seq(StructField(LakeTable.CommitTimeCol, StringType, nullable = true))
+    else Seq.empty) ++
+      (if (isMor)
+        Seq(StructField(LakeTable.DeletedCol,
+          org.apache.spark.sql.types.BooleanType, nullable = true))
+      else Seq.empty)
   private val fileSchema: StructType =
-    if (needsCtProjection)
-      StructType(StructField(LakeTable.CommitTimeCol, StringType, nullable = true) +:
-        outputSchema.fields)
-    else outputSchema
+    StructType(prepended ++ outputSchema.fields)
   private val ctOrdinal: Int =
     fileSchema.fieldIndex(LakeTable.CommitTimeCol)
+  private val delOrdinal: Int =
+    if (isMor) fileSchema.fieldIndex(LakeTable.DeletedCol) else -1
 
   private val startCommit: String =
     Option(options.get("startCommit")).getOrElse("0")
 
   override def initialOffset(): Offset = CommitOffset(startCommit)
 
-  override def latestOffset(): Offset =
-    CommitOffset(lake.timeline.latestInstant().getOrElse(startCommit))
+  /** Newest committed instant, FENCED at the earliest instant a
+    * concurrent writer is still working on: a slower writer holding a
+    * lower instant that commits after this batch was planned would
+    * otherwise be skipped forever (its instant falls before the next
+    * batch's begin offset). */
+  override def latestOffset(): Offset = {
+    val latest = lake.timeline.latestInstant().getOrElse(startCommit)
+    val fenced = lake.timeline.earliestActiveInflight() match {
+      case Some(inflight) if inflight <= latest =>
+        lake.timeline.commits().map(_.instant)
+          .filter(_ < inflight).lastOption.getOrElse(startCommit)
+      case _ => latest
+    }
+    CommitOffset(if (fenced < startCommit) startCommit else fenced)
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val m = "\"instant\"\\s*:\\s*\"([^\"]*)\"".r
@@ -75,12 +103,18 @@ final class CommitTailStream(
     val begin = start.asInstanceOf[CommitOffset].instant
     val until = end.asInstanceOf[CommitOffset].instant
     if (until <= begin) return Array.empty
-    val files = lake.timeline.liveFiles(Some(until))
-      .filter(_.instant > begin)
-      .map { e =>
-        if (e.path.startsWith("/") || e.path.contains(":/")) e.path
-        else s"${lake.basePath}/${e.path}"
-      }
+    // WAL-replayed batch older than the archive boundary: per-instant
+    // as-of is gone (liveFiles would throw and permanently brick the
+    // query on every restart). Fall back to ALL current live files —
+    // rewrites preserve per-row commit times, so the row-level
+    // (begin, until] filter still selects exactly the range's
+    // surviving rows; it just scans more files for this one batch.
+    val archivedPast =
+      lake.timeline.readCheckpoint().exists(cp => until < cp.asOf)
+    val entries =
+      if (archivedPast) lake.timeline.liveFiles(None)
+      else lake.timeline.liveFiles(Some(until)).filter(_.instant > begin)
+    val files = entries.map(e => lake.abs(e.path))
     if (files.isEmpty) return Array.empty
     val inner = ParquetTable("graft-stream", spark,
       CaseInsensitiveStringMap.empty(), files.toList,
@@ -102,20 +136,24 @@ final class CommitTailStream(
       .toBatch.createReaderFactory()
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CommitRangeFilterFactory(innerFactory, ctOrdinal,
-      if (needsCtProjection) outputSchema.fields.map(_.dataType) else null)
+    new CommitRangeFilterFactory(innerFactory, ctOrdinal, delOrdinal,
+      prepended.length,
+      if (prepended.nonEmpty) outputSchema.fields.map(_.dataType) else null)
 }
 
 /** An inner parquet partition plus the commit range its rows must lie in. */
 final case class RangedPartition(
     inner: InputPartition, begin: String, until: String) extends InputPartition
 
-/** Row-filtering wrapper: keeps rows with begin < _commit_time <= until
-  * and, when `projectTypes` is non-null, drops the prepended commit-time
-  * column so the output matches the pruned schema exactly. */
+/** Row-filtering wrapper: keeps rows with begin < _commit_time <= until,
+  * drops MOR tombstone rows (`delOrdinal` >= 0), and, when
+  * `projectTypes` is non-null, drops the `numPrepended` internal
+  * leading columns so the output matches the pruned schema exactly. */
 final class CommitRangeFilterFactory(
     inner: PartitionReaderFactory,
     ctOrdinal: Int,
+    delOrdinal: Int,
+    numPrepended: Int,
     projectTypes: Array[DataType])
   extends PartitionReaderFactory {
 
@@ -130,7 +168,10 @@ final class CommitRangeFilterFactory(
         while (delegate.next()) {
           val row = delegate.get()
           val ct = row.getUTF8String(ctOrdinal)
-          if (ct != null) {
+          val isTombstone =
+            delOrdinal >= 0 && !row.isNullAt(delOrdinal) &&
+              row.getBoolean(delOrdinal)
+          if (ct != null && !isTombstone) {
             val s = ct.toString
             if (s > rp.begin && s <= rp.until) {
               current = if (projectTypes == null) row else project(row)
@@ -144,8 +185,10 @@ final class CommitRangeFilterFactory(
         val out = new GenericInternalRow(projectTypes.length)
         var i = 0
         while (i < projectTypes.length) {
-          // commit-time is prepended at ordinal 0 when projecting
-          out.update(i, if (row.isNullAt(i + 1)) null else row.get(i + 1, projectTypes(i)))
+          // internal columns (commit time / tombstone marker) are
+          // prepended; shift them off
+          out.update(i, if (row.isNullAt(i + numPrepended)) null
+            else row.get(i + numPrepended, projectTypes(i)))
           i += 1
         }
         out

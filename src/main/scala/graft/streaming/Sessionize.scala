@@ -81,6 +81,13 @@ object Sessionize {
                   case Some(s) if us - s.endUs > gapUs =>
                     closed += close(s) // event-time gap crossed
                     Some(SessionAgg(us, us, 1L, e.value))
+                  case Some(s) if s.startUs - us > gapUs =>
+                    // late arrival more than a gap BEFORE the open
+                    // session: it can never extend it — emit the late
+                    // event as its own closed session (best effort
+                    // without buffering; within-gap late events merge)
+                    closed += close(SessionAgg(us, us, 1L, e.value))
+                    Some(s)
                   case Some(s) =>
                     Some(SessionAgg(math.min(s.startUs, us),
                       math.max(s.endUs, us), s.nEvents + 1L,
