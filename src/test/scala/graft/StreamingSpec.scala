@@ -135,6 +135,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("commit-tail stream of a MOR table drops tombstones and fences inflight writers") {
+    import graft.core.{LakeTable, TableProps}
+    val path = tmp("mor_tail_") + "/t"
+    val t = LakeTable.create(spark, path, TableProps(
+      "mor_tail", Seq("id"), Some("ts"), Seq.empty, tableType = "mor"))
+    t.upsert(Seq((1, "a", 1L), (2, "b", 1L)).toDF("id", "v", "ts"))
+    t.delete(Seq(Tuple1(2)).toDF("id")) // tombstone delta row
+    // batch-read the stream's planInputPartitions surface directly
+    val stream = new graft.streaming.CommitTailStream(
+      spark, t, new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of()), t.schema)
+    val parts = stream.planInputPartitions(
+      stream.initialOffset(), stream.latestOffset())
+    val factory = stream.createReaderFactory()
+    val rows = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getInt(0), Option(row.getUTF8String(1)).map(_.toString).orNull))
+      }
+      r.close(); buf
+    }
+    // the tombstone's phantom (2, null) row must NOT appear
+    assert(rows.toSet == Set((1, "a"), (2, "b")), s"got ${rows.toSeq}")
+    // inflight fence: a writer that declared intent but has not
+    // committed caps latestOffset below the newest commit
+    val before = stream.latestOffset().asInstanceOf[graft.streaming.CommitOffset]
+    val inflight = t.timeline.beginWrite() // slow writer's declared intent
+    t.upsert(Seq((3, "c", 1L)).toDF("id", "v", "ts")) // faster writer lands
+    val fenced = stream.latestOffset().asInstanceOf[graft.streaming.CommitOffset]
+    assert(fenced.instant < inflight,
+      s"offset ${fenced.instant} must stay below inflight $inflight")
+    t.timeline.clearInflight(inflight)
+    val after = stream.latestOffset().asInstanceOf[graft.streaming.CommitOffset]
+    assert(after.instant > before.instant, "offset must advance once cleared")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{Sessionize, SessionEvent}
