@@ -37,7 +37,7 @@ object MediaDecoder {
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val n = bytes.length
     val width = (n % 640) + 1
-    val height = ((n * 7) % 480) + 1
+    val height = ((n.toLong * 7) % 480).toInt + 1 // no 32-bit wrap on huge blobs
     val channels = 3
     // fake 8-dim feature vector: normalized byte octiles
     val features = Array.tabulate(8) { i =>
@@ -55,14 +55,15 @@ object MediaDecoder {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init site: a real implementation would create
-        // the (non-serializable, expensive) codec instance here once
+        // per-partition init site: the codec analog (here the digest —
+        // digest(bytes) resets it, so one instance serves every row)
+        // is created ONCE per partition, not per record
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
           val payload = if (bytes == null) Array.emptyByteArray else bytes
           val (w, h, c, feats) = decodeStub(payload)
           DecodedMedia(id, payload.length, w, h, c,
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(payload).map("%02x".format(_)).mkString,
+            md.digest(payload).map("%02x".format(_)).mkString,
             feats)
         }
       }

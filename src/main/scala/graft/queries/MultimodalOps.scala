@@ -24,7 +24,10 @@ object MultimodalOps {
         .withColumn("payload", col("text").cast("binary"))
         .withColumn("n_bytes", octet_length(col("payload")))
         .withColumn("fake_width", (col("n_bytes") % 640).cast("int"))
-        .withColumn("fake_height", ((col("n_bytes") * 7) % 480).cast("int"))
+        // multiply in LONG: a >306 MB payload would wrap 32-bit here
+        // while the DuckDB side (BIGINT octet_length) would not
+        .withColumn("fake_height",
+          ((col("n_bytes").cast("long") * 7) % 480).cast("int"))
         .withColumn("fingerprint", md5(col("payload")))
         .select("doc_id", "n_bytes", "fake_width", "fake_height", "fingerprint")
         .orderBy("doc_id")

@@ -378,12 +378,16 @@ object Relational {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("__side"), col("p_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // ONE carried struct, not two scalars: independent last(...,
+      // ignoreNulls) calls would desynchronize on a NULL purchase
+      // value (id from the newest purchase, value from an older one)
       clicks.unionByName(purch)
-        .withColumn("lp_id", last(col("p_id"), ignoreNulls = true).over(w))
-        .withColumn("lp_value", last(col("p_value"), ignoreNulls = true).over(w))
-        .filter(col("__side") === 1 && col("lp_id").isNotNull)
+        .withColumn("lp", last(
+          when(col("__side") === 0, struct(col("p_id"), col("p_value"))),
+          ignoreNulls = true).over(w))
+        .filter(col("__side") === 1 && col("lp").isNotNull)
         .select(col("event_id"), col("user_id"),
-          col("lp_id").as("p_id"), col("lp_value").as("p_value"))
+          col("lp.p_id").as("p_id"), col("lp.p_value").as("p_value"))
         .orderBy("event_id")
     },
     Some("""WITH clicks AS (

@@ -196,11 +196,15 @@ object SimilarityOps {
         // caches data but the logical plan still grows one join layer
         // per iteration, so a deep component would otherwise pay
         // ever-taller analysis/planning (and risk stack overflow)
+        val parent = labels
         val mat =
           if ((iter + 1) % 5 == 0) next.localCheckpoint() else next.persist()
-        labels.unpersist()
         labels = mat
-        val s = labelSum()
+        val s = labelSum() // materializes mat (reads the parent cache)
+        // only NOW drop the parent: unpersisting before mat was
+        // computed would force the join chain to re-derive it from
+        // lineage, defeating the per-iteration cache entirely
+        parent.unpersist()
         converged = s == prevSum
         prevSum = s
         iter += 1

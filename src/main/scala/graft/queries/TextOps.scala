@@ -103,8 +103,6 @@ object TextOps {
       }.mkString(",\n          ")
       // same left-fold argmax as the Spark side: strictly-greater wins
       val langs = langLex.map(_._1) :+ "zh"
-      def arg(i: Int): String =
-        if (i == langs.length) "" else ""
       val foldExpr = langs.tail.foldLeft((s"c_${langs.head}", s"'${langs.head}'")) {
         case ((bc, bl), l) =>
           (s"CASE WHEN c_$l > ($bc) THEN c_$l ELSE ($bc) END",
@@ -173,7 +171,10 @@ object TextOps {
       val grams = t(s, dir, "documents")
         .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
         .withColumn("bg", explode(expr(
-          "transform(sequence(1, length(norm) - 1), i -> substring(norm, i, 2))")))
+          // short-text guard: sequence(1, 0) DESCENDS in Spark,
+          // emitting phantom rows DuckDB's end-exclusive range never
+          // produces — same guard shape as DedupOps.shingles
+          "case when length(norm) >= 2 then transform(sequence(1, length(norm) - 1), i -> substring(norm, i, 2)) else array() end")))
         .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("n").desc, col("bg").asc)

@@ -35,12 +35,16 @@ object DfUtils {
     df.select(df.columns.map(c => col(c).cast(StringType).as(c)).toSeq: _*)
 
   /** Force-nullable schema (BootstrapDemo.scala:275-280
-    * `makeDfColNullable`, minus the rdd rebuild). */
-  def forceNullable(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    spark.createDataFrame(df.rdd,
-      org.apache.spark.sql.types.StructType(df.schema.map(_.copy(nullable = true))))
-  }
+    * `makeDfColNullable`, minus the rdd rebuild): each column is
+    * wrapped in `if(true, c, null)`, whose null branch makes the
+    * expression nullable by construction — a pure projection, so the
+    * logical plan (codegen, pushdown, AQE) survives, unlike the
+    * reference's createDataFrame(df.rdd, schema) round-trip.
+    * (Dataset.to does NOT work here — it keeps the stricter input
+    * nullability — and when(lit(true), c) gets constant-folded back
+    * to non-nullable during analysis; verified empirically.) */
+  def forceNullable(df: DataFrame): DataFrame =
+    df.selectExpr(df.columns.map(c => s"if(true, `$c`, null) AS `$c`").toSeq: _*)
 }
 
 /** Filesystem helpers mirroring `common/FsUtils.scala`. */
