@@ -270,8 +270,21 @@ final class Timeline(conf: Configuration, val basePath: String) {
     while (!claimed) {
       try {
         val st = fs.getFileStatus(lock)
-        if (System.currentTimeMillis() - st.getModificationTime > LOCK_STALE_MS)
-          fs.delete(lock, false) // crashed writer's leftover
+        if (System.currentTimeMillis() - st.getModificationTime > LOCK_STALE_MS) {
+          // Break the stale lock via RENAME, not delete: rename is the
+          // atomic arbiter among concurrent breakers (exactly one
+          // wins), and a plain delete could zap a FRESH lock claimed
+          // between our staleness check and the delete. If the renamed
+          // file turns out fresh after all (a live writer slipped in),
+          // restore it untouched — rename preserves mtime.
+          val broken = new Path(dir, s".commit.lock.broken-${UUID.randomUUID()}")
+          if (fs.rename(lock, broken)) {
+            val st2 = fs.getFileStatus(broken)
+            if (System.currentTimeMillis() - st2.getModificationTime > LOCK_STALE_MS)
+              fs.delete(broken, false) // confirmed stale: break it
+            else fs.rename(broken, lock) // live writer's lock: restore
+          }
+        }
       } catch { case _: java.io.IOException => () } // released meanwhile
       if (System.nanoTime() > deadline)
         throw new CommitConflictException(s"timed out waiting for $lock")
