@@ -197,5 +197,69 @@ object TextOps {
       SELECT lang, bg, n, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 5 ORDER BY lang, rank"""))
 
-  def qs: Seq[GQ] = Seq(quality, langId, tokenStats, fingerprint, ngramProfile)
+
+  /** split1 — deterministic hash-stratified train/val/test split: the
+    * canonical "assign every document to a split by content-stable
+    * hash" op of a training-data pipeline. The split is a pure
+    * function of doc_id (48-bit md5 prefix mod 100 → 90/5/5), so it
+    * is reproducible across runs, engines, and repartitions — no RNG,
+    * no global coordination, embarrassingly parallel at 100 TB. The
+    * gate aggregates per (source, split) to verify stratification. */
+  private val hashSplit = GQ(
+    "split1_hash_stratified",
+    (s, dir) => {
+      val h = expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10)")
+        .cast("long") % 100
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(h < 90, "train").when(h < 95, "validation").otherwise("test"))
+        .withColumn("tok", ceil(col("n_chars").cast("double") / 4.0).cast("long"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+        .orderBy("source", "split")
+    },
+    Some("""WITH d AS (SELECT source,
+        CASE
+          WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 90 THEN 'train'
+          WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 95 THEN 'validation'
+          ELSE 'test' END AS split,
+        CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS tok
+      FROM documents)
+      SELECT source, split, count(*) AS n_docs, sum(tok) AS sum_tokens
+      FROM d GROUP BY source, split ORDER BY source, split"""))
+
+  /** pack1 — sequence packing: assign documents, in deterministic
+    * order, to contiguous bins of ≤4096 estimated tokens (the
+    * pretraining "pack short documents into fixed-length sequences"
+    * op). bin = ⌊preceding-cumulative / 4096⌋ over a per-source
+    * running sum — one window per source partition, so packing
+    * parallelizes across sources at scale instead of forcing a global
+    * single-partition sort. */
+  private val packBins = GQ(
+    "pack1_sequence_bins",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "documents")
+        .withColumn("tok", ceil(col("n_chars").cast("double") / 4.0).cast("long"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .withColumn("bin", expr("(cum - tok) div 4096"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"))
+        .orderBy("source", "bin")
+    },
+    Some("""WITH d AS (SELECT source, doc_id,
+        CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS tok
+      FROM documents),
+      c AS (SELECT source, tok,
+        sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+      SELECT source, (cum - tok) // 4096 AS bin,
+        count(*) AS n_docs, sum(tok) AS bin_tokens
+      FROM c GROUP BY source, bin ORDER BY source, bin"""))
+
+  def qs: Seq[GQ] = Seq(quality, langId, tokenStats, fingerprint, ngramProfile,
+    hashSplit, packBins)
 }
