@@ -78,7 +78,8 @@ final class GraftTable(
     "path" -> lake.basePath,
     "writeSaltBuckets" -> lake.props.writeSaltBuckets.toString,
     "bucketIndexBuckets" -> lake.props.bucketIndexBuckets.toString,
-    "compaction.delta_commits" -> lake.props.compactDeltaCommits.toString).asJava
+    "compaction.delta_commits" -> lake.props.compactDeltaCommits.toString,
+    "morPayload" -> lake.props.morPayload).asJava
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
