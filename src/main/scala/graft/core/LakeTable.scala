@@ -232,15 +232,28 @@ final class LakeTable private[core] (
       // keys changed in the range (exactly the rows a COW rewrite
       // would have carried) — raw delta rows would surface null-data
       // tombstones and superseded intermediate versions to CDC
-      // consumers. Merge needs every version of a (key, partition),
-      // so prune only whole partitions (glob) before merging, then
-      // range-filter on the winning version's commit time.
+      // consumers. Merge needs every version of a changed
+      // (key, partition), and a key present in an in-range file
+      // forces (partition, key-range) overlap with any file holding
+      // its other versions — so pruning to OVERLAPPING files is
+      // sufficient (same argument as subset compaction): a 1-row
+      // delta on a large table merges a few files, not the table.
       val all = timeline.liveFiles(endInstant)
         .filter(f => pathGlob.forall(g => globMatch(g, f.partition)))
+      val changed = all.filter(_.instant > beginInstant)
+      def touches(f: FileEntry): Boolean = changed.exists { c =>
+        c.partition == f.partition &&
+          ((c.minKey, c.maxKey, f.minKey, f.maxKey) match {
+            case (Some(cm), Some(cM), Some(fm), Some(fM)) =>
+              utf8Lte(cm, fM) && utf8Lte(fm, cM)
+            case _ => true // no stats → cannot prune
+          })
+      }
+      val needed = all.filter(touches)
       // merged output drops the tombstone marker — match it when empty
-      if (all.isEmpty)
+      if (needed.isEmpty)
         return emptyDf(StructType(s.filterNot(_.name == DeletedCol)))
-      return mergeOnRead(readLive(all, s))
+      return mergeOnRead(readLive(needed, s))
         .filter(col(CommitTimeCol) > lit(beginInstant) &&
           endInstant.map(e => col(CommitTimeCol) <= lit(e)).getOrElse(lit(true)))
     }
@@ -911,6 +924,9 @@ final class LakeTable private[core] (
           catch { case _: Exception => () }
         }
         try f.delete(stagingDir, true) catch { case _: Exception => () }
+        // the retry takes a FRESH instant; this one's fence marker
+        // must not stall streaming readers until stale expiry
+        timeline.clearInflight(instant)
         throw new CommitConflictException(s"rename failed: $file -> $rel")
       }
       added += rel
@@ -1146,6 +1162,8 @@ object LakeTable {
 
   /** CREATE TABLE (SparkSQLDemo.scala:36-53). */
   def create(spark: SparkSession, basePath: String, props: TableProps): LakeTable = {
+    require(Set("latest", "overwrite").contains(props.morPayload),
+      s"morPayload must be 'latest' or 'overwrite', got '${props.morPayload}'")
     val base = qualify(spark, basePath)
     val tl = new Timeline(spark.sessionState.newHadoopConf(), base)
     if (tl.exists)

@@ -277,12 +277,20 @@ final class Timeline(conf: Configuration, val basePath: String) {
           // between our staleness check and the delete. If the renamed
           // file turns out fresh after all (a live writer slipped in),
           // restore it untouched — rename preserves mtime.
+          // Residual limitation (shared with Hudi's filesystem lock
+          // provider): without compare-and-swap, a breaker with a
+          // stale view can briefly vacate a freshly re-claimed lock
+          // before the restore below lands. The window needs a
+          // crashed writer + two sub-second racing breakers; cloud
+          // deployments wanting a hard guarantee should front commits
+          // with a CAS-capable lock service, as Hudi recommends.
           val broken = new Path(dir, s".commit.lock.broken-${UUID.randomUUID()}")
           if (fs.rename(lock, broken)) {
             val st2 = fs.getFileStatus(broken)
             if (System.currentTimeMillis() - st2.getModificationTime > LOCK_STALE_MS)
               fs.delete(broken, false) // confirmed stale: break it
-            else fs.rename(broken, lock) // live writer's lock: restore
+            else if (!fs.rename(broken, lock))
+              fs.delete(broken, false) // restore lost its own race: tidy
           }
         }
       } catch { case _: java.io.IOException => () } // released meanwhile
@@ -443,10 +451,22 @@ final class Timeline(conf: Configuration, val basePath: String) {
     val live = liveFiles(None).map(_.path).toSet
     val candidates = (activeRemoved ++ folded).distinct
       .filterNot(live.contains)
-    candidates.filter { rel =>
+    val deleted = candidates.filter { rel =>
       val p = new Path(basePath, rel)
       !fs.exists(p) || fs.delete(p, false)
     }
+    // drop confirmed-deleted paths from the checkpoint fold: without
+    // this the removal history grows forever and every clean re-stats
+    // all of it
+    val done = deleted.toSet
+    if (folded.exists(done.contains)) withTableLock {
+      readCheckpoint().foreach { cp =>
+        atomicWrite(checkpointPath, Serialization.write(
+          cp.copy(archivedRemoved =
+            cp.archivedRemoved.filterNot(done.contains)))(formats))
+      }
+    }
+    deleted
   }
 
   /** Write-then-rename. Commit files are the cross-process OCC arbiter
@@ -479,8 +499,13 @@ object Timeline {
   val META_DIR = "_timeline"
   /** A .commit.lock older than this is a crashed writer's leftover. */
   val LOCK_STALE_MS: Long = 60000L
-  /** An .inflight marker older than this is a crashed writer's. */
-  val INFLIGHT_STALE_MS: Long = 600000L
+  /** An .inflight marker older than this is treated as a crashed or
+    * failed writer's leftover and stops fencing streaming offsets.
+    * Short on purpose: an expired marker merely degrades to the
+    * unfenced behavior for that one writer, while a leaked marker
+    * (write job failed before the commit funnel could clear it)
+    * would stall every commit-tail stream for the full duration. */
+  val INFLIGHT_STALE_MS: Long = 120000L
   val TABLE_FILE = "table.json"
   val COMMIT_SUFFIX = ".commit.json"
   val CHECKPOINT_FILE = "checkpoint.json"

@@ -93,7 +93,11 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
       throw new IllegalStateException(
         s"graft table already exists at $path (SaveMode.ErrorIfExists)")
     if (tableExists && mode == SaveMode.Ignore)
-      return GraftRelation(sqlContext, path, parameters)
+      // declared DATA schema, same as the write-path return below:
+      // saveAsTable records this relation's schema, and exposing the
+      // meta columns would break every later append's column check
+      return GraftRelation(sqlContext, path, parameters,
+        Some(LakeTable.load(spark, path).schema))
     val lake =
       if (tableExists) LakeTable.load(spark, path)
       else {

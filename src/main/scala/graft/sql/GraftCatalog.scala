@@ -114,7 +114,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       partitionFields = partitionFields.toSeq,
       tableType = opts.getOrElse("type", "cow"),
       writeSaltBuckets = opts.getOrElse("writeSaltBuckets", "1").toInt,
-      morPayload = opts.getOrElse("morPayload", "latest"),
+      morPayload = {
+        val mp = opts.getOrElse("morPayload", "latest")
+        require(Set("latest", "overwrite").contains(mp),
+          s"TBLPROPERTY morPayload must be 'latest' or 'overwrite', got '$mp'")
+        mp
+      },
       schemaDdl = schema.toDDL,
       compactDeltaCommits =
         opts.getOrElse("compaction.delta_commits", "0").toInt,

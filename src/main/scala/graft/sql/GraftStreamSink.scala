@@ -44,19 +44,23 @@ final class GraftStreamSink(
       bucketIndexBuckets =
         parameters.getOrElse("bucketIndexBuckets", "0").toInt))
 
-  // marker scoped to the query's checkpoint: different queries on the
-  // same table each track their own last-applied batch id. The option
-  // is REQUIRED: a shared fallback marker would let two independent
-  // queries swallow each other's batch ids — query B's early batches
-  // would be silently discarded as "already applied" (permanent data
-  // loss), which is far worse than failing fast here.
+  // marker scoped per query: different queries on the same table each
+  // track their own last-applied batch id. The scope key is the
+  // checkpointLocation option or, for conf-resolved checkpoints
+  // (spark.sql.streaming.checkpointLocation + queryName, which Spark
+  // does NOT pass into DSv1 sink options), the queryName. A shared
+  // fallback marker would let two independent queries swallow each
+  // other's batch ids — query B's early batches silently discarded as
+  // "already applied" (permanent data loss) — so with NEITHER key
+  // present the sink fails fast instead.
   private val markerName: String = {
-    val ckpt = parameters.getOrElse("checkpointLocation",
-      throw new IllegalArgumentException(
-        "graft streaming sink requires option checkpointLocation " +
-          "(it scopes the exactly-once batch marker per query)"))
+    val scope = parameters.get("checkpointLocation")
+      .orElse(parameters.get("queryName"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft streaming sink requires option checkpointLocation (or a " +
+          "queryName) to scope its exactly-once batch marker per query"))
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(ckpt.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      .digest(scope.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     s"last_batch_$h"
   }
 

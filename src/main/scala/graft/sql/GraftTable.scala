@@ -127,7 +127,14 @@ final class GraftTable(
     if (lake.props.tableType == "mor" && travel.isEmpty &&
         lake.timeline.liveFiles(None).exists(_.delta)) {
       try lake.withOcc()(lake.compact())
-      catch { case _: graft.core.CommitConflictException => () }
+      catch {
+        case e: graft.core.CommitConflictException =>
+          // retries exhausted: only proceed if some concurrent writer
+          // compacted meanwhile — otherwise serving the RO view would
+          // silently drop every un-compacted delta, the exact
+          // staleness this path exists to eliminate
+          if (lake.timeline.liveFiles(None).exists(_.delta)) throw e
+      }
     }
     val live = lake.timeline.liveFiles(travel)
     val files = (if (lake.props.tableType == "mor")

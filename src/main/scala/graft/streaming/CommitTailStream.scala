@@ -47,7 +47,12 @@ final class CommitTailStream(
     * (The stream is a per-commit CHANGELOG: intermediate versions of
     * a key each appear with their own commit; only tombstones are
     * filtered. The batch incremental query returns the post-merge
-    * view instead.) */
+    * view instead. Caveat, shared with Hudi incremental reads over a
+    * compacted/cleaned range: compaction keeps only each key's
+    * winning version, so a batch window that spans a compaction
+    * emits the merged survivors of that window, not every
+    * intermediate version — a caught-up stream is unaffected because
+    * it consumes commits before any later compaction folds them.) */
   private val needsCtProjection =
     !outputSchema.fieldNames.contains(LakeTable.CommitTimeCol)
   private val isMor: Boolean = lake.props.tableType == "mor"
