@@ -44,6 +44,17 @@ def main(out_dir, sf_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
+            # Type gate: the driver's hasher is type-sensitive (HUGEINT from
+            # DuckDB sum(INT) stringifies differently than BIGINT) — fail on
+            # any physical-type divergence, not just value divergence.
+            wt = {r[0]: r[1] for r in con.execute(f"DESCRIBE ({sql})").fetchall()}
+            gt = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()}
+            tmis = {c: (wt.get(c), gt.get(c)) for c in wt if wt.get(c) != gt.get(c)}
+            if tmis:
+                print(f"FAIL {name}: oracle/spark type mismatch {tmis}")
+                n_fail += 1
+                continue
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             gcols = [d[0] for d in got.description]

@@ -56,7 +56,7 @@ object LakeQueries {
         THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE)
         ELSE c_acctbal END AS c_acctbal,
       c_mktsegment,
-      CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS ts
+      CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
       FROM customer ORDER BY c_custkey"""))
 
   /** Delete by key (W16 / HoodieJavaWriteClientExample delete flow). */

@@ -33,7 +33,7 @@ object MultimodalOps {
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
-        octet_length(encode(text)) AS n_bytes,
+        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
         CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height,
         md5(text) AS fingerprint

@@ -558,8 +558,8 @@ object Relational {
             THEN 1 ELSE 0 END AS new_s
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       sessions AS (SELECT user_id, us, value,
-          sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-            ROWS UNBOUNDED PRECEDING) AS session_idx
+          CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         FROM flagged)
       SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us,
         count(*) AS n_events,

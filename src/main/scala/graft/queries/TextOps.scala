@@ -226,7 +226,8 @@ object TextOps {
           ELSE 'test' END AS split,
         CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS tok
       FROM documents)
-      SELECT source, split, count(*) AS n_docs, sum(tok) AS sum_tokens
+      SELECT source, split, count(*) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS sum_tokens
       FROM d GROUP BY source, split ORDER BY source, split"""))
 
   /** pack1 — sequence packing: assign documents, in deterministic
@@ -256,8 +257,8 @@ object TextOps {
       c AS (SELECT source, tok,
         sum(tok) OVER (PARTITION BY source ORDER BY doc_id
           ROWS UNBOUNDED PRECEDING) AS cum FROM d)
-      SELECT source, (cum - tok) // 4096 AS bin,
-        count(*) AS n_docs, sum(tok) AS bin_tokens
+      SELECT source, CAST((cum - tok) // 4096 AS BIGINT) AS bin,
+        count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
       FROM c GROUP BY source, bin ORDER BY source, bin"""))
 
   def qs: Seq[GQ] = Seq(quality, langId, tokenStats, fingerprint, ngramProfile,
