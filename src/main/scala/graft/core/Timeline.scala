@@ -204,6 +204,19 @@ final class Timeline(conf: Configuration, val basePath: String) {
 
   private def inflightDir = new Path(dir, ".inflight")
 
+  /** Effective marker-staleness window: `graft.inflight.stale.ms` in
+    * the Hadoop conf (settable per session via
+    * `spark.hadoop.graft.inflight.stale.ms`), default
+    * [[Timeline.INFLIGHT_STALE_MS]]. */
+  private val inflightStaleMs: Long =
+    conf.getLong("graft.inflight.stale.ms", INFLIGHT_STALE_MS)
+
+  /** Heartbeat cancellation handles for markers published by THIS
+    * instance (instant → scheduled touch task). */
+  private val heartbeats =
+    scala.collection.concurrent.TrieMap
+      .empty[String, java.util.concurrent.ScheduledFuture[_]]
+
   /** Publish write intent for `instant` BEFORE any data is written.
     * Streaming tails fence on these: without the marker, a slow writer
     * holding a lower instant that commits after a faster writer would
@@ -211,30 +224,68 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * already advanced past it (Hudi caps streaming reads at the
     * earliest inflight instant for the same reason). Cleared by the
     * commit funnel; a crashed writer's marker expires after
-    * [[Timeline.INFLIGHT_STALE_MS]]. */
+    * `inflightStaleMs`. A background heartbeat re-touches the marker
+    * at a third of that window for as long as the write is running, so
+    * a LIVE writer whose data phase outlasts the window (routine for
+    * large batches) never loses fence protection — only a writer whose
+    * JVM died stops touching and expires. */
   def beginWrite(): String = {
     val instant = nextInstant()
+    val marker = new Path(inflightDir, instant)
     try {
       fs.mkdirs(inflightDir)
-      fs.create(new Path(inflightDir, instant), true).close()
-    } catch { case _: java.io.IOException => () } // fence is best-effort
+      fs.create(marker, true).close()
+      val task = heartbeatExec.scheduleWithFixedDelay(
+        () => touchMarker(marker),
+        inflightStaleMs / 3, inflightStaleMs / 3,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      heartbeats.put(instant, task)
+    } catch {
+      case e: java.io.IOException =>
+        // fence is best-effort, but an unfenced write must be VISIBLE:
+        // commit-tail streams can skip this commit if they pass it
+        // while the write is still running
+        log.warn(s"inflight fence marker creation failed for $instant " +
+          s"on $basePath — this write proceeds unfenced: $e")
+    }
     instant
   }
 
-  def clearInflight(instant: String): Unit =
+  /** Refresh a marker's mtime (setTimes where the FS supports it,
+    * re-create otherwise — we own the marker either way). */
+  private def touchMarker(marker: Path): Unit =
+    try fs.setTimes(marker, System.currentTimeMillis(), -1)
+    catch {
+      case _: Exception =>
+        try fs.create(marker, true).close()
+        catch { case _: Exception => () }
+    }
+
+  def clearInflight(instant: String): Unit = {
+    heartbeats.remove(instant).foreach(_.cancel(false))
     try fs.delete(new Path(inflightDir, instant), false)
     catch { case _: Exception => () }
+  }
+
+  /** Markers already warned about as expired (warn once per marker per
+    * instance, not once per poll). */
+  private val warnedExpired =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Smallest instant some writer is still working on (markers older
     * than `staleMs` are crashed writers and ignored). */
   def earliestActiveInflight(
-      staleMs: Long = INFLIGHT_STALE_MS): Option[String] = {
+      staleMs: Long = inflightStaleMs): Option[String] = {
     if (!fs.exists(inflightDir)) return None
     val now = System.currentTimeMillis()
-    fs.listStatus(inflightDir).toSeq
-      .filter(st => now - st.getModificationTime <= staleMs)
-      .map(_.getPath.getName)
-      .sorted.headOption
+    val (live, expired) = fs.listStatus(inflightDir).toSeq
+      .partition(st => now - st.getModificationTime <= staleMs)
+    expired.map(_.getPath.getName).filter(warnedExpired.add).foreach { i =>
+      log.warn(s"ignoring expired inflight marker $i on $basePath " +
+        "(crashed writer, or a live writer whose heartbeat stopped) — " +
+        "commit-tail streams no longer fence on it")
+    }
+    live.map(_.getPath.getName).sorted.headOption
   }
 
   /** Optimistic-concurrency commit. Two conflict checks, both raising
@@ -257,8 +308,15 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * filesystems); a lock older than [[LOCK_STALE_MS]] is treated as a
     * crashed writer's leftover and broken. Timing out surfaces as a
     * [[CommitConflictException]] so withOcc retries. */
-  private def withTableLock[T](f: => T): T = {
+  private def withTableLock[T](f: => T): T = withTableLockOwned(_ => f)
+
+  /** As [[withTableLock]], but hands the block this claim's owner token
+    * so late-stage writes can re-verify ownership via
+    * [[lockStillOwned]] — the defense against the residual breaker race
+    * (a breaker with a stale view vacating a freshly claimed lock). */
+  private def withTableLockOwned[T](f: String => T): T = {
     val lock = new Path(dir, ".commit.lock")
+    val owner = UUID.randomUUID().toString
     val local = Option(lock.toUri.getScheme).forall(_ == "file")
     def tryClaim(): Boolean =
       try {
@@ -299,13 +357,36 @@ final class Timeline(conf: Configuration, val basePath: String) {
       Thread.sleep(10 + scala.util.Random.nextInt(40))
       claimed = tryClaim()
     }
-    try f
+    // Stamp ownership into the claimed lock (we hold the O_EXCL claim,
+    // so only this writer legitimately writes here). The stamp is what
+    // lockStillOwned re-reads before the commit-file write. Residual:
+    // a breaker that vacates THIS claim in the few ms before the stamp
+    // lands defeats the check — strictly narrower than the unstamped
+    // race, and the create-no-overwrite commit file still backstops
+    // same-instant collisions.
+    try {
+      val out = fs.create(lock, true)
+      try out.write(owner.getBytes("UTF-8")) finally out.close()
+    } catch { case _: java.io.IOException => () }
+    try f(owner)
     finally {
       try fs.delete(lock, false) catch { case _: Exception => () }
     }
   }
 
-  def commit(meta: CommitMeta): Unit = this.synchronized { withTableLock {
+  /** True iff the table lock still carries `owner`'s stamp — i.e. no
+    * stale-lock breaker vacated this claim and handed it to another
+    * writer while the critical section was running. */
+  private def lockStillOwned(owner: String): Boolean =
+    try {
+      val in = fs.open(new Path(dir, ".commit.lock"))
+      val body = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      body == owner
+    } catch { case _: Exception => false }
+
+  def commit(meta: CommitMeta): Unit = this.synchronized { withTableLockOwned { owner =>
     if (meta.removed.nonEmpty) {
       val liveNow = liveFiles(None).map(_.path).toSet
       val gone = meta.removed.filterNot(liveNow.contains)
@@ -318,6 +399,28 @@ final class Timeline(conf: Configuration, val basePath: String) {
     if (fs.exists(target))
       throw new CommitConflictException(
         s"Conflicting commit ${meta.instant} already exists on $basePath")
+    // Fence health check: the marker published by beginWrite should
+    // still be live here (the heartbeat keeps touching it). If it is
+    // gone or expired, a commit-tail stream may already have advanced
+    // past this instant — the skip would otherwise be silent.
+    try {
+      val marker = new Path(inflightDir, meta.instant)
+      val expired = !fs.exists(marker) ||
+        System.currentTimeMillis() - fs.getFileStatus(marker)
+          .getModificationTime > inflightStaleMs
+      if (expired)
+        log.warn(s"inflight fence for ${meta.instant} on $basePath was " +
+          "absent or expired at commit time — a concurrent commit-tail " +
+          "stream may have skipped this commit's rows")
+    } catch { case _: Exception => () }
+    // Re-verify the table-lock claim as late as possible: if a
+    // stale-lock breaker vacated it mid-section, another writer may be
+    // running its conflict check concurrently — retry instead of
+    // risking a lost update.
+    if (!lockStillOwned(owner))
+      throw new CommitConflictException(
+        s"table lock on $basePath was broken while committing " +
+          s"${meta.instant}; retrying")
     atomicWrite(target, Serialization.write(meta)(formats), allowOverwrite = false)
     commitCache.put(meta.instant + COMMIT_SUFFIX, meta)
   } }
@@ -496,15 +599,31 @@ final class Timeline(conf: Configuration, val basePath: String) {
 }
 
 object Timeline {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[Timeline])
+
+  /** Shared daemon scheduler for inflight-marker heartbeats: one
+    * thread serves every Timeline instance in the JVM (touches are
+    * sub-ms metadata ops at a multi-second cadence). */
+  private[core] lazy val heartbeatExec: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-inflight-heartbeat")
+      t.setDaemon(true)
+      t
+    }
+
   val META_DIR = "_timeline"
   /** A .commit.lock older than this is a crashed writer's leftover. */
   val LOCK_STALE_MS: Long = 60000L
-  /** An .inflight marker older than this is treated as a crashed or
-    * failed writer's leftover and stops fencing streaming offsets.
-    * Short on purpose: an expired marker merely degrades to the
-    * unfenced behavior for that one writer, while a leaked marker
-    * (write job failed before the commit funnel could clear it)
-    * would stall every commit-tail stream for the full duration. */
+  /** Default: an .inflight marker older than this is treated as a
+    * crashed writer's leftover and stops fencing streaming offsets.
+    * Live writers heartbeat-touch their marker at a third of this
+    * window ([[Timeline#beginWrite]]), so slow writes keep their fence
+    * indefinitely; only a dead JVM's marker expires. Short on purpose:
+    * an expired marker merely degrades to the unfenced behavior for
+    * that one writer, while a leaked marker would stall every
+    * commit-tail stream for the full duration. Override per table via
+    * Hadoop conf `graft.inflight.stale.ms`
+    * (`spark.hadoop.graft.inflight.stale.ms` session-wide). */
   val INFLIGHT_STALE_MS: Long = 120000L
   val TABLE_FILE = "table.json"
   val COMMIT_SUFFIX = ".commit.json"

@@ -126,6 +126,18 @@ final class GraftTable(
     val travel = asOf.orElse(Option(options.get("asOfInstant")))
     if (lake.props.tableType == "mor" && travel.isEmpty &&
         lake.timeline.liveFiles(None).exists(_.delta)) {
+      val metaSchema = StructType(
+        LakeTable.MetaCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, StringType, nullable = true)) ++
+          lake.schemaAt(asOf).fields)
+      def mergedFallback = new GraftMergedScanBuilder(spark, lake, metaSchema,
+        _ => new graft.streaming.CommitTailStream(spark, lake, options, lake.schema))
+      // Gate: compact-on-read amortizes the merge into fresh base files
+      // but WRITES the table; sessions reading someone else's table
+      // (or read-only credentials) can turn it off and get the
+      // merge-at-read-time view the reference serves.
+      if (!spark.conf.get("spark.graft.mor.compactOnRead", "true").toBoolean)
+        return mergedFallback
       try lake.withOcc()(lake.compact())
       catch {
         case e: graft.core.CommitConflictException =>
@@ -134,6 +146,16 @@ final class GraftTable(
           // silently drop every un-compacted delta, the exact
           // staleness this path exists to eliminate
           if (lake.timeline.liveFiles(None).exists(_.delta)) throw e
+        case scala.util.control.NonFatal(e) =>
+          // non-conflict failure (typical: read-only storage). The read
+          // must still serve the real-time view — fall back to the
+          // in-query merge instead of failing the SELECT or silently
+          // serving the stale RO view.
+          if (lake.timeline.liveFiles(None).exists(_.delta)) {
+            GraftTable.log.warn(s"compact-on-read failed on " +
+              s"${lake.basePath}; serving merged read-only view: $e")
+            return mergedFallback
+          }
       }
     }
     val live = lake.timeline.liveFiles(travel)
@@ -198,6 +220,8 @@ final class GraftTable(
 }
 
 object GraftTable {
+  private[sql] val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftTable])
+
   private[sql] def globMatch(glob: String, s: String): Boolean = {
     val rx = ("\\Q" + glob.replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "\\E").r
     rx.pattern.matcher(s).matches()

@@ -233,4 +233,39 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val v1 = sql("SELECT v FROM graft.db.mor_rt WHERE id = 1").head().getString(0)
     assert(v1 == "a2", s"payload ordering lost: $v1")
   }
+
+  test("MOR SQL read with compactOnRead=false merges without writing") {
+    sql("DROP TABLE IF EXISTS graft.db.mor_ro")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    sql("""CREATE TABLE graft.db.mor_ro (id INT, v STRING, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts', type = 'mor')""")
+    sql("INSERT INTO graft.db.mor_ro VALUES (1, 'a', 1), (2, 'b', 1)")
+    sql("INSERT INTO graft.db.mor_ro VALUES (1, 'a2', 2)") // delta update
+    val path = sql("SHOW TBLPROPERTIES graft.db.mor_ro ('path')")
+      .head().getString(1)
+    val before = core.LakeTable.load(spark, path)
+    val commitsBefore = before.timeline.commits().size
+    assert(before.timeline.liveFiles(None).exists(_.delta))
+    spark.conf.set("spark.graft.mor.compactOnRead", "false")
+    try {
+      // merged view must be served with the table left untouched
+      val rows = sql("SELECT id, v FROM graft.db.mor_ro ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows == Seq((1, "a2"), (2, "b")), s"got $rows")
+      // column pruning + filters still answer correctly on the V1 path
+      val v = sql("SELECT v FROM graft.db.mor_ro WHERE id = 1")
+        .head().getString(0)
+      assert(v == "a2")
+      val after = core.LakeTable.load(spark, path)
+      assert(after.timeline.commits().size == commitsBefore,
+        "read-only view must not commit")
+      assert(after.timeline.liveFiles(None).exists(_.delta),
+        "read-only view must not compact")
+    } finally spark.conf.unset("spark.graft.mor.compactOnRead")
+    // back to default: compact-on-read folds the deltas
+    val rows2 = sql("SELECT id, v FROM graft.db.mor_ro ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows2 == Seq((1, "a2"), (2, "b")))
+    assert(!core.LakeTable.load(spark, path).timeline.liveFiles(None).exists(_.delta))
+  }
 }

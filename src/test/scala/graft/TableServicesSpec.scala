@@ -25,6 +25,30 @@ class TableServicesSpec extends AnyFunSuite {
   private def mkDf(rows: (Int, String, Long, String)*) =
     rows.toDF("id", "v", "ts", "dt")
 
+  test("inflight fence heartbeat outlives the stale window; expiry is only for dead writers") {
+    val path = tmp()
+    LakeTable.create(spark, path, props)
+    val conf = spark.sessionState.newHadoopConf()
+    conf.setLong("graft.inflight.stale.ms", 600L)
+    val tl = new Timeline(conf, path)
+    val instant = tl.beginWrite()
+    // a write whose data phase exceeds the stale window: the heartbeat
+    // (period = window/3) must keep the marker fencing
+    Thread.sleep(1500L)
+    assert(tl.earliestActiveInflight().contains(instant),
+      "live writer's fence expired despite heartbeat")
+    tl.clearInflight(instant)
+    assert(tl.earliestActiveInflight().isEmpty)
+    // a DEAD writer (no heartbeat): same window, marker created raw
+    val marker = new org.apache.hadoop.fs.Path(
+      path, Timeline.META_DIR + "/.inflight/" + tl.nextInstant())
+    val fs = marker.getFileSystem(conf)
+    fs.create(marker, true).close()
+    Thread.sleep(900L)
+    assert(tl.earliestActiveInflight().isEmpty,
+      "crashed writer's marker must expire")
+  }
+
   test("commits record per-file record-key bounds from footers") {
     val t = LakeTable.create(spark, tmp(), props)
     t.upsert(mkDf(row(1, "a"), row(5, "b"), row(9, "c")))
