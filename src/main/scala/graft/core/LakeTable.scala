@@ -278,11 +278,26 @@ final class LakeTable private[core] (
 
   // --------------------------------------------------------------- writes
 
+  /** Runs one write operation under an inflight fence marker
+    * ([[Timeline.beginWrite]]) and guarantees the marker — and its
+    * background heartbeat — is cleared however the operation exits.
+    * doCommit clears it on the normal path; this finally backstops
+    * every failure in between (a Spark job dying in the probe, merge,
+    * or write phases). Without the backstop a routine failed write
+    * would leave an immortal heartbeat keeping the orphaned marker
+    * fresh, fencing every commit-tail stream on the table for the
+    * writer JVM's lifetime. clearInflight is idempotent, so the double
+    * clear on the success path is harmless. */
+  private def withInflight[T](op: String => T): T = {
+    val instant = timeline.beginWrite()
+    try op(instant)
+    finally timeline.clearInflight(instant)
+  }
+
   /** Plain insert: preCombine-dedup the batch, append files. Does not
     * consult the existing snapshot (Hudi `insert` op); use [[upsert]]
     * for key-merge semantics. */
-  def insert(df: DataFrame, tag: Option[String] = None): String = {
-    val instant = timeline.beginWrite()
+  def insert(df: DataFrame, tag: Option[String] = None): String = withInflight { instant =>
     val newSchema = unionSchema(df)
     val st =
       writeFiles(conform(withMeta(dedupBatch(df), instant), newSchema), instant)
@@ -292,8 +307,7 @@ final class LakeTable private[core] (
 
   /** INSERT OVERWRITE / replace-table contents: one commit that adds
     * the new data and removes every previously-live file. */
-  def overwrite(df: DataFrame): String = {
-    val instant = timeline.beginWrite()
+  def overwrite(df: DataFrame): String = withInflight { instant =>
     val newSchema = unionSchema(df)
     val removed = timeline.liveFiles(None).map(_.path)
     val st =
@@ -324,7 +338,7 @@ final class LakeTable private[core] (
           "morPayload='overwrite' instead of a per-write policy")
       return morAppend(df, "deltacommit", tag)
     }
-    val instant = timeline.beginWrite()
+    withInflight { instant =>
     val newSchema = unionSchema(df)
     // the batch feeds three jobs (partition/key stats, candidate
     // probe, merge write): keep it materialized once
@@ -354,6 +368,7 @@ final class LakeTable private[core] (
     incoming.unpersist()
     doCommit(instant, "upsert", st, affected, newSchema, tag)
     instant
+    }
   }
 
   /** Delete by key: `keys` needs the primary-key (and, for partitioned
@@ -363,25 +378,26 @@ final class LakeTable private[core] (
     * SparkSQLDemo.scala:84). */
   def delete(keys: DataFrame, tag: Option[String] = None): String = {
     if (isMor) return morDelete(keys, tag)
-    val instant = timeline.beginWrite()
-    val delKeys = keys
-      .withColumn(RecordKeyCol, keyCol)
-      .withColumn(PartitionPathCol, ppCol)
-      .select(RecordKeyCol, PartitionPathCol).distinct().persist()
-    val probe = affectedFiles(delKeys)
-    val affected = probe.files
-    if (affected.isEmpty) { // nothing matches: empty commit, no write
-      delKeys.unpersist()
-      doCommit(instant, "delete", Staged.empty, Seq.empty, schema, tag)
-      return instant
+    withInflight { instant =>
+      val delKeys = keys
+        .withColumn(RecordKeyCol, keyCol)
+        .withColumn(PartitionPathCol, ppCol)
+        .select(RecordKeyCol, PartitionPathCol).distinct().persist()
+      val probe = affectedFiles(delKeys)
+      val affected = probe.files
+      if (affected.isEmpty) { // nothing matches: empty commit, no write
+        delKeys.unpersist()
+        doCommit(instant, "delete", Staged.empty, Seq.empty, schema, tag)
+      } else {
+        val kept = readAffected(affected, schema)
+          .join(gatedBroadcast(delKeys, probe.batchRows),
+            Seq(RecordKeyCol, PartitionPathCol), "left_anti")
+        val st = writeFiles(kept, instant)
+        delKeys.unpersist()
+        doCommit(instant, "delete", st, affected, schema, tag)
+      }
+      instant
     }
-    val kept = readAffected(affected, schema)
-      .join(gatedBroadcast(delKeys, probe.batchRows),
-        Seq(RecordKeyCol, PartitionPathCol), "left_anti")
-    val st = writeFiles(kept, instant)
-    delKeys.unpersist()
-    doCommit(instant, "delete", st, affected, schema, tag)
-    instant
   }
 
   /** Apply one SQL row-level operation's deltas in a single atomic
@@ -392,8 +408,7 @@ final class LakeTable private[core] (
   def applyDeltas(
       deleteIds: Option[DataFrame],
       upserts: Option[DataFrame],
-      action: String = "merge"): String = {
-    val instant = timeline.beginWrite()
+      action: String = "merge"): String = withInflight { instant =>
     val newSchema = upserts.map(unionSchema).getOrElse(schema)
     val incoming = upserts.map(df =>
       conform(withMeta(dedupBatch(df), instant), newSchema).persist())
@@ -435,7 +450,7 @@ final class LakeTable private[core] (
     * `_partition_path`) — the SQL row-level-operation path. */
   def deleteByRowId(ids: DataFrame): String = {
     if (isMor) compact()
-    val instant = timeline.beginWrite()
+    withInflight { instant =>
     val delKeys = ids.select(RecordKeyCol, PartitionPathCol).distinct()
     val probe = affectedFiles(delKeys)
     val affected = probe.files
@@ -445,19 +460,21 @@ final class LakeTable private[core] (
     val st = writeFiles(kept, instant)
     doCommit(instant, "delete", st, affected, schema)
     instant
+    }
   }
 
   /** DELETE FROM ... WHERE (SparkSQLDemo.scala:73-75): rewrite only
     * files containing matches (parquet min/max prunes the probe). */
   def deleteWhere(cond: Column): String = {
     if (isMor) compact() // predicate ops run against a single-version view
-    val instant = timeline.beginWrite()
-    val affected = filesMatching(cond)
-    val kept = readAffected(affected, schema)
-      .filter(!coalesce(cond, lit(false)))
-    val st = writeFiles(kept, instant)
-    doCommit(instant, "delete", st, affected, schema)
-    instant
+    withInflight { instant =>
+      val affected = filesMatching(cond)
+      val kept = readAffected(affected, schema)
+        .filter(!coalesce(cond, lit(false)))
+      val st = writeFiles(kept, instant)
+      doCommit(instant, "delete", st, affected, schema)
+      instant
+    }
   }
 
   /** UPDATE ... SET ... WHERE (SparkSQLDemo.scala:69-71). Updated rows
@@ -465,7 +482,7 @@ final class LakeTable private[core] (
     * theirs (incremental-query correctness). */
   def updateWhere(cond: Column, set: Map[String, Column]): String = {
     if (isMor) compact() // predicate ops run against a single-version view
-    val instant = timeline.beginWrite()
+    withInflight { instant =>
     val affected = filesMatching(cond)
     val hit = coalesce(cond, lit(false))
     val cur = schema
@@ -480,6 +497,7 @@ final class LakeTable private[core] (
     val st = writeFiles(updated, instant)
     doCommit(instant, "update", st, affected, cur)
     instant
+    }
   }
 
   /** MERGE INTO (SparkSQLDemo.scala:77-91): conditional matched-update
@@ -501,7 +519,7 @@ final class LakeTable private[core] (
       matchedDelete: Option[Column] = None,
       notMatchedInsert: Option[Column] = None): String = {
     if (isMor) compact() // merge runs against a single-version view
-    val instant = timeline.beginWrite()
+    withInflight { instant =>
     val cur = schema
     // Clause conditions resolve against the source's own columns (the
     // demo's conditions only reference source fields, e.g. opt_type),
@@ -553,6 +571,7 @@ final class LakeTable private[core] (
     val st = writeFiles(out, instant)
     doCommit(instant, "merge", st, affected, cur)
     instant
+    }
   }
 
   // ------------------------------------------------------------ internals
@@ -982,7 +1001,7 @@ final class LakeTable private[core] (
     * consultation, one commit. */
   private def morAppend(
       df: DataFrame, action: String, tag: Option[String] = None): String = {
-    val instant = timeline.beginWrite()
+    val committed = withInflight { instant =>
     val newSchema = unionSchema(df.drop(DeletedCol))
     val out =
       if (df.columns.contains(DeletedCol)) {
@@ -1000,8 +1019,12 @@ final class LakeTable private[core] (
       } else conform(withMeta(dedupBatch(df), instant), newSchema)
     val st = writeFiles(out, instant)
     doCommit(instant, action, st, Seq.empty, newSchema, tag)
-    maybeInlineCompact()
     instant
+    }
+    // outside the fence: the delta commit above is already durable, and
+    // compaction takes (and fences) its own instant
+    maybeInlineCompact()
+    committed
   }
 
   /** MOR delete = tombstone delta rows (key + partition, data nulled,
@@ -1033,13 +1056,14 @@ final class LakeTable private[core] (
     }
     val (rewrite, _) = base.partition(overlaps)
     val affected = delta ++ rewrite
-    val instant = timeline.beginWrite()
-    val s = withMetaSchema(schema)
-    val merged = mergeOnRead(readLive(affected, s))
-    val st = writeFiles(
-      merged.select((MetaCols ++ schema.fieldNames.toSeq).map(col): _*), instant)
-    doCommit(instant, "commit", st, affected.map(_.path), schema)
-    instant
+    withInflight { instant =>
+      val s = withMetaSchema(schema)
+      val merged = mergeOnRead(readLive(affected, s))
+      val st = writeFiles(
+        merged.select((MetaCols ++ schema.fieldNames.toSeq).map(col): _*), instant)
+      doCommit(instant, "commit", st, affected.map(_.path), schema)
+      instant
+    }
   }
 
   /** Inline compaction after `compactDeltaCommits` consecutive delta
@@ -1083,11 +1107,12 @@ final class LakeTable private[core] (
   def migrateExternal(): Option[String] = {
     val ext = timeline.liveFiles(None).filter(_.external)
     if (ext.isEmpty) return None
-    val instant = timeline.beginWrite()
-    val df = conform(readExternal(ext), schema)
-    val st = writeFiles(df, instant)
-    doCommit(instant, "replace", st, ext.map(_.path), schema)
-    Some(instant)
+    Some(withInflight { instant =>
+      val df = conform(readExternal(ext), schema)
+      val st = writeFiles(df, instant)
+      doCommit(instant, "replace", st, ext.map(_.path), schema)
+      instant
+    })
   }
 
   /** Clean service: physically delete file versions replaced before

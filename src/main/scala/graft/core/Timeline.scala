@@ -235,9 +235,13 @@ final class Timeline(conf: Configuration, val basePath: String) {
     try {
       fs.mkdirs(inflightDir)
       fs.create(marker, true).close()
+      // clamp: a (mis)configured window <= 2ms would make the period 0,
+      // which scheduleWithFixedDelay rejects with IllegalArgumentException
+      // — degrade to a 1ms heartbeat instead of failing the write
+      val period = math.max(1L, inflightStaleMs / 3)
       val task = heartbeatExec.scheduleWithFixedDelay(
         () => touchMarker(marker),
-        inflightStaleMs / 3, inflightStaleMs / 3,
+        period, period,
         java.util.concurrent.TimeUnit.MILLISECONDS)
       heartbeats.put(instant, task)
     } catch {
@@ -252,13 +256,26 @@ final class Timeline(conf: Configuration, val basePath: String) {
   }
 
   /** Refresh a marker's mtime (setTimes where the FS supports it,
-    * re-create otherwise — we own the marker either way). */
+    * re-create otherwise — we own the marker either way). The
+    * re-create path only runs while the write is still registered:
+    * clearInflight cancels with `cancel(false)`, so a touch already
+    * executing can race the marker delete — setTimes throws
+    * FileNotFoundException, and an unguarded fs.create here would
+    * RESURRECT the cleared marker with a fresh mtime, fencing
+    * commit-tail streams on an already-committed instant for a full
+    * staleness window. */
   private def touchMarker(marker: Path): Unit =
     try fs.setTimes(marker, System.currentTimeMillis(), -1)
     catch {
       case _: Exception =>
-        try fs.create(marker, true).close()
-        catch { case _: Exception => () }
+        if (heartbeats.contains(marker.getName)) {
+          try fs.create(marker, true).close()
+          catch { case _: Exception => () }
+          // double-check: clearInflight may have run between the map
+          // check and the create — tidy our own resurrection
+          if (!heartbeats.contains(marker.getName))
+            try fs.delete(marker, false) catch { case _: Exception => () }
+        }
     }
 
   def clearInflight(instant: String): Unit = {
@@ -311,10 +328,13 @@ final class Timeline(conf: Configuration, val basePath: String) {
   private def withTableLock[T](f: => T): T = withTableLockOwned(_ => f)
 
   /** As [[withTableLock]], but hands the block this claim's owner token
-    * so late-stage writes can re-verify ownership via
-    * [[lockStillOwned]] — the defense against the residual breaker race
-    * (a breaker with a stale view vacating a freshly claimed lock). */
-  private def withTableLockOwned[T](f: String => T): T = {
+    * (None when the best-effort stamp write failed — the block must
+    * then SKIP the ownership re-check rather than treat the empty lock
+    * body as "someone else owns it") so late-stage writes can re-verify
+    * ownership via [[lockStillOwned]] — the defense against the
+    * residual breaker race (a breaker with a stale view vacating a
+    * freshly claimed lock). */
+  private def withTableLockOwned[T](f: Option[String] => T): T = {
     val lock = new Path(dir, ".commit.lock")
     val owner = UUID.randomUUID().toString
     val local = Option(lock.toUri.getScheme).forall(_ == "file")
@@ -364,11 +384,19 @@ final class Timeline(conf: Configuration, val basePath: String) {
     // lands defeats the check — strictly narrower than the unstamped
     // race, and the create-no-overwrite commit file still backstops
     // same-instant collisions.
-    try {
-      val out = fs.create(lock, true)
-      try out.write(owner.getBytes("UTF-8")) finally out.close()
-    } catch { case _: java.io.IOException => () }
-    try f(owner)
+    val stamped =
+      try {
+        val out = fs.create(lock, true)
+        try out.write(owner.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException => false // stamp is best-effort:
+        // without it the claim still holds (O_EXCL), we just lose the
+        // breaker-race re-check — lockStillOwned would always read a
+        // non-matching body and turn one IO hiccup into a permanent
+        // CommitConflictException storm, so the caller must skip it
+      }
+    try f(if (stamped) Some(owner) else None)
     finally {
       try fs.delete(lock, false) catch { case _: Exception => () }
     }
@@ -416,11 +444,15 @@ final class Timeline(conf: Configuration, val basePath: String) {
     // Re-verify the table-lock claim as late as possible: if a
     // stale-lock breaker vacated it mid-section, another writer may be
     // running its conflict check concurrently — retry instead of
-    // risking a lost update.
-    if (!lockStillOwned(owner))
-      throw new CommitConflictException(
-        s"table lock on $basePath was broken while committing " +
-          s"${meta.instant}; retrying")
+    // risking a lost update. Skipped when the owner stamp never landed
+    // (owner = None): the O_EXCL claim itself still held, and checking
+    // against an unstamped lock would fail every attempt.
+    owner.foreach { o =>
+      if (!lockStillOwned(o))
+        throw new CommitConflictException(
+          s"table lock on $basePath was broken while committing " +
+            s"${meta.instant}; retrying")
+    }
     atomicWrite(target, Serialization.write(meta)(formats), allowOverwrite = false)
     commitCache.put(meta.instant + COMMIT_SUFFIX, meta)
   } }

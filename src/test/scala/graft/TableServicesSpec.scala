@@ -29,24 +29,54 @@ class TableServicesSpec extends AnyFunSuite {
     val path = tmp()
     LakeTable.create(spark, path, props)
     val conf = spark.sessionState.newHadoopConf()
-    conf.setLong("graft.inflight.stale.ms", 600L)
+    // generous window: the assertion below poll-waits for an actual
+    // heartbeat touch instead of racing one fixed sleep against the
+    // shared single-thread scheduler (a loaded CI box can pause it)
+    conf.setLong("graft.inflight.stale.ms", 5000L)
     val tl = new Timeline(conf, path)
     val instant = tl.beginWrite()
-    // a write whose data phase exceeds the stale window: the heartbeat
-    // (period = window/3) must keep the marker fencing
-    Thread.sleep(1500L)
+    val marker = new org.apache.hadoop.fs.Path(
+      path, Timeline.META_DIR + "/.inflight/" + instant)
+    val fs = marker.getFileSystem(conf)
+    val m0 = fs.getFileStatus(marker).getModificationTime
+    // heartbeat period = window/3; poll until a touch lands (local-FS
+    // mtime granularity can be 1s, so allow several periods)
+    val deadline = System.currentTimeMillis() + 20000L
+    var touched = false
+    while (!touched && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100L)
+      touched = fs.exists(marker) &&
+        fs.getFileStatus(marker).getModificationTime > m0
+    }
+    assert(touched, "heartbeat never refreshed the live writer's marker")
     assert(tl.earliestActiveInflight().contains(instant),
       "live writer's fence expired despite heartbeat")
     tl.clearInflight(instant)
     assert(tl.earliestActiveInflight().isEmpty)
-    // a DEAD writer (no heartbeat): same window, marker created raw
-    val marker = new org.apache.hadoop.fs.Path(
+    // a DEAD writer (no heartbeat): marker created raw, judged against
+    // a tiny staleness window — expires without a long sleep
+    val marker2 = new org.apache.hadoop.fs.Path(
       path, Timeline.META_DIR + "/.inflight/" + tl.nextInstant())
-    val fs = marker.getFileSystem(conf)
-    fs.create(marker, true).close()
-    Thread.sleep(900L)
-    assert(tl.earliestActiveInflight().isEmpty,
+    fs.create(marker2, true).close()
+    Thread.sleep(200L)
+    assert(tl.earliestActiveInflight(staleMs = 50L).isEmpty,
       "crashed writer's marker must expire")
+  }
+
+  test("a failed write clears its inflight fence (no immortal heartbeat)") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, props)
+    t.upsert(mkDf(row(1, "a")))
+    // a batch whose write JOB fails mid-flight: key column missing
+    intercept[Exception] {
+      t.upsert(Seq((2, "b")).toDF("wrong", "cols"))
+    }
+    assert(t.timeline.earliestActiveInflight(staleMs = Long.MaxValue).isEmpty,
+      "failed write left its inflight marker (would fence commit-tail " +
+        "streams until stale expiry, or forever with the heartbeat)")
+    // and the table still accepts writes afterwards
+    t.upsert(mkDf(row(2, "b")))
+    assert(t.snapshot().count() == 2)
   }
 
   test("commits record per-file record-key bounds from footers") {
