@@ -290,55 +290,131 @@ object SimilarityOps {
     },
     Some(annOracleSql))
 
-  /** sim4 — IVF ANN: k-means coarse quantizer (MLlib, fixed seed),
-    * queries probe their 2 nearest centroids (nprobe=2). The classic
+  /** sim4 — IVF ANN: Lloyd's k-means coarse quantizer, fully
+    * deterministic and SQL-expressible so the result carries a real
+    * DuckDB oracle (previously MLlib KMeans — seeded but not
+    * replayable outside Spark, leaving a `no_oracle` hole):
+    * - initial centroids = the embeddings of vec_id 0..k-1 (no RNG);
+    * - a FIXED 3 Lloyd iterations; each assignment argmin uses
+    *   squared distance via the dot identity d² = ⟨e,e⟩ − 2⟨e,c⟩ +
+    *   ⟨c,c⟩, every dot the same strict left-to-right double fold on
+    *   both engines ([[graft.functions.VecFloatDot]]), ties broken by
+    *   centroid id — bit-identical argmin in Spark and DuckDB;
+    * - new centroids are per-dimension means ROUNDED to 5 dp, so the
+    *   one non-deterministic float op (summation order inside avg)
+    *   is quantized away before it can influence the next iteration;
+    * - empty clusters keep their previous centroid (coalesce).
+    * Queries (vec_id < 20) probe their 2 nearest centroids
+    * (nprobe=2) and exact-rerank candidates. The classic
     * inverted-file index: candidates per query ≈ 2N/k at scale, and
     * the partition-by-centroid layout is exactly how a 100 TB vector
-    * corpus would be stored. Approximate — recall asserted in
-    * PipelineOpsSpec, no SQL oracle. */
+    * corpus would be stored. Centroid sync per iteration is O(k)
+    * driver-side — the same driver barrier every distributed k-means
+    * (including MLlib's) pays; the data-plane work is k broadcast
+    * rows against one scan of N per iteration, no N² anywhere. */
   private val ivfK = 16
+  private val ivfIters = 3
+  private val ivfCentRound = 5
+
+  private def ivfDist: Column =
+    col("ee") - lit(2.0) * expr(dotExpr("embedding", "cent")) + col("cc")
+
   private val ivfQ = GQ(
     "sim4_ann_ivf_topk",
     (s, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      import org.apache.spark.ml.linalg.Vector
       graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
-        .withColumn("vec", array_to_vector(col("embedding")))
         .withColumn("nrm", expr(normExpr("embedding")))
-      val model = new KMeans().setK(ivfK).setSeed(42L).setMaxIter(5)
-        .setFeaturesCol("vec").setPredictionCol("centroid")
-      val fitted = model.fit(e.select("vec"))
-      val assigned = fitted.transform(e).drop("vec")
-      // nprobe=2: each query probes its own and second-nearest centroid
-      val centers = fitted.clusterCenters.zipWithIndex
-      val centersB = s.sparkContext.broadcast(centers)
-      val probe2 = udf { (emb: Seq[Float]) =>
-        val v = emb.map(_.toDouble).toArray
-        centersB.value.map { case (c, i) =>
-          var d = 0.0
-          var j = 0
-          val ca = c.asInstanceOf[Vector].toArray
-          while (j < ca.length) { val x = v(j) - ca(j); d += x * x; j += 1 }
-          (i, d)
-        }.sortBy(_._2).take(2).map(_._1)
+        .withColumn("ee", expr(dotExpr("embedding", "embedding")))
+        .persist()
+      var cents = e.filter(col("vec_id") < ivfK)
+        .select(col("vec_id").cast("int").as("cid"),
+          expr(s"transform(embedding, x -> round(cast(x AS double), $ivfCentRound))")
+            .as("cent"))
+      def crossDist(c: DataFrame): DataFrame =
+        e.crossJoin(broadcast(c.withColumn("cc", expr(dotExpr("cent", "cent")))))
+          .withColumn("d2", ivfDist)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      for (_ <- 1 to ivfIters) {
+        val pts = crossDist(cents)
+          .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+        val meanCols = (1 to Dims).map(i =>
+          round(avg(element_at(col("embedding"), i).cast("double")), ivfCentRound))
+        val means = pts.groupBy("cid").agg(array(meanCols: _*).as("cent2"))
+        // localCheckpoint: k rows, but the logical plan would otherwise
+        // stack one cross-join+window layer per iteration
+        cents = cents.join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("cent2"), col("cent")).as("cent"))
+          .localCheckpoint()
       }
-      val q = assigned.filter(col("vec_id") < 20)
+      val fin = crossDist(cents)
+        .withColumn("rn", row_number().over(wAssign))
+      val assigned = fin.filter(col("rn") === 1)
+        .select("vec_id", "embedding", "nrm", "cid")
+      val probes = fin.filter(col("rn") <= 2 && col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"),
-          explode(probe2(col("embedding"))).as("q_centroid"))
-      val scored = assigned.join(broadcast(q),
-          col("centroid") === col("q_centroid") && col("vec_id") =!= col("q_id"))
+          col("nrm").as("q_nrm"), col("cid").as("q_cid"))
+      val scored = assigned.join(broadcast(probes),
+          col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
         .withColumn("cosine", cosineCol)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w))
+      val out = scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("q_id", "vec_id", "cosine", "rank")
         .orderBy("q_id", "rank")
+      e.unpersist()
+      out
     },
-    None)
+    Some(ivfOracleSql))
+
+  /** sim4's DuckDB oracle: replays the identical fixed-seed Lloyd's
+    * iterations relationally — every CTE pair (aN = argmin assignment,
+    * cN = rounded means with empty-cluster carry-over) mirrors one
+    * Spark iteration value-for-value (see [[ivfQ]] for why each step
+    * is bit-reproducible across engines). */
+  private def ivfOracleSql: String = {
+    val dot = dotSql _
+    // d² against centroid table alias c, embedding table alias e
+    def d2 = s"e.ee - 2*${dot("e.embedding", "c.cent")} + ${dot("c.cent", "c.cent")}"
+    def assignCte(n: Int, cents: String) =
+      s"""a$n AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn
+        FROM e, $cents c)"""
+    val meanList = (1 to Dims)
+      .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), $ivfCentRound)")
+      .mkString("[", ", ", "]")
+    def updateCte(n: Int, prev: String) =
+      s"""m$n AS (SELECT cid, $meanList AS cent2
+          FROM a$n WHERE rn = 1 GROUP BY cid),
+        c$n AS (SELECT p.cid, coalesce(m$n.cent2, p.cent) AS cent
+          FROM $prev p LEFT JOIN m$n USING (cid))"""
+    val iters = (1 to ivfIters).map { n =>
+      val prev = if (n == 1) "c0" else s"c${n - 1}"
+      assignCte(n, prev) + ",\n" + updateCte(n, prev)
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+          ${dot("embedding", "embedding")} AS ee FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+          list_transform(embedding, x -> round(CAST(x AS DOUBLE), $ivfCentRound)) AS cent
+        FROM embeddings WHERE vec_id < $ivfK),
+      $iters,
+      ${assignCte(ivfIters + 1, s"c$ivfIters")},
+      assigned AS (SELECT vec_id, embedding, nrm, cid
+        FROM a${ivfIters + 1} WHERE rn = 1),
+      probes AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cid AS q_cid
+        FROM a${ivfIters + 1} WHERE rn <= 2 AND vec_id < 20),
+      scored AS (SELECT q_id, a.vec_id,
+          round(${dot("q_emb", "a.embedding")} / (q_nrm * a.nrm), 9) AS cosine
+        FROM probes q JOIN assigned a
+          ON a.cid = q.q_cid AND a.vec_id <> q.q_id),
+      ranked AS (SELECT q_id, vec_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
 
   def qs: Seq[GQ] = Seq(topkQ, nearDupQ, annQ, ivfQ, graphDedupQ)
 }
