@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Data-curation operators for LLM training pipelines over
+  * `documents` (builder-prompt scale extensions, same family as
+  * [[TextOps]]): benchmark decontamination, PII redaction,
+  * repetition-based quality signals (Gopher-style), and deterministic
+  * domain-mix sampling. The corpus is synthetic and clean, so the
+  * queries inject their own contamination/PII deterministically (the
+  * same trick the dedup operators use to create duplicates) — both
+  * engines compute the injection identically, so every query carries
+  * a DuckDB oracle.
+  *
+  * Scale notes (100 TB):
+  * - decon1 broadcasts only the BENCHMARK gram set (benchmarks are
+  *   small by definition); the corpus side is one scan + explode with
+  *   a 32-hex md5 per gram, never the raw 13-gram strings, keeping
+  *   shuffle rows narrow.
+  * - pii1/qual2/mix1 are embarrassingly parallel: pure per-row column
+  *   expressions or one groupBy(doc) aggregation — no self-joins.
+  */
+object CurationOps {
+
+  private val toksExpr = "split(lower(trim(%s)), '\\\\s+')"
+  private val toksSql = "string_split_regex(lower(trim(%s)), '\\s+')"
+
+  /** 13-word shingle hashes of a token-array column (md5 so the join
+    * key is fixed-width). Word-level 13-grams are the standard
+    * benchmark-decontamination unit (GPT-3 appendix C). Short docs
+    * (<13 tokens) produce no grams — the `sequence(1, 0)` descend
+    * guard, same shape as DedupOps.shingles. */
+  private val GramN = 13
+  private def gramsExpr(toks: String) =
+    s"case when size($toks) >= $GramN then transform(sequence(1, size($toks) - ${GramN - 1}), " +
+      s"i -> md5(concat_ws(' ', slice($toks, i, $GramN)))) else array() end"
+  private def gramsSql(toks: String) =
+    s"CASE WHEN len($toks) >= $GramN THEN list_transform(range(1, len($toks) - ${GramN - 2}), " +
+      s"i -> md5(array_to_string($toks[CAST(i AS INT):CAST(i + ${GramN - 1} AS INT)], ' '))) ELSE [] END"
+
+  /** decon1 — benchmark decontamination: flag corpus documents that
+    * share any 13-word gram with the benchmark set (doc_id % 37 = 0).
+    * Contamination is injected: corpus docs with doc_id % 23 = 0 get
+    * the first 20 words of a deterministically-paired benchmark doc
+    * appended, so the expected flags are known. The plan is the real
+    * decontamination shape: benchmark grams (small) broadcast against
+    * one exploded scan of the corpus. */
+  private val deconQ = GQ(
+    "decon1_benchmark_overlap",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      // benchmark is tiny by definition — the single-partition window
+      // numbering it is O(benchmark), not O(corpus)
+      val bidx = bench
+        .withColumn("idx", row_number().over(Window.orderBy("doc_id")) - 1)
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("btoks", expr(toksExpr.format("text")))
+        .withColumn("frag", expr("concat_ws(' ', slice(btoks, 1, 20))"))
+      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+        .join(broadcast(bidx.select("idx", "nb", "frag")),
+          col("doc_id") % col("nb") === col("idx"))
+        .withColumn("text2",
+          when(col("doc_id") % 23 === 0, concat(col("text"), lit(" "), col("frag")))
+            .otherwise(col("text")))
+      val cg = corpus
+        .withColumn("toks", expr(toksExpr.format("text2")))
+        .withColumn("g", explode(expr(gramsExpr("toks"))))
+        .select("doc_id", "g").distinct()
+      val bg = bench
+        .withColumn("toks", expr(toksExpr.format("text")))
+        .withColumn("g", explode(expr(gramsExpr("toks"))))
+        .select("g").distinct()
+      cg.join(broadcast(bg), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .withColumn("is_injected", (col("doc_id") % 23 === 0).cast("int"))
+        .select("doc_id", "n_shared", "is_injected")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+      bidx AS (SELECT
+          row_number() OVER (ORDER BY doc_id) - 1 AS idx,
+          count(*) OVER () AS nb,
+          array_to_string((${toksSql.format("text")})[1:20], ' ') AS frag
+        FROM bench),
+      corpus AS (SELECT d.doc_id,
+          CASE WHEN d.doc_id % 23 = 0 THEN d.text || ' ' || b.frag ELSE d.text END AS text2
+        FROM documents d JOIN bidx b ON d.doc_id % b.nb = b.idx
+        WHERE d.doc_id % 37 <> 0),
+      cg AS (SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(${gramsSql("toks")}) AS g FROM (
+          SELECT doc_id, ${toksSql.format("text2")} AS toks FROM corpus))),
+      bg AS (SELECT DISTINCT g FROM (
+        SELECT unnest(${gramsSql("toks")}) AS g FROM (
+          SELECT ${toksSql.format("text")} AS toks FROM bench)))
+      SELECT cg.doc_id, count(*) AS n_shared,
+        CAST(cg.doc_id % 23 = 0 AS INT) AS is_injected
+      FROM cg JOIN bg USING (g)
+      GROUP BY cg.doc_id ORDER BY doc_id"""))
+
+  /** pii1 — PII detection + redaction: emails, IPv4s, and US-style
+    * short phone numbers are injected deterministically (doc_id mod
+    * 7/11/13), then counted and redacted with anchored regexes. Pure
+    * per-row regex column expressions — the shape of a redaction pass
+    * over 100 TB is exactly one scan. The redacted text is returned as
+    * a fingerprint (md5) to keep the gate's result rows narrow. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  private val piiQ = GQ(
+    "pii1_redaction",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val injected = docs.withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 250).cast("string"),
+            lit(".0."), (col("doc_id") % 200).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      injected
+        .withColumn("n_email", regexp_count(col("text2"), lit(EmailRe)))
+        .withColumn("n_ip", regexp_count(col("text2"), lit(IpRe)))
+        .withColumn("n_phone", regexp_count(col("text2"), lit(PhoneRe)))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(regexp_replace(col("text2"),
+            EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>"))
+        .withColumn("redacted_fp", md5(col("redacted")))
+        .withColumn("has_pii",
+          (col("n_email") + col("n_ip") + col("n_phone") > 0).cast("int"))
+        .select("doc_id", "n_email", "n_ip", "n_phone", "has_pii", "redacted_fp")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH inj AS (SELECT doc_id, text
+          || (CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)
+          || (CASE WHEN doc_id % 11 = 0
+              THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END)
+          || (CASE WHEN doc_id % 13 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+          AS text2 FROM documents),
+      c AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(text2, '$EmailRe')) AS INT) AS n_email,
+          CAST(len(regexp_extract_all(text2, '$IpRe')) AS INT) AS n_ip,
+          CAST(len(regexp_extract_all(text2, '$PhoneRe')) AS INT) AS n_phone,
+          md5(regexp_replace(regexp_replace(regexp_replace(text2,
+            '$EmailRe', '<EMAIL>', 'g'), '$IpRe', '<IP>', 'g'),
+            '$PhoneRe', '<PHONE>', 'g')) AS redacted_fp
+        FROM inj)
+      SELECT doc_id, n_email, n_ip, n_phone,
+        CAST(n_email + n_ip + n_phone > 0 AS INT) AS has_pii, redacted_fp
+      FROM c ORDER BY doc_id"""))
+
+  /** qual2 — Gopher-style repetition signals: per document, the
+    * fraction of tokens taken by the most frequent word, the fraction
+    * covered by words appearing more than once, and the top-bigram
+    * fraction. One explode + two-level aggregation per signal family —
+    * no joins across documents, so it scales as a single shuffle keyed
+    * by doc_id. Ratios are single int/int double divisions —
+    * bit-identical across engines. */
+  private val repetitionQ = GQ(
+    "qual2_repetition",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr.format("text")))
+      val wc = docs.withColumn("w", explode(col("toks")))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      val uni = wc.groupBy("doc_id").agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        max("n").as("top_word_n"),
+        sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).as("dup_tokens"))
+      val bc = docs.withColumn("b", explode(expr(
+        "case when size(toks) >= 2 then transform(sequence(1, size(toks) - 1), " +
+          "i -> concat_ws(' ', slice(toks, i, 2))) else array() end")))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      val bi = bc.groupBy("doc_id").agg(
+        sum("n").as("n_bigrams"), max("n").as("top_bigram_n"))
+      uni.join(bi, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+          col("top_word_n"),
+          (col("top_word_n").cast("double") / col("n_tokens").cast("double"))
+            .as("top_word_ratio"),
+          (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+            .as("dup_ratio"),
+          col("top_bigram_n"),
+          (col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+            .as("top_bigram_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${toksSql.format("text")} AS toks FROM documents),
+      wc AS (SELECT doc_id, w, count(*) AS n FROM (
+          SELECT doc_id, unnest(toks) AS w FROM tk) GROUP BY doc_id, w),
+      uni AS (SELECT doc_id,
+          CAST(sum(n) AS BIGINT) AS n_tokens,
+          count(*) AS n_unique,
+          max(n) AS top_word_n,
+          CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_tokens
+        FROM wc GROUP BY doc_id),
+      bgr AS (SELECT doc_id, b, count(*) AS n FROM (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                i -> array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' '))
+              ELSE [] END) AS b
+          FROM tk) GROUP BY doc_id, b),
+      bi AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+          max(n) AS top_bigram_n FROM bgr GROUP BY doc_id)
+      SELECT uni.doc_id, n_tokens, n_unique, top_word_n,
+        CAST(top_word_n AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_word_ratio,
+        CAST(dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_ratio,
+        top_bigram_n,
+        CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_ratio
+      FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+      ORDER BY uni.doc_id"""))
+
+  /** mix1 — deterministic domain-mix sampling: each source gets a
+    * target sampling rate derived from its name (200–600 per mille),
+    * and a document survives iff its content-stable md5 bucket falls
+    * under the rate — the "reweight domains for the training mix" op.
+    * Reproducible across runs/engines/partitionings (no RNG, no
+    * global coordination); the gate aggregates per source. The salt
+    * ('mix:') decorrelates this hash from split1's train/val/test
+    * assignment, so mixing does not bias the split. */
+  private val mixQ = GQ(
+    "mix1_domain_mix",
+    (s, dir) => {
+      val h = expr(
+        "conv(substring(md5(concat('mix:', cast(doc_id as string))), 1, 12), 16, 10)")
+        .cast("long") % 1000
+      val rate = lit(200) + lit(50) * (expr("cast(substring(source, 4, 10) as int)") % 9)
+      t(s, dir, "documents")
+        .withColumn("kept", (h < rate).cast("long"))
+        .withColumn("tok", ceil(col("n_chars").cast("double") / 4.0).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+          sum(when(col("kept") === 1, col("tok")).otherwise(lit(0L)))
+            .as("kept_tokens"))
+        .withColumn("rate_permille",
+          lit(200) + lit(50) * (expr("cast(substring(source, 4, 10) as int)") % 9))
+        .withColumn("achieved",
+          col("n_kept").cast("double") / col("n_docs").cast("double"))
+        .select("source", "n_docs", "n_kept", "kept_tokens", "rate_permille",
+          "achieved")
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source,
+        CASE WHEN CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000
+          < 200 + 50 * (CAST(substr(source, 4) AS INT) % 9) THEN 1 ELSE 0 END AS kept,
+        CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS tok
+      FROM documents)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(kept) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kept = 1 THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        CAST(200 + 50 * (CAST(substr(source, 4) AS INT) % 9) AS INT) AS rate_permille,
+        CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS achieved
+      FROM d GROUP BY source ORDER BY source"""))
+
+  def qs: Seq[GQ] = Seq(deconQ, piiQ, repetitionQ, mixQ)
+}

@@ -15,6 +15,6 @@ final case class GQ(
 object QueryPack {
   /** Full registry; SparkEntry derives `queries`/`oracleSql` from this. */
   def all: Seq[GQ] =
-    Relational.qs ++ LakeQueries.qs ++ TextOps.qs ++ DedupOps.qs ++
-      SimilarityOps.qs ++ MultimodalOps.qs
+    Relational.qs ++ LakeQueries.qs ++ TextOps.qs ++ CurationOps.qs ++
+      DedupOps.qs ++ SimilarityOps.qs ++ MultimodalOps.qs
 }

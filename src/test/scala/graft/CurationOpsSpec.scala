@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation operators (decontamination, PII redaction, repetition
+  * quality, domain mixing) — semantic pins beyond the DuckDB hash
+  * gate. */
+class CurationOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("decon1 flags all injected contamination (plus any natural overlap)") {
+    val rows = SparkEntry.queries("decon1_benchmark_overlap")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "no contaminated docs flagged")
+    val flagged = rows.map(r => r.getLong(0)).toSet
+    // every injection target must be caught: the appended 20-word
+    // benchmark fragment contributes up to 8 shared 13-grams
+    val nDocs = graft.util.Tables.t(spark, sf, "documents").count()
+    val targets = (0L until nDocs).filter(id => id % 23 == 0 && id % 37 != 0)
+    targets.foreach { id =>
+      assert(flagged.contains(id), s"injected doc $id not flagged")
+    }
+    // the corpus generator reuses phrase blocks, so NATURAL shared
+    // 13-grams exist too (e.g. doc 82 vs benchmark doc 0 at sf0.001) —
+    // those flags are correct detections, not errors; we only pin that
+    // injected docs carry the is_injected marker and plausible counts
+    rows.foreach { r =>
+      val (id, nShared, injected) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert((injected == 1) == (id % 23 == 0), s"doc $id marker wrong")
+      assert(nShared >= 1, s"doc $id flagged with zero overlap")
+    }
+  }
+
+  test("pii1 counts follow the injection rule and redaction changes the text") {
+    val out = SparkEntry.queries("pii1_redaction")(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (e, ip, ph, has) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert((e >= 1) == (id % 7 == 0), s"doc $id email count $e")
+      assert((ip >= 1) == (id % 11 == 0), s"doc $id ip count $ip")
+      assert((ph >= 1) == (id % 13 == 0), s"doc $id phone count $ph")
+      assert((has == 1) == (e + ip + ph > 0))
+    }
+    // redacted fingerprint differs from the raw-text fingerprint
+    // exactly when something was redacted
+    val raw = graft.util.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val changed = r.getString(5) != raw(id)
+      assert(changed == (r.getInt(4) == 1), s"doc $id redaction mismatch")
+    }
+  }
+
+  test("qual2 ratios are well-formed") {
+    val out = SparkEntry.queries("qual2_repetition")(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (nTok, nUniq, topN) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (topR, dupR, topBgR) = (r.getDouble(4), r.getDouble(5), r.getDouble(7))
+      assert(nUniq <= nTok)
+      assert(topR > 0 && topR <= 1.0)
+      assert(math.abs(topR - topN.toDouble / nTok) < 1e-15)
+      assert(dupR >= 0 && dupR <= 1.0)
+      // most-frequent word must cover at least the uniform share
+      assert(topR >= 1.0 / nUniq - 1e-15)
+      assert(topBgR > 0 && topBgR <= 1.0)
+    }
+  }
+
+  test("mix1 achieves rates near the per-source target") {
+    val out = SparkEntry.queries("mix1_domain_mix")(spark, sf).collect()
+    assert(out.length == 20) // 20 sources
+    out.foreach { r =>
+      val (nDocs, nKept) = (r.getLong(1), r.getLong(2))
+      val rate = r.getInt(4)
+      assert(rate >= 200 && rate <= 600)
+      assert(nKept <= nDocs)
+      val achieved = r.getDouble(5)
+      // ~25 docs/source at sf0.001: generous tolerance, the pin is
+      // that sampling tracks the target rather than ignoring it
+      assert(math.abs(achieved - rate / 1000.0) < 0.35,
+        s"source ${r.getString(0)} achieved $achieved vs ${rate / 1000.0}")
+    }
+  }
+}
