@@ -114,6 +114,30 @@ class PlanQualitySpec extends AnyFunSuite {
       s"range join must stay equi-bucketed:\n$rngPlan")
   }
 
+  test("curation operators keep the 100TB-safe plan shapes") {
+    // decon1: both joins (benchmark pairing + benchmark gram set) must
+    // broadcast — the corpus side is never shuffled for a join, only
+    // for its own distinct/groupBy
+    val decon = SparkEntry.queries("decon1_benchmark_overlap")(spark, sf)
+    val deconPlan = executedPlan(decon)
+    assert(deconPlan.contains("BroadcastHashJoin"),
+      s"decon1 should broadcast the benchmark side:\n$deconPlan")
+    assert(!deconPlan.contains("SortMergeJoin") && !deconPlan.contains("Cartesian"),
+      s"decon1 must not shuffle-join the corpus:\n$deconPlan")
+    // pii1 and mix1 are single-scan: no join operator at all
+    for (name <- Seq("pii1_redaction", "mix1_domain_mix")) {
+      val plan = executedPlan(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("Join"), s"$name should be join-free:\n$plan")
+      assert(hasCodegen(plan), s"$name should stay in codegen:\n$plan")
+    }
+    // qual2 joins two doc-keyed aggregates — any join is fine except a
+    // cartesian; the explode+agg pipeline must stay in codegen
+    val qual = executedPlan(SparkEntry.queries("qual2_repetition")(spark, sf))
+    assert(!qual.contains("Cartesian") && !qual.contains("NestedLoop"),
+      s"qual2 must stay key-joined:\n$qual")
+    assert(hasCodegen(qual))
+  }
+
   test("graft_vec_dot participates in codegen (no CodegenFallback)") {
     graft.functions.GraftFunctions.register(spark)
     // parquet-backed input so the projection can't constant-fold away
