@@ -804,7 +804,10 @@ final class LakeTable private[core] (
   /** Stage-write (bucketed or salted per partition), then rename into
     * the final layout. Counts and key bounds come from one concurrent
     * driver-side parquet-footer pass, no Spark job. */
-  private def writeFiles(df: DataFrame, instant: String): Staged = {
+  private def writeFiles(
+      df: DataFrame, instant: String,
+      clusterBy: Seq[Column] = Seq.empty,
+      clusterFiles: Int = 0): Staged = {
     // random suffix: a concurrent writer from another process could
     // hold the same wall-clock instant; staging must never collide
     val stagingDir = new Path(basePath,
@@ -817,7 +820,21 @@ final class LakeTable private[core] (
       if (bucketed) withCols0.withColumn(StageBucketCol, bucketExpr)
       else withCols0
     val writerDf =
-      if (bucketed) {
+      if (clusterBy.nonEmpty) {
+        // clustering rewrite: a RANGE shuffle on (table partition,
+        // sort key) + an in-task sort, so every output file holds one
+        // contiguous, disjoint sort-key range — tight footer bounds
+        // for the probe/scan pruners. Incompatible with the bucket
+        // index by construction (bucket routing owns file placement).
+        val keys = (if (partitioned) Seq(col(StagePartCol)) else Nil) ++ clusterBy
+        // explicit range count when given (data-size / target-file-size
+        // at scale); otherwise the shuffle default — AQE may coalesce
+        // small inputs into fewer, larger files, which is the point
+        val ranged =
+          if (clusterFiles > 0) withCols.repartitionByRange(clusterFiles, keys: _*)
+          else withCols.repartitionByRange(keys: _*)
+        ranged.sortWithinPartitions(keys: _*)
+      } else if (bucketed) {
         // one file per (partition, bucket): all rows of a bucket land
         // in one task, so keyed DML later touches exactly that file
         val by = (if (partitioned) Seq(col(StagePartCol)) else Nil) :+
@@ -1063,6 +1080,66 @@ final class LakeTable private[core] (
         merged.select((MetaCols ++ schema.fieldNames.toSeq).map(col): _*), instant)
       doCommit(instant, "commit", st, affected.map(_.path), schema)
       instant
+    }
+  }
+
+  /** Restore (rollback) the table to its state as of `instant` —
+    * the Hudi `call rollback_to_savepoint` analog, as one ordinary
+    * replace commit: the as-of snapshot is rewritten WITH its
+    * original per-row meta columns (so incremental reads spanning
+    * the restore stay exact — restored rows keep their first-write
+    * commit times), and every currently-live file is removed.
+    * Because the restore is itself just a commit, it is OCC-safe,
+    * time travel to post-restore instants keeps working until
+    * clean() reclaims them, and a bad restore can be restored away
+    * again. Cost is O(live data as of `instant`) — the COW rewrite
+    * price, paid once, not per read. */
+  def restoreTo(instant: String): String = {
+    val liveNow = timeline.liveFiles(None).map(_.path)
+    withInflight { inst =>
+      val sAt = schemaAsOf(Some(instant))
+      val s = withMetaSchema(sAt)
+      val files = timeline.liveFiles(Some(instant))
+      val raw = if (files.isEmpty) emptyDf(s) else readLive(files, s)
+      val data = if (isMor) mergeOnRead(raw) else raw
+      val st = writeFiles(
+        data.select((MetaCols ++ sAt.fieldNames.toSeq).map(col): _*), inst)
+      doCommit(inst, "replace", st, liveNow, sAt)
+      inst
+    }
+  }
+
+  /** Clustering service (the Hudi `call run_clustering` analog):
+    * rewrite the live data ordered by `sortCols` (default: the record
+    * key) so every output file holds a tight, disjoint sort-key range
+    * per table partition — keyed-DML probes and range scans then
+    * prune to O(touched ranges) files instead of O(table). Interleaved
+    * ingest is exactly what erodes key locality at scale; clustering
+    * restores it in one replace commit. Rows keep their original meta
+    * columns (incremental correctness). MOR deltas are folded in (a
+    * clustering IS a compaction with an ordering). Not applicable to
+    * bucket-index tables, whose file placement is owned by the bucket
+    * routing (and already probe-free). */
+  def cluster(sortCols: Seq[String] = Seq.empty, targetFiles: Int = 0): String = {
+    require(props.bucketIndexBuckets == 0,
+      "clustering is incompatible with the bucket index: bucket routing " +
+        "owns file placement and keyed DML is already probe-free")
+    val live = timeline.liveFiles(None)
+    if (live.isEmpty) return timeline.nextInstant() // nothing to rewrite
+    withInflight { inst =>
+      val s = withMetaSchema(schema)
+      val raw = readLive(live, s)
+      val data = if (isMor) mergeOnRead(raw) else raw
+      // default to the stored record key STRING: footer bounds and the
+      // probe pruner compare _record_key bytes, so only a key-string
+      // order yields prunable ranges (an int sort would interleave
+      // "19" < "2" textually)
+      val by = if (sortCols.isEmpty) Seq(col(RecordKeyCol)) else sortCols.map(col)
+      val st = writeFiles(
+        data.select((MetaCols ++ schema.fieldNames.toSeq).map(col): _*),
+        inst, clusterBy = by, clusterFiles = targetFiles)
+      doCommit(inst, "replace", st, live.map(_.path), schema)
+      inst
     }
   }
 

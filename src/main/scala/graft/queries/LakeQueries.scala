@@ -289,7 +289,49 @@ object LakeQueries {
       CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
       FROM customer ORDER BY c_custkey"""))
 
+  /** Clustering service (`call run_clustering` analog): interleaved
+    * upserts shred key locality across files; cluster() rewrites the
+    * live set ordered by the record key (one replace commit), after
+    * which the snapshot is unchanged row-for-row — the oracle pins
+    * that clustering is a pure physical reorganization. Pruning
+    * improvement is pinned in TableServicesSpec (disjoint per-file
+    * key ranges, smaller probe candidate sets). */
+  private val clusterQ = GQ(
+    "lake13_clustering",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake13"), props(false))
+      // three interleaved mod-classes: every file spans the whole key range
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 3 === 0))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 3 === 1))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 3 === 2))
+      tab.cluster()
+      dataCols(tab.snapshot())
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      CAST(1 AS BIGINT) AS ts
+      FROM customer ORDER BY c_custkey"""))
+
+  /** Restore/rollback (`call rollback_to_savepoint` analog): after an
+    * upsert and a delete, restore to the first commit — the snapshot
+    * must be exactly the original state, as one replace commit. */
+  private val restoreQ = GQ(
+    "lake14_restore",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake14"), props(true))
+      val c1 = tab.upsert(base(s, dir))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 4 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_name", concat(col("c_name"), lit("_v2"))))
+      tab.delete(base(s, dir).filter(col("c_custkey") % 9 === 0)
+        .select("c_custkey", "c_mktsegment"))
+      tab.restoreTo(c1)
+      dataCols(tab.snapshot())
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      CAST(1 AS BIGINT) AS ts
+      FROM customer ORDER BY c_custkey"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
-    timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ)
+    timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ)
 }

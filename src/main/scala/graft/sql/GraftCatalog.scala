@@ -264,6 +264,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         val instant = lakeOf(input.getUTF8String(0).toString).compact()
         Array(InternalRow(UTF8String.fromString(instant)))
       }
+      case "rollback_to_instant" => procedure(
+        "rollback_to_instant", "restore the table to its state as of an instant",
+        Seq("table" -> StringT, "instant" -> StringT),
+        "instant STRING") { input =>
+        val inst = lakeOf(input.getUTF8String(0).toString)
+          .restoreTo(input.getUTF8String(1).toString)
+        Array(InternalRow(UTF8String.fromString(inst)))
+      }
+      case "run_clustering" => procedure(
+        "run_clustering", "rewrite live files ordered by the record key " +
+          "for tight, disjoint per-file key ranges",
+        Seq("table" -> StringT),
+        "instant STRING") { input =>
+        val inst = lakeOf(input.getUTF8String(0).toString).cluster()
+        Array(InternalRow(UTF8String.fromString(inst)))
+      }
       case "archive_commits" => procedure(
         "archive_commits", "fold old commits into the timeline checkpoint",
         Seq("table" -> StringT, "min_to_keep" -> IntT, "max_to_keep" -> IntT),

@@ -372,4 +372,94 @@ class TableServicesSpec extends AnyFunSuite {
     t.upsert(mkDf(row(1, "a")))
     assert(t.snapshot().count() == 1)
   }
+
+  /** UTF-8 byte order, the same comparison the probe pruner uses. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  test("clustering yields disjoint per-file key ranges and tighter probes") {
+    val t = LakeTable.create(spark, tmp(),
+      TableProps("svc", Seq("id"), Some("ts"), Seq.empty))
+    // interleaved mod-classes over a 3-digit key space (zero-padded so
+    // utf8 order == numeric order): every commit's files span the
+    // whole range
+    def batch(m: Int) = (100 until 400).filter(_ % 3 == m)
+      .map(i => (f"$i%03d", s"v$i", 1L)).toDF("id", "v", "ts")
+    t.upsert(batch(0)); t.upsert(batch(1)); t.upsert(batch(2))
+    val before = t.timeline.liveFiles(None)
+    // interleaved ingest: overlapping ranges (each file ~ whole space)
+    assert(before.size >= 3)
+    // targetFiles: at real scale data-size/file-size; pinned here so
+    // AQE cannot coalesce the tiny spec corpus into one file
+    t.cluster(targetFiles = 4)
+    val after = t.timeline.liveFiles(None)
+    assert(after.size >= 2, "clustering should keep multiple files")
+    val ranges = after.map(f => (f.minKey.get, f.maxKey.get))
+      .sortWith((a, b) => utf8Lt(a._1, b._1))
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(utf8Lt(aMax, bMin), s"overlapping post-cluster ranges: $ranges")
+      case _ => ()
+    }
+    // probe for a narrow key set now prunes to a strict subset of files
+    val probeKeys = Seq(("105", "x", 2L), ("106", "x", 2L)).toDF("id", "v", "ts")
+    t.upsert(probeKeys)
+    val rewritten = t.timeline.commits().last.removed
+    assert(rewritten.size < after.size,
+      s"clustered probe should touch a subset: ${rewritten.size} of ${after.size}")
+    // rows unchanged by clustering (plus the probe upsert)
+    assert(t.snapshot().count() == 300)
+  }
+
+  test("restoreTo rewinds state, preserves history, and stays restorable") {
+    val t = LakeTable.create(spark, tmp(), props)
+    val c1 = t.upsert(mkDf(row(1, "a"), row(2, "b")))
+    t.upsert(mkDf(row(2, "b2", 2L), row(3, "c", 2L)))
+    val c3 = t.delete(mkDf(row(1, "a")).select("id", "dt"))
+    t.restoreTo(c1)
+    // state is exactly as of c1
+    val got = t.snapshot().select("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "a"), (2, "b")), s"got $got")
+    // restored rows keep their ORIGINAL commit time (incremental exactness)
+    val commits = t.snapshot().select(LakeTable.CommitTimeCol).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(commits == Set(c1), s"restored rows must carry $c1, got $commits")
+    // pre-restore history is still readable (time travel forward)
+    assert(t.snapshot(Some(c3)).count() == 2) // {2->b2, 3->c}
+    // the restore is itself restorable
+    t.restoreTo(c3)
+    val again = t.snapshot().select("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(again == Set((2, "b2"), (3, "c")), s"got $again")
+  }
+
+  test("rollback_to_instant and run_clustering CALL procedures") {
+    spark.conf.set("spark.sql.catalog.graft_svc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_svc.warehouse",
+      "target/graft_warehouse_svc")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_svc.db")
+    spark.sql("DROP TABLE IF EXISTS graft_svc.db.svc1")
+    spark.sql("""CREATE TABLE graft_svc.db.svc1 (id INT, v STRING, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')""")
+    spark.sql("INSERT INTO graft_svc.db.svc1 VALUES (1,'a',1), (2,'b',1)")
+    val c1 = spark.sql("CALL graft_svc.system.show_commits('db.svc1')")
+      .select("commit_time").collect().map(_.getString(0)).min
+    spark.sql("INSERT INTO graft_svc.db.svc1 VALUES (3,'c',2)")
+    spark.sql("CALL graft_svc.system.run_clustering('db.svc1')")
+    assert(spark.sql("SELECT * FROM graft_svc.db.svc1").count() == 3)
+    spark.sql(s"CALL graft_svc.system.rollback_to_instant('db.svc1', '$c1')")
+    val rows = spark.sql("SELECT id FROM graft_svc.db.svc1")
+      .collect().map(_.getInt(0)).toSet
+    assert(rows == Set(1, 2), s"got $rows")
+  }
 }
