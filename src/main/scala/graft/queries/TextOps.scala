@@ -261,6 +261,52 @@ object TextOps {
         count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
       FROM c GROUP BY source, bin ORDER BY source, bin"""))
 
+  /** text6 — TF-IDF top terms per document: the classic sparse
+    * retrieval / keyword-extraction score. tf = termcount/doclen,
+    * idf = ln(N/df); score rounded to 6 dp (the one transcendental —
+    * ln — may differ by an ulp across engines, and 6 dp quantizes
+    * that away while term-ascending tie-break keeps ranking
+    * deterministic). Shape at scale: one shuffle keyed by (doc, term),
+    * one vocabulary-sized aggregate, a vocabulary join AQE can
+    * broadcast — never anything O(corpus²). */
+  private val tfidf = GQ(
+    "text6_tfidf_topterms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").withColumn("toks", expr(toksExpr))
+      val dt = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+      val dlen = dt.groupBy("doc_id").agg(sum("n").as("len"))
+      val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = dt.join(dlen, "doc_id").join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", round(
+          (col("n").cast("double") / col("len").cast("double")) *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${"string_split_regex(lower(trim(text)), '\\s+')"} AS toks FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS n FROM (
+          SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM dt GROUP BY doc_id),
+      dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT dt.doc_id, dt.term,
+          round((CAST(n AS DOUBLE) / CAST(len AS DOUBLE)) *
+            ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+        FROM dt JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN nd),
+      r AS (SELECT doc_id, term, score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        FROM sc)
+      SELECT doc_id, term, score, CAST(rank AS INT) AS rank FROM r
+      WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   def qs: Seq[GQ] = Seq(quality, langId, tokenStats, fingerprint, ngramProfile,
-    hashSplit, packBins)
+    hashSplit, packBins, tfidf)
 }

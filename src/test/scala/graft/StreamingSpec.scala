@@ -135,6 +135,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: fingerprint dups dropped across batches within watermark") {
+    // the streaming half of dedup1: content-fingerprint dedup on an
+    // unbounded ingest stream — dropDuplicatesWithinWatermark keeps
+    // state only for the watermark window, so state is bounded at
+    // 100 TB/day ingest (an unbounded dropDuplicates would OOM)
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = input.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((t(1), 1L, "alpha beta"), (t(2), 2L, "ALPHA   beta"))
+      q.processAllAvailable()
+      // same fingerprint in a LATER batch, still inside the watermark
+      input.addData((t(3), 3L, " alpha beta "), (t(4), 4L, "gamma"))
+      q.processAllAvailable()
+      // advance the watermark far enough to flush results
+      input.addData((t(59), 5L, "omega"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && !ids.contains(2L) && !ids.contains(3L),
+        s"normalized dups must dedup across batches: $ids")
+      assert(ids.contains(4L), s"distinct docs must survive: $ids")
+    } finally q.stop()
+  }
+
   test("commit-tail stream of a MOR table drops tombstones and fences inflight writers") {
     import graft.core.{LakeTable, TableProps}
     val path = tmp("mor_tail_") + "/t"
