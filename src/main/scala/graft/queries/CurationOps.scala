@@ -263,5 +263,63 @@ object CurationOps {
         CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS achieved
       FROM d GROUP BY source ORDER BY source"""))
 
-  def qs: Seq[GQ] = Seq(deconQ, piiQ, repetitionQ, mixQ)
+  /** pipe1 — an end-to-end incremental curation pipeline, the
+    * composition story: raw documents land in a lake table over two
+    * commits; the pipeline INCREMENTALLY reads only the second batch
+    * (no reprocessing of already-curated data), quality-scores it
+    * ([[TextOps]] text1 signals), drops low-quality docs, fingerprints
+    * the survivors, and upserts them into a curated lake table whose
+    * snapshot is the gate result. Exactly how a production curation
+    * pipeline runs at 100 TB: each increment costs O(new data), state
+    * lives in the tables, and every stage is an operator this engine
+    * already oracle-checks in isolation. */
+  private val pipeQ = GQ(
+    "pipe1_incremental_curation",
+    (s, dir) => {
+      import graft.core.{LakeTable, TableProps}
+      def scratch(name: String) = {
+        val p = s"target/graft_scratch/${name}_${math.abs(dir.hashCode)}"
+        LakeTable.drop(s, p)
+        p
+      }
+      val raw = LakeTable.create(s, scratch("pipe1raw"),
+        TableProps("pipe1raw", Seq("doc_id"), Some("ts"), Seq.empty))
+      val docs = t(s, dir, "documents").withColumn("ts", lit(1L))
+      val c1 = raw.upsert(docs.filter(col("doc_id") % 2 === 0))
+      raw.upsert(docs.filter(col("doc_id") % 2 === 1))
+      // incremental: ONLY the second batch flows through the pipeline
+      val inc = raw.incremental(c1).drop(graft.core.LakeTable.MetaCols: _*)
+      val curated = inc
+        .withColumn("toks", expr(toksExpr.format("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("quality",
+          lit(0.4) * (size(expr(
+            "filter(toks, w -> w in ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))"))
+            .cast("double") / col("n_tokens").cast("double")) +
+            lit(0.3) * (size(expr("filter(toks, w -> w rlike '^[a-z]+$')"))
+              .cast("double") / col("n_tokens").cast("double")) +
+            lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+        .filter(col("quality") >= 0.55)
+        .withColumn("fp",
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .select("doc_id", "lang", "source", "n_chars", "quality", "fp", "ts")
+      val out = LakeTable.create(s, scratch("pipe1cur"),
+        TableProps("pipe1cur", Seq("doc_id"), Some("ts"), Seq.empty))
+      out.upsert(curated)
+      out.snapshot().drop(graft.core.LakeTable.MetaCols: _*).orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+      q AS (SELECT doc_id, lang, source, n_chars,
+          0.4 * (CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE))
+          + 0.3 * (CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE))
+          + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS quality,
+          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM (SELECT *, ${toksSql.format("text")} AS toks FROM b))
+      SELECT doc_id, lang, source, n_chars, quality, fp,
+        CAST(1 AS BIGINT) AS ts
+      FROM q WHERE quality >= 0.55 ORDER BY doc_id"""))
+
+  def qs: Seq[GQ] = Seq(deconQ, piiQ, repetitionQ, mixQ, pipeQ)
 }
