@@ -1143,6 +1143,54 @@ final class LakeTable private[core] (
     }
   }
 
+  /** Z-order clustering (the Hudi/Delta `zorder` analog): rewrite the
+    * live data ordered by the Morton interleave of two numeric
+    * columns, so per-file min/max ranges are tight on BOTH dimensions
+    * — predicates on either column (or both) prune files/row-groups,
+    * where a linear sort only serves its leading column. The z-value
+    * is pure codegen'd bit arithmetic over min/max-normalized 16-bit
+    * ranks (one tiny stats aggregate beforehand); the rewrite itself
+    * is the same range-shuffle replace commit as [[cluster]]. */
+  def zorderCluster(cols: Seq[String], targetFiles: Int = 0): String = {
+    require(cols.size == 2, "zorderCluster interleaves exactly two columns")
+    require(props.bucketIndexBuckets == 0,
+      "clustering is incompatible with the bucket index")
+    val live = timeline.liveFiles(None)
+    if (live.isEmpty) return timeline.nextInstant()
+    withInflight { inst =>
+      val s = withMetaSchema(schema)
+      val raw = readLive(live, s)
+      val data = if (isMor) mergeOnRead(raw) else raw
+      // per-column min/max for rank normalization: one metadata-sized
+      // aggregate job (2 doubles per column)
+      val st0 = data.agg(
+        min(col(cols(0)).cast("double")), max(col(cols(0)).cast("double")),
+        min(col(cols(1)).cast("double")), max(col(cols(1)).cast("double"))).head()
+      def norm(i: Int, lo: Double, hi: Double): Column = {
+        val c = coalesce(col(cols(i)).cast("double"), lit(lo))
+        if (hi > lo)
+          least(lit(65535L), floor((c - lit(lo)) / lit(hi - lo) * 65536.0).cast("long"))
+        else lit(0L)
+      }
+      /** Interleave a 16-bit value with zero gaps (Morton spread). */
+      def spread(x0: Column): Column = {
+        var x = x0
+        x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+        x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+        x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x33333333L))
+        x = (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x55555555L))
+        x
+      }
+      val z = spread(norm(0, st0.getDouble(0), st0.getDouble(1)))
+        .bitwiseOR(shiftleft(spread(norm(1, st0.getDouble(2), st0.getDouble(3))), 1))
+      val st = writeFiles(
+        data.select((MetaCols ++ schema.fieldNames.toSeq).map(col): _*),
+        inst, clusterBy = Seq(z), clusterFiles = targetFiles)
+      doCommit(inst, "replace", st, live.map(_.path), schema)
+      inst
+    }
+  }
+
   /** Inline compaction after `compactDeltaCommits` consecutive delta
     * commits (TestBatchMOR.java:40-46, TestStreamingMOR.java:51). */
   private def maybeInlineCompact(): Unit = {

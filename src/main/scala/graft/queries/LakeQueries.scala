@@ -331,7 +331,23 @@ object LakeQueries {
       CAST(1 AS BIGINT) AS ts
       FROM customer ORDER BY c_custkey"""))
 
+  /** Z-order clustering: like lake13 but the rewrite interleaves two
+    * numeric dimensions (Morton order) so per-file ranges are tight on
+    * BOTH; the oracle pins it is a pure physical reorganization, the
+    * 2-D locality itself is pinned in TableServicesSpec. */
+  private val zorderQ = GQ(
+    "lake15_zorder",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake15"), props(false))
+      tab.upsert(base(s, dir))
+      tab.zorderCluster(Seq("c_acctbal", "c_nationkey"))
+      dataCols(tab.snapshot())
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      CAST(1 AS BIGINT) AS ts
+      FROM customer ORDER BY c_custkey"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
-    timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ)
+    timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ)
 }

@@ -280,6 +280,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         val inst = lakeOf(input.getUTF8String(0).toString).cluster()
         Array(InternalRow(UTF8String.fromString(inst)))
       }
+      case "run_zorder" => procedure(
+        "run_zorder", "rewrite live files in Morton (z-order) interleave " +
+          "of two numeric columns for two-dimensional pruning locality",
+        Seq("table" -> StringT, "col_a" -> StringT, "col_b" -> StringT),
+        "instant STRING") { input =>
+        val inst = lakeOf(input.getUTF8String(0).toString).zorderCluster(Seq(
+          input.getUTF8String(1).toString, input.getUTF8String(2).toString))
+        Array(InternalRow(UTF8String.fromString(inst)))
+      }
       case "archive_commits" => procedure(
         "archive_commits", "fold old commits into the timeline checkpoint",
         Seq("table" -> StringT, "min_to_keep" -> IntT, "max_to_keep" -> IntT),

@@ -420,6 +420,31 @@ class TableServicesSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 300)
   }
 
+  test("z-order clustering yields tight per-file ranges on BOTH dimensions") {
+    val t = LakeTable.create(spark, tmp(),
+      TableProps("svc", Seq("id"), Some("ts"), Seq.empty))
+    // a 64x64 grid: after z-ordering into 16 files each file should
+    // hold roughly one quadrant tile — tight on a AND b; a LINEAR sort
+    // on a would leave b spanning the full range in every file
+    val grid = (0 until 4096).map(i => (i, i / 64, i % 64, 1L))
+      .toDF("id", "a", "b", "ts")
+    t.upsert(grid)
+    t.zorderCluster(Seq("a", "b"), targetFiles = 16)
+    val live = t.timeline.liveFiles(None)
+    assert(live.size >= 8, s"expected ~16 files, got ${live.size}")
+    val spans = spark.read
+      .parquet(live.map(f => s"${t.basePath}/${f.path}"): _*)
+      .groupBy(col("_metadata.file_path"))
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .collect()
+    val avgA = spans.map(_.getAs[Int]("sa")).sum.toDouble / spans.length / 63.0
+    val avgB = spans.map(_.getAs[Int]("sb")).sum.toDouble / spans.length / 63.0
+    assert(avgA < 0.6 && avgB < 0.6,
+      s"z-order should localize both dims: a=$avgA b=$avgB")
+    // rows unchanged
+    assert(t.snapshot().count() == 4096)
+  }
+
   test("restoreTo rewinds state, preserves history, and stays restorable") {
     val t = LakeTable.create(spark, tmp(), props)
     val c1 = t.upsert(mkDf(row(1, "a"), row(2, "b")))
