@@ -269,6 +269,87 @@ final class LakeTable private[core] (
         endInstant.map(e => col(CommitTimeCol) <= lit(e)).getOrElse(lit(true)))
   }
 
+  /** Change-data-capture read: the NET row-level changes in
+    * `(begin, end]` — one row per changed (key, partition) with
+    * `_change_op` (`i` insert / `u` update / `d` delete), the
+    * after-image data columns, and a `_before` struct holding the
+    * begin-state image (null for inserts; after-image columns are
+    * null for deletes). The Hudi `cdc` query-type analog
+    * (incremental reads in the reference surface only upserted rows,
+    * IncrementalQuery.scala:48-53; CDC adds deletes + before images).
+    *
+    * I/O is proportional to CHURN, not table size. Candidate keys
+    * come from the files added or removed in the range; the
+    * before/after images read only files whose (partition, key-range)
+    * overlaps a churn file. Any file holding a version of a candidate
+    * key necessarily overlaps the churn file containing that key at
+    * the key itself, so both images are complete for every candidate —
+    * the same pruning argument as the MOR incremental read. Untouched
+    * keys carried through a COW rewrite survive the join but are
+    * dropped by the `_commit_time > begin` change filter. Like time
+    * travel, the range's removed files must not have been cleaned yet.
+    */
+  def cdc(begin: String, end: Option[String] = None): DataFrame = {
+    val liveB = timeline.liveFiles(Some(begin))
+    val liveE = timeline.liveFiles(end)
+    val ePaths = liveE.map(_.path).toSet
+    val churn = liveE.filter(_.instant > begin) ++
+      liveB.filterNot(f => ePaths.contains(f.path))
+    val dataFields = schemaAsOf(end).fieldNames.toSeq
+    val outSchema = StructType(
+      StructField(ChangeOpCol, StringType) +:
+        (withMetaSchema(schemaAsOf(end)).filterNot(_.name == DeletedCol) :+
+          StructField(BeforeImageCol, StructType(
+            schemaAsOf(Some(begin)).fields))))
+    if (churn.isEmpty) return emptyDf(outSchema)
+    def touched(side: Seq[FileEntry]): Seq[FileEntry] = side.filter { f =>
+      churn.exists { c =>
+        c.partition == f.partition &&
+          ((c.minKey, c.maxKey, f.minKey, f.maxKey) match {
+            case (Some(cm), Some(cM), Some(fm), Some(fM)) =>
+              utf8Lte(cm, fM) && utf8Lte(fm, cM)
+            case _ => true // no stats → cannot prune
+          })
+      }
+    }
+    // candidate (key, partition) set: every key with a version in a
+    // churn file — O(churn) rows, shuffled (never driver-collected)
+    val cand = readLive(churn, withMetaSchema(schemaAsOf(end)))
+      .select(RecordKeyCol, PartitionPathCol).distinct()
+    def image(files: Seq[FileEntry], sch: StructType): DataFrame = {
+      val full =
+        if (files.isEmpty) emptyDf(sch)
+        else if (isMor) mergeOnRead(readLive(files, sch))
+        else readLive(files, sch)
+      full.join(cand, Seq(RecordKeyCol, PartitionPathCol), "left_semi")
+    }
+    val beforeFields = schemaAsOf(Some(begin)).fieldNames.toSeq
+    val before = image(touched(liveB), withMetaSchema(schemaAsOf(Some(begin))))
+      .select(col(RecordKeyCol).as("__bkey"), col(PartitionPathCol).as("__bpp"),
+        struct(beforeFields.map(col): _*).as(BeforeImageCol))
+    val after = image(touched(liveE), withMetaSchema(schemaAsOf(end)))
+    val joined = after.join(before,
+      after(RecordKeyCol) === col("__bkey") &&
+        after(PartitionPathCol) === col("__bpp"),
+      "full_outer")
+    val changedAfter = col(CommitTimeCol).isNotNull &&
+      col(CommitTimeCol) > lit(begin) &&
+      end.map(e => col(CommitTimeCol) <= lit(e)).getOrElse(lit(true))
+    joined
+      // after-side null ⇒ net delete; else only rows (re)written in range
+      .filter(col(RecordKeyCol).isNull || changedAfter)
+      .select(
+        when(col("__bkey").isNull, lit("i"))
+          .when(col(RecordKeyCol).isNull, lit("d"))
+          .otherwise(lit("u")).as(ChangeOpCol) +:
+          col(CommitTimeCol) +:
+          coalesce(col(RecordKeyCol), col("__bkey")).as(RecordKeyCol) +:
+          coalesce(col(PartitionPathCol), col("__bpp")).as(PartitionPathCol) +:
+          (dataFields.map(col) :+
+            when(col("__bkey").isNull, lit(null)).otherwise(col(BeforeImageCol))
+              .as(BeforeImageCol)): _*)
+  }
+
   /** Newest-first commit listing (`call show_commits`,
     * IncrementalQuery.scala:36-37). */
   def commits(): DataFrame =
@@ -1296,6 +1377,10 @@ object LakeTable {
   val PartitionPathCol = "_partition_path"
   /** MOR tombstone marker column (delta files only). */
   val DeletedCol = "_deleted"
+  /** CDC read: change-op column (`i`/`u`/`d`). */
+  val ChangeOpCol = "_change_op"
+  /** CDC read: begin-state image struct (null for inserts). */
+  val BeforeImageCol = "_before"
   val MetaCols: Seq[String] = Seq(CommitTimeCol, RecordKeyCol, PartitionPathCol)
   private[core] val IncomingFlag = "__incoming"
   private[core] val StagePartCol = "__pp__"

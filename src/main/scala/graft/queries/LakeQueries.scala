@@ -347,7 +347,59 @@ object LakeQueries {
       CAST(1 AS BIGINT) AS ts
       FROM customer ORDER BY c_custkey"""))
 
+  /** CDC read (Hudi `cdc` query-type analog; the reference's
+    * incremental reads surface only upserted rows,
+    * IncrementalQuery.scala:48-53 — CDC adds deletes and before
+    * images): seed all customers, then update (%4), delete (%9, some
+    * of which were also updated — net DELETE with the BEGIN-state
+    * before image), and insert fresh keys (%13 → +1,000,000). The
+    * feed must be exactly the net per-key changes. */
+  private val cdcQ = GQ(
+    "lake16_cdc",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake16"), props(true))
+      val c1 = tab.upsert(base(s, dir))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 4 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_acctbal", (dec2(col("c_acctbal")) + 50).cast("double"))
+        .withColumn("c_name", concat(col("c_name"), lit("_u"))))
+      tab.delete(base(s, dir).filter(col("c_custkey") % 9 === 0)
+        .select("c_custkey", "c_mktsegment"))
+      tab.insert(base(s, dir).filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000)
+        .withColumn("c_name", concat(col("c_name"), lit("_new"))))
+      val before = col(LakeTable.BeforeImageCol)
+      tab.cdc(c1)
+        .select(col(LakeTable.ChangeOpCol).as("op"),
+          coalesce(col("c_custkey"), before.getField("c_custkey"))
+            .as("c_custkey"),
+          col("c_name"), col("c_acctbal"),
+          before.getField("c_name").as("before_name"),
+          before.getField("c_acctbal").as("before_acctbal"))
+        .orderBy("c_custkey", "op")
+    },
+    Some("""WITH ins AS (
+        SELECT 'i' AS op, c_custkey + 1000000 AS c_custkey,
+          c_name || '_new' AS c_name, c_acctbal,
+          CAST(NULL AS VARCHAR) AS before_name,
+          CAST(NULL AS DOUBLE) AS before_acctbal
+        FROM customer WHERE c_custkey % 13 = 0
+      ), upd AS (
+        SELECT 'u' AS op, c_custkey, c_name || '_u' AS c_name,
+          CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 50 AS DOUBLE) AS c_acctbal,
+          c_name AS before_name, c_acctbal AS before_acctbal
+        FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 9 <> 0
+      ), del AS (
+        SELECT 'd' AS op, c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+          CAST(NULL AS DOUBLE) AS c_acctbal,
+          c_name AS before_name, c_acctbal AS before_acctbal
+        FROM customer WHERE c_custkey % 9 = 0
+      )
+      SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL
+      SELECT * FROM del ORDER BY c_custkey, op"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
-    timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ)
+    timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
+    cdcQ)
 }

@@ -14,7 +14,7 @@ import graft.core.{LakeTable, MergePolicy, TableProps}
   * `write.format("hudi").save(basePath)` flows (SURVEY §2.1 S1-S3,
   * §2.2 W12; BootstrapDemo.scala:261-273, IncrementalQuery.scala:48-53).
   *
-  * Read options: `queryType` = snapshot (default) | incremental,
+  * Read options: `queryType` = snapshot (default) | incremental | cdc,
   * `beginInstant`, `endInstant`, `pathGlob`, `asOfInstant`.
   * Write options: `primaryKey`, `preCombineField`, `partitionFields`
   * (comma-separated), `operation` = upsert (default) | insert |
@@ -154,6 +154,11 @@ final case class GraftRelation(
           "incremental query requires option beginInstant"))
       lake.incremental(begin,
         parameters.get("endInstant"), parameters.get("pathGlob"))
+    case Some("cdc") =>
+      val begin = parameters.getOrElse("beginInstant",
+        throw new IllegalArgumentException(
+          "cdc query requires option beginInstant"))
+      lake.cdc(begin, parameters.get("endInstant"))
     case _ => lake.snapshot(parameters.get("asOfInstant"))
   }
 

@@ -221,4 +221,64 @@ class LakeTableSpec extends AnyFunSuite {
     // plan should reference exactly one file
     assert(pruned.inputFiles.length == 1)
   }
+
+  test("cdc: net change feed with ops and before images (COW)") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, demoProps)
+    val c1 = t.upsert(Seq(
+      (1, "a", 1.0, 1L, "d1"), (2, "b", 2.0, 1L, "d1"),
+      (3, "c", 3.0, 1L, "d2"), (4, "d", 4.0, 1L, "d2"))
+      .toDF("id", "name", "price", "ts", "dt"))
+    // update 1; update-then-delete 2 (net delete, BEGIN before-image);
+    // insert-then-delete 5 (net no-op); insert 6
+    t.upsert(Seq((1, "a2", 10.0, 2L, "d1"), (2, "b2", 20.0, 2L, "d1"),
+      (5, "e", 5.0, 2L, "d1")).toDF("id", "name", "price", "ts", "dt"))
+    t.delete(Seq((2, "d1"), (5, "d1")).toDF("id", "dt"))
+    t.upsert(Seq((6, "f", 6.0, 3L, "d2")).toDF("id", "name", "price", "ts", "dt"))
+
+    val feed = t.cdc(c1)
+    val got = feed.select(col(LakeTable.ChangeOpCol), col("id"),
+      col("name"), col(s"${LakeTable.BeforeImageCol}.id").as("bid"),
+      col(s"${LakeTable.BeforeImageCol}.name").as("bname"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(got == Set(
+      ("u", Some(1), Some("a2"), Some(1), Some("a")),
+      ("d", None, None, Some(2), Some("b")), // before = begin state, not "b2"
+      ("i", Some(6), Some("f"), None, None)))
+    // 3 and 4 (untouched) and 5 (insert+delete inside the range) absent;
+    // end-bounded feed excludes the later insert of 6
+    val bounded = t.cdc(c1, Some(t.commits().collect()
+      .map(_.getString(0)).sorted.apply(2))) // up to the delete commit
+    assert(bounded.filter(col(LakeTable.ChangeOpCol) === "i").count() == 0)
+  }
+
+  test("cdc: I/O is churn-proportional (untouched partitions not read)") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, demoProps)
+    val c1 = t.upsert(Seq((1, "a", 1.0, 1L, "d1"), (2, "b", 2.0, 1L, "d2"),
+      (3, "c", 3.0, 1L, "d3")).toDF("id", "name", "price", "ts", "dt"))
+    t.upsert(Seq((1, "a2", 2.0, 2L, "d1")).toDF("id", "name", "price", "ts", "dt"))
+    val feed = t.cdc(c1)
+    // only d1's files (old + rewritten) are planned — d2/d3 never read
+    assert(feed.inputFiles.forall(f => f.contains("dt=d1")))
+    assert(feed.collect().map(_.getString(0)).toSeq == Seq("u"))
+  }
+
+  test("cdc: MOR tombstones surface as deletes; format('graft') cdc option") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path,
+      demoProps.copy(tableType = "mor"))
+    val c1 = t.upsert(Seq((1, "a", 1.0, 1L, "d1"), (2, "b", 2.0, 1L, "d1"))
+      .toDF("id", "name", "price", "ts", "dt"))
+    t.upsert(Seq((1, "a2", 2.0, 2L, "d1")).toDF("id", "name", "price", "ts", "dt"))
+    t.delete(Seq((2, "d1")).toDF("id", "dt"))
+    val feed = spark.read.format("graft")
+      .option("queryType", "cdc").option("beginInstant", c1)
+      .load(path)
+    val got = feed.select(col(LakeTable.ChangeOpCol), col("id"),
+      col(s"${LakeTable.BeforeImageCol}.name"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(got == Set(("u", Some(1), Some("a")), ("d", None, Some("b"))))
+  }
 }
