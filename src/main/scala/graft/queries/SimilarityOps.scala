@@ -416,5 +416,136 @@ object SimilarityOps {
       WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
-  def qs: Seq[GQ] = Seq(topkQ, nearDupQ, annQ, ivfQ, graphDedupQ)
+  /** sim6 — product-quantization ANN (ADC): the compressed-index scale
+    * path. 64 dims split into [[pqM]]=8 subspaces of 8; each subspace
+    * gets its own [[pqK]]=16-code codebook (the same deterministic
+    * rounded-mean Lloyd's as sim4, run per subspace in ONE grouped
+    * plan — the subspace id is just a grouping key, not a loop). Every
+    * vector is then 8 small codes — at 100 TB this is the difference
+    * between storing/scanning 256 B of floats and 8 B of codes per
+    * vector. Queries (vec_id < [[pqQn]]) score by asymmetric distance:
+    * per-subspace query→centroid distance tables (broadcast — K×M
+    * rows) joined to the codes, summed EXACTLY as DECIMAL(20,9) so the
+    * 8-way sum is order-independent and bit-identical in DuckDB; top-5
+    * by (approx d², vec_id). The oracle replays codebook training,
+    * encoding, and ADC relationally — same unrolled-CTE technique as
+    * sim4. */
+  private val pqM = 8
+  private val pqSubDims = Dims / pqM
+  private val pqK = 16
+  private val pqIters = 2
+  private val pqQn = 20
+
+  private val pqQ = GQ(
+    "sim6_pq_adc_topk",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val subs = t(s, dir, "embeddings")
+        .select(col("vec_id"), explode(expr(s"sequence(0, ${pqM - 1})")).as("m"),
+          col("embedding"))
+        .withColumn("sub", expr(s"slice(embedding, m * $pqSubDims + 1, $pqSubDims)"))
+        .drop("embedding")
+        .withColumn("ss", expr(dotExpr("sub", "sub")))
+        .persist()
+      var cents = subs.filter(col("vec_id") < pqK)
+        .select(col("m"), col("vec_id").cast("int").as("cid"),
+          expr(s"transform(sub, x -> round(cast(x AS double), $ivfCentRound))")
+            .as("cent"))
+      // all (vector-subspace) × (same-subspace centroid) distances with
+      // the argmin rank; one broadcast join + window, every subspace at
+      // once
+      def assign(c: DataFrame): DataFrame =
+        subs.join(broadcast(c.withColumn("cc", expr(dotExpr("cent", "cent")))),
+            Seq("m"))
+          .withColumn("d2",
+            col("ss") - lit(2.0) * expr(dotExpr("sub", "cent")) + col("cc"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"), col("m"))
+              .orderBy(col("d2").asc, col("cid").asc)))
+      for (_ <- 1 to pqIters) {
+        val pts = assign(cents).filter(col("rn") === 1)
+        val meanCols = (1 to pqSubDims).map(i =>
+          round(avg(element_at(col("sub"), i).cast("double")), ivfCentRound))
+        val means = pts.groupBy("m", "cid").agg(array(meanCols: _*).as("cent2"))
+        cents = cents.join(means, Seq("m", "cid"), "left")
+          .select(col("m"), col("cid"),
+            coalesce(col("cent2"), col("cent")).as("cent"))
+          .localCheckpoint()
+      }
+      val fin = assign(cents)
+      val codes = fin.filter(col("rn") === 1).select("vec_id", "m", "cid")
+      // asymmetric distance tables: EVERY (query, subspace, code)
+      // distance, quantized to exact decimal before the 8-way sum
+      val qd = fin.filter(col("vec_id") < pqQn)
+        .select(col("vec_id").as("q_id"), col("m"), col("cid"),
+          round(col("d2"), 9).cast("decimal(20,9)").as("qdist"))
+      val adc = codes.join(broadcast(qd), Seq("m", "cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("qdist").as("ad2x"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("ad2x").asc, col("vec_id").asc)
+      val out = adc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"),
+          col("ad2x").cast("double").as("adc_d2"), col("rank"))
+        .orderBy("q_id", "rank")
+      subs.unpersist()
+      out
+    },
+    Some(pqOracleSql))
+
+  /** sim6's DuckDB oracle: identical subspace slicing, codebook
+    * training (aN/cN CTE pairs = one Lloyd iteration, like sim4's
+    * oracle but grouped by subspace), encoding, and decimal-exact ADC. */
+  private def pqOracleSql: String = {
+    def dot8(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${pqSubDims + 1}), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def d2 = s"e.ss - 2*${dot8("e.sub", "c.cent")} + ${dot8("c.cent", "c.cent")}"
+    def assignCte(n: Int, cents: String) =
+      s"""a$n AS (SELECT e.vec_id, e.m, e.sub, e.ss, c.cid, $d2 AS d2,
+          row_number() OVER (PARTITION BY e.vec_id, e.m
+            ORDER BY $d2 ASC, c.cid ASC) AS rn
+        FROM e JOIN $cents c ON c.m = e.m)"""
+    val meanList = (1 to pqSubDims)
+      .map(i => s"round(avg(CAST(sub[$i] AS DOUBLE)), $ivfCentRound)")
+      .mkString("[", ", ", "]")
+    def updateCte(n: Int, prev: String) =
+      s"""m$n AS (SELECT m, cid, $meanList AS cent2
+          FROM a$n WHERE rn = 1 GROUP BY m, cid),
+        c$n AS (SELECT p.m, p.cid, coalesce(m$n.cent2, p.cent) AS cent
+          FROM $prev p LEFT JOIN m$n ON m$n.m = p.m AND m$n.cid = p.cid)"""
+    val iters = (1 to pqIters).map { n =>
+      val prev = if (n == 1) "c0" else s"c${n - 1}"
+      assignCte(n, prev) + ",\n" + updateCte(n, prev)
+    }.mkString(",\n")
+    val last = pqIters + 1
+    s"""WITH es AS (SELECT vec_id, CAST(ms.m AS INT) AS m,
+          list_slice(embedding, CAST(ms.m * $pqSubDims + 1 AS INT),
+            CAST((ms.m + 1) * $pqSubDims AS INT)) AS sub
+        FROM embeddings, (SELECT unnest(range(0, $pqM)) AS m) ms),
+      e AS (SELECT vec_id, m, sub, ${dot8("sub", "sub")} AS ss FROM es),
+      c0 AS (SELECT m, CAST(vec_id AS INT) AS cid,
+          list_transform(sub, x -> round(CAST(x AS DOUBLE), $ivfCentRound)) AS cent
+        FROM es WHERE vec_id < $pqK),
+      $iters,
+      ${assignCte(last, s"c$pqIters")},
+      codes AS (SELECT vec_id, m, cid FROM a$last WHERE rn = 1),
+      qd AS (SELECT vec_id AS q_id, m, cid,
+          CAST(round(d2, 9) AS DECIMAL(20,9)) AS qdist
+        FROM a$last WHERE vec_id < $pqQn),
+      adc AS (SELECT q.q_id, codes.vec_id, sum(q.qdist) AS ad2x
+        FROM codes JOIN qd q ON q.m = codes.m AND q.cid = codes.cid
+          AND codes.vec_id <> q.q_id
+        GROUP BY q.q_id, codes.vec_id),
+      ranked AS (SELECT q_id, vec_id, CAST(ad2x AS DOUBLE) AS adc_d2,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY ad2x ASC, vec_id ASC) AS rank
+        FROM adc)
+      SELECT q_id, vec_id, adc_d2, CAST(rank AS INT) AS rank FROM ranked
+      WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
+  def qs: Seq[GQ] = Seq(topkQ, nearDupQ, annQ, ivfQ, graphDedupQ, pqQ)
 }

@@ -51,6 +51,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"IVF found none of the exact top-5 (overlap $overlap)")
   }
 
+  test("pq adc ann: non-trivial recall vs brute force; 5 results per query") {
+    val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sf)
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("sim6_pq_adc_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ADC returns a full top-5 for every query (it scores ALL vectors
+    // through their codes, unlike bucketed ANN which can come up short)
+    assert(pq.size == 20 * 5)
+    val overlap = (exact & pq).size.toDouble / exact.size
+    assert(overlap > 0.0,
+      s"PQ-ADC found none of the exact top-5 (overlap $overlap)")
+  }
+
   test("media decode: batch pipeline matches column-expression metadata") {
     val docs = Tables.t(spark, sf, "documents")
       .withColumn("payload", col("text").cast("binary"))
