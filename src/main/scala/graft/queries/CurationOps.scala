@@ -321,5 +321,69 @@ object CurationOps {
         CAST(1 AS BIGINT) AS ts
       FROM q WHERE quality >= 0.55 ORDER BY doc_id"""))
 
-  def qs: Seq[GQ] = Seq(deconQ, piiQ, repetitionQ, mixQ, pipeQ)
+  /** pipe2 — canonical selection: the retention policy at the end of
+    * a dedup pipeline. Near-duplicate clusters (MinHash+LSH verified
+    * pairs → connected components) are resolved by the quality
+    * classifier: the highest-quality member of each cluster (9-dp
+    * rounded score, doc_id tie-break) is KEPT and every other member
+    * emitted as (dropped_id, kept_id) — the "which rows do I delete,
+    * and what survives in their place" answer, composed from dedup2's
+    * pair generation and sim5's component propagation. Everything
+    * stays O(pairs): the corpus is only touched for the per-doc
+    * quality column. */
+  private val canonicalQ = GQ(
+    "pipe2_canonical_selection",
+    (s, dir) => {
+      val labels =
+        SimilarityOps.components(DedupOps.minhashPairs(s, dir).select("a", "b"))
+      val q = DedupOps.corpus(s, dir)
+        .withColumn("toks", expr(toksExpr.format("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("quality",
+          lit(0.4) * (size(expr(
+            "filter(toks, w -> w in ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))"))
+            .cast("double") / col("n_tokens").cast("double")) +
+            lit(0.3) * (size(expr("filter(toks, w -> w rlike '^[a-z]+$')"))
+              .cast("double") / col("n_tokens").cast("double")) +
+            lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+        .select(col("doc_id"), round(col("quality"), 9).as("qr"))
+      val member = labels.join(q, col("id") === col("doc_id"))
+      val w = Window.partitionBy(col("lbl"))
+        .orderBy(col("qr").desc, col("doc_id").asc)
+      val ranked = member.withColumn("rn", row_number().over(w))
+        .select("lbl", "doc_id", "rn")
+      val keep = ranked.filter(col("rn") === 1)
+        .select(col("lbl"), col("doc_id").as("kept_id"))
+      ranked.filter(col("rn") > 1)
+        .join(keep, Seq("lbl"))
+        .select(col("doc_id").as("dropped_id"), col("kept_id"))
+        .orderBy("dropped_id")
+    },
+    Some(s"""WITH RECURSIVE ${DedupOps.corpusSql},
+      ${DedupOps.pairsCteSql},
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      r(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(lbl) AS lbl FROM r GROUP BY id),
+      q AS (SELECT doc_id,
+          round(0.4 * (CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE))
+            + 0.3 * (CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE))
+            + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0), 9) AS qr
+        FROM (SELECT doc_id, ${toksSql.format("text")} AS toks FROM corpus)),
+      ranked AS (SELECT comp.lbl, comp.id AS doc_id,
+          row_number() OVER (PARTITION BY comp.lbl
+            ORDER BY q.qr DESC, comp.id ASC) AS rn
+        FROM comp JOIN q ON q.doc_id = comp.id),
+      keep AS (SELECT lbl, doc_id AS kept_id FROM ranked WHERE rn = 1)
+      SELECT d.doc_id AS dropped_id, keep.kept_id
+      FROM ranked d JOIN keep USING (lbl) WHERE d.rn > 1
+      ORDER BY dropped_id"""))
+
+  def qs: Seq[GQ] = Seq(deconQ, piiQ, repetitionQ, mixQ, pipeQ, canonicalQ)
 }

@@ -37,7 +37,7 @@ object DedupOps {
 
   // ------------------------------------------------------------- corpus
 
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L)
@@ -46,7 +46,7 @@ object DedupOps {
         .withColumn("doc_id", col("doc_id") + 2000000L))
   }
 
-  private val corpusSql =
+  private[queries] val corpusSql =
     """corpus AS (
       SELECT doc_id, text, source FROM documents
       UNION ALL SELECT doc_id + 1000000, text || ' extra token appended', source
@@ -60,7 +60,7 @@ object DedupOps {
     * (the exploded relation is the largest intermediate in every
     * shingle query; shuffling it once cost more than the rest of
     * dedup4 combined). */
-  private def shingles(df: DataFrame, n: Int): DataFrame = {
+  private[queries] def shingles(df: DataFrame, n: Int): DataFrame = {
     val grams = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
     df.withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
       .withColumn("sh", explode(expr(
@@ -69,7 +69,7 @@ object DedupOps {
   }
 
   /** Same shingling in DuckDB ("sh" relation over corpus). */
-  private def shinglesSql(n: Int): String = {
+  private[queries] def shinglesSql(n: Int): String = {
     val grams = (0 until n).map(k => s"w[i + $k]").mkString(" || ' ' || ")
     s"""sh AS (
       SELECT doc_id, unnest(list_distinct(
@@ -108,11 +108,11 @@ object DedupOps {
       SELECT doc_id, canonical_id, group_size FROM g
       WHERE group_size > 1 ORDER BY doc_id"""))
 
-  /** dedup2 — MinHash (32 perms) + LSH (16 bands × 2 rows) candidate
-    * generation, exact-Jaccard (word 3-gram) post-filter at 0.5. */
-  private val minhashQ = GQ(
-    "dedup2_minhash_lsh",
-    (s, dir) => {
+  /** MinHash (32 perms) + LSH (16 bands × 2 rows) candidate
+    * generation, exact-Jaccard (word 3-gram) post-filter at 0.5 —
+    * the body of dedup2, shared with pipe2's canonical selection.
+    * Returns verified (a, b, jaccard) pairs, unordered. */
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
       // the shingle relation feeds four branches; it is a narrow
       // scan→split→explode pipeline (per-doc array_distinct, no
       // shuffle), so re-deriving it per consumer is cheaper than a
@@ -145,8 +145,27 @@ object DedupOps {
           (col("za.sz") + col("zb.sz") - col("inter")).cast("double"))
         .filter(col("jaccard") >= 0.5)
         .select("a", "b", "jaccard")
-        .orderBy("a", "b")
-    },
+  }
+
+  /** Brute-force verified-pair CTEs (`pairs` = (a, b) at jaccard ≥
+    * 0.5), shared by dedup2's oracle and pipe2's. Callers prepend
+    * `corpusSql`. */
+  private[queries] def pairsCteSql: String =
+    s"""${shinglesSql(3)},
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (SELECT a, b FROM inter
+        JOIN sz za ON a = za.doc_id
+        JOIN sz zb ON b = zb.doc_id
+        WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.5)"""
+
+  /** dedup2 — MinHash (32 perms) + LSH (16 bands × 2 rows) candidate
+    * generation, exact-Jaccard (word 3-gram) post-filter at 0.5. */
+  private val minhashQ = GQ(
+    "dedup2_minhash_lsh",
+    (s, dir) => minhashPairs(s, dir).orderBy("a", "b"),
     Some(s"""WITH $corpusSql,
       ${shinglesSql(3)},
       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -160,19 +160,14 @@ object SimilarityOps {
           (${normSql("a.embedding")} * ${normSql("b.embedding")}), 9) >= 0.999
       ORDER BY a, b"""))
 
-  /** sim5 — embedding graph dedup: connected components over the
-    * near-duplicate pair graph, min-id label propagation to fixpoint;
-    * every non-canonical member maps to its component representative —
-    * the "drop these duplicates, keep one per cluster" output of a
-    * training-data pipeline. Near-dup components are small clusters,
-    * so propagation converges in a handful of iterations even at
-    * corpus scale; each iteration is one shuffle join + aggregate on
-    * the (tiny relative to the corpus) edge set. Oracle: DuckDB
-    * recursive CTE computing min reachable id per node. */
-  private val graphDedupQ = GQ(
-    "sim5_graph_dedup",
-    (s, dir) => {
-      val p = nearDupPairs(s, dir).select("a", "b")
+  /** Connected components by min-id label propagation to fixpoint over
+    * an undirected pair list (cols `a`, `b`) — shared by sim5 and
+    * pipe2's canonical selection. Returns (id, lbl) for EVERY node.
+    * Near-dup components are small clusters, so this converges in a
+    * handful of iterations even at corpus scale; each iteration is one
+    * shuffle join + aggregate on the (tiny relative to the corpus)
+    * edge set. */
+  private[queries] def components(p: DataFrame): DataFrame = {
       val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
         .persist()
       var labels = edges.select(col("a").as("id")).distinct()
@@ -214,13 +209,23 @@ object SimilarityOps {
       // fail loudly instead of diverging from the exact oracle
       if (!converged)
         throw new IllegalStateException(
-          s"sim5 label propagation not converged after $maxIters iterations")
-      val out = labels.filter(col("id") =!= col("lbl"))
-        .select(col("id").as("vec_id"), col("lbl").as("canonical"))
-        .orderBy("vec_id")
+          s"label propagation not converged after $maxIters iterations")
       edges.unpersist()
-      out
-    },
+      labels
+  }
+
+  /** sim5 — embedding graph dedup: connected components over the
+    * near-duplicate pair graph; every non-canonical member maps to its
+    * component representative — the "drop these duplicates, keep one
+    * per cluster" output of a training-data pipeline. Oracle: DuckDB
+    * recursive CTE computing min reachable id per node. */
+  private val graphDedupQ = GQ(
+    "sim5_graph_dedup",
+    (s, dir) =>
+      components(nearDupPairs(s, dir).select("a", "b"))
+        .filter(col("id") =!= col("lbl"))
+        .select(col("id").as("vec_id"), col("lbl").as("canonical"))
+        .orderBy("vec_id"),
     Some(s"""WITH RECURSIVE $pairsSql,
       edges AS (SELECT a AS src, b AS dst FROM pairs
         UNION ALL SELECT b, a FROM pairs),

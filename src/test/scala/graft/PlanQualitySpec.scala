@@ -138,6 +138,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hasCodegen(qual))
   }
 
+  test("sim6 PQ: distance tables broadcast; ADC never goes cartesian") {
+    val plan = executedPlan(SparkEntry.queries("sim6_pq_adc_topk")(spark, sf))
+    // the codebook and per-query distance tables are K×M-row sides —
+    // they must broadcast against the codes scan
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sim6 should broadcast centroid/distance tables:\n$plan")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"sim6 ADC must stay key-joined:\n$plan")
+  }
+
+  test("pipe2 canonical selection stays key-joined end to end") {
+    val plan = executedPlan(
+      SparkEntry.queries("pipe2_canonical_selection")(spark, sf))
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"pipe2 must not produce all-pairs shapes:\n$plan")
+  }
+
   test("graft_vec_dot participates in codegen (no CodegenFallback)") {
     graft.functions.GraftFunctions.register(spark)
     // parquet-backed input so the projection can't constant-fold away
