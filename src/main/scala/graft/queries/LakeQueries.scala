@@ -398,8 +398,76 @@ object LakeQueries {
       SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL
       SELECT * FROM del ORDER BY c_custkey, op"""))
 
+  /** pipe3 — incremental materialized-view maintenance off the CDC
+    * feed: a per-segment (count, exact-decimal sum) aggregate table is
+    * built once, then — after updates, deletes, and inserts land on
+    * the base table — refreshed by folding ONLY the change feed's
+    * per-group deltas into the stored rows (op='i' adds the after
+    * image, 'd' subtracts the before image, 'u' adds the difference).
+    * The oracle is the full recompute of the final state, so the gate
+    * pins incremental == full. At 100 TB this is the whole point of
+    * CDC: the refresh costs O(churn) + O(touched groups), never a base
+    * scan. All sums are DECIMAL(18,2) — associative and exact, so
+    * delta folding cannot drift from the recompute. */
+  private val mvQ = GQ(
+    "pipe3_incremental_mv",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "pipe3"), props(true))
+      val c1 = tab.upsert(base(s, dir))
+      val mv = LakeTable.create(s, scratch(s, dir, "pipe3mv"),
+        TableProps("pipe3mv", Seq("c_mktsegment"), None, Seq.empty))
+      mv.upsert(tab.snapshot()
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec2(col("c_acctbal"))).cast("decimal(18,2)").as("sum_bal")))
+      // the change stream: update %5 (double the balance), delete %8
+      // (including some updated rows — net deletes), insert fresh %17
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 5 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_acctbal", (dec2(col("c_acctbal")) * 2).cast("double")))
+      tab.delete(base(s, dir).filter(col("c_custkey") % 8 === 0)
+        .select("c_custkey", "c_mktsegment"))
+      tab.insert(base(s, dir).filter(col("c_custkey") % 17 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      val op = col(LakeTable.ChangeOpCol)
+      val bef = col(LakeTable.BeforeImageCol)
+      val deltas = tab.cdc(c1)
+        .groupBy(coalesce(col("c_mktsegment"), bef.getField("c_mktsegment"))
+          .as("c_mktsegment"))
+        .agg(
+          sum(when(op === "i", 1L).when(op === "d", -1L).otherwise(0L))
+            .as("dcnt"),
+          sum(when(op === "i", dec2(col("c_acctbal")))
+            .when(op === "d", -dec2(bef.getField("c_acctbal")))
+            .otherwise(dec2(col("c_acctbal")) - dec2(bef.getField("c_acctbal"))))
+            .cast("decimal(18,2)").as("dsum"))
+      val stored = mv.snapshot().drop(LakeTable.MetaCols: _*)
+      mv.upsert(stored.join(deltas, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+            .as("cnt"),
+          (coalesce(col("sum_bal"), lit(BigDecimal(0))) +
+            coalesce(col("dsum"), lit(BigDecimal(0))))
+            .cast("decimal(18,2)").as("sum_bal")))
+      mv.snapshot().drop(LakeTable.MetaCols: _*)
+        .select(col("c_mktsegment"), col("cnt"),
+          col("sum_bal").cast("double").as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH fin AS (
+        SELECT c_mktsegment,
+          CASE WHEN c_custkey % 5 = 0
+            THEN CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS DECIMAL(18,2))
+            ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal
+        FROM customer WHERE c_custkey % 8 <> 0
+        UNION ALL
+        SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer WHERE c_custkey % 17 = 0)
+      SELECT c_mktsegment, count(*) AS cnt, CAST(sum(bal) AS DOUBLE) AS sum_bal
+      FROM fin GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
     timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
-    cdcQ)
+    cdcQ, mvQ)
 }
