@@ -307,6 +307,69 @@ object TextOps {
       SELECT doc_id, term, score, CAST(rank AS INT) AS rank FROM r
       WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** text7 — PMI collocations: corpus-level word-pair association,
+    * pmi = ln(p(ab) / (p(a)·p(b))) over adjacent bigrams — the
+    * phrase-mining / tokenizer-merge-candidate signal. All
+    * probabilities come from exact integer counts, and the only float
+    * op is one per-row ln of their ratio (rounded to 6 dp like
+    * text6's idf), so there is no float aggregation to drift. Shape
+    * at scale: one bigram-keyed and one unigram-keyed aggregate, two
+    * vocabulary joins AQE can broadcast, a scalar totals row — never
+    * O(corpus²). */
+  private val pmi = GQ(
+    "text7_pmi_bigrams",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").withColumn("w", expr(toksExpr))
+      val uni = docs.select(explode(col("w")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c1"))
+      val bi = docs.select(explode(expr(
+          "case when size(w) >= 2 then transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)) " +
+            "else array() end")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val totals = docs.agg(
+        sum(size(col("w"))).as("n1"),
+        sum(greatest(size(col("w")) - 1, lit(0))).as("n2"))
+      val scored = bi.filter(col("c2") >= 5)
+        .join(uni.select(col("term").as("w1"), col("c1").as("ca")), "w1")
+        .join(uni.select(col("term").as("w2"), col("c1").as("cb")), "w2")
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi", round(log(
+          (col("c2").cast("double") * col("n1").cast("double") *
+            col("n1").cast("double")) /
+            (col("n2").cast("double") * col("ca").cast("double") *
+              col("cb").cast("double"))), 6))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)))
+        .filter(col("rank") <= 25)
+        .select("w1", "w2", "c2", "pmi", "rank")
+        .orderBy("rank")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${"string_split_regex(lower(trim(text)), '\\s+')"} AS w FROM documents),
+      uni AS (SELECT term, count(*) AS c1 FROM (
+          SELECT unnest(w) AS term FROM tk) GROUP BY term),
+      bi AS (SELECT w1, w2, count(*) AS c2 FROM (
+          SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+                 unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+          FROM tk WHERE len(w) >= 2) GROUP BY w1, w2),
+      tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n1,
+          CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS n2 FROM tk),
+      sc AS (SELECT w1, w2, c2,
+          round(ln((CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) /
+            (CAST(n2 AS DOUBLE) * CAST(ca.c1 AS DOUBLE) * CAST(cb.c1 AS DOUBLE))), 6) AS pmi
+        FROM bi
+        JOIN uni ca ON ca.term = bi.w1
+        JOIN uni cb ON cb.term = bi.w2
+        CROSS JOIN tot WHERE c2 >= 5),
+      r AS (SELECT w1, w2, c2, pmi,
+          row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
+        FROM sc)
+      SELECT w1, w2, c2, CAST(rank AS INT) AS rank, pmi FROM r
+      WHERE rank <= 25 ORDER BY rank"""))
+
   def qs: Seq[GQ] = Seq(quality, langId, tokenStats, fingerprint, ngramProfile,
-    hashSplit, packBins, tfidf)
+    hashSplit, packBins, tfidf, pmi)
 }
