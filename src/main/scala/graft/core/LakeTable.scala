@@ -240,15 +240,16 @@ final class LakeTable private[core] (
       // delta on a large table merges a few files, not the table.
       val all = timeline.liveFiles(endInstant)
         .filter(f => pathGlob.forall(g => globMatch(g, f.partition)))
-      val changed = all.filter(_.instant > beginInstant)
-      def touches(f: FileEntry): Boolean = changed.exists { c =>
-        c.partition == f.partition &&
-          ((c.minKey, c.maxKey, f.minKey, f.maxKey) match {
+      val changedByPart = all.filter(_.instant > beginInstant)
+        .groupBy(_.partition) // indexed: not O(files × changed) driver work
+      def touches(f: FileEntry): Boolean =
+        changedByPart.getOrElse(f.partition, Nil).exists { c =>
+          (c.minKey, c.maxKey, f.minKey, f.maxKey) match {
             case (Some(cm), Some(cM), Some(fm), Some(fM)) =>
               utf8Lte(cm, fM) && utf8Lte(fm, cM)
             case _ => true // no stats → cannot prune
-          })
-      }
+          }
+        }
       val needed = all.filter(touches)
       // merged output drops the tombstone marker — match it when empty
       if (needed.isEmpty)
@@ -302,14 +303,17 @@ final class LakeTable private[core] (
           StructField(BeforeImageCol, StructType(
             schemaAsOf(Some(begin)).fields))))
     if (churn.isEmpty) return emptyDf(outSchema)
+    // churn indexed by partition: the touched-file check is then
+    // O(files × churn-in-partition), not O(files × churn) — at large
+    // file counts the flat scan would be quadratic driver work
+    val churnByPart = churn.groupBy(_.partition)
     def touched(side: Seq[FileEntry]): Seq[FileEntry] = side.filter { f =>
-      churn.exists { c =>
-        c.partition == f.partition &&
-          ((c.minKey, c.maxKey, f.minKey, f.maxKey) match {
-            case (Some(cm), Some(cM), Some(fm), Some(fM)) =>
-              utf8Lte(cm, fM) && utf8Lte(fm, cM)
-            case _ => true // no stats → cannot prune
-          })
+      churnByPart.getOrElse(f.partition, Nil).exists { c =>
+        (c.minKey, c.maxKey, f.minKey, f.maxKey) match {
+          case (Some(cm), Some(cM), Some(fm), Some(fM)) =>
+            utf8Lte(cm, fM) && utf8Lte(fm, cM)
+          case _ => true // no stats → cannot prune
+        }
       }
     }
     // candidate (key, partition) set: every key with a version in a
@@ -317,11 +321,15 @@ final class LakeTable private[core] (
     val cand = readLive(churn, withMetaSchema(schemaAsOf(end)))
       .select(RecordKeyCol, PartitionPathCol).distinct()
     def image(files: Seq[FileEntry], sch: StructType): DataFrame = {
-      val full =
-        if (files.isEmpty) emptyDf(sch)
-        else if (isMor) mergeOnRead(readLive(files, sch))
-        else readLive(files, sch)
-      full.join(cand, Seq(RecordKeyCol, PartitionPathCol), "left_semi")
+      if (files.isEmpty)
+        return emptyDf(sch).join(cand, Seq(RecordKeyCol, PartitionPathCol),
+          "left_semi")
+      // semi-join BEFORE the MOR merge: it filters whole keys (every
+      // version of a kept key survives), so the merge window only
+      // processes candidate keys
+      val raw = readLive(files, sch)
+        .join(cand, Seq(RecordKeyCol, PartitionPathCol), "left_semi")
+      if (isMor) mergeOnRead(raw) else raw
     }
     val beforeFields = schemaAsOf(Some(begin)).fieldNames.toSeq
     val before = image(touched(liveB), withMetaSchema(schemaAsOf(Some(begin))))
@@ -1144,14 +1152,15 @@ final class LakeTable private[core] (
     val live = timeline.liveFiles(None)
     val (delta, base) = live.partition(_.delta)
     if (delta.isEmpty) return timeline.nextInstant() // nothing to fold
-    def overlaps(b: FileEntry): Boolean = delta.exists { d =>
-      d.partition == b.partition &&
-        ((d.minKey, d.maxKey, b.minKey, b.maxKey) match {
+    val deltaByPart = delta.groupBy(_.partition) // indexed, not O(n×m)
+    def overlaps(b: FileEntry): Boolean =
+      deltaByPart.getOrElse(b.partition, Nil).exists { d =>
+        (d.minKey, d.maxKey, b.minKey, b.maxKey) match {
           case (Some(dm), Some(dM), Some(bm), Some(bM)) =>
             utf8Lte(dm, bM) && utf8Lte(bm, dM)
           case _ => true // no stats → cannot prune
-        })
-    }
+        }
+      }
     val (rewrite, _) = base.partition(overlaps)
     val affected = delta ++ rewrite
     withInflight { instant =>
