@@ -289,6 +289,18 @@ final class LakeTable private[core] (
     * keys carried through a COW rewrite survive the join but are
     * dropped by the `_commit_time > begin` change filter. Like time
     * travel, the range's removed files must not have been cleaned yet.
+    *
+    * Replace commits in the range (restore / clustering / z-order)
+    * rewrite rows PRESERVING their original commit times, so the
+    * commit-time filter alone would miss a restore's net changes
+    * (e.g. v2 → back-to-v1 looks older than `begin`). When the range
+    * contains a replace commit, rows additionally qualify by VALUE
+    * difference against the before image — a pure reorganization
+    * (clustering) still emits nothing, a restore emits the real
+    * state delta. Such rows carry their version's original write
+    * time in `_commit_time`, not the replace instant. A key absent
+    * from the before image is a net insert regardless of its commit
+    * time (a restore can resurrect rows deleted before `begin`).
     */
   def cdc(begin: String, end: Option[String] = None): DataFrame = {
     val liveB = timeline.liveFiles(Some(begin))
@@ -343,9 +355,23 @@ final class LakeTable private[core] (
     val changedAfter = col(CommitTimeCol).isNotNull &&
       col(CommitTimeCol) > lit(begin) &&
       end.map(e => col(CommitTimeCol) <= lit(e)).getOrElse(lit(true))
+    // replace commits carry over original row commit times — fall back
+    // to a value diff so a restore's net changes aren't missed (and a
+    // pure reorganization still emits nothing); compare the fields
+    // both schemas share, null-safe
+    val replaceInRange = timeline.commits().exists(c =>
+      c.instant > begin && end.forall(c.instant <= _) && c.action == "replace")
+    val valueChanged = if (!replaceInRange) lit(false) else {
+      val common = dataFields.filter(beforeFields.contains)
+      !struct(common.map(col): _*).eqNullSafe(
+        struct(common.map(f => col(BeforeImageCol).getField(f)): _*))
+    }
     joined
-      // after-side null ⇒ net delete; else only rows (re)written in range
-      .filter(col(RecordKeyCol).isNull || changedAfter)
+      // after-side null ⇒ net delete; before-side null ⇒ net insert;
+      // else rows (re)written in range, or value-changed across a
+      // replace commit
+      .filter(col(RecordKeyCol).isNull || col("__bkey").isNull ||
+        changedAfter || valueChanged)
       .select(
         when(col("__bkey").isNull, lit("i"))
           .when(col(RecordKeyCol).isNull, lit("d"))

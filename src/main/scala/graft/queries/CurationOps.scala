@@ -263,6 +263,28 @@ object CurationOps {
         CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS achieved
       FROM d GROUP BY source ORDER BY source"""))
 
+  /** The pipeline quality classifier (text1's signals as one score) —
+    * ONE definition shared by pipe1's filter and pipe2's retention
+    * ranking, with [[qualitySql]] as its DuckDB mirror; tuning it in
+    * one place keeps both gates (and both engines) in lockstep.
+    * Expects a `toks` token-array column. */
+  private def qualityCol: org.apache.spark.sql.Column = {
+    val nToks = size(col("toks")).cast("double")
+    lit(0.4) * (size(expr(
+      "filter(toks, w -> w in ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))"))
+      .cast("double") / nToks) +
+      lit(0.3) * (size(expr("filter(toks, w -> w rlike '^[a-z]+$')"))
+        .cast("double") / nToks) +
+      lit(0.3) * least(lit(1.0), nToks / lit(100.0))
+  }
+
+  private val qualitySql =
+    """0.4 * (CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE))
+      + 0.3 * (CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE))
+      + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)"""
+
   /** pipe1 — an end-to-end incremental curation pipeline, the
     * composition story: raw documents land in a lake table over two
     * commits; the pipeline INCREMENTALLY reads only the second batch
@@ -291,14 +313,7 @@ object CurationOps {
       val inc = raw.incremental(c1).drop(graft.core.LakeTable.MetaCols: _*)
       val curated = inc
         .withColumn("toks", expr(toksExpr.format("text")))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("quality",
-          lit(0.4) * (size(expr(
-            "filter(toks, w -> w in ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))"))
-            .cast("double") / col("n_tokens").cast("double")) +
-            lit(0.3) * (size(expr("filter(toks, w -> w rlike '^[a-z]+$')"))
-              .cast("double") / col("n_tokens").cast("double")) +
-            lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+        .withColumn("quality", qualityCol)
         .filter(col("quality") >= 0.55)
         .withColumn("fp",
           md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
@@ -310,11 +325,7 @@ object CurationOps {
     },
     Some(s"""WITH b AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
       q AS (SELECT doc_id, lang, source, n_chars,
-          0.4 * (CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))) AS DOUBLE)
-            / CAST(len(toks) AS DOUBLE))
-          + 0.3 * (CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
-            / CAST(len(toks) AS DOUBLE))
-          + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS quality,
+          $qualitySql AS quality,
           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         FROM (SELECT *, ${toksSql.format("text")} AS toks FROM b))
       SELECT doc_id, lang, source, n_chars, quality, fp,
@@ -338,14 +349,7 @@ object CurationOps {
         SimilarityOps.components(DedupOps.minhashPairs(s, dir).select("a", "b"))
       val q = DedupOps.corpus(s, dir)
         .withColumn("toks", expr(toksExpr.format("text")))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("quality",
-          lit(0.4) * (size(expr(
-            "filter(toks, w -> w in ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))"))
-            .cast("double") / col("n_tokens").cast("double")) +
-            lit(0.3) * (size(expr("filter(toks, w -> w rlike '^[a-z]+$')"))
-              .cast("double") / col("n_tokens").cast("double")) +
-            lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+        .withColumn("quality", qualityCol)
         .select(col("doc_id"), round(col("quality"), 9).as("qr"))
       val member = labels.join(q, col("id") === col("doc_id"))
       val w = Window.partitionBy(col("lbl"))
@@ -369,12 +373,7 @@ object CurationOps {
         UNION
         SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id),
       comp AS (SELECT id, min(lbl) AS lbl FROM r GROUP BY id),
-      q AS (SELECT doc_id,
-          round(0.4 * (CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))) AS DOUBLE)
-              / CAST(len(toks) AS DOUBLE))
-            + 0.3 * (CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
-              / CAST(len(toks) AS DOUBLE))
-            + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0), 9) AS qr
+      q AS (SELECT doc_id, round($qualitySql, 9) AS qr
         FROM (SELECT doc_id, ${toksSql.format("text")} AS toks FROM corpus)),
       ranked AS (SELECT comp.lbl, comp.id AS doc_id,
           row_number() OVER (PARTITION BY comp.lbl

@@ -147,16 +147,19 @@ object DedupOps {
         .select("a", "b", "jaccard")
   }
 
-  /** Brute-force verified-pair CTEs (`pairs` = (a, b) at jaccard ≥
-    * 0.5), shared by dedup2's oracle and pipe2's. Callers prepend
-    * `corpusSql`. */
+  /** Brute-force verified-pair CTEs (`pairs` = (a, b, jaccard) at
+    * jaccard ≥ 0.5) — the ONE definition both dedup2's oracle and
+    * pipe2's build on, so a threshold or shingle-width change cannot
+    * split the two gates. Callers prepend `corpusSql`. */
   private[queries] def pairsCteSql: String =
     s"""${shinglesSql(3)},
       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
-      pairs AS (SELECT a, b FROM inter
+      pairs AS (SELECT a, b,
+          CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) AS jaccard
+        FROM inter
         JOIN sz za ON a = za.doc_id
         JOIN sz zb ON b = zb.doc_id
         WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.5)"""
@@ -167,18 +170,8 @@ object DedupOps {
     "dedup2_minhash_lsh",
     (s, dir) => minhashPairs(s, dir).orderBy("a", "b"),
     Some(s"""WITH $corpusSql,
-      ${shinglesSql(3)},
-      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-      inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT a, b,
-        CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) AS jaccard
-      FROM inter
-      JOIN sz za ON a = za.doc_id
-      JOIN sz zb ON b = zb.doc_id
-      WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.5
-      ORDER BY a, b"""))
+      $pairsCteSql
+      SELECT a, b, jaccard FROM pairs ORDER BY a, b"""))
 
   /** dedup3 — 32-bit SimHash over word bigrams; candidates via 4
     * 8-bit block keys (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 equal block),

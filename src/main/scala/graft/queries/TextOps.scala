@@ -291,7 +291,7 @@ object TextOps {
         .select("doc_id", "term", "score", "rank")
         .orderBy("doc_id", "rank")
     },
-    Some(s"""WITH tk AS (SELECT doc_id, ${"string_split_regex(lower(trim(text)), '\\s+')"} AS toks FROM documents),
+    Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
       dt AS (SELECT doc_id, term, count(*) AS n FROM (
           SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY doc_id, term),
       dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM dt GROUP BY doc_id),
@@ -348,7 +348,7 @@ object TextOps {
         .select("w1", "w2", "c2", "pmi", "rank")
         .orderBy("rank")
     },
-    Some(s"""WITH tk AS (SELECT doc_id, ${"string_split_regex(lower(trim(text)), '\\s+')"} AS w FROM documents),
+    Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS w FROM documents),
       uni AS (SELECT term, count(*) AS c1 FROM (
           SELECT unnest(w) AS term FROM tk) GROUP BY term),
       bi AS (SELECT w1, w2, count(*) AS c2 FROM (

@@ -265,6 +265,33 @@ class LakeTableSpec extends AnyFunSuite {
     assert(feed.collect().map(_.getString(0)).toSeq == Seq("u"))
   }
 
+  test("cdc: value-diff across a replace commit (restore in the range)") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, demoProps)
+    val c1 = t.upsert(Seq((1, "a", 1.0, 1L, "d1"), (2, "b", 2.0, 1L, "d1"))
+      .toDF("id", "name", "price", "ts", "dt"))
+    val c2 = t.upsert(Seq((1, "a2", 2.0, 2L, "d1"), (3, "c", 3.0, 2L, "d1"))
+      .toDF("id", "name", "price", "ts", "dt"))
+    t.delete(Seq((2, "d1")).toDF("id", "dt"))
+    val c4 = t.restoreTo(c1)
+    // state at c2 = {1:a2, 2:b, 3:c}; after restore = {1:a, 2:b}.
+    // Restored rows keep pre-begin commit times, so only the value
+    // diff can see: 1 'u' (a2→a), 3 'd'; 2 (deleted then restored)
+    // is net-unchanged and must NOT appear.
+    val got = t.cdc(c2).select(col(LakeTable.ChangeOpCol),
+      coalesce(col("id"), col(s"${LakeTable.BeforeImageCol}.id")).as("k"),
+      col("name"), col(s"${LakeTable.BeforeImageCol}.name"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(got == Set(
+      ("u", 1, Some("a"), Some("a2")),
+      ("d", 3, None, Some("c"))))
+    // a pure reorganization (clustering) is also a replace commit but
+    // changes no values — the feed stays empty
+    t.cluster()
+    assert(t.cdc(c4).isEmpty)
+  }
+
   test("cdc: MOR tombstones surface as deletes; format('graft') cdc option") {
     val path = tmp()
     val t = LakeTable.create(spark, path,

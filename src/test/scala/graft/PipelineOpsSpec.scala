@@ -51,18 +51,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"IVF found none of the exact top-5 (overlap $overlap)")
   }
 
-  test("pq adc ann: non-trivial recall vs brute force; 5 results per query") {
-    val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sf)
-      .filter(col("rank") <= 5)
+  test("pq adc ann: recall vs a full 20-query brute force; 5 per query") {
+    // brute-force cosine top-5 for ALL 20 PQ queries (sim1 only covers
+    // vec_id < 5 — comparing against it would leave 15 queries
+    // unchecked)
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        "sqrt(graft_vec_dot(embedding, embedding)) AS nrm")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("c").desc, col("vec_id").asc)
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("c", expr("graft_vec_dot(q_emb, embedding)") /
+        (col("q_nrm") * col("nrm")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("q_id", "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pq = SparkEntry.queries("sim6_pq_adc_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // ADC returns a full top-5 for every query (it scores ALL vectors
     // through their codes, unlike bucketed ANN which can come up short)
     assert(pq.size == 20 * 5)
-    val overlap = (exact & pq).size.toDouble / exact.size
-    assert(overlap > 0.0,
-      s"PQ-ADC found none of the exact top-5 (overlap $overlap)")
+    val recall = (exact & pq).size.toDouble / exact.size
+    // deterministic on this fixture: 0.23 (random vectors are PQ's
+    // adversarial case; chance level for top-5-of-499 is ~1%)
+    assert(recall >= 0.15,
+      s"PQ-ADC recall collapsed: $recall (expected ~0.23 on sf0.001)")
   }
 
   test("media decode: batch pipeline matches column-expression metadata") {

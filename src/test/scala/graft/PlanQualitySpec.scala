@@ -155,6 +155,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"pipe2 must not produce all-pairs shapes:\n$plan")
   }
 
+  test("cdc: the candidate-key exchange is computed once and reused") {
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "plan_cdc_").toString + "/t"
+    val t = LakeTable.create(spark, path, TableProps(
+      "plan_cdc", Seq("id"), Some("ts"), Seq("dt")))
+    val c1 = t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d1"))
+      .toDF("id", "v", "ts", "dt"))
+    t.upsert(Seq((1, "a2", 2L, "d1")).toDF("id", "v", "ts", "dt"))
+    val plan = executedPlan(t.cdc(c1))
+    // cand feeds the semi-join on BOTH image sides; without exchange
+    // reuse the churn files would be scanned and distinct-shuffled
+    // twice per read
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedSubquery"),
+      s"cdc candidate exchange not reused:\n$plan")
+  }
+
   test("graft_vec_dot participates in codegen (no CodegenFallback)") {
     graft.functions.GraftFunctions.register(spark)
     // parquet-backed input so the projection can't constant-fold away
