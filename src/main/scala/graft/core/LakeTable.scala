@@ -1366,6 +1366,18 @@ final class LakeTable private[core] (
     * (HoodieJavaWriteClientExample.java:85). */
   def archive(minToKeep: Int, maxToKeep: Int): Int =
     timeline.archive(minToKeep, maxToKeep)
+
+  /** Savepoint services (Hudi create_savepoint/delete_savepoint):
+    * a savepointed instant's snapshot survives [[clean]] and
+    * [[archive]] until released — the durable anchor for long-lived
+    * time travel, CDC baselines, and [[restoreTo]] targets. */
+  def createSavepoint(instant: String): Unit =
+    timeline.createSavepoint(instant)
+
+  def deleteSavepoint(instant: String): Boolean =
+    timeline.deleteSavepoint(instant)
+
+  def savepoints(): Seq[String] = timeline.savepoints()
 }
 
 /** Result of one stage-write: the new files plus their per-file

@@ -509,7 +509,14 @@ final class Timeline(conf: Configuration, val basePath: String) {
   def archive(minToKeep: Int, maxToKeep: Int): Int = withTableLock {
     val cs = commits()
     if (cs.size <= maxToKeep) return 0
-    val toArchive = cs.dropRight(minToKeep)
+    // never fold a savepointed instant (or anything after it) into the
+    // checkpoint: liveFiles(Some(savepoint)) must stay resolvable, and
+    // the require() there rejects as-of reads before the boundary
+    val toArchive = savepoints().headOption match {
+      case Some(sp) => cs.dropRight(minToKeep).filter(_.instant < sp)
+      case None => cs.dropRight(minToKeep)
+    }
+    if (toArchive.isEmpty) return 0
     // Only removals performed by the commits being archived may be folded
     // in here: a still-active commit's removals are applied at read time by
     // liveFiles(), and excluding its victims from the checkpoint would lose
@@ -561,10 +568,40 @@ final class Timeline(conf: Configuration, val basePath: String) {
     toArchive.size
   }
 
+  // ---------------------------------------------------------- savepoints
+
+  private def savepointPath(instant: String) =
+    new Path(dir, s"savepoint_$instant.json")
+
+  /** Pin `instant` (Hudi `create_savepoint` analog): [[clean]] keeps
+    * every file live as of it and [[archive]] never folds it or later
+    * commits into the checkpoint, so time travel / incremental / CDC
+    * reads anchored at the savepoint stay serveable past the retention
+    * window until [[deleteSavepoint]]. */
+  def createSavepoint(instant: String): Unit = withTableLock {
+    require(commits().exists(_.instant == instant),
+      s"cannot savepoint $instant: not an active commit")
+    atomicWrite(savepointPath(instant),
+      Serialization.write(Map("instant" -> instant))(formats))
+  }
+
+  /** Drop the pin; returns whether a savepoint existed. */
+  def deleteSavepoint(instant: String): Boolean = withTableLock {
+    fs.delete(savepointPath(instant), false)
+  }
+
+  /** Pinned instants, oldest first. */
+  def savepoints(): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("savepoint_") && n.endsWith(".json"))
+      .map(_.stripPrefix("savepoint_").stripSuffix(".json")).sorted
+
   /** Clean: physically delete files replaced by commits older than the
     * `retainCommits`-th newest commit (JavaClientHive2Hudi.java:185
     * retainCommits semantics). Snapshots as-of instants older than the
-    * cutoff can no longer be served. Returns paths deleted. */
+    * cutoff can no longer be served — EXCEPT savepointed instants,
+    * whose live file sets are always kept. Returns paths deleted. */
   def clean(basePath: String, retainCommits: Int): Seq[String] = {
     val cs = commits()
     // archived commits' removed lists are folded into the checkpoint;
@@ -584,8 +621,11 @@ final class Timeline(conf: Configuration, val basePath: String) {
         cs.filter(_.instant <= cutoff).flatMap(_.removed)
       }
     val live = liveFiles(None).map(_.path).toSet
+    // savepointed snapshots' files are pinned regardless of retention
+    val pinned = savepoints().flatMap(sp => liveFiles(Some(sp)).map(_.path))
+      .toSet
     val candidates = (activeRemoved ++ folded).distinct
-      .filterNot(live.contains)
+      .filterNot(live.contains).filterNot(pinned.contains)
     val deleted = candidates.filter { rel =>
       val p = new Path(basePath, rel)
       !fs.exists(p) || fs.delete(p, false)

@@ -297,11 +297,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           .archive(input.getInt(1), input.getInt(2))
         Array(InternalRow(n))
       }
+      case "create_savepoint" => procedure(
+        "create_savepoint", "pin an instant's snapshot against clean/archive",
+        Seq("table" -> StringT, "instant" -> StringT),
+        "instant STRING") { input =>
+        val inst = input.getUTF8String(1).toString
+        lakeOf(input.getUTF8String(0).toString).createSavepoint(inst)
+        Array(InternalRow(UTF8String.fromString(inst)))
+      }
+      case "delete_savepoint" => procedure(
+        "delete_savepoint", "release a pinned instant",
+        Seq("table" -> StringT, "instant" -> StringT),
+        "deleted BOOLEAN") { input =>
+        Array(InternalRow(java.lang.Boolean.valueOf(
+          lakeOf(input.getUTF8String(0).toString)
+            .deleteSavepoint(input.getUTF8String(1).toString))))
+      }
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure $other")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("show_commits", "run_clean", "run_compaction", "archive_commits")
+    Array("show_commits", "run_clean", "run_compaction", "archive_commits",
+      "create_savepoint", "delete_savepoint")
       .map(Identifier.of(Array("system"), _))
 }

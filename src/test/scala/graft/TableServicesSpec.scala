@@ -140,6 +140,54 @@ class TableServicesSpec extends AnyFunSuite {
     assert(t.snapshot().select("v").as[String].collect().toSeq == Seq("d"))
   }
 
+  test("savepoint pins a snapshot through clean and archive; release frees it") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, props)
+    t.upsert(mkDf(row(1, "a")))
+    val sp = t.upsert(mkDf(row(1, "b", ts = 2)))
+    t.upsert(mkDf(row(1, "c", ts = 3)))
+    t.upsert(mkDf(row(1, "d", ts = 4)))
+    t.createSavepoint(sp)
+    assert(t.savepoints() == Seq(sp))
+    // clean with zero retention: the savepointed version must survive
+    t.clean(retainCommits = 0)
+    assert(t.snapshot(Some(sp)).select("v").as[String].collect().toSeq
+      == Seq("b"))
+    // archive stops BEFORE the savepoint so as-of stays resolvable
+    t.upsert(mkDf(row(2, "e")))
+    t.upsert(mkDf(row(3, "f")))
+    assert(t.archive(minToKeep = 1, maxToKeep = 2) == 1) // only commit 1
+    assert(t.snapshot(Some(sp)).select("v").as[String].collect().toSeq
+      == Seq("b"))
+    // releasing the savepoint lets clean reclaim the pinned version
+    assert(t.deleteSavepoint(sp))
+    assert(t.savepoints().isEmpty)
+    t.clean(retainCommits = 0)
+    val e = intercept[Exception](t.snapshot(Some(sp)).count())
+    assert(e != null) // pinned file gone (or boundary refused)
+    // current state untouched throughout
+    assert(t.snapshot().filter(col("id") === 1)
+      .select("v").as[String].head() == "d")
+    // CALL surface
+    spark.conf.set("spark.sql.catalog.graft_svc", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_svc.warehouse",
+      "target/graft_warehouse_svc")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_svc.db")
+    spark.sql("DROP TABLE IF EXISTS graft_svc.db.spt")
+    spark.sql("""CREATE TABLE graft_svc.db.spt (id INT, v STRING, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')""")
+    spark.sql("INSERT INTO graft_svc.db.spt VALUES (1, 'x', 1)")
+    val inst = spark.sql(
+      "CALL graft_svc.system.show_commits(`table` => 'db.spt')")
+      .select("commit_time").as[String].head()
+    assert(spark.sql(
+      s"CALL graft_svc.system.create_savepoint(`table` => 'db.spt', instant => '$inst')")
+      .as[String].head() == inst)
+    assert(spark.sql(
+      s"CALL graft_svc.system.delete_savepoint(`table` => 'db.spt', instant => '$inst')")
+      .as[Boolean].head())
+  }
+
   test("archive folds old commits into a checkpoint; reads stay correct") {
     val t = LakeTable.create(spark, tmp(), props)
     val instants = (1 to 6).map(i => t.upsert(mkDf(row(i, s"v$i", dt = s"d${i % 2}"))))
