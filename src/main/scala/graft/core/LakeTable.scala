@@ -309,11 +309,7 @@ final class LakeTable private[core] (
     val churn = liveE.filter(_.instant > begin) ++
       liveB.filterNot(f => ePaths.contains(f.path))
     val dataFields = schemaAsOf(end).fieldNames.toSeq
-    val outSchema = StructType(
-      StructField(ChangeOpCol, StringType) +:
-        (withMetaSchema(schemaAsOf(end)).filterNot(_.name == DeletedCol) :+
-          StructField(BeforeImageCol, StructType(
-            schemaAsOf(Some(begin)).fields))))
+    val outSchema = cdcSchemaFor(schemaAsOf(end), schemaAsOf(Some(begin)))
     if (churn.isEmpty) return emptyDf(outSchema)
     // churn indexed by partition: the touched-file check is then
     // O(files × churn-in-partition), not O(files × churn) — at large
@@ -383,6 +379,16 @@ final class LakeTable private[core] (
             when(col("__bkey").isNull, lit(null)).otherwise(col(BeforeImageCol))
               .as(BeforeImageCol)): _*)
   }
+
+  /** The CDC read's output schema for ranges within the current schema
+    * era — what a streaming CDC consumer declares up front. */
+  def cdcSchema: StructType = cdcSchemaFor(schema, schema)
+
+  private def cdcSchemaFor(endS: StructType, beginS: StructType): StructType =
+    StructType(
+      StructField(ChangeOpCol, StringType) +:
+        (withMetaSchema(endS).filterNot(_.name == DeletedCol) :+
+          StructField(BeforeImageCol, StructType(beginS.fields))))
 
   /** Newest-first commit listing (`call show_commits`,
     * IncrementalQuery.scala:36-37). */

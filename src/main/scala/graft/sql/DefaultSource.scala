@@ -29,9 +29,45 @@ import graft.core.{LakeTable, MergePolicy, TableProps}
 class DefaultSource extends RelationProvider with SchemaRelationProvider
   with CreatableRelationProvider
   with DataSourceRegister
-  with org.apache.spark.sql.sources.StreamSinkProvider {
+  with org.apache.spark.sql.sources.StreamSinkProvider
+  with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  /** `spark.readStream.format("graft").option("queryType", "cdc")` —
+    * the streaming change feed ([[graft.streaming.GraftCdcSource]]).
+    * Row tailing (appended versions, no deletes) goes through the
+    * catalog table instead: `spark.readStream.table(...)`. */
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = streamPath(parameters)
+    ("graft-cdc",
+      LakeTable.load(sqlContext.sparkSession, path).cdcSchema)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val path = streamPath(parameters)
+    new graft.streaming.GraftCdcSource(sqlContext.sparkSession,
+      LakeTable.load(sqlContext.sparkSession, path),
+      parameters.getOrElse("startCommit", "0"))
+  }
+
+  private def streamPath(parameters: Map[String, String]): String = {
+    val ci = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
+    require(ci.get("queryType").contains("cdc"),
+      "streaming read of a graft path requires option queryType=cdc " +
+        "(the change feed); for row tailing use spark.readStream.table(...)")
+    ci.getOrElse("path",
+      throw new IllegalArgumentException("graft streaming reads require a path"))
+  }
 
   /** `df.writeStream.format("graft").option(...).start(path)` — the
     * streaming upsert sink (SURVEY §2.10 ST2, the Flink HoodiePipeline

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.core.LakeTable
+import graft.core.{LakeTable, TableProps}
 
 /** Structured-streaming surface (SURVEY §2.10): streaming upsert sink
   * (ST2/ST3) and the commit-tailing streaming read (ST4/S11). */
@@ -202,6 +202,48 @@ class StreamingSpec extends AnyFunSuite {
     t.timeline.clearInflight(inflight)
     val after = stream.latestOffset().asInstanceOf[graft.streaming.CommitOffset]
     assert(after.instant > before.instant, "offset must advance once cleared")
+  }
+
+  test("streaming CDC feed: net ops with before images arrive per micro-batch") {
+    val path = tmp("cdc_stream_")
+    val ckpt = tmp("cdc_stream_ckpt_")
+    val t = LakeTable.create(spark, path, TableProps(
+      "cdcs", Seq("id"), Some("ts"), Seq.empty))
+    val c1 = t.upsert(Seq((1, "a", 1L), (2, "b", 1L)).toDF("id", "v", "ts"))
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Option[Int], Option[String], Option[String])]
+    val q = spark.readStream.format("graft")
+      .option("queryType", "cdc").option("startCommit", c1)
+      .load(path)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        got.synchronized {
+          got ++= df.select(col(LakeTable.ChangeOpCol), col("id"), col("v"),
+            col(s"${LakeTable.BeforeImageCol}.v"))
+            .collect().map(r => (id, r.getString(0), Option(r.get(1))
+              .map(_.asInstanceOf[Int]), Option(r.get(2)).map(_.toString),
+              Option(r.get(3)).map(_.toString)))
+        }
+        ()
+      }
+      .start()
+    try {
+      // batch with an update + an insert, then a later batch with a delete
+      t.upsert(Seq((1, "a2", 2L), (3, "c", 1L)).toDF("id", "v", "ts"))
+      q.processAllAvailable()
+      t.delete(Seq(Tuple1(2)).toDF("id"))
+      q.processAllAvailable()
+      val ops = got.synchronized(got.toVector)
+      assert(ops.map(o => (o._2, o._3, o._4, o._5)).toSet == Set(
+        ("u", Some(1), Some("a2"), Some("a")),
+        ("i", Some(3), Some("c"), None),
+        ("d", None, None, Some("b"))))
+      // the delete arrived in a LATER micro-batch than the update/insert
+      val updateBatch = ops.find(_._2 == "u").get._1
+      val deleteBatch = ops.find(_._2 == "d").get._1
+      assert(deleteBatch > updateBatch)
+    } finally q.stop()
   }
 
   test("flatMapGroupsWithState sessionization closes sessions on gap timeout") {
