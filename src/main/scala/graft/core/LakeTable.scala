@@ -309,7 +309,15 @@ final class LakeTable private[core] (
     val churn = liveE.filter(_.instant > begin) ++
       liveB.filterNot(f => ePaths.contains(f.path))
     val dataFields = schemaAsOf(end).fieldNames.toSeq
-    val outSchema = cdcSchemaFor(schemaAsOf(end), schemaAsOf(Some(begin)))
+    // begin predating the first commit (a bootstrap CDC read, e.g. a
+    // stream's batch 0) has no begin-era schema — shape the (all-null)
+    // before struct like the end schema so consumers and the streaming
+    // source's declared schema see one stable struct type
+    val beginSchema = {
+      val s = schemaAsOf(Some(begin))
+      if (s.isEmpty) schemaAsOf(end) else s
+    }
+    val outSchema = cdcSchemaFor(schemaAsOf(end), beginSchema)
     if (churn.isEmpty) return emptyDf(outSchema)
     // churn indexed by partition: the touched-file check is then
     // O(files × churn-in-partition), not O(files × churn) — at large
@@ -339,8 +347,8 @@ final class LakeTable private[core] (
         .join(cand, Seq(RecordKeyCol, PartitionPathCol), "left_semi")
       if (isMor) mergeOnRead(raw) else raw
     }
-    val beforeFields = schemaAsOf(Some(begin)).fieldNames.toSeq
-    val before = image(touched(liveB), withMetaSchema(schemaAsOf(Some(begin))))
+    val beforeFields = beginSchema.fieldNames.toSeq
+    val before = image(touched(liveB), withMetaSchema(beginSchema))
       .select(col(RecordKeyCol).as("__bkey"), col(PartitionPathCol).as("__bpp"),
         struct(beforeFields.map(col): _*).as(BeforeImageCol))
     val after = image(touched(liveE), withMetaSchema(schemaAsOf(end)))

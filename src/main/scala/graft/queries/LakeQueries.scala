@@ -466,8 +466,32 @@ object LakeQueries {
       SELECT c_mktsegment, count(*) AS cnt, CAST(sum(bal) AS DOUBLE) AS sum_bal
       FROM fin GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Savepoint + clean + time travel (`call create_savepoint` analog):
+    * pin the post-update instant, delete rows, clean with ZERO
+    * retention — the pinned snapshot must still read exactly, even
+    * though every other replaced version is reclaimed. */
+  private val savepointQ = GQ(
+    "lake17_savepoint_travel",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake17"), props(true))
+      tab.upsert(base(s, dir))
+      val sp = tab.upsert(base(s, dir).filter(col("c_custkey") % 6 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_name", concat(col("c_name"), lit("_s"))))
+      tab.createSavepoint(sp)
+      tab.delete(base(s, dir).filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_mktsegment"))
+      tab.clean(retainCommits = 0)
+      dataCols(tab.snapshot(Some(sp)))
+    },
+    Some("""SELECT c_custkey,
+      CASE WHEN c_custkey % 6 = 0 THEN c_name || '_s' ELSE c_name END AS c_name,
+      c_nationkey, c_acctbal, c_mktsegment,
+      CAST(CASE WHEN c_custkey % 6 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
+      FROM customer ORDER BY c_custkey"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
     timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
-    cdcQ, mvQ)
+    cdcQ, mvQ, savepointQ)
 }
