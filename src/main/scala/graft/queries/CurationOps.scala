@@ -384,5 +384,41 @@ object CurationOps {
       FROM ranked d JOIN keep USING (lbl) WHERE d.rn > 1
       ORDER BY dropped_id"""))
 
-  def qs: Seq[GQ] = Seq(deconQ, piiQ, repetitionQ, mixQ, pipeQ, canonicalQ)
+  /** qual3 — character-entropy quality signal: Shannon entropy (nats)
+    * of each document's character distribution — near-zero entropy
+    * flags degenerate/repetitive junk, unusually high entropy flags
+    * binary-ish noise. Computed from EXACT integer counts via
+    * H = ln(n) − Σ c·ln(c) / n; the only float work is per-group ln
+    * terms whose sum is rounded to 6 dp (same ulp-quantization
+    * rationale as text6's idf). Shape at scale: one explode + two
+    * keyed aggregations, alphabet-bounded group sizes. */
+  private val entropyQ = GQ(
+    "qual3_char_entropy",
+    (s, dir) => {
+      val chars = t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(lower(trim(text)))), " +
+            "i -> substring(lower(trim(text)), i, 1))")).as("ch"))
+      val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id").agg(
+        sum(col("c")).as("n_chars2"),
+        count(lit(1)).as("distinct_chars"),
+        round(log(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum(col("c")).cast("double"), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+      ch AS (SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
+          i -> s[CAST(i AS INT)])) AS ch FROM base),
+      cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars2,
+        count(*) AS distinct_chars,
+        round(ln(CAST(sum(c) AS DOUBLE)) -
+          sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
+            CAST(sum(c) AS DOUBLE), 6) AS entropy
+      FROM cnt GROUP BY doc_id ORDER BY doc_id"""))
+
+  def qs: Seq[GQ] = Seq(deconQ, piiQ, repetitionQ, mixQ, pipeQ, canonicalQ,
+    entropyQ)
 }
