@@ -297,6 +297,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           .archive(input.getInt(1), input.getInt(2))
         Array(InternalRow(n))
       }
+      case "show_fsview" => procedure(
+        "show_fsview", "live file-system view: one row per live data file",
+        Seq("table" -> StringT),
+        "file_path STRING, partition STRING, commit_time STRING, " +
+          "min_key STRING, max_key STRING, bucket INT, delta BOOLEAN, " +
+          "external BOOLEAN") { input =>
+        lakeOf(input.getUTF8String(0).toString).timeline.liveFiles(None)
+          .sortBy(f => (f.partition, f.path)).map { f =>
+            InternalRow(
+              UTF8String.fromString(f.path), UTF8String.fromString(f.partition),
+              UTF8String.fromString(f.instant),
+              f.minKey.map(UTF8String.fromString).orNull,
+              f.maxKey.map(UTF8String.fromString).orNull,
+              f.bucket.map(Int.box).orNull,
+              f.delta, f.external)
+          }.toArray
+      }
+      case "show_savepoints" => procedure(
+        "show_savepoints", "pinned instants, oldest first",
+        Seq("table" -> StringT),
+        "instant STRING") { input =>
+        lakeOf(input.getUTF8String(0).toString).savepoints()
+          .map(i => InternalRow(UTF8String.fromString(i))).toArray
+      }
       case "create_savepoint" => procedure(
         "create_savepoint", "pin an instant's snapshot against clean/archive",
         Seq("table" -> StringT, "instant" -> StringT),
@@ -319,6 +343,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("show_commits", "run_clean", "run_compaction", "archive_commits",
-      "create_savepoint", "delete_savepoint")
+      "create_savepoint", "delete_savepoint", "show_fsview", "show_savepoints")
       .map(Identifier.of(Array("system"), _))
 }

@@ -184,8 +184,18 @@ class TableServicesSpec extends AnyFunSuite {
       s"CALL graft_svc.system.create_savepoint(`table` => 'db.spt', instant => '$inst')")
       .as[String].head() == inst)
     assert(spark.sql(
+      "CALL graft_svc.system.show_savepoints(`table` => 'db.spt')")
+      .as[String].collect().toSeq == Seq(inst))
+    assert(spark.sql(
       s"CALL graft_svc.system.delete_savepoint(`table` => 'db.spt', instant => '$inst')")
       .as[Boolean].head())
+    assert(spark.sql(
+      "CALL graft_svc.system.show_savepoints(`table` => 'db.spt')").isEmpty)
+    // file-system view: one row per live file with bounds + commit
+    val fsv = spark.sql(
+      "CALL graft_svc.system.show_fsview(`table` => 'db.spt')").collect()
+    assert(fsv.nonEmpty && fsv.forall(r =>
+      r.getString(0).endsWith(".parquet") && r.getString(2) == inst))
   }
 
   test("archive folds old commits into a checkpoint; reads stay correct") {
