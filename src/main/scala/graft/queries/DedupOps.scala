@@ -363,5 +363,66 @@ object DedupOps {
     },
     ngramQ.oracle) // identical result set: prefix filtering is lossless
 
-  def qs: Seq[GQ] = Seq(exactQ, minhashQ, simhashQ, ngramQ, prefixQ)
+  /** dedup6 — exact substring-overlap dedup (the Lee et al.
+    * "Deduplicating Training Data" shape): two documents are flagged
+    * when they share ANY 13-word contiguous span, regardless of
+    * whole-document similarity — catches boilerplate and quotation
+    * reuse that Jaccard misses on otherwise-different docs. The plan
+    * is the inverted-index shape that scales: explode each doc to
+    * md5'd 13-grams (fixed-width join keys), self-join on the gram,
+    * count distinct shared grams per pair. Gram buckets are bounded
+    * by real duplication, never O(corpus²). Injection: every
+    * doc_id % 17 == 0 doc gets the first 16 words of doc_id + 1
+    * appended, so (d, d+1) pairs with ≥ 4 shared spans are expected
+    * (plus any natural repeats, which both engines count
+    * identically). */
+  private val SpanN = 13
+  private def spanGramsExpr(toks: String) =
+    s"case when size($toks) >= $SpanN then array_distinct(transform(" +
+      s"sequence(1, size($toks) - ${SpanN - 1}), " +
+      s"i -> md5(concat_ws(' ', slice($toks, i, $SpanN))))) else array() end"
+  private def spanGramsSql(toks: String) =
+    s"CASE WHEN len($toks) >= $SpanN THEN list_distinct(list_transform(" +
+      s"range(1, len($toks) - ${SpanN - 2}), " +
+      s"i -> md5(array_to_string($toks[CAST(i AS INT):CAST(i + ${SpanN - 1} AS INT)], ' ')))) ELSE [] END"
+
+  private val substringQ = GQ(
+    "dedup6_substring_overlap",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val injected = d.as("l")
+        .join(d.as("r"), col("l.doc_id") + 1 === col("r.doc_id"))
+        .filter(col("l.doc_id") % 17 === 0)
+        .select(col("l.doc_id").as("doc_id"),
+          concat(col("l.text"), lit(" "),
+            expr("concat_ws(' ', slice(split(lower(trim(r.text)), '\\\\s+'), 1, 16))"))
+            .as("text"))
+      val c = d.filter(col("doc_id") % 17 =!= 0).unionByName(injected)
+      val grams = c
+        .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
+        .select(col("doc_id"), explode(expr(spanGramsExpr("w"))).as("g"))
+      grams.as("a").join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        .agg(count(lit(1)).as("shared_spans"))
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH inj AS (
+        SELECT l.doc_id,
+          l.text || ' ' || array_to_string(
+            string_split_regex(lower(trim(r.text)), '\\s+')[1:16], ' ') AS text
+        FROM documents l JOIN documents r ON l.doc_id + 1 = r.doc_id
+        WHERE l.doc_id % 17 = 0),
+      corpus6 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL SELECT doc_id, text FROM inj),
+      g AS (SELECT doc_id, unnest(${spanGramsSql("w")}) AS g FROM (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM corpus6))
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared_spans
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY a, b"""))
+
+  def qs: Seq[GQ] = Seq(exactQ, minhashQ, simhashQ, ngramQ, prefixQ,
+    substringQ)
 }
