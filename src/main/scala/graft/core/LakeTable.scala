@@ -303,7 +303,16 @@ final class LakeTable private[core] (
     * time (a restore can resurrect rows deleted before `begin`).
     */
   def cdc(begin: String, end: Option[String] = None): DataFrame = {
-    val liveB = timeline.liveFiles(Some(begin))
+    // the epoch sentinel ("0", a streaming bootstrap) predates every
+    // commit by construction, so its before-state is empty WITHOUT
+    // consulting the timeline — on an archived table liveFiles(Some("0"))
+    // would refuse (history folded), permanently bricking a stream
+    // whose batch 0 replays; any other pre-boundary begin still fails
+    // with the archived-history error (its data is genuinely gone —
+    // savepoint the baseline to pin it)
+    val liveB =
+      if (begin == "0") Seq.empty[FileEntry]
+      else timeline.liveFiles(Some(begin))
     val liveE = timeline.liveFiles(end)
     val ePaths = liveE.map(_.path).toSet
     val churn = liveE.filter(_.instant > begin) ++

@@ -601,8 +601,11 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * `retainCommits`-th newest commit (JavaClientHive2Hudi.java:185
     * retainCommits semantics). Snapshots as-of instants older than the
     * cutoff can no longer be served — EXCEPT savepointed instants,
-    * whose live file sets are always kept. Returns paths deleted. */
-  def clean(basePath: String, retainCommits: Int): Seq[String] = {
+    * whose live file sets are always kept. Runs under the table lock
+    * so a savepoint created mid-clean cannot be half-deleted (the
+    * pinned set is computed and acted on atomically w.r.t.
+    * createSavepoint). Returns paths deleted. */
+  def clean(basePath: String, retainCommits: Int): Seq[String] = withTableLock {
     val cs = commits()
     // archived commits' removed lists are folded into the checkpoint;
     // they predate every active commit, so they are always past the
@@ -632,9 +635,10 @@ final class Timeline(conf: Configuration, val basePath: String) {
     }
     // drop confirmed-deleted paths from the checkpoint fold: without
     // this the removal history grows forever and every clean re-stats
-    // all of it
+    // all of it. (Already under the method's table lock — the
+    // file-based lock is NOT reentrant, so no inner acquisition.)
     val done = deleted.toSet
-    if (folded.exists(done.contains)) withTableLock {
+    if (folded.exists(done.contains)) {
       readCheckpoint().foreach { cp =>
         atomicWrite(checkpointPath, Serialization.write(
           cp.copy(archivedRemoved =

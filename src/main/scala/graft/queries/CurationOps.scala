@@ -395,10 +395,15 @@ object CurationOps {
   private val entropyQ = GQ(
     "qual3_char_entropy",
     (s, dir) => {
+      // empty/whitespace-only docs must vanish like the oracle's empty
+      // range(): Spark's sequence(1, 0) DESCENDS ([1, 0]) and would
+      // fabricate two phantom empty-string chars
       val chars = t(s, dir, "documents")
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(lower(trim(text)))), " +
-            "i -> substring(lower(trim(text)), i, 1))")).as("ch"))
+          "case when length(lower(trim(text))) >= 1 then " +
+            "transform(sequence(1, length(lower(trim(text)))), " +
+            "i -> substring(lower(trim(text)), i, 1)) else array() end"))
+          .as("ch"))
       val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       counts.groupBy("doc_id").agg(
         sum(col("c")).as("n_chars2"),

@@ -390,12 +390,15 @@ object DedupOps {
     "dedup6_substring_overlap",
     (s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // LEFT join: a %17 doc with no doc_id+1 successor keeps its
+      // original text instead of silently dropping out of the corpus
       val injected = d.as("l")
-        .join(d.as("r"), col("l.doc_id") + 1 === col("r.doc_id"))
+        .join(d.as("r"), col("l.doc_id") + 1 === col("r.doc_id"), "left")
         .filter(col("l.doc_id") % 17 === 0)
         .select(col("l.doc_id").as("doc_id"),
-          concat(col("l.text"), lit(" "),
-            expr("concat_ws(' ', slice(split(lower(trim(r.text)), '\\\\s+'), 1, 16))"))
+          when(col("r.text").isNull, col("l.text")).otherwise(
+            concat(col("l.text"), lit(" "),
+              expr("concat_ws(' ', slice(split(lower(trim(r.text)), '\\\\s+'), 1, 16))")))
             .as("text"))
       val c = d.filter(col("doc_id") % 17 =!= 0).unionByName(injected)
       val grams = c
@@ -409,9 +412,11 @@ object DedupOps {
     },
     Some(s"""WITH inj AS (
         SELECT l.doc_id,
-          l.text || ' ' || array_to_string(
-            string_split_regex(lower(trim(r.text)), '\\s+')[1:16], ' ') AS text
-        FROM documents l JOIN documents r ON l.doc_id + 1 = r.doc_id
+          CASE WHEN r.text IS NULL THEN l.text
+            ELSE l.text || ' ' || array_to_string(
+              string_split_regex(lower(trim(r.text)), '\\s+')[1:16], ' ')
+          END AS text
+        FROM documents l LEFT JOIN documents r ON l.doc_id + 1 = r.doc_id
         WHERE l.doc_id % 17 = 0),
       corpus6 AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0

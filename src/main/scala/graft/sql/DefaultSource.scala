@@ -62,7 +62,7 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
 
   private def streamPath(parameters: Map[String, String]): String = {
     val ci = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
-    require(ci.get("queryType").contains("cdc"),
+    require(ci.get("queryType").exists(_.equalsIgnoreCase("cdc")),
       "streaming read of a graft path requires option queryType=cdc " +
         "(the change feed); for row tailing use spark.readStream.table(...)")
     ci.getOrElse("path",

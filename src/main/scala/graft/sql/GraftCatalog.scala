@@ -343,6 +343,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("show_commits", "run_clean", "run_compaction", "archive_commits",
+      "run_clustering", "run_zorder", "rollback_to_instant",
       "create_savepoint", "delete_savepoint", "show_fsview", "show_savepoints")
       .map(Identifier.of(Array("system"), _))
 }

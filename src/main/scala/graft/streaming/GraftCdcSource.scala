@@ -60,8 +60,49 @@ final class GraftCdcSource(
       case o => parse(o.json())
     }
     // V1 contract: the returned frame must carry isStreaming=true
-    org.apache.spark.sql.graft.StreamFrame.asStreaming(
-      lake.cdc(begin, Some(until)))
+    org.apache.spark.sql.graftshim.StreamBatchShim.asStreaming(
+      batchFrame(begin, until))
+  }
+
+  /** The batch's change-set as a plain (batch) DataFrame — getBatch
+    * minus the isStreaming stamp; unit-testable directly. */
+  private[graft] def batchFrame(begin: String, until: String): DataFrame =
+    // a fence-regressed end offset (slow writer's inflight marker
+    // surfacing after a newer commit was processed) must yield an
+    // EMPTY batch — cdc(begin > until) would diff the images the
+    // wrong way round and emit spurious deletes
+    if (until <= begin)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else conform(lake.cdc(begin, Some(until)))
+
+  /** Aligns a batch's frame to the DECLARED schema: a range that
+    * starts before an additive schema evolution carries an older-era
+    * `_before` struct (and possibly fewer after-columns); pad the
+    * missing fields with typed nulls so every micro-batch binds to
+    * the same streaming attributes. */
+  private def conform(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (df.schema == schema) return df
+    val beforeType = schema(LakeTable.BeforeImageCol).dataType
+      .asInstanceOf[StructType]
+    val haveBefore = df.schema(LakeTable.BeforeImageCol).dataType
+      .asInstanceOf[StructType].fieldNames.toSet
+    val have = df.columns.toSet
+    val cols = schema.fields.map {
+      case f if f.name == LakeTable.BeforeImageCol =>
+        // null stays null; present fields carry over, new-era ones pad
+        when(col(f.name).isNull, lit(null).cast(beforeType))
+          .otherwise(struct(beforeType.fields.toIndexedSeq.map { bf =>
+            (if (haveBefore.contains(bf.name))
+              col(s"${f.name}.${bf.name}")
+            else lit(null).cast(bf.dataType)).as(bf.name)
+          }: _*).cast(beforeType))
+          .as(f.name)
+      case f if have.contains(f.name) => col(f.name)
+      case f => lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
   }
 
   private def parse(json: String): String =

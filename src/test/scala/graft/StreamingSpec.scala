@@ -246,6 +246,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdc source: batches spanning a schema evolution conform; reversed range is empty") {
+    import graft.streaming.GraftCdcSource
+    val path = tmp("cdc_evo_")
+    val t = LakeTable.create(spark, path, TableProps(
+      "evo", Seq("id"), Some("ts"), Seq.empty))
+    val c1 = t.upsert(Seq((1, "a", 1L)).toDF("id", "v", "ts"))
+    val c2 = t.upsert(Seq((1, "a2", 2L, 9L)).toDF("id", "v", "ts", "w"))
+    val src = new GraftCdcSource(spark, LakeTable.load(spark, path), "0")
+    // the range BEGINS before the additive evolution: the before struct
+    // is old-era and must be padded to the declared (current) schema
+    // batchFrame = getBatch minus the isStreaming stamp (a stamped
+    // frame cannot be collected outside streaming execution)
+    val batch = src.batchFrame(c1, c2)
+    // structural match (names + types; nullability may narrow)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+    assert(shape(batch.schema) == shape(src.schema))
+    val r = batch.select(col(LakeTable.ChangeOpCol), col("w"),
+      col(s"${LakeTable.BeforeImageCol}.v"),
+      col(s"${LakeTable.BeforeImageCol}.w")).collect()
+    assert(r.map(x => (x.getString(0), Option(x.get(1)), Option(x.get(2)),
+      Option(x.get(3)))).toSeq == Seq(("u", Some(9L), Some("a"), None)))
+    // a fence-regressed (reversed) offset range yields an EMPTY batch,
+    // never an inverse diff with spurious deletes
+    assert(src.batchFrame(c2, c1).isEmpty)
+  }
+
   test("streaming materialized view: the CDC feed folds into an aggregate table") {
     val basePath = tmp("smv_base_")
     val mvPath = tmp("smv_mv_")
