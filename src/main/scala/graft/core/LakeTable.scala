@@ -1390,6 +1390,48 @@ final class LakeTable private[core] (
   def archive(minToKeep: Int, maxToKeep: Int): Int =
     timeline.archive(minToKeep, maxToKeep)
 
+  /** Orphan-file vacuum: physically delete data files that NO commit
+    * references — crashed writers' leftovers (a staged dir never
+    * moved, or files moved whose commit never landed) — once older
+    * than `olderThanMs`. References = every active commit's
+    * added ∪ removed plus the archive checkpoint's live set and its
+    * removal history; anything else inside the table dir is
+    * unreachable by any read. The age threshold protects in-flight
+    * writers (their files are legitimately unreferenced until the
+    * commit lands) — pick it larger than the longest plausible write.
+    * A full listing is inherent to vacuuming (Delta VACUUM pays the
+    * same); run as an offline maintenance job. Returns deleted paths. */
+  def cleanOrphans(olderThanMs: Long): Seq[String] = {
+    val f = fs
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val cs = timeline.commits()
+    val cp = timeline.readCheckpoint()
+    val referenced: Set[String] =
+      (cs.flatMap(c => c.added ++ c.removed) ++
+        cp.toSeq.flatMap(c => c.files.map(_.path) ++ c.archivedRemoved)).toSet
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: Path): Unit =
+      f.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name != Timeline.META_DIR && name != ".staging") walk(st.getPath)
+        } else if (st.getModificationTime < cutoff) {
+          val rel = relativize(st.getPath.toString)
+          if (!referenced.contains(rel) && f.delete(st.getPath, false))
+            out += rel
+        }
+      }
+    val base = new Path(basePath)
+    if (f.exists(base)) walk(base)
+    // crashed writers' staged dirs: whole subtrees under .staging
+    val staging = new Path(basePath, ".staging")
+    if (f.exists(staging)) f.listStatus(staging).foreach { st =>
+      if (st.getModificationTime < cutoff && f.delete(st.getPath, true))
+        out += relativize(st.getPath.toString)
+    }
+    out.toSeq
+  }
+
   /** Savepoint services (Hudi create_savepoint/delete_savepoint):
     * a savepointed instant's snapshot survives [[clean]] and
     * [[archive]] until released — the durable anchor for long-lived

@@ -297,6 +297,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           .archive(input.getInt(1), input.getInt(2))
         Array(InternalRow(n))
       }
+      case "clean_orphans" => procedure(
+        "clean_orphans", "delete unreferenced data files older than a threshold " +
+          "(crashed-writer leftovers); pick hours > longest plausible write",
+        Seq("table" -> StringT, "older_than_hours" -> IntT),
+        "deleted_path STRING") { input =>
+        lakeOf(input.getUTF8String(0).toString)
+          .cleanOrphans(input.getInt(1) * 3600L * 1000L)
+          .map(p => InternalRow(UTF8String.fromString(p))).toArray
+      }
       case "show_fsview" => procedure(
         "show_fsview", "live file-system view: one row per live data file",
         Seq("table" -> StringT),
@@ -344,6 +353,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("show_commits", "run_clean", "run_compaction", "archive_commits",
       "run_clustering", "run_zorder", "rollback_to_instant",
-      "create_savepoint", "delete_savepoint", "show_fsview", "show_savepoints")
+      "create_savepoint", "delete_savepoint", "show_fsview",
+      "show_savepoints", "clean_orphans")
       .map(Identifier.of(Array("system"), _))
 }

@@ -198,6 +198,35 @@ class TableServicesSpec extends AnyFunSuite {
       r.getString(0).endsWith(".parquet") && r.getString(2) == inst))
   }
 
+  test("clean_orphans removes crashed-writer leftovers, never live or fresh data") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, props)
+    t.upsert(mkDf(row(1, "a"), row(2, "b")))
+    val partDir = new java.io.File(path, "dt=d1")
+    val live = partDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(live.nonEmpty)
+    // fabricate a crashed writer: an unreferenced data file (old), an
+    // unreferenced FRESH file, and a stale staged dir
+    val oldOrphan = new java.io.File(partDir, "orphan_old.parquet")
+    java.nio.file.Files.copy(live.head.toPath, oldOrphan.toPath)
+    assert(oldOrphan.setLastModified(1000L))
+    val freshOrphan = new java.io.File(partDir, "orphan_fresh.parquet")
+    java.nio.file.Files.copy(live.head.toPath, freshOrphan.toPath)
+    val staged = new java.io.File(path, ".staging/19990101000000000_dead")
+    assert(staged.mkdirs())
+    java.nio.file.Files.copy(live.head.toPath,
+      new java.io.File(staged, "part.parquet").toPath)
+    assert(staged.setLastModified(1000L))
+
+    val deleted = t.cleanOrphans(olderThanMs = 3600L * 1000)
+    assert(deleted.toSet == Set("dt=d1/orphan_old.parquet",
+      ".staging/19990101000000000_dead"))
+    assert(!oldOrphan.exists() && !staged.exists())
+    assert(freshOrphan.exists()) // within the age threshold: protected
+    assert(live.forall(_.exists()))
+    assert(t.snapshot().count() == 2)
+  }
+
   test("archive folds old commits into a checkpoint; reads stay correct") {
     val t = LakeTable.create(spark, tmp(), props)
     val instants = (1 to 6).map(i => t.upsert(mkDf(row(i, s"v$i", dt = s"d${i % 2}"))))
