@@ -388,41 +388,48 @@ object CurationOps {
     * of each document's character distribution — near-zero entropy
     * flags degenerate/repetitive junk, unusually high entropy flags
     * binary-ish noise. Computed from EXACT integer counts via
-    * H = ln(n) − Σ c·ln(c) / n; the only float work is per-group ln
-    * terms whose sum is rounded to 6 dp (same ulp-quantization
-    * rationale as text6's idf). Shape at scale: one explode + two
-    * keyed aggregations, alphabet-bounded group sizes. */
+    * H = ln(n) − Σ c·ln(c) / n, rounded to 6 dp so the fold order of
+    * the ln terms cannot drift the hash (same ulp-quantization
+    * rationale as text6's idf). Shape at scale: the whole computation
+    * is IN-ROW higher-order functions over an alphabet-bounded count
+    * array — a single scan, zero shuffles, embarrassingly parallel.
+    * Empty/whitespace-only docs vanish (like the oracle's empty
+    * range) rather than surfacing via Spark's DESCENDING
+    * sequence(1, 0) as phantom rows. */
   private val entropyQ = GQ(
     "qual3_char_entropy",
     (s, dir) => {
-      // empty/whitespace-only docs must vanish like the oracle's empty
-      // range(): Spark's sequence(1, 0) DESCENDS ([1, 0]) and would
-      // fabricate two phantom empty-string chars
-      val chars = t(s, dir, "documents")
-        .select(col("doc_id"), explode(expr(
-          "case when length(lower(trim(text))) >= 1 then " +
-            "transform(sequence(1, length(lower(trim(text)))), " +
-            "i -> substring(lower(trim(text)), i, 1)) else array() end"))
-          .as("ch"))
-      val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      counts.groupBy("doc_id").agg(
-        sum(col("c")).as("n_chars2"),
-        count(lit(1)).as("distinct_chars"),
-        round(log(sum(col("c")).cast("double")) -
-          sum(col("c").cast("double") * log(col("c").cast("double"))) /
-            sum(col("c")).cast("double"), 6).as("entropy"))
+      t(s, dir, "documents")
+        .withColumn("cs", lower(trim(col("text"))))
+        .filter(length(col("cs")) >= 1)
+        .withColumn("chs",
+          expr("transform(sequence(1, length(cs)), i -> substring(cs, i, 1))"))
+        .withColumn("cnts", expr(
+          "transform(array_distinct(chs), c -> size(filter(chs, x -> x = c)))"))
+        .select(col("doc_id"),
+          length(col("cs")).cast("long").as("n_chars2"),
+          size(col("cnts")).cast("long").as("distinct_chars"),
+          round(log(length(col("cs")).cast("double")) -
+            expr("aggregate(cnts, 0D, (a, x) -> a + cast(x AS double) * ln(cast(x AS double)))") /
+              length(col("cs")).cast("double"), 6).as("entropy"))
         .orderBy("doc_id")
     },
-    Some("""WITH base AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
-      ch AS (SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
-          i -> s[CAST(i AS INT)])) AS ch FROM base),
-      cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
-      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars2,
-        count(*) AS distinct_chars,
-        round(ln(CAST(sum(c) AS DOUBLE)) -
-          sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
-            CAST(sum(c) AS DOUBLE), 6) AS entropy
-      FROM cnt GROUP BY doc_id ORDER BY doc_id"""))
+    Some("""WITH base AS (SELECT doc_id, lower(trim(text)) AS s FROM documents
+        WHERE len(lower(trim(text))) >= 1),
+      c AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n,
+          list_transform(
+            list_distinct(list_transform(range(1, len(s) + 1),
+              i -> s[CAST(i AS INT)])),
+            ch -> len(list_filter(
+              list_transform(range(1, len(s) + 1), i -> s[CAST(i AS INT)]),
+              x -> x = ch))) AS cnts
+        FROM base)
+      SELECT doc_id, n AS n_chars2, CAST(len(cnts) AS BIGINT) AS distinct_chars,
+        round(ln(CAST(n AS DOUBLE)) -
+          list_sum(list_transform(cnts,
+            x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))) /
+            CAST(n AS DOUBLE), 6) AS entropy
+      FROM c ORDER BY doc_id"""))
 
   def qs: Seq[GQ] = Seq(deconQ, piiQ, repetitionQ, mixQ, pipeQ, canonicalQ,
     entropyQ)
