@@ -160,15 +160,45 @@ object SimilarityOps {
           (${normSql("a.embedding")} * ${normSql("b.embedding")}), 9) >= 0.999
       ORDER BY a, b"""))
 
-  /** Connected components by min-id label propagation to fixpoint over
-    * an undirected pair list (cols `a`, `b`) — shared by sim5 and
-    * pipe2's canonical selection. Returns (id, lbl) for EVERY node.
-    * Near-dup components are small clusters, so this converges in a
-    * handful of iterations even at corpus scale; each iteration is one
-    * shuffle join + aggregate on the (tiny relative to the corpus)
-    * edge set. */
+  /** Connected components over an undirected pair list (cols `a`,
+    * `b`) — shared by sim5 and pipe2's canonical selection. Returns
+    * (id, lbl = min reachable id) for EVERY node.
+    *
+    * Size-gated like the write-probe broadcast: a near-dup edge set is
+    * tiny relative to the corpus (it IS the duplication), so below the
+    * threshold a driver-side union-find resolves it in one collect —
+    * no per-iteration Spark jobs at all. Above it, min-id label
+    * propagation to fixpoint: each iteration is one shuffle join +
+    * aggregate on the edge set, converging in a handful of rounds for
+    * small-diameter duplicate clusters. */
   private[queries] def components(p: DataFrame): DataFrame = {
-      val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
+    val spark = p.sparkSession
+    import spark.implicits._
+    // one job: fetch up to threshold+1 edges; over-threshold falls
+    // through to the distributed loop (which re-derives p — the rare
+    // path pays, the common path runs the pair pipeline exactly once)
+    val es = p.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].take(500001)
+    if (es.length <= 500000) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // link larger root under smaller: every set's root is its min id
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "lbl")
+    }
+    val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
         .persist()
       var labels = edges.select(col("a").as("id")).distinct()
         .withColumn("lbl", col("id")).persist()
