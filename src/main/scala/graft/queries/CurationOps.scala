@@ -53,11 +53,12 @@ object CurationOps {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 37 === 0)
-      // benchmark is tiny by definition — the single-partition window
-      // numbering it is O(benchmark), not O(corpus)
+      // doc_id is dense 0..N-1, so the k-th benchmark doc has
+      // doc_id = 37k: `doc_id div 37` IS the dense benchmark index —
+      // no global row_number window. nb is a 1-row broadcast aggregate.
       val bidx = bench
-        .withColumn("idx", row_number().over(Window.orderBy("doc_id")) - 1)
-        .withColumn("nb", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("idx", expr("doc_id div 37"))
+        .crossJoin(broadcast(bench.agg(count(lit(1)).as("nb"))))
         .withColumn("btoks", expr(toksExpr.format("text")))
         .withColumn("frag", expr("concat_ws(' ', slice(btoks, 1, 20))"))
       val corpus = docs.filter(col("doc_id") % 37 =!= 0)
@@ -82,8 +83,8 @@ object CurationOps {
     },
     Some(s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
       bidx AS (SELECT
-          row_number() OVER (ORDER BY doc_id) - 1 AS idx,
-          count(*) OVER () AS nb,
+          doc_id // 37 AS idx,
+          (SELECT count(*) FROM bench) AS nb,
           array_to_string((${toksSql.format("text")})[1:20], ' ') AS frag
         FROM bench),
       corpus AS (SELECT d.doc_id,

@@ -341,11 +341,24 @@ object TextOps {
             col("n1").cast("double")) /
             (col("n2").cast("double") * col("ca").cast("double") *
               col("cb").cast("double"))), 6))
+      // Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+      // (per-partition partial top-25, single merge of 25-row heads) —
+      // never a global sort of the bigram vocabulary into one
+      // partition. Rank over the 25 survivors needs no window either:
+      // pack them into one sorted array (negated pmi makes the struct
+      // sort descending-first, ties ascending on w1/w2) and posexplode
+      // — position IS the rank, and the only single-task work is a
+      // 25-element aggregate.
       scored
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)))
-        .filter(col("rank") <= 25)
-        .select("w1", "w2", "c2", "pmi", "rank")
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .limit(25)
+        .agg(sort_array(collect_list(struct(
+          negate(col("pmi")).as("np"), col("w1"), col("w2"),
+          col("c2"), col("pmi")))).as("a"))
+        .select(posexplode(col("a")).as(Seq("pos", "r")))
+        .select(col("r.w1").as("w1"), col("r.w2").as("w2"),
+          col("r.c2").as("c2"), col("r.pmi").as("pmi"),
+          (col("pos") + 1).cast("int").as("rank"))
         .orderBy("rank")
     },
     Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS w FROM documents),

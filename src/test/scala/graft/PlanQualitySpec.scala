@@ -171,6 +171,79 @@ class PlanQualitySpec extends AnyFunSuite {
       s"cdc candidate exchange not reused:\n$plan")
   }
 
+  test("global hygiene: every gate query plans 100TB-safe") {
+    // Three structural rules a plan must satisfy to survive a 100×
+    // scale-up, asserted over EVERY gate query at sf0.001:
+    //   1. no CartesianProductExec (BroadcastNestedLoopJoin against a
+    //      broadcast 1-row totals relation is fine; a shuffled
+    //      cartesian never is);
+    //   2. no Window/WindowGroupLimit with an EMPTY partition spec —
+    //      an unpartitioned window sorts the whole relation into one
+    //      task (rank-after-limit windows carry a lit(0) partition to
+    //      keep the spec explicit and the input provably bounded);
+    //   3. no FORCED broadcast hint whose side is an unfiltered,
+    //      unaggregated scan of an SF-scaled table (nation/region are
+    //      fixed-size; everything else grows with SF, so a bare
+    //      broadcast(lineitem) is a multi-GB broadcast at 100 TB —
+    //      those joins belong to AQE). Filtered slices (query vectors)
+    //      and aggregates (totals, gram sets) stay broadcastable.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, Join, LogicalPlan, BROADCAST}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+    val scaled = Set("lineitem", "orders", "customer", "supplier", "part",
+      "partsupp", "events", "documents", "embeddings")
+    def scaledScan(p: LogicalPlan): Boolean = p.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.exists(rp =>
+          scaled.exists(n => rp.toString.contains(n + ".parquet")))
+        case _ => false
+      }
+      case _ => false
+    }
+    def bounded(p: LogicalPlan): Boolean =
+      p.exists { case _: Aggregate => true; case _: LFilter => true; case _ => false }
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      (p +: kids.flatMap(allNodes)) ++ p.subqueries.flatMap(allNodes)
+    }
+
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf)
+      df.collect()
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      if (nodes.exists(_.isInstanceOf[CartesianProductExec]))
+        bad += s"$name: CartesianProduct"
+      nodes.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          bad += s"$name: unpartitioned WindowExec"
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+          bad += s"$name: unpartitioned WindowGroupLimitExec"
+        case _ =>
+      }
+      df.queryExecution.optimizedPlan.foreach {
+        case j: Join =>
+          val sides = Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
+          for ((h, side) <- sides)
+            if (h.exists(_.strategy.contains(BROADCAST)) &&
+                scaledScan(side) && !bounded(side))
+              bad += s"$name: forced broadcast of an unbounded SF-scaled side"
+        case _ =>
+      }
+    }
+    assert(bad.isEmpty, s"plan-hygiene violations:\n  ${bad.mkString("\n  ")}")
+  }
+
   test("graft_vec_dot participates in codegen (no CodegenFallback)") {
     graft.functions.GraftFunctions.register(spark)
     // parquet-backed input so the projection can't constant-fold away
