@@ -481,8 +481,8 @@ final class LakeTable private[core] (
     // the batch feeds three jobs (partition/key stats, candidate
     // probe, merge write): keep it materialized once
     val incoming = conform(withMeta(dedupBatch(df), instant), newSchema).persist()
-    val affected = affectedFiles(incoming,
-      statsOf = Some(df.select(keyCol.as(RecordKeyCol), ppCol.as(PartitionPathCol)))).files
+    val affected = phase("probe")(affectedFiles(incoming,
+      statsOf = Some(df.select(keyCol.as(RecordKeyCol), ppCol.as(PartitionPathCol)))).files)
     // insert-only fast path: no affected files means no existing
     // versions to merge against — skip the merge window shuffle
     val merged = if (affected.isEmpty) incoming else {
@@ -587,7 +587,11 @@ final class LakeTable private[core] (
   /** Delete by pre-computed row identity (`_record_key`,
     * `_partition_path`) — the SQL row-level-operation path. */
   def deleteByRowId(ids: DataFrame): String = {
-    if (isMor) compact()
+    // MOR: fold only the file groups the ids' keys can live in — the
+    // single-version guarantee is needed just where the rewrite acts
+    if (isMor)
+      compactForKeys(ids.select(RecordKeyCol, PartitionPathCol).distinct(),
+        global = false)
     withInflight { instant =>
     val delKeys = ids.select(RecordKeyCol, PartitionPathCol).distinct()
     val probe = affectedFiles(delKeys)
@@ -604,7 +608,9 @@ final class LakeTable private[core] (
   /** DELETE FROM ... WHERE (SparkSQLDemo.scala:73-75): rewrite only
     * files containing matches (parquet min/max prunes the probe). */
   def deleteWhere(cond: Column): String = {
-    if (isMor) compact() // predicate ops run against a single-version view
+    // predicate ops need a single-version view ONLY where the
+    // predicate can reach — scoped, not full-table, compaction
+    if (isMor) compactWhere(cond)
     withInflight { instant =>
       val affected = filesMatching(cond)
       val kept = readAffected(affected, schema)
@@ -619,7 +625,9 @@ final class LakeTable private[core] (
     * take the new commit time; untouched rows in rewritten files keep
     * theirs (incremental-query correctness). */
   def updateWhere(cond: Column, set: Map[String, Column]): String = {
-    if (isMor) compact() // predicate ops run against a single-version view
+    // predicate ops need a single-version view ONLY where the
+    // predicate can reach — scoped, not full-table, compaction
+    if (isMor) compactWhere(cond)
     withInflight { instant =>
     val affected = filesMatching(cond)
     val hit = coalesce(cond, lit(false))
@@ -656,7 +664,15 @@ final class LakeTable private[core] (
       matchedUpdate: Option[Column] = None,
       matchedDelete: Option[Column] = None,
       notMatchedInsert: Option[Column] = None): String = {
-    if (isMor) compact() // merge runs against a single-version view
+    // merge needs a single-version view only for the groups its
+    // source keys can touch. The probe is global (key-only matching,
+    // like the merge itself), so the partition column is a dummy —
+    // evaluating ppCol here would fail on sources that legitimately
+    // omit partition columns.
+    if (isMor)
+      compactForKeys(
+        source.select(keyCol.as(RecordKeyCol), lit("").as(PartitionPathCol)),
+        global = true)
     withInflight { instant =>
     val cur = schema
     // Clause conditions resolve against the source's own columns (the
@@ -1002,12 +1018,24 @@ final class LakeTable private[core] (
       .option(s"parquet.bloom.filter.max.bytes", 128 * 1024)
     val partBy = (if (partitioned) Seq(StagePartCol) else Nil) ++
       (if (bucketed) Seq(StageBucketCol) else Nil)
-    (if (partBy.isEmpty) writer0 else writer0.partitionBy(partBy: _*))
-      .parquet(stagingDir.toString)
-    val (added, parts, buckets) = moveStaged(stagingDir, instant)
-    val (n, bounds) = footerStats(added)
+    phase("stage-write")(
+      (if (partBy.isEmpty) writer0 else writer0.partitionBy(partBy: _*))
+        .parquet(stagingDir.toString))
+    val (added, parts, buckets) =
+      phase("move-staged")(moveStaged(stagingDir, instant))
+    val (n, bounds) = phase("footer-stats")(footerStats(added))
     Staged(added, parts, n, bounds, buckets)
   }
+
+  /** Env-gated (GRAFT_PROFILE=1) wall-time print per write-path phase —
+    * the profiling aid for commit fixed costs; a no-op otherwise. */
+  private def phase[A](name: String)(f: => A): A =
+    if (!LakeTable.ProfileEnabled) f
+    else {
+      val t0 = System.nanoTime()
+      try f finally Console.err.println(
+        f"[graft-profile] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+    }
 
   /** Row count + `_record_key` min/max per file from parquet footers
     * (driver-side, metadata-only I/O; footers read concurrently — a
@@ -1134,11 +1162,11 @@ final class LakeTable private[core] (
       instant: String, action: String, st: Staged,
       removed: Seq[String], schemaOut: StructType,
       tag: Option[String] = None): Unit =
-    try timeline.commit(CommitMeta(
+    try phase("commit-json")(timeline.commit(CommitMeta(
       instant, action, st.added, removed.map(relativize), Seq.empty,
       schemaOut.toDDL, st.rows, st.parts,
       if (st.keyBounds.nonEmpty) Some(st.keyBounds) else None, tag,
-      if (st.buckets.nonEmpty) Some(st.buckets) else None))
+      if (st.buckets.nonEmpty) Some(st.buckets) else None)))
     catch {
       case e: CommitConflictException =>
         // lost the OCC race: the staged files will never be referenced
@@ -1211,7 +1239,17 @@ final class LakeTable private[core] (
         }
       }
     val (rewrite, _) = base.partition(overlaps)
-    val affected = delta ++ rewrite
+    compactEntries(delta ++ rewrite)
+  }
+
+  /** Fold exactly `affected` (deltas + the base files of their groups)
+    * into fresh merged base files — the shared tail of [[compact]] and
+    * the predicate-scoped compaction. Any subset that is CLOSED under
+    * per-partition key-range overlap is sound to compact alone:
+    * [[mergeOnRead]] resolves per (key, partition), so every version
+    * of every key in the subset is inside it, and versions outside
+    * still merge against the new base on read. */
+  private def compactEntries(affected: Seq[FileEntry]): String =
     withInflight { instant =>
       val s = withMetaSchema(schema)
       val merged = mergeOnRead(readLive(affected, s))
@@ -1220,6 +1258,64 @@ final class LakeTable private[core] (
       doCommit(instant, "commit", st, affected.map(_.path), schema)
       instant
     }
+
+  /** Close a seed file set over per-partition key-range overlap and
+    * compact it if it contains any delta. Closure is REQUIRED for the
+    * predicate-DML use: a key's current (matching) version and stale
+    * (non-matching) versions always share the key ⇒ their files'
+    * ranges overlap ⇒ one fixpoint pass pulls every version of every
+    * in-scope key into the same compaction, so the follow-up rewrite
+    * can never resurrect a stale version. Missing stats ⇒ overlap
+    * (conservative). Driver-side over file metadata only; at very
+    * large file counts replace the pairwise pass with per-partition
+    * interval union — the fixpoint shape stays the same. */
+  private def compactClosure(live: Seq[FileEntry], seedPaths: Set[String]): Unit = {
+    if (seedPaths.isEmpty) return
+    val byPart = live.groupBy(_.partition)
+    val scope = scala.collection.mutable.Set.empty[String] ++= seedPaths
+    def overlapsE(a: FileEntry, b: FileEntry): Boolean =
+      (a.minKey, a.maxKey, b.minKey, b.maxKey) match {
+        case (Some(am), Some(aM), Some(bm), Some(bM)) =>
+          utf8Lte(am, bM) && utf8Lte(bm, aM)
+        case _ => true
+      }
+    var grew = true
+    while (grew) {
+      grew = false
+      byPart.values.foreach { files =>
+        val (in, out) = files.partition(f => scope.contains(f.path))
+        if (in.nonEmpty) out.foreach { o =>
+          if (in.exists(i => overlapsE(i, o))) { scope += o.path; grew = true }
+        }
+      }
+    }
+    val entries = live.filter(f => scope.contains(f.path))
+    // all-base scope: the view there is already single-version
+    if (entries.exists(_.delta)) compactEntries(entries)
+  }
+
+  /** Scoped pre-DML compaction for predicate operations on MOR: fold
+    * only the file groups that can hold a row satisfying `cond`
+    * (row-accurate seed scan, footer-stats pruned) instead of every
+    * group with deltas — a DELETE/UPDATE touching one partition of a
+    * large table leaves the other partitions' delta files alone.
+    * Seeding over RAW (unmerged) versions is a correct superset of
+    * matching current versions, because every current version is in
+    * some live file and any stale co-versions join the scope via the
+    * overlap closure. */
+  private def compactWhere(cond: Column): Unit = {
+    val live = timeline.liveFiles(None)
+    if (!live.exists(_.delta)) return
+    compactClosure(live, filesMatching(cond).toSet)
+  }
+
+  /** Scoped pre-DML compaction for keyed operations on MOR (`global`
+    * as in [[affectedFiles]]): seeds are the key-probe's candidates. */
+  private def compactForKeys(keys: DataFrame, global: Boolean): Unit = {
+    val live = timeline.liveFiles(None)
+    if (!live.exists(_.delta)) return
+    compactClosure(live,
+      affectedFiles(keys, global = global).files.toSet)
   }
 
   /** Restore (rollback) the table to its state as of `instant` —
@@ -1403,7 +1499,19 @@ final class LakeTable private[core] (
     * same); run as an offline maintenance job. Returns deleted paths. */
   def cleanOrphans(olderThanMs: Long): Seq[String] = {
     val f = fs
-    val cutoff = System.currentTimeMillis() - olderThanMs
+    val cutoff0 = System.currentTimeMillis() - olderThanMs
+    // In-flight protection beyond the age threshold: a live writer
+    // publishes its heartbeat-touched inflight marker BEFORE writing
+    // any file, and its instant id encodes the wall clock at begin —
+    // so no uncommitted file of a LIVE writer can predate the earliest
+    // live writer's start. Clamp the cutoff below it (minus the stale
+    // window as slack for instant bumping, FS mtime granularity, and
+    // cross-host clock skew) so a legitimate write running longer than
+    // `olderThanMs` never has its staged output vacuumed mid-write.
+    val cutoff = timeline.earliestActiveInflight()
+      .flatMap(Timeline.instantMillis)
+      .map(t => math.min(cutoff0, t - Timeline.INFLIGHT_STALE_MS))
+      .getOrElse(cutoff0)
     val cs = timeline.commits()
     val cp = timeline.readCheckpoint()
     val referenced: Set[String] =
@@ -1437,7 +1545,7 @@ final class LakeTable private[core] (
     * [[archive]] until released — the durable anchor for long-lived
     * time travel, CDC baselines, and [[restoreTo]] targets. */
   def createSavepoint(instant: String): Unit =
-    timeline.createSavepoint(instant)
+    timeline.createSavepoint(instant, basePath)
 
   def deleteSavepoint(instant: String): Boolean =
     timeline.deleteSavepoint(instant)
@@ -1483,6 +1591,10 @@ object LakeTable {
   private[core] def utf8Lte(a: String, b: String): Boolean = utf8Cmp(a, b) <= 0
   private[core] val Utf8Ordering: Ordering[String] =
     (a: String, b: String) => utf8Cmp(a, b)
+
+  /** GRAFT_PROFILE=1: print write-path phase timings to stderr. */
+  private[core] val ProfileEnabled: Boolean =
+    sys.env.get("GRAFT_PROFILE").exists(_ == "1")
 
   val CommitTimeCol = "_commit_time"
   val RecordKeyCol = "_record_key"

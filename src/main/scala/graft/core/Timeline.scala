@@ -577,13 +577,30 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * every file live as of it and [[archive]] never folds it or later
     * commits into the checkpoint, so time travel / incremental / CDC
     * reads anchored at the savepoint stay serveable past the retention
-    * window until [[deleteSavepoint]]. */
-  def createSavepoint(instant: String): Unit = withTableLock {
-    require(commits().exists(_.instant == instant),
-      s"cannot savepoint $instant: not an active commit")
-    atomicWrite(savepointPath(instant),
-      Serialization.write(Map("instant" -> instant))(formats))
-  }
+    * window until [[deleteSavepoint]].
+    *
+    * The pin is only useful if the pinned snapshot is still READABLE:
+    * an active commit whose replaced file versions were already
+    * reclaimed by an earlier clean would resolve in liveFiles but 404
+    * on scan. Every path in the instant's live set is existence-checked
+    * under the table lock (so a concurrent clean cannot race the
+    * check), and a missing file fails the savepoint loudly. */
+  def createSavepoint(instant: String, tableBasePath: String): Unit =
+    withTableLock {
+      require(commits().exists(_.instant == instant),
+        s"cannot savepoint $instant: not an active commit")
+      def resolve(rel: String) =
+        if (rel.startsWith("/") || rel.contains(":/")) new Path(rel)
+        else new Path(tableBasePath, rel)
+      val gone = liveFiles(Some(instant)).map(_.path)
+        .filterNot(p => fs.exists(resolve(p)))
+      require(gone.isEmpty,
+        s"cannot savepoint $instant: ${gone.size} live file(s) already " +
+          s"cleaned (create savepoints within the clean-retention " +
+          s"window); first missing: ${gone.head}")
+      atomicWrite(savepointPath(instant),
+        Serialization.write(Map("instant" -> instant))(formats))
+    }
 
   /** Drop the pin; returns whether a savepoint existed. */
   def deleteSavepoint(instant: String): Boolean = withTableLock {
@@ -707,6 +724,13 @@ object Timeline {
   private val formats: Formats = DefaultFormats
   private val instantFormat =
     java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+
+  /** Epoch millis an instant id encodes (it is the issuing writer's
+    * UTC wall clock at [[Timeline.beginWrite]]); None if malformed. */
+  def instantMillis(instant: String): Option[Long] =
+    try Some(java.time.LocalDateTime.parse(instant, instantFormat)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    catch { case _: Exception => None }
 
   /** Lexicographic +1 on the millis part keeps ids sortable. */
   private def bump(instant: String): String =

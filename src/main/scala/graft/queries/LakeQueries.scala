@@ -490,8 +490,67 @@ object LakeQueries {
       CAST(CASE WHEN c_custkey % 6 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
       FROM customer ORDER BY c_custkey"""))
 
+  /** Predicate (non-keyed) DML — W4/W5 through the native path — on
+    * BOTH table types in one gate: COW rewrites only files holding
+    * matches; MOR first folds only the file groups the predicate can
+    * reach (scoped compaction), then rewrites. The MOR variant layers
+    * a delta commit over the base so the DML really exercises the
+    * merge-then-mutate path. */
+  private val predicateDmlQ = GQ(
+    "lake18_predicate_dml",
+    (s, dir) => {
+      val hitU = col("c_mktsegment") === "BUILDING" && col("c_custkey") % 3 === 0
+      val hitD = col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 4 === 0
+      val cow = LakeTable.create(s, scratch(s, dir, "lake18_cow"), props(true))
+      cow.upsert(base(s, dir))
+      cow.updateWhere(hitU, Map(
+        "c_acctbal" -> (dec2(col("c_acctbal")) + 500).cast("double"),
+        "c_name" -> concat(col("c_name"), lit("_u"))))
+      cow.deleteWhere(hitD)
+      val mor = LakeTable.create(s, scratch(s, dir, "lake18_mor"),
+        props(true).copy(tableType = "mor"))
+      mor.upsert(base(s, dir))
+      mor.upsert(base(s, dir).filter(col("c_custkey") % 5 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_acctbal", (dec2(col("c_acctbal")) * 2).cast("double")))
+      mor.updateWhere(hitU, Map(
+        "c_name" -> concat(col("c_name"), lit("_u"))))
+      mor.deleteWhere(hitD)
+      dataCols(cow.snapshot()).withColumn("variant", lit("cow"))
+        .unionByName(dataCols(mor.snapshot()).withColumn("variant", lit("mor")))
+        .orderBy("variant", "c_custkey")
+    },
+    Some("""WITH cow AS (
+        SELECT c_custkey,
+          CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0
+            THEN c_name || '_u' ELSE c_name END AS c_name,
+          c_nationkey,
+          CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0
+            THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 500 AS DOUBLE)
+            ELSE c_acctbal END AS c_acctbal,
+          c_mktsegment, CAST(1 AS BIGINT) AS ts, 'cow' AS variant
+        FROM customer
+        WHERE NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 4 = 0)),
+      mor0 AS (
+        SELECT c_custkey, c_name, c_nationkey,
+          CASE WHEN c_custkey % 5 = 0
+            THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE)
+            ELSE c_acctbal END AS c_acctbal,
+          c_mktsegment,
+          CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
+        FROM customer),
+      mor AS (
+        SELECT c_custkey,
+          CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0
+            THEN c_name || '_u' ELSE c_name END AS c_name,
+          c_nationkey, c_acctbal, c_mktsegment, ts, 'mor' AS variant
+        FROM mor0
+        WHERE NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 4 = 0))
+      SELECT * FROM cow UNION ALL SELECT * FROM mor
+      ORDER BY variant, c_custkey"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
     timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
-    cdcQ, mvQ, savepointQ)
+    cdcQ, mvQ, savepointQ, predicateDmlQ)
 }

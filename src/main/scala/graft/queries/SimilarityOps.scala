@@ -171,15 +171,19 @@ object SimilarityOps {
     * propagation to fixpoint: each iteration is one shuffle join +
     * aggregate on the edge set, converging in a handful of rounds for
     * small-diameter duplicate clusters. */
-  private[queries] def components(p: DataFrame): DataFrame = {
-    val spark = p.sparkSession
+  private[graft] def components(
+      p0: DataFrame, driverMaxEdges: Int = 500000): DataFrame = {
+    val spark = p0.sparkSession
     import spark.implicits._
+    // normalize BOTH paths to long ids up front so the output schema
+    // is identical whichever side of the size gate a dataset lands on
+    val p = p0.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
     // one job: fetch up to threshold+1 edges; over-threshold falls
     // through to the distributed loop (which re-derives p — the rare
     // path pays, the common path runs the pair pipeline exactly once)
-    val es = p.select(col("a").cast("long"), col("b").cast("long"))
-      .as[(Long, Long)].take(500001)
-    if (es.length <= 500000) {
+    val es = p.as[(Long, Long)].take(driverMaxEdges + 1)
+    if (es.length <= driverMaxEdges) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -241,7 +245,11 @@ object SimilarityOps {
         throw new IllegalStateException(
           s"label propagation not converged after $maxIters iterations")
       edges.unpersist()
-      labels
+      // min() marked lbl nullable though it never is (every id seeds
+      // its own label); coalesce against the non-nullable id restores
+      // the exact schema the driver union-find branch produces, so a
+      // dataset crossing the size gate cannot change consumer schemas
+      labels.select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
 
   /** sim5 — embedding graph dedup: connected components over the

@@ -1,0 +1,158 @@
+package graft.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{CommitMeta, FileEntry, LakeTable}
+
+/** Foreign-catalog sync — the reference's database-wide Hive sync job
+  * (`SyncHiveWithDatabase.scala:37-74`: walk a database directory,
+  * detect Hudi tables by their metadata folder, push each into the
+  * metastore via HiveSyncTool, isolate per-table failures) re-expressed
+  * graft-native:
+  *
+  *   - the "metastore" is any registered [[GraftCatalog]] (its
+  *     warehouse directory IS its catalog state, the Spark-4 shape);
+  *   - "sync one table" = mirror the source table's LIVE FILE SET into
+  *     a same-named table under the target warehouse as file-pointer
+  *     commits — data stays in place, exactly like HiveSyncTool pushing
+  *     table/partition entries, and the target serves full snapshot /
+  *     pruned / SQL reads through the ordinary read path;
+  *   - re-running the job is incremental at file/partition granularity:
+  *     only files that appeared (new commits/partitions) or disappeared
+  *     (clean/compaction/rewrite) in the source since the last run are
+  *     committed, mirroring HiveSyncTool's last-sync-time partition
+  *     diff;
+  *   - each run appends one audit row per table to a `sync_audit`
+  *     table in the target database, the
+  *     `SyncCommentsAcrossClusters.scala:111-113` success-mark shape.
+  *
+  * Scale: pure driver-side metadata work — two timeline listings per
+  * table and one commit write; no data is read or moved, so cost is
+  * O(live files) per table regardless of data size.
+  */
+object CatalogSync {
+
+  /** One table's sync outcome; also the audit row. */
+  final case class TableSync(
+      num: Int,
+      tableName: String,
+      mark: String, // success | up_to_date | skipped | failed
+      syncTime: String,
+      filesAdded: Int,
+      filesRemoved: Int,
+      detail: String)
+
+  /** Mirror every lake table under `sourceDir` into
+    * `targetCatalog.targetDb`. `syncTime` is injectable for
+    * deterministic tests; defaults to the wall clock. */
+  def syncDatabase(
+      spark: SparkSession,
+      sourceDir: String,
+      targetCatalog: String,
+      targetDb: String,
+      auditTable: String = "sync_audit",
+      syncTime: Option[String] = None): Seq[TableSync] = {
+    val warehouse = spark.conf
+      .getOption(s"spark.sql.catalog.$targetCatalog.warehouse")
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog '$targetCatalog' is not registered " +
+          s"(missing spark.sql.catalog.$targetCatalog.warehouse)"))
+    val ts = syncTime.getOrElse(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .format(java.time.LocalDateTime.now()))
+    val fs = new Path(sourceDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(new Path(sourceDir)).toSeq
+      .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    var num = 0
+    val results = dirs.map { d =>
+      num += 1
+      val name = d.getName
+      if (!LakeTable.exists(spark, d.toString))
+        TableSync(num, name, "skipped", ts, 0, 0, "not a lake table")
+      else
+        try {
+          val (added, removed) =
+            syncTable(spark, d.toString, s"$warehouse/$targetDb/$name")
+          TableSync(num, name,
+            if (added == 0 && removed == 0) "up_to_date" else "success",
+            ts, added, removed, "")
+        } catch {
+          // per-table isolation, like the reference's try/catch per sync
+          case e: Exception =>
+            TableSync(num, name, "failed", ts, 0, 0, String.valueOf(e.getMessage))
+        }
+    }
+    writeAudit(spark, s"$warehouse/$targetDb/$auditTable", results)
+    results
+  }
+
+  /** Mirror one source table's live file set into `tgtPath`; returns
+    * (files added, files dropped). The target is created on first sync
+    * with the source's table properties (pk / preCombine / partition /
+    * type / payload), so keyed DML against the mirror behaves like the
+    * source. Mirrored entries keep the source's key bounds, bucket ids,
+    * delta flags, and external markers — probes prune and MOR merges
+    * exactly as they would at the source. */
+  private[graft] def syncTable(
+      spark: SparkSession, srcPath: String, tgtPath: String): (Int, Int) = {
+    val src = LakeTable.load(spark, srcPath)
+    val tgt =
+      if (LakeTable.exists(spark, tgtPath)) LakeTable.load(spark, tgtPath)
+      else LakeTable.create(spark, tgtPath,
+        src.props.copy(schemaDdl = src.schema.toDDL))
+    val srcLive = src.timeline.liveFiles(None)
+      .map(f => f.copy(path = src.abs(f.path)))
+    val tgtLive = tgt.timeline.liveFiles(None)
+    val tgtPaths = tgtLive.map(_.path).toSet
+    val srcPaths = srcLive.map(_.path).toSet
+    val fresh = srcLive.filterNot(f => tgtPaths.contains(f.path))
+    val stale = tgtLive.map(_.path).filterNot(srcPaths.contains)
+    if (fresh.isEmpty && stale.isEmpty) return (0, 0)
+    // managed graft files carry their meta columns in-file, so the
+    // mirror references them as managed too (reads see the ORIGINAL
+    // per-row commit times); source-external (bootstrapped) files stay
+    // external so the read path keeps synthesizing their meta. MOR
+    // delta files go through a deltacommit so the mirrored entries
+    // keep delta=true and the target's read-side merge applies.
+    def mirror(files: Seq[FileEntry], action: String, removed: Seq[String]): Unit =
+      if (files.nonEmpty || removed.nonEmpty)
+        tgt.timeline.commit(CommitMeta(
+          tgt.timeline.nextInstant(), action,
+          added = files.map(_.path),
+          removed = removed,
+          external = files.filter(_.external).map(_.path),
+          schemaDdl = src.schema.toDDL,
+          totalRecords = -1L,
+          partitions = files.map(f => f.path -> f.partition).toMap,
+          keyBounds = Some(files.collect {
+            case f if f.minKey.isDefined && f.maxKey.isDefined =>
+              f.path -> Seq(f.minKey.get, f.maxKey.get)
+          }.toMap).filter(_.nonEmpty),
+          buckets = Some(files.collect {
+            case f if f.bucket.isDefined => f.path -> f.bucket.get
+          }.toMap).filter(_.nonEmpty)))
+    val (deltaF, baseF) = fresh.partition(_.delta)
+    mirror(baseF, "sync", stale)
+    mirror(deltaF, "deltacommit", Seq.empty)
+    (fresh.size, stale.size)
+  }
+
+  /** Append this run's outcomes to the audit table
+    * (SyncCommentsAcrossClusters.scala:111-113: num, table_name, mark,
+    * sync_time — extended with the file counts and failure detail). */
+  private def writeAudit(
+      spark: SparkSession, auditPath: String, rows: Seq[TableSync]): Unit = {
+    if (rows.isEmpty) return
+    import spark.implicits._
+    val audit =
+      if (LakeTable.exists(spark, auditPath)) LakeTable.load(spark, auditPath)
+      else LakeTable.create(spark, auditPath, graft.core.TableProps(
+        name = "sync_audit",
+        primaryKey = Seq("num", "tableName", "syncTime"),
+        preCombineField = None,
+        partitionFields = Seq.empty))
+    audit.insert(rows.toDF())
+  }
+}

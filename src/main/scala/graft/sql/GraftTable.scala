@@ -53,7 +53,12 @@ final class GraftTable(
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     // MOR: the catalog scan this operation reads is the RO view;
     // compact first so it equals the full view and the rewrite is
-    // correct (predicate DML on MOR always runs post-compaction).
+    // correct. This SQL entry point cannot scope the compaction — the
+    // statement's predicate is not visible at operation-build time
+    // (Spark pushes filters to the scan later), so the full compact is
+    // the documented fallback here; the native predicate/keyed DML
+    // paths (deleteWhere/updateWhere/merge/deleteByRowId) compact only
+    // the file groups their predicate or keys can touch.
     // withOcc: a concurrent writer's commit racing the compaction
     // must retry it, not spuriously abort the user's DML statement.
     if (lake.props.tableType == "mor") lake.withOcc()(lake.compact())

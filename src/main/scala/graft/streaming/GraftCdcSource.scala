@@ -37,6 +37,16 @@ final class GraftCdcSource(
 
   override val schema: StructType = lake.cdcSchema
 
+  /** Monotonic high-water mark over offered offsets: the inflight
+    * fence can REGRESS (a slow writer's marker surfacing after a newer
+    * commit was already offered), and re-offering the lower instant
+    * would make the engine re-emit an already-delivered range —
+    * at-least-once duplicates that a net-change consumer (an MV fold)
+    * would double-apply. Never offer below what we already offered;
+    * the empty-batch guard in [[batchFrame]] stays as a defensive
+    * backstop, not a load-bearing path. */
+  @volatile private var highWater: String = startCommit
+
   override def getOffset: Option[Offset] = {
     val latest = lake.timeline.latestInstant().getOrElse(startCommit)
     val fenced = lake.timeline.earliestActiveInflight() match {
@@ -45,7 +55,8 @@ final class GraftCdcSource(
           .filter(_ < inflight).lastOption.getOrElse(startCommit)
       case _ => latest
     }
-    val eff = if (fenced < startCommit) startCommit else fenced
+    val eff = if (fenced < highWater) highWater else fenced
+    highWater = eff
     if (eff <= startCommit) None else Some(CdcOffset(eff))
   }
 

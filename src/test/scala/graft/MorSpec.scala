@@ -52,6 +52,55 @@ class MorSpec extends AnyFunSuite {
     assert(live.forall(_.instant == c))
   }
 
+  test("predicate DML compacts only the file groups the predicate touches") {
+    val t = LakeTable.create(spark, tmp(), morProps())
+    // base + one delta per partition
+    t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d2"), (3, "c", 1L, "d3"))
+      .toDF("id", "v", "ts", "dt"))
+    t.upsert(Seq((1, "a2", 2L, "d1"), (2, "b2", 2L, "d2"), (3, "c2", 2L, "d3"))
+      .toDF("id", "v", "ts", "dt"))
+    val deltasBefore = t.timeline.liveFiles(None).filter(_.delta)
+    assert(deltasBefore.map(_.partition).toSet == Set("dt=d1", "dt=d2", "dt=d3"))
+    // UPDATE reaching ONLY partition d1: d2/d3 delta files must remain
+    // exactly as they were (scoped compaction), and the result is the
+    // same as the full-compact version produced
+    t.updateWhere(col("dt") === "d1" && col("id") === 1,
+      Map("v" -> lit("a3")))
+    val after = t.timeline.liveFiles(None)
+    val untouched = deltasBefore.filter(d => d.partition != "dt=d1")
+    assert(untouched.forall(d => after.exists(_.path == d.path)),
+      s"other partitions' deltas were compacted: " +
+        s"${untouched.filterNot(d => after.exists(_.path == d.path)).map(_.path)}")
+    assert(!after.exists(f => f.delta && f.partition == "dt=d1"),
+      "the touched partition must be delta-free post-DML")
+    assert(rows(t) == Set((1, "a3", 2L), (2, "b2", 2L), (3, "c2", 2L)))
+    // deleteWhere on d2 likewise leaves d3's delta alone
+    t.deleteWhere(col("dt") === "d2")
+    val after2 = t.timeline.liveFiles(None)
+    assert(after2.exists(f => f.delta && f.partition == "dt=d3"))
+    assert(rows(t) == Set((1, "a3", 2L), (3, "c2", 2L)))
+    // stale-version safety: the d3 group folds only when ITS keys are
+    // targeted, and the old version can never resurface
+    t.updateWhere(col("id") === 3, Map("v" -> lit("c3")))
+    assert(rows(t) == Set((1, "a3", 2L), (3, "c3", 2L)))
+  }
+
+  test("keyed merge compacts only the touched key's file groups") {
+    val t = LakeTable.create(spark, tmp(), morProps())
+    t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d2")).toDF("id", "v", "ts", "dt"))
+    t.upsert(Seq((1, "a2", 2L, "d1"), (2, "b2", 2L, "d2")).toDF("id", "v", "ts", "dt"))
+    val d2delta = t.timeline.liveFiles(None)
+      .filter(f => f.delta && f.partition == "dt=d2")
+    assert(d2delta.nonEmpty)
+    // MERGE touching only id=1 (lives in d1)
+    t.merge(Seq((1, "a3", 3L, "d1", "UPDATE")).toDF("id", "v", "ts", "dt", "op"),
+      matchedUpdate = Some(col("op") === "UPDATE"))
+    val after = t.timeline.liveFiles(None)
+    assert(d2delta.forall(d => after.exists(_.path == d.path)),
+      "merge on id=1 must not compact d2's file group")
+    assert(rows(t) == Set((1, "a3", 3L), (2, "b2", 2L)))
+  }
+
   test("inline compaction after N delta commits (compaction.delta_commits)") {
     val t = LakeTable.create(spark, tmp(), morProps(compactEvery = 2))
     t.upsert(Seq((1, "a", 1L, "d1")).toDF("id", "v", "ts", "dt"))

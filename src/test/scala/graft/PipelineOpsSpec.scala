@@ -27,6 +27,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missing near-dup pairs: ${expectedNear -- minhash}")
   }
 
+  test("components: distributed label propagation matches driver union-find") {
+    import spark.implicits._
+    // chain 0-1-2-3, pair 10-11, self-contained triangle 20-21-22, and
+    // int-typed ids to prove the long normalization covers both paths
+    val pairs = Seq((1, 0), (1, 2), (2, 3), (10, 11), (20, 21),
+      (21, 22), (20, 22)).toDF("a", "b")
+    val viaDriver = SimilarityOps.components(pairs)
+    // driverMaxEdges=0 forces the >threshold distributed branch on the
+    // same input — results AND schema must be identical
+    val viaDistributed = SimilarityOps.components(pairs, driverMaxEdges = 0)
+    assert(viaDriver.schema == viaDistributed.schema,
+      s"schema drift across the size gate: " +
+        s"${viaDriver.schema} vs ${viaDistributed.schema}")
+    val d = viaDriver.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val x = viaDistributed.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(d.sameElements(x), s"label mismatch: ${d.toSeq} vs ${x.toSeq}")
+    assert(d.toMap == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("ann lsh recall vs brute force on sf0.001") {
     val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sf)
       .filter(col("rank") <= 5)

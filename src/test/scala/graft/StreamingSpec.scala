@@ -273,64 +273,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(src.batchFrame(c2, c1).isEmpty)
   }
 
-  test("streaming materialized view: the CDC feed folds into an aggregate table") {
+  test("streaming MV (production shape): exactly-once across kill/restart") {
+    import graft.streaming.{ExactlyOnce, MvMaintenance}
     val basePath = tmp("smv_base_")
     val mvPath = tmp("smv_mv_")
     val ckpt = tmp("smv_ckpt_")
     val t = LakeTable.create(spark, basePath, TableProps(
       "smvb", Seq("id"), Some("ts"), Seq.empty))
-    val mv = LakeTable.create(spark, mvPath, TableProps(
+    LakeTable.create(spark, mvPath, TableProps(
       "smvm", Seq("grp"), None, Seq.empty))
+    def mv = LakeTable.load(spark, mvPath)
     // amounts are integral so the delta fold is exact in LONG
     t.upsert(Seq((1, "g1", 10L, 1L), (2, "g1", 20L, 1L), (3, "g2", 5L, 1L))
       .toDF("id", "grp", "amt", "ts"))
-    val q = spark.readStream.format("graft")
-      .option("queryType", "cdc") // startCommit=0: batch 0 bootstraps the MV
-      .load(basePath)
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        val op = col(LakeTable.ChangeOpCol)
-        val bef = col(LakeTable.BeforeImageCol)
-        val deltas = df.groupBy(
-            coalesce(col("grp"), bef.getField("grp")).as("grp"))
-          .agg(
-            sum(when(op === "i", 1L).when(op === "d", -1L).otherwise(0L))
-              .as("dcnt"),
-            sum(when(op === "i", col("amt"))
-              .when(op === "d", -bef.getField("amt"))
-              .otherwise(col("amt") - bef.getField("amt"))).as("dsum"))
-        val snap = mv.snapshot()
-        val stored =
-          if (snap.columns.contains("grp")) snap.drop(LakeTable.MetaCols: _*)
-          else deltas.sparkSession.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "grp STRING, cnt BIGINT, sum_amt BIGINT"))
-        mv.upsert(stored.join(deltas, Seq("grp"), "full_outer")
-          .select(col("grp"),
-            (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
-              .as("cnt"),
-            (coalesce(col("sum_amt"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
-              .as("sum_amt")))
-        ()
-      }
-      .start()
+    val op = col(LakeTable.ChangeOpCol)
+    val bef = col(LakeTable.BeforeImageCol)
+    val deltasOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(coalesce(col("grp"), bef.getField("grp")).as("grp"))
+        .agg(
+          sum(when(op === "i", 1L).when(op === "d", -1L).otherwise(0L))
+            .as("dcnt"),
+          sum(when(op === "i", col("amt"))
+            .when(op === "d", -bef.getField("amt"))
+            .otherwise(col("amt") - bef.getField("amt"))).as("dsum"))
+    val fold = (stored0: org.apache.spark.sql.DataFrame,
+        deltas: org.apache.spark.sql.DataFrame) => {
+      // fresh MV: snapshot of a never-written table has no columns yet
+      val stored =
+        if (stored0.columns.contains("grp")) stored0
+        else deltas.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "grp STRING, cnt BIGINT, sum_amt BIGINT"))
+      stored.join(deltas, Seq("grp"), "full_outer")
+        .select(col("grp"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+            .as("cnt"),
+          (coalesce(col("sum_amt"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
+            .as("sum_amt"))
+    }
+    def run() = MvMaintenance.start(spark, basePath, mvPath, ckpt, deltasOf, fold)
     def mvState(): Set[(String, Long, Long)] =
       mv.snapshot().select("grp", "cnt", "sum_amt")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def recompute(): Set[(String, Long, Long)] =
+      t.snapshot().groupBy("grp")
+        .agg(count(lit(1)).as("cnt"), sum("amt").as("sum_amt"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // phase 1: bootstrap fold (batch 0 replays every current row as 'i')
+    val q1 = run()
     try {
-      q.processAllAvailable() // bootstrap: every seed row arrives as 'i'
+      q1.processAllAvailable()
       assert(mvState() == Set(("g1", 2L, 30L), ("g2", 1L, 5L)))
-      // update (g1: 10→15), move a row's group (via delete+insert key),
-      // and a fresh insert — folded incrementally, never a base rescan
-      t.upsert(Seq((1, "g1", 15L, 2L), (4, "g2", 7L, 1L))
-        .toDF("id", "grp", "amt", "ts"))
-      q.processAllAvailable()
-      t.delete(Seq(Tuple1(2)).toDF("id"))
-      q.processAllAvailable()
+    } finally q1.stop() // KILL mid-stream
+    // base keeps moving while the MV refresh is down: update g1's row,
+    // insert into g2, delete a g1 row
+    t.upsert(Seq((1, "g1", 15L, 2L), (4, "g2", 7L, 1L))
+      .toDF("id", "grp", "amt", "ts"))
+    t.delete(Seq(Tuple1(2)).toDF("id"))
+    // phase 2: restart from the checkpoint — the missed commits fold,
+    // and the MV equals a full recompute of the base table
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      assert(mvState() == recompute())
       assert(mvState() == Set(("g1", 1L, 15L), ("g2", 2L, 12L)))
-    } finally q.stop()
+    } finally q2.stop()
+    // phase 3: crash-window replay — the fold committed but the
+    // sidecar marker write was lost. The commit-tag safety net must
+    // skip the re-fold (a double-applied delta would corrupt the MV)
+    // and repair the marker.
+    val once = new ExactlyOnce(spark, ckpt)
+    val lastId = once.committedBatchId(mv)
+    assert(lastId >= 0)
+    assert(new java.io.File(mvPath, s"_streaming/${once.markerName}").delete())
+    assert(!once.runOnce(mv, lastId) { _ =>
+      fail("crash-window replay must not re-fold the batch")
+    })
+    assert(once.lastBatchId(mv) == lastId) // marker repaired
+    // clean replay after restart: sidecar fast path skips it too
+    assert(!once.runOnce(mv, lastId) { _ => fail("clean replay re-folded") })
+    assert(mvState() == recompute())
   }
 
   test("flatMapGroupsWithState sessionization closes sessions on gap timeout") {

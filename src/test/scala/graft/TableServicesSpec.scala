@@ -227,6 +227,71 @@ class TableServicesSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 2)
   }
 
+  test("savepoint refuses an instant whose snapshot was already cleaned") {
+    val t = LakeTable.create(spark, tmp(), props)
+    t.upsert(mkDf(row(1, "a")))
+    val sp = t.upsert(mkDf(row(1, "b", ts = 2)))
+    t.upsert(mkDf(row(1, "c", ts = 3)))
+    // aggressive clean reclaims sp's file version while sp stays an
+    // ACTIVE commit — savepointing it now would pin an unreadable
+    // snapshot, so it must fail loudly instead
+    assert(t.clean(retainCommits = 0).nonEmpty)
+    val e = intercept[IllegalArgumentException](t.createSavepoint(sp))
+    assert(e.getMessage.contains("already cleaned"), e.getMessage)
+    assert(t.savepoints().isEmpty)
+    // the latest instant's files are all present: savepointable
+    t.createSavepoint(t.timeline.latestInstant().get)
+    assert(t.savepoints().nonEmpty)
+  }
+
+  test("clean_orphans never reaps files younger than a live writer's start") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, props)
+    t.upsert(mkDf(row(1, "a")))
+    val partDir = new java.io.File(path, "dt=d1")
+    val live = partDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    val orphan = new java.io.File(partDir, "orphan_recent.parquet")
+    java.nio.file.Files.copy(live.head.toPath, orphan.toPath)
+    // 5 s old: past an olderThanMs=0 threshold, but NOT older than a
+    // live writer's start — a real writer's staged-then-moved files
+    // look exactly like this until its commit lands
+    assert(orphan.setLastModified(System.currentTimeMillis() - 5000))
+    val inflight = t.timeline.beginWrite()
+    try {
+      assert(t.cleanOrphans(olderThanMs = 0).isEmpty)
+      assert(orphan.exists())
+    } finally t.timeline.clearInflight(inflight)
+    // writer gone: the same threshold now reaps it
+    assert(t.cleanOrphans(olderThanMs = 0)
+      .contains("dt=d1/orphan_recent.parquet"))
+    assert(!orphan.exists())
+  }
+
+  test("cdc source never offers a regressed offset after a late inflight fence") {
+    val path = tmp()
+    val t = LakeTable.create(spark, path, props)
+    val c0 = t.upsert(mkDf(row(1, "a")))
+    val src = new graft.streaming.GraftCdcSource(spark, t, c0)
+    t.upsert(mkDf(row(1, "b", ts = 2)))
+    val c2 = t.upsert(mkDf(row(2, "c", ts = 2)))
+    assert(src.getOffset.map(_.json()).exists(_.contains(c2)))
+    // a slow remote writer's fence marker surfaces BETWEEN the commits
+    // AFTER c2 was already offered — the fence computation would now
+    // regress below c2, and re-offering the lower instant would make
+    // the engine re-emit an already-delivered range
+    val inflightDir = new java.io.File(path, "_timeline/.inflight")
+    assert(inflightDir.mkdirs() || inflightDir.isDirectory)
+    // a marker sorting BETWEEN the two commits: predecessor-of-c2 + "0"
+    val between = new java.io.File(inflightDir,
+      t.timeline.commits().map(_.instant).takeRight(2).head + "0")
+    assert(between.createNewFile())
+    try {
+      val offered = src.getOffset.map(_.json())
+      assert(offered.exists(_.contains(c2)),
+        s"offset regressed below already-offered $c2: $offered")
+    } finally between.delete()
+  }
+
   test("archive folds old commits into a checkpoint; reads stay correct") {
     val t = LakeTable.create(spark, tmp(), props)
     val instants = (1 to 6).map(i => t.upsert(mkDf(row(i, s"v$i", dt = s"d${i % 2}"))))
