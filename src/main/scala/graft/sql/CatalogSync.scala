@@ -58,6 +58,19 @@ object CatalogSync {
       .getOrElse(throw new IllegalArgumentException(
         s"catalog '$targetCatalog' is not registered " +
           s"(missing spark.sql.catalog.$targetCatalog.warehouse)"))
+    syncInto(spark, sourceDir, warehouse, targetDb, auditTable, syncTime)
+  }
+
+  /** Same job addressed by target warehouse directory — the form the
+    * `CALL <catalog>.system.sync_database(...)` procedure uses (the
+    * procedure already executes inside its catalog). */
+  def syncInto(
+      spark: SparkSession,
+      sourceDir: String,
+      warehouse: String,
+      targetDb: String,
+      auditTable: String = "sync_audit",
+      syncTime: Option[String] = None): Seq[TableSync] = {
     val ts = syncTime.getOrElse(
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
         .format(java.time.LocalDateTime.now()))

@@ -346,6 +346,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           lakeOf(input.getUTF8String(0).toString)
             .deleteSavepoint(input.getUTF8String(1).toString))))
       }
+      case "sync_database" => procedure(
+        "sync_database", "mirror every lake table under a source directory " +
+          "into this catalog's database as pointer commits (foreign-catalog " +
+          "sync, SyncHiveWithDatabase shape), appending a sync_audit row per table",
+        Seq("source_dir" -> StringT, "db" -> StringT),
+        "num INT, table_name STRING, mark STRING, files_added INT, " +
+          "files_removed INT, detail STRING") { input =>
+        CatalogSync.syncInto(spark, input.getUTF8String(0).toString,
+          warehouse, input.getUTF8String(1).toString).map { r =>
+          InternalRow(r.num, UTF8String.fromString(r.tableName),
+            UTF8String.fromString(r.mark), r.filesAdded, r.filesRemoved,
+            UTF8String.fromString(r.detail))
+        }.toArray
+      }
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure $other")
     }
@@ -354,6 +368,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     Array("show_commits", "run_clean", "run_compaction", "archive_commits",
       "run_clustering", "run_zorder", "rollback_to_instant",
       "create_savepoint", "delete_savepoint", "show_fsview",
-      "show_savepoints", "clean_orphans")
+      "show_savepoints", "clean_orphans", "sync_database")
       .map(Identifier.of(Array("system"), _))
 }

@@ -202,6 +202,15 @@ class ParitySpec extends AnyFunSuite {
     assert(audit.filter(col("mark") === "success" || col("mark") === "up_to_date")
       .count() >= 6)
     assert(audit.select("syncTime").distinct().count() == 3)
+    // SQL surface: the same job as a CALL procedure in the target catalog
+    val t3 = LakeTable.create(spark, s"$srcDb/extra",
+      TableProps("extra", Seq("id"), None, Seq.empty))
+    t3.upsert(Seq((1, "z")).toDF("id", "v"))
+    val call = spark.sql(
+      s"CALL graft_hms.system.sync_database(source_dir => '$srcDb', db => 'db')")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(call("extra") == "success")
+    assert(spark.sql("SELECT v FROM graft_hms.db.extra").as[String].head() == "z")
   }
 
   test("W15: df.write.saveAsTable append through the graft provider") {
