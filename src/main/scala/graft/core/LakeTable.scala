@@ -1274,33 +1274,48 @@ final class LakeTable private[core] (
     * compact it if it contains any delta. Closure is REQUIRED for the
     * predicate-DML use: a key's current (matching) version and stale
     * (non-matching) versions always share the key ⇒ their files'
-    * ranges overlap ⇒ one fixpoint pass pulls every version of every
-    * in-scope key into the same compaction, so the follow-up rewrite
-    * can never resurrect a stale version. Missing stats ⇒ overlap
-    * (conservative). Driver-side over file metadata only; at very
-    * large file counts replace the pairwise pass with per-partition
-    * interval union — the fixpoint shape stays the same. */
+    * ranges overlap ⇒ the overlap component pulls every version of
+    * every in-scope key into the same compaction, so the follow-up
+    * rewrite can never resurrect a stale version.
+    *
+    * Interval-overlap components are computed EXACTLY with one
+    * min-key sort + merge sweep per partition — O(n log n) driver
+    * work, not a pairwise fixpoint. A file without key stats overlaps
+    * everything (conservative), gluing its whole partition into one
+    * component. */
   private def compactClosure(live: Seq[FileEntry], seedPaths: Set[String]): Unit = {
     if (seedPaths.isEmpty) return
-    val byPart = live.groupBy(_.partition)
-    val scope = scala.collection.mutable.Set.empty[String] ++= seedPaths
-    def overlapsE(a: FileEntry, b: FileEntry): Boolean =
-      (a.minKey, a.maxKey, b.minKey, b.maxKey) match {
-        case (Some(am), Some(aM), Some(bm), Some(bM)) =>
-          utf8Lte(am, bM) && utf8Lte(bm, aM)
-        case _ => true
-      }
-    var grew = true
-    while (grew) {
-      grew = false
-      byPart.values.foreach { files =>
-        val (in, out) = files.partition(f => scope.contains(f.path))
-        if (in.nonEmpty) out.foreach { o =>
-          if (in.exists(i => overlapsE(i, o))) { scope += o.path; grew = true }
+    val scope = Seq.newBuilder[FileEntry]
+    live.groupBy(_.partition).values.foreach { files =>
+      val hasSeed = files.exists(f => seedPaths.contains(f.path))
+      if (hasSeed) {
+        val (noStats, withStats) =
+          files.partition(f => f.minKey.isEmpty || f.maxKey.isEmpty)
+        if (noStats.nonEmpty)
+          // an unbounded file bridges every cluster: whole partition
+          scope ++= files
+        else {
+          // sort by min key, sweep into maximal overlapping clusters;
+          // keep the clusters that contain a seed
+          val sorted = withStats.sortBy(_.minKey.get)(Utf8Ordering)
+          val cluster = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+          var curMax: String = null
+          def flush(): Unit = {
+            if (cluster.exists(f => seedPaths.contains(f.path)))
+              scope ++= cluster
+            cluster.clear()
+          }
+          sorted.foreach { f =>
+            if (cluster.nonEmpty && !utf8Lte(f.minKey.get, curMax)) flush()
+            cluster += f
+            if (curMax == null || cluster.size == 1 ||
+                utf8Cmp(f.maxKey.get, curMax) > 0) curMax = f.maxKey.get
+          }
+          flush()
         }
       }
     }
-    val entries = live.filter(f => scope.contains(f.path))
+    val entries = scope.result()
     // all-base scope: the view there is already single-version
     if (entries.exists(_.delta)) compactEntries(entries)
   }
