@@ -1534,10 +1534,20 @@ final class LakeTable private[core] (
     // window as slack for instant bumping, FS mtime granularity, and
     // cross-host clock skew) so a legitimate write running longer than
     // `olderThanMs` never has its staged output vacuumed mid-write.
-    val cutoff = timeline.earliestActiveInflight()
-      .flatMap(Timeline.instantMillis)
-      .map(t => math.min(cutoff0, t - Timeline.INFLIGHT_STALE_MS))
-      .getOrElse(cutoff0)
+    val cutoff = timeline.earliestActiveInflight() match {
+      case None => cutoff0
+      case Some(i) => Timeline.instantMillis(i) match {
+        case Some(t) => math.min(cutoff0, t - Timeline.INFLIGHT_STALE_MS)
+        case None =>
+          // a live writer exists but its start time cannot be bounded
+          // (instant-id bumping can produce a non-calendar timestamp):
+          // NO cutoff is provably safe, so skip this vacuum run rather
+          // than risk reaping the writer's staged files
+          LakeTable.log.warn(s"cleanOrphans on $basePath skipped: live " +
+            s"inflight marker '$i' has an unparseable start time")
+          return Seq.empty
+      }
+    }
     val cs = timeline.commits()
     val cp = timeline.readCheckpoint()
     val referenced: Set[String] =
@@ -1621,6 +1631,9 @@ object LakeTable {
   /** GRAFT_PROFILE=1: print write-path phase timings to stderr. */
   private[core] val ProfileEnabled: Boolean =
     sys.env.get("GRAFT_PROFILE").exists(_ == "1")
+
+  private[core] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[LakeTable])
 
   val CommitTimeCol = "_commit_time"
   val RecordKeyCol = "_record_key"

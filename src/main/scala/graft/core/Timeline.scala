@@ -592,8 +592,31 @@ final class Timeline(conf: Configuration, val basePath: String) {
       def resolve(rel: String) =
         if (rel.startsWith("/") || rel.contains(":/")) new Path(rel)
         else new Path(tableBasePath, rel)
-      val gone = liveFiles(Some(instant)).map(_.path)
-        .filterNot(p => fs.exists(resolve(p)))
+      // per-path FileSystem (external/mirrored files may live on a
+      // different scheme than the table), checked CONCURRENTLY — the
+      // lock is held here, and a sequential pass over a large live set
+      // on a remote store would stall every writer for its duration
+      def missing(rel: String): Boolean = {
+        val p = resolve(rel)
+        try !p.getFileSystem(conf).exists(p)
+        catch { case _: Exception => true }
+      }
+      val paths = liveFiles(Some(instant)).map(_.path)
+      val gone =
+        if (paths.size <= 1) paths.filter(missing)
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, paths.size))
+          try {
+            implicit val ec: ExecutionContext =
+              ExecutionContext.fromExecutorService(pool)
+            Await.result(
+              Future.sequence(paths.map(p => Future(p -> missing(p)))),
+              Duration.Inf).collect { case (p, true) => p }
+          } finally pool.shutdown()
+        }
       require(gone.isEmpty,
         s"cannot savepoint $instant: ${gone.size} live file(s) already " +
           s"cleaned (create savepoints within the clean-retention " +
@@ -646,15 +669,25 @@ final class Timeline(conf: Configuration, val basePath: String) {
       .toSet
     val candidates = (activeRemoved ++ folded).distinct
       .filterNot(live.contains).filterNot(pinned.contains)
-    val deleted = candidates.filter { rel =>
+    // A table OWNS only files under its own base path. Absolute paths
+    // outside it are adopted REFERENCES (metadata bootstrap, catalog-
+    // sync mirrors): dropping them from the live set must never
+    // physically delete another table's data — a clean on a mirror
+    // would otherwise reap the SOURCE table's files.
+    def owned(rel: String): Boolean =
+      !(rel.startsWith("/") || rel.contains(":/")) ||
+        rel.startsWith(basePath + "/")
+    val (own, foreign) = candidates.partition(owned)
+    val deleted = own.filter { rel =>
       val p = new Path(basePath, rel)
       !fs.exists(p) || fs.delete(p, false)
     }
-    // drop confirmed-deleted paths from the checkpoint fold: without
+    // drop confirmed-deleted paths — and foreign references, which are
+    // "cleaned" by forgetting them — from the checkpoint fold: without
     // this the removal history grows forever and every clean re-stats
     // all of it. (Already under the method's table lock — the
     // file-based lock is NOT reentrant, so no inner acquisition.)
-    val done = deleted.toSet
+    val done = (deleted ++ foreign).toSet
     if (folded.exists(done.contains)) {
       readCheckpoint().foreach { cp =>
         atomicWrite(checkpointPath, Serialization.write(

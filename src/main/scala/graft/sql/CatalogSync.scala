@@ -71,8 +71,11 @@ object CatalogSync {
       targetDb: String,
       auditTable: String = "sync_audit",
       syncTime: Option[String] = None): Seq[TableSync] = {
+    // millisecond precision: syncTime is part of the audit table's
+    // primary key, and two runs inside the same second must not
+    // collide into duplicate-key rows
     val ts = syncTime.getOrElse(
-      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
         .format(java.time.LocalDateTime.now()))
     val fs = new Path(sourceDir)
       .getFileSystem(spark.sessionState.newHadoopConf())

@@ -213,6 +213,30 @@ class ParitySpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM graft_hms.db.extra").as[String].head() == "z")
   }
 
+  test("clean on a mirror never deletes the source table's files") {
+    import graft.core.TableProps
+    val srcDb = tmp("syncclean_")
+    val t = LakeTable.create(spark, s"$srcDb/tbl",
+      TableProps("tbl", Seq("id"), Some("ts"), Seq.empty))
+    t.upsert(Seq((1, "a", 1L)).toDF("id", "v", "ts"))
+    val wh = tmp("synccleanwh_")
+    graft.sql.CatalogSync.syncTable(spark, s"$srcDb/tbl", s"$wh/db/tbl")
+    val mirror = LakeTable.load(spark, s"$wh/db/tbl")
+    // upserting the mirror rewrites the pointer entry into a LOCAL
+    // file, recording the absolute source path as removed...
+    mirror.upsert(Seq((1, "b", 2L)).toDF("id", "v", "ts"))
+    // ...and a zero-retention clean must treat that foreign reference
+    // as forgettable metadata, NEVER as a deletable file: the source
+    // table still owns it
+    mirror.clean(retainCommits = 0)
+    assert(t.snapshot().select("v").as[String].collect().toSeq == Seq("a"),
+      "mirror-side clean corrupted the source table")
+    assert(mirror.snapshot().select("v").as[String].head() == "b")
+    // the forgotten reference does not linger in the removal history:
+    // a second clean finds nothing left to do
+    assert(mirror.clean(retainCommits = 0).isEmpty)
+  }
+
   test("W15: df.write.saveAsTable append through the graft provider") {
     // SyncCommentsAcrossClusters.scala:111-113 shape: a managed table
     // in the session catalog backed by the graft DSv1 provider

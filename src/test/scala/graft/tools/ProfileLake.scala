@@ -62,6 +62,21 @@ object ProfileLake {
     time("upsert 3")(t3.upsert(base.filter(col("c_custkey") % 3 === 2)))
     time("incremental read + count")(t3.incremental(c1).count())
 
+    println("== lake16_cdc-ish phases ==")
+    val p16 = "target/graft_scratch/profile_lake16"
+    LakeTable.drop(spark, p16)
+    val t16 = time("create")(LakeTable.create(spark, p16, props))
+    val c0 = time("upsert full")(t16.upsert(base))
+    time("upsert %5 update")(t16.upsert(base.filter(col("c_custkey") % 5 === 0)
+      .withColumn("ts", lit(2L))
+      .withColumn("c_acctbal", col("c_acctbal") * 2)))
+    time("delete %8")(t16.delete(base.filter(col("c_custkey") % 8 === 0)
+      .select("c_custkey", "c_mktsegment")))
+    time("insert %17")(t16.insert(base.filter(col("c_custkey") % 17 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)))
+    time("cdc read + count")(t16.cdc(c0).count())
+    time("cdc read again (warm)")(t16.cdc(c0).count())
+
     println("== lake4_merge phases ==")
     val p4 = "target/graft_scratch/profile_lake4"
     LakeTable.drop(spark, p4)
