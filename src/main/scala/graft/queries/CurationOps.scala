@@ -385,6 +385,53 @@ object CurationOps {
       FROM ranked d JOIN keep USING (lbl) WHERE d.rn > 1
       ORDER BY dropped_id"""))
 
+  /** split2 — leakage-safe train/val/test split: near-duplicate
+    * CLUSTERS are the split unit, not documents. A plain per-doc hash
+    * split (split1) puts a document and its near-copy in different
+    * splits ~10% of the time — benchmark contamination by
+    * construction; splitting on the component label (min reachable id
+    * over the MinHash near-dup graph, the pipe2 machinery) keeps every
+    * near-dup family on one side. Stateless hash of the cluster id →
+    * same 90/5/5 convention as split1; docs outside any near-dup pair
+    * are their own cluster. Shape at scale: banded-LSH pairs →
+    * size-gated components → one broadcast-join of labels — no new
+    * shuffles beyond the dedup pipeline itself. */
+  private val leakSplitQ = GQ(
+    "split2_leakage_safe",
+    (s, dir) => {
+      val labels = SimilarityOps.components(
+        DedupOps.minhashPairs(s, dir).select("a", "b"))
+      val h = expr(
+        "conv(substring(md5(cast(cluster as string)), 1, 12), 16, 10)")
+        .cast("long") % 100
+      DedupOps.corpus(s, dir).select("doc_id")
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster"))
+        .withColumn("split",
+          when(h < 90, "train").when(h < 95, "validation").otherwise("test"))
+        .select("doc_id", "cluster", "split")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${DedupOps.corpusSql},
+      ${DedupOps.pairsCteSql},
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      r(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(lbl) AS lbl FROM r GROUP BY id),
+      cl AS (SELECT c.doc_id, coalesce(comp.lbl, c.doc_id) AS cluster
+        FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id)
+      SELECT doc_id, cluster,
+        CASE
+          WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 90 THEN 'train'
+          WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 95 THEN 'validation'
+          ELSE 'test' END AS split
+      FROM cl ORDER BY doc_id"""))
+
   /** qual3 — character-entropy quality signal: Shannon entropy (nats)
     * of each document's character distribution — near-zero entropy
     * flags degenerate/repetitive junk, unusually high entropy flags
@@ -433,5 +480,5 @@ object CurationOps {
       FROM c ORDER BY doc_id"""))
 
   def qs: Seq[GQ] = Seq(deconQ, piiQ, repetitionQ, mixQ, pipeQ, canonicalQ,
-    entropyQ)
+    entropyQ, leakSplitQ)
 }

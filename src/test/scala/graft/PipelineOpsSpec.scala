@@ -47,6 +47,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("split2: near-dup pairs never straddle train/val/test splits") {
+    val split = SparkEntry.queries("split2_leakage_safe")(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = SparkEntry.queries("dedup2_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a,$b) split across ${split(a)}/${split(b)} — leakage")
+    }
+    assert(split.values.toSet.subsetOf(Set("train", "validation", "test")))
+  }
+
   test("ann lsh recall vs brute force on sf0.001") {
     val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sf)
       .filter(col("rank") <= 5)
