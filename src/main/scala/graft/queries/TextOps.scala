@@ -383,6 +383,59 @@ object TextOps {
       SELECT w1, w2, c2, CAST(rank AS INT) AS rank, pmi FROM r
       WHERE rank <= 25 ORDER BY rank"""))
 
+  /** qual4 — bigram-LM surprisal: per-document total negative log
+    * likelihood under the corpus's own bigram model,
+    * NLL(w1→w2) = ln c(w1) − ln c(w1,w2) — the model-based quality
+    * signal (a perplexity proxy: repetitive/templated docs score low,
+    * incoherent token soup scores high). Every doc bigram exists in
+    * the model by construction (it came from this corpus), so there
+    * is no OOV smoothing to pick. Determinism: each per-bigram ln
+    * term is computed from exact integer counts and rounded to 6 dp
+    * BEFORE the per-doc sum, which runs in DECIMAL — associative and
+    * fold-order-proof. Shape at scale: two corpus-level vocab
+    * aggregates, then bigram-keyed model joins (a dimension join —
+    * the model is not broadcastable at web scale and does not need to
+    * be) and one per-doc aggregate; no windows, no all-pairs. */
+  private val surprisal = GQ(
+    "qual4_bigram_surprisal",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("w", expr(toksExpr))
+      val db = docs.select(col("doc_id"), explode(expr(
+          "case when size(w) >= 2 then transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)) " +
+            "else array() end")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val uni = docs.select(explode(col("w")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c1"))
+      val bi = db.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      db.join(bi, Seq("w1", "w2"))
+        .join(uni.select(col("term").as("w1"), col("c1")), "w1")
+        .withColumn("nll", round(
+          log(col("c1").cast("double")) - log(col("c2").cast("double")), 6)
+          .cast("decimal(18,6)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("nll")).cast("double").as("sum_nll"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS w FROM documents),
+      db AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+          unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+        FROM tk WHERE len(w) >= 2),
+      uni AS (SELECT term, count(*) AS c1 FROM (
+          SELECT unnest(w) AS term FROM tk) GROUP BY term),
+      bi AS (SELECT w1, w2, count(*) AS c2 FROM db GROUP BY w1, w2),
+      terms AS (SELECT d.doc_id,
+          CAST(round(ln(CAST(uni.c1 AS DOUBLE)) - ln(CAST(bi.c2 AS DOUBLE)), 6)
+            AS DECIMAL(18,6)) AS nll
+        FROM db d
+        JOIN bi ON bi.w1 = d.w1 AND bi.w2 = d.w2
+        JOIN uni ON uni.term = d.w1)
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(nll) AS DOUBLE) AS sum_nll
+      FROM terms GROUP BY doc_id ORDER BY doc_id"""))
+
   def qs: Seq[GQ] = Seq(quality, langId, tokenStats, fingerprint, ngramProfile,
-    hashSplit, packBins, tfidf, pmi)
+    hashSplit, packBins, tfidf, pmi, surprisal)
 }
