@@ -264,6 +264,59 @@ object CurationOps {
         CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS achieved
       FROM d GROUP BY source ORDER BY source"""))
 
+  /** mix2 — temperature-scaled domain reweighting: the sampling
+    * distribution multilingual/multi-domain LM training uses to keep
+    * large domains from drowning small ones, p_temp(s) ∝ n_tokens(s)^α
+    * with α = 0.3 (α = 1 is natural sampling, α → 0 uniform). Emits
+    * per source the natural share, the tempered share, the resulting
+    * boost factor, and the token allocation from a 1M-token budget —
+    * the inputs mix1-style samplers consume as their per-source rate.
+    * Determinism: each pow() is rounded to 6 dp before the DECIMAL
+    * total, shares divide doubles already rounded to 9 dp. Shape at
+    * scale: one groupBy(source) aggregate over the corpus (map-side
+    * combine onto #domains rows), re-aggregated to a 1-row totals
+    * relation that joins back by broadcast — nothing scales with SF
+    * after the first aggregate. */
+  private val mix2Q = GQ(
+    "mix2_temperature_reweight",
+    (s, dir) => {
+      val perSrc = t(s, dir, "documents")
+        .withColumn("tok", ceil(col("n_chars").cast("double") / 4.0).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+        .withColumn("pw",
+          round(pow(col("n_tokens").cast("double"), lit(0.3)), 6)
+            .cast("decimal(18,6)"))
+      val tot = perSrc.agg(sum("n_tokens").as("tot_tokens"),
+        sum("pw").as("tot_pw"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("p_nat", round(
+          col("n_tokens").cast("double") / col("tot_tokens").cast("double"), 9))
+        .withColumn("p_temp", round(
+          col("pw").cast("double") / col("tot_pw").cast("double"), 9))
+        .withColumn("boost", round(col("p_temp") / col("p_nat"), 9))
+        .withColumn("target_tokens",
+          floor(lit(1000000.0) * col("p_temp")).cast("long"))
+        .select("source", "n_docs", "n_tokens", "p_nat", "p_temp", "boost",
+          "target_tokens")
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source, count(*) AS n_docs,
+        CAST(sum(CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+      p AS (SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3), 6)
+          AS DECIMAL(18,6)) AS pw FROM d),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        sum(pw) AS tot_pw FROM p),
+      shares AS (SELECT source, n_docs, n_tokens,
+        round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 9) AS p_nat,
+        round(CAST(pw AS DOUBLE) / CAST(tot_pw AS DOUBLE), 9) AS p_temp
+      FROM p, tot)
+      SELECT source, n_docs, n_tokens, p_nat, p_temp,
+        round(p_temp / p_nat, 9) AS boost,
+        CAST(floor(1000000.0 * p_temp) AS BIGINT) AS target_tokens
+      FROM shares ORDER BY source"""))
+
   /** The pipeline quality classifier (text1's signals as one score) —
     * ONE definition shared by pipe1's filter and pipe2's retention
     * ranking, with [[qualitySql]] as its DuckDB mirror; tuning it in
@@ -479,6 +532,6 @@ object CurationOps {
             CAST(n AS DOUBLE), 6) AS entropy
       FROM c ORDER BY doc_id"""))
 
-  def qs: Seq[GQ] = Seq(deconQ, piiQ, repetitionQ, mixQ, pipeQ, canonicalQ,
-    entropyQ, leakSplitQ)
+  def qs: Seq[GQ] = Seq(deconQ, piiQ, repetitionQ, mixQ, mix2Q, pipeQ,
+    canonicalQ, entropyQ, leakSplitQ)
 }

@@ -567,7 +567,55 @@ object Relational {
       FROM sessions GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx"""))
 
+  /** q22 — ordered event funnel (view → click → purchase): for each
+    * user, the earliest view, the earliest click strictly after that
+    * view, and the earliest purchase strictly after that click — the
+    * "did the user progress through the steps IN ORDER" analysis a
+    * bag-of-events GROUP BY cannot answer. Expressed as chained
+    * conditional aggregations: each step joins the next event type
+    * against the previous step's timestamp and takes the min. All
+    * three aggregates and both joins hash on `user_id`, so at 100 TB
+    * the plan reuses one exchange layout instead of re-shuffling
+    * (AQE; no windows, no per-user collect). Left joins keep every
+    * funnel entrant with `depth` marking how far they got. */
+  private val q22 = GQ(
+    "q22_funnel",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1_us"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("us") > col("t1_us"))
+        .groupBy("user_id").agg(min("us").as("t2_us"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("us") > col("t2_us"))
+        .groupBy("user_id").agg(min("us").as("t3_us"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .withColumn("depth",
+          when(col("t3_us").isNotNull, 3)
+            .when(col("t2_us").isNotNull, 2).otherwise(1))
+        .select("user_id", "t1_us", "t2_us", "t3_us", "depth")
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      s1 AS (SELECT user_id, min(us) AS t1_us FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(us) AS t2_us FROM e
+        JOIN s1 ON s1.user_id = e.user_id
+        WHERE event_type = 'click' AND us > t1_us GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(us) AS t3_us FROM e
+        JOIN s2 ON s2.user_id = e.user_id
+        WHERE event_type = 'purchase' AND us > t2_us GROUP BY e.user_id)
+      SELECT s1.user_id, t1_us, t2_us, t3_us,
+        CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+          WHEN t2_us IS NOT NULL THEN 2 ELSE 1 END AS INT) AS depth
+      FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+      LEFT JOIN s3 ON s3.user_id = s1.user_id
+      ORDER BY s1.user_id"""))
+
   def qs: Seq[GQ] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15,
-      q16, q17, q18, q19, q20, q21)
+      q16, q17, q18, q19, q20, q21, q22)
 }

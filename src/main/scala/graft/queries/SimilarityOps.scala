@@ -590,5 +590,71 @@ object SimilarityOps {
       WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
-  def qs: Seq[GQ] = Seq(topkQ, nearDupQ, annQ, ivfQ, graphDedupQ, pqQ)
+  /** Truncated-prefix (first `d` dims) dot product — the cheap
+    * coarse score of the matryoshka two-stage search. */
+  private def dotPrefixSql(a: String, b: String, d: Int): String =
+    s"list_sum(list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** sim7 — matryoshka two-stage retrieval: a coarse pass scores
+    * every vector with only its FIRST 16 dims (4× less arithmetic and
+    * — with prefix-truncated storage — 4× less I/O per candidate, the
+    * matryoshka-embedding property), keeps the top 50 per query, and
+    * an exact 64-dim re-rank of those 50 yields the final top 10.
+    * This is the production ANN shape that needs no index build at
+    * all: one scan of N against broadcast queries, a per-query top-k,
+    * then exact scoring of a constant-size candidate set. The oracle
+    * replays both stages, so the gate checks the two-stage semantics
+    * exactly (tcos ties at the 50-boundary break by vec_id in both
+    * engines). Determinism: both scores rounded to 9 dp, vec_id
+    * tie-breaks everywhere. */
+  private val mrQ = GQ(
+    "sim7_matryoshka_rerank",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val Td = 16
+      val e = t(s, dir, "embeddings")
+        .withColumn("e16", expr(s"slice(embedding, 1, $Td)"))
+        .withColumn("nrm", expr(normExpr("embedding")))
+        .withColumn("nrm16", expr(normExpr("e16")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("e16").as("q_e16"), col("nrm").as("q_nrm"),
+          col("nrm16").as("q_nrm16"))
+      val coarse = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("tcos", round(
+          expr(dotExpr("q_e16", "e16")) / (col("q_nrm16") * col("nrm16")), 9))
+      val wc = Window.partitionBy(col("q_id"))
+        .orderBy(col("tcos").desc, col("vec_id").asc)
+      val cand = coarse.withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= 50)
+      val wf = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      cand.withColumn("cosine", cosineCol)
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 10)
+        .select("q_id", "vec_id", "tcos", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 5),
+      coarse AS (SELECT q_id, vec_id, q_emb, embedding,
+          round(${dotPrefixSql("q_emb", "embedding", 16)} /
+            (sqrt(${dotPrefixSql("q_emb", "q_emb", 16)}) *
+             sqrt(${dotPrefixSql("embedding", "embedding", 16)})), 9) AS tcos
+        FROM embeddings, q WHERE vec_id <> q_id),
+      cand AS (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY tcos DESC, vec_id ASC) AS crank
+        FROM coarse),
+      fine AS (SELECT q_id, vec_id, tcos,
+          round(${dotSql("q_emb", "embedding")} /
+            (${normSql("q_emb")} * ${normSql("embedding")}), 9) AS cosine
+        FROM cand WHERE crank <= 50),
+      r AS (SELECT q_id, vec_id, tcos, cosine,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM fine)
+      SELECT q_id, vec_id, tcos, cosine, CAST(rank AS INT) AS rank FROM r
+      WHERE rank <= 10 ORDER BY q_id, rank"""))
+
+  def qs: Seq[GQ] = Seq(topkQ, nearDupQ, annQ, ivfQ, graphDedupQ, pqQ, mrQ)
 }
