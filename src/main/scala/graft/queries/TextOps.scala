@@ -436,6 +436,100 @@ object TextOps {
         CAST(sum(nll) AS DOUBLE) AS sum_nll
       FROM terms GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Number of BPE merge rules tok2 learns (and the oracle unrolls). */
+  private val BpeMerges = 8
+
+  /** tok2 — BPE tokenizer training: learn the first [[BpeMerges]]
+    * byte-pair-encoding merge rules from the corpus. Each iteration
+    * counts adjacent symbol pairs over the (distinct word, frequency)
+    * vocabulary, picks the most frequent pair (ties: lexicographic),
+    * and merges every non-overlapping occurrence left-to-right —
+    * textbook BPE (Sennrich et al. 2016), the `hudi-demo`-era
+    * pipelines' missing "train the tokenizer ON the data" step.
+    *
+    * Identical merge application in both engines without loops or
+    * UDFs: a word's symbol sequence is encoded as a string with
+    * TWO-space separators and single-space sentinels
+    * (`" h  e  l  l  o "`), so the literal `replace(s, " a  b ",
+    * " ab ")` — which both Spark and DuckDB scan left-to-right,
+    * non-overlapping — IS greedy BPE application, and separators
+    * around the merged symbol stay intact (each match consumes one
+    * space from each neighboring separator and the replacement puts
+    * both back). Symbols never contain spaces, so every match aligns
+    * to symbol boundaries.
+    *
+    * Scale shape: ONE corpus scan builds the (word, f) vocabulary;
+    * every later step is over the vocab relation (millions of rows at
+    * web scale, distributed): per-iteration pair counting is a
+    * groupBy, merge application a projection. Only the single argmax
+    * row syncs to the driver per iteration — the model (like sim4's
+    * centroids) is O(merges), the data never collects. */
+  private val bpe = GQ(
+    "tok2_bpe_merges",
+    (s, dir) => {
+      val chars =
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+      val vocab = t(s, dir, "documents")
+        .select(explode(expr(toksExpr)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("f"))
+        .withColumn("syms",
+          concat(lit(" "), array_join(expr(chars), "  "), lit(" ")))
+        .select("f", "syms")
+        .cache()
+      var cur = vocab
+      val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (k <- 1 to BpeMerges) {
+        val top = cur
+          .select(col("f"), expr("split(trim(syms), '  ')").as("arr"))
+          .select(col("f"), explode(expr(
+            // guard: Spark's sequence(1, 0) steps DOWN, not empty
+            "case when size(arr) >= 2 then transform(sequence(1, size(arr) - 1), " +
+              "i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b)) " +
+              "else array() end"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("f").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        val (a, b) = (top.getString(0), top.getString(1))
+        rules += ((k, a, b, a + b, top.getLong(2)))
+        cur = cur.withColumn("syms", call_function("replace",
+          col("syms"), lit(s" $a  $b "), lit(s" $a$b ")))
+      }
+      vocab.unpersist()
+      import s.implicits._
+      rules.result().toDF("rank", "lhs", "rhs", "merged", "pair_count")
+        .orderBy("rank")
+    },
+    Some {
+      val steps = (1 to BpeMerges).map { k =>
+        s"""p$k AS (SELECT p.a AS a, p.b AS b, CAST(sum(f) AS BIGINT) AS cnt
+          FROM (SELECT f, unnest(list_transform(range(1, len(arr)),
+              i -> {'a': arr[i], 'b': arr[i + 1]})) AS p
+            FROM (SELECT f, string_split(trim(syms), '  ') AS arr
+              FROM v${k - 1}))
+          GROUP BY 1, 2),
+        r$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+        v$k AS MATERIALIZED (SELECT f, replace(syms,
+            ' ' || (SELECT a FROM r$k) || '  ' || (SELECT b FROM r$k) || ' ',
+            ' ' || (SELECT a FROM r$k) || (SELECT b FROM r$k) || ' ') AS syms
+          FROM v${k - 1})"""
+      }.mkString(",\n")
+      val union = (1 to BpeMerges)
+        .map(k => s"SELECT $k AS rank, a, b, cnt FROM r$k")
+        .mkString(" UNION ALL ")
+      s"""WITH tk AS (SELECT unnest($toksSql) AS word FROM documents),
+        v0 AS MATERIALIZED (SELECT word AS w0, count(*) AS f,
+            ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+              i -> word[i]), '  ') || ' ' AS syms
+          FROM tk WHERE word <> '' GROUP BY word),
+        $steps
+        SELECT CAST(rank AS INT) AS rank, a AS lhs, b AS rhs,
+          a || b AS merged, cnt AS pair_count
+        FROM ($union) ORDER BY rank"""
+    })
+
   def qs: Seq[GQ] = Seq(quality, langId, tokenStats, fingerprint, ngramProfile,
-    hashSplit, packBins, tfidf, pmi, surprisal)
+    hashSplit, packBins, tfidf, pmi, surprisal, bpe)
 }

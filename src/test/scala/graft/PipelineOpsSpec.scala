@@ -116,6 +116,69 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"PQ-ADC recall collapsed: $recall (expected ~0.23 on sf0.001)")
   }
 
+  test("sim7 matryoshka: results come from the coarse-50 and recall holds") {
+    val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mr = SparkEntry.queries("sim7_matryoshka_rerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mr.size == 5 * 10, s"expected a full top-10 per query, got ${mr.size}")
+    val recall = (exact & mr).size.toDouble / exact.size
+    // deterministic on this fixture: 0.44. Random vectors are the
+    // adversarial case for prefix truncation (information is uniform
+    // across dims, so 16 of 64 dims carry 1/4 of it); trained
+    // matryoshka embeddings concentrate signal in the prefix.
+    assert(recall >= 0.3, s"two-stage recall collapsed: $recall")
+  }
+
+  test("mix2: tempered shares are a flattened distribution over a 1M budget") {
+    val rows = SparkEntry.queries("mix2_temperature_reweight")(spark, sf)
+      .select("n_tokens", "p_nat", "p_temp", "boost", "target_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-6)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-6)
+    assert(rows.map(_._5).sum <= 1000000L)
+    // temperature < 1 flattens: boost must be antitone in domain size
+    val bySize = rows.sortBy(_._1)
+    bySize.sliding(2).foreach { case Array((n1, _, _, b1, _), (n2, _, _, b2, _)) =>
+      assert(b1 >= b2 || n1 == n2,
+        s"boost not antitone in n_tokens: ($n1,$b1) then ($n2,$b2)")
+    }
+    // and it moves the mix TOWARD uniform, never past it
+    val u = 1.0 / rows.length
+    rows.foreach { case (_, nat, temp, _, _) =>
+      assert((temp - nat).abs <= (u - nat).abs + 1e-9,
+        s"tempered share $temp overshot uniform $u from natural $nat")
+    }
+  }
+
+  test("q22 funnel: steps only count when strictly in order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    // ts written as raw nanos longs — same physical shape Tables.events
+    // normalizes (nanosAsLong), so the query-under-test reads it as the
+    // real file. user 1 completes; user 2's clicks precede its first
+    // view; user 3's only purchase precedes its click; user 4 never
+    // views (not a funnel entrant).
+    Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "click", 8L), (2L, "view", 10L),
+      (3L, "view", 10L), (3L, "purchase", 15L), (3L, "click", 20L),
+      (4L, "click", 1L), (4L, "purchase", 2L))
+      .toDF("user_id", "event_type", "ts")
+      .withColumn("ts", col("ts") * 1000000000L)
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q22_funnel")(spark, dir)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4)))
+    def us(sec: Long) = Some(sec * 1000000L)
+    assert(got.toSeq == Seq(
+      (1L, us(10), us(20), us(30), 3),
+      (2L, us(10), None, None, 1),
+      (3L, us(10), us(20), None, 2)))
+  }
+
   test("media decode: batch pipeline matches column-expression metadata") {
     val docs = Tables.t(spark, sf, "documents")
       .withColumn("payload", col("text").cast("binary"))
