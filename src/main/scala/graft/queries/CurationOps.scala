@@ -102,6 +102,118 @@ object CurationOps {
       FROM cg JOIN bg USING (g)
       GROUP BY cg.doc_id ORDER BY doc_id"""))
 
+  /** decon2 — embedding-space decontamination: flag corpus vectors
+    * whose cosine against ANY benchmark vector (vec_id % 37 = 0)
+    * reaches 0.999 — the semantic complement of decon1's exact
+    * 13-gram overlap (catches paraphrased/reformatted benchmark
+    * leakage that shares no verbatim gram). Contamination is
+    * injected: every benchmark vector reappears in the corpus under
+    * vec_id + 2,000,000, so expected flags are known and the oracle
+    * (a brute-force pass over the same corpus) doubles as a recall
+    * check. The plan is the real shape at 100 TB: the benchmark set
+    * is small BY DEFINITION, so it broadcasts against one scan of
+    * the corpus — no self-join, no LSH needed. */
+  private val decon2Q = GQ(
+    "decon2_embedding_contamination",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val bench = e.filter(col("vec_id") % 37 === 0)
+      // norms once per vector, BEFORE the broadcast fan-out
+      val corpus = e.filter(col("vec_id") % 37 =!= 0)
+        .unionByName(bench.withColumn("vec_id", col("vec_id") + 2000000L))
+        .withColumn("nrm", expr("sqrt(graft_vec_dot(embedding, embedding))"))
+      val b = bench.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"),
+        expr("sqrt(graft_vec_dot(embedding, embedding))").as("b_nrm"))
+      val scored = corpus.join(broadcast(b))
+        .withColumn("cosine", round(
+          expr("graft_vec_dot(b_emb, embedding)") / (col("b_nrm") * col("nrm")), 9))
+        .filter(col("cosine") >= 0.999)
+      scored.groupBy("vec_id")
+        .agg(count(lit(1)).as("n_bench_hits"),
+          max(struct(col("cosine"), (-col("b_id")).as("nbid"))).as("m"))
+        .select(col("vec_id"), col("n_bench_hits"),
+          (-col("m.nbid")).cast("long").as("top_bench_id"),
+          col("m.cosine").as("top_cosine"),
+          (col("vec_id") >= 2000000L).cast("int").as("is_injected"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH bench AS (SELECT vec_id AS b_id, embedding AS b_emb
+        FROM embeddings WHERE vec_id % 37 = 0),
+      corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0
+        UNION ALL SELECT b_id + 2000000, b_emb FROM bench),
+      scored AS MATERIALIZED (SELECT vec_id, b_id,
+          round(${simDotSql("b_emb", "embedding")} /
+            (sqrt(${simDotSql("b_emb", "b_emb")}) *
+             sqrt(${simDotSql("embedding", "embedding")})), 9) AS cosine
+        FROM corpus, bench),
+      hits AS MATERIALIZED (SELECT * FROM scored WHERE cosine >= 0.999),
+      g AS (SELECT vec_id, count(*) AS n_bench_hits,
+          max(cosine) AS top_cosine
+        FROM hits GROUP BY vec_id)
+      SELECT g.vec_id, n_bench_hits,
+        CAST(min(h.b_id) AS BIGINT) AS top_bench_id, top_cosine,
+        CAST(g.vec_id >= 2000000 AS INT) AS is_injected
+      FROM g JOIN hits h ON h.vec_id = g.vec_id AND h.cosine = g.top_cosine
+      GROUP BY g.vec_id, n_bench_hits, top_cosine ORDER BY g.vec_id"""))
+
+  /** Element-order-deterministic dot product mirror (same fold as
+    * graft_vec_dot / SimilarityOps.dotSql). */
+  private def simDotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** mix3 — quality-weighted sampling: each document's keep
+    * probability is proportional to its classifier score (capped at
+    * 0.8 to retain exploration mass), decided by the same salted
+    * content-stable hash as mix1 — the "sample good data harder"
+    * stage between scoring and packing. Stateless per row and
+    * reproducible under any partitioning; gate aggregates per source
+    * with the kept-set's mean quality (DECIMAL sum) to show the
+    * selection actually shifts the distribution. */
+  // lazy: refers to qualitySql, a val declared further down the object
+  private lazy val mix3Q = GQ(
+    "mix3_quality_weighted",
+    (s, dir) => {
+      val h = expr(
+        "conv(substring(md5(concat('mix3:', cast(doc_id as string))), 1, 12), 16, 10)")
+        .cast("long") % 1000
+      val target = floor(lit(800.0) * round(col("quality"), 6)).cast("long")
+      t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr.format("text")))
+        .withColumn("quality", qualityCol)
+        .withColumn("kept", (h < target).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+          // exact decimal sum scaled to integer e9 space: the mean can
+          // then be a floor BIGINT division — bit-identical across
+          // engines, unlike round() of a double quotient at 9 dp
+          (sum(when(col("kept") === 1, col("quality").cast("decimal(18,9)"))
+            .otherwise(lit(null))) * lit(1000000000L)).cast("long")
+            .as("qsum_e9"))
+        .withColumn("kept_quality_mean",
+          when(col("n_kept") > 0,
+            expr("qsum_e9 div n_kept").cast("double") / 1e9))
+        .select("source", "n_docs", "n_kept", "kept_quality_mean")
+        .orderBy("source")
+    },
+    Some(s"""WITH q AS (SELECT source, $qualitySql AS quality,
+        CAST('0x' || substr(md5('mix3:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000 AS h
+      FROM (SELECT *, ${toksSql.format("text")} AS toks FROM documents)),
+      k AS (SELECT source, quality,
+        CASE WHEN h < CAST(floor(800.0 * round(quality, 6)) AS BIGINT)
+          THEN 1 ELSE 0 END AS kept FROM q),
+      g AS (SELECT source, count(*) AS n_docs,
+        CAST(sum(kept) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kept = 1
+          THEN CAST(quality AS DECIMAL(18,9)) END) * 1000000000 AS BIGINT)
+          AS qsum_e9
+      FROM k GROUP BY source)
+      SELECT source, n_docs, n_kept,
+        CASE WHEN n_kept > 0
+          THEN CAST(qsum_e9 // n_kept AS DOUBLE) / 1e9 END AS kept_quality_mean
+      FROM g ORDER BY source"""))
+
   /** pii1 — PII detection + redaction: emails, IPv4s, and US-style
     * short phone numbers are injected deterministically (doc_id mod
     * 7/11/13), then counted and redacted with anchored regexes. Pure
@@ -532,6 +644,6 @@ object CurationOps {
             CAST(n AS DOUBLE), 6) AS entropy
       FROM c ORDER BY doc_id"""))
 
-  def qs: Seq[GQ] = Seq(deconQ, piiQ, repetitionQ, mixQ, mix2Q, pipeQ,
-    canonicalQ, entropyQ, leakSplitQ)
+  def qs: Seq[GQ] = Seq(deconQ, decon2Q, piiQ, repetitionQ, mixQ, mix2Q,
+    mix3Q, pipeQ, canonicalQ, entropyQ, leakSplitQ)
 }

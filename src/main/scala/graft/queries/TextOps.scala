@@ -464,72 +464,132 @@ object TextOps {
     * groupBy, merge application a projection. Only the single argmax
     * row syncs to the driver per iteration — the model (like sim4's
     * centroids) is O(merges), the data never collects. */
+  /** Trains the BPE model: returns the [[BpeMerges]] merge rules
+    * (rank, lhs, rhs, merged, pair_count) and the final vocabulary
+    * (word, f, syms) with all merges applied. Shared by tok2 (emits
+    * the rules) and tok3 (applies the vocabulary to the corpus). */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    val chars =
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    val vocab = t(s, dir, "documents")
+      .select(explode(expr(toksExpr)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .withColumn("syms",
+        concat(lit(" "), array_join(expr(chars), "  "), lit(" ")))
+      .cache()
+    var cur = vocab
+    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (k <- 1 to BpeMerges) {
+      val top = cur
+        .select(col("f"), expr("split(trim(syms), '  ')").as("arr"))
+        .select(col("f"), explode(expr(
+          // guard: Spark's sequence(1, 0) steps DOWN, not empty
+          "case when size(arr) >= 2 then transform(sequence(1, size(arr) - 1), " +
+            "i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b)) " +
+            "else array() end"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b) = (top.getString(0), top.getString(1))
+      rules += ((k, a, b, a + b, top.getLong(2)))
+      cur = cur.withColumn("syms", call_function("replace",
+        col("syms"), lit(s" $a  $b "), lit(s" $a$b ")))
+    }
+    (rules.result(), cur)
+  }
+
+  /** The oracle's replay of [[bpeTrain]]: v0 (char-split vocabulary)
+    * through v[[BpeMerges]], each step deriving rule r{k} by argmax
+    * pair count and applying it with the same literal replace. All
+    * stages MATERIALIZED — the chain re-references each CTE several
+    * times and DuckDB would otherwise inline it exponentially. */
+  private def bpeStepsSql: String = {
+    val steps = (1 to BpeMerges).map { k =>
+      s"""p$k AS (SELECT p.a AS a, p.b AS b, CAST(sum(f) AS BIGINT) AS cnt
+        FROM (SELECT f, unnest(list_transform(range(1, len(arr)),
+            i -> {'a': arr[i], 'b': arr[i + 1]})) AS p
+          FROM (SELECT f, string_split(trim(syms), '  ') AS arr
+            FROM v${k - 1}))
+        GROUP BY 1, 2),
+      r$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+      v$k AS MATERIALIZED (SELECT w0, f, replace(syms,
+          ' ' || (SELECT a FROM r$k) || '  ' || (SELECT b FROM r$k) || ' ',
+          ' ' || (SELECT a FROM r$k) || (SELECT b FROM r$k) || ' ') AS syms
+        FROM v${k - 1})"""
+    }.mkString(",\n")
+    s"""tk AS (SELECT unnest($toksSql) AS word FROM documents),
+      v0 AS MATERIALIZED (SELECT word AS w0, count(*) AS f,
+          ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+            i -> word[i]), '  ') || ' ' AS syms
+        FROM tk WHERE word <> '' GROUP BY word),
+      $steps"""
+  }
+
   private val bpe = GQ(
     "tok2_bpe_merges",
     (s, dir) => {
-      val chars =
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-      val vocab = t(s, dir, "documents")
-        .select(explode(expr(toksExpr)).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("word").agg(count(lit(1)).as("f"))
-        .withColumn("syms",
-          concat(lit(" "), array_join(expr(chars), "  "), lit(" ")))
-        .select("f", "syms")
-        .cache()
-      var cur = vocab
-      val rules = Seq.newBuilder[(Int, String, String, String, Long)]
-      for (k <- 1 to BpeMerges) {
-        val top = cur
-          .select(col("f"), expr("split(trim(syms), '  ')").as("arr"))
-          .select(col("f"), explode(expr(
-            // guard: Spark's sequence(1, 0) steps DOWN, not empty
-            "case when size(arr) >= 2 then transform(sequence(1, size(arr) - 1), " +
-              "i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b)) " +
-              "else array() end"))
-            .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("f").as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()(0)
-        val (a, b) = (top.getString(0), top.getString(1))
-        rules += ((k, a, b, a + b, top.getLong(2)))
-        cur = cur.withColumn("syms", call_function("replace",
-          col("syms"), lit(s" $a  $b "), lit(s" $a$b ")))
-      }
+      val (rules, vocab) = bpeTrain(s, dir)
       vocab.unpersist()
       import s.implicits._
-      rules.result().toDF("rank", "lhs", "rhs", "merged", "pair_count")
+      rules.toDF("rank", "lhs", "rhs", "merged", "pair_count")
         .orderBy("rank")
     },
     Some {
-      val steps = (1 to BpeMerges).map { k =>
-        s"""p$k AS (SELECT p.a AS a, p.b AS b, CAST(sum(f) AS BIGINT) AS cnt
-          FROM (SELECT f, unnest(list_transform(range(1, len(arr)),
-              i -> {'a': arr[i], 'b': arr[i + 1]})) AS p
-            FROM (SELECT f, string_split(trim(syms), '  ') AS arr
-              FROM v${k - 1}))
-          GROUP BY 1, 2),
-        r$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-        v$k AS MATERIALIZED (SELECT f, replace(syms,
-            ' ' || (SELECT a FROM r$k) || '  ' || (SELECT b FROM r$k) || ' ',
-            ' ' || (SELECT a FROM r$k) || (SELECT b FROM r$k) || ' ') AS syms
-          FROM v${k - 1})"""
-      }.mkString(",\n")
       val union = (1 to BpeMerges)
         .map(k => s"SELECT $k AS rank, a, b, cnt FROM r$k")
         .mkString(" UNION ALL ")
-      s"""WITH tk AS (SELECT unnest($toksSql) AS word FROM documents),
-        v0 AS MATERIALIZED (SELECT word AS w0, count(*) AS f,
-            ' ' || array_to_string(list_transform(range(1, len(word) + 1),
-              i -> word[i]), '  ') || ' ' AS syms
-          FROM tk WHERE word <> '' GROUP BY word),
-        $steps
+      s"""WITH $bpeStepsSql
         SELECT CAST(rank AS INT) AS rank, a AS lhs, b AS rhs,
           a || b AS merged, cnt AS pair_count
         FROM ($union) ORDER BY rank"""
     })
 
+  /** tok3 — the learned tokenizer APPLIED: segment every document
+    * with tok2's trained model and report per-document subword
+    * counts against whitespace-word and character baselines — the
+    * train-on-the-corpus → tokenize-the-corpus loop, and the number
+    * a sequence-packing stage (pack1) actually needs. The per-word
+    * subword count is computed ONCE on the vocabulary relation (the
+    * merges already applied there) and joined back to the exploded
+    * corpus by word — at 100 TB the segmentation cost is
+    * O(vocab) + one hash join, never a per-occurrence re-merge. */
+  private val bpeApply = GQ(
+    "tok3_bpe_tokenize",
+    (s, dir) => {
+      val (_, vocab) = bpeTrain(s, dir)
+      val perWord = vocab.select(col("word"),
+        size(expr("split(trim(syms), '  ')")).cast("long").as("n_sub"),
+        length(col("word")).cast("long").as("n_chr"))
+      val out = t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksExpr)).as("word"))
+        .filter(col("word") =!= "")
+        .join(perWord, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"),
+          sum("n_chr").as("n_word_chars"))
+        .withColumn("chars_per_token", round(
+          col("n_word_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6))
+        .orderBy("doc_id")
+      vocab.unpersist()
+      out
+    },
+    Some(s"""WITH $bpeStepsSql,
+      per_word AS (SELECT w0, CAST(len(string_split(trim(syms), '  ')) AS BIGINT) AS n_sub,
+          CAST(len(w0) AS BIGINT) AS n_chr
+        FROM v$BpeMerges),
+      dw AS (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+      SELECT doc_id, count(*) AS n_words,
+        CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+        CAST(sum(n_chr) AS BIGINT) AS n_word_chars,
+        round(CAST(sum(n_chr) AS DOUBLE) / CAST(sum(n_sub) AS DOUBLE), 6)
+          AS chars_per_token
+      FROM dw JOIN per_word ON per_word.w0 = dw.word
+      WHERE word <> '' GROUP BY doc_id ORDER BY doc_id"""))
+
   def qs: Seq[GQ] = Seq(quality, langId, tokenStats, fingerprint, ngramProfile,
-    hashSplit, packBins, tfidf, pmi, surprisal, bpe)
+    hashSplit, packBins, tfidf, pmi, surprisal, bpe, bpeApply)
 }
