@@ -179,6 +179,53 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, us(10), us(20), None, 2)))
   }
 
+  test("tok2/tok3: BPE merges are well-formed and segmentation is lossless") {
+    val rules = SparkEntry.queries("tok2_bpe_merges")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(rules.map(_._1).toSeq == (1 to 8))
+    rules.foreach { case (_, lhs, rhs, merged, cnt) =>
+      assert(merged == lhs + rhs && cnt > 0)
+    }
+    // each rule's symbols exist when it fires: every lhs/rhs is either
+    // a single char or the product of an EARLIER merge
+    val known = scala.collection.mutable.Set.empty[String]
+    rules.foreach { case (_, lhs, rhs, merged, _) =>
+      for (s <- Seq(lhs, rhs))
+        assert(s.length == 1 || known.contains(s),
+          s"rule uses symbol '$s' that no earlier merge produced")
+      known += merged
+    }
+    // applying the tokenizer never loses characters: for every doc,
+    // words <= bpe tokens <= word chars, and a doc of single chars
+    // before any merge would have tokens == chars
+    val counts = SparkEntry.queries("tok3_bpe_tokenize")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(counts.nonEmpty)
+    counts.foreach { case (words, toks, chars) =>
+      assert(words <= toks && toks <= chars,
+        s"impossible BPE counts: words=$words tokens=$toks chars=$chars")
+    }
+    // the merges actually compress on this corpus
+    assert(counts.map(_._2).sum < counts.map(_._3).sum)
+  }
+
+  test("decon2: every injected benchmark copy is flagged with itself on top") {
+    val flagged = SparkEntry.queries("decon2_embedding_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    val bench = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 37 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val injected = flagged.filter(_._4 == 1)
+    assert(injected.map(_._1).toSet == bench.map(_ + 2000000L),
+      "recall < 1.0 on exact injected copies")
+    injected.foreach { case (id, top, cos, _) =>
+      assert(top == id - 2000000L && cos == 1.0,
+        s"injected $id should match its source, got $top at $cos")
+    }
+  }
+
   test("media decode: batch pipeline matches column-expression metadata") {
     val docs = Tables.t(spark, sf, "documents")
       .withColumn("payload", col("text").cast("binary"))
