@@ -214,6 +214,53 @@ object CurationOps {
           THEN CAST(qsum_e9 // n_kept AS DOUBLE) / 1e9 END AS kept_quality_mean
       FROM g ORDER BY source"""))
 
+  /** stats1 — the corpus data card: per (lang, source) cell plus
+    * per-lang subtotals and a grand total (ROLLUP), reporting doc and
+    * token volume, duplication (distinct content fingerprints vs
+    * docs), and mean classifier quality — the one-glance report a
+    * dataset release ships with, produced in a single pass over the
+    * corpus (rollup = one shuffle with partial aggregation; the only
+    * non-combinable term, distinct fingerprints, groups by an md5 —
+    * uniformly distributed, never skewed). Mean quality uses the e9
+    * integer floor-division (see mix3) for cross-engine exactness. */
+  private lazy val stats1Q = GQ(
+    "stats1_data_card",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr.format("text")))
+        .withColumn("quality", qualityCol)
+        .withColumn("fp",
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      d.rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("n_tokens"),
+          sum("n_chars").as("n_chars"),
+          countDistinct(col("fp")).as("n_unique_fp"),
+          (sum(col("quality").cast("decimal(18,9)")) * lit(1000000000L))
+            .cast("long").as("qsum_e9"))
+        .withColumn("mean_quality",
+          expr("qsum_e9 div n_docs").cast("double") / 1e9)
+        .select("lang", "source", "n_docs", "n_tokens", "n_chars",
+          "n_unique_fp", "mean_quality")
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    },
+    Some(s"""WITH d AS (SELECT lang, source, n_chars,
+        $qualitySql AS quality,
+        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+        CAST(len(toks) AS BIGINT) AS n_toks
+      FROM (SELECT *, ${toksSql.format("text")} AS toks FROM documents)),
+      g AS (SELECT lang, source, count(*) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+        CAST(sum(CAST(quality AS DECIMAL(18,9))) * 1000000000 AS BIGINT)
+          AS qsum_e9
+      FROM d GROUP BY ROLLUP(lang, source))
+      SELECT lang, source, n_docs, n_tokens, n_chars, n_unique_fp,
+        CAST(qsum_e9 // n_docs AS DOUBLE) / 1e9 AS mean_quality
+      FROM g
+      ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"""))
+
   /** pii1 — PII detection + redaction: emails, IPv4s, and US-style
     * short phone numbers are injected deterministically (doc_id mod
     * 7/11/13), then counted and redacted with anchored regexes. Pure
@@ -645,5 +692,5 @@ object CurationOps {
       FROM c ORDER BY doc_id"""))
 
   def qs: Seq[GQ] = Seq(deconQ, decon2Q, piiQ, repetitionQ, mixQ, mix2Q,
-    mix3Q, pipeQ, canonicalQ, entropyQ, leakSplitQ)
+    mix3Q, pipeQ, canonicalQ, entropyQ, leakSplitQ, stats1Q)
 }
