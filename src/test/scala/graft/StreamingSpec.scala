@@ -356,6 +356,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(mvState() == recompute())
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    // the streaming analog of q16/q22 attribution: impressions joined
+    // to clicks on ad_id where the click lands within 10 min after
+    // the impression. Both sides watermarked so the join state is
+    // BOUNDED — the only stream-stream join shape that survives an
+    // unbounded run.
+    implicit val sctx = spark.sqlContext
+    val impIn = MemoryStream[(Int, Long)]
+    val clkIn = MemoryStream[(Int, Long)]
+    val imps = impIn.toDF().toDF("ad_id", "imp_sec")
+      .withColumn("imp_ts", timestamp_seconds(col("imp_sec")))
+      .withWatermark("imp_ts", "10 minutes")
+    val clks = clkIn.toDF().toDF("c_ad_id", "clk_sec")
+      .withColumn("clk_ts", timestamp_seconds(col("clk_sec")))
+      .withWatermark("clk_ts", "10 minutes")
+    val joined = imps.join(clks,
+      col("ad_id") === col("c_ad_id") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") <= col("imp_ts") + expr("interval 10 minutes"))
+    val q = joined.select("ad_id", "imp_sec", "clk_sec").writeStream
+      .format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      impIn.addData((1, 1000L), (2, 1000L), (3, 1000L))
+      clkIn.addData((1, 1300L)) // in window: 1000 + 300s
+      q.processAllAvailable()
+      clkIn.addData((2, 1700L)) // outside: 700s > 10 min
+      clkIn.addData((3, 900L)) // before the impression
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1, 1000L, 1300L)),
+        s"interval join matched the wrong pairs: $got")
+      // advance both watermarks far past the window; old state must
+      // not resurrect matches for a late click inside the old range
+      impIn.addData((9, 100000L))
+      clkIn.addData((9, 100000L))
+      q.processAllAvailable()
+      clkIn.addData((1, 1100L)) // would match, but is behind the watermark
+      q.processAllAvailable()
+      val after = spark.table("ss_join").collect().length
+      assert(after == 2, s"late click behind the watermark joined: $after rows")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{Sessionize, SessionEvent}
