@@ -214,6 +214,29 @@ object CurationOps {
           THEN CAST(qsum_e9 // n_kept AS DOUBLE) / 1e9 END AS kept_quality_mean
       FROM g ORDER BY source"""))
 
+  /** samp1 — fixed-size deterministic sample: EXACTLY k documents,
+    * stable across runs, partitionings, and insertion order — the
+    * eval-holdout / human-review draw, where "roughly 1%" (mix1's
+    * rate sampling) is not acceptable. Ranking by a salted
+    * content-stable hash is an unbiased shuffle of the corpus, and
+    * top-k over it plans as TakeOrderedAndProject: per-partition
+    * heaps of k, one k-row reduce to the driver — no global sort, no
+    * single-partition window at any scale. */
+  private val samp1Q = GQ(
+    "samp1_fixed_k",
+    (s, dir) => {
+      val k = 100
+      t(s, dir, "documents")
+        .withColumn("h", md5(concat(lit("samp1:"), col("doc_id").cast("string"))))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(k)
+        .select("doc_id", "lang", "source", "h")
+    },
+    Some("""SELECT doc_id, lang, source,
+        md5('samp1:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+      ORDER BY h, doc_id LIMIT 100"""))
+
   /** stats1 — the corpus data card: per (lang, source) cell plus
     * per-lang subtotals and a grand total (ROLLUP), reporting doc and
     * token volume, duplication (distinct content fingerprints vs
@@ -692,5 +715,5 @@ object CurationOps {
       FROM c ORDER BY doc_id"""))
 
   def qs: Seq[GQ] = Seq(deconQ, decon2Q, piiQ, repetitionQ, mixQ, mix2Q,
-    mix3Q, pipeQ, canonicalQ, entropyQ, leakSplitQ, stats1Q)
+    mix3Q, pipeQ, canonicalQ, entropyQ, leakSplitQ, stats1Q, samp1Q)
 }
