@@ -481,7 +481,8 @@ object TextOps {
       .cache()
     var cur = vocab
     val rules = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (k <- 1 to BpeMerges) {
+    var exhausted = false
+    for (k <- 1 to BpeMerges if !exhausted) {
       val top = cur
         .select(col("f"), expr("split(trim(syms), '  ')").as("arr"))
         .select(col("f"), explode(expr(
@@ -493,11 +494,17 @@ object TextOps {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("f").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()(0)
-      val (a, b) = (top.getString(0), top.getString(1))
-      rules += ((k, a, b, a + b, top.getLong(2)))
-      cur = cur.withColumn("syms", call_function("replace",
-        col("syms"), lit(s" $a  $b "), lit(s" $a$b ")))
+        .limit(1).collect().headOption
+      top match {
+        case None =>
+          // every word is fully merged — no pairs left to count
+          exhausted = true
+        case Some(row) =>
+          val (a, b) = (row.getString(0), row.getString(1))
+          rules += ((k, a, b, a + b, row.getLong(2)))
+          cur = cur.withColumn("syms", call_function("replace",
+            col("syms"), lit(s" $a  $b "), lit(s" $a$b ")))
+      }
     }
     (rules.result(), cur)
   }
