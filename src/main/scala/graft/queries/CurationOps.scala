@@ -108,7 +108,7 @@ object CurationOps {
     * 13-gram overlap (catches paraphrased/reformatted benchmark
     * leakage that shares no verbatim gram). Contamination is
     * injected: every benchmark vector reappears in the corpus under
-    * vec_id + 2,000,000, so expected flags are known and the oracle
+    * vec_id + max(vec_id) + 1, so expected flags are known and the oracle
     * (a brute-force pass over the same corpus) doubles as a recall
     * check. The plan is the real shape at 100 TB: the benchmark set
     * is small BY DEFINITION, so it broadcasts against one scan of
@@ -117,18 +117,22 @@ object CurationOps {
     "decon2_embedding_contamination",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      val vdot = graft.functions.GraftFunctions.VecDotName
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      // id namespace for injected copies: strictly above every natural
+      // id (a fixed constant would collide once the corpus outgrew it)
+      val off = e.agg(max("vec_id")).collect()(0).getLong(0) + 1L
       val bench = e.filter(col("vec_id") % 37 === 0)
       // norms once per vector, BEFORE the broadcast fan-out
       val corpus = e.filter(col("vec_id") % 37 =!= 0)
-        .unionByName(bench.withColumn("vec_id", col("vec_id") + 2000000L))
-        .withColumn("nrm", expr("sqrt(graft_vec_dot(embedding, embedding))"))
+        .unionByName(bench.withColumn("vec_id", col("vec_id") + off))
+        .withColumn("nrm", expr(s"sqrt($vdot(embedding, embedding))"))
       val b = bench.select(col("vec_id").as("b_id"),
         col("embedding").as("b_emb"),
-        expr("sqrt(graft_vec_dot(embedding, embedding))").as("b_nrm"))
+        expr(s"sqrt($vdot(embedding, embedding))").as("b_nrm"))
       val scored = corpus.join(broadcast(b))
         .withColumn("cosine", round(
-          expr("graft_vec_dot(b_emb, embedding)") / (col("b_nrm") * col("nrm")), 9))
+          expr(s"$vdot(b_emb, embedding)") / (col("b_nrm") * col("nrm")), 9))
         .filter(col("cosine") >= 0.999)
       scored.groupBy("vec_id")
         .agg(count(lit(1)).as("n_bench_hits"),
@@ -136,13 +140,14 @@ object CurationOps {
         .select(col("vec_id"), col("n_bench_hits"),
           (-col("m.nbid")).cast("long").as("top_bench_id"),
           col("m.cosine").as("top_cosine"),
-          (col("vec_id") >= 2000000L).cast("int").as("is_injected"))
+          (col("vec_id") >= off).cast("int").as("is_injected"))
         .orderBy("vec_id")
     },
-    Some(s"""WITH bench AS (SELECT vec_id AS b_id, embedding AS b_emb
+    Some(s"""WITH mx AS (SELECT max(vec_id) + 1 AS off FROM embeddings),
+      bench AS (SELECT vec_id AS b_id, embedding AS b_emb
         FROM embeddings WHERE vec_id % 37 = 0),
       corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0
-        UNION ALL SELECT b_id + 2000000, b_emb FROM bench),
+        UNION ALL SELECT b_id + (SELECT off FROM mx), b_emb FROM bench),
       scored AS MATERIALIZED (SELECT vec_id, b_id,
           round(${simDotSql("b_emb", "embedding")} /
             (sqrt(${simDotSql("b_emb", "b_emb")}) *
@@ -154,14 +159,14 @@ object CurationOps {
         FROM hits GROUP BY vec_id)
       SELECT g.vec_id, n_bench_hits,
         CAST(min(h.b_id) AS BIGINT) AS top_bench_id, top_cosine,
-        CAST(g.vec_id >= 2000000 AS INT) AS is_injected
+        CAST(g.vec_id >= (SELECT off FROM mx) AS INT) AS is_injected
       FROM g JOIN hits h ON h.vec_id = g.vec_id AND h.cosine = g.top_cosine
       GROUP BY g.vec_id, n_bench_hits, top_cosine ORDER BY g.vec_id"""))
 
-  /** Element-order-deterministic dot product mirror (same fold as
-    * graft_vec_dot / SimilarityOps.dotSql). */
+  /** The shared graft_vec_dot DuckDB mirror (one definition of the
+    * IEEE fold order for the whole repo). */
   private def simDotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    SimilarityOps.dotSql(a, b)
 
   /** mix3 — quality-weighted sampling: each document's keep
     * probability is proportional to its classifier score (capped at
@@ -469,6 +474,10 @@ object CurationOps {
         .withColumn("pw",
           round(pow(col("n_tokens").cast("double"), lit(0.3)), 6)
             .cast("decimal(18,6)"))
+        // materialize the per-source rows (#domains of them) so the
+        // totals re-aggregate reads them back instead of re-running
+        // the corpus scan a second time
+        .localCheckpoint()
       val tot = perSrc.agg(sum("n_tokens").as("tot_tokens"),
         sum("pw").as("tot_pw"))
       perSrc.crossJoin(broadcast(tot))

@@ -43,8 +43,15 @@ object SimilarityOps {
 
   private def normExpr(a: String): String = s"sqrt(${dotExpr(a, a)})"
 
-  private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, ${Dims + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  /** Truncated-prefix (first `d` dims) dot product — the ONE DuckDB
+    * mirror of the graft_vec_dot fold (strict left-to-right element
+    * order); every oracle dot in the repo must route through it so
+    * the IEEE op order can never drift between copies. */
+  private[queries] def dotPrefixSql(a: String, b: String, d: Int): String =
+    s"list_sum(list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private[queries] def dotSql(a: String, b: String): String =
+    dotPrefixSql(a, b, Dims)
 
   private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
@@ -590,11 +597,6 @@ object SimilarityOps {
       WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
-  /** Truncated-prefix (first `d` dims) dot product — the cheap
-    * coarse score of the matryoshka two-stage search. */
-  private def dotPrefixSql(a: String, b: String, d: Int): String =
-    s"list_sum(list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-
   /** sim7 — matryoshka two-stage retrieval: a coarse pass scores
     * every vector with only its FIRST 16 dims (4× less arithmetic and
     * — with prefix-truncated storage — 4× less I/O per candidate, the
@@ -607,11 +609,14 @@ object SimilarityOps {
     * exactly (tcos ties at the 50-boundary break by vec_id in both
     * engines). Determinism: both scores rounded to 9 dp, vec_id
     * tie-breaks everywhere. */
+  /** sim7's coarse-stage prefix width (shared by query and oracle). */
+  private val MrTd = 16
+
   private val mrQ = GQ(
     "sim7_matryoshka_rerank",
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val Td = 16
+      val Td = MrTd
       val e = t(s, dir, "embeddings")
         .withColumn("e16", expr(s"slice(embedding, 1, $Td)"))
         .withColumn("nrm", expr(normExpr("embedding")))
@@ -638,9 +643,9 @@ object SimilarityOps {
     Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         FROM embeddings WHERE vec_id < 5),
       coarse AS (SELECT q_id, vec_id, q_emb, embedding,
-          round(${dotPrefixSql("q_emb", "embedding", 16)} /
-            (sqrt(${dotPrefixSql("q_emb", "q_emb", 16)}) *
-             sqrt(${dotPrefixSql("embedding", "embedding", 16)})), 9) AS tcos
+          round(${dotPrefixSql("q_emb", "embedding", MrTd)} /
+            (sqrt(${dotPrefixSql("q_emb", "q_emb", MrTd)}) *
+             sqrt(${dotPrefixSql("embedding", "embedding", MrTd)})), 9) AS tcos
         FROM embeddings, q WHERE vec_id <> q_id),
       cand AS (SELECT *, row_number() OVER (PARTITION BY q_id
             ORDER BY tcos DESC, vec_id ASC) AS crank

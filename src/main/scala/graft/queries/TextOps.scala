@@ -506,7 +506,14 @@ object TextOps {
             col("syms"), lit(s" $a  $b "), lit(s" $a$b ")))
       }
     }
-    (rules.result(), cur)
+    // materialize the final vocabulary (small: one row per distinct
+    // word) so the cached base can be released NOW — unpersisting the
+    // derived `cur` would miss the cache entry, and leaving it pinned
+    // holds the corpus-wide vocab in executor memory for the rest of
+    // the session
+    val fin = cur.localCheckpoint()
+    vocab.unpersist()
+    (rules.result(), fin)
   }
 
   /** The oracle's replay of [[bpeTrain]]: v0 (char-split vocabulary)
@@ -523,9 +530,14 @@ object TextOps {
             FROM v${k - 1}))
         GROUP BY 1, 2),
       r$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-      v$k AS MATERIALIZED (SELECT w0, f, replace(syms,
-          ' ' || (SELECT a FROM r$k) || '  ' || (SELECT b FROM r$k) || ' ',
-          ' ' || (SELECT a FROM r$k) || (SELECT b FROM r$k) || ' ') AS syms
+      v$k AS MATERIALIZED (SELECT w0, f,
+          -- coalesce: when r$k is empty (pairs exhausted before
+          -- $BpeMerges merges) the scalar subqueries are NULL and
+          -- replace() would NULL the whole column; keep syms unchanged
+          -- instead, mirroring the Spark side's graceful stop
+          coalesce(replace(syms,
+            ' ' || (SELECT a FROM r$k) || '  ' || (SELECT b FROM r$k) || ' ',
+            ' ' || (SELECT a FROM r$k) || (SELECT b FROM r$k) || ' '), syms) AS syms
         FROM v${k - 1})"""
     }.mkString(",\n")
     s"""tk AS (SELECT unnest($toksSql) AS word FROM documents),
@@ -539,8 +551,7 @@ object TextOps {
   private val bpe = GQ(
     "tok2_bpe_merges",
     (s, dir) => {
-      val (rules, vocab) = bpeTrain(s, dir)
-      vocab.unpersist()
+      val (rules, _) = bpeTrain(s, dir)
       import s.implicits._
       rules.toDF("rank", "lhs", "rhs", "merged", "pair_count")
         .orderBy("rank")
@@ -581,7 +592,6 @@ object TextOps {
         .withColumn("chars_per_token", round(
           col("n_word_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6))
         .orderBy("doc_id")
-      vocab.unpersist()
       out
     },
     Some(s"""WITH $bpeStepsSql,

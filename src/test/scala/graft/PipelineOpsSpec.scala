@@ -141,9 +141,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_._5).sum <= 1000000L)
     // temperature < 1 flattens: boost must be antitone in domain size
     val bySize = rows.sortBy(_._1)
-    bySize.sliding(2).foreach { case Array((n1, _, _, b1, _), (n2, _, _, b2, _)) =>
-      assert(b1 >= b2 || n1 == n2,
-        s"boost not antitone in n_tokens: ($n1,$b1) then ($n2,$b2)")
+    bySize.sliding(2).foreach {
+      case Array((n1, _, _, b1, _), (n2, _, _, b2, _)) =>
+        assert(b1 >= b2 || n1 == n2,
+          s"boost not antitone in n_tokens: ($n1,$b1) then ($n2,$b2)")
+      case _ => // single-source fixture: nothing to compare
     }
     // and it moves the mix TOWARD uniform, never past it
     val u = 1.0 / rows.length
@@ -214,14 +216,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     val flagged = SparkEntry.queries("decon2_embedding_contamination")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
         r.getInt(4)))
+    val off = Tables.t(spark, sf, "embeddings")
+      .agg(max("vec_id")).collect()(0).getLong(0) + 1L
     val bench = Tables.t(spark, sf, "embeddings")
       .filter(col("vec_id") % 37 === 0).select("vec_id")
       .collect().map(_.getLong(0)).toSet
     val injected = flagged.filter(_._4 == 1)
-    assert(injected.map(_._1).toSet == bench.map(_ + 2000000L),
+    assert(injected.map(_._1).toSet == bench.map(_ + off),
       "recall < 1.0 on exact injected copies")
     injected.foreach { case (id, top, cos, _) =>
-      assert(top == id - 2000000L && cos == 1.0,
+      assert(top == id - off && cos == 1.0,
         s"injected $id should match its source, got $top at $cos")
     }
   }
