@@ -574,10 +574,11 @@ object Relational {
     * bag-of-events GROUP BY cannot answer. Expressed as chained
     * conditional aggregations: each step joins the next event type
     * against the previous step's timestamp and takes the min. All
-    * three aggregates and both joins hash on `user_id`, so at 100 TB
-    * the plan reuses one exchange layout instead of re-shuffling
-    * (AQE; no windows, no per-user collect). Left joins keep every
-    * funnel entrant with `depth` marking how far they got. */
+    * three aggregates and both joins hash-partition on `user_id`, so
+    * every stage is co-partitioned on the same key — no broadcast of
+    * an SF-scaled side, no windows, no per-user collect. Left joins
+    * keep every funnel entrant with `depth` marking how far they
+    * got. */
   private val q22 = GQ(
     "q22_funnel",
     (s, dir) => {
