@@ -478,9 +478,11 @@ final class LakeTable private[core] (
     }
     withInflight { instant =>
     val newSchema = unionSchema(df)
-    // the batch feeds three jobs (partition/key stats, candidate
-    // probe, merge write): keep it materialized once
-    val incoming = conform(withMeta(dedupBatch(df), instant), newSchema).persist()
+    // stats AND probe run on the cheap pre-dedup key projection
+    // (statsOf), so the windowed batch materializes exactly once —
+    // inside the merge-write job. No persist: it would cache-fill a
+    // frame consumed by a single job.
+    val incoming = conform(withMeta(dedupBatch(df), instant), newSchema)
     val affected = phase("probe")(affectedFiles(incoming,
       statsOf = Some(df.select(keyCol.as(RecordKeyCol), ppCol.as(PartitionPathCol)))).files)
     // insert-only fast path: no affected files means no existing
@@ -503,7 +505,6 @@ final class LakeTable private[core] (
         .drop("__rn", IncomingFlag)
     }
     val st = writeFiles(merged, instant)
-    incoming.unpersist()
     doCommit(instant, "upsert", st, affected, newSchema, tag)
     instant
     }
@@ -737,8 +738,7 @@ final class LakeTable private[core] (
   // ------------------------------------------------------------ internals
 
   private[graft] def abs(rel: String): String =
-    if (rel.startsWith("/") || rel.contains(":/")) rel
-    else s"$basePath/$rel"
+    if (Timeline.isAbsolutePath(rel)) rel else s"$basePath/$rel"
 
   /** table-relative form of a path that may be an absolute URI
     * (`file:///...`) coming from `_metadata.file_path`. basePath is
@@ -1329,20 +1329,24 @@ final class LakeTable private[core] (
     * matching current versions, because every current version is in
     * some live file and any stale co-versions join the scope via the
     * overlap closure. */
-  private def compactWhere(cond: Column): Unit = {
+  private def compactWhere(cond: Column): Unit = withOcc() {
+    // withOcc: a concurrent commit during this internal compaction
+    // must retry it (with a freshly-derived scope), not abort the
+    // user's DML — same hazard GraftTable wraps on the SQL path
     val live = timeline.liveFiles(None)
-    if (!live.exists(_.delta)) return
-    compactClosure(live, filesMatching(cond).toSet)
+    if (live.exists(_.delta))
+      compactClosure(live, filesMatching(cond).toSet)
   }
 
   /** Scoped pre-DML compaction for keyed operations on MOR (`global`
     * as in [[affectedFiles]]): seeds are the key-probe's candidates. */
-  private def compactForKeys(keys: DataFrame, global: Boolean): Unit = {
-    val live = timeline.liveFiles(None)
-    if (!live.exists(_.delta)) return
-    compactClosure(live,
-      affectedFiles(keys, global = global).files.toSet)
-  }
+  private def compactForKeys(keys: DataFrame, global: Boolean): Unit =
+    withOcc() {
+      val live = timeline.liveFiles(None)
+      if (live.exists(_.delta))
+        compactClosure(live,
+          affectedFiles(keys, global = global).files.toSet)
+    }
 
   /** Restore (rollback) the table to its state as of `instant` —
     * the Hudi `call rollback_to_savepoint` analog, as one ordinary
@@ -1504,7 +1508,7 @@ final class LakeTable private[core] (
   /** Clean service: physically delete file versions replaced before
     * the retention window (retainCommits — JavaClientHive2Hudi:185). */
   def clean(retainCommits: Int): Seq[String] =
-    timeline.clean(basePath, retainCommits)
+    timeline.clean(retainCommits)
 
   /** Archive service: fold old commits into the timeline checkpoint
     * once more than maxToKeep are active, keeping minToKeep
@@ -1581,7 +1585,7 @@ final class LakeTable private[core] (
     * [[archive]] until released — the durable anchor for long-lived
     * time travel, CDC baselines, and [[restoreTo]] targets. */
   def createSavepoint(instant: String): Unit =
-    timeline.createSavepoint(instant, basePath)
+    timeline.createSavepoint(instant)
 
   def deleteSavepoint(instant: String): Boolean =
     timeline.deleteSavepoint(instant)

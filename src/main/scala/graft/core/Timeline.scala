@@ -50,7 +50,12 @@ final case class CommitMeta(
       * (hoodie.bucket.index analog, TestStreamingMOR.java:52-53) —
       * lets keyed DML resolve affected files driver-side with no
       * probe scan. */
-    buckets: Option[Map[String, Int]] = None)
+    buckets: Option[Map[String, Int]] = None,
+    /** added paths that are MOR delta files when the commit ISN'T
+      * itself a deltacommit — lets one atomic commit mirror a mixed
+      * base+delta live set (catalog sync), instead of exposing a
+      * mixed-instant intermediate view between two commits. */
+    deltaAdded: Option[Seq[String]] = None)
 
 /** One live data file as seen by readers: its path, the commit that
   * (logically) wrote its rows, partition path, and optional record-key
@@ -486,7 +491,8 @@ final class Timeline(conf: Configuration, val basePath: String) {
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
       c.buckets.flatMap(_.get(f)),
-      delta = c.action == "deltacommit")
+      delta = c.action == "deltacommit" ||
+        c.deltaAdded.exists(_.contains(f)))
     fromCheckpoint ++ fromCommits
   }
 
@@ -537,7 +543,8 @@ final class Timeline(conf: Configuration, val basePath: String) {
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
       c.buckets.flatMap(_.get(f)),
-      delta = c.action == "deltacommit")
+      delta = c.action == "deltacommit" ||
+        c.deltaAdded.exists(_.contains(f)))
     val priorTags = priorCp.map(_.tags).getOrElse(Map.empty)
     val archivedTags = toArchive.flatMap(_.tag).flatMap { t =>
       t.split("=", 2) match {
@@ -585,28 +592,31 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * on scan. Every path in the instant's live set is existence-checked
     * under the table lock (so a concurrent clean cannot race the
     * check), and a missing file fails the savepoint loudly. */
-  def createSavepoint(instant: String, tableBasePath: String): Unit =
+  def createSavepoint(instant: String): Unit =
     withTableLock {
       require(commits().exists(_.instant == instant),
         s"cannot savepoint $instant: not an active commit")
       def resolve(rel: String) =
-        if (rel.startsWith("/") || rel.contains(":/")) new Path(rel)
-        else new Path(tableBasePath, rel)
+        if (Timeline.isAbsolutePath(rel)) new Path(rel)
+        else new Path(basePath, rel)
       // per-path FileSystem (external/mirrored files may live on a
       // different scheme than the table), checked CONCURRENTLY — the
       // lock is held here, and a sequential pass over a large live set
-      // on a remote store would stall every writer for its duration
+      // on a remote store would stall every writer for its duration.
+      // IO errors propagate (a throttled exists() must fail the
+      // savepoint with the real cause, not masquerade as a cleaned
+      // file), and the wait is bounded so a hung store cannot hold the
+      // table lock forever.
       def missing(rel: String): Boolean = {
         val p = resolve(rel)
-        try !p.getFileSystem(conf).exists(p)
-        catch { case _: Exception => true }
+        !p.getFileSystem(conf).exists(p)
       }
       val paths = liveFiles(Some(instant)).map(_.path)
       val gone =
         if (paths.size <= 1) paths.filter(missing)
         else {
           import scala.concurrent.{Await, ExecutionContext, Future}
-          import scala.concurrent.duration.Duration
+          import scala.concurrent.duration._
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
             math.min(16, paths.size))
           try {
@@ -614,8 +624,8 @@ final class Timeline(conf: Configuration, val basePath: String) {
               ExecutionContext.fromExecutorService(pool)
             Await.result(
               Future.sequence(paths.map(p => Future(p -> missing(p)))),
-              Duration.Inf).collect { case (p, true) => p }
-          } finally pool.shutdown()
+              10.minutes).collect { case (p, true) => p }
+          } finally pool.shutdownNow()
         }
       require(gone.isEmpty,
         s"cannot savepoint $instant: ${gone.size} live file(s) already " +
@@ -645,7 +655,7 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * so a savepoint created mid-clean cannot be half-deleted (the
     * pinned set is computed and acted on atomically w.r.t.
     * createSavepoint). Returns paths deleted. */
-  def clean(basePath: String, retainCommits: Int): Seq[String] = withTableLock {
+  def clean(retainCommits: Int): Seq[String] = withTableLock {
     val cs = commits()
     // archived commits' removed lists are folded into the checkpoint;
     // they predate every active commit, so they are always past the
@@ -675,8 +685,7 @@ final class Timeline(conf: Configuration, val basePath: String) {
     // physically delete another table's data — a clean on a mirror
     // would otherwise reap the SOURCE table's files.
     def owned(rel: String): Boolean =
-      !(rel.startsWith("/") || rel.contains(":/")) ||
-        rel.startsWith(basePath + "/")
+      !Timeline.isAbsolutePath(rel) || rel.startsWith(basePath + "/")
     val (own, foreign) = candidates.partition(owned)
     val deleted = own.filter { rel =>
       val p = new Path(basePath, rel)
@@ -726,6 +735,13 @@ final class Timeline(conf: Configuration, val basePath: String) {
 
 object Timeline {
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[Timeline])
+
+  /** Whether a timeline path entry is absolute (a plain path or a
+    * scheme URI) vs table-relative — the ONE owned/adopted-reference
+    * predicate; keep [[LakeTable.abs]], [[Timeline.clean]]'s `owned`,
+    * and [[Timeline.createSavepoint]]'s `resolve` on it. */
+  private[graft] def isAbsolutePath(rel: String): Boolean =
+    rel.startsWith("/") || rel.contains(":/")
 
   /** Shared daemon scheduler for inflight-marker heartbeats: one
     * thread serves every Timeline instance in the JVM (touches are

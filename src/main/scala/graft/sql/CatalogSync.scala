@@ -130,28 +130,26 @@ object CatalogSync {
     // mirror references them as managed too (reads see the ORIGINAL
     // per-row commit times); source-external (bootstrapped) files stay
     // external so the read path keeps synthesizing their meta. MOR
-    // delta files go through a deltacommit so the mirrored entries
-    // keep delta=true and the target's read-side merge applies.
-    def mirror(files: Seq[FileEntry], action: String, removed: Seq[String]): Unit =
-      if (files.nonEmpty || removed.nonEmpty)
-        tgt.timeline.commit(CommitMeta(
-          tgt.timeline.nextInstant(), action,
-          added = files.map(_.path),
-          removed = removed,
-          external = files.filter(_.external).map(_.path),
-          schemaDdl = src.schema.toDDL,
-          totalRecords = -1L,
-          partitions = files.map(f => f.path -> f.partition).toMap,
-          keyBounds = Some(files.collect {
-            case f if f.minKey.isDefined && f.maxKey.isDefined =>
-              f.path -> Seq(f.minKey.get, f.maxKey.get)
-          }.toMap).filter(_.nonEmpty),
-          buckets = Some(files.collect {
-            case f if f.bucket.isDefined => f.path -> f.bucket.get
-          }.toMap).filter(_.nonEmpty)))
-    val (deltaF, baseF) = fresh.partition(_.delta)
-    mirror(baseF, "sync", stale)
-    mirror(deltaF, "deltacommit", Seq.empty)
+    // delta files are marked via deltaAdded so the target's read-side
+    // merge applies. ONE commit for base + delta + removals: a reader
+    // racing the sync sees either the old mirror or the new one,
+    // never a mixed-instant view the source never had.
+    tgt.timeline.commit(CommitMeta(
+      tgt.timeline.nextInstant(), "sync",
+      added = fresh.map(_.path),
+      removed = stale,
+      external = fresh.filter(_.external).map(_.path),
+      schemaDdl = src.schema.toDDL,
+      totalRecords = -1L,
+      partitions = fresh.map(f => f.path -> f.partition).toMap,
+      keyBounds = Some(fresh.collect {
+        case f if f.minKey.isDefined && f.maxKey.isDefined =>
+          f.path -> Seq(f.minKey.get, f.maxKey.get)
+      }.toMap).filter(_.nonEmpty),
+      buckets = Some(fresh.collect {
+        case f if f.bucket.isDefined => f.path -> f.bucket.get
+      }.toMap).filter(_.nonEmpty),
+      deltaAdded = Some(fresh.filter(_.delta).map(_.path)).filter(_.nonEmpty)))
     (fresh.size, stale.size)
   }
 

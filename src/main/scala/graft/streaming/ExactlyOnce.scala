@@ -34,16 +34,29 @@ final class ExactlyOnce(spark: SparkSession, scope: String) {
     if (!fs.exists(p)) -1L
     else {
       val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
+      val txt = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      // a torn/empty marker (crash mid-write) reads as absent: the
+      // commit tag is the authoritative guard, and runOnce repairs
+      // the marker on the next batch — never wedge the stream
+      try txt.toLong catch { case _: NumberFormatException => -1L }
     }
   }
 
   def writeBatchId(l: LakeTable, id: Long): Unit = {
     val p = markerPath(l)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    // write-then-rename: the marker must never be observable
+    // half-written (fs.create truncates in place). One writer per
+    // scope by construction, so the fixed tmp name cannot race.
+    val tmp = new Path(p.getParent, s".$markerName.tmp")
+    val out = fs.create(tmp, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"marker rename failed for $p")
+    }
   }
 
   /** Highest batch id recorded in a commit tag for this query — the

@@ -26,7 +26,11 @@ import graft.core.LakeTable
   * The MV table must exist (create it with the group key as primary
   * key); the very first batch sees `startCommit="0"`'s bootstrap feed
   * (every current row as an insert), so the MV builds itself from the
-  * same fold — no separate backfill job. */
+  * same fold — no separate backfill job. `mvSchema` declares the MV's
+  * data columns so the bootstrap batch hands `fold` an EMPTY frame of
+  * that shape rather than the zero-column snapshot of a never-written
+  * table — the fold can always join on its group key without
+  * special-casing batch 0. */
 object MvMaintenance {
 
   def start(
@@ -34,6 +38,7 @@ object MvMaintenance {
       basePath: String,
       mvPath: String,
       checkpoint: String,
+      mvSchema: org.apache.spark.sql.types.StructType,
       deltasOf: DataFrame => DataFrame,
       fold: (DataFrame, DataFrame) => DataFrame,
       startCommit: String = "0"): StreamingQuery = {
@@ -50,7 +55,11 @@ object MvMaintenance {
         val mv = LakeTable.load(spark, mvPath)
         once.runOnce(mv, batchId) { tag =>
           val deltas = deltasOf(batch)
-          val stored = mv.snapshot().drop(LakeTable.MetaCols: _*)
+          val snap = mv.snapshot().drop(LakeTable.MetaCols: _*)
+          val stored =
+            if (snap.columns.nonEmpty) snap
+            else spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), mvSchema)
           mv.upsert(fold(stored, deltas), tag = tag)
         }
         ()

@@ -296,23 +296,20 @@ class StreamingSpec extends AnyFunSuite {
           sum(when(op === "i", col("amt"))
             .when(op === "d", -bef.getField("amt"))
             .otherwise(col("amt") - bef.getField("amt"))).as("dsum"))
-    val fold = (stored0: org.apache.spark.sql.DataFrame,
-        deltas: org.apache.spark.sql.DataFrame) => {
-      // fresh MV: snapshot of a never-written table has no columns yet
-      val stored =
-        if (stored0.columns.contains("grp")) stored0
-        else deltas.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "grp STRING, cnt BIGINT, sum_amt BIGINT"))
+    val mvSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "grp STRING, cnt BIGINT, sum_amt BIGINT")
+    val fold = (stored: org.apache.spark.sql.DataFrame,
+        deltas: org.apache.spark.sql.DataFrame) =>
+      // the natural fold — MvMaintenance hands an empty mvSchema frame
+      // on the bootstrap batch, so no batch-0 special case here
       stored.join(deltas, Seq("grp"), "full_outer")
         .select(col("grp"),
           (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
             .as("cnt"),
           (coalesce(col("sum_amt"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
             .as("sum_amt"))
-    }
-    def run() = MvMaintenance.start(spark, basePath, mvPath, ckpt, deltasOf, fold)
+    def run() = MvMaintenance.start(spark, basePath, mvPath, ckpt, mvSchema,
+      deltasOf, fold)
     def mvState(): Set[(String, Long, Long)] =
       mv.snapshot().select("grp", "cnt", "sum_amt")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

@@ -498,7 +498,7 @@ class TableServicesSpec extends AnyFunSuite {
     // archive folds the replacing commits away — their removed lists
     // must survive in the checkpoint for clean() to act on
     assert(t.timeline.archive(minToKeep = 0, maxToKeep = 1) == 3)
-    val deleted = t.timeline.clean(t.basePath, retainCommits = 0)
+    val deleted = t.timeline.clean(retainCommits = 0)
     assert(firstFiles.forall(deleted.contains),
       s"replaced-then-archived files leaked: $firstFiles vs $deleted")
     assert(t.snapshot().count() == 3) // live data intact
