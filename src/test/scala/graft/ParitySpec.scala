@@ -179,6 +179,17 @@ class ParitySpec extends AnyFunSuite {
       .as[String].collect().toSeq == Seq("b"))
     assert(LakeTable.load(spark, s"$wh/db/mor_t").snapshot()
       .select("v").as[String].collect().toSeq == Seq("x2"))
+    // the mixed base+delta mirror landed as ONE sync commit (atomic:
+    // a racing reader sees the old mirror or the new one, never base
+    // pointers without their deltas) with the delta flags carried
+    val morMirror = LakeTable.load(spark, s"$wh/db/mor_t")
+    val syncCommits = morMirror.timeline.commits().filter(_.action == "sync")
+    assert(syncCommits.size == 1,
+      s"expected one atomic sync commit, got ${syncCommits.map(_.action)}")
+    val srcDeltas = t2.timeline.liveFiles(None).count(_.delta)
+    assert(srcDeltas > 0 &&
+      morMirror.timeline.liveFiles(None).count(_.delta) == srcDeltas,
+      "mirrored delta files lost their delta flag in the combined commit")
     // incremental re-sync: a new source partition arrives; only the
     // new file is added, and the audit table holds both runs
     t1.upsert(Seq((3, "c", 1L, "d3")).toDF("id", "v", "ts", "dt"))

@@ -66,6 +66,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 3)
   }
 
+  test("torn exactly-once marker reads as absent and is repaired, not a wedge") {
+    val path = tmp("stream_torn_")
+    val ckpt = "torn-ckpt"
+    val sink = new graft.sql.GraftStreamSink(spark, Map(
+      "path" -> path, "operation" -> "insert",
+      "primaryKey" -> "id", "checkpointLocation" -> ckpt))
+    sink.addBatch(0L, Seq((1, "a", 1L)).toDF("id", "v", "ts"))
+    val t = LakeTable.load(spark, path)
+    val once = new graft.streaming.ExactlyOnce(spark, ckpt)
+    // simulate a crash mid-marker-write: truncate the marker to empty
+    val mp = new org.apache.hadoop.fs.Path(t.basePath,
+      s"_streaming/${once.markerName}")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(mp, true).close()
+    // a torn marker must read as absent (tags are authoritative)...
+    assert(once.lastBatchId(t) == -1L)
+    // ...so the replayed batch is detected from the commit tag and
+    // skipped, and the marker is repaired for the next batch
+    sink.addBatch(0L, Seq((1, "a", 1L)).toDF("id", "v", "ts"))
+    assert(t.snapshot().count() == 1 && t.timeline.commits().size == 1)
+    assert(once.lastBatchId(t) == 0L)
+    sink.addBatch(1L, Seq((2, "b", 1L)).toDF("id", "v", "ts"))
+    assert(t.snapshot().count() == 2)
+  }
+
   test("sink replay is refused even after the tagged commit was archived") {
     val path = tmp("stream_archive_replay_")
     val ckpt = "archive-replay-ckpt"
