@@ -547,7 +547,19 @@ final class LakeTable private[core] (
   def applyDeltas(
       deleteIds: Option[DataFrame],
       upserts: Option[DataFrame],
-      action: String = "merge"): String = withInflight { instant =>
+      action: String = "merge"): String = {
+    // MOR: the row-level rewrite read the merged view in-query; fold
+    // only the file groups this statement's keys touch before the
+    // rewrite below — other partitions' delta files stay untouched
+    if (isMor) {
+      val keySrcs =
+        upserts.map(df => df.select(
+          keyCol.as(RecordKeyCol), ppCol.as(PartitionPathCol))).toSeq ++
+          deleteIds.map(_.select(RecordKeyCol, PartitionPathCol)).toSeq
+      keySrcs.reduceOption(_.unionByName(_))
+        .foreach(k => compactForKeys(k.distinct(), global = false))
+    }
+    withInflight { instant =>
     val newSchema = upserts.map(unionSchema).getOrElse(schema)
     val incoming = upserts.map(df =>
       conform(withMeta(dedupBatch(df), instant), newSchema).persist())
@@ -583,6 +595,7 @@ final class LakeTable private[core] (
     delKeys.foreach(_.unpersist())
     doCommit(instant, action, st, affected, newSchema)
     instant
+    }
   }
 
   /** Delete by pre-computed row identity (`_record_key`,

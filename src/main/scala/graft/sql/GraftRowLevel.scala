@@ -44,8 +44,13 @@ final class GraftRowLevelOperation(
 
   override def command(): RowLevelOperation.Command = info.command()
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    table.newScanBuilder(options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the rewrite's read must see merged MOR rows but must NOT compact
+    // the whole table to get them — applyDeltas scope-compacts later
+    val m = new java.util.HashMap[String, String](options)
+    m.put(GraftTable.InQueryMergeOption, "true")
+    table.newScanBuilder(new CaseInsensitiveStringMap(m))
+  }
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column(LakeTable.RecordKeyCol),

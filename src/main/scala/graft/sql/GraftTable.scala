@@ -51,20 +51,17 @@ final class GraftTable(
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    // MOR: the catalog scan this operation reads is the RO view;
-    // compact first so it equals the full view and the rewrite is
-    // correct. This SQL entry point cannot scope the compaction — the
-    // statement's predicate is not visible at operation-build time
-    // (Spark pushes filters to the scan later), so the full compact is
-    // the documented fallback here; the native predicate/keyed DML
-    // paths (deleteWhere/updateWhere/merge/deleteByRowId) compact only
-    // the file groups their predicate or keys can touch.
-    // withOcc: a concurrent writer's commit racing the compaction
-    // must retry it, not spuriously abort the user's DML statement.
-    if (lake.props.tableType == "mor") lake.withOcc()(lake.compact())
+    // MOR needs no up-front compaction here: the operation's scan
+    // reads the in-query merged view (InQueryMergeOption), and
+    // applyDeltas scope-compacts only the file groups the statement's
+    // keys touch — a DELETE hitting one partition of a large MOR
+    // table leaves every other partition's delta files alone, same as
+    // the native predicate/keyed DML paths.
     // Bootstrapped external files carry no stored meta columns, so the
     // delegated parquet scan would emit null row ids; migrate them to
     // managed form first (the reference's first-touch migration).
+    // withOcc: a concurrent writer's commit racing the migration must
+    // retry it, not spuriously abort the user's DML statement.
     lake.withOcc()(lake.migrateExternal())
     () => new GraftRowLevelOperation(spark, this, info)
   }
@@ -137,6 +134,11 @@ final class GraftTable(
           lake.schemaAt(asOf).fields)
       def mergedFallback = new GraftMergedScanBuilder(spark, lake, metaSchema,
         _ => new graft.streaming.CommitTailStream(spark, lake, options, lake.schema))
+      // Row-level rewrites read through the in-query merged view so a
+      // DML statement never triggers a FULL compaction just to scan:
+      // applyDeltas scope-compacts only the file groups its keys touch.
+      if (options.getBoolean(GraftTable.InQueryMergeOption, false))
+        return mergedFallback
       // Gate: compact-on-read amortizes the merge into fresh base files
       // but WRITES the table; sessions reading someone else's table
       // (or read-only credentials) can turn it off and get the
@@ -226,6 +228,10 @@ final class GraftTable(
 
 object GraftTable {
   private[sql] val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftTable])
+
+  /** Internal scan option: serve the MOR merged view in-query (no
+    * compact-on-read write). Set by the row-level operation's scan. */
+  private[sql] val InQueryMergeOption = "graft.internal.inQueryMerge"
 
   private[sql] def globMatch(glob: String, s: String): Boolean = {
     val rx = ("\\Q" + glob.replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "\\E").r

@@ -85,6 +85,42 @@ class MorSpec extends AnyFunSuite {
     assert(rows(t) == Set((1, "a3", 2L), (3, "c3", 2L)))
   }
 
+  test("SQL row-level DML on MOR scope-compacts; other deltas survive") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.morscope")
+    spark.sql("""CREATE TABLE graft.db.morscope (id INT, v STRING, ts BIGINT,
+      dt STRING) USING graft PARTITIONED BY (dt)
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts', type = 'mor')""")
+    val wh = "target/graft_warehouse_test/db/morscope"
+    val t = LakeTable.load(spark, wh)
+    t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d2"), (3, "c", 1L, "d3"))
+      .toDF("id", "v", "ts", "dt"))
+    t.upsert(Seq((1, "a2", 2L, "d1"), (2, "b2", 2L, "d2"), (3, "c2", 2L, "d3"))
+      .toDF("id", "v", "ts", "dt"))
+    val deltasBefore = t.timeline.liveFiles(None).filter(_.delta)
+    assert(deltasBefore.map(_.partition).toSet == Set("dt=d1", "dt=d2", "dt=d3"))
+    // the SQL statement reads through the in-query merged view and
+    // compacts ONLY d1's file groups — no full-table compaction to scan
+    spark.sql("UPDATE graft.db.morscope SET v = 'a3' WHERE dt = 'd1' AND id = 1")
+    val after = t.timeline.liveFiles(None)
+    val untouched = deltasBefore.filter(_.partition != "dt=d1")
+    assert(untouched.nonEmpty && untouched.forall(d => after.exists(_.path == d.path)),
+      "SQL UPDATE on d1 compacted other partitions' delta files")
+    // correctness via the path-API merged read (a catalog SELECT would
+    // compact-on-read and erase the evidence this test is about)
+    assert(t.snapshot().select("id", "v").as[(Int, String)].collect().toSet ==
+      Set((1, "a3"), (2, "b2"), (3, "c2")))
+    // DELETE likewise: touching d2 leaves d3's delta alone
+    spark.sql("DELETE FROM graft.db.morscope WHERE dt = 'd2'")
+    val after2 = t.timeline.liveFiles(None)
+    assert(after2.exists(f => f.delta && f.partition == "dt=d3"),
+      "SQL DELETE on d2 compacted d3's delta file")
+    assert(t.snapshot().select("id", "v").as[(Int, String)].collect().toSet ==
+      Set((1, "a3"), (3, "c2")))
+  }
+
   test("keyed merge compacts only the touched key's file groups") {
     val t = LakeTable.create(spark, tmp(), morProps())
     t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d2")).toDF("id", "v", "ts", "dt"))
