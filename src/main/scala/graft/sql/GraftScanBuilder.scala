@@ -60,27 +60,78 @@ final class GraftScan(delegate: Scan, makeStream: StructType => MicroBatchStream
 
 /** READ-ONLY real-time view of a MOR table: serves the merged snapshot
   * (base + delta fold, [[graft.core.LakeTable.snapshot]]) through a V1
-  * scan without mutating the table. The fallback path when
-  * compact-on-read cannot run — read-only storage/credentials, or
-  * compaction gated off via `spark.graft.mor.compactOnRead=false` —
-  * matching the reference's merge-at-read-time behavior
-  * (hudi0.13_flink1.15 TestBatchMOR.java:52-58 reads merged rows with
-  * no table write). Column pruning is honored (the merge itself always
-  * needs key/preCombine/commit-time, but the handed-back rows carry
-  * only the required columns); filters stay in Spark — acceptable for
-  * a degraded path whose normal-path sibling is the delegated
-  * vectorized parquet scan. */
+  * scan without mutating the table. Serves compact-on-read-off
+  * sessions (read-only storage/credentials, or
+  * `spark.graft.mor.compactOnRead=false`) AND the row-level rewrite's
+  * read ([[GraftTable.InQueryMergeOption]]) — matching the reference's
+  * merge-at-read-time behavior (hudi0.13_flink1.15
+  * TestBatchMOR.java:52-58 reads merged rows with no table write).
+  *
+  * Column pruning is honored, and PARTITION-column equality/IN
+  * filters prune file listing below the merge
+  * ([[graft.core.LakeTable.snapshotWhere]]) — sound because a
+  * partition's versions all live under that partition's paths, so
+  * dropping a whole non-matching partition can never change version
+  * selection. Data-column filters must NOT push below the merge (they
+  * could drop an old version whose newer delta survives, flipping the
+  * merge winner) and stay in Spark, which re-applies every filter
+  * above a V1 relation anyway. */
 final class GraftMergedScanBuilder(
     spark: org.apache.spark.sql.SparkSession,
     lake: graft.core.LakeTable,
     fullSchema: StructType,
     makeStream: StructType => MicroBatchStream)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
+  private var captured: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Capture for partition pruning but report EVERY filter unhandled:
+    * Spark keeps evaluating them above the scan, so imperfect pruning
+    * can only cost I/O, never correctness. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    captured = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  /** Merged snapshot with partitions pruned by the partition-safe
+    * subset of `filters`. Conservative: prunes only hive-style
+    * layouts, only equality/IN on declared partition fields, and only
+    * values whose path segment is the identity encoding — anything
+    * else reads every partition (correct, just unpruned). */
+  private def prunedSnapshot(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val pf = lake.props.partitionFields.toSet
+    def seg(f: String, v: Any): Option[String] = {
+      val s = String.valueOf(v)
+      if (v != null && s.matches("[A-Za-z0-9._-]+")) Some(s"$f=$s") else None
+    }
+    val constraints: Seq[Set[String]] =
+      if (!lake.props.hiveStylePartitioning) Seq.empty
+      else filters.toSeq.collect {
+        case EqualTo(a, v) if pf(a) => seg(a, v).map(Set(_))
+        case In(a, vs) if pf(a) && vs.nonEmpty =>
+          val segs = vs.toSeq.map(seg(a, _))
+          if (segs.forall(_.isDefined)) Some(segs.flatten.toSet) else None
+      }.flatten
+    if (constraints.isEmpty) lake.snapshot()
+    else lake.snapshotWhere { p =>
+      val parts = p.split("/").toSet
+      constraints.forall(allowed => allowed.exists(parts.contains))
+    }
+  }
 
   override def build(): Scan = new V1Scan {
     override def readSchema(): StructType = required
@@ -89,7 +140,10 @@ final class GraftMergedScanBuilder(
     override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
         with org.apache.spark.sql.sources.TableScan](
         context: org.apache.spark.sql.SQLContext): T = {
-      val snap = lake.snapshot()
+      // the V1 bridge only ever calls TableScan.buildScan(); column
+      // pruning and the captured filters were applied at the V2
+      // builder (same shape as Spark's own JDBC V1Scan)
+      val snap = prunedSnapshot(captured)
       val cols = required.fieldNames.toSeq
       val projected =
         if (cols.isEmpty) snap.select() else snap.select(cols.map(snap.col): _*)

@@ -121,6 +121,36 @@ class MorSpec extends AnyFunSuite {
       Set((1, "a3"), (3, "c2")))
   }
 
+  test("merged read-only view prunes partition filters below the merge") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.morprune")
+    spark.sql("""CREATE TABLE graft.db.morprune (id INT, v STRING, ts BIGINT,
+      dt STRING) USING graft PARTITIONED BY (dt)
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts', type = 'mor')""")
+    val t = LakeTable.load(spark, "target/graft_warehouse_test/db/morprune")
+    t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d2")).toDF("id", "v", "ts", "dt"))
+    t.upsert(Seq((1, "a2", 2L, "d1"), (2, "b2", 2L, "d2")).toDF("id", "v", "ts", "dt"))
+    spark.conf.set("spark.graft.mor.compactOnRead", "false")
+    try {
+      // partition-equality filter: prunes to d1's files, merge still right
+      assert(spark.sql(
+        "SELECT v FROM graft.db.morprune WHERE dt = 'd1'")
+        .as[String].collect().toSeq == Seq("a2"))
+      // IN filter over both partitions
+      assert(spark.sql(
+        "SELECT v FROM graft.db.morprune WHERE dt IN ('d1','d2') ORDER BY v")
+        .as[String].collect().toSeq == Seq("a2", "b2"))
+      // data-column filter must NOT prune below the merge: v='b' only
+      // matches the OLD version of id=2 — the merged result is empty
+      assert(spark.sql(
+        "SELECT v FROM graft.db.morprune WHERE v = 'b'").count() == 0)
+      // deltas untouched: the read-only view never compacted
+      assert(t.timeline.liveFiles(None).exists(_.delta))
+    } finally spark.conf.set("spark.graft.mor.compactOnRead", "true")
+  }
+
   test("keyed merge compacts only the touched key's file groups") {
     val t = LakeTable.create(spark, tmp(), morProps())
     t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d2")).toDF("id", "v", "ts", "dt"))
