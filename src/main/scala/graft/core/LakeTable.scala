@@ -548,46 +548,57 @@ final class LakeTable private[core] (
       deleteIds: Option[DataFrame],
       upserts: Option[DataFrame],
       action: String = "merge"): String = {
+    // ONE cheap (key, partition) projection of the statement's rows:
+    // it scopes the MOR pre-compaction AND feeds the probe below (the
+    // statsOf pattern — the conformed frames never materialize twice)
+    val keyProj =
+      (upserts.map(df => df.select(
+        keyCol.as(RecordKeyCol), ppCol.as(PartitionPathCol))).toSeq ++
+        deleteIds.map(_.select(RecordKeyCol, PartitionPathCol)).toSeq)
+        .reduceOption(_.unionByName(_))
     // MOR: the row-level rewrite read the merged view in-query; fold
     // only the file groups this statement's keys touch before the
     // rewrite below — other partitions' delta files stay untouched
-    if (isMor) {
-      val keySrcs =
-        upserts.map(df => df.select(
-          keyCol.as(RecordKeyCol), ppCol.as(PartitionPathCol))).toSeq ++
-          deleteIds.map(_.select(RecordKeyCol, PartitionPathCol)).toSeq
-      keySrcs.reduceOption(_.unionByName(_))
-        .foreach(k => compactForKeys(k.distinct(), global = false))
-    }
+    if (isMor) keyProj.foreach(k => compactForKeys(k.distinct(), global = false))
     withInflight { instant =>
     val newSchema = upserts.map(unionSchema).getOrElse(schema)
     val incoming = upserts.map(df =>
       conform(withMeta(dedupBatch(df), instant), newSchema).persist())
     val delKeys = deleteIds.map(
       _.select(RecordKeyCol, PartitionPathCol).distinct().persist())
-    val allKeys = (incoming.map(_.select(RecordKeyCol, PartitionPathCol)).toSeq ++
-      delKeys.toSeq).reduceOption(_.unionByName(_))
-    val probe = allKeys.map(k => affectedFiles(k)).getOrElse(Probe(Seq.empty, 0L))
+    val probe = keyProj.map(k => affectedFiles(k)).getOrElse(Probe(Seq.empty, 0L))
     val affected = probe.files
-    // MOR read schema carries _deleted; the row-level guard compacted
-    // beforehand, so it is all-null here — drop it for the merge union
-    val existing0 = readAffected(affected, newSchema).drop(DeletedCol)
+    // MOR read schema carries _deleted. The scoped compaction above
+    // normally folds every tombstone first, but a delta landing in the
+    // window between that compaction and this probe must STAY a
+    // deletion — carry the flag through the merge and filter winners,
+    // never flatten a tombstone into a live null-data row.
+    val existingRaw = readAffected(affected, newSchema)
+    val hasDel = existingRaw.columns.contains(DeletedCol)
+    def dropTombstones(df: DataFrame): DataFrame =
+      if (hasDel) df.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
+      else df
     val existing = delKeys match {
-      case Some(k) => existing0.join(gatedBroadcast(k, probe.batchRows),
+      case Some(k) => existingRaw.join(gatedBroadcast(k, probe.batchRows),
         Seq(RecordKeyCol, PartitionPathCol), "left_anti")
-      case None => existing0
+      case None => existingRaw
     }
     val ordCol: Column = props.preCombineField.map(col).getOrElse(lit(0))
     val merged = incoming match {
-      case None => existing
+      case None => dropTombstones(existing)
       case Some(inc) if affected.isEmpty => inc
       case Some(inc) =>
+        val incD = if (hasDel)
+          inc.withColumn(DeletedCol,
+            lit(null).cast(org.apache.spark.sql.types.BooleanType))
+        else inc
         val pick = Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
           .orderBy(ordCol.desc, col(IncomingFlag).desc)
-        existing.withColumn(IncomingFlag, lit(0))
-          .unionByName(inc.withColumn(IncomingFlag, lit(1)))
-          .withColumn("__rn", row_number().over(pick))
-          .filter(col("__rn") === 1)
+        dropTombstones(
+          existing.withColumn(IncomingFlag, lit(0))
+            .unionByName(incD.withColumn(IncomingFlag, lit(1)))
+            .withColumn("__rn", row_number().over(pick))
+            .filter(col("__rn") === 1))
           .drop("__rn", IncomingFlag)
     }
     val st = writeFiles(merged, instant)

@@ -109,7 +109,7 @@ final class GraftMergedScanBuilder(
     * layouts, only equality/IN on declared partition fields, and only
     * values whose path segment is the identity encoding — anything
     * else reads every partition (correct, just unpruned). */
-  private def prunedSnapshot(
+  private[graft] def prunedSnapshot(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.sources.{EqualTo, In}

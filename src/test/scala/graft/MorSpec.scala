@@ -149,6 +149,19 @@ class MorSpec extends AnyFunSuite {
       // deltas untouched: the read-only view never compacted
       assert(t.timeline.liveFiles(None).exists(_.delta))
     } finally spark.conf.set("spark.graft.mor.compactOnRead", "true")
+    // and the pruning is REAL, not just correct-by-re-filtering: the
+    // builder's pruned snapshot contains only the matching partition
+    import org.apache.spark.sql.sources.{EqualTo, In, StringContains}
+    val builder = new graft.sql.GraftMergedScanBuilder(spark, t,
+      t.snapshot().schema, null)
+    def partsFor(fs: org.apache.spark.sql.sources.Filter*): Set[String] =
+      builder.prunedSnapshot(fs.toArray)
+        .select("dt").distinct().as[String].collect().toSet
+    assert(partsFor(EqualTo("dt", "d1")) == Set("d1"))
+    assert(partsFor(In("dt", Array("d2"))) == Set("d2"))
+    // non-partition and non-prunable filters read everything
+    assert(partsFor(EqualTo("v", "a2")) == Set("d1", "d2"))
+    assert(partsFor(StringContains("dt", "d")) == Set("d1", "d2"))
   }
 
   test("keyed merge compacts only the touched key's file groups") {
