@@ -62,22 +62,28 @@ object Bench {
       LakeTable.drop(spark, mp)
     } catch { case _: Throwable => () }
 
-    // Two timed runs per query, report the min: this box shows ±20%+
-    // run-to-run variance under contention (whole queries can double
-    // when something else holds the CPUs), and min-of-2 is the
-    // standard way to measure the code rather than the neighbor.
+    // Two timed runs per query, report the min — taken as two FULL
+    // passes over the whole query set, not back-to-back per query:
+    // this box shows ±20%+ variance under contention and a contention
+    // window lasts longer than one query, so back-to-back samples
+    // spike together (driver r6 recorded q2 at 6.64 s where a clean
+    // run measures 0.21 s). Separating the samples by a whole pass
+    // (~1 min+) makes a min-across-passes survive any contention
+    // window shorter than a pass.
     val Runs = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // queries may cache intermediates they reuse across branches;
-        // don't let one query's cache skew the next one's measurement
-        spark.catalog.clearCache()
-        dt
-      }
-      name -> times.min
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def onePass(): Map[String, Double] = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries may cache intermediates they reuse across branches;
+      // don't let one query's cache skew the next one's measurement
+      spark.catalog.clearCache()
+      name -> dt
+    }.toMap
+    val passes = (1 to Runs).map(_ => onePass())
+    val results = ordered.map { case (name, _) =>
+      name -> passes.map(_(name)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -578,22 +578,49 @@ final class LakeTable private[core] (
     def dropTombstones(df: DataFrame): DataFrame =
       if (hasDel) df.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
       else df
-    val existing = delKeys match {
+    val existingAnti = delKeys match {
       case Some(k) => existingRaw.join(gatedBroadcast(k, probe.batchRows),
         Seq(RecordKeyCol, PartitionPathCol), "left_anti")
       case None => existingRaw
     }
+    // Mirror mergeOnRead on the existing side: a concurrent delta
+    // landing between the scoped compaction and this probe may carry an
+    // UNCONDITIONAL tombstone (null preCombine) — positional erase, not
+    // payload competition. Drop everything at-or-before its commit so
+    // an older base-row version with a non-null preCombine can't win
+    // the pick window below and resurrect the key.
+    val byKey = Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
+    val existing = if (hasDel) {
+      val uncondDel: Column = props.preCombineField match {
+        case Some(f) => coalesce(col(DeletedCol), lit(false)) && col(f).isNull
+        case None => coalesce(col(DeletedCol), lit(false))
+      }
+      existingAnti
+        .withColumn("__delWm",
+          max(when(uncondDel, col(CommitTimeCol))).over(byKey))
+        .filter(col("__delWm").isNull || col(CommitTimeCol) > col("__delWm"))
+        .drop("__delWm")
+    } else existingAnti
     val ordCol: Column = props.preCombineField.map(col).getOrElse(lit(0))
+    // Same tiebreak chain as mergeOnRead (ord desc nulls-last, then
+    // commit time) so conditional tombstones and tied/null-preCombine
+    // versions resolve identically on both paths; IncomingFlag breaks
+    // the final tie in favor of this statement's rows.
+    val pickOrd = Seq(ordCol.desc_nulls_last, col(CommitTimeCol).desc)
     val merged = incoming match {
-      case None => dropTombstones(existing)
+      case None =>
+        dropTombstones(
+          existing.withColumn("__rn",
+            row_number().over(byKey.orderBy(pickOrd: _*)))
+            .filter(col("__rn") === 1))
+          .drop("__rn")
       case Some(inc) if affected.isEmpty => inc
       case Some(inc) =>
         val incD = if (hasDel)
           inc.withColumn(DeletedCol,
             lit(null).cast(org.apache.spark.sql.types.BooleanType))
         else inc
-        val pick = Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
-          .orderBy(ordCol.desc, col(IncomingFlag).desc)
+        val pick = byKey.orderBy(pickOrd :+ col(IncomingFlag).desc: _*)
         dropTombstones(
           existing.withColumn(IncomingFlag, lit(0))
             .unionByName(incD.withColumn(IncomingFlag, lit(1)))
@@ -1565,7 +1592,11 @@ final class LakeTable private[core] (
     val cutoff = timeline.earliestActiveInflight() match {
       case None => cutoff0
       case Some(i) => Timeline.instantMillis(i) match {
-        case Some(t) => math.min(cutoff0, t - Timeline.INFLIGHT_STALE_MS)
+        // the EFFECTIVE stale window (conf-configurable), not the
+        // compile-time default: a session that widens
+        // graft.inflight.stale.ms must widen this slack identically or
+        // the two staleness mechanisms disagree about who is live
+        case Some(t) => math.min(cutoff0, t - timeline.inflightStaleMs)
         case None =>
           // a live writer exists but its start time cannot be bounded
           // (instant-id bumping can produce a non-calendar timestamp):

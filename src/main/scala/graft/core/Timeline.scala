@@ -213,7 +213,7 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * the Hadoop conf (settable per session via
     * `spark.hadoop.graft.inflight.stale.ms`), default
     * [[Timeline.INFLIGHT_STALE_MS]]. */
-  private val inflightStaleMs: Long =
+  private[graft] val inflightStaleMs: Long =
     conf.getLong("graft.inflight.stale.ms", INFLIGHT_STALE_MS)
 
   /** Heartbeat cancellation handles for markers published by THIS
@@ -485,14 +485,17 @@ final class Timeline(conf: Configuration, val basePath: String) {
       .filterNot(f => removed.contains(f.path))
     val fromCommits = for {
       c <- cs
+      // Set per commit, not a Seq scan per file: a catalog-sync commit
+      // mirroring a table with many delta files would otherwise make
+      // timeline resolution O(n²) in the commit's file count.
+      da = c.deltaAdded.map(_.toSet).getOrElse(Set.empty[String])
       f <- c.added if !removed.contains(f)
     } yield FileEntry(f, c.instant, c.partitions.getOrElse(f, ""),
       c.external.contains(f),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
       c.buckets.flatMap(_.get(f)),
-      delta = c.action == "deltacommit" ||
-        c.deltaAdded.exists(_.contains(f)))
+      delta = c.action == "deltacommit" || da(f))
     fromCheckpoint ++ fromCommits
   }
 
@@ -537,14 +540,14 @@ final class Timeline(conf: Configuration, val basePath: String) {
     // its files again would duplicate every row they hold
     val archivedEntries = for {
       c <- toArchive
+      da = c.deltaAdded.map(_.toSet).getOrElse(Set.empty[String])
       f <- c.added if !removed.contains(f) && !priorPaths.contains(f)
     } yield FileEntry(f, c.instant, c.partitions.getOrElse(f, ""),
       c.external.contains(f),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
       c.buckets.flatMap(_.get(f)),
-      delta = c.action == "deltacommit" ||
-        c.deltaAdded.exists(_.contains(f)))
+      delta = c.action == "deltacommit" || da(f))
     val priorTags = priorCp.map(_.tags).getOrElse(Map.empty)
     val archivedTags = toArchive.flatMap(_.tag).flatMap { t =>
       t.split("=", 2) match {

@@ -549,8 +549,192 @@ object LakeQueries {
       SELECT * FROM cow UNION ALL SELECT * FROM mor
       ORDER BY variant, c_custkey"""))
 
+  /** Optimistic concurrency, cross-instance (SURVEY §7(f) exceeded —
+    * the reference assumes a single writer; at 100 TB concurrent
+    * ingest is the norm): two INDEPENDENT table handles (own Timeline
+    * instances, the cross-process shape) upsert disjoint key ranges
+    * whose keys interleave through the SAME files, so both commits
+    * remove the same file groups. The loser's commit raises a
+    * conflict; `withOcc` re-runs it against the fresh state, re-probes,
+    * and merges with the winner's output. Final state must equal the
+    * sequential result — disjoint keys make it order-independent. */
+  private val occQ = GQ(
+    "lake19_concurrent_writers",
+    (s, dir) => {
+      val p = scratch(s, dir, "lake19")
+      val tab = LakeTable.create(s, p, props(true))
+      tab.upsert(base(s, dir)) // seed: every file spans both mod classes
+      val w1 = LakeTable.load(s, p)
+      val w2 = LakeTable.load(s, p)
+      def batch(mod: Int, sfx: String) =
+        base(s, dir).filter(col("c_custkey") % 2 === mod)
+          .withColumn("ts", lit(2L))
+          .withColumn("c_name", concat(col("c_name"), lit(sfx)))
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val f1 = Future(w1.withOcc()(w1.upsert(batch(0, "_w1"))))
+      val f2 = Future(w2.withOcc()(w2.upsert(batch(1, "_w2"))))
+      Await.result(f1, 10.minutes)
+      Await.result(f2, 10.minutes)
+      dataCols(tab.snapshot())
+    },
+    Some("""SELECT c_custkey,
+      c_name || CASE WHEN c_custkey % 2 = 0 THEN '_w1' ELSE '_w2' END AS c_name,
+      c_nationkey, c_acctbal, c_mktsegment, CAST(2 AS BIGINT) AS ts
+      FROM customer ORDER BY c_custkey"""))
+
+  /** Vacuum service as a gate query: plant a crashed writer's
+    * leftovers (an abandoned staged dir AND a moved-but-never-
+    * committed data file, both aged past the threshold), run
+    * [[LakeTable.cleanOrphans]], then prove in ONE oracle-checked
+    * result that the orphans are gone while snapshot, time travel,
+    * and CDC are untouched — vacuum must never eat a referenced
+    * version. */
+  private val vacuumQ = GQ(
+    "lake20_vacuum",
+    (s, dir) => {
+      val p = scratch(s, dir, "lake20")
+      val tab = LakeTable.create(s, p, props(true))
+      val c1 = tab.upsert(base(s, dir))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 5 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_name", concat(col("c_name"), lit("_v2"))))
+      val conf = s.sessionState.newHadoopConf()
+      val qp = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).makeQualified(hp)
+      }
+      val fs = qp.getFileSystem(conf)
+      val stagedDir = new org.apache.hadoop.fs.Path(qp,
+        ".staging/19700101000000000_deadbeef")
+      val orphanStaged =
+        new org.apache.hadoop.fs.Path(stagedDir, "part-00000.parquet")
+      val orphanMoved = new org.apache.hadoop.fs.Path(qp,
+        "c_mktsegment=BUILDING/19700101000000000_deadbeef_00000.parquet")
+      val dayAgo = System.currentTimeMillis() - 86400000L
+      Seq(orphanStaged, orphanMoved).foreach { o =>
+        val out = fs.create(o, true)
+        out.write(Array[Byte](0x50, 0x41, 0x52, 0x31))
+        out.close()
+        fs.setTimes(o, dayAgo, -1)
+      }
+      fs.setTimes(stagedDir, dayAgo, -1) // staged-dir reap keys off DIR mtime
+      val deleted = tab.cleanOrphans(olderThanMs = 3600000L)
+      require(deleted.size == 2 &&
+        !fs.exists(orphanStaged) && !fs.exists(orphanMoved),
+        s"vacuum should reap exactly the two planted orphans, got $deleted")
+      def shape(df: DataFrame, variant: String) =
+        df.select(lit(variant).as("variant"), col("c_custkey"), col("c_name"),
+          col("ts"))
+      shape(tab.snapshot(), "snap")
+        .unionByName(shape(tab.snapshot(Some(c1)), "tt"))
+        .unionByName(tab.cdc(c1).select(
+          concat(lit("cdc_"), col(LakeTable.ChangeOpCol)).as("variant"),
+          col("c_custkey"), col("c_name"), col("ts")))
+        .orderBy("variant", "c_custkey")
+    },
+    Some("""WITH snap AS (
+        SELECT 'snap' AS variant, c_custkey,
+          CASE WHEN c_custkey % 5 = 0 THEN c_name || '_v2' ELSE c_name END AS c_name,
+          CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
+        FROM customer
+      ), tt AS (
+        SELECT 'tt' AS variant, c_custkey, c_name, CAST(1 AS BIGINT) AS ts
+        FROM customer
+      ), cdc AS (
+        SELECT 'cdc_u' AS variant, c_custkey, c_name || '_v2' AS c_name,
+          CAST(2 AS BIGINT) AS ts
+        FROM customer WHERE c_custkey % 5 = 0
+      )
+      SELECT * FROM snap UNION ALL SELECT * FROM tt UNION ALL SELECT * FROM cdc
+      ORDER BY variant, c_custkey"""))
+
+  /** CDC whose BEGIN state sits exactly on the archive boundary: three
+    * commits (seed, update, delete) are folded into the timeline
+    * checkpoint mid-scenario, then more DML lands, and `cdc(begin)`
+    * must still produce the exact net changes — the checkpoint's
+    * FileEntry rows keep their ORIGINAL commit instants
+    * (Timeline.CheckpointMeta fold-forward), which is what lets the
+    * before-image and churn detection work when the begin-side commits
+    * no longer exist as JSON. */
+  private val cdcArchiveQ = GQ(
+    "lake21_cdc_archive",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake21"), props(true))
+      tab.upsert(base(s, dir))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 4 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_acctbal", (dec2(col("c_acctbal")) + 50).cast("double"))
+        .withColumn("c_name", concat(col("c_name"), lit("_u2"))))
+      val begin = tab.delete(base(s, dir).filter(col("c_custkey") % 9 === 0)
+        .select("c_custkey", "c_mktsegment"))
+      // post-begin churn: update %6 (resurrects %6∩%9 — upsert inserts
+      // absent keys), delete %11, insert fresh %13 keys
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 6 === 0)
+        .withColumn("ts", lit(3L))
+        .withColumn("c_acctbal", (dec2(col("c_acctbal")) * 2).cast("double"))
+        .withColumn("c_name", concat(col("c_name"), lit("_u4"))))
+      // fold [seed, update, delete] into the checkpoint: 4 commits
+      // active, keep 1 → asOf lands exactly on `begin`
+      val archived = tab.archive(minToKeep = 1, maxToKeep = 3)
+      require(archived == 3, s"expected 3 commits archived, got $archived")
+      tab.delete(base(s, dir).filter(col("c_custkey") % 11 === 0)
+        .select("c_custkey", "c_mktsegment"))
+      tab.insert(base(s, dir).filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000)
+        .withColumn("ts", lit(4L))
+        .withColumn("c_name", concat(col("c_name"), lit("_new"))))
+      val before = col(LakeTable.BeforeImageCol)
+      tab.cdc(begin)
+        .select(col(LakeTable.ChangeOpCol).as("op"),
+          coalesce(col("c_custkey"), before.getField("c_custkey"))
+            .as("c_custkey"),
+          col("c_name"), col("c_acctbal"), col("ts"),
+          before.getField("c_name").as("before_name"),
+          before.getField("c_acctbal").as("before_acctbal"))
+        .orderBy("c_custkey", "op")
+    },
+    Some("""WITH beforeState AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 4 = 0 THEN c_name || '_u2' ELSE c_name END AS c_name,
+          CASE WHEN c_custkey % 4 = 0
+            THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 50 AS DOUBLE)
+            ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 9 <> 0
+      ), upd AS (
+        SELECT 'u' AS op, c.c_custkey, c.c_name || '_u4' AS c_name,
+          CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS c_acctbal,
+          CAST(3 AS BIGINT) AS ts,
+          b.c_name AS before_name, b.c_acctbal AS before_acctbal
+        FROM customer c JOIN beforeState b USING (c_custkey)
+        WHERE c.c_custkey % 6 = 0 AND c.c_custkey % 11 <> 0
+      ), res AS (
+        SELECT 'i' AS op, c_custkey, c_name || '_u4' AS c_name,
+          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS c_acctbal,
+          CAST(3 AS BIGINT) AS ts,
+          CAST(NULL AS VARCHAR) AS before_name,
+          CAST(NULL AS DOUBLE) AS before_acctbal
+        FROM customer
+        WHERE c_custkey % 6 = 0 AND c_custkey % 9 = 0 AND c_custkey % 11 <> 0
+      ), del AS (
+        SELECT 'd' AS op, c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+          CAST(NULL AS DOUBLE) AS c_acctbal, CAST(NULL AS BIGINT) AS ts,
+          c_name AS before_name, c_acctbal AS before_acctbal
+        FROM beforeState WHERE c_custkey % 11 = 0
+      ), ins AS (
+        SELECT 'i' AS op, c_custkey + 1000000 AS c_custkey,
+          c_name || '_new' AS c_name, c_acctbal, CAST(4 AS BIGINT) AS ts,
+          CAST(NULL AS VARCHAR) AS before_name,
+          CAST(NULL AS DOUBLE) AS before_acctbal
+        FROM customer WHERE c_custkey % 13 = 0
+      )
+      SELECT * FROM upd UNION ALL SELECT * FROM res UNION ALL
+      SELECT * FROM del UNION ALL SELECT * FROM ins
+      ORDER BY c_custkey, op"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
     timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
-    cdcQ, mvQ, savepointQ, predicateDmlQ)
+    cdcQ, mvQ, savepointQ, predicateDmlQ, occQ, vacuumQ, cdcArchiveQ)
 }

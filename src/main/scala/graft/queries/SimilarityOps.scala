@@ -179,9 +179,17 @@ object SimilarityOps {
     * aggregate on the edge set, converging in a handful of rounds for
     * small-diameter duplicate clusters. */
   private[graft] def components(
-      p0: DataFrame, driverMaxEdges: Int = 500000): DataFrame = {
+      p0: DataFrame, driverMaxEdges: Int = -1): DataFrame = {
     val spark = p0.sparkSession
     import spark.implicits._
+    // -1 = resolve the size gate from the session conf, so a deployment
+    // (or the gate itself) can force the distributed label-propagation
+    // branch at any scale — the 100 TB code path stays oracle-checkable
+    // without a 100 TB edge set
+    val maxEdges =
+      if (driverMaxEdges >= 0) driverMaxEdges
+      else spark.conf.get("spark.graft.components.driverMaxEdges", "500000")
+        .toInt
     // normalize BOTH paths to long ids up front so the output schema
     // is identical whichever side of the size gate a dataset lands on
     val p = p0.select(col("a").cast("long").as("a"),
@@ -189,8 +197,8 @@ object SimilarityOps {
     // one job: fetch up to threshold+1 edges; over-threshold falls
     // through to the distributed loop (which re-derives p — the rare
     // path pays, the common path runs the pair pipeline exactly once)
-    val es = p.as[(Long, Long)].take(driverMaxEdges + 1)
-    if (es.length <= driverMaxEdges) {
+    val es = p.as[(Long, Long)].take(maxEdges + 1)
+    if (es.length <= maxEdges) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -271,6 +279,43 @@ object SimilarityOps {
         .filter(col("id") =!= col("lbl"))
         .select(col("id").as("vec_id"), col("lbl").as("canonical"))
         .orderBy("vec_id"),
+    Some(s"""WITH RECURSIVE $pairsSql,
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      r(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
+      SELECT id AS vec_id, min(lbl) AS canonical FROM r
+      GROUP BY id HAVING min(lbl) <> id ORDER BY vec_id"""))
+
+  /** sim5b — the SAME graph dedup forced through the distributed
+    * min-id label-propagation branch (the 100 TB path): the conf knob
+    * zeroes the driver union-find size gate, so the gate's oracle
+    * checks the branch that actually runs when the edge set no longer
+    * fits one collect — not just the small-scale fast path. Oracle is
+    * identical to sim5 (both branches must agree exactly). */
+  private val graphDedupDistQ = GQ(
+    "sim5b_graph_dedup_distributed",
+    (s, dir) => {
+      val k = "spark.graft.components.driverMaxEdges"
+      val prev = s.conf.getOption(k)
+      s.conf.set(k, "0")
+      try
+        components(nearDupPairs(s, dir).select("a", "b"))
+          .filter(col("id") =!= col("lbl"))
+          .select(col("id").as("vec_id"), col("lbl").as("canonical"))
+          .orderBy("vec_id")
+          // label propagation runs lazily at action time; materialize
+          // inside the conf window so the branch choice is the forced
+          // one, then return the (cached) result
+          .localCheckpoint()
+      finally prev match {
+        case Some(v) => s.conf.set(k, v)
+        case None => s.conf.unset(k)
+      }
+    },
     Some(s"""WITH RECURSIVE $pairsSql,
       edges AS (SELECT a AS src, b AS dst FROM pairs
         UNION ALL SELECT b, a FROM pairs),
@@ -661,5 +706,6 @@ object SimilarityOps {
       SELECT q_id, vec_id, tcos, cosine, CAST(rank AS INT) AS rank FROM r
       WHERE rank <= 10 ORDER BY q_id, rank"""))
 
-  def qs: Seq[GQ] = Seq(topkQ, nearDupQ, annQ, ivfQ, graphDedupQ, pqQ, mrQ)
+  def qs: Seq[GQ] =
+    Seq(topkQ, nearDupQ, annQ, ivfQ, graphDedupQ, graphDedupDistQ, pqQ, mrQ)
 }
