@@ -521,19 +521,27 @@ final class LakeTable private[core] (
       val delKeys = keys
         .withColumn(RecordKeyCol, keyCol)
         .withColumn(PartitionPathCol, ppCol)
-        .select(RecordKeyCol, PartitionPathCol).distinct().persist()
+        .select(RecordKeyCol, PartitionPathCol).distinct()
       val probe = affectedFiles(delKeys)
       val affected = probe.files
       if (affected.isEmpty) { // nothing matches: empty commit, no write
-        delKeys.unpersist()
         doCommit(instant, "delete", Staged.empty, Seq.empty, schema, tag)
-      } else {
-        val kept = readAffected(affected, schema)
-          .join(gatedBroadcast(delKeys, probe.batchRows),
-            Seq(RecordKeyCol, PartitionPathCol), "left_anti")
-        val st = writeFiles(kept, instant)
-        delKeys.unpersist()
-        doCommit(instant, "delete", st, affected, schema, tag)
+      } else probeKeysDf(probe) match {
+        case Some(kdf) =>
+          // anti join against the probe's LOCAL key relation: the
+          // write job never re-derives the delete-key frame
+          val kept = readAffected(affected, schema)
+            .join(kdf, Seq(RecordKeyCol, PartitionPathCol), "left_anti")
+          val st = writeFiles(kept, instant)
+          doCommit(instant, "delete", st, affected, schema, tag)
+        case None =>
+          val dk = delKeys.persist()
+          val kept = readAffected(affected, schema)
+            .join(gatedBroadcast(dk, probe.batchRows),
+              Seq(RecordKeyCol, PartitionPathCol), "left_anti")
+          val st = writeFiles(kept, instant)
+          dk.unpersist()
+          doCommit(instant, "delete", st, affected, schema, tag)
       }
       instant
     }
@@ -648,9 +656,10 @@ final class LakeTable private[core] (
     val delKeys = ids.select(RecordKeyCol, PartitionPathCol).distinct()
     val probe = affectedFiles(delKeys)
     val affected = probe.files
+    val anti = probeKeysDf(probe)
+      .getOrElse(gatedBroadcast(delKeys, probe.batchRows))
     val kept = readAffected(affected, schema)
-      .join(gatedBroadcast(delKeys, probe.batchRows),
-        Seq(RecordKeyCol, PartitionPathCol), "left_anti")
+      .join(anti, Seq(RecordKeyCol, PartitionPathCol), "left_anti")
     val st = writeFiles(kept, instant)
     doCommit(instant, "delete", st, affected, schema)
     instant
@@ -820,11 +829,24 @@ final class LakeTable private[core] (
       allowMissingColumns = true)
   }
 
-  /** Result of the write probe: files that may contain batch keys, plus
-    * the batch row count observed by the probe's own stats job — free
-    * (same aggregation), and an upper bound on distinct keys used to
-    * size-gate downstream key-set broadcasts. */
-  private case class Probe(files: Seq[String], batchRows: Long)
+  /** Result of the write probe: files that may contain batch keys, the
+    * batch row count observed by the probe's own stats job — free
+    * (same aggregation), an upper bound on distinct keys used to
+    * size-gate downstream key-set broadcasts — and, when the batch's
+    * distinct (partition, key) set fit the driver cap, that exact set.
+    * Callers reuse the set as a LOCAL relation for their anti joins,
+    * removing a batch re-scan + distinct shuffle from the write job. */
+  private case class Probe(files: Seq[String], batchRows: Long,
+      keys: Option[Array[(String, String)]] = None)
+
+  /** The probe's driver-held (partition, key) set as a broadcast LOCAL
+    * relation shaped (RecordKeyCol, PartitionPathCol); None when the
+    * batch overflowed the driver cap. */
+  private def probeKeysDf(probe: Probe): Option[DataFrame] =
+    probe.keys.map { ks =>
+      broadcast(ks.toSeq.map { case (pp, k) => (k, pp) }
+        .toDF(RecordKeyCol, PartitionPathCol))
+    }
 
   /** Row-count ceiling for write-path key-set broadcast hints. Below it
     * the batch's key set is broadcast (the probe/anti joins avoid
@@ -858,23 +880,65 @@ final class LakeTable private[core] (
     if (live.isEmpty && liveExt.isEmpty) return Probe(Seq.empty, Long.MaxValue)
     if (props.bucketIndexBuckets > 0)
       return bucketAffected(statsOf.getOrElse(incoming), live, liveExt, global)
-    // one job: per-partition record-key bounds + row count of the
-    // batch. Min/max AND the distinct key set are dedup-invariant, so
-    // callers can supply a cheaper pre-dedup key projection used for
-    // BOTH the stats job and the probe semi-join — the expensive
-    // conformed/preCombine-windowed batch then materializes exactly
-    // once, inside the merge-write job, instead of being computed (and
-    // cache-filled) by the probe first (profiled at 1-2 s per commit
-    // at sf0.1, the dominant commit fixed cost).
+    // ONE single-stage job (no shuffle; partial aggregates merge on
+    // the driver): per-partition record-key bounds + row count of the
+    // batch AND, while the running distinct set fits `driverKeyCap`,
+    // the batch's exact (partition, key) set. Min/max and the distinct
+    // key set are dedup-invariant, so callers can supply a cheaper
+    // pre-dedup key projection (statsOf) — the expensive conformed/
+    // preCombine-windowed batch then materializes exactly once, inside
+    // the merge-write job. The former shape here (stats shuffle job +
+    // candidate-scan semi-join job) profiled at 1-2 s per commit at
+    // sf0.1 — the dominant commit fixed cost; with the key set on the
+    // driver the affected files resolve from parquet FOOTER metadata
+    // below, normally running zero further jobs.
     val keySrc = statsOf.getOrElse(incoming)
-    val statRows = keySrc.groupBy(PartitionPathCol)
-      .agg(min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"),
-        count(lit(1)).as("cnt"))
-      .collect()
-    val batchRows = statRows.map(_.getLong(3)).sum
+    val cap = spark.conf.getOption("spark.graft.probe.driverKeyCap")
+      .map(_.toInt).getOrElse(200000)
+    val partials = keySrc.select(col(PartitionPathCol), col(RecordKeyCol))
+      .as[(String, String)].rdd.mapPartitions { it =>
+        val stats =
+          scala.collection.mutable.HashMap.empty[String, (String, String, Long)]
+        val keys = scala.collection.mutable.HashSet.empty[(String, String)]
+        var overflow = false
+        it.foreach { case (pp, k) =>
+          stats.get(pp) match {
+            case None => stats(pp) = (k, k, 1L)
+            case Some((mn, mx, c)) => stats(pp) = (
+              if (utf8Cmp(k, mn) < 0) k else mn,
+              if (utf8Cmp(k, mx) > 0) k else mx, c + 1L)
+          }
+          if (!overflow) {
+            keys.add((pp, k))
+            if (keys.size > cap) { overflow = true; keys.clear() }
+          }
+        }
+        Iterator.single((stats, if (overflow) None else Some(keys)))
+      }.collect()
+    val statsM =
+      scala.collection.mutable.HashMap.empty[String, (String, String, Long)]
+    partials.foreach(_._1.foreach { case (pp, (mn, mx, c)) =>
+      statsM.get(pp) match {
+        case None => statsM(pp) = (mn, mx, c)
+        case Some((m0, x0, c0)) => statsM(pp) = (
+          if (utf8Cmp(mn, m0) < 0) mn else m0,
+          if (utf8Cmp(mx, x0) > 0) mx else x0, c0 + c)
+      }
+    })
+    val batchRows = statsM.valuesIterator.map(_._3).sum
     val batchStats: Map[String, (String, String)] =
-      statRows.map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
-        .toMap
+      statsM.map { case (pp, (mn, mx, _)) => pp -> (mn, mx) }.toMap
+    val keysOpt: Option[Array[(String, String)]] =
+      if (partials.exists(_._2.isEmpty)) None
+      else {
+        val merged = scala.collection.mutable.HashSet.empty[(String, String)]
+        var over = false
+        partials.iterator.takeWhile(_ => !over).foreach { p =>
+          merged ++= p._2.get
+          if (merged.size > cap) over = true
+        }
+        if (over) None else Some(merged.toArray)
+      }
     // candidate pruning (SURVEY §4 bloom/range-index analog):
     // partition scope first, then stored per-file key bounds vs the
     // batch's bounds for that partition — zero-I/O, driver-side
@@ -894,25 +958,143 @@ final class LakeTable private[core] (
         case _ => true // no stats → cannot prune
       }
     }
-    val candidates = live.collect { case f if inScope(f) => abs(f.path) }
+    val candidates = live.filter(inScope)
     // external (bootstrapped) files carry no stored keys: any external
     // file in scope is conservatively affected (it is rewritten into
     // managed form on first touch — the reference's "upserts migrate
     // bootstrapped files" behavior)
     val extAffected = liveExt.collect { case f if inScope(f) => f.path }
     val joinKeys = if (global) Seq(RecordKeyCol) else Seq(RecordKeyCol, PartitionPathCol)
-    val managedAffected = if (candidates.isEmpty) Seq.empty[String]
-    else {
-      spark.read.schema(withMetaSchema(schema)).parquet(candidates: _*)
+    /** Scan-probe fallback: key semi-join over `files`, broadcast side
+      * either the driver-held key set (local relation — no batch
+      * re-scan) or the batch key projection. */
+    def scanProbe(files: Seq[FileEntry]): Seq[String] = {
+      val keySide = keysOpt match {
+        case Some(ks) =>
+          broadcast(ks.toSeq.map { case (pp, k) => (k, pp) }
+            .toDF(RecordKeyCol, PartitionPathCol)
+            .select(joinKeys.map(col): _*).distinct())
+        case None =>
+          gatedBroadcast(
+            keySrc.select(joinKeys.map(col): _*).distinct(), batchRows)
+      }
+      spark.read.schema(withMetaSchema(schema))
+        .parquet(files.map(f => abs(f.path)): _*)
         .select(col(RecordKeyCol), col(PartitionPathCol),
           col("_metadata.file_path").as("__file"))
-        .join(gatedBroadcast(
-            keySrc.select(joinKeys.map(col): _*).distinct(), batchRows),
-          joinKeys, "left_semi")
+        .join(keySide, joinKeys, "left_semi")
         .select("__file").distinct()
         .collect().map(r => relativize(r.getString(0))).toSeq
     }
-    Probe(managedAffected ++ extAffected, batchRows)
+    val managedAffected: Seq[String] = if (candidates.isEmpty) Seq.empty[String]
+    else keysOpt match {
+      case Some(ks) =>
+        // driver-side footer probe (Hudi bloom-index analog): decide
+        // membership per candidate from its parquet DICTIONARY pages
+        // (exact) or record-key BLOOM filter (false positives rewrite a
+        // file needlessly; false negatives impossible). Zero Spark
+        // jobs, metadata-only I/O; only undecidable files fall back to
+        // one scan semi-join.
+        val byPart: Map[String, Array[String]] =
+          ks.groupBy(_._1).map { case (pp, kk) => pp -> kk.map(_._2) }
+        val allKeys: Array[String] = ks.map(_._2).distinct
+        def keysFor(f: FileEntry): Array[String] =
+          if (global) allKeys else byPart.getOrElse(f.partition, Array.empty)
+        val decisions = footerProbe(candidates.map(f => abs(f.path) -> keysFor(f)))
+        val hit = candidates.zip(decisions).collect {
+          case (f, Some(true)) => f.path
+        }
+        val unknown = candidates.zip(decisions).collect {
+          case (f, None) => f
+        }
+        hit ++ (if (unknown.isEmpty) Seq.empty else scanProbe(unknown))
+      case None => scanProbe(candidates)
+    }
+    Probe(managedAffected ++ extAffected, batchRows, keysOpt)
+  }
+
+  /** Driver-side membership checks of key sets against parquet files'
+    * `_record_key` column-chunk metadata, files probed concurrently
+    * (footer-only I/O, like [[footerStats]]). Per file: Some(true) if
+    * any row group might contain any key, Some(false) if every row
+    * group provably contains none, None if some row group has neither
+    * a usable dictionary nor a bloom filter (caller must scan). */
+  private def footerProbe(
+      files: Seq[(String, Array[String])]): Seq[Option[Boolean]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val conf = spark.sessionState.newHadoopConf()
+
+    def oneFile(absPath: String, keys: Array[String]): Option[Boolean] = {
+      if (keys.isEmpty) return Some(false)
+      try {
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(absPath), conf))
+        try {
+          var unknown = false
+          val it = r.getFooter.getBlocks.iterator()
+          while (it.hasNext) {
+            val b = it.next()
+            var cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == RecordKeyCol) cc = c
+            }
+            if (cc == null) unknown = true
+            else {
+              val es = cc.getEncodingStats
+              val fullyDict = es != null && es.hasDictionaryPages &&
+                !es.hasNonDictionaryEncodedPages
+              if (fullyDict) {
+                // exact: the dictionary IS the chunk's distinct value set
+                val colDesc = r.getFooter.getFileMetaData.getSchema
+                  .getColumnDescription(cc.getPath.toArray)
+                // upcast to the public interface: the concrete
+                // DictionaryPageReader class is package-private
+                val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+                  r.getDictionaryReader(b)
+                val dp = store.readDictionaryPage(colDesc)
+                if (dp == null) unknown = true
+                else {
+                  val dict = dp.getEncoding.initDictionary(colDesc, dp)
+                  val present = new java.util.HashSet[String](
+                    dict.getMaxId + 1)
+                  var i = 0
+                  while (i <= dict.getMaxId) {
+                    present.add(dict.decodeToBinary(i).toStringUsingUTF8)
+                    i += 1
+                  }
+                  if (keys.exists(present.contains)) return Some(true)
+                }
+              } else {
+                val bf = r.getBloomFilterDataReader(b).readBloomFilter(cc)
+                if (bf == null) unknown = true
+                else if (keys.exists(k =>
+                    bf.findHash(bf.hash(Binary.fromString(k)))))
+                  return Some(true)
+              }
+            }
+          }
+          if (unknown) None else Some(false)
+        } finally r.close()
+      } catch { case _: Exception => None }
+    }
+
+    if (files.size <= 1) files.map { case (p, ks) => oneFile(p, ks) }
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.size))
+      try {
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        Await.result(
+          Future.sequence(files.map { case (p, ks) =>
+            Future(oneFile(p, ks))
+          }), Duration.Inf)
+      } finally pool.shutdown()
+    }
   }
 
   /** Bucket-index candidate resolution: the batch's (partition, bucket)
@@ -924,18 +1106,43 @@ final class LakeTable private[core] (
   private def bucketAffected(
       batch: DataFrame, live: Seq[FileEntry], liveExt: Seq[FileEntry],
       global: Boolean): Probe = {
-    val rows = batch.groupBy(col(PartitionPathCol), bucketExpr.as(StageBucketCol))
-      .agg(min(RecordKeyCol).as("mn"), max(RecordKeyCol).as("mx"),
-        count(lit(1)).as("cnt"))
-      .collect()
-    val partitions: Set[String] = rows.map(_.getString(0)).toSet
+    // same single-stage shape as the range probe: per-(partition,
+    // bucket) partial aggregates merge on the driver — no shuffle.
+    // bucketExpr stays a Spark column (the routing hash MUST be
+    // bit-identical to the write side's; a driver-side reimplementation
+    // of xxhash64 risking divergence would silently lose updates).
+    val partials = batch.select(col(PartitionPathCol),
+        bucketExpr.as(StageBucketCol), col(RecordKeyCol))
+      .as[(String, Int, String)].rdd.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap
+          .empty[(String, Int), (String, String, Long)]
+        it.foreach { case (pp, bk, k) =>
+          m.get((pp, bk)) match {
+            case None => m((pp, bk)) = (k, k, 1L)
+            case Some((mn, mx, c)) => m((pp, bk)) = (
+              if (utf8Cmp(k, mn) < 0) k else mn,
+              if (utf8Cmp(k, mx) > 0) k else mx, c + 1L)
+          }
+        }
+        Iterator.single(m)
+      }.collect()
+    val merged = scala.collection.mutable.HashMap
+      .empty[(String, Int), (String, String, Long)]
+    partials.foreach(_.foreach { case (pb, (mn, mx, c)) =>
+      merged.get(pb) match {
+        case None => merged(pb) = (mn, mx, c)
+        case Some((m0, x0, c0)) => merged(pb) = (
+          if (utf8Cmp(mn, m0) < 0) mn else m0,
+          if (utf8Cmp(mx, x0) > 0) mx else x0, c0 + c)
+      }
+    })
+    val partitions: Set[String] = merged.keysIterator.map(_._1).toSet
     val perPartBucket: Map[(String, Int), (String, String)] =
-      rows.map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3)))
-        .toMap
+      merged.map { case (pb, (mn, mx, _)) => pb -> (mn, mx) }.toMap
     val perBucket: Map[Int, (String, String)] =
-      rows.groupBy(_.getInt(1)).map { case (b, rs) =>
-        b -> (rs.map(_.getString(2)).min(Utf8Ordering),
-          rs.map(_.getString(3)).max(Utf8Ordering))
+      merged.groupBy(_._1._2).map { case (b, rs) =>
+        b -> (rs.values.map(_._1).min(Utf8Ordering),
+          rs.values.map(_._2).max(Utf8Ordering))
       }
     def partInScope(f: FileEntry): Boolean =
       global || props.partitionFields.isEmpty || partitions.contains(f.partition)
@@ -955,7 +1162,7 @@ final class LakeTable private[core] (
     Probe(
       live.collect { case f if hit(f) => f.path } ++
         liveExt.collect { case f if partInScope(f) => f.path },
-      rows.map(_.getLong(4)).sum)
+      merged.valuesIterator.map(_._3).sum)
   }
 
   /** Files containing at least one row matching a predicate (for

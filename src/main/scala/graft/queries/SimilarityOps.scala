@@ -422,45 +422,67 @@ object SimilarityOps {
         .withColumn("nrm", expr(normExpr("embedding")))
         .withColumn("ee", expr(dotExpr("embedding", "embedding")))
         .persist()
-      var cents = e.filter(col("vec_id") < ivfK)
-        .select(col("vec_id").cast("int").as("cid"),
-          expr(s"transform(embedding, x -> round(cast(x AS double), $ivfCentRound))")
-            .as("cent"))
-      def crossDist(c: DataFrame): DataFrame =
-        e.crossJoin(broadcast(c.withColumn("cc", expr(dotExpr("cent", "cent")))))
-          .withColumn("d2", ivfDist)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2").asc, col("cid").asc)
-      for (_ <- 1 to ivfIters) {
-        val pts = crossDist(cents)
-          .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-        val meanCols = (1 to Dims).map(i =>
-          round(avg(element_at(col("embedding"), i).cast("double")), ivfCentRound))
-        val means = pts.groupBy("cid").agg(array(meanCols: _*).as("cent2"))
-        // localCheckpoint: k rows, but the logical plan would otherwise
-        // stack one cross-join+window layer per iteration
-        cents = cents.join(means, Seq("cid"), "left")
-          .select(col("cid"), coalesce(col("cent2"), col("cent")).as("cent"))
-          .localCheckpoint()
+      // Centroids live on the DRIVER (k = 16 doubles×64 — the O(k)
+      // sync every distributed k-means pays) and are folded into the
+      // assignment as literal arrays: one codegen'd projection per row
+      // computes all k distances and picks argmin via array_sort on
+      // (d2, cid) structs — same (d2 ASC, cid ASC) total order the
+      // former crossJoin+window produced, WITHOUT materializing k×N
+      // rows or shuffling them through a window. Each iteration is one
+      // aggregation job (groupBy cid) instead of crossjoin+window+agg.
+      // cc (centroid self-dot) is folded left-to-right on the driver —
+      // the exact IEEE op order of graft_vec_dot and the oracle's
+      // list_sum, so distances stay bit-identical to the replay.
+      def selfDot(c: Seq[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < c.length) { acc += c(i) * c(i); i += 1 }
+        acc
       }
-      val fin = crossDist(cents)
-        .withColumn("rn", row_number().over(wAssign))
-      val assigned = fin.filter(col("rn") === 1)
-        .select("vec_id", "embedding", "nrm", "cid")
-      val probes = fin.filter(col("rn") <= 2 && col("vec_id") < 20)
+      val dotFn = graft.functions.GraftFunctions.VecDotName
+      def sortedAssign(cents: Seq[(Int, Seq[Double])]): Column =
+        array_sort(array(cents.map { case (cid, c) =>
+          struct(
+            (col("ee") - lit(2.0) *
+              call_function(dotFn, col("embedding"), array(c.map(lit): _*)) +
+              lit(selfDot(c))).as("d2"),
+            lit(cid).as("cid"))
+        }: _*))
+      var cents: Seq[(Int, Seq[Double])] =
+        e.filter(col("vec_id") < ivfK)
+          .select(col("vec_id").cast("int").as("cid"),
+            expr(s"transform(embedding, x -> round(cast(x AS double), $ivfCentRound))")
+              .as("cent"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+          .sortBy(_._1).toSeq
+      val meanCols = (1 to Dims).map(i =>
+        round(avg(element_at(col("embedding"), i).cast("double")), ivfCentRound))
+      for (_ <- 1 to ivfIters) {
+        val means: Map[Int, Seq[Double]] = e
+          .withColumn("cid", element_at(sortedAssign(cents), 1).getField("cid"))
+          .groupBy("cid").agg(array(meanCols: _*).as("cent2"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        // empty cluster: carry the previous centroid (oracle's coalesce)
+        cents = cents.map { case (cid, c) => cid -> means.getOrElse(cid, c) }
+      }
+      val fin = e.withColumn("top2", slice(sortedAssign(cents), 1, 2))
+        .withColumn("cid", element_at(col("top2"), 1).getField("cid"))
+      val assigned = fin.select("vec_id", "embedding", "nrm", "cid")
+      val probes = fin.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"), col("cid").as("q_cid"))
+          col("nrm").as("q_nrm"),
+          explode(expr("transform(top2, t -> t.cid)")).as("q_cid"))
       val scored = assigned.join(broadcast(probes),
           col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
         .withColumn("cosine", cosineCol)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
-      val out = scored.withColumn("rank", row_number().over(w))
+      // e stays cached for the final (lazy) action — the harness
+      // clears caches between queries; an eager unpersist here would
+      // force the output job to recompute nrm/ee from parquet
+      scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("q_id", "vec_id", "cosine", "rank")
         .orderBy("q_id", "rank")
-      e.unpersist()
-      out
     },
     Some(ivfOracleSql))
 

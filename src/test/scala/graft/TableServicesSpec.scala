@@ -452,13 +452,17 @@ class TableServicesSpec extends AnyFunSuite {
     }
     val savedKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold",
-      "spark.graft.keyBroadcastMaxRows")
+      "spark.graft.keyBroadcastMaxRows", "spark.graft.probe.driverKeyCap")
     val saved = savedKeys.map(k => k -> spark.conf.getOption(k))
     spark.listenerManager.register(listener)
     try {
       // no size-based broadcasts: only the explicit hint can produce one
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // force the SCAN-probe fallback: with the key set on the driver
+      // the probe resolves from parquet footers and never plans the
+      // semi-join whose broadcast gating this test pins
+      spark.conf.set("spark.graft.probe.driverKeyCap", "0")
       val t = LakeTable.create(spark, tmp(), props)
       t.upsert(mkDf(row(1, "a"), row(2, "b"), row(3, "c")))
 
