@@ -101,6 +101,44 @@ class TableServicesSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 51 + 21)
   }
 
+  test("footer probe matches the scan probe exactly (and exact point deletes)") {
+    // Two tables with identical data and batches: one resolves write
+    // probes driver-side from parquet footers (default path), the
+    // other is forced onto the scan semi-join via a zero driver-key
+    // cap. Every commit's affected (removed) set and every snapshot
+    // must be identical — the footer probe's dictionary decision is
+    // exact, so divergence means a lost update or write amplification.
+    val savedCap = spark.conf.getOption("spark.graft.probe.driverKeyCap")
+    def scenario(path: String): Seq[(String, Set[String])] = {
+      val t = LakeTable.create(spark, path, props)
+      // interleave two partitions so candidate pruning has real work
+      t.upsert(mkDf((1 to 200).map(i =>
+        row(i, s"v$i", dt = if (i % 2 == 0) "d1" else "d2")): _*))
+      t.upsert(mkDf((50 to 90).map(i =>
+        row(i, s"u$i", ts = 2, dt = if (i % 2 == 0) "d1" else "d2")): _*))
+      t.delete(Seq((60, "d1"), (61, "d2"), (999, "d1"))
+        .toDF("id", "dt")) // 999 matches nothing
+      t.upsert(mkDf((300 to 310).map(i => row(i, s"n$i")): _*)) // range-pruned
+      t.timeline.commits().map(c => c.action -> c.removed.toSet)
+    }
+    try {
+      spark.conf.unset("spark.graft.probe.driverKeyCap")
+      val footer = scenario(tmp())
+      spark.conf.set("spark.graft.probe.driverKeyCap", "0")
+      val scan = scenario(tmp())
+      assert(footer.map(_._1) == scan.map(_._1))
+      footer.zip(scan).foreach { case ((act, fRem), (_, sRem)) =>
+        // compare by file COUNT, not names (names embed instants):
+        // same count per commit == same files chosen for rewrite
+        assert(fRem.size == sRem.size,
+          s"$act: footer probe removed ${fRem.size} files, scan ${sRem.size}")
+      }
+    } finally savedCap match {
+      case Some(v) => spark.conf.set("spark.graft.probe.driverKeyCap", v)
+      case None => spark.conf.unset("spark.graft.probe.driverKeyCap")
+    }
+  }
+
   test("writeSaltBuckets spreads a hot partition across files") {
     val t = LakeTable.create(spark, tmp(), props.copy(writeSaltBuckets = 4))
     t.upsert(mkDf((1 to 400).map(i => row(i, s"v$i")): _*))
