@@ -442,13 +442,20 @@ object LakeQueries {
             .otherwise(dec2(col("c_acctbal")) - dec2(bef.getField("c_acctbal"))))
             .cast("decimal(18,2)").as("dsum"))
       val stored = mv.snapshot().drop(LakeTable.MetaCols: _*)
-      mv.upsert(stored.join(deltas, Seq("c_mktsegment"), "full_outer")
+      // persist the fold: its lineage is the whole CDC read + two
+      // joins, and the upsert consumes it twice (write probe + merge
+      // write) — one materialization of O(groups) rows vs recomputing
+      // the churn scan per consumer
+      val folded = stored.join(deltas, Seq("c_mktsegment"), "full_outer")
         .select(col("c_mktsegment"),
           (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
             .as("cnt"),
           (coalesce(col("sum_bal"), lit(BigDecimal(0))) +
             coalesce(col("dsum"), lit(BigDecimal(0))))
-            .cast("decimal(18,2)").as("sum_bal")))
+            .cast("decimal(18,2)").as("sum_bal"))
+        .persist()
+      mv.upsert(folded)
+      folded.unpersist()
       mv.snapshot().drop(LakeTable.MetaCols: _*)
         .select(col("c_mktsegment"), col("cnt"),
           col("sum_bal").cast("double").as("sum_bal"))
