@@ -535,12 +535,13 @@ final class LakeTable private[core] (
           val st = writeFiles(kept, instant)
           doCommit(instant, "delete", st, affected, schema, tag)
         case None =>
-          val dk = delKeys.persist()
+          // no persist: the probe already ran, so the write job is the
+          // key frame's single remaining consumer — caching it would
+          // only pay block-store writes for nothing
           val kept = readAffected(affected, schema)
-            .join(gatedBroadcast(dk, probe.batchRows),
+            .join(gatedBroadcast(delKeys, probe.batchRows),
               Seq(RecordKeyCol, PartitionPathCol), "left_anti")
           val st = writeFiles(kept, instant)
-          dk.unpersist()
           doCommit(instant, "delete", st, affected, schema, tag)
       }
       instant
@@ -609,7 +610,14 @@ final class LakeTable private[core] (
         .filter(col("__delWm").isNull || col(CommitTimeCol) > col("__delWm"))
         .drop("__delWm")
     } else existingAnti
-    val ordCol: Column = props.preCombineField.map(col).getOrElse(lit(0))
+    // Full mergeOnRead parity including the payload rule: an
+    // 'overwrite' MOR table orders by commit time alone (ordCol
+    // constant), so a concurrent delta with a HIGHER preCombine value
+    // must not beat this statement's later commit — exactly what the
+    // read-side merge would decide.
+    val ordCol: Column =
+      if (isMor && props.morPayload == "overwrite") lit(0)
+      else props.preCombineField.map(col).getOrElse(lit(0))
     // Same tiebreak chain as mergeOnRead (ord desc nulls-last, then
     // commit time) so conditional tombstones and tied/null-preCombine
     // versions resolve identically on both paths; IncomingFlag breaks
@@ -895,50 +903,54 @@ final class LakeTable private[core] (
     val keySrc = statsOf.getOrElse(incoming)
     val cap = spark.conf.getOption("spark.graft.probe.driverKeyCap")
       .map(_.toInt).getOrElse(200000)
-    val partials = keySrc.select(col(PartitionPathCol), col(RecordKeyCol))
-      .as[(String, String)].rdd.mapPartitions { it =>
-        val stats =
-          scala.collection.mutable.HashMap.empty[String, (String, String, Long)]
-        val keys = scala.collection.mutable.HashSet.empty[(String, String)]
-        var overflow = false
-        it.foreach { case (pp, k) =>
-          stats.get(pp) match {
-            case None => stats(pp) = (k, k, 1L)
-            case Some((mn, mx, c)) => stats(pp) = (
-              if (utf8Cmp(k, mn) < 0) k else mn,
-              if (utf8Cmp(k, mx) > 0) k else mx, c + 1L)
-          }
-          if (!overflow) {
-            keys.add((pp, k))
-            if (keys.size > cap) { overflow = true; keys.clear() }
-          }
-        }
-        Iterator.single((stats, if (overflow) None else Some(keys)))
-      }.collect()
-    val statsM =
-      scala.collection.mutable.HashMap.empty[String, (String, String, Long)]
-    partials.foreach(_._1.foreach { case (pp, (mn, mx, c)) =>
-      statsM.get(pp) match {
-        case None => statsM(pp) = (mn, mx, c)
-        case Some((m0, x0, c0)) => statsM(pp) = (
-          if (utf8Cmp(mn, m0) < 0) mn else m0,
-          if (utf8Cmp(mx, x0) > 0) mx else x0, c0 + c)
+    // treeAggregate, not collect-of-partials: combining runs on the
+    // EXECUTORS with the cap enforced at every merge, so an overflowing
+    // many-task backfill batch drops its key sets before they ever
+    // travel — the driver receives at most `cap` pairs regardless of
+    // task count (a plain collect would hold O(tasks × cap) strings on
+    // the driver just to discard them as overflowed).
+    type Acc = (scala.collection.mutable.HashMap[String, (String, String, Long)],
+      Option[scala.collection.mutable.HashSet[(String, String)]])
+    val zero: Acc = (
+      scala.collection.mutable.HashMap.empty[String, (String, String, Long)],
+      Some(scala.collection.mutable.HashSet.empty[(String, String)]))
+    val seqOp: (Acc, (String, String)) => Acc = { case ((stats, keys), (pp, k)) =>
+      stats.get(pp) match {
+        case None => stats(pp) = (k, k, 1L)
+        case Some((mn, mx, c)) => stats(pp) = (
+          if (utf8Cmp(k, mn) < 0) k else mn,
+          if (utf8Cmp(k, mx) > 0) k else mx, c + 1L)
       }
-    })
+      val ks = keys match {
+        case Some(s) => s.add((pp, k)); if (s.size > cap) None else Some(s)
+        case None => None // overflowed: stop accumulating
+      }
+      (stats, ks)
+    }
+    val combOp: (Acc, Acc) => Acc = { case ((s1, k1), (s2, k2)) =>
+      s2.foreach { case (pp, (mn, mx, c)) =>
+        s1.get(pp) match {
+          case None => s1(pp) = (mn, mx, c)
+          case Some((m0, x0, c0)) => s1(pp) = (
+            if (utf8Cmp(mn, m0) < 0) mn else m0,
+            if (utf8Cmp(mx, x0) > 0) mx else x0, c0 + c)
+        }
+      }
+      val ks = (k1, k2) match {
+        case (Some(a), Some(b)) =>
+          a ++= b; if (a.size > cap) None else Some(a)
+        case _ => None
+      }
+      (s1, ks)
+    }
+    val (statsM, keysAcc) = keySrc
+      .select(col(PartitionPathCol), col(RecordKeyCol))
+      .as[(String, String)].rdd
+      .treeAggregate(zero)(seqOp, combOp)
     val batchRows = statsM.valuesIterator.map(_._3).sum
     val batchStats: Map[String, (String, String)] =
       statsM.map { case (pp, (mn, mx, _)) => pp -> (mn, mx) }.toMap
-    val keysOpt: Option[Array[(String, String)]] =
-      if (partials.exists(_._2.isEmpty)) None
-      else {
-        val merged = scala.collection.mutable.HashSet.empty[(String, String)]
-        var over = false
-        partials.iterator.takeWhile(_ => !over).foreach { p =>
-          merged ++= p._2.get
-          if (merged.size > cap) over = true
-        }
-        if (over) None else Some(merged.toArray)
-      }
+    val keysOpt: Option[Array[(String, String)]] = keysAcc.map(_.toArray)
     // candidate pruning (SURVEY §4 bloom/range-index analog):
     // partition scope first, then stored per-file key bounds vs the
     // batch's bounds for that partition — zero-I/O, driver-side
@@ -1028,6 +1040,12 @@ final class LakeTable private[core] (
 
     def oneFile(absPath: String, keys: Array[String]): Option[Boolean] = {
       if (keys.isEmpty) return Some(false)
+      // probe-key set built ONCE per file: dictionary checks then
+      // STREAM the dictionary against it (early exit on hit) instead
+      // of materializing a HashSet of every dictionary entry — a point
+      // delete against million-key files stays O(keys) memory
+      val keySet = new java.util.HashSet[String](keys.length * 2)
+      keys.foreach(keySet.add)
       try {
         val r = ParquetFileReader.open(
           HadoopInputFile.fromPath(new Path(absPath), conf))
@@ -1057,14 +1075,12 @@ final class LakeTable private[core] (
                 if (dp == null) unknown = true
                 else {
                   val dict = dp.getEncoding.initDictionary(colDesc, dp)
-                  val present = new java.util.HashSet[String](
-                    dict.getMaxId + 1)
                   var i = 0
                   while (i <= dict.getMaxId) {
-                    present.add(dict.decodeToBinary(i).toStringUsingUTF8)
+                    if (keySet.contains(dict.decodeToBinary(i).toStringUsingUTF8))
+                      return Some(true)
                     i += 1
                   }
-                  if (keys.exists(present.contains)) return Some(true)
                 }
               } else {
                 val bf = r.getBloomFilterDataReader(b).readBloomFilter(cc)

@@ -411,9 +411,6 @@ object SimilarityOps {
   private val ivfIters = 3
   private val ivfCentRound = 5
 
-  private def ivfDist: Column =
-    col("ee") - lit(2.0) * expr(dotExpr("embedding", "cent")) + col("cc")
-
   private val ivfQ = GQ(
     "sim4_ann_ivf_topk",
     (s, dir) => {

@@ -344,4 +344,27 @@ class MorSpec extends AnyFunSuite {
           MergePolicy.OverwriteWithLatest)
     }
   }
+
+  test("applyDeltas honors the overwrite payload: statement beats higher preCombine") {
+    // the SQL row-level path's write-side merge must pick the same
+    // winner the read-side merge would: on an 'overwrite' table the
+    // LATER COMMIT wins even against a stored row with a larger
+    // ordering value (a concurrent delta in the compaction-to-probe
+    // window is the production shape of this competition)
+    val t = LakeTable.create(spark, tmp(), morProps().copy(morPayload = "overwrite"))
+    t.upsert(Seq((1, "stored", 9L, "d1"), (2, "keep", 1L, "d1"))
+      .toDF("id", "v", "ts", "dt"))
+    // MERGE-shaped statement: upsert key 1 with a LOWER ts, no delete ids
+    t.applyDeltas(
+      deleteIds = None,
+      upserts = Some(Seq((1, "statement", 5L, "d1")).toDF("id", "v", "ts", "dt")))
+    assert(rows(t) == Set((1, "statement", 5L), (2, "keep", 1L)))
+    // contrast: the default 'latest' payload keeps the larger ordering
+    val l = LakeTable.create(spark, tmp(), morProps())
+    l.upsert(Seq((1, "stored", 9L, "d1")).toDF("id", "v", "ts", "dt"))
+    l.applyDeltas(
+      deleteIds = None,
+      upserts = Some(Seq((1, "statement", 5L, "d1")).toDF("id", "v", "ts", "dt")))
+    assert(rows(l) == Set((1, "stored", 9L)))
+  }
 }
