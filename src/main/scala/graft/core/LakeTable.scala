@@ -909,48 +909,13 @@ final class LakeTable private[core] (
     // travel — the driver receives at most `cap` pairs regardless of
     // task count (a plain collect would hold O(tasks × cap) strings on
     // the driver just to discard them as overflowed).
-    type Acc = (scala.collection.mutable.HashMap[String, (String, String, Long)],
-      Option[scala.collection.mutable.HashSet[(String, String)]])
-    val zero: Acc = (
-      scala.collection.mutable.HashMap.empty[String, (String, String, Long)],
-      Some(scala.collection.mutable.HashSet.empty[(String, String)]))
-    val seqOp: (Acc, (String, String)) => Acc = { case ((stats, keys), (pp, k)) =>
-      stats.get(pp) match {
-        case None => stats(pp) = (k, k, 1L)
-        case Some((mn, mx, c)) => stats(pp) = (
-          if (utf8Cmp(k, mn) < 0) k else mn,
-          if (utf8Cmp(k, mx) > 0) k else mx, c + 1L)
-      }
-      val ks = keys match {
-        case Some(s) => s.add((pp, k)); if (s.size > cap) None else Some(s)
-        case None => None // overflowed: stop accumulating
-      }
-      (stats, ks)
-    }
-    val combOp: (Acc, Acc) => Acc = { case ((s1, k1), (s2, k2)) =>
-      s2.foreach { case (pp, (mn, mx, c)) =>
-        s1.get(pp) match {
-          case None => s1(pp) = (mn, mx, c)
-          case Some((m0, x0, c0)) => s1(pp) = (
-            if (utf8Cmp(mn, m0) < 0) mn else m0,
-            if (utf8Cmp(mx, x0) > 0) mx else x0, c0 + c)
-        }
-      }
-      val ks = (k1, k2) match {
-        case (Some(a), Some(b)) =>
-          a ++= b; if (a.size > cap) None else Some(a)
-        case _ => None
-      }
-      (s1, ks)
-    }
-    val (statsM, keysAcc) = keySrc
-      .select(col(PartitionPathCol), col(RecordKeyCol))
-      .as[(String, String)].rdd
-      .treeAggregate(zero)(seqOp, combOp)
+    val (statsM, keysOpt) = probeStats(
+      keySrc.select(col(PartitionPathCol), col(RecordKeyCol))
+        .as[(String, String)].rdd.map { case (pp, k) => (pp, pp, k) },
+      cap)
     val batchRows = statsM.valuesIterator.map(_._3).sum
     val batchStats: Map[String, (String, String)] =
       statsM.map { case (pp, (mn, mx, _)) => pp -> (mn, mx) }.toMap
-    val keysOpt: Option[Array[(String, String)]] = keysAcc.map(_.toArray)
     // candidate pruning (SURVEY §4 bloom/range-index analog):
     // partition scope first, then stored per-file key bounds vs the
     // batch's bounds for that partition — zero-I/O, driver-side
@@ -1023,6 +988,56 @@ final class LakeTable private[core] (
       case None => scanProbe(candidates)
     }
     Probe(managedAffected ++ extAffected, batchRows, keysOpt)
+  }
+
+  /** ONE single-stage job (no shuffle) over `(group, partition, key)`
+    * rows: per-group record-key bounds + row count, merged via
+    * treeAggregate so partial maps combine on the EXECUTORS, plus the
+    * batch's distinct (partition, key) set while it fits `cap` — the
+    * cap is enforced at every merge, so an overflowing many-task batch
+    * drops its sets before they travel and the driver receives at most
+    * `cap` pairs regardless of task count. */
+  private def probeStats[G](
+      rows: org.apache.spark.rdd.RDD[(G, String, String)], cap: Int)
+      : (scala.collection.mutable.HashMap[G, (String, String, Long)],
+         Option[Array[(String, String)]]) = {
+    type Acc = (scala.collection.mutable.HashMap[G, (String, String, Long)],
+      Option[scala.collection.mutable.HashSet[(String, String)]])
+    val zero: Acc = (
+      scala.collection.mutable.HashMap.empty[G, (String, String, Long)],
+      Some(scala.collection.mutable.HashSet.empty[(String, String)]))
+    val seqOp: (Acc, (G, String, String)) => Acc = {
+      case ((stats, keys), (g, pp, k)) =>
+        stats.get(g) match {
+          case None => stats(g) = (k, k, 1L)
+          case Some((mn, mx, c)) => stats(g) = (
+            if (utf8Cmp(k, mn) < 0) k else mn,
+            if (utf8Cmp(k, mx) > 0) k else mx, c + 1L)
+        }
+        val ks = keys match {
+          case Some(s) => s.add((pp, k)); if (s.size > cap) None else Some(s)
+          case None => None // overflowed: stop accumulating
+        }
+        (stats, ks)
+    }
+    val combOp: (Acc, Acc) => Acc = { case ((s1, k1), (s2, k2)) =>
+      s2.foreach { case (g, (mn, mx, c)) =>
+        s1.get(g) match {
+          case None => s1(g) = (mn, mx, c)
+          case Some((m0, x0, c0)) => s1(g) = (
+            if (utf8Cmp(mn, m0) < 0) mn else m0,
+            if (utf8Cmp(mx, x0) > 0) mx else x0, c0 + c)
+        }
+      }
+      val ks = (k1, k2) match {
+        case (Some(a), Some(b)) =>
+          a ++= b; if (a.size > cap) None else Some(a)
+        case _ => None
+      }
+      (s1, ks)
+    }
+    val (statsM, keysAcc) = rows.treeAggregate(zero)(seqOp, combOp)
+    (statsM, keysAcc.map(_.toArray))
   }
 
   /** Driver-side membership checks of key sets against parquet files'
@@ -1123,35 +1138,20 @@ final class LakeTable private[core] (
       batch: DataFrame, live: Seq[FileEntry], liveExt: Seq[FileEntry],
       global: Boolean): Probe = {
     // same single-stage shape as the range probe: per-(partition,
-    // bucket) partial aggregates merge on the driver — no shuffle.
+    // bucket) partial aggregates merge executor-side — no shuffle.
     // bucketExpr stays a Spark column (the routing hash MUST be
     // bit-identical to the write side's; a driver-side reimplementation
-    // of xxhash64 risking divergence would silently lose updates).
-    val partials = batch.select(col(PartitionPathCol),
-        bucketExpr.as(StageBucketCol), col(RecordKeyCol))
-      .as[(String, Int, String)].rdd.mapPartitions { it =>
-        val m = scala.collection.mutable.HashMap
-          .empty[(String, Int), (String, String, Long)]
-        it.foreach { case (pp, bk, k) =>
-          m.get((pp, bk)) match {
-            case None => m((pp, bk)) = (k, k, 1L)
-            case Some((mn, mx, c)) => m((pp, bk)) = (
-              if (utf8Cmp(k, mn) < 0) k else mn,
-              if (utf8Cmp(k, mx) > 0) k else mx, c + 1L)
-          }
-        }
-        Iterator.single(m)
-      }.collect()
-    val merged = scala.collection.mutable.HashMap
-      .empty[(String, Int), (String, String, Long)]
-    partials.foreach(_.foreach { case (pb, (mn, mx, c)) =>
-      merged.get(pb) match {
-        case None => merged(pb) = (mn, mx, c)
-        case Some((m0, x0, c0)) => merged(pb) = (
-          if (utf8Cmp(mn, m0) < 0) mn else m0,
-          if (utf8Cmp(mx, x0) > 0) mx else x0, c0 + c)
-      }
-    })
+    // of xxhash64 risking divergence would silently lose updates). The
+    // collected key set rides along so bucket-table delete paths get
+    // the same local-relation anti join as the range-probe paths.
+    val cap = spark.conf.getOption("spark.graft.probe.driverKeyCap")
+      .map(_.toInt).getOrElse(200000)
+    val (merged, keysOpt) = probeStats(
+      batch.select(col(PartitionPathCol),
+          bucketExpr.as(StageBucketCol), col(RecordKeyCol))
+        .as[(String, Int, String)].rdd
+        .map { case (pp, bk, k) => ((pp, bk), pp, k) },
+      cap)
     val partitions: Set[String] = merged.keysIterator.map(_._1).toSet
     val perPartBucket: Map[(String, Int), (String, String)] =
       merged.map { case (pb, (mn, mx, _)) => pb -> (mn, mx) }.toMap
@@ -1178,7 +1178,8 @@ final class LakeTable private[core] (
     Probe(
       live.collect { case f if hit(f) => f.path } ++
         liveExt.collect { case f if partInScope(f) => f.path },
-      merged.valuesIterator.map(_._3).sum)
+      merged.valuesIterator.map(_._3).sum,
+      keysOpt)
   }
 
   /** Files containing at least one row matching a predicate (for
