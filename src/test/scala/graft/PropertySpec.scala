@@ -84,6 +84,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("footer-probed and scan-probed DML sequences converge to the same state") {
+    // randomized upsert/delete sequences replayed twice — once with
+    // the default footer-resolved probe, once with the scan semi-join
+    // forced (driverKeyCap=0) — plus an in-memory model. All three
+    // must agree on the final (key, partition) -> ts state: the footer
+    // probe's dictionary/bloom decisions can never lose an update or
+    // leave a stale version live.
+    val opGen: Gen[(Boolean, List[(Int, String, Long, String)])] = for {
+      isDelete <- Gen.frequency(3 -> false, 1 -> true)
+      rows <- batchGen
+    } yield (isDelete, rows)
+    val savedCap = spark.conf.getOption("spark.graft.probe.driverKeyCap")
+    def replay(ops: Seq[(Boolean, List[(Int, String, Long, String)])],
+        path: String): Map[(Int, String), Long] = {
+      val t = LakeTable.create(spark, path, props())
+      ops.foreach {
+        case (false, rows) if rows.nonEmpty =>
+          t.upsert(rows.toDF("id", "v", "ts", "dt"))
+        case (true, rows) if rows.nonEmpty =>
+          t.delete(rows.map(r => (r._1, r._4)).distinct.toDF("id", "dt"))
+        case _ => ()
+      }
+      t.snapshot().select("id", "dt", "ts").collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    try {
+      samples(Gen.listOfN(4, opGen), 2).foreach { ops =>
+        var model = Map.empty[(Int, String), Long]
+        ops.foreach {
+          case (false, rows) =>
+            rows.groupBy(r => (r._1, r._4)).foreach { case (k, g) =>
+              val maxTs = g.map(_._3).max
+              if (model.get(k).forall(_ <= maxTs)) model += k -> maxTs
+            }
+          case (true, rows) =>
+            rows.foreach(r => model -= ((r._1, r._4)))
+        }
+        spark.conf.unset("spark.graft.probe.driverKeyCap")
+        val viaFooter = replay(ops, tmp())
+        spark.conf.set("spark.graft.probe.driverKeyCap", "0")
+        val viaScan = replay(ops, tmp())
+        assert(viaFooter == viaScan,
+          s"footer vs scan probe diverged:\n$viaFooter\n$viaScan")
+        assert(viaFooter == model,
+          s"table diverged from model:\n$viaFooter\n$model")
+      }
+    } finally savedCap match {
+      case Some(v) => spark.conf.set("spark.graft.probe.driverKeyCap", v)
+      case None => spark.conf.unset("spark.graft.probe.driverKeyCap")
+    }
+  }
+
   test("delete after insert round-trips to absence") {
     val t = LakeTable.create(spark, tmp(), props())
     val rows = Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d2"))
