@@ -888,9 +888,11 @@ final class LakeTable private[core] (
     if (live.isEmpty && liveExt.isEmpty) return Probe(Seq.empty, Long.MaxValue)
     if (props.bucketIndexBuckets > 0)
       return bucketAffected(statsOf.getOrElse(incoming), live, liveExt, global)
-    // ONE single-stage job (no shuffle; partial aggregates merge on
-    // the driver): per-partition record-key bounds + row count of the
-    // batch AND, while the running distinct set fits `driverKeyCap`,
+    // ONE pass over the batch (treeAggregate: single-stage for small
+    // batches, a tree-combine level when the batch has many input
+    // partitions — either way no keyed shuffle of the data and the
+    // driver receives O(cap)): per-partition record-key bounds + row
+    // count AND, while the running distinct set fits `driverKeyCap`,
     // the batch's exact (partition, key) set. Min/max and the distinct
     // key set are dedup-invariant, so callers can supply a cheaper
     // pre-dedup key projection (statsOf) — the expensive conformed/
@@ -971,12 +973,23 @@ final class LakeTable private[core] (
         // (exact) or record-key BLOOM filter (false positives rewrite a
         // file needlessly; false negatives impossible). Zero Spark
         // jobs, metadata-only I/O; only undecidable files fall back to
-        // one scan semi-join.
-        val byPart: Map[String, Array[String]] =
-          ks.groupBy(_._1).map { case (pp, kk) => pp -> kk.map(_._2) }
-        val allKeys: Array[String] = ks.map(_._2).distinct
-        def keysFor(f: FileEntry): Array[String] =
-          if (global) allKeys else byPart.getOrElse(f.partition, Array.empty)
+        // one scan semi-join. Key sets are built ONCE per partition
+        // (or once globally) and shared by reference across the files
+        // that probe them — never rebuilt per file.
+        def toSet(kk: Iterator[String]): java.util.HashSet[String] = {
+          val s = new java.util.HashSet[String]()
+          kk.foreach(s.add)
+          s
+        }
+        lazy val byPart: Map[String, java.util.HashSet[String]] =
+          ks.groupBy(_._1).map { case (pp, kk) =>
+            pp -> toSet(kk.iterator.map(_._2))
+          }
+        lazy val allKeys: java.util.HashSet[String] =
+          toSet(ks.iterator.map(_._2))
+        val emptySet = new java.util.HashSet[String]()
+        def keysFor(f: FileEntry): java.util.HashSet[String] =
+          if (global) allKeys else byPart.getOrElse(f.partition, emptySet)
         val decisions = footerProbe(candidates.map(f => abs(f.path) -> keysFor(f)))
         val hit = candidates.zip(decisions).collect {
           case (f, Some(true)) => f.path
@@ -990,13 +1003,15 @@ final class LakeTable private[core] (
     Probe(managedAffected ++ extAffected, batchRows, keysOpt)
   }
 
-  /** ONE single-stage job (no shuffle) over `(group, partition, key)`
-    * rows: per-group record-key bounds + row count, merged via
-    * treeAggregate so partial maps combine on the EXECUTORS, plus the
-    * batch's distinct (partition, key) set while it fits `cap` — the
-    * cap is enforced at every merge, so an overflowing many-task batch
-    * drops its sets before they travel and the driver receives at most
-    * `cap` pairs regardless of task count. */
+  /** ONE treeAggregate pass over `(group, partition, key)` rows:
+    * per-group record-key bounds + row count plus the batch's distinct
+    * (partition, key) set while it fits `cap`. Single-stage for small
+    * batches; with many input partitions treeAggregate adds a
+    * tree-combine level so partial maps merge on the EXECUTORS — never
+    * a keyed shuffle of the data itself. The cap is enforced at every
+    * merge, so an overflowing many-task batch drops its sets before
+    * they travel and the driver receives at most `cap` pairs
+    * regardless of task count. */
   private def probeStats[G](
       rows: org.apache.spark.rdd.RDD[(G, String, String)], cap: Int)
       : (scala.collection.mutable.HashMap[G, (String, String, Long)],
@@ -1047,20 +1062,15 @@ final class LakeTable private[core] (
     * group provably contains none, None if some row group has neither
     * a usable dictionary nor a bloom filter (caller must scan). */
   private def footerProbe(
-      files: Seq[(String, Array[String])]): Seq[Option[Boolean]] = {
+      files: Seq[(String, java.util.HashSet[String])]): Seq[Option[Boolean]] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
     val conf = spark.sessionState.newHadoopConf()
 
-    def oneFile(absPath: String, keys: Array[String]): Option[Boolean] = {
-      if (keys.isEmpty) return Some(false)
-      // probe-key set built ONCE per file: dictionary checks then
-      // STREAM the dictionary against it (early exit on hit) instead
-      // of materializing a HashSet of every dictionary entry — a point
-      // delete against million-key files stays O(keys) memory
-      val keySet = new java.util.HashSet[String](keys.length * 2)
-      keys.foreach(keySet.add)
+    def oneFile(absPath: String, keySet: java.util.HashSet[String])
+        : Option[Boolean] = {
+      if (keySet.isEmpty) return Some(false)
       try {
         val r = ParquetFileReader.open(
           HadoopInputFile.fromPath(new Path(absPath), conf))
@@ -1100,9 +1110,13 @@ final class LakeTable private[core] (
               } else {
                 val bf = r.getBloomFilterDataReader(b).readBloomFilter(cc)
                 if (bf == null) unknown = true
-                else if (keys.exists(k =>
-                    bf.findHash(bf.hash(Binary.fromString(k)))))
-                  return Some(true)
+                else {
+                  val kit = keySet.iterator()
+                  while (kit.hasNext) {
+                    if (bf.findHash(bf.hash(Binary.fromString(kit.next()))))
+                      return Some(true)
+                  }
+                }
               }
             }
           }
@@ -1137,8 +1151,8 @@ final class LakeTable private[core] (
   private def bucketAffected(
       batch: DataFrame, live: Seq[FileEntry], liveExt: Seq[FileEntry],
       global: Boolean): Probe = {
-    // same single-stage shape as the range probe: per-(partition,
-    // bucket) partial aggregates merge executor-side — no shuffle.
+    // same treeAggregate shape as the range probe: per-(partition,
+    // bucket) partial aggregates merge executor-side, no keyed shuffle.
     // bucketExpr stays a Spark column (the routing hash MUST be
     // bit-identical to the write side's; a driver-side reimplementation
     // of xxhash64 risking divergence would silently lose updates). The

@@ -454,8 +454,8 @@ object LakeQueries {
             coalesce(col("dsum"), lit(BigDecimal(0))))
             .cast("decimal(18,2)").as("sum_bal"))
         .persist()
-      mv.upsert(folded)
-      folded.unpersist()
+      try mv.upsert(folded)
+      finally folded.unpersist()
       mv.snapshot().drop(LakeTable.MetaCols: _*)
         .select(col("c_mktsegment"), col("cnt"),
           col("sum_bal").cast("double").as("sum_bal"))
