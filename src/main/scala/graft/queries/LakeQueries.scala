@@ -740,8 +740,52 @@ object LakeQueries {
       SELECT * FROM del UNION ALL SELECT * FROM ins
       ORDER BY c_custkey, op"""))
 
+  /** Structured Streaming ingest end-to-end as an ORACLE-CHECKED gate
+    * (ST1/ST2/W17 were spec-covered only): two bounded AvailableNow
+    * streams — a seed pass and an update pass — flow through the graft
+    * streaming sink (file source → keyed upsert commits + checkpoint),
+    * and the final merged table must equal the relational recompute.
+    * AvailableNow is exactly the production backfill shape; the update
+    * pass proves cross-batch key merging, not just appends. */
+  private val streamIngestQ = GQ(
+    "st1_stream_ingest",
+    (s, dir) => {
+      val p = scratch(s, dir, "st1")
+      val ck1 = scratch(s, dir, "st1_ck1")
+      val ck2 = scratch(s, dir, "st1_ck2")
+      val srcPath = s"$dir/customer.parquet"
+      val sch = s.read.parquet(srcPath).schema
+      def runStream(df: DataFrame, ckpt: String): Unit = {
+        val q = df.writeStream
+          .format("graft")
+          .option("checkpointLocation", ckpt)
+          .option("primaryKey", "c_custkey")
+          .option("preCombineField", "ts")
+          .option("partitionFields", "c_mktsegment")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(p)
+        q.awaitTermination()
+      }
+      runStream(
+        s.readStream.schema(sch).parquet(srcPath).withColumn("ts", lit(1L)),
+        ck1)
+      runStream(
+        s.readStream.schema(sch).parquet(srcPath)
+          .filter(col("c_custkey") % 6 === 0)
+          .withColumn("ts", lit(2L))
+          .withColumn("c_name", concat(col("c_name"), lit("_s2"))),
+        ck2)
+      dataCols(LakeTable.load(s, p).snapshot())
+    },
+    Some("""SELECT c_custkey,
+      CASE WHEN c_custkey % 6 = 0 THEN c_name || '_s2' ELSE c_name END AS c_name,
+      c_nationkey, c_acctbal, c_mktsegment,
+      CAST(CASE WHEN c_custkey % 6 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
+      FROM customer ORDER BY c_custkey"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
     timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
-    cdcQ, mvQ, savepointQ, predicateDmlQ, occQ, vacuumQ, cdcArchiveQ)
+    cdcQ, mvQ, savepointQ, predicateDmlQ, occQ, vacuumQ, cdcArchiveQ,
+    streamIngestQ)
 }
