@@ -741,24 +741,29 @@ object LakeQueries {
       ORDER BY c_custkey, op"""))
 
   /** Structured Streaming ingest end-to-end as an ORACLE-CHECKED gate
-    * (ST1/ST2/W17 were spec-covered only): two bounded AvailableNow
-    * streams — a seed pass and an update pass — flow through the graft
-    * streaming sink (file source → keyed upsert commits + checkpoint),
-    * and the final merged table must equal the relational recompute.
-    * AvailableNow is exactly the production backfill shape; the update
-    * pass proves cross-batch key merging, not just appends. */
+    * (ST1/ST2/W17 were spec-covered only): a file-source directory gets
+    * a seed batch, an AvailableNow run drains it through the graft
+    * streaming sink, an update batch lands as new files, and a second
+    * AvailableNow run over the SAME checkpoint ingests only the new
+    * arrivals — checkpoint resume, file-source dedup, and cross-batch
+    * key merging in one scenario, exactly the production incremental-
+    * backfill shape. Final merged table must equal the relational
+    * recompute. (The file source requires a DIRECTORY to monitor, so
+    * both batches are staged under a scratch dir rather than streamed
+    * off the single testdata parquet file.) */
   private val streamIngestQ = GQ(
     "st1_stream_ingest",
     (s, dir) => {
       val p = scratch(s, dir, "st1")
-      val ck1 = scratch(s, dir, "st1_ck1")
-      val ck2 = scratch(s, dir, "st1_ck2")
-      val srcPath = s"$dir/customer.parquet"
-      val sch = s.read.parquet(srcPath).schema
-      def runStream(df: DataFrame, ckpt: String): Unit = {
-        val q = df.writeStream
+      val ck = scratch(s, dir, "st1_ck")
+      val src = scratch(s, dir, "st1_src")
+      val cust = t(s, dir, "customer")
+      def runStream(): Unit = {
+        val sch = s.read.parquet(src).schema
+        val q = s.readStream.schema(sch).parquet(src)
+          .writeStream
           .format("graft")
-          .option("checkpointLocation", ckpt)
+          .option("checkpointLocation", ck)
           .option("primaryKey", "c_custkey")
           .option("preCombineField", "ts")
           .option("partitionFields", "c_mktsegment")
@@ -766,15 +771,14 @@ object LakeQueries {
           .start(p)
         q.awaitTermination()
       }
-      runStream(
-        s.readStream.schema(sch).parquet(srcPath).withColumn("ts", lit(1L)),
-        ck1)
-      runStream(
-        s.readStream.schema(sch).parquet(srcPath)
-          .filter(col("c_custkey") % 6 === 0)
-          .withColumn("ts", lit(2L))
-          .withColumn("c_name", concat(col("c_name"), lit("_s2"))),
-        ck2)
+      cust.withColumn("ts", lit(1L))
+        .write.mode("append").parquet(src)
+      runStream()
+      cust.filter(col("c_custkey") % 6 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_name", concat(col("c_name"), lit("_s2")))
+        .write.mode("append").parquet(src)
+      runStream()
       dataCols(LakeTable.load(s, p).snapshot())
     },
     Some("""SELECT c_custkey,

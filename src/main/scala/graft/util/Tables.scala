@@ -19,18 +19,24 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and truncate to a
-    * microsecond TIMESTAMP_NTZ — exactly DuckDB's nanos→micros floor,
-    * so timestamp semantics hash-match the oracle. Integer `div`
-    * (not `/`, which goes through double and loses precision above
-    * 2^53) keeps the full nanosecond value exact.
+  /** Normalize events.ts to a microsecond TIMESTAMP_NTZ across driver
+    * testdata generations. Older generations stored TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects — those are read as long
+    * (nanosAsLong) and floored to micros, exactly DuckDB's nanos→micros
+    * truncation, with integer `div` (not `/`, which goes through double
+    * and loses precision above 2^53) keeping the value exact. Newer
+    * generations store TIMESTAMP(MICROS) directly; only a NTZ cast is
+    * needed so hashes match the oracle regardless of session-TZ type.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val df = t(spark, sfDir, "events")
+    val tsCol = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    df.withColumn("ts", tsCol)
   }
 
   /** Exact 2-decimal fixed-point view of a money/ratio double column. */
