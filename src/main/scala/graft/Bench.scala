@@ -71,7 +71,12 @@ object Bench {
     // (~1 min+) makes a min-across-passes survive any contention
     // window shorter than a pass.
     val Runs = 2
+    // optional local-iteration filter (comma-separated name
+    // substrings); the driver never sets it, so its runs time the
+    // full set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.exists(kv._1.contains)))
     def onePass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

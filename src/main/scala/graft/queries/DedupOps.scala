@@ -112,39 +112,61 @@ object DedupOps {
     * generation, exact-Jaccard (word 3-gram) post-filter at 0.5 —
     * the body of dedup2, shared with pipe2's canonical selection.
     * Returns verified (a, b, jaccard) pairs, unordered. */
+  /** MinHash signatures of a (doc_id, text) relation, PACKED as one
+    * row per doc with the 16 LSH band keys in an array column — the
+    * storable shape: a signature store keyed by doc_id makes doc
+    * updates plain upserts (no stale-band bookkeeping), and candidate
+    * generation is just an explode + band-key equi-join. One
+    * scan→split→explode→groupBy per call; no shuffle before the
+    * signature aggregation. */
+  private[queries] def minhashBands(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs, 3)
+    val hashed = sh.withColumn("x",
+      conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long") % P)
+    val sigAggs = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * col("x") + lit(hashB(i))) % P).as(s"h$i"))
+    val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandKeys = (0 until Bands).map(b =>
+      concat_ws(":", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+    sigs.select(col("doc_id"), array(bandKeys: _*).as("bands"))
+  }
+
+  /** Exact-Jaccard (word 3-gram, ≥ 0.5) verification of candidate
+    * (a, b) pairs against the doc texts in `docs` — the caller decides
+    * how much of the corpus to re-shingle (the full relation for a
+    * batch build; a candidate-pruned slice for incremental passes).
+    * Per-doc shingle SET as one array row (same pattern as dedup5):
+    * candidate pairs attach two arrays and intersect in-line instead
+    * of re-joining the exploded relation — AQE broadcasts the small
+    * doc-array side; at corpus scale it degrades to a doc_id-keyed
+    * shuffle join, still O(candidates). */
+  private[queries] def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
+    val sh = shingles(docs, 3)
+    val docSets = sh.groupBy("doc_id").agg(
+      collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
+    cand
+      .join(docSets.as("za"), col("a") === col("za.doc_id"))
+      .join(docSets.as("zb"), col("b") === col("zb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("za.shs"), col("zb.shs"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("za.sz") + col("zb.sz") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("a", "b", "jaccard")
+  }
+
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-      // the shingle relation feeds four branches; it is a narrow
-      // scan→split→explode pipeline (per-doc array_distinct, no
-      // shuffle), so re-deriving it per consumer is cheaper than a
-      // cache round-trip
-      val sh = shingles(corpus(s, dir), 3)
-      // per-doc shingle SET as one array row for the verification step
-      // (same pattern as dedup5): candidate pairs attach two arrays and
-      // intersect in-line instead of re-joining the exploded relation —
-      // AQE broadcasts the small doc-array side; at corpus scale it
-      // degrades to a doc_id-keyed shuffle join, still O(candidates)
-      val docSets = sh.groupBy("doc_id").agg(
-        collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
-      val hashed = sh.withColumn("x",
-        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long") % P)
-      val sigAggs = (0 until NumHashes).map(i =>
-        min((lit(hashA(i)) * col("x") + lit(hashB(i))) % P).as(s"h$i"))
-      val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-      val bandKeys = (0 until Bands).map(b =>
-        concat_ws(":", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
-      val bands = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      // the shingle relation feeds both the signature and verification
+      // branches; it is a narrow scan→split→explode pipeline (per-doc
+      // array_distinct, no shuffle), so re-deriving it per consumer is
+      // cheaper than a cache round-trip
+      val c = corpus(s, dir)
+      val bands = minhashBands(c)
+        .select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = bands.as("l").join(bands.as("r"),
           col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
-      cand
-        .join(docSets.as("za"), col("a") === col("za.doc_id"))
-        .join(docSets.as("zb"), col("b") === col("zb.doc_id"))
-        .withColumn("inter",
-          size(array_intersect(col("za.shs"), col("zb.shs"))).cast("long"))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("za.sz") + col("zb.sz") - col("inter")).cast("double"))
-        .filter(col("jaccard") >= 0.5)
-        .select("a", "b", "jaccard")
+      verifyJaccard(cand, c)
   }
 
   /** Brute-force verified-pair CTEs (`pairs` = (a, b, jaccard) at

@@ -247,6 +247,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(decoded.head().features.length == 8)
   }
 
+  test("pipe4: incremental near-dup finds pairs spanning the commit boundary") {
+    val got = SparkEntry.queries("pipe4_incremental_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every %7 near-copy must pair with its original REGARDLESS of
+    // which side of the seed/churn split each lands on — the property
+    // a batch rerun gets for free and an incremental index must prove
+    // (d vs d+1e6 fall in different mod-3 classes for many d, so both
+    // cross-boundary directions occur at any SF)
+    val ids = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 7 === 0).select("doc_id").collect()
+      .map(_.getLong(0))
+    val expected = ids.map(d => (d, d + 1000000L)).toSet
+    assert(expected.subsetOf(got), s"missing: ${expected -- got}")
+    val crossBoundary = ids.filter(d => (d % 3 == 0) != ((d + 1000000L) % 3 == 0))
+    assert(crossBoundary.nonEmpty, "fixture lost its cross-boundary pairs")
+    // seed-time pairs between two unchanged docs must survive the
+    // increment's delete pass untouched
+    val bothUnchanged = got.filter { case (a, b) =>
+      a % 3 != 0 && b % 3 != 0 && !(a % 5 == 0) && !(b % 5 == 0) }
+    assert(bothUnchanged.nonEmpty, "no seed-only pairs survived")
+  }
+
   test("frame sampling emits one row per Nth window") {
     val docs = Tables.t(spark, sf, "documents").limit(10)
       .withColumn("payload", col("text").cast("binary"))
