@@ -732,7 +732,8 @@ final class LakeTable private[core] (
       source: DataFrame,
       matchedUpdate: Option[Column] = None,
       matchedDelete: Option[Column] = None,
-      notMatchedInsert: Option[Column] = None): String = {
+      notMatchedInsert: Option[Column] = None,
+      tag: Option[String] = None): String = {
     // merge needs a single-version view only for the groups its
     // source keys can touch. The probe is global (key-only matching,
     // like the merge itself), so the partition column is a dummy —
@@ -798,7 +799,7 @@ final class LakeTable private[core] (
         }).as(c)
       }: _*)
     val st = writeFiles(out, instant)
-    doCommit(instant, "merge", st, affected, cur)
+    doCommit(instant, "merge", st, affected, cur, tag)
     instant
     }
   }

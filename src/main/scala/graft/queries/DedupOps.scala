@@ -108,10 +108,6 @@ object DedupOps {
       SELECT doc_id, canonical_id, group_size FROM g
       WHERE group_size > 1 ORDER BY doc_id"""))
 
-  /** MinHash (32 perms) + LSH (16 bands × 2 rows) candidate
-    * generation, exact-Jaccard (word 3-gram) post-filter at 0.5 —
-    * the body of dedup2, shared with pipe2's canonical selection.
-    * Returns verified (a, b, jaccard) pairs, unordered. */
   /** MinHash signatures of a (doc_id, text) relation, PACKED as one
     * row per doc with the 16 LSH band keys in an array column — the
     * storable shape: a signature store keyed by doc_id makes doc
@@ -119,7 +115,7 @@ object DedupOps {
     * generation is just an explode + band-key equi-join. One
     * scan→split→explode→groupBy per call; no shuffle before the
     * signature aggregation. */
-  private[queries] def minhashBands(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val sh = shingles(docs, 3)
     val hashed = sh.withColumn("x",
       conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long") % P)
@@ -140,7 +136,7 @@ object DedupOps {
     * of re-joining the exploded relation — AQE broadcasts the small
     * doc-array side; at corpus scale it degrades to a doc_id-keyed
     * shuffle join, still O(candidates). */
-  private[queries] def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
     val sh = shingles(docs, 3)
     val docSets = sh.groupBy("doc_id").agg(
       collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
@@ -155,6 +151,10 @@ object DedupOps {
       .select("a", "b", "jaccard")
   }
 
+  /** MinHash (32 perms) + LSH (16 bands × 2 rows) candidate
+    * generation, exact-Jaccard (word 3-gram) post-filter at 0.5 —
+    * the body of dedup2, shared with pipe2's canonical selection.
+    * Returns verified (a, b, jaccard) pairs, unordered. */
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
       // the shingle relation feeds both the signature and verification
       // branches; it is a narrow scan→split→explode pipeline (per-doc

@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.core.LakeTable
+import graft.queries.DedupOps
+
+/** Production-shape streaming near-duplicate maintenance: the CDC feed
+  * of a documents lake table drives a checkpointed `foreachBatch`
+  * reconciliation of an LSH signature store and a verified-pairs
+  * table. The batch gate `pipe4_incremental_neardup` is the same
+  * operator run once; this wires it to run CONTINUOUSLY — dedup state
+  * stays current as the corpus ingests, at O(churn) per micro-batch,
+  * never a full-corpus LSH rebuild.
+  *
+  * Per micro-batch (CDC rows: `_change_op` i/u/d, after images +
+  * `_before` struct):
+  *   1. deleted docs' signatures leave the store (keyed delete);
+  *      upserted docs are re-shingled/re-hashed and their PACKED band
+  *      signatures upserted — both idempotent on replay;
+  *   2. candidates = the churn's exploded bands equi-joined against
+  *      the store (which now holds CURRENT signatures of the whole
+  *      corpus), exact-Jaccard-verified against a candidate-pruned
+  *      slice of the docs snapshot;
+  *   3. the pairs table reconciles in ONE 3-clause merge — delete
+  *      stored pairs touching churn that no longer qualify, update
+  *      re-verified ones, insert new ones — committed with the batch
+  *      id in its tag ([[ExactlyOnce]]).
+  *
+  * Unlike the MV delta fold, this reconciliation is STATE-based (it
+  * recomputes churn-adjacent pairs from current signatures rather than
+  * incrementing), so a replayed batch converges to the same state; the
+  * batch tag still short-circuits replays so a restart never pays the
+  * LSH pass twice, and the signature-upsert→pairs-merge crash window
+  * re-runs from the signature step, which is idempotent.
+  *
+  * Bootstrap: `startCommit="0"` replays every current doc as an
+  * insert, so batch 0 builds the store and pairs from the same code
+  * path — no separate backfill job (the MvMaintenance convention).
+  *
+  * Scale: every join is keyed (band key, doc_id, or pair key); the
+  * only relation ever re-shingled is the churn plus its candidate
+  * partners; the pairs semi-joins split the OR-of-keys into two hash
+  * semi-joins. No full-corpus stage anywhere after batch 0. */
+object NearDupMaintenance {
+
+  def start(
+      spark: SparkSession,
+      docsPath: String,
+      sigPath: String,
+      pairsPath: String,
+      checkpoint: String,
+      startCommit: String = "0"): StreamingQuery = {
+    require(LakeTable.exists(spark, sigPath),
+      s"create the signature store (doc_id as primaryKey) first: $sigPath")
+    require(LakeTable.exists(spark, pairsPath),
+      s"create the pairs table ((a, b) as primaryKey) first: $pairsPath")
+    val once = new ExactlyOnce(spark, checkpoint)
+    spark.readStream.format("graft")
+      .option("queryType", "cdc")
+      .option("startCommit", startCommit)
+      .load(docsPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sigs = LakeTable.load(spark, sigPath)
+        val pairs = LakeTable.load(spark, pairsPath)
+        once.runOnce(pairs, batchId) { tag =>
+          applyBatch(spark, docsPath, sigs, pairs, batch, batchId, tag)
+        }
+        ()
+      }
+      .start()
+  }
+
+  private def applyBatch(
+      spark: SparkSession,
+      docsPath: String,
+      sigs: LakeTable,
+      pairs: LakeTable,
+      batch: DataFrame,
+      batchId: Long,
+      tag: Option[String]): Unit = {
+    val op = col(LakeTable.ChangeOpCol)
+    val bef = col(LakeTable.BeforeImageCol)
+    val upserted = batch.filter(op =!= "d").select(col("doc_id"), col("text"))
+    val deletedIds = batch.filter(op === "d")
+      .select(coalesce(col("doc_id"), bef.getField("doc_id")).as("doc_id"))
+
+    if (batch.isEmpty) return // empty micro-batch: no state to change
+
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    try {
+      // 1. signature maintenance (batchId is the monotonic preCombine)
+      if (!deletedIds.isEmpty) sigs.delete(deletedIds)
+      val newSigs = cache(DedupOps.minhashBands(upserted))
+      sigs.upsert(newSigs.withColumn("ts", lit(batchId)))
+
+      // 2. churn-adjacent candidates + verification
+      val lb = newSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val rb = sigs.snapshot()
+        .select(col("doc_id"), explode(col("bands")).as("bk"))
+      val cand = cache(lb.as("l").join(rb.as("r"),
+          col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
+        .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
+          greatest(col("l.doc_id"), col("r.doc_id")).as("b")).distinct())
+      val docsSnap = LakeTable.load(spark, docsPath).snapshot()
+        .select("doc_id", "text")
+      val candIds = cand.select(col("a").as("doc_id"))
+        .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+      val newPairs =
+        cache(DedupOps.verifyJaccard(cand, docsSnap.join(candIds, "doc_id")))
+
+      // 3. one tagged reconciliation commit on the pairs table. A
+      // never-written pairs table has a zero-column snapshot (the
+      // MvMaintenance bootstrap hazard) — there is nothing stored to
+      // reconcile against, so the bootstrap batch is a plain tagged
+      // upsert instead of a merge.
+      val snap = pairs.snapshot()
+      if (!snap.columns.contains("a")) {
+        pairs.upsert(newPairs.withColumn("ts", lit(batchId)), tag = tag)
+      } else {
+        val churnIds =
+          upserted.select("doc_id").unionByName(deletedIds).distinct()
+        val cur = snap.select("a", "b")
+        val touched = cur.join(churnIds.withColumnRenamed("doc_id", "a"),
+            Seq("a"), "leftsemi")
+          .unionByName(cur.join(churnIds.withColumnRenamed("doc_id", "b"),
+            Seq("b"), "leftsemi"))
+          .distinct()
+        val src = touched.join(newPairs, Seq("a", "b"), "left_anti")
+          .withColumn("jaccard", lit(null).cast("double"))
+          .withColumn("__op", lit("d"))
+          .unionByName(newPairs.withColumn("__op", lit("u")))
+          .withColumn("ts", lit(batchId))
+        pairs.merge(src,
+          matchedUpdate = Some(col("__op") === "u"),
+          matchedDelete = Some(col("__op") === "d"),
+          notMatchedInsert = Some(col("__op") === "u"),
+          tag = tag)
+      }
+      ()
+    } finally cached.foreach(_.unpersist())
+  }
+}

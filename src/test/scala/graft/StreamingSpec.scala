@@ -485,4 +485,79 @@ class StreamingSpec extends AnyFunSuite {
         all.count(_._1 == 2) == 1, s"got $all")
     } finally q.stop()
   }
+
+  test("streaming near-dup maintenance: kill/restart converges to batch answer") {
+    import graft.streaming.{ExactlyOnce, NearDupMaintenance}
+    import graft.queries.DedupOps
+    val docsPath = tmp("snd_docs_")
+    val sigPath = tmp("snd_sigs_")
+    val pairsPath = tmp("snd_pairs_")
+    val ckpt = tmp("snd_ckpt_")
+    val docs = LakeTable.create(spark, docsPath, TableProps(
+      "snddocs", Seq("doc_id"), Some("ts"), Seq.empty))
+    LakeTable.create(spark, sigPath, TableProps(
+      "sndsigs", Seq("doc_id"), Some("ts"), Seq.empty))
+    LakeTable.create(spark, pairsPath, TableProps(
+      "sndpairs", Seq("a", "b"), Some("ts"), Seq.empty))
+    val famA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val famB = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val famC = "uniform victor whiskey xray yankee zulu one two three four"
+    docs.upsert(Seq(
+      (1L, famA, 1L),
+      (2L, famA + " extra", 1L),            // near-dup of 1
+      (3L, famB, 1L),
+      (4L, famB + " tail", 1L))             // near-dup of 3
+      .toDF("doc_id", "text", "ts"))
+    def run() = NearDupMaintenance.start(
+      spark, docsPath, sigPath, pairsPath, ckpt)
+    def pairSet(): Set[(Long, Long)] =
+      LakeTable.load(spark, pairsPath).snapshot()
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recompute(): Set[(Long, Long)] = {
+      // brute force: every id pair, exact-Jaccard verified
+      val snap = docs.snapshot().select("doc_id", "text")
+      val ids = snap.select(col("doc_id").as("a"))
+      val allPairs = ids.crossJoin(snap.select(col("doc_id").as("b")))
+        .filter(col("a") < col("b"))
+      DedupOps.verifyJaccard(allPairs, snap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // phase 1: bootstrap (batch 0 replays every current doc as 'i')
+    val q1 = run()
+    try {
+      q1.processAllAvailable()
+      assert(pairSet() == Set((1L, 2L), (3L, 4L)))
+      assert(pairSet() == recompute())
+    } finally q1.stop() // KILL mid-stream
+    // the corpus keeps moving while maintenance is down:
+    //  - doc 2 rewrites to family C → pair (1,2) must vanish
+    //  - doc 5 arrives as a near-dup of doc 1 → pair (1,5) appears
+    //  - doc 4 is deleted → pair (3,4) must vanish
+    docs.upsert(Seq(
+      (2L, famC, 2L),
+      (5L, famA + " more", 2L)).toDF("doc_id", "text", "ts"))
+    docs.delete(Seq(Tuple1(4L)).toDF("doc_id"))
+    // phase 2: restart from the checkpoint — missed commits reconcile
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      assert(pairSet() == Set((1L, 5L)), s"got ${pairSet()}")
+      assert(pairSet() == recompute())
+      // deleted doc's signature left the store
+      val sigIds = LakeTable.load(spark, sigPath).snapshot()
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sigIds == Set(1L, 2L, 3L, 5L))
+    } finally q2.stop()
+    // phase 3: crash-window replay — reconciliation committed but the
+    // sidecar marker write was lost; the commit-tag safety net skips
+    val once = new ExactlyOnce(spark, ckpt)
+    val pairsTab = LakeTable.load(spark, pairsPath)
+    val lastId = once.committedBatchId(pairsTab)
+    assert(lastId >= 0)
+    assert(new java.io.File(pairsPath, s"_streaming/${once.markerName}").delete())
+    assert(!once.runOnce(pairsTab, lastId) { _ =>
+      fail("crash-window replay must not re-reconcile the batch")
+    })
+    assert(once.lastBatchId(pairsTab) == lastId)
+  }
 }
