@@ -44,6 +44,12 @@ object MvMaintenance {
       startCommit: String = "0"): StreamingQuery = {
     require(LakeTable.exists(spark, mvPath),
       s"create the MV table (group key as primaryKey) before starting: $mvPath")
+    // the CDC source fixes its schema when the stream starts; a base
+    // table with no commits yet exposes a metadata-only feed that the
+    // delta reduction could never bind against
+    require(LakeTable.load(spark, basePath).schema.fields.nonEmpty,
+      s"base table needs a first commit (schema) before attaching the " +
+        s"MV refresh: $basePath")
     val once = new ExactlyOnce(spark, checkpoint)
     spark.readStream.format("graft")
       .option("queryType", "cdc")

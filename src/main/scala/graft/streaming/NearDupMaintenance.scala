@@ -57,6 +57,12 @@ object NearDupMaintenance {
       s"create the signature store (doc_id as primaryKey) first: $sigPath")
     require(LakeTable.exists(spark, pairsPath),
       s"create the pairs table ((a, b) as primaryKey) first: $pairsPath")
+    // the CDC source fixes its schema when the stream starts; a table
+    // with no commits yet has no data columns, so the maintenance
+    // query would bind to a metadata-only feed and never see doc_id
+    require(LakeTable.load(spark, docsPath).schema.fieldNames.contains("doc_id"),
+      s"docs table needs a first commit (schema with doc_id) before " +
+        s"attaching maintenance: $docsPath")
     val once = new ExactlyOnce(spark, checkpoint)
     spark.readStream.format("graft")
       .option("queryType", "cdc")
