@@ -411,6 +411,58 @@ object SimilarityOps {
   private val ivfIters = 3
   private val ivfCentRound = 5
 
+  // --- IVF machinery shared by sim4 (batch build) and sim8
+  // (incremental maintenance). Centroids live on the DRIVER (k = 16
+  // doubles×64 — the O(k) sync every distributed k-means pays) and
+  // are folded into the assignment as literal arrays: one codegen'd
+  // projection per row computes all k distances and picks argmin via
+  // array_sort on (d2, cid) structs — same (d2 ASC, cid ASC) total
+  // order a crossJoin+window would produce, WITHOUT materializing k×N
+  // rows or shuffling them through a window. cc (centroid self-dot)
+  // is folded left-to-right on the driver — the exact IEEE op order
+  // of graft_vec_dot and the oracle's list_sum, so distances stay
+  // bit-identical to the relational replay.
+
+  private def ivfSelfDot(c: Seq[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  }
+
+  /** All-centroid (d2, cid) structs sorted ascending; expects `ee`
+    * (self-dot) and `embedding` columns on the input row. */
+  private def ivfSortedAssign(cents: Seq[(Int, Seq[Double])]): Column = {
+    val dotFn = graft.functions.GraftFunctions.VecDotName
+    array_sort(array(cents.map { case (cid, c) =>
+      struct(
+        (col("ee") - lit(2.0) *
+          call_function(dotFn, col("embedding"), array(c.map(lit): _*)) +
+          lit(ivfSelfDot(c))).as("d2"),
+        lit(cid).as("cid"))
+    }: _*))
+  }
+
+  /** Fixed-iteration deterministic Lloyd's over `e` (needs `ee` and
+    * `embedding`): each iteration is ONE aggregation job (groupBy
+    * cid); means are rounded to [[ivfCentRound]] decimals so both
+    * engines fold identically; empty clusters carry the previous
+    * centroid (the oracle's coalesce). */
+  private def ivfLloyds(
+      e: DataFrame,
+      init: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    val meanCols = (1 to Dims).map(i =>
+      round(avg(element_at(col("embedding"), i).cast("double")), ivfCentRound))
+    var cents = init
+    for (_ <- 1 to ivfIters) {
+      val means: Map[Int, Seq[Double]] = e
+        .withColumn("cid", element_at(ivfSortedAssign(cents), 1).getField("cid"))
+        .groupBy("cid").agg(array(meanCols: _*).as("cent2"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cid, c) => cid -> means.getOrElse(cid, c) }
+    }
+    cents
+  }
+
   private val ivfQ = GQ(
     "sim4_ann_ivf_topk",
     (s, dir) => {
@@ -419,49 +471,15 @@ object SimilarityOps {
         .withColumn("nrm", expr(normExpr("embedding")))
         .withColumn("ee", expr(dotExpr("embedding", "embedding")))
         .persist()
-      // Centroids live on the DRIVER (k = 16 doubles×64 — the O(k)
-      // sync every distributed k-means pays) and are folded into the
-      // assignment as literal arrays: one codegen'd projection per row
-      // computes all k distances and picks argmin via array_sort on
-      // (d2, cid) structs — same (d2 ASC, cid ASC) total order the
-      // former crossJoin+window produced, WITHOUT materializing k×N
-      // rows or shuffling them through a window. Each iteration is one
-      // aggregation job (groupBy cid) instead of crossjoin+window+agg.
-      // cc (centroid self-dot) is folded left-to-right on the driver —
-      // the exact IEEE op order of graft_vec_dot and the oracle's
-      // list_sum, so distances stay bit-identical to the replay.
-      def selfDot(c: Seq[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < c.length) { acc += c(i) * c(i); i += 1 }
-        acc
-      }
-      val dotFn = graft.functions.GraftFunctions.VecDotName
-      def sortedAssign(cents: Seq[(Int, Seq[Double])]): Column =
-        array_sort(array(cents.map { case (cid, c) =>
-          struct(
-            (col("ee") - lit(2.0) *
-              call_function(dotFn, col("embedding"), array(c.map(lit): _*)) +
-              lit(selfDot(c))).as("d2"),
-            lit(cid).as("cid"))
-        }: _*))
-      var cents: Seq[(Int, Seq[Double])] =
+      val init: Seq[(Int, Seq[Double])] =
         e.filter(col("vec_id") < ivfK)
           .select(col("vec_id").cast("int").as("cid"),
             expr(s"transform(embedding, x -> round(cast(x AS double), $ivfCentRound))")
               .as("cent"))
           .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
           .sortBy(_._1).toSeq
-      val meanCols = (1 to Dims).map(i =>
-        round(avg(element_at(col("embedding"), i).cast("double")), ivfCentRound))
-      for (_ <- 1 to ivfIters) {
-        val means: Map[Int, Seq[Double]] = e
-          .withColumn("cid", element_at(sortedAssign(cents), 1).getField("cid"))
-          .groupBy("cid").agg(array(meanCols: _*).as("cent2"))
-          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-        // empty cluster: carry the previous centroid (oracle's coalesce)
-        cents = cents.map { case (cid, c) => cid -> means.getOrElse(cid, c) }
-      }
-      val fin = e.withColumn("top2", slice(sortedAssign(cents), 1, 2))
+      val cents = ivfLloyds(e, init)
+      val fin = e.withColumn("top2", slice(ivfSortedAssign(cents), 1, 2))
         .withColumn("cid", element_at(col("top2"), 1).getField("cid"))
       val assigned = fin.select("vec_id", "embedding", "nrm", "cid")
       val probes = fin.filter(col("vec_id") < 20)
@@ -528,6 +546,118 @@ object SimilarityOps {
         FROM scored)
       SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked
       WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
+  /** sim8 — incremental IVF maintenance: sim4's inverted-file index
+    * as a MAINTAINED assignment table instead of a per-query rebuild,
+    * the embedding-side analog of pipe4. Production vector indexes
+    * train centroids ONCE on a bootstrap corpus and keep them fixed
+    * while the corpus ingests; each increment assigns only the churn
+    * (O(churn × k) codegen'd projections — never a corpus rescan, no
+    * retrain barrier). The gate: seed vectors land in a lake table,
+    * [[ivfLloyds]] trains on the seed, assignments upsert; a churn
+    * commit (new vectors AND updated ones — elementwise negation, so
+    * reassignment provably moves rows) is read INCREMENTALLY and only
+    * those rows are re-assigned. The oracle replays seed-only
+    * training relationally (same unrolled CTEs as sim4) and assigns
+    * the FINAL corpus — so the maintained table must equal the batch
+    * rebuild. */
+  private val ivfIncQ = GQ(
+    "sim8_incremental_ivf",
+    (s, dir) => {
+      import graft.core.{LakeTable, TableProps}
+      graft.functions.GraftFunctions.register(s)
+      def scr(name: String) = {
+        val p = s"target/graft_scratch/${name}_${math.abs(dir.hashCode)}"
+        LakeTable.drop(s, p)
+        p
+      }
+      def withEe(df: DataFrame): DataFrame =
+        df.withColumn("ee", expr(dotExpr("embedding", "embedding")))
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val updMask = col("vec_id") % 3 =!= 0 && col("vec_id") % 5 === 0
+      val seed = emb.filter(col("vec_id") % 3 =!= 0).withColumn("ts", lit(1L))
+      val churn = emb.filter(col("vec_id") % 3 === 0)
+        .unionByName(emb.filter(updMask)
+          .withColumn("embedding", expr("transform(embedding, x -> -x)")))
+        .withColumn("ts", lit(2L))
+      val vecs = LakeTable.create(s, scr("sim8vecs"),
+        TableProps("sim8vecs", Seq("vec_id"), Some("ts"), Seq.empty))
+      val asgn = LakeTable.create(s, scr("sim8asgn"),
+        TableProps("sim8asgn", Seq("vec_id"), Some("ts"), Seq.empty))
+
+      // bootstrap: one-time centroid train on the seed + full assign
+      val c1 = vecs.upsert(seed)
+      val se = withEe(seed.select("vec_id", "embedding")).persist()
+      try {
+        val init: Seq[(Int, Seq[Double])] =
+          se.filter(col("vec_id") < ivfK * 3 / 2) // 16 seed ids under 24
+            .select(col("vec_id").cast("int").as("cid"),
+              expr(s"transform(embedding, x -> round(cast(x AS double), $ivfCentRound))")
+                .as("cent"))
+            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+            .sortBy(_._1).toSeq
+        val cents = ivfLloyds(se, init)
+        asgn.upsert(se
+          .withColumn("cid",
+            element_at(ivfSortedAssign(cents), 1).getField("cid"))
+          .select(col("vec_id"), col("cid"), lit(1L).as("ts")))
+
+        // increment: ONLY the churn is read and re-assigned; the
+        // centroids are the fixed bootstrap ones
+        vecs.upsert(churn)
+        val inc = withEe(vecs.incremental(c1).select("vec_id", "embedding"))
+        asgn.upsert(inc
+          .withColumn("cid",
+            element_at(ivfSortedAssign(cents), 1).getField("cid"))
+          .select(col("vec_id"), col("cid"), lit(2L).as("ts")))
+
+        asgn.snapshot().select("vec_id", "cid").orderBy("vec_id")
+      } finally se.unpersist()
+    },
+    Some(ivfIncOracleSql))
+
+  /** sim8's DuckDB oracle: seed-only Lloyd's replay (identical CTE
+    * shapes to [[ivfOracleSql]], sourced from the seed subset), then
+    * one assignment pass over the FINAL corpus (churn inserts + the
+    * negated updates applied). */
+  private def ivfIncOracleSql: String = {
+    val dot = dotSql _
+    def d2 = s"e.ee - 2*${dot("e.embedding", "c.cent")} + ${dot("c.cent", "c.cent")}"
+    def assignCte(n: Int, cents: String) =
+      s"""a$n AS (SELECT e.vec_id, e.embedding, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn
+        FROM es e, $cents c)"""
+    val meanList = (1 to Dims)
+      .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), $ivfCentRound)")
+      .mkString("[", ", ", "]")
+    def updateCte(n: Int, prev: String) =
+      s"""m$n AS (SELECT cid, $meanList AS cent2
+          FROM a$n WHERE rn = 1 GROUP BY cid),
+        c$n AS (SELECT p.cid, coalesce(m$n.cent2, p.cent) AS cent
+          FROM $prev p LEFT JOIN m$n USING (cid))"""
+    val iters = (1 to ivfIters).map { n =>
+      val prev = if (n == 1) "c0" else s"c${n - 1}"
+      assignCte(n, prev) + ",\n" + updateCte(n, prev)
+    }.mkString(",\n")
+    s"""WITH seedsrc AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id % 3 <> 0),
+      es AS (SELECT vec_id, embedding,
+          ${dot("embedding", "embedding")} AS ee FROM seedsrc),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+          list_transform(embedding, x -> round(CAST(x AS DOUBLE), $ivfCentRound)) AS cent
+        FROM seedsrc WHERE vec_id < ${ivfK * 3 / 2}),
+      $iters,
+      corpusf AS (SELECT vec_id,
+          CASE WHEN vec_id % 3 <> 0 AND vec_id % 5 = 0
+            THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding
+        FROM embeddings),
+      ef AS (SELECT vec_id, embedding,
+          ${dot("embedding", "embedding")} AS ee FROM corpusf),
+      fin AS (SELECT e.vec_id, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn
+        FROM ef e, c$ivfIters c)
+      SELECT vec_id, cid FROM fin WHERE rn = 1 ORDER BY vec_id"""
   }
 
   /** sim6 — product-quantization ANN (ADC): the compressed-index scale
@@ -726,5 +856,6 @@ object SimilarityOps {
       WHERE rank <= 10 ORDER BY q_id, rank"""))
 
   def qs: Seq[GQ] =
-    Seq(topkQ, nearDupQ, annQ, ivfQ, graphDedupQ, graphDedupDistQ, pqQ, mrQ)
+    Seq(topkQ, nearDupQ, annQ, ivfQ, ivfIncQ, graphDedupQ, graphDedupDistQ,
+      pqQ, mrQ)
 }
