@@ -545,11 +545,7 @@ object CurationOps {
     "pipe1_incremental_curation",
     (s, dir) => {
       import graft.core.{LakeTable, TableProps}
-      def scratch(name: String) = {
-        val p = s"target/graft_scratch/${name}_${math.abs(dir.hashCode)}"
-        LakeTable.drop(s, p)
-        p
-      }
+      def scratch(name: String) = QueryPack.scratchDir(s, dir, name)
       val raw = LakeTable.create(s, scratch("pipe1raw"),
         TableProps("pipe1raw", Seq("doc_id"), Some("ts"), Seq.empty))
       val docs = t(s, dir, "documents").withColumn("ts", lit(1L))
@@ -658,11 +654,7 @@ object CurationOps {
     "pipe4_incremental_neardup",
     (s, dir) => {
       import graft.core.{LakeTable, TableProps}
-      def scr(name: String) = {
-        val p = s"target/graft_scratch/${name}_${math.abs(dir.hashCode)}"
-        LakeTable.drop(s, p)
-        p
-      }
+      import QueryPack.scratchDir
       val base = DedupOps.corpus(s, dir)
       val updMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0
       val seed = base.filter(col("doc_id") % 3 =!= 0)
@@ -672,81 +664,29 @@ object CurationOps {
           .withColumn("text", concat(col("text"), lit(" v2"))))
         .withColumn("ts", lit(2L))
 
-      val docs = LakeTable.create(s, scr("pipe4docs"),
+      val docs = LakeTable.create(s, scratchDir(s, dir, "pipe4docs"),
         TableProps("pipe4docs", Seq("doc_id"), Some("ts"), Seq.empty))
-      val sigStore = LakeTable.create(s, scr("pipe4sigs"),
+      val sigStore = LakeTable.create(s, scratchDir(s, dir, "pipe4sigs"),
         TableProps("pipe4sigs", Seq("doc_id"), Some("ts"), Seq.empty))
-      val pairsTab = LakeTable.create(s, scr("pipe4pairs"),
+      val pairsTab = LakeTable.create(s, scratchDir(s, dir, "pipe4pairs"),
         TableProps("pipe4pairs", Seq("a", "b"), Some("ts"), Seq.empty))
 
-      // the LSH/verify relations each feed more than one consumer (a
-      // store upsert AND a band explode; the write path itself reads
-      // its input twice: probe + write) — persist them once instead of
-      // re-running the shingle→hash shuffle per consumer
-      val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
-      def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
-      try {
-        // seed pass — the one-time backfill. Signatures come from the
-        // INCOMING batch, not a table re-read: the maintenance job
-        // hashes exactly what it ingests (the table was empty, so
-        // batch == post-commit state), the same O(batch) contract the
-        // increment honors.
-        val c1 = docs.upsert(seed)
-        val seedSigs = cache(DedupOps.minhashBands(seed.select("doc_id", "text")))
-        sigStore.upsert(seedSigs.withColumn("ts", lit(1L)))
-        val sb = seedSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
-        val seedCand = sb.as("l").join(sb.as("r"),
-            col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
-        pairsTab.upsert(
-          cache(DedupOps.verifyJaccard(seedCand, seed.select("doc_id", "text")))
-            .withColumn("ts", lit(1L)))
+      // both passes run the ONE shared reconciliation ([[NearDupIndex]]
+      // — the same code the streaming service executes per micro-batch):
+      // the seed pass bootstraps through it (empty store → every seed
+      // doc is churn), the increment reconciles only the CDC-read churn
+      val noDeletes = seed.select("doc_id").limit(0)
+      val c1 = docs.upsert(seed)
+      // bootstrap corpus == the seed batch (the table holds nothing
+      // else yet) — no need to pay a snapshot merge-read for it
+      NearDupIndex.reconcile(seed.select("doc_id", "text"), noDeletes,
+        seed.select("doc_id", "text"), sigStore, pairsTab, 1L)
+      docs.upsert(churn)
+      val inc = docs.incremental(c1).select("doc_id", "text")
+      NearDupIndex.reconcile(inc, noDeletes,
+        docs.snapshot().select("doc_id", "text"), sigStore, pairsTab, 2L)
 
-        // increment — O(churn): only changed docs are re-hashed
-        docs.upsert(churn)
-        val inc = docs.incremental(c1).select("doc_id", "text")
-        val churnIds = inc.select("doc_id")
-        val newSigs = cache(DedupOps.minhashBands(inc))
-        sigStore.upsert(newSigs.withColumn("ts", lit(2L)))
-        val lb = newSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
-        val rb = sigStore.snapshot()
-          .select(col("doc_id"), explode(col("bands")).as("bk"))
-        // persisted: candIds (below) AND the verify join both consume
-        // cand — uncached, the band join against the store snapshot
-        // runs twice
-        val cand = cache(lb.as("l").join(rb.as("r"),
-            col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
-          .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
-            greatest(col("l.doc_id"), col("r.doc_id")).as("b")).distinct())
-        val snap2 = docs.snapshot().select("doc_id", "text")
-        val candIds = cand.select(col("a").as("doc_id"))
-          .unionByName(cand.select(col("b").as("doc_id"))).distinct()
-        // verification re-shingles only docs that appear in a candidate
-        val newPairs =
-          cache(DedupOps.verifyJaccard(cand, snap2.join(candIds, "doc_id")))
-        // stale = stored pairs touching churn that did NOT re-qualify;
-        // two hash semi-joins (an OR-of-keys never hash-joins as one),
-        // then ONE 3-clause merge commit: delete the vanished, update
-        // the re-verified, insert the new — the lake4 pattern applied
-        // to index maintenance instead of delete-then-upsert
-        val cur = pairsTab.snapshot().select("a", "b")
-        val touched = cur.join(churnIds.withColumnRenamed("doc_id", "a"),
-            Seq("a"), "leftsemi")
-          .unionByName(cur.join(churnIds.withColumnRenamed("doc_id", "b"),
-            Seq("b"), "leftsemi"))
-          .distinct()
-        val src = touched.join(newPairs, Seq("a", "b"), "left_anti")
-          .withColumn("jaccard", lit(null).cast("double"))
-          .withColumn("__op", lit("d"))
-          .unionByName(newPairs.withColumn("__op", lit("u")))
-          .withColumn("ts", lit(2L))
-        pairsTab.merge(src,
-          matchedUpdate = Some(col("__op") === "u"),
-          matchedDelete = Some(col("__op") === "d"),
-          notMatchedInsert = Some(col("__op") === "u"))
-
-        pairsTab.snapshot().select("a", "b", "jaccard").orderBy("a", "b")
-      } finally cached.foreach(_.unpersist())
+      pairsTab.snapshot().select("a", "b", "jaccard").orderBy("a", "b")
     },
     Some(s"""WITH corpus AS (
         SELECT doc_id,

@@ -114,9 +114,21 @@ object DedupOps {
     * updates plain upserts (no stale-band bookkeeping), and candidate
     * generation is just an explode + band-key equi-join. One
     * scan→split→explode→groupBy per call; no shuffle before the
-    * signature aggregation. */
+    * signature aggregation.
+    *
+    * EVERY input doc gets an output row: a text too short to shingle
+    * yields an EMPTY band array (explode_outer keeps the doc through
+    * the aggregation; its all-null min-hashes mark the degenerate
+    * case) — so a signature store fed from this can never hold a
+    * STALE signature for a doc whose text shrank below one shingle. */
   private[graft] def minhashBands(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs, 3)
+    val n = 3
+    val grams = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
+    val sh = docs
+      .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
+      .withColumn("sh", explode_outer(expr(
+        s"case when size(w) >= $n then array_distinct(transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $grams))) else array() end")))
+      .select(col("doc_id"), col("sh"))
     val hashed = sh.withColumn("x",
       conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long") % P)
     val sigAggs = (0 until NumHashes).map(i =>
@@ -124,7 +136,9 @@ object DedupOps {
     val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandKeys = (0 until Bands).map(b =>
       concat_ws(":", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
-    sigs.select(col("doc_id"), array(bandKeys: _*).as("bands"))
+    sigs.select(col("doc_id"),
+      when(col("h0").isNotNull, array(bandKeys: _*))
+        .otherwise(array().cast("array<string>")).as("bands"))
   }
 
   /** Exact-Jaccard (word 3-gram, ≥ 0.5) verification of candidate

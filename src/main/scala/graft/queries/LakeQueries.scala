@@ -24,11 +24,8 @@ object LakeQueries {
     preCombineField = Some("ts"),
     partitionFields = if (partitioned) Seq("c_mktsegment") else Seq.empty)
 
-  private def scratch(s: SparkSession, sfDir: String, name: String): String = {
-    val p = s"target/graft_scratch/${name}_${math.abs(sfDir.hashCode)}"
-    LakeTable.drop(s, p)
-    p
-  }
+  private def scratch(s: SparkSession, sfDir: String, name: String): String =
+    QueryPack.scratchDir(s, sfDir, name)
 
   private def base(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").withColumn("ts", lit(1L))

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.LakeTable
+
+/** The ONE increment-reconciliation algorithm behind the maintained
+  * near-dup index — shared by the `pipe4_incremental_neardup` batch
+  * gate (both its bootstrap and increment passes) and the
+  * [[graft.streaming.NearDupMaintenance]] streaming service, so the
+  * DuckDB oracle, the property test, and the kill/restart test all
+  * exercise the same code.
+  *
+  * State = two lake tables: a SIGNATURE STORE keyed by doc_id holding
+  * the LSH band keys packed as one array column (doc updates are plain
+  * upserts — preCombine picks the newest signature) and a verified-
+  * PAIRS table keyed (a, b).
+  *
+  * Scale: O(churn) per call — only the churn is re-shingled/re-hashed;
+  * candidates come from the churn's exploded bands equi-joined against
+  * the store; verification re-shingles only candidate docs; the pairs
+  * semi-joins split the OR-of-keys into two hash semi-joins; the
+  * reconciliation is ONE 3-clause merge commit. No full-corpus stage
+  * after bootstrap. */
+private[graft] object NearDupIndex {
+
+  /** Apply one churn batch to the index.
+    *
+    * @param churn      (doc_id, text) of upserted docs — post-merge
+    *                   current values
+    * @param deletedIds (doc_id) of departed docs
+    * @param docsSnap   (doc_id, text) of the CURRENT corpus, for
+    *                   exact-Jaccard verification of candidates
+    * @param ts         monotonic preCombine value for this batch
+    *                   (commit sequence or streaming batch id)
+    * @param tag        commit tag for the pairs reconciliation (the
+    *                   [[graft.streaming.ExactlyOnce]] batch marker)
+    */
+  def reconcile(
+      churn: DataFrame,
+      deletedIds: DataFrame,
+      docsSnap: DataFrame,
+      sigs: LakeTable,
+      pairs: LakeTable,
+      ts: Long,
+      tag: Option[String] = None): Unit = {
+    // every relation here feeds 2+ consumers (a store upsert AND a
+    // band explode; the write path itself reads its input twice:
+    // probe + write) — persist each once instead of re-running the
+    // shingle→hash shuffles per consumer
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    try {
+      val churnC = cache(churn)
+      val deletedC = cache(deletedIds)
+      if (!deletedC.isEmpty) sigs.delete(deletedC)
+      // minhashBands emits a row for EVERY churn doc — a text too
+      // short to shingle gets an EMPTY band array, so the store can
+      // never keep a STALE signature for a doc whose text shrank
+      // (stale bands would feed phantom candidates into every future
+      // batch; pairs output would stay correct, but each batch would
+      // pay wasted candidate/verify work forever).
+      val newSigs = cache(DedupOps.minhashBands(churnC))
+      sigs.upsert(newSigs.withColumn("ts", lit(ts)))
+      // candidates: churn bands × the store (which now holds CURRENT
+      // signatures of the whole corpus — pairs wholly inside the
+      // churn are found the same way)
+      val lb = newSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val rb = sigs.snapshot()
+        .select(col("doc_id"), explode(col("bands")).as("bk"))
+      val cand = cache(lb.as("l").join(rb.as("r"),
+          col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
+        .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
+          greatest(col("l.doc_id"), col("r.doc_id")).as("b")).distinct())
+      val candIds = cand.select(col("a").as("doc_id"))
+        .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+      // verification re-shingles only docs that appear in a candidate
+      val newPairs =
+        cache(DedupOps.verifyJaccard(cand, docsSnap.join(candIds, "doc_id")))
+
+      // reconcile the pairs table. A never-written pairs table has a
+      // zero-column snapshot — nothing stored to reconcile against,
+      // so the bootstrap pass is a plain tagged upsert. Otherwise:
+      // stale = stored pairs touching churn that did NOT re-qualify;
+      // ONE 3-clause merge commit deletes the vanished, updates the
+      // re-verified, inserts the new (the lake4 pattern applied to
+      // index maintenance instead of delete-then-upsert).
+      val snap = pairs.snapshot()
+      if (!snap.columns.contains("a")) {
+        pairs.upsert(newPairs.withColumn("ts", lit(ts)), tag = tag)
+      } else {
+        val churnIds = cache(churnC.select("doc_id")
+          .unionByName(deletedC).distinct())
+        val cur = snap.select("a", "b")
+        val touched = cur.join(churnIds.withColumnRenamed("doc_id", "a"),
+            Seq("a"), "leftsemi")
+          .unionByName(cur.join(churnIds.withColumnRenamed("doc_id", "b"),
+            Seq("b"), "leftsemi"))
+          .distinct()
+        val src = touched.join(newPairs, Seq("a", "b"), "left_anti")
+          .withColumn("jaccard", lit(null).cast("double"))
+          .withColumn("__op", lit("d"))
+          .unionByName(newPairs.withColumn("__op", lit("u")))
+          .withColumn("ts", lit(ts))
+        pairs.merge(src,
+          matchedUpdate = Some(col("__op") === "u"),
+          matchedDelete = Some(col("__op") === "d"),
+          notMatchedInsert = Some(col("__op") === "u"),
+          tag = tag)
+      }
+      ()
+    } finally cached.foreach(_.unpersist())
+  }
+}

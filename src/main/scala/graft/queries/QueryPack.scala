@@ -17,4 +17,13 @@ object QueryPack {
   def all: Seq[GQ] =
     Relational.qs ++ LakeQueries.qs ++ TextOps.qs ++ CurationOps.qs ++
       DedupOps.qs ++ SimilarityOps.qs ++ MultimodalOps.qs
+
+  /** Per-(gate, sfDir) scratch table path, dropped clean — the one
+    * definition every lake-backed gate query uses. */
+  private[queries] def scratchDir(
+      s: SparkSession, sfDir: String, name: String): String = {
+    val p = s"target/graft_scratch/${name}_${math.abs(sfDir.hashCode)}"
+    graft.core.LakeTable.drop(s, p)
+    p
+  }
 }

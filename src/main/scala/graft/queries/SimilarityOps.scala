@@ -567,11 +567,7 @@ object SimilarityOps {
     (s, dir) => {
       import graft.core.{LakeTable, TableProps}
       graft.functions.GraftFunctions.register(s)
-      def scr(name: String) = {
-        val p = s"target/graft_scratch/${name}_${math.abs(dir.hashCode)}"
-        LakeTable.drop(s, p)
-        p
-      }
+      def scr(name: String) = QueryPack.scratchDir(s, dir, name)
       def withEe(df: DataFrame): DataFrame =
         df.withColumn("ee", expr(dotExpr("embedding", "embedding")))
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.core.LakeTable
-import graft.queries.DedupOps
 
 /** Production-shape streaming near-duplicate maintenance: the CDC feed
   * of a documents lake table drives a checkpointed `foreachBatch`
@@ -89,66 +88,21 @@ object NearDupMaintenance {
       batch: DataFrame,
       batchId: Long,
       tag: Option[String]): Unit = {
-    val op = col(LakeTable.ChangeOpCol)
-    val bef = col(LakeTable.BeforeImageCol)
-    val upserted = batch.filter(op =!= "d").select(col("doc_id"), col("text"))
-    val deletedIds = batch.filter(op === "d")
-      .select(coalesce(col("doc_id"), bef.getField("doc_id")).as("doc_id"))
-
-    if (batch.isEmpty) return // empty micro-batch: no state to change
-
-    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    // persist the CDC micro-batch once: the churn/deleted splits and
+    // the reconciliation's own consumers would otherwise re-run the
+    // CDC net-diff per job on this continuously-hot path
+    val batchC = batch.persist()
     try {
-      // 1. signature maintenance (batchId is the monotonic preCombine)
-      if (!deletedIds.isEmpty) sigs.delete(deletedIds)
-      val newSigs = cache(DedupOps.minhashBands(upserted))
-      sigs.upsert(newSigs.withColumn("ts", lit(batchId)))
-
-      // 2. churn-adjacent candidates + verification
-      val lb = newSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
-      val rb = sigs.snapshot()
-        .select(col("doc_id"), explode(col("bands")).as("bk"))
-      val cand = cache(lb.as("l").join(rb.as("r"),
-          col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
-        .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
-          greatest(col("l.doc_id"), col("r.doc_id")).as("b")).distinct())
+      if (batchC.isEmpty) return // empty micro-batch: no state to change
+      val op = col(LakeTable.ChangeOpCol)
+      val bef = col(LakeTable.BeforeImageCol)
+      val upserted = batchC.filter(op =!= "d").select(col("doc_id"), col("text"))
+      val deletedIds = batchC.filter(op === "d")
+        .select(coalesce(col("doc_id"), bef.getField("doc_id")).as("doc_id"))
       val docsSnap = LakeTable.load(spark, docsPath).snapshot()
         .select("doc_id", "text")
-      val candIds = cand.select(col("a").as("doc_id"))
-        .unionByName(cand.select(col("b").as("doc_id"))).distinct()
-      val newPairs =
-        cache(DedupOps.verifyJaccard(cand, docsSnap.join(candIds, "doc_id")))
-
-      // 3. one tagged reconciliation commit on the pairs table. A
-      // never-written pairs table has a zero-column snapshot (the
-      // MvMaintenance bootstrap hazard) — there is nothing stored to
-      // reconcile against, so the bootstrap batch is a plain tagged
-      // upsert instead of a merge.
-      val snap = pairs.snapshot()
-      if (!snap.columns.contains("a")) {
-        pairs.upsert(newPairs.withColumn("ts", lit(batchId)), tag = tag)
-      } else {
-        val churnIds =
-          upserted.select("doc_id").unionByName(deletedIds).distinct()
-        val cur = snap.select("a", "b")
-        val touched = cur.join(churnIds.withColumnRenamed("doc_id", "a"),
-            Seq("a"), "leftsemi")
-          .unionByName(cur.join(churnIds.withColumnRenamed("doc_id", "b"),
-            Seq("b"), "leftsemi"))
-          .distinct()
-        val src = touched.join(newPairs, Seq("a", "b"), "left_anti")
-          .withColumn("jaccard", lit(null).cast("double"))
-          .withColumn("__op", lit("d"))
-          .unionByName(newPairs.withColumn("__op", lit("u")))
-          .withColumn("ts", lit(batchId))
-        pairs.merge(src,
-          matchedUpdate = Some(col("__op") === "u"),
-          matchedDelete = Some(col("__op") === "d"),
-          notMatchedInsert = Some(col("__op") === "u"),
-          tag = tag)
-      }
-      ()
-    } finally cached.foreach(_.unpersist())
+      graft.queries.NearDupIndex.reconcile(
+        upserted, deletedIds, docsSnap, sigs, pairs, batchId, tag)
+    } finally batchC.unpersist()
   }
 }

@@ -548,7 +548,21 @@ class StreamingSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(sigIds == Set(1L, 2L, 3L, 5L))
     } finally q2.stop()
-    // phase 3: crash-window replay — reconciliation committed but the
+    // phase 3: a doc updated to a text too short to shingle must still
+    // REPLACE its stored signature (empty band array, not a stale one)
+    // and shed its pairs — the store-currency invariant
+    docs.upsert(Seq((1L, "tiny text", 3L)).toDF("doc_id", "text", "ts"))
+    val q3 = run()
+    try {
+      q3.processAllAvailable()
+      assert(pairSet() == Set.empty, s"got ${pairSet()}")
+      val bands1 = LakeTable.load(spark, sigPath).snapshot()
+        .filter(col("doc_id") === 1L).select("bands")
+        .collect().map(_.getSeq[String](0))
+      assert(bands1.length == 1 && bands1.head.isEmpty,
+        s"doc 1 should hold an EMPTY current signature, got $bands1")
+    } finally q3.stop()
+    // phase 4: crash-window replay — reconciliation committed but the
     // sidecar marker write was lost; the commit-tag safety net skips
     val once = new ExactlyOnce(spark, ckpt)
     val pairsTab = LakeTable.load(spark, pairsPath)

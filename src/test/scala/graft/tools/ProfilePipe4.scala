@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc phase profiler for pipe4_incremental_neardup (test scope
-  * only, mirrors the gate body stage by stage). Run with
+  * only). The reconciliation itself is the SHARED [[NearDupIndex]]
+  * code the gate and the streaming service run, so this cannot drift
+  * from the shipping algorithm; only the scenario construction
+  * (seed/churn splits) mirrors the gate. Run with
   * `sbt "Test/runMain graft.queries.ProfilePipe4"`. */
 object ProfilePipe4 {
   def main(args: Array[String]): Unit = {
@@ -27,86 +30,41 @@ object ProfilePipe4 {
     }
 
     import graft.core.{LakeTable, TableProps}
-    
     val s = spark
-    val dir = sfDir
-    def scr(name: String) = {
-      val p = s"target/graft_scratch/${name}_prof"
-      LakeTable.drop(s, p)
-      p
-    }
     // warm up the lake write paths once so stage timings aren't JIT
     time("warmup full gate run") {
-      graft.SparkEntry.queries("pipe4_incremental_neardup")(s, dir).count()
+      graft.SparkEntry.queries("pipe4_incremental_neardup")(s, sfDir).count()
     }
 
-    val base = DedupOps.corpus(s, dir)
+    val base = DedupOps.corpus(s, sfDir)
     val updMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0
     val seed = base.filter(col("doc_id") % 3 =!= 0).withColumn("ts", lit(1L))
     val churn = base.filter(col("doc_id") % 3 === 0)
       .unionByName(base.filter(updMask)
         .withColumn("text", concat(col("text"), lit(" v2"))))
       .withColumn("ts", lit(2L))
-
+    def scr(name: String) = QueryPack.scratchDir(s, sfDir + "_prof", name)
     val docs = LakeTable.create(s, scr("p4docs"),
       TableProps("p4docs", Seq("doc_id"), Some("ts"), Seq.empty))
-    val sigStore = LakeTable.create(s, scr("p4sigs"),
+    val sigs = LakeTable.create(s, scr("p4sigs"),
       TableProps("p4sigs", Seq("doc_id"), Some("ts"), Seq.empty))
-    val pairsTab = LakeTable.create(s, scr("p4pairs"),
+    val pairs = LakeTable.create(s, scr("p4pairs"),
       TableProps("p4pairs", Seq("a", "b"), Some("ts"), Seq.empty))
+    val noDeletes = seed.select("doc_id").limit(0)
 
     val c1 = time("docs.upsert(seed)")(docs.upsert(seed))
-    val seedSigs = DedupOps.minhashBands(seed.select("doc_id", "text")).persist()
-    time("seedSigs materialize")(seedSigs.count())
-    time("sigStore.upsert(seed)")(
-      sigStore.upsert(seedSigs.withColumn("ts", lit(1L))))
-    val sb = seedSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
-    val seedCand = sb.as("l").join(sb.as("r"),
-        col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
-    val seedPairs =
-      DedupOps.verifyJaccard(seedCand, seed.select("doc_id", "text")).persist()
-    time("seed cand+verify")(seedPairs.count())
-    time("pairsTab.upsert(seed)")(
-      pairsTab.upsert(seedPairs.withColumn("ts", lit(1L))))
-
+    time("reconcile(seed bootstrap)") {
+      NearDupIndex.reconcile(seed.select("doc_id", "text"), noDeletes,
+        seed.select("doc_id", "text"), sigs, pairs, 1L)
+    }
     time("docs.upsert(churn)")(docs.upsert(churn))
-    val inc = docs.incremental(c1).select("doc_id", "text")
-    val newSigs = DedupOps.minhashBands(inc).persist()
-    time("inc read + newSigs")(newSigs.count())
-    time("sigStore.upsert(new)")(
-      sigStore.upsert(newSigs.withColumn("ts", lit(2L))))
-    val churnIds = inc.select("doc_id")
-    val lb = newSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
-    val rb = sigStore.snapshot()
-      .select(col("doc_id"), explode(col("bands")).as("bk"))
-    val cand = lb.as("l").join(rb.as("r"),
-        col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
-      .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
-        greatest(col("l.doc_id"), col("r.doc_id")).as("b")).distinct()
-    val snap2 = docs.snapshot().select("doc_id", "text")
-    val candIds = cand.select(col("a").as("doc_id"))
-      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
-    val newPairs =
-      DedupOps.verifyJaccard(cand, snap2.join(candIds, "doc_id")).persist()
-    time("inc cand+verify")(newPairs.count())
-    val cur = pairsTab.snapshot().select("a", "b")
-    val touched = cur.join(churnIds.withColumnRenamed("doc_id", "a"),
-        Seq("a"), "leftsemi")
-      .unionByName(cur.join(churnIds.withColumnRenamed("doc_id", "b"),
-        Seq("b"), "leftsemi"))
-      .distinct()
-    val src = touched.join(newPairs, Seq("a", "b"), "left_anti")
-      .withColumn("jaccard", lit(null).cast("double"))
-      .withColumn("__op", lit("d"))
-      .unionByName(newPairs.withColumn("__op", lit("u")))
-      .withColumn("ts", lit(2L))
-    time("pairsTab.merge")(pairsTab.merge(src,
-      matchedUpdate = Some(col("__op") === "u"),
-      matchedDelete = Some(col("__op") === "d"),
-      notMatchedInsert = Some(col("__op") === "u")))
+    time("reconcile(increment)") {
+      val inc = docs.incremental(c1).select("doc_id", "text")
+      NearDupIndex.reconcile(inc, noDeletes,
+        docs.snapshot().select("doc_id", "text"), sigs, pairs, 2L)
+    }
     time("final snapshot count")(
-      pairsTab.snapshot().select("a", "b", "jaccard").count())
+      pairs.snapshot().select("a", "b", "jaccard").count())
     spark.stop()
   }
 }
