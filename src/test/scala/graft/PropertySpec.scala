@@ -154,7 +154,9 @@ class PropertySpec extends AnyFunSuite {
     // after EVERY micro-batch the maintained pairs table must equal a
     // brute-force exact-Jaccard recompute over the current corpus —
     // the O(churn) reconciliation can never strand a stale pair or
-    // miss a new one, under any interleaving.
+    // miss a new one, under any interleaving. Runs once over COW
+    // state tables and once over MOR (delta-commit appends — the
+    // ingest-heavy shape the signature store would use at scale).
     import graft.queries.DedupOps
     import graft.streaming.NearDupMaintenance
     val fams = Seq(
@@ -171,47 +173,52 @@ class PropertySpec extends AnyFunSuite {
       docs <- Gen.listOfN(3, docGen)
     } yield (isDelete, docs.distinctBy(_._1))
 
-    val docsPath = tmp()
-    val sigPath = tmp()
-    val pairsPath = tmp()
-    val ckpt = tmp()
-    val docs = LakeTable.create(spark, docsPath, TableProps(
-      "pnddocs", Seq("doc_id"), Some("ts"), Seq.empty))
-    LakeTable.create(spark, sigPath, TableProps(
-      "pndsigs", Seq("doc_id"), Some("ts"), Seq.empty))
-    LakeTable.create(spark, pairsPath, TableProps(
-      "pndpairs", Seq("a", "b"), Some("ts"), Seq.empty))
-    // the CDC source needs the docs schema at stream start (loud
-    // require in NearDupMaintenance) — seed one doc before attaching
-    docs.upsert(Seq((1L, fams.head)).toDF("doc_id", "text")
-      .withColumn("ts", lit(0L)))
-    def bruteForce(): Set[(Long, Long)] = {
-      val snap = docs.snapshot().select("doc_id", "text")
-      val allPairs = snap.select(col("doc_id").as("a"))
-        .crossJoin(snap.select(col("doc_id").as("b")))
-        .filter(col("a") < col("b"))
-      DedupOps.verifyJaccard(allPairs, snap)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
-    val q = NearDupMaintenance.start(spark, docsPath, sigPath, pairsPath, ckpt)
-    try {
-      samples(Gen.listOfN(5, opGen), 1).foreach { ops =>
-        ops.zipWithIndex.foreach { case ((isDelete, rows), i) =>
-          if (rows.nonEmpty) {
-            if (isDelete) docs.delete(rows.map(_._1).toDF("doc_id"))
-            else docs.upsert(rows.toDF("doc_id", "text")
-              .withColumn("ts", lit(i + 1L)))
-          }
-          q.processAllAvailable()
-          val got = LakeTable.load(spark, pairsPath).snapshot()
-            .select("a", "b").collect()
-            .map(r => (r.getLong(0), r.getLong(1))).toSet
-          val want = bruteForce()
-          assert(got == want,
-            s"batch $i (delete=$isDelete, rows=$rows): got $got want $want")
-        }
+    for (tableType <- Seq("cow", "mor")) {
+      val docsPath = tmp()
+      val sigPath = tmp()
+      val pairsPath = tmp()
+      val ckpt = tmp()
+      val docs = LakeTable.create(spark, docsPath, TableProps(
+        "pnddocs", Seq("doc_id"), Some("ts"), Seq.empty))
+      LakeTable.create(spark, sigPath, TableProps(
+        "pndsigs", Seq("doc_id"), Some("ts"), Seq.empty,
+        tableType = tableType))
+      LakeTable.create(spark, pairsPath, TableProps(
+        "pndpairs", Seq("a", "b"), Some("ts"), Seq.empty,
+        tableType = tableType))
+      // the CDC source needs the docs schema at stream start (loud
+      // require in NearDupMaintenance) — seed one doc before attaching
+      docs.upsert(Seq((1L, fams.head)).toDF("doc_id", "text")
+        .withColumn("ts", lit(0L)))
+      def bruteForce(): Set[(Long, Long)] = {
+        val snap = docs.snapshot().select("doc_id", "text")
+        val allPairs = snap.select(col("doc_id").as("a"))
+          .crossJoin(snap.select(col("doc_id").as("b")))
+          .filter(col("a") < col("b"))
+        DedupOps.verifyJaccard(allPairs, snap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       }
-    } finally q.stop()
+      val q = NearDupMaintenance.start(spark, docsPath, sigPath, pairsPath, ckpt)
+      try {
+        samples(Gen.listOfN(5, opGen), 1).foreach { ops =>
+          ops.zipWithIndex.foreach { case ((isDelete, rows), i) =>
+            if (rows.nonEmpty) {
+              if (isDelete) docs.delete(rows.map(_._1).toDF("doc_id"))
+              else docs.upsert(rows.toDF("doc_id", "text")
+                .withColumn("ts", lit(i + 1L)))
+            }
+            q.processAllAvailable()
+            val got = LakeTable.load(spark, pairsPath).snapshot()
+              .select("a", "b").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            val want = bruteForce()
+            assert(got == want,
+              s"[$tableType] batch $i (delete=$isDelete, rows=$rows): " +
+                s"got $got want $want")
+          }
+        }
+      } finally q.stop()
+    }
   }
 
   test("raw (non-hive) partition layout: dirs are bare values") {
