@@ -42,42 +42,56 @@ object CurationOps {
     s"CASE WHEN len($toks) >= $GramN THEN list_transform(range(1, len($toks) - ${GramN - 2}), " +
       s"i -> md5(array_to_string($toks[CAST(i AS INT):CAST(i + ${GramN - 1} AS INT)], ' '))) ELSE [] END"
 
+  /** decon1's benchmark split + injected corpus, shared with decon3:
+    * benchmark = doc_id % 37 = 0; corpus docs with doc_id % 23 = 0
+    * get the first 20 words of a deterministically-paired benchmark
+    * doc appended. doc_id is dense 0..N-1, so the k-th benchmark doc
+    * has doc_id = 37k: `doc_id div 37` IS the dense benchmark index —
+    * no global row_number window; nb is a 1-row broadcast aggregate.
+    * Returns (corpus with (doc_id, text2, frag), bench docs). */
+  private def deconCorpus(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+    val bidx = bench
+      .withColumn("idx", expr("doc_id div 37"))
+      .crossJoin(broadcast(bench.agg(count(lit(1)).as("nb"))))
+      .withColumn("btoks", expr(toksExpr.format("text")))
+      .withColumn("frag", expr("concat_ws(' ', slice(btoks, 1, 20))"))
+    val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+      .join(broadcast(bidx.select("idx", "nb", "frag")),
+        col("doc_id") % col("nb") === col("idx"))
+      .withColumn("text2",
+        when(col("doc_id") % 23 === 0, concat(col("text"), lit(" "), col("frag")))
+          .otherwise(col("text")))
+    (corpus.select("doc_id", "text2", "frag"), bench)
+  }
+
+  /** Distinct benchmark 13-gram hashes — the broadcastable side. */
+  private def benchGrams(bench: DataFrame): DataFrame =
+    bench.withColumn("toks", expr(toksExpr.format("text")))
+      .withColumn("g", explode(expr(gramsExpr("toks"))))
+      .select("g").distinct()
+
+  /** Flag (doc_id, text2) docs sharing ≥1 gram with the broadcast
+    * benchmark gram set → (doc_id, n_shared). O(input docs). */
+  private def flagOverlap(docsDf: DataFrame, bg: DataFrame): DataFrame =
+    docsDf.withColumn("toks", expr(toksExpr.format("text2")))
+      .withColumn("g", explode(expr(gramsExpr("toks"))))
+      .select("doc_id", "g").distinct()
+      .join(broadcast(bg), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+
   /** decon1 — benchmark decontamination: flag corpus documents that
-    * share any 13-word gram with the benchmark set (doc_id % 37 = 0).
-    * Contamination is injected: corpus docs with doc_id % 23 = 0 get
-    * the first 20 words of a deterministically-paired benchmark doc
-    * appended, so the expected flags are known. The plan is the real
-    * decontamination shape: benchmark grams (small) broadcast against
-    * one exploded scan of the corpus. */
+    * share any 13-word gram with the benchmark set. The plan is the
+    * real decontamination shape: benchmark grams (small) broadcast
+    * against one exploded scan of the corpus. */
   private val deconQ = GQ(
     "decon1_benchmark_overlap",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val bench = docs.filter(col("doc_id") % 37 === 0)
-      // doc_id is dense 0..N-1, so the k-th benchmark doc has
-      // doc_id = 37k: `doc_id div 37` IS the dense benchmark index —
-      // no global row_number window. nb is a 1-row broadcast aggregate.
-      val bidx = bench
-        .withColumn("idx", expr("doc_id div 37"))
-        .crossJoin(broadcast(bench.agg(count(lit(1)).as("nb"))))
-        .withColumn("btoks", expr(toksExpr.format("text")))
-        .withColumn("frag", expr("concat_ws(' ', slice(btoks, 1, 20))"))
-      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
-        .join(broadcast(bidx.select("idx", "nb", "frag")),
-          col("doc_id") % col("nb") === col("idx"))
-        .withColumn("text2",
-          when(col("doc_id") % 23 === 0, concat(col("text"), lit(" "), col("frag")))
-            .otherwise(col("text")))
-      val cg = corpus
-        .withColumn("toks", expr(toksExpr.format("text2")))
-        .withColumn("g", explode(expr(gramsExpr("toks"))))
-        .select("doc_id", "g").distinct()
-      val bg = bench
-        .withColumn("toks", expr(toksExpr.format("text")))
-        .withColumn("g", explode(expr(gramsExpr("toks"))))
-        .select("g").distinct()
-      cg.join(broadcast(bg), Seq("g"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      val (corpus, bench) = deconCorpus(s, dir)
+      flagOverlap(corpus.select("doc_id", "text2"), benchGrams(bench))
         .withColumn("is_injected", (col("doc_id") % 23 === 0).cast("int"))
         .select("doc_id", "n_shared", "is_injected")
         .orderBy("doc_id")
@@ -100,6 +114,77 @@ object CurationOps {
           SELECT ${toksSql.format("text")} AS toks FROM bench)))
       SELECT cg.doc_id, count(*) AS n_shared,
         CAST(cg.doc_id % 23 = 0 AS INT) AS is_injected
+      FROM cg JOIN bg USING (g)
+      GROUP BY cg.doc_id ORDER BY doc_id"""))
+
+  /** decon3 — INCREMENTAL decontamination: decon1 as a maintained
+    * verdict table instead of a per-release full scan. The corpus
+    * lands in a lake table over two commits (seed = even doc_ids,
+    * churn = odd inserts PLUS updates that append a benchmark
+    * fragment to previously-clean docs — newly-introduced
+    * contamination); each pass flags ONLY the docs it ingests against
+    * the broadcast benchmark gram set and upserts verdicts — O(churn)
+    * per increment, never a corpus rescan. The oracle recomputes the
+    * full decon1-style flag set over the FINAL corpus, so the
+    * increments must compose to the batch answer (including verdicts
+    * that APPEAR for a doc only after its update introduces overlap). */
+  private val decon3Q = GQ(
+    "decon3_incremental",
+    (s, dir) => {
+      import graft.core.{LakeTable, TableProps}
+      val (corpus, bench) = deconCorpus(s, dir)
+      val updMask = col("doc_id") % 2 === 0 && col("doc_id") % 29 === 0 &&
+        col("doc_id") % 23 =!= 0
+      val seed = corpus.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text2")).withColumn("ts", lit(1L))
+      val churn = corpus.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text2"))
+        .unionByName(corpus.filter(updMask)
+          .select(col("doc_id"),
+            concat(col("text2"), lit(" "), col("frag")).as("text2")))
+        .withColumn("ts", lit(2L))
+      val docsTab = LakeTable.create(s, QueryPack.scratchDir(s, dir, "decon3docs"),
+        TableProps("decon3docs", Seq("doc_id"), Some("ts"), Seq.empty))
+      val verdicts = LakeTable.create(s, QueryPack.scratchDir(s, dir, "decon3verd"),
+        TableProps("decon3verd", Seq("doc_id"), Some("ts"), Seq.empty))
+      val bg = benchGrams(bench)
+      val c1 = docsTab.upsert(seed)
+      verdicts.upsert(flagOverlap(seed.select("doc_id", "text2"), bg)
+        .withColumn("ts", lit(1L)))
+      docsTab.upsert(churn)
+      val inc = docsTab.incremental(c1).select("doc_id", "text2")
+      verdicts.upsert(flagOverlap(inc, bg).withColumn("ts", lit(2L)))
+      verdicts.snapshot()
+        .withColumn("is_injected",
+          (col("doc_id") % 23 === 0 ||
+            (col("doc_id") % 2 === 0 && col("doc_id") % 29 === 0)).cast("int"))
+        .select("doc_id", "n_shared", "is_injected")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+      bidx AS (SELECT
+          doc_id // 37 AS idx,
+          (SELECT count(*) FROM bench) AS nb,
+          array_to_string((${toksSql.format("text")})[1:20], ' ') AS frag
+        FROM bench),
+      corpus AS (SELECT d.doc_id,
+          CASE WHEN d.doc_id % 23 = 0 THEN d.text || ' ' || b.frag ELSE d.text END AS text2,
+          b.frag
+        FROM documents d JOIN bidx b ON d.doc_id % b.nb = b.idx
+        WHERE d.doc_id % 37 <> 0),
+      fin AS (SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 AND doc_id % 29 = 0 AND doc_id % 23 <> 0
+            THEN text2 || ' ' || frag ELSE text2 END AS text2
+        FROM corpus),
+      cg AS (SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(${gramsSql("toks")}) AS g FROM (
+          SELECT doc_id, ${toksSql.format("text2")} AS toks FROM fin))),
+      bg AS (SELECT DISTINCT g FROM (
+        SELECT unnest(${gramsSql("toks")}) AS g FROM (
+          SELECT ${toksSql.format("text")} AS toks FROM bench)))
+      SELECT cg.doc_id, count(*) AS n_shared,
+        CAST(cg.doc_id % 23 = 0 OR (cg.doc_id % 2 = 0 AND cg.doc_id % 29 = 0) AS INT)
+          AS is_injected
       FROM cg JOIN bg USING (g)
       GROUP BY cg.doc_id ORDER BY doc_id"""))
 
@@ -795,7 +880,7 @@ object CurationOps {
             CAST(n AS DOUBLE), 6) AS entropy
       FROM c ORDER BY doc_id"""))
 
-  def qs: Seq[GQ] = Seq(deconQ, decon2Q, piiQ, repetitionQ, mixQ, mix2Q,
-    mix3Q, pipeQ, canonicalQ, incNearDupQ, entropyQ, leakSplitQ, stats1Q,
-    samp1Q)
+  def qs: Seq[GQ] = Seq(deconQ, decon2Q, decon3Q, piiQ, repetitionQ, mixQ,
+    mix2Q, mix3Q, pipeQ, canonicalQ, incNearDupQ, entropyQ, leakSplitQ,
+    stats1Q, samp1Q)
 }
