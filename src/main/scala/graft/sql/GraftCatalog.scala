@@ -360,6 +360,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             UTF8String.fromString(r.detail))
         }.toArray
       }
+      case "maintain_neardups" => procedure(
+        "maintain_neardups", "reconcile a near-dup signature store and " +
+          "verified-pairs table with a docs table's churn (the NearDupIndex " +
+          "increment): since_instant = '' bootstraps from the full snapshot; " +
+          "otherwise only the CDC churn after that instant is re-hashed",
+        Seq("docs_table" -> StringT, "sigs_table" -> StringT,
+          "pairs_table" -> StringT, "since_instant" -> StringT),
+        "pairs BIGINT") { input =>
+        import org.apache.spark.sql.functions.{coalesce, col}
+        val docs = lakeOf(input.getUTF8String(0).toString)
+        val sigs = lakeOf(input.getUTF8String(1).toString)
+        val pairs = lakeOf(input.getUTF8String(2).toString)
+        val since = input.getUTF8String(3).toString
+        val snap = docs.snapshot().select("doc_id", "text")
+        val (churn, deleted) =
+          if (since.isEmpty) (snap, snap.select("doc_id").limit(0))
+          else {
+            val feed = docs.cdc(since)
+            val op = col(LakeTable.ChangeOpCol)
+            val bef = col(LakeTable.BeforeImageCol)
+            (feed.filter(op =!= "d").select(col("doc_id"), col("text")),
+              feed.filter(op === "d").select(
+                coalesce(col("doc_id"), bef.getField("doc_id")).as("doc_id")))
+          }
+        // ts = the docs table's newest instant: monotonic across calls
+        // and derived from table state, not the wall clock
+        val ts = docs.timeline.commits().last.instant.toLong
+        graft.queries.NearDupIndex.reconcile(
+          churn, deleted, snap, sigs, pairs, ts)
+        Array(InternalRow(pairs.snapshot().count()))
+      }
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure $other")
     }
@@ -368,6 +399,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     Array("show_commits", "run_clean", "run_compaction", "archive_commits",
       "run_clustering", "run_zorder", "rollback_to_instant",
       "create_savepoint", "delete_savepoint", "show_fsview",
-      "show_savepoints", "clean_orphans", "sync_database")
+      "show_savepoints", "clean_orphans", "sync_database",
+      "maintain_neardups")
       .map(Identifier.of(Array("system"), _))
 }

@@ -268,4 +268,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows2 == Seq((1, "a2"), (2, "b")))
     assert(!core.LakeTable.load(spark, path).timeline.liveFiles(None).exists(_.delta))
   }
+
+  test("CALL maintain_neardups drives the near-dup index from SQL") {
+    for (t <- Seq("nd_docs", "nd_sigs", "nd_pairs"))
+      sql(s"DROP TABLE IF EXISTS graft.db.$t")
+    sql("""CREATE TABLE graft.db.nd_docs (doc_id BIGINT, text STRING, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
+    sql("""CREATE TABLE graft.db.nd_sigs (doc_id BIGINT, bands ARRAY<STRING>, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
+    sql("""CREATE TABLE graft.db.nd_pairs (a BIGINT, b BIGINT, jaccard DOUBLE, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'a,b', preCombineField = 'ts')""")
+    val famA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val famB = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    sql(s"""INSERT INTO graft.db.nd_docs VALUES
+      (1, '$famA', 1), (2, '$famA extra', 1), (3, '$famB', 1)""")
+    // bootstrap from the full snapshot
+    val n1 = sql("""CALL graft.system.maintain_neardups(
+      docs_table => 'db.nd_docs', sigs_table => 'db.nd_sigs',
+      pairs_table => 'db.nd_pairs', since_instant => '')""").head().getLong(0)
+    assert(n1 == 1L)
+    def pairSet() = sql("SELECT a, b FROM graft.db.nd_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet() == Set((1L, 2L)))
+    // churn: doc 4 arrives near doc 3; doc 2 rewrites away from doc 1
+    val since = sql("CALL graft.system.show_commits(table => 'db.nd_docs')")
+      .collect().map(_.getString(0)).max
+    sql(s"""INSERT INTO graft.db.nd_docs VALUES
+      (4, '$famB more', 2), (2, 'totally different words now here today', 2)""")
+    val n2 = sql(s"""CALL graft.system.maintain_neardups(
+      docs_table => 'db.nd_docs', sigs_table => 'db.nd_sigs',
+      pairs_table => 'db.nd_pairs', since_instant => '$since')""").head().getLong(0)
+    assert(n2 == 1L, s"pairs after increment: $n2")
+    assert(pairSet() == Set((3L, 4L)))
+  }
 }
