@@ -124,6 +124,14 @@ object DedupOps {
   private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val n = 3
     val grams = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
+    // explode → 32-min hash aggregate, NOT an in-row
+    // array_min(transform(...)) per permutation: the in-row form's 32
+    // references to the shingle-array expression substitute through
+    // downstream projections into a plan-size blowup (measured: OOM at
+    // optimization time once `bands` is re-referenced by the candidate
+    // join), while the aggregate keeps every expression tree O(1) and
+    // the map-side partial aggregation keeps the shuffle at one row
+    // per (doc, 32 mins).
     val sh = docs
       .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
       .withColumn("sh", explode_outer(expr(
@@ -150,10 +158,17 @@ object DedupOps {
     * of re-joining the exploded relation — AQE broadcasts the small
     * doc-array side; at corpus scale it degrades to a doc_id-keyed
     * shuffle join, still O(candidates). */
-  private[graft] def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def verifyJaccard(
+      cand: DataFrame, docs: DataFrame,
+      cacheSets: Boolean = false): DataFrame = {
     val sh = shingles(docs, 3)
-    val docSets = sh.groupBy("doc_id").agg(
+    val docSets0 = sh.groupBy("doc_id").agg(
       collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
+    // the a-side and b-side joins read the same doc-array subtree;
+    // incremental callers pass a candidate-pruned `docs`, where one
+    // small cache beats re-running the CPU-heavy shingling twice
+    // (batch callers keep the re-derive: their `docs` is the corpus)
+    val docSets = if (cacheSets) docSets0.persist() else docSets0
     cand
       .join(docSets.as("za"), col("a") === col("za.doc_id"))
       .join(docSets.as("zb"), col("b") === col("zb.doc_id"))
@@ -336,9 +351,18 @@ object DedupOps {
       import org.apache.spark.sql.expressions.Window
       val c = corpus(s, dir)
         .withColumn("blk", floor(length(col("text")) / ngramBlock))
-      // The exploded shingle relation is a NARROW pipeline (scan →
-      // split → per-doc array_distinct → explode, no shuffle), so each
-      // consumer re-derives it more cheaply than a cache round-trip.
+      // The exploded shingle relation is narrow (scan → split →
+      // per-doc array_distinct → explode, no shuffle) but CPU-heavy —
+      // regex split + per-position concat over every document — and
+      // FOUR plan subtrees consume it (doc frequency, ranking, the
+      // candidate self-join's two sides via ranked, and the
+      // verification docSets). Measured at sf0.1: each re-derivation
+      // costs 1-6 s of codegen'd string work for a ~300k-row result,
+      // so one cache round-trip beats re-deriving — the opposite
+      // trade from dedup4, whose single consumer re-derives. At
+      // corpus scale the cache spills to disk per-executor and stays
+      // strictly smaller than the text it derives from (distinct
+      // bigrams ≤ words), so the trade survives 100×.
       //
       // Frequency/order/candidate keys use the 64-bit shingle hash, not
       // the string: a collision only merges two doc-frequency counts
@@ -348,31 +372,31 @@ object DedupOps {
       val sh = shingles(c, 2)
         .join(c.select(col("doc_id"), col("source"), col("blk")), Seq("doc_id"))
         .withColumn("h", xxhash64(col("sh")))
-      // per-doc shingle SET as one array row: verification joins attach
-      // two arrays per candidate pair and intersect in-line — the
-      // exploded relation is never shuffled for verification, and the
-      // doc-array relation is small enough for AQE to broadcast (at
-      // corpus scale it degrades to a doc_id-keyed shuffle join, still
-      // O(candidates), never O(corpus²))
-      val docSets = sh.groupBy("doc_id").agg(
-        collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
+        .persist()
       // the ranking/candidate pipeline never touches the shingle STRING:
-      // every shuffle below moves 8-byte keys only
+      // every shuffle below moves 8-byte keys only. Doc frequency is a
+      // hash aggregate + shuffle join (NOT count-over-window on h: a
+      // window with millions of 1-2 row frames sorts the whole
+      // relation and measures ~2× slower than the partial-aggregated
+      // groupBy); size and rank share one doc-partitioned shuffle
+      // (two window functions over the same partitioning). ⌈t·sz⌉ in
+      // exact integer arithmetic — a float ceil at the boundary could
+      // shorten the prefix and break losslessness. No tiebreak beyond
+      // (df, h) is needed: rows tied on (df, h) carry the SAME h, so
+      // the set of h's in any prefix is invariant under tie order, and
+      // candidates key on h — losslessness does not depend on tie order.
       val lean = sh.select("doc_id", "h", "source", "blk")
       val dfreq = lean.groupBy("h").agg(count(lit(1)).as("df"))
-      // size and rank share one doc-partitioned shuffle (two window
-      // functions over the same partitioning); ⌈t·sz⌉ in exact integer
-      // arithmetic — a float ceil at the boundary could shorten the
-      // prefix and break losslessness. No tiebreak beyond (df, h) is
-      // needed: rows tied on (df, h) carry the SAME h, so the set of
-      // h's in any prefix is invariant under tie order, and candidates
-      // key on h — losslessness does not depend on how ties sort.
       val wDoc = Window.partitionBy(col("doc_id"))
       val ranked = lean.join(dfreq, Seq("h"))
         .withColumn("sz", count(lit(1)).over(wDoc))
         .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("h"))))
         .filter(col("rn") <=
           col("sz") - expr(s"(sz * $Threshold + 9) div 10") + 1)
+      // (measured: additionally persisting `ranked` is a net LOSS —
+      // the self-join's repeated window subtrees resolve as
+      // ReusedExchange off the cached sh, so a second cache only adds
+      // a materialization barrier)
       val probes = ranked
         .withColumn("probe", explode(array(col("blk"), col("blk") + 1)))
       val cand = probes.as("sa").join(ranked.as("sb"),
@@ -384,6 +408,15 @@ object DedupOps {
         .select(least(col("sa.doc_id"), col("sb.doc_id")).as("a"),
           greatest(col("sa.doc_id"), col("sb.doc_id")).as("b"))
         .distinct()
+      // per-doc shingle SET as one array row (from the cached sh):
+      // verification joins attach two arrays per candidate pair and
+      // intersect in-line — the exploded relation is never shuffled
+      // for verification, and the doc-array relation is small enough
+      // for AQE to broadcast (at corpus scale it degrades to a
+      // doc_id-keyed shuffle join, still O(candidates), never
+      // O(corpus²))
+      val docSets = sh.groupBy("doc_id").agg(
+        collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
       // exact verification on the STRING shingle sets: both arrays are
       // per-doc distinct, so |∩| = size(array_intersect) exactly
       cand

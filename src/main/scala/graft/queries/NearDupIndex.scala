@@ -76,8 +76,8 @@ private[graft] object NearDupIndex {
       val candIds = cand.select(col("a").as("doc_id"))
         .unionByName(cand.select(col("b").as("doc_id"))).distinct()
       // verification re-shingles only docs that appear in a candidate
-      val newPairs =
-        cache(DedupOps.verifyJaccard(cand, docsSnap.join(candIds, "doc_id")))
+      val newPairs = cache(DedupOps.verifyJaccard(
+        cand, docsSnap.join(candIds, "doc_id"), cacheSets = true))
 
       // reconcile the pairs table. A never-written pairs table has a
       // zero-column snapshot — nothing stored to reconcile against,
