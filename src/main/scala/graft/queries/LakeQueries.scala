@@ -784,9 +784,91 @@ object LakeQueries {
       CAST(CASE WHEN c_custkey % 6 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
       FROM customer ORDER BY c_custkey"""))
 
+  /** st2 — streaming sessionization PARITY gate: the
+    * [[graft.streaming.Sessionize]] flatMapGroupsWithState service run
+    * over the whole `events` table (file source → AvailableNow →
+    * parquet sink) must reproduce the batch gaps-and-islands answer —
+    * the oracle IS `q21_sessionize`'s SQL. The streaming run has no
+    * end-of-input flush of its own, so two far-future watermark
+    * SENTINEL events (a synthetic user, filtered from the output)
+    * advance the watermark past every real session's gap and the
+    * event-time timeouts emit the trailing open sessions — the same
+    * drain pattern a production backfill uses. Values stream as exact
+    * cents (×100, integer-valued doubles) so per-session sums are
+    * order-independent and match the oracle's DECIMAL arithmetic.
+    * Scale: state is O(active users), the sink append-only; the
+    * checkpoint-resumed multi-run shape is st1's. */
+  private val streamSessionizeQ = GQ(
+    "st2_stream_sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.streaming.{SessionEvent, Sessionize}
+      val GapUs = 1800000000L // 30 min, matching q21
+      val sink = scratch(s, dir, "st2")
+      val ck = scratch(s, dir, "st2_ck")
+      val src = scratch(s, dir, "st2_src")
+      val e = events(s, dir).select(
+        col("user_id").as("userId"),
+        col("ts").cast("timestamp").as("ts"),
+        round(col("value") * 100).cast("double").as("value"))
+      e.write.mode("append").parquet(src)
+      val maxUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      def runStream(): Unit = {
+        val sch = s.read.parquet(src).schema
+        val q = s.readStream.schema(sch).parquet(src)
+          .withWatermark("ts", "0 seconds")
+          .as[SessionEvent](org.apache.spark.sql.Encoders.product[SessionEvent])
+          .transform(Sessionize.sessions(_, gapMs = GapUs / 1000))
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def sentinel(us: Long): DataFrame = {
+        import s.implicits._
+        Seq((-1L, us, 0.0)).toDF("userId", "us", "value")
+          .select(col("userId"), expr("timestamp_micros(us)").as("ts"),
+            col("value"))
+      }
+      runStream()
+      sentinel(maxUs + GapUs + 60000000L).write.mode("append").parquet(src)
+      runStream()
+      sentinel(maxUs + 2 * GapUs + 120000000L).write.mode("append").parquet(src)
+      runStream()
+      s.read.parquet(sink).filter(col("userId") >= 0)
+        .select(col("userId").as("user_id"),
+          unix_micros(col("start")).as("start_us"),
+          unix_micros(col("end")).as("end_us"),
+          col("nEvents").as("n_events"),
+          (col("sumValue") / 100.0).as("sum_value"))
+        .withColumn("session_idx", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("start_us")))
+          .cast("long"))
+        .select("user_id", "session_idx", "start_us", "end_us",
+          "n_events", "sum_value")
+        .orderBy("user_id", "session_idx")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+        FROM events),
+      flagged AS (SELECT user_id, event_id, us, value,
+          CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sessions AS (SELECT user_id, us, value,
+          CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sessions GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
     timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
     cdcQ, mvQ, savepointQ, predicateDmlQ, occQ, vacuumQ, cdcArchiveQ,
-    streamIngestQ)
+    streamIngestQ, streamSessionizeQ)
 }

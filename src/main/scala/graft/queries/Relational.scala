@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -616,7 +616,50 @@ object Relational {
       LEFT JOIN s3 ON s3.user_id = s1.user_id
       ORDER BY s1.user_id"""))
 
+  /** q24 — sliding range aggregation (each error event ← how many
+    * clicks and how much click value the same user produced in the
+    * preceding 10 minutes). The naive form is a self-join on
+    * `click.us BETWEEN err.us - 10min AND err.us` — a range-predicate
+    * join Spark can only nested-loop; expressed instead as a RANGE
+    * window frame over one user-partitioned sort, the aggregation is
+    * a single pass whatever the window hit-rate. Frame membership is
+    * a pure us-range test, so tie order inside the frame cannot
+    * change the counts — deterministic in both engines. */
+  private val q24 = GQ(
+    "q24_range_agg",
+    (s, dir) => {
+      val TenMin = 600000000L
+      val e = events(s, dir)
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_type"), col("value"))
+      val frame = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-TenMin, 0)
+      e.withColumn("n_clicks",
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(frame))
+        .withColumn("click_value",
+          sum(when(col("event_type") === "click", dec2(col("value")))
+            .otherwise(dec2(lit(0)))).over(frame).cast("double"))
+        .filter(col("event_type") === "error")
+        .select("user_id", "event_id", "us", "n_clicks", "click_value")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+          event_type, value
+        FROM events WHERE event_type IN ('click', 'error')),
+      c AS (SELECT user_id, event_id, us, event_type,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+            AS BIGINT) AS n_clicks,
+          CAST(sum(CASE WHEN event_type = 'click'
+            THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+            OVER w AS DOUBLE) AS click_value
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW))
+      SELECT user_id, event_id, us, n_clicks, click_value
+      FROM c WHERE event_type = 'error' ORDER BY user_id, event_id"""))
+
   def qs: Seq[GQ] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15,
-      q16, q17, q18, q19, q20, q21, q22)
+      q16, q17, q18, q19, q20, q21, q22, q24)
 }

@@ -46,6 +46,19 @@ final case class ClosedSession(
   */
 object Sessionize {
 
+  /** Full-microsecond event time. `Timestamp.getTime` alone truncates
+    * to milliseconds, which would silently shift session boundaries
+    * off the batch gaps-and-islands answer (`q21_sessionize`) on
+    * sub-ms data — the nanos field carries the rest. */
+  private def tsUs(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def usTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def sessions(
       events: Dataset[SessionEvent],
       gapMs: Long): Dataset[ClosedSession] = {
@@ -59,24 +72,21 @@ object Sessionize {
         (userId: Long, batch: Iterator[SessionEvent],
          state: GroupState[SessionAgg]) => {
           def close(s: SessionAgg): ClosedSession = ClosedSession(
-            userId,
-            new Timestamp(s.startUs / 1000),
-            new Timestamp(s.endUs / 1000),
-            s.nEvents, s.sumValue)
+            userId, usTs(s.startUs), usTs(s.endUs), s.nEvents, s.sumValue)
           if (state.hasTimedOut) {
             // stream went quiet: close and clear
             val s = state.get
             state.remove()
             Iterator.single(close(s))
           } else {
-            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            val evs = batch.toSeq.sortBy(e => tsUs(e.ts))
             if (evs.isEmpty) Iterator.empty
             else {
               val gapUs = gapMs * 1000L
               val closed = Seq.newBuilder[ClosedSession]
               var cur = state.getOption
               for (e <- evs) {
-                val us = e.ts.getTime * 1000L
+                val us = tsUs(e.ts)
                 cur = cur match {
                   case Some(s) if us - s.endUs > gapUs =>
                     closed += close(s) // event-time gap crossed
