@@ -518,33 +518,37 @@ final class LakeTable private[core] (
   def delete(keys: DataFrame, tag: Option[String] = None): String = {
     if (isMor) return morDelete(keys, tag)
     withInflight { instant =>
+      // persist: the probe and (when the probe's key set overflowed
+      // its driver cap) the write job's anti join are TWO consumers of
+      // a caller-provided frame — a nondeterministic keys source
+      // (sample/limit) must not evaluate differently between them, or
+      // a key the probe saw could be missing from the anti join and
+      // its row survive a commit that claims the delete applied
       val delKeys = keys
         .withColumn(RecordKeyCol, keyCol)
         .withColumn(PartitionPathCol, ppCol)
-        .select(RecordKeyCol, PartitionPathCol).distinct()
-      val probe = affectedFiles(delKeys)
-      val affected = probe.files
-      if (affected.isEmpty) { // nothing matches: empty commit, no write
-        doCommit(instant, "delete", Staged.empty, Seq.empty, schema, tag)
-      } else probeKeysDf(probe) match {
-        case Some(kdf) =>
-          // anti join against the probe's LOCAL key relation: the
-          // write job never re-derives the delete-key frame
+        .select(RecordKeyCol, PartitionPathCol).distinct().persist()
+      try {
+        val probe = affectedFiles(delKeys)
+        val affected = probe.files
+        if (affected.isEmpty) { // nothing matches: empty commit, no write
+          doCommit(instant, "delete", Staged.empty, Seq.empty, schema, tag)
+        } else {
+          // anti join against the probe's LOCAL key relation when it
+          // fit the driver cap (the write job then never re-reads the
+          // key frame), else the cached frame broadcast-gated
+          val anti = probeKeysDf(probe)
+            .getOrElse(gatedBroadcast(delKeys, probe.batchRows))
           val kept = readAffected(affected, schema)
-            .join(kdf, Seq(RecordKeyCol, PartitionPathCol), "left_anti")
+            .join(anti, Seq(RecordKeyCol, PartitionPathCol), "left_anti")
           val st = writeFiles(kept, instant)
           doCommit(instant, "delete", st, affected, schema, tag)
-        case None =>
-          // no persist: the probe already ran, so the write job is the
-          // key frame's single remaining consumer — caching it would
-          // only pay block-store writes for nothing
-          val kept = readAffected(affected, schema)
-            .join(gatedBroadcast(delKeys, probe.batchRows),
-              Seq(RecordKeyCol, PartitionPathCol), "left_anti")
-          val st = writeFiles(kept, instant)
-          doCommit(instant, "delete", st, affected, schema, tag)
+        }
+        instant
+      } finally {
+        delKeys.unpersist()
+        ()
       }
-      instant
     }
   }
 
@@ -1126,22 +1130,25 @@ final class LakeTable private[core] (
       } catch { case _: Exception => None }
     }
 
-    if (files.size <= 1) files.map { case (p, ks) => oneFile(p, ks) }
+    concurrently(files) { case (p, ks) => oneFile(p, ks) }
+  }
+
+  /** Run `f` over `xs` on a short-lived fixed pool (≤16 threads) —
+    * the driver-side footer-I/O fan-out both [[footerProbe]] and
+    * [[footerStats]] use. Sequential for 0/1 items. */
+  private def concurrently[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.size <= 1) xs.map(f)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, files.size))
+        math.min(16, xs.size))
       try {
         implicit val ec: ExecutionContext =
           ExecutionContext.fromExecutorService(pool)
-        Await.result(
-          Future.sequence(files.map { case (p, ks) =>
-            Future(oneFile(p, ks))
-          }), Duration.Inf)
+        Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
       } finally pool.shutdown()
     }
-  }
 
   /** Bucket-index candidate resolution: the batch's (partition, bucket)
     * set — one small aggregation job, NO probe scan of table files. A
@@ -1377,20 +1384,7 @@ final class LakeTable private[core] (
       } catch { case _: Exception => None }
 
     val results: Seq[Option[(Long, Option[(String, Seq[String])])]] =
-      if (relPaths.size <= 1) relPaths.map(oneFile)
-      else {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, relPaths.size))
-        try {
-          implicit val ec: ExecutionContext =
-            ExecutionContext.fromExecutorService(pool)
-          Await.result(
-            Future.sequence(relPaths.map(rel => Future(oneFile(rel)))),
-            Duration.Inf)
-        } finally pool.shutdown()
-      }
+      concurrently(relPaths)(oneFile)
     // any unreadable footer makes the total unknown — keep the -1
     // sentinel instead of an arbitrary partial sum
     val total = if (results.exists(_.isEmpty)) -1L else results.flatten.map(_._1).sum

@@ -37,7 +37,7 @@ object DedupOps {
 
   // ------------------------------------------------------------- corpus
 
-  private[queries] def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L)
@@ -60,11 +60,16 @@ object DedupOps {
     * (the exploded relation is the largest intermediate in every
     * shingle query; shuffling it once cost more than the rest of
     * dedup4 combined). */
-  private[queries] def shingles(df: DataFrame, n: Int): DataFrame = {
+  private[graft] def shingles(
+      df: DataFrame, n: Int, outer: Boolean = false): DataFrame = {
     val grams = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
+    val arr = expr(
+      s"case when size(w) >= $n then array_distinct(transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $grams))) else array() end")
     df.withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
-      .withColumn("sh", explode(expr(
-        s"case when size(w) >= $n then array_distinct(transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $grams))) else array() end")))
+      // outer keeps a doc too short to shingle as one null-sh row —
+      // signature builds need it so a shrunken doc still OVERWRITES
+      // its stored signature
+      .withColumn("sh", if (outer) explode_outer(arr) else explode(arr))
       .select(col("doc_id"), col("sh"))
   }
 
@@ -122,8 +127,6 @@ object DedupOps {
     * case) — so a signature store fed from this can never hold a
     * STALE signature for a doc whose text shrank below one shingle. */
   private[graft] def minhashBands(docs: DataFrame): DataFrame = {
-    val n = 3
-    val grams = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
     // explode → 32-min hash aggregate, NOT an in-row
     // array_min(transform(...)) per permutation: the in-row form's 32
     // references to the shingle-array expression substitute through
@@ -131,12 +134,10 @@ object DedupOps {
     // optimization time once `bands` is re-referenced by the candidate
     // join), while the aggregate keeps every expression tree O(1) and
     // the map-side partial aggregation keeps the shuffle at one row
-    // per (doc, 32 mins).
-    val sh = docs
-      .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
-      .withColumn("sh", explode_outer(expr(
-        s"case when size(w) >= $n then array_distinct(transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $grams))) else array() end")))
-      .select(col("doc_id"), col("sh"))
+    // per (doc, 32 mins). Tokenization is the SAME shingles() the
+    // exact-Jaccard verifier uses — candidate recall depends on the
+    // two staying bit-identical.
+    val sh = shingles(docs, 3, outer = true)
     val hashed = sh.withColumn("x",
       conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long") % P)
     val sigAggs = (0 until NumHashes).map(i =>
@@ -160,15 +161,17 @@ object DedupOps {
     * shuffle join, still O(candidates). */
   private[graft] def verifyJaccard(
       cand: DataFrame, docs: DataFrame,
-      cacheSets: Boolean = false): DataFrame = {
+      cache: DataFrame => DataFrame = identity): DataFrame = {
     val sh = shingles(docs, 3)
-    val docSets0 = sh.groupBy("doc_id").agg(
-      collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
     // the a-side and b-side joins read the same doc-array subtree;
-    // incremental callers pass a candidate-pruned `docs`, where one
-    // small cache beats re-running the CPU-heavy shingling twice
-    // (batch callers keep the re-derive: their `docs` is the corpus)
-    val docSets = if (cacheSets) docSets0.persist() else docSets0
+    // incremental callers pass their cache-registrar so the
+    // candidate-pruned doc arrays materialize once instead of
+    // re-shingling per join side — and get UNPERSISTED by that
+    // caller's cleanup (a persist taken here would leak one pinned
+    // cache entry per micro-batch on the streaming path). Batch
+    // callers keep the re-derive: their `docs` is the whole corpus.
+    val docSets = cache(sh.groupBy("doc_id").agg(
+      collect_list(col("sh")).as("shs"), count(lit(1)).as("sz")))
     cand
       .join(docSets.as("za"), col("a") === col("za.doc_id"))
       .join(docSets.as("zb"), col("b") === col("zb.doc_id"))

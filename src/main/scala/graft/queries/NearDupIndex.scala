@@ -77,7 +77,7 @@ private[graft] object NearDupIndex {
         .unionByName(cand.select(col("b").as("doc_id"))).distinct()
       // verification re-shingles only docs that appear in a candidate
       val newPairs = cache(DedupOps.verifyJaccard(
-        cand, docsSnap.join(candIds, "doc_id"), cacheSets = true))
+        cand, docsSnap.join(candIds, "doc_id"), cache))
 
       // reconcile the pairs table. A never-written pairs table has a
       // zero-column snapshot — nothing stored to reconcile against,

@@ -386,7 +386,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           }
         // ts = the docs table's newest instant: monotonic across calls
         // and derived from table state, not the wall clock
-        val ts = docs.timeline.commits().last.instant.toLong
+        val commits = docs.timeline.commits()
+        require(commits.nonEmpty,
+          s"maintain_neardups: docs table '${input.getUTF8String(0)}' has " +
+            "no commits yet - ingest at least one batch before maintaining " +
+            "the near-dup index")
+        val ts = commits.last.instant.toLong
         graft.queries.NearDupIndex.reconcile(
           churn, deleted, snap, sigs, pairs, ts)
         Array(InternalRow(pairs.snapshot().count()))

@@ -1,9 +1,10 @@
-package graft.queries
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{LakeTable, TableProps}
+import graft.queries.{DedupOps, NearDupIndex}
 
 
 /** Throwaway phase timer for the pipe4 gate scenario. */
