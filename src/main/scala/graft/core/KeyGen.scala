@@ -25,6 +25,19 @@ object KeyGen {
         .otherwise(v))
   }
 
+  /** Record-key string a SINGLE-field pk literal produces under
+    * [[recordKey]]'s encoding — the driver-side mirror used for
+    * read-side file skipping on key predicates. None for null (an
+    * equality against null never matches a row, and the cast-based
+    * encodings below don't apply). Callers must pre-restrict to
+    * literal types whose Scala toString equals Spark's cast-to-string
+    * (strings and integral numerics). */
+  def keyForLiteral(v: Any): Option[String] = v match {
+    case null => None
+    case s if String.valueOf(s).isEmpty => Some(EmptyPlaceholder)
+    case s => Some(String.valueOf(s))
+  }
+
   /** Composite record key. Single-field keys use the bare value
     * (SimpleKeyGenerator); multi-field the `f:v,f2:v2` form. */
   def recordKey(fields: Seq[String]): Column = fields match {

@@ -205,16 +205,69 @@ final class LakeTable private[core] (
   /** Snapshot with driver-side partition pruning: only files whose
     * partition-path string satisfies `pred` are planned — zero I/O for
     * pruned partitions, O(#live files) driver work. */
-  def snapshotWhere(pred: String => Boolean): DataFrame = {
-    val live = timeline.liveFiles(None).filter(f => pred(f.partition))
+  def snapshotWhere(pred: String => Boolean): DataFrame =
+    snapshotPruned(pred, None)
+
+  /** Point-lookup (serving-path) snapshot: plans only the files whose
+    * TIMELINE-stored record-key bounds may contain one of `keys` —
+    * file-level skipping from commit metadata alone, zero footer I/O,
+    * zero listing beyond the timeline read (the read-side analog of
+    * the write probe's zero-I/O bounds pass). Files without stored
+    * bounds (external/bootstrap) are kept conservatively.
+    *
+    * MOR-sound ONLY for rows of the probed keys: every version of a
+    * probed key lives in files whose bounds contain its key string,
+    * so the pruned set carries the key's full version history and the
+    * merge winner is unchanged. Rows of OTHER keys that happen to
+    * survive in kept files may merge against an incomplete version
+    * set — callers MUST re-filter the result to `keys` (the SQL scan
+    * path re-applies its predicates above the scan automatically). */
+  def snapshotForKeys(
+      keys: Set[String], partPred: String => Boolean = _ => true): DataFrame =
+    snapshotPruned(partPred, Some(keys))
+
+  private def snapshotPruned(
+      partPred: String => Boolean, keys: Option[Set[String]]): DataFrame = {
+    val live = timeline.liveFiles(None)
+      .filter(f => partPred(f.partition))
+      .filter(f => keys.forall(ks => mayContainKeys(f, ks)))
     val s = withMetaSchema(schema)
     if (live.isEmpty) return emptyDf(s)
     // same shape as snapshot(): external files get synthesized meta
-    // columns; MOR merges on read. Pruning before the merge is sound
-    // because the merge is per (key, partition) — a partition's versions
-    // all live under that partition's paths.
+    // columns; MOR merges on read. Partition pruning before the merge
+    // is sound because the merge is per (key, partition) — a
+    // partition's versions all live under that partition's paths.
     val raw = readLive(live, s)
     if (isMor) mergeOnRead(raw) else raw
+  }
+
+  /** Containment test for read-side file skipping: a file can hold
+    * key k only if its stored utf8 key bounds cover k AND (for
+    * bucket-indexed tables) k hashes to the file's bucket.
+    * Conservative on missing metadata (no bounds / pre-index file →
+    * might contain anything). */
+  private[graft] def mayContainKeys(f: FileEntry, keys: Set[String]): Boolean = {
+    val boundsOk: String => Boolean = (f.minKey, f.maxKey) match {
+      case (Some(mn), Some(mx)) =>
+        k => utf8Cmp(k, mn) >= 0 && utf8Cmp(k, mx) <= 0
+      case _ => _ => true
+    }
+    val bucketOk: String => Boolean = f.bucket match {
+      case Some(b) if props.bucketIndexBuckets > 0 => k => bucketOfKey(k) == b
+      case _ => _ => true
+    }
+    keys.exists(k => boundsOk(k) && bucketOk(k))
+  }
+
+  /** Driver-side mirror of [[bucketExpr]] (pmod(xxhash64(key), n)) —
+    * must stay arithmetic-identical to the Column form or bucketed
+    * point lookups would skip the wrong files. */
+  private def bucketOfKey(k: String): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(k),
+      org.apache.spark.sql.types.StringType, 42L)
+    val n = props.bucketIndexBuckets.toLong
+    (((h % n) + n) % n).toInt
   }
 
   /** Incremental query: records written in `(begin, end]` —

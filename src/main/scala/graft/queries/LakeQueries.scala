@@ -866,9 +866,44 @@ object LakeQueries {
       FROM sessions GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx"""))
 
+  /** lake22 — serving-path POINT LOOKUP: `snapshotForKeys` plans only
+    * the files whose timeline-stored record-key bounds can contain the
+    * probed keys — zero footer I/O, zero listing beyond the timeline
+    * read (the read-side analog of the write probe; the SQL scan path
+    * gets the same skipping from pk equality/IN pushdown, pinned in
+    * PlanQualitySpec). The scenario writes three commits with
+    * lexicographically disjoint key ranges plus an update commit, then
+    * looks up one key per range; the update commit proves the lookup
+    * serves the post-merge newest version. */
+  private val pointLookupQ = GQ(
+    "lake22_point_lookup",
+    (s, dir) => {
+      val p = scratch(s, dir, "lake22")
+      val tb = LakeTable.create(s, p, props(partitioned = false))
+      val b = base(s, dir)
+      // ranges chosen to be non-empty at EVERY test SF (custkeys start
+      // at 0); "25".."49" / "50".."99" are utf8-disjoint too
+      tb.upsert(b.filter(col("c_custkey").between(25, 49)))
+      tb.upsert(b.filter(col("c_custkey").between(50, 99)))
+      tb.upsert(b.filter(col("c_custkey").between(100, 149)))
+      tb.upsert(b.filter(col("c_custkey") === 75)
+        .withColumn("c_name", concat(col("c_name"), lit("_u")))
+        .withColumn("ts", lit(2L)))
+      // contract: re-filter to the probed keys — files kept for key k
+      // may carry other keys' rows
+      dataCols(tb.snapshotForKeys(Set("30", "75", "125"))
+        .filter(col("c_custkey").isin(30, 75, 125)))
+    },
+    Some("""SELECT c_custkey,
+      CASE WHEN c_custkey = 75 THEN c_name || '_u' ELSE c_name END AS c_name,
+      c_nationkey, c_acctbal, c_mktsegment,
+      CAST(CASE WHEN c_custkey = 75 THEN 2 ELSE 1 END AS BIGINT) AS ts
+      FROM customer WHERE c_custkey IN (30, 75, 125)
+      ORDER BY c_custkey"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
     timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
     cdcQ, mvQ, savepointQ, predicateDmlQ, occQ, vacuumQ, cdcArchiveQ,
-    streamIngestQ, streamSessionizeQ)
+    streamIngestQ, streamSessionizeQ, pointLookupQ)
 }

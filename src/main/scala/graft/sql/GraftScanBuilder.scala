@@ -12,40 +12,130 @@ import org.apache.spark.sql.types.StructType
 /** Scan builder that forwards every pushdown capability of Spark's
   * parquet scan builder (column pruning, catalyst filters, aggregate
   * pushdown, variant extraction) and decorates the built [[Scan]] with
-  * micro-batch streaming support (the commit-tail source). */
+  * micro-batch streaming support (the commit-tail source).
+  *
+  * Additionally does RECORD-KEY FILE SKIPPING: equality/IN predicates
+  * on a single-field primary key resolve — via the timeline's stored
+  * per-file key bounds, zero I/O — to the subset of files that can
+  * contain the probed keys, and the parquet delegate is rebuilt over
+  * just those paths (`rebuild`). At serving scale this is the
+  * difference between a point lookup opening O(matching) files and
+  * opening every live file's footer. Sound on COW because pruning
+  * never drops a file that can contain a probed key; rows of other
+  * keys are irrelevant to the query (the predicate that triggered the
+  * pruning filters them above the scan). */
 final class GraftScanBuilder(
     delegate: ParquetScanBuilder,
-    makeStream: StructType => MicroBatchStream)
+    makeStream: StructType => MicroBatchStream,
+    keyFilePruner: Option[Set[String] => Option[Seq[String]]] = None,
+    rebuild: Option[Seq[String] => ParquetScanBuilder] = None,
+    pkField: Option[String] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
   with SupportsPushDownAggregates
   with SupportsPushDownVariantExtractions {
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    delegate.pruneColumns(requiredSchema)
+  // replayed onto the rebuilt delegate when key pruning applies; the
+  // rebuilt builder is the same parquet format over fewer paths, so
+  // its pushdown answers are identical to the ones Spark already
+  // negotiated with `delegate`
+  private var prunedSchema: Option[StructType] = None
+  private var pushedExprs: Option[Seq[Expression]] = None
+  private var pushedAgg: Option[Aggregation] = None
+  private var pushedVariants: Option[Array[VariantExtraction]] = None
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    prunedSchema = Some(requiredSchema)
+    delegate.pruneColumns(requiredSchema)
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushedExprs = Some(filters)
     delegate.pushFilters(filters)
+  }
 
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
 
-  override def pushAggregation(aggregation: Aggregation): Boolean =
-    delegate.pushAggregation(aggregation)
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = delegate.pushAggregation(aggregation)
+    if (ok) pushedAgg = Some(aggregation)
+    ok
+  }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     delegate.supportCompletePushDown(aggregation)
 
   override def pushVariantExtractions(
-      extractions: Array[VariantExtraction]): Array[Boolean] =
+      extractions: Array[VariantExtraction]): Array[Boolean] = {
+    pushedVariants = Some(extractions)
     delegate.pushVariantExtractions(extractions)
+  }
 
-  override def build(): Scan = new GraftScan(delegate.build(), makeStream)
+  override def build(): Scan = {
+    val pruned = for {
+      prune <- keyFilePruner
+      mk <- rebuild
+      pk <- pkField
+      exprs <- pushedExprs
+      keys <- GraftScanBuilder.keyLiterals(exprs, pk)
+      paths <- prune(keys)
+    } yield {
+      val nd = mk(paths)
+      prunedSchema.foreach(nd.pruneColumns)
+      pushedExprs.foreach(nd.pushFilters)
+      pushedAgg.foreach(nd.pushAggregation)
+      pushedVariants.foreach(nd.pushVariantExtractions)
+      nd
+    }
+    new GraftScan(pruned.getOrElse(delegate).build(), makeStream)
+  }
+}
+
+object GraftScanBuilder {
+  import org.apache.spark.sql.catalyst.expressions.{
+    Attribute, EqualTo, In, InSet, Literal}
+  import org.apache.spark.sql.types._
+
+  /** Literal types whose Scala toString equals Spark's cast-to-string
+    * — the only ones the key encoding can mirror driver-side. */
+  private def mirrorable(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** The set of record-key strings the conjuncts constrain the pk to,
+    * when at least one conjunct is a pk equality/IN of mirrorable
+    * literals. Conjuncts compose by INTERSECTION (a row must satisfy
+    * all of them); None = no usable key predicate, scan unpruned. */
+  private[sql] def keyLiterals(
+      conjuncts: Seq[Expression], pk: String): Option[Set[String]] = {
+    def keysOf(e: Expression): Option[Set[String]] = e match {
+      case EqualTo(a: Attribute, Literal(v, dt))
+          if a.name == pk && mirrorable(dt) =>
+        graft.core.KeyGen.keyForLiteral(v).map(Set(_))
+      case EqualTo(Literal(v, dt), a: Attribute)
+          if a.name == pk && mirrorable(dt) =>
+        graft.core.KeyGen.keyForLiteral(v).map(Set(_))
+      case In(a: Attribute, vs) if a.name == pk && vs.nonEmpty &&
+          vs.forall { case Literal(_, dt) => mirrorable(dt); case _ => false } =>
+        val ks = vs.collect { case Literal(v, _) =>
+          graft.core.KeyGen.keyForLiteral(v) }.flatten
+        if (ks.isEmpty) None else Some(ks.toSet)
+      case InSet(a: Attribute, vs) if a.name == pk && vs.nonEmpty &&
+          mirrorable(a.dataType) =>
+        val ks = vs.toSeq.map(graft.core.KeyGen.keyForLiteral).flatten
+        if (ks.isEmpty) None else Some(ks.toSet)
+      case _ => None
+    }
+    val sets = conjuncts.flatMap(keysOf)
+    sets.reduceOption(_ intersect _)
+  }
 }
 
 /** Batch behavior delegates untouched; streaming reads tail the commit
   * timeline. */
-final class GraftScan(delegate: Scan, makeStream: StructType => MicroBatchStream)
+final class GraftScan(val delegate: Scan, makeStream: StructType => MicroBatchStream)
   extends Scan {
 
   override def readSchema(): StructType = delegate.readSchema()
@@ -105,10 +195,16 @@ final class GraftMergedScanBuilder(
     Array.empty
 
   /** Merged snapshot with partitions pruned by the partition-safe
-    * subset of `filters`. Conservative: prunes only hive-style
-    * layouts, only equality/IN on declared partition fields, and only
-    * values whose path segment is the identity encoding — anything
-    * else reads every partition (correct, just unpruned). */
+    * subset of `filters`, and files pruned by primary-key equality/IN
+    * predicates via the timeline's stored key bounds (sound below the
+    * merge — every version of a probed key lives in bounds-containing
+    * files; rows of other keys are re-filtered above, because a V1
+    * relation reports nothing as pushed and Spark re-applies every
+    * predicate). Conservative: partition pruning covers only
+    * hive-style layouts, equality/IN on declared partition fields,
+    * identity-encoded values; key pruning only single-field keys and
+    * literal types whose toString mirrors the cast encoding —
+    * anything else reads every file (correct, just unpruned). */
   private[graft] def prunedSnapshot(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.sql.DataFrame = {
@@ -126,10 +222,33 @@ final class GraftMergedScanBuilder(
           val segs = vs.toSeq.map(seg(a, _))
           if (segs.forall(_.isDefined)) Some(segs.flatten.toSet) else None
       }.flatten
-    if (constraints.isEmpty) lake.snapshot()
-    else lake.snapshotWhere { p =>
-      val parts = p.split("/").toSet
-      constraints.forall(allowed => allowed.exists(parts.contains))
+    val partPred: String => Boolean =
+      if (constraints.isEmpty) _ => true
+      else { p =>
+        val parts = p.split("/").toSet
+        constraints.forall(allowed => allowed.exists(parts.contains))
+      }
+    def mirrorable(v: Any): Boolean = v match {
+      case _: String | _: java.lang.Long | _: java.lang.Integer |
+           _: java.lang.Short | _: java.lang.Byte => true
+      case _ => false
+    }
+    val keySets: Seq[Set[String]] =
+      if (lake.props.primaryKey.size != 1) Seq.empty
+      else {
+        val pk = lake.props.primaryKey.head
+        filters.toSeq.collect {
+          case EqualTo(a, v) if a == pk && mirrorable(v) =>
+            graft.core.KeyGen.keyForLiteral(v).map(Set(_))
+          case In(a, vs) if a == pk && vs.nonEmpty && vs.forall(mirrorable) =>
+            val ks = vs.toSeq.flatMap(graft.core.KeyGen.keyForLiteral)
+            if (ks.isEmpty) None else Some(ks.toSet)
+        }.flatten
+      }
+    keySets.reduceOption(_ intersect _) match {
+      case Some(ks) => lake.snapshotForKeys(ks, partPred)
+      case None if constraints.isEmpty => lake.snapshot()
+      case None => lake.snapshotWhere(partPred)
     }
   }
 

@@ -166,9 +166,10 @@ final class GraftTable(
       }
     }
     val live = lake.timeline.liveFiles(travel)
-    val files = (if (lake.props.tableType == "mor")
+    val entries = if (lake.props.tableType == "mor")
       live.filter(!_.delta) // time-travel/lost-race residue: RO view
-    else live).map(f => lake.abs(f.path))
+    else live
+    val files = entries.map(f => lake.abs(f.path))
     val metaSchema = StructType(
       LakeTable.MetaCols.map(c =>
         org.apache.spark.sql.types.StructField(c, StringType, nullable = true)) ++
@@ -176,20 +177,35 @@ final class GraftTable(
     // Delegate to Spark's own vectorized parquet scan (pushdown,
     // column pruning, row-group skipping all included). An empty table
     // still needs a valid relation: point at an empty marker dir.
-    val paths = if (files.nonEmpty) files else {
+    def emptyMarker: Seq[String] = {
       val empty = new org.apache.hadoop.fs.Path(
         lake.basePath, graft.core.Timeline.META_DIR + "/.empty")
       empty.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(empty)
       Seq(empty.toString)
     }
-    val delegate = ParquetTable(tableName, spark, options, paths.toList,
-      Some(metaSchema), classOf[ParquetFileFormat])
-      .newScanBuilder(options)
-      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
+    def mkDelegate(paths: Seq[String])
+        : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
+      ParquetTable(tableName, spark,
+        options, (if (paths.nonEmpty) paths else emptyMarker).toList,
+        Some(metaSchema), classOf[ParquetFileFormat])
+        .newScanBuilder(options)
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
+    // record-key file skipping: resolve pk equality/IN predicates to
+    // the files whose timeline-stored key bounds can contain them
+    // (None = nothing pruned, keep the already-negotiated delegate)
+    val pruner: Set[String] => Option[Seq[String]] = ks => {
+      val kept = entries.filter(f => lake.mayContainKeys(f, ks))
+      if (kept.size == entries.size) None
+      else Some(kept.map(f => lake.abs(f.path)))
+    }
     // Streaming relations bypass column pruning: their output is the
     // table's data schema, so that is what the stream must emit.
-    new GraftScanBuilder(delegate,
-      _ => new graft.streaming.CommitTailStream(spark, lake, options, lake.schema))
+    new GraftScanBuilder(mkDelegate(files),
+      _ => new graft.streaming.CommitTailStream(spark, lake, options, lake.schema),
+      keyFilePruner = Some(pruner),
+      rebuild = Some(mkDelegate),
+      pkField = if (lake.props.primaryKey.size == 1)
+        Some(lake.props.primaryKey.head) else None)
   }
 
 

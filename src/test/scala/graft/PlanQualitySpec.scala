@@ -244,6 +244,91 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(bad.isEmpty, s"plan-hygiene violations:\n  ${bad.mkString("\n  ")}")
   }
 
+  test("catalog point lookup skips files via timeline key bounds") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.ptl")
+    spark.sql("""CREATE TABLE graft.db.ptl (id STRING, v STRING, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')""")
+    // three commits with lexicographically DISJOINT key ranges — each
+    // file's stored bounds cover one letter class
+    spark.sql("INSERT INTO graft.db.ptl VALUES ('a1','va',1), ('a2','va2',1)")
+    spark.sql("INSERT INTO graft.db.ptl VALUES ('b1','vb',1), ('b2','vb2',1)")
+    spark.sql("INSERT INTO graft.db.ptl VALUES ('c1','vc',1), ('c2','vc2',1)")
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      df.collect()
+      def deep(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec => Seq(s.plan)
+          case _ => p.children
+        }
+        p +: kids.flatMap(deep)
+      }
+      val bse = deep(df.queryExecution.executedPlan).collect {
+        case b: BatchScanExec => b
+      }.head
+      bse.scan.asInstanceOf[graft.sql.GraftScan].delegate
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+        .fileIndex.inputFiles.length
+    }
+    val total = scannedFiles(spark.sql("SELECT * FROM graft.db.ptl"))
+    assert(total >= 3, s"expected one file per commit, got $total")
+    val eq = spark.sql("SELECT v FROM graft.db.ptl WHERE id = 'b2'")
+    assert(eq.collect().map(_.getString(0)).toSeq == Seq("vb2"))
+    assert(scannedFiles(eq) < total, "key equality did not skip files")
+    val in = spark.sql(
+      "SELECT v FROM graft.db.ptl WHERE id IN ('a1','c1') ORDER BY v")
+    assert(in.collect().map(_.getString(0)).toSeq == Seq("va", "vc"))
+    val inFiles = scannedFiles(in)
+    assert(inFiles < total && inFiles >= 2,
+      s"IN list should keep both matching ranges, scanned $inFiles of $total")
+  }
+
+  test("path-API snapshotForKeys prunes files and keeps MOR merge sound") {
+    import graft.core.{LakeTable, TableProps}
+    val p = "target/graft_scratch/spec_ptl_mor"
+    LakeTable.drop(spark, p)
+    val t = LakeTable.create(spark, p,
+      TableProps("ptl", Seq("id"), Some("ts"), Seq.empty, tableType = "mor"))
+    t.upsert(Seq(("a1", "va", 1L), ("a2", "va2", 1L)).toDF("id", "v", "ts"))
+    t.upsert(Seq(("b1", "vb", 1L), ("b2", "vb2", 1L)).toDF("id", "v", "ts"))
+    // delta update of b2: the pruned read must still see BOTH its
+    // versions and pick the newer one
+    t.upsert(Seq(("b2", "vb2new", 2L)).toDF("id", "v", "ts"))
+    val full = t.snapshot().inputFiles.length
+    val pruned = t.snapshotForKeys(Set("b2"))
+    assert(pruned.inputFiles.length < full,
+      s"expected fewer than $full files for a point lookup")
+    val row = pruned.filter(col("_record_key") === "b2")
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(row == Seq("vb2new"), s"merge winner wrong under pruning: $row")
+  }
+
+  test("bucketed point lookup prunes to the key's hash bucket") {
+    import graft.core.{LakeTable, TableProps}
+    val p = "target/graft_scratch/spec_ptl_bucket"
+    LakeTable.drop(spark, p)
+    val t = LakeTable.create(spark, p,
+      TableProps("ptlb", Seq("id"), Some("ts"), Seq.empty,
+        bucketIndexBuckets = 4))
+    t.upsert(Seq.tabulate(40)(i => (s"k$i", s"v$i", 1L)).toDF("id", "v", "ts"))
+    val full = t.snapshot().inputFiles.length
+    assert(full >= 3, s"expected multiple bucket files, got $full")
+    // keys spread over every bucket, so bounds alone cannot prune —
+    // only the driver-side bucket-hash mirror can skip here
+    val one = t.snapshotForKeys(Set("k7"))
+    assert(one.inputFiles.length < full,
+      s"bucket routing did not skip files ($full scanned)")
+    val v = one.filter(col("_record_key") === "k7")
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(v == Seq("v7"))
+  }
+
   test("graft_vec_dot participates in codegen (no CodegenFallback)") {
     graft.functions.GraftFunctions.register(spark)
     // parquet-backed input so the projection can't constant-fold away
