@@ -259,6 +259,32 @@ final class LakeTable private[core] (
     keys.exists(k => boundsOk(k) && bucketOk(k))
   }
 
+  /** Can file `f` hold a row satisfying every predicate in `preds`,
+    * judging ONLY by its stored col-stats? Conservative: a file with
+    * no stats for a predicate's column, or a storage-type/predicate-
+    * type mismatch, passes that predicate. COW/read-optimized only —
+    * pruning by DATA predicates below the MOR merge could drop an old
+    * version whose newer delta survives and flip the merge winner. */
+  private[graft] def mayMatchColStats(
+      f: FileEntry, preds: Seq[ColPred]): Boolean =
+    preds.forall { p =>
+      f.colStats.flatMap(_.get(p.column)) match {
+        case Some(Seq(tag, mn, mx)) if (tag == "l") == p.isLong =>
+          def cmp(a: String, b: String): Int =
+            if (p.isLong) java.lang.Long.compare(a.toLong, b.toLong)
+            else utf8Cmp(a, b)
+          p.op match {
+            case "eq" => p.values.exists(v => cmp(v, mn) >= 0 && cmp(v, mx) <= 0)
+            case "gt" => p.values.exists(v => cmp(mx, v) > 0)
+            case "ge" => p.values.exists(v => cmp(mx, v) >= 0)
+            case "lt" => p.values.exists(v => cmp(mn, v) < 0)
+            case "le" => p.values.exists(v => cmp(mn, v) <= 0)
+            case _ => true
+          }
+        case _ => true
+      }
+    }
+
   /** Driver-side mirror of [[bucketExpr]] (pmod(xxhash64(key), n)) —
     * must stay arithmetic-identical to the Column form or bucketed
     * point lookups would skip the wrong files. */
@@ -1384,8 +1410,8 @@ final class LakeTable private[core] (
         .parquet(stagingDir.toString))
     val (added, parts, buckets) =
       phase("move-staged")(moveStaged(stagingDir, instant))
-    val (n, bounds) = phase("footer-stats")(footerStats(added))
-    Staged(added, parts, n, bounds, buckets)
+    val (n, bounds, colStats) = phase("footer-stats")(footerStats(added))
+    Staged(added, parts, n, bounds, buckets, colStats)
   }
 
   /** Env-gated (GRAFT_PROFILE=1) wall-time print per write-path phase —
@@ -1402,14 +1428,24 @@ final class LakeTable private[core] (
     * (driver-side, metadata-only I/O; footers read concurrently — a
     * large commit can add hundreds of files and each footer read is
     * dominated by I/O latency). */
-  private def footerStats(relPaths: Seq[String]): (Long, Map[String, Seq[String]]) = {
+  private def footerStats(relPaths: Seq[String])
+      : (Long, Map[String, Seq[String]], Map[String, Map[String, Seq[String]]]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sessionState.newHadoopConf()
+    val statsCols = props.statsColumns.toSet
 
-    /** (rows, Some(rel -> [min,max])) for one file; None on failure. */
-    def oneFile(rel: String): Option[(Long, Option[(String, Seq[String])])] =
+    /** (rows, key bounds, col-stats) for one file; None on failure.
+      * Col-stats values are [typeTag, min, max]: "s" = utf8 string,
+      * "l" = integral-as-long — the only encodings whose driver-side
+      * comparison is exactly the column's order (doubles/timestamps/
+      * decimals are skipped, never mis-compared). A column missing
+      * stats in ANY row group is dropped for the file. */
+    def oneFile(rel: String): Option[
+        (Long, Option[(String, Seq[String])], Map[String, Seq[String]])] =
       try {
         val r = ParquetFileReader.open(
           HadoopInputFile.fromPath(new Path(abs(rel)), conf))
@@ -1417,10 +1453,15 @@ final class LakeTable private[core] (
           var rows = 0L
           var mn: String = null
           var mx: String = null
+          val cs = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+          val dropped = scala.collection.mutable.HashSet.empty[String]
+          var blocks = 0
           r.getFooter.getBlocks.forEach { b =>
             rows += b.getRowCount
+            blocks += 1
             b.getColumns.forEach { c =>
-              if (c.getPath.toDotString == RecordKeyCol) {
+              val name = c.getPath.toDotString
+              if (name == RecordKeyCol) {
                 val st: org.apache.parquet.column.statistics.Statistics[_] =
                   c.getStatistics
                 if (st != null && st.hasNonNullValue) {
@@ -1430,18 +1471,62 @@ final class LakeTable private[core] (
                   if (mx == null || utf8Cmp(bmx, mx) > 0) mx = bmx
                 }
               }
+              if (statsCols(name) && !dropped(name)) {
+                val st: org.apache.parquet.column.statistics.Statistics[_] =
+                  c.getStatistics
+                val pt = c.getPrimitiveType
+                val ann = pt.getLogicalTypeAnnotation
+                def isStr = pt.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+                  ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+                def isIntegral =
+                  (pt.getPrimitiveTypeName == PrimitiveTypeName.INT32 ||
+                    pt.getPrimitiveTypeName == PrimitiveTypeName.INT64) &&
+                    (ann == null || (ann match {
+                      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                        i.isSigned
+                      case _ => false
+                    }))
+                val blockStat: Option[(String, String, String)] =
+                  if (st == null || !st.hasNonNullValue) None
+                  else if (isStr) Some((
+                    "s",
+                    st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+                    st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8))
+                  else if (isIntegral) Some((
+                    "l",
+                    st.genericGetMin.toString, st.genericGetMax.toString))
+                  else None
+                blockStat match {
+                  case None => dropped += name; cs.remove(name)
+                  case Some((tag, bmn, bmx)) =>
+                    def lt(a: String, b: String): Boolean =
+                      if (tag == "l") a.toLong < b.toLong else utf8Cmp(a, b) < 0
+                    cs.get(name) match {
+                      case None if blocks == 1 => cs(name) = Seq(tag, bmn, bmx)
+                      case None => dropped += name // missed an earlier block
+                      case Some(Seq(_, omn, omx)) => cs(name) = Seq(tag,
+                        if (lt(bmn, omn)) bmn else omn,
+                        if (lt(omx, bmx)) bmx else omx)
+                      case _ =>
+                    }
+                }
+              }
             }
           }
-          Some((rows, if (mn != null) Some(rel -> Seq(mn, mx)) else None))
+          Some((rows,
+            if (mn != null) Some(rel -> Seq(mn, mx)) else None,
+            cs.toMap))
         } finally r.close()
       } catch { case _: Exception => None }
 
-    val results: Seq[Option[(Long, Option[(String, Seq[String])])]] =
-      concurrently(relPaths)(oneFile)
+    val results = concurrently(relPaths)(oneFile)
     // any unreadable footer makes the total unknown — keep the -1
     // sentinel instead of an arbitrary partial sum
     val total = if (results.exists(_.isEmpty)) -1L else results.flatten.map(_._1).sum
-    (total, results.flatten.flatMap(_._2).toMap)
+    val colStats = relPaths.zip(results).collect {
+      case (rel, Some((_, _, cs))) if cs.nonEmpty => rel -> cs
+    }.toMap
+    (total, results.flatten.flatMap(_._2).toMap, colStats)
   }
 
   private def moveStaged(stagingDir: Path, instant: String)
@@ -1514,7 +1599,8 @@ final class LakeTable private[core] (
       instant, action, st.added, removed.map(relativize), Seq.empty,
       schemaOut.toDDL, st.rows, st.parts,
       if (st.keyBounds.nonEmpty) Some(st.keyBounds) else None, tag,
-      if (st.buckets.nonEmpty) Some(st.buckets) else None)))
+      if (st.buckets.nonEmpty) Some(st.buckets) else None,
+      colStats = if (st.colStats.nonEmpty) Some(st.colStats) else None)))
     catch {
       case e: CommitConflictException =>
         // lost the OCC race: the staged files will never be referenced
@@ -1941,7 +2027,8 @@ private[core] final case class Staged(
     parts: Map[String, String],
     rows: Long,
     keyBounds: Map[String, Seq[String]],
-    buckets: Map[String, Int])
+    buckets: Map[String, Int],
+    colStats: Map[String, Map[String, Seq[String]]] = Map.empty)
 
 private[core] object Staged {
   val empty: Staged = Staged(Seq.empty, Map.empty, 0L, Map.empty, Map.empty)

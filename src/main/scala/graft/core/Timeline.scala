@@ -55,7 +55,11 @@ final case class CommitMeta(
       * itself a deltacommit — lets one atomic commit mirror a mixed
       * base+delta live set (catalog sync), instead of exposing a
       * mixed-instant intermediate view between two commits. */
-    deltaAdded: Option[Seq[String]] = None)
+    deltaAdded: Option[Seq[String]] = None,
+    /** per added file: declared stats column → [typeTag, min, max]
+      * from the parquet footer (typeTag "s" = utf8 string, "l" =
+      * integral-as-long) — the col-stats data-skipping index. */
+    colStats: Option[Map[String, Map[String, Seq[String]]]] = None)
 
 /** One live data file as seen by readers: its path, the commit that
   * (logically) wrote its rows, partition path, and optional record-key
@@ -74,7 +78,18 @@ final case class FileEntry(
       * merge (or compaction). Carried on the entry itself so the flag
       * SURVIVES archiving — the commit (and its action) may be folded
       * into the checkpoint while the file is still live. */
-    delta: Boolean = false)
+    delta: Boolean = false,
+    /** stats column → [typeTag, min, max] (see CommitMeta.colStats);
+      * carried on the entry so the index survives archiving. */
+    colStats: Option[Map[String, Seq[String]]] = None)
+
+/** One conjunct usable against the col-stats index: `column <op>
+  * value(s)` with values pre-rendered as strings (`isLong` selects
+  * numeric vs utf8 comparison — it must match the stored typeTag or
+  * the predicate is ignored for that file). op ∈ eq|gt|ge|lt|le;
+  * "eq" may carry an IN-list. */
+final case class ColPred(
+    column: String, op: String, values: Seq[String], isLong: Boolean)
 
 /** Net live file set as of `asOf`, produced when old commits are
   * archived; file entries keep their original commit instants so
@@ -132,7 +147,15 @@ final case class TableProps(
       * the per-write MergePolicy at write time instead; for MOR the
       * policy MUST be table-level because the merge happens at read
       * time over commits that may have used different calls. */
-    morPayload: String = "latest")
+    morPayload: String = "latest",
+    /** Data columns whose per-file min/max are captured from parquet
+      * footers at commit time and stored in the timeline — the
+      * col-stats data-skipping index (Hudi metadata-table col_stats
+      * analog). COW/read-optimized scans with predicates on these
+      * columns skip files driver-side with zero I/O. String and
+      * integral columns only (exact order-preserving driver
+      * comparisons); others are ignored. */
+    statsColumns: Seq[String] = Seq.empty)
 
 /** A write lost the optimistic-concurrency race: the operation should
   * be re-run against the fresh table state ([[LakeTable.withOcc]]).
@@ -495,7 +518,8 @@ final class Timeline(conf: Configuration, val basePath: String) {
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
       c.buckets.flatMap(_.get(f)),
-      delta = c.action == "deltacommit" || da(f))
+      delta = c.action == "deltacommit" || da(f),
+      colStats = c.colStats.flatMap(_.get(f)))
     fromCheckpoint ++ fromCommits
   }
 
@@ -547,7 +571,8 @@ final class Timeline(conf: Configuration, val basePath: String) {
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
       c.buckets.flatMap(_.get(f)),
-      delta = c.action == "deltacommit" || da(f))
+      delta = c.action == "deltacommit" || da(f),
+      colStats = c.colStats.flatMap(_.get(f)))
     val priorTags = priorCp.map(_.tags).getOrElse(Map.empty)
     val archivedTags = toArchive.flatMap(_.tag).flatMap { t =>
       t.split("=", 2) match {

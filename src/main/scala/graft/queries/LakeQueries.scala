@@ -901,9 +901,55 @@ object LakeQueries {
       FROM customer WHERE c_custkey IN (30, 75, 125)
       ORDER BY c_custkey"""))
 
+  /** lake23 — col-stats DATA SKIPPING (the Hudi metadata-table
+    * col_stats analog): the table declares `statsColumns`, commits
+    * record per-file min/max for them from the parquet footers, and
+    * SQL predicates on those columns skip files driver-side with zero
+    * I/O before the scan (the DSv2 delegate is rebuilt over the
+    * pruned path list — PlanQualitySpec pins the file-count drop;
+    * this gate pins end-to-end answer correctness through the pruned
+    * read against the relational oracle). */
+  private val dataSkipQ = GQ(
+    "lake23_data_skipping",
+    (s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_gate", "graft.sql.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_gate.warehouse",
+        "target/graft_warehouse_gate")
+      val tbl = s"graft_gate.db.lake23_${math.abs(dir.hashCode)}"
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.db")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl (
+        c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE,
+        c_mktsegment STRING, ts BIGINT)
+        USING graft TBLPROPERTIES (
+          primaryKey = 'c_custkey', preCombineField = 'ts',
+          statsColumns = 'c_custkey,c_mktsegment')""")
+      base(s, dir).select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .createOrReplaceTempView("lake23_src")
+      // three commits with disjoint custkey ranges (disjoint numeric
+      // col-stats) and whatever segment mix each range carries
+      Seq("c_custkey % 3 = 0", "c_custkey % 3 = 1", "c_custkey % 3 = 2")
+        .zipWithIndex.foreach { case (w, i) =>
+          s.sql(s"""INSERT INTO $tbl
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+              CAST(1 AS BIGINT)
+            FROM lake23_src WHERE $w AND c_custkey BETWEEN ${i * 50} AND ${i * 50 + 49}""")
+        }
+      s.sql(s"""SELECT c_custkey, c_name, c_acctbal, c_mktsegment, ts
+        FROM $tbl
+        WHERE c_custkey >= 50 AND c_custkey <= 99 AND c_mktsegment <> ''
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+      CAST(1 AS BIGINT) AS ts
+      FROM customer
+      WHERE c_custkey % 3 = 1 AND c_custkey BETWEEN 50 AND 99
+      ORDER BY c_custkey"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
     timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
     cdcQ, mvQ, savepointQ, predicateDmlQ, occQ, vacuumQ, cdcArchiveQ,
-    streamIngestQ, streamSessionizeQ, pointLookupQ)
+    streamIngestQ, streamSessionizeQ, pointLookupQ, dataSkipQ)
 }

@@ -125,7 +125,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         opts.getOrElse("compaction.delta_commits", "0").toInt,
       // hoodie.bucket.index.num.buckets analog (TestStreamingMOR.java:52)
       bucketIndexBuckets =
-        opts.getOrElse("bucketIndexBuckets", "0").toInt)
+        opts.getOrElse("bucketIndexBuckets", "0").toInt,
+      // col-stats data-skipping index (metadata-table col_stats analog)
+      statsColumns = opts.get("statsColumns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty))
     require(props.primaryKey.nonEmpty,
       "graft tables require a primaryKey table option (SparkSQLDemo.scala:48)")
     new GraftTable(spark, ident.toString, LakeTable.create(spark, path, props))

@@ -27,9 +27,8 @@ import org.apache.spark.sql.types.StructType
 final class GraftScanBuilder(
     delegate: ParquetScanBuilder,
     makeStream: StructType => MicroBatchStream,
-    keyFilePruner: Option[Set[String] => Option[Seq[String]]] = None,
-    rebuild: Option[Seq[String] => ParquetScanBuilder] = None,
-    pkField: Option[String] = None)
+    prunePaths: Option[Seq[Expression] => Option[Seq[String]]] = None,
+    rebuild: Option[Seq[String] => ParquetScanBuilder] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -74,12 +73,10 @@ final class GraftScanBuilder(
 
   override def build(): Scan = {
     val pruned = for {
-      prune <- keyFilePruner
+      prune <- prunePaths
       mk <- rebuild
-      pk <- pkField
       exprs <- pushedExprs
-      keys <- GraftScanBuilder.keyLiterals(exprs, pk)
-      paths <- prune(keys)
+      paths <- prune(exprs)
     } yield {
       val nd = mk(paths)
       prunedSchema.foreach(nd.pruneColumns)
@@ -94,7 +91,8 @@ final class GraftScanBuilder(
 
 object GraftScanBuilder {
   import org.apache.spark.sql.catalyst.expressions.{
-    Attribute, EqualTo, In, InSet, Literal}
+    Attribute, EqualTo, GreaterThan, GreaterThanOrEqual, In, InSet,
+    LessThan, LessThanOrEqual, Literal}
   import org.apache.spark.sql.types._
 
   /** Literal types whose Scala toString equals Spark's cast-to-string
@@ -102,6 +100,62 @@ object GraftScanBuilder {
   private def mirrorable(dt: DataType): Boolean = dt match {
     case StringType | LongType | IntegerType | ShortType | ByteType => true
     case _ => false
+  }
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** Conjuncts usable against the stored col-stats index: comparisons
+    * of a declared stats column against string/integral literals.
+    * Anything unextractable is simply absent — pruning stays
+    * conservative. */
+  private[sql] def colPreds(
+      conjuncts: Seq[Expression],
+      statsCols: Set[String]): Seq[graft.core.ColPred] = {
+    def lit(v: Any, dt: DataType): Option[(String, Boolean)] = dt match {
+      case StringType if v != null => Some((String.valueOf(v), false))
+      case t if isIntegral(t) && v != null => Some((String.valueOf(v), true))
+      case _ => None
+    }
+    conjuncts.flatMap {
+      case EqualTo(a: Attribute, Literal(v, dt)) if statsCols(a.name) =>
+        lit(v, dt).map { case (s, l) => graft.core.ColPred(a.name, "eq", Seq(s), l) }
+      case EqualTo(Literal(v, dt), a: Attribute) if statsCols(a.name) =>
+        lit(v, dt).map { case (s, l) => graft.core.ColPred(a.name, "eq", Seq(s), l) }
+      case GreaterThan(a: Attribute, Literal(v, dt)) if statsCols(a.name) =>
+        lit(v, dt).map { case (s, l) => graft.core.ColPred(a.name, "gt", Seq(s), l) }
+      case GreaterThan(Literal(v, dt), a: Attribute) if statsCols(a.name) =>
+        lit(v, dt).map { case (s, l) => graft.core.ColPred(a.name, "lt", Seq(s), l) }
+      case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) if statsCols(a.name) =>
+        lit(v, dt).map { case (s, l) => graft.core.ColPred(a.name, "ge", Seq(s), l) }
+      case GreaterThanOrEqual(Literal(v, dt), a: Attribute) if statsCols(a.name) =>
+        lit(v, dt).map { case (s, l) => graft.core.ColPred(a.name, "le", Seq(s), l) }
+      case LessThan(a: Attribute, Literal(v, dt)) if statsCols(a.name) =>
+        lit(v, dt).map { case (s, l) => graft.core.ColPred(a.name, "lt", Seq(s), l) }
+      case LessThan(Literal(v, dt), a: Attribute) if statsCols(a.name) =>
+        lit(v, dt).map { case (s, l) => graft.core.ColPred(a.name, "gt", Seq(s), l) }
+      case LessThanOrEqual(a: Attribute, Literal(v, dt)) if statsCols(a.name) =>
+        lit(v, dt).map { case (s, l) => graft.core.ColPred(a.name, "le", Seq(s), l) }
+      case LessThanOrEqual(Literal(v, dt), a: Attribute) if statsCols(a.name) =>
+        lit(v, dt).map { case (s, l) => graft.core.ColPred(a.name, "ge", Seq(s), l) }
+      case In(a: Attribute, vs) if statsCols(a.name) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val ls = vs.collect { case Literal(v, dt) => lit(v, dt) }
+        if (ls.forall(_.isDefined) && ls.nonEmpty &&
+            ls.flatten.map(_._2).distinct.size == 1)
+          Some(graft.core.ColPred(a.name, "eq",
+            ls.flatten.map(_._1), ls.flatten.head._2))
+        else None
+      case InSet(a: Attribute, vs) if statsCols(a.name) && vs.nonEmpty &&
+          mirrorable(a.dataType) =>
+        val l = isIntegral(a.dataType)
+        val ks = vs.toSeq.filter(_ != null).map(String.valueOf(_))
+        if (ks.isEmpty) None
+        else Some(graft.core.ColPred(a.name, "eq", ks, l))
+      case _ => None
+    }
   }
 
   /** The set of record-key strings the conjuncts constrain the pk to,

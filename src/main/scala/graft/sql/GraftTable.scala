@@ -190,22 +190,34 @@ final class GraftTable(
         Some(metaSchema), classOf[ParquetFileFormat])
         .newScanBuilder(options)
         .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
-    // record-key file skipping: resolve pk equality/IN predicates to
-    // the files whose timeline-stored key bounds can contain them
-    // (None = nothing pruned, keep the already-negotiated delegate)
-    val pruner: Set[String] => Option[Seq[String]] = ks => {
-      val kept = entries.filter(f => lake.mayContainKeys(f, ks))
-      if (kept.size == entries.size) None
-      else Some(kept.map(f => lake.abs(f.path)))
+    // file skipping from timeline metadata, zero I/O: pk equality/IN
+    // predicates resolve through stored key bounds + bucket routing;
+    // predicates on declared statsColumns through the col-stats index
+    // (sound here: COW live sets and MOR read-optimized base sets hold
+    // one version per key, so data-predicate pruning cannot flip a
+    // merge). None = nothing pruned, keep the negotiated delegate.
+    val statsCols = lake.props.statsColumns.toSet
+    val pkOpt = if (lake.props.primaryKey.size == 1)
+      Some(lake.props.primaryKey.head) else None
+    val pruner: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        Option[Seq[String]] = exprs => {
+      val keysOpt = pkOpt.flatMap(pk => GraftScanBuilder.keyLiterals(exprs, pk))
+      val preds = GraftScanBuilder.colPreds(exprs, statsCols)
+      if (keysOpt.isEmpty && preds.isEmpty) None
+      else {
+        val kept = entries.filter(f =>
+          keysOpt.forall(ks => lake.mayContainKeys(f, ks)) &&
+            lake.mayMatchColStats(f, preds))
+        if (kept.size == entries.size) None
+        else Some(kept.map(f => lake.abs(f.path)))
+      }
     }
     // Streaming relations bypass column pruning: their output is the
     // table's data schema, so that is what the stream must emit.
     new GraftScanBuilder(mkDelegate(files),
       _ => new graft.streaming.CommitTailStream(spark, lake, options, lake.schema),
-      keyFilePruner = Some(pruner),
-      rebuild = Some(mkDelegate),
-      pkField = if (lake.props.primaryKey.size == 1)
-        Some(lake.props.primaryKey.head) else None)
+      prunePaths = Some(pruner),
+      rebuild = Some(mkDelegate))
   }
 
 

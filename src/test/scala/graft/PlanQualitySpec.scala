@@ -309,6 +309,55 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(row == Seq("vb2new"), s"merge winner wrong under pruning: $row")
   }
 
+  test("col-stats index skips files on data-column predicates") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.cstats")
+    spark.sql("""CREATE TABLE graft.db.cstats
+      (id INT, score BIGINT, grade STRING, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts',
+        statsColumns = 'score,grade')""")
+    // three commits with disjoint score ranges AND disjoint grades
+    spark.sql("INSERT INTO graft.db.cstats VALUES (1,10,'aa',1), (2,19,'ab',1)")
+    spark.sql("INSERT INTO graft.db.cstats VALUES (3,20,'ba',1), (4,29,'bb',1)")
+    spark.sql("INSERT INTO graft.db.cstats VALUES (5,30,'ca',1), (6,39,'cb',1)")
+    def scanned(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      df.collect()
+      def deep(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec => Seq(s.plan)
+          case _ => p.children
+        }
+        p +: kids.flatMap(deep)
+      }
+      deep(df.queryExecution.executedPlan).collect {
+        case b: BatchScanExec => b
+      }.head.scan.asInstanceOf[graft.sql.GraftScan].delegate
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+        .fileIndex.inputFiles.length
+    }
+    val total = scanned(spark.sql("SELECT * FROM graft.db.cstats"))
+    assert(total >= 3)
+    // numeric range predicate: only the middle commit's range matches
+    val rng = spark.sql(
+      "SELECT id FROM graft.db.cstats WHERE score >= 20 AND score <= 29 ORDER BY id")
+    assert(rng.collect().map(_.getInt(0)).toSeq == Seq(3, 4))
+    assert(scanned(rng) < total, "numeric range did not skip files")
+    // string equality on the second stats column
+    val se = spark.sql("SELECT id FROM graft.db.cstats WHERE grade = 'ca'")
+    assert(se.collect().map(_.getInt(0)).toSeq == Seq(5))
+    assert(scanned(se) < total, "string equality did not skip files")
+    // predicate on an UNDECLARED column must not prune (conservative)
+    val un = spark.sql("SELECT id FROM graft.db.cstats WHERE ts = 1")
+    assert(un.collect().length == 6)
+    assert(scanned(un) == total)
+  }
+
   test("bucketed point lookup prunes to the key's hash bucket") {
     import graft.core.{LakeTable, TableProps}
     val p = "target/graft_scratch/spec_ptl_bucket"
