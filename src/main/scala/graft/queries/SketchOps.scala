@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvSketch
+import graft.util.Tables._
+
+/** Sketch-based approximate analytics (builder-prompt scale
+  * extensions): the summaries a 100 TB corpus is actually monitored
+  * with — distinct-counts and heavy hitters — computed with BOUNDED
+  * state instead of exact shuffles of every distinct value.
+  *
+  * Both sketches here are built from md5-derived hashes, so they are
+  * deterministic pure functions of the input SET/multiset — no RNG,
+  * no merge-order dependence — which is what lets the DuckDB oracle
+  * replay the whole construction exactly (the gate checks the sketch
+  * algebra, not a tolerance band).
+  */
+object SketchOps {
+
+  private val K = 64
+  /** 2^60 as an exactly-representable double literal (see
+    * [[KmvSketch.HashBits]]); both engines parse the decimal string to
+    * the same bit pattern, so the estimator arithmetic is bit-equal. */
+  private val HashDomainLit = "1152921504606846976.0"
+
+  private val toksExpr = "split(lower(trim(text)), '\\\\s+')"
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** Word 3-gram shingles (same construction as the dedup family) —
+    * the distinct-shingle count per source is a real curation metric
+    * (vocabulary/novelty monitoring) AND has enough cardinality
+    * (~1k+/source at sf0.01) to exercise the estimator path; plain
+    * distinct tokens would leave every sketch partial (the synthetic
+    * corpus draws from a ~30-word vocabulary). */
+  private val shExpr =
+    "case when size(w) >= 3 then transform(sequence(1, size(w) - 2), " +
+      "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
+      "element_at(w, i + 2))) else array() end"
+  private val shSql =
+    "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+
+  /** 60-bit md5-prefix hash of a string column — exact in both
+    * engines (15 hex chars < 2^63). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** KMV estimate columns from a sketch array column: exact count
+    * while the sketch is partial, `(k-1) * 2^60 / h_k` once full. */
+  private def kmvStats(sketch: Column): Seq[Column] = {
+    val nKept = size(sketch)
+    val kth = when(nKept >= K, element_at(sketch, K)).cast("long")
+    Seq(
+      nKept.cast("int").as("n_kept"),
+      kth.as("kth_min"),
+      when(nKept < K, nKept.cast("double"))
+        .otherwise(lit((K - 1).toDouble) * expr(HashDomainLit) /
+          kth.cast("double"))
+        .as("est_distinct"))
+  }
+
+  /** sketch1 — KMV distinct-shingle sketch per source plus a merged
+    * global row ("__all__"): per-source sketches are built by the
+    * bounded [[KmvSketch]] aggregator (≤ k longs of state per group
+    * per partition, map-side combinable), and the global row is
+    * derived by MERGING the per-source sketches — never by re-reading
+    * the corpus — which is the property that makes KMV usable as a
+    * maintained summary at 100 TB. */
+  private val kmvQ = GQ(
+    "sketch1_kmv_distinct",
+    (s, dir) => {
+      val kmv = udaf(new KmvSketch(K), Encoders.scalaLong)
+      val hashes = t(s, dir, "documents")
+        .withColumn("w", expr(toksExpr))
+        .select(col("source"), explode(expr(shExpr)).as("sh"))
+        .select(col("source"), h60(col("sh")).as("h"))
+      val perSource = hashes.groupBy("source").agg(kmv(col("h")).as("sketch"))
+      // the global sketch is the k-min of the UNION of per-source
+      // sketches: any hash in the global top-k is in its source's
+      // top-k, so merging loses nothing (the standard KMV union)
+      val global = perSource
+        .select(explode(col("sketch")).as("h"))
+        .agg(kmv(col("h")).as("sketch"))
+        .select(lit("__all__").as("source") +: kmvStats(col("sketch")): _*)
+      perSource
+        .select(col("source") +: kmvStats(col("sketch")): _*)
+        .unionByName(global)
+        .orderBy("source")
+    },
+    Some(s"""WITH tk AS (
+        SELECT source, unnest($shSql) AS sh
+        FROM (SELECT source, $toksSql AS w FROM documents)),
+      h AS (
+        SELECT DISTINCT source, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+        FROM tk),
+      r AS (
+        SELECT source, h,
+          row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM h),
+      g AS (
+        SELECT '__all__' AS source, h,
+          row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM r WHERE rn <= $K)),
+      u AS (
+        SELECT * FROM r UNION ALL SELECT * FROM g),
+      stats AS (
+        SELECT source,
+          CAST(count(*) AS INT) AS n_kept,
+          CAST(max(CASE WHEN rn = $K THEN h END) AS BIGINT) AS kth_min
+        FROM u WHERE rn <= $K GROUP BY source)
+      SELECT source, n_kept, kth_min,
+        CASE WHEN n_kept < $K THEN CAST(n_kept AS DOUBLE)
+          ELSE ${K - 1}.0 * $HashDomainLit / CAST(kth_min AS DOUBLE) END
+          AS est_distinct
+      FROM stats ORDER BY source"""))
+
+  /** sketch2 — Count-Min heavy hitters: a 4-row × 4096-bucket CM
+    * sketch over the token stream (bucket = 3-hex-char md5 prefix
+    * under a per-row salt), then the top 25 tokens by estimated
+    * frequency. The sketch itself is O(16k) rows regardless of corpus
+    * size and the estimate lookup joins candidates against the
+    * BROADCAST sketch — the serving shape of frequency monitoring at
+    * 100 TB. Exact counts ride along to pin CM's one-sided error
+    * (est >= exact always). */
+  private val cmQ = GQ(
+    "sketch2_countmin_topk",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(expr(toksExpr)).as("tok"))
+      val salted = toks.select(col("tok"),
+        explode(array((0 until 4).map(i => lit(s"r$i")): _*)).as("salt"))
+        .withColumn("bucket",
+          substring(md5(concat(col("salt"), lit(":"), col("tok"))), 1, 3))
+      val sketch = salted.groupBy("salt", "bucket")
+        .agg(count(lit(1)).as("bn"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      val est = exact.select(col("tok"),
+        explode(array((0 until 4).map(i => lit(s"r$i")): _*)).as("salt"))
+        .withColumn("bucket",
+          substring(md5(concat(col("salt"), lit(":"), col("tok"))), 1, 3))
+        .join(broadcast(sketch), Seq("salt", "bucket"))
+        .groupBy("tok").agg(min(col("bn")).as("est_n"))
+      exact.join(est, Seq("tok"))
+        .select(col("tok"), col("est_n"), col("exact_n"),
+          (col("est_n") - col("exact_n")).as("overcount"))
+        .orderBy(col("est_n").desc, col("tok").asc)
+        .limit(25)
+    },
+    Some(s"""WITH tk AS (
+        SELECT unnest($toksSql) AS tok FROM documents),
+      salted AS (
+        SELECT tok, 'r' || CAST(r AS VARCHAR) AS salt,
+          substr(md5('r' || CAST(r AS VARCHAR) || ':' || tok), 1, 3) AS bucket
+        FROM tk, range(4) t(r)),
+      sketch AS (
+        SELECT salt, bucket, count(*) AS bn FROM salted GROUP BY 1, 2),
+      exact AS (
+        SELECT tok, count(*) AS exact_n FROM tk GROUP BY 1),
+      est AS (
+        SELECT e.tok, min(s.bn) AS est_n
+        FROM (SELECT tok, 'r' || CAST(r AS VARCHAR) AS salt,
+            substr(md5('r' || CAST(r AS VARCHAR) || ':' || tok), 1, 3) AS bucket
+          FROM exact, range(4) t(r)) e
+        JOIN sketch s ON e.salt = s.salt AND e.bucket = s.bucket
+        GROUP BY 1)
+      SELECT x.tok, e.est_n, x.exact_n, e.est_n - x.exact_n AS overcount
+      FROM exact x JOIN est e ON x.tok = e.tok
+      ORDER BY e.est_n DESC, x.tok ASC LIMIT 25"""))
+
+  def qs: Seq[GQ] = Seq(kmvQ, cmQ)
+}

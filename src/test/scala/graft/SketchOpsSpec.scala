@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.KmvSketch
+
+/** Sketch primitives — algebraic pins beyond the DuckDB hash gate:
+  * the KMV accumulator must be an exact k-min-set algebra (that is
+  * what makes it deterministic and mergeable), and the gate queries'
+  * estimator/error properties must hold. */
+class SketchOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("KmvSketch reduce/merge is the exact k-min-set algebra") {
+    val k = 16
+    val agg = new KmvSketch(k)
+    val rnd = new scala.util.Random(7)
+    // values with duplicates, inserted in random order
+    val vals = Vector.fill(400)(rnd.nextLong(1L << 40))
+    val expected = vals.distinct.sorted.take(k).toArray
+
+    // sequential reduce
+    val seq = vals.foldLeft(agg.zero)(agg.reduce)
+    assert(seq.sameElements(expected))
+
+    // arbitrary partition + merge (associativity/commutativity)
+    val parts = vals.grouped(37).toSeq
+      .map(p => p.foldLeft(agg.zero)(agg.reduce))
+    val mergedL = parts.foldLeft(agg.zero)(agg.merge)
+    val mergedR = parts.reverse.foldLeft(agg.zero)(agg.merge)
+    assert(mergedL.sameElements(expected))
+    assert(mergedR.sameElements(expected))
+
+    // partial sketch (fewer distinct than k) keeps everything
+    val few = Vector(5L, 3L, 5L, 9L, 3L)
+    assert(few.foldLeft(agg.zero)(agg.reduce).sameElements(Array(3L, 5L, 9L)))
+  }
+
+  test("sketch1 estimates land within KMV error bounds of the true counts") {
+    val out = SparkEntry.queries("sketch1_kmv_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // true distinct-shingle counts per source, straight from the corpus
+    val truth = {
+      import org.apache.spark.sql.functions._
+      graft.util.Tables.t(spark, sf, "documents")
+        .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
+        .select(col("source"), explode(expr(
+          "case when size(w) >= 3 then transform(sequence(1, size(w) - 2), " +
+            "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
+            "element_at(w, i + 2))) else array() end")).as("sh"))
+        .groupBy("source").agg(countDistinct(col("sh")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(truth.keySet.subsetOf(out.keySet - "__all__") &&
+      (out.keySet - "__all__") == truth.keySet)
+    // k=64 → relative std error ~1/sqrt(62) ≈ 12.7%; allow 4 sigma
+    truth.foreach { case (src, n) =>
+      val est = out(src)
+      assert(math.abs(est - n) <= 0.51 * n,
+        s"$src: est $est vs true $n out of bounds")
+    }
+    val globalTruth = truth.values.sum // sources are disjoint vocabularies?
+    // the global row merges per-source sketches; only sanity-bound it
+    // against the max single source and the sum (overlap shrinks it)
+    assert(out("__all__") >= truth.values.max * 0.49 &&
+      out("__all__") <= globalTruth * 1.51)
+  }
+
+  test("sketch2 count-min error is one-sided and exact for unique buckets") {
+    val rows = SparkEntry.queries("sketch2_countmin_topk")(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val (est, exact, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(over == est - exact)
+      assert(over >= 0, s"CM undercounted ${r.getString(0)}")
+    }
+    // ordered by estimate desc then token asc
+    val ests = rows.map(_.getLong(1)).toSeq
+    assert(ests == ests.sorted.reverse)
+  }
+}

@@ -25,6 +25,10 @@ object ProfilePipe4 {
     }
     s.read.parquet(s"$dir/documents.parquet").count() // warm
 
+    // two rounds in one JVM: round 1 pays JIT/codegen, round 2 shows
+    // the steady-state cost the bench's min-of-2-passes reports
+    for (round <- 1 to 2) {
+    println(s"[pp4] === round $round ===")
     val base = DedupOps.corpus(s, dir)
     val updMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0
     val seed = base.filter(col("doc_id") % 3 =!= 0).withColumn("ts", lit(1L))
@@ -79,6 +83,7 @@ object ProfilePipe4 {
         docs.snapshot().select("doc_id", "text"), sigStore, pairsTab, 2L))
     time("final snapshot")(
       println("  rows=" + pairsTab.snapshot().count()))
+    }
     s.stop()
   }
 }
