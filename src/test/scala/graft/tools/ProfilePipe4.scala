@@ -78,9 +78,51 @@ object ProfilePipe4 {
     time("docs.upsert(churn)")(docs.upsert(churn))
     val inc = time("incremental read")(
       docs.incremental(c1).select("doc_id", "text"))
-    time("reconcile churn")(
-      NearDupIndex.reconcile(inc, noDeletes,
-        docs.snapshot().select("doc_id", "text"), sigStore, pairsTab, 2L))
+    // unbundled replica of reconcile(churn) with timers
+    locally {
+      val docsSnap = docs.snapshot().select("doc_id", "text")
+      val churnC = inc.persist()
+      time("  deletes isEmpty check")(noDeletes.isEmpty)
+      val newSigs = DedupOps.minhashBands(churnC).persist()
+      time("  minhashBands(churn)")(newSigs.count())
+      time("  sigs.upsert(churn)")(
+        sigStore.upsert(newSigs.withColumn("ts", lit(2L))))
+      val lb = newSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val rb = sigStore.snapshot()
+        .select(col("doc_id"), explode(col("bands")).as("bk"))
+      val cand = lb.as("l").join(rb.as("r"),
+          col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
+        .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
+          greatest(col("l.doc_id"), col("r.doc_id")).as("b")).distinct()
+        .persist()
+      time("  cand mat")(cand.count())
+      val candIds = cand.select(col("a").as("doc_id"))
+        .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+      val newPairs = DedupOps.verifyJaccard(
+        cand, docsSnap.join(candIds, "doc_id")).persist()
+      time("  verifyJaccard mat")(newPairs.count())
+      val churnIds = churnC.select("doc_id").persist()
+      val cur = pairsTab.snapshot().select("a", "b")
+      val touched = cur.join(churnIds.withColumnRenamed("doc_id", "a"),
+          Seq("a"), "leftsemi")
+        .unionByName(cur.join(churnIds.withColumnRenamed("doc_id", "b"),
+          Seq("b"), "leftsemi"))
+        .distinct()
+      val src2 = touched.join(newPairs, Seq("a", "b"), "left_anti")
+        .withColumn("jaccard", lit(null).cast("double"))
+        .withColumn("__op", lit("d"))
+        .unionByName(newPairs.withColumn("__op", lit("u")))
+        .withColumn("ts", lit(2L))
+        .persist()
+      time("  src2 mat")(src2.count())
+      time("  pairs.merge")(pairsTab.merge(src2,
+        matchedUpdate = Some(col("__op") === "u"),
+        matchedDelete = Some(col("__op") === "d"),
+        notMatchedInsert = Some(col("__op") === "u")))
+      src2.unpersist()
+      churnC.unpersist(); newSigs.unpersist(); cand.unpersist()
+      newPairs.unpersist(); churnIds.unpersist()
+    }
     time("final snapshot")(
       println("  rows=" + pairsTab.snapshot().count()))
     }
