@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Exact per-group top-k as a typed mergeable [[Aggregator]] with
+  * BOUNDED state: keeps the k best (score, id) pairs ordered by
+  * (score DESC, id ASC), so map-side partial aggregation ships at
+  * most k rows per partition per group instead of the window-rank
+  * formulation's full per-group sort shuffle (a
+  * `row_number().over(partitionBy(q))` top-k routes EVERY scored row
+  * of a group through one reducer — for a handful of query vectors
+  * against a 100 TB corpus that is a full-corpus shuffle into
+  * #queries tasks; this aggregator makes the same answer
+  * O(k × partitions)).
+  *
+  * The comparator is total ((score, id) pairs are unique per group in
+  * every caller), so the result is deterministic and identical to the
+  * window form row-for-row: element i of the output is the rank-(i+1)
+  * row.
+  */
+final class TopKAgg(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, "k must be positive")
+
+  /** a strictly better than b under (score DESC, id ASC). */
+  @inline private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  override def reduce(
+      buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+    if (buf.size >= k && !beats(x, buf.last)) buf
+    else {
+      val i = buf.indexWhere(beats(x, _)) match {
+        case -1 => buf.size
+        case n => n
+      }
+      (buf.take(i) :+ x) ++ buf.drop(i).take(k - i - 1)
+    }
+  }
+
+  override def merge(
+      a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = Vector.newBuilder[(Double, Long)]
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < a.size || j < b.size)) {
+      val takeA = j >= b.size || (i < a.size && beats(a(i), b(j)))
+      out += (if (takeA) a(i) else b(j))
+      if (takeA) i += 1 else j += 1
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+}

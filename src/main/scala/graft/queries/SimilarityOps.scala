@@ -96,11 +96,21 @@ object SimilarityOps {
           col("nrm").as("q_nrm"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .withColumn("cosine", cosineCol)
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select("q_id", "vec_id", "cosine", "rank")
+      // bounded-state top-k, NOT row_number over a per-query window:
+      // the window form shuffles every scored row into #queries tasks
+      // (a full-corpus shuffle at 100 TB); the mergeable aggregator
+      // ships at most k pairs per partition per query and yields the
+      // identical (cosine DESC, vec_id ASC) ranking
+      val topk = udaf(new graft.functions.TopKAgg(10),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      scored.groupBy("q_id")
+        .agg(topk(col("cosine"), col("vec_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col._2").as("vec_id"),
+          col("col._1").as("cosine"),
+          (col("pos") + 1).cast("int").as("rank"))
         .orderBy("q_id", "rank")
     },
     Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb

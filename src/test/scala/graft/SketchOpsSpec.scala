@@ -68,6 +68,25 @@ class SketchOpsSpec extends AnyFunSuite {
       out("__all__") <= globalTruth * 1.51)
   }
 
+  test("TopKAgg matches the sorted-take-k reference under any partitioning") {
+    import graft.functions.TopKAgg
+    val k = 7
+    val agg = new TopKAgg(k)
+    val rnd = new scala.util.Random(13)
+    // scores with ties (forcing the id ASC tie-break), unique ids
+    val xs = Vector.tabulate(300)(i => (rnd.nextInt(40).toDouble, i.toLong))
+    val expected = xs.sortBy { case (sc, id) => (-sc, id) }.take(k)
+
+    assert(xs.foldLeft(agg.zero)(agg.reduce) == expected)
+    val parts = rnd.shuffle(xs).grouped(23).toSeq
+      .map(p => p.foldLeft(agg.zero)(agg.reduce))
+    assert(parts.foldLeft(agg.zero)(agg.merge) == expected)
+    assert(parts.reverse.foldLeft(agg.zero)(agg.merge) == expected)
+    // groups smaller than k keep everything, ordered
+    assert(Vector((1.0, 9L), (3.0, 2L)).foldLeft(agg.zero)(agg.reduce) ==
+      Vector((3.0, 2L), (1.0, 9L)))
+  }
+
   test("sketch2 count-min error is one-sided and exact for unique buckets") {
     val rows = SparkEntry.queries("sketch2_countmin_topk")(spark, sf).collect()
     assert(rows.length == 25)
