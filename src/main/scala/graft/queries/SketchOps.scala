@@ -168,5 +168,119 @@ object SketchOps {
       FROM exact x JOIN est e ON x.tok = e.tok
       ORDER BY e.est_n DESC, x.tok ASC LIMIT 25"""))
 
-  def qs: Seq[GQ] = Seq(kmvQ, cmQ)
+  /** sketch3 — INCREMENTALLY MAINTAINED KMV sketches: the per-source
+    * distinct-shingle sketch lives in a lake table keyed by source and
+    * each ingest batch folds its own batch-local sketch into the
+    * stored one — the metrics-maintenance service shape (pipe3's MV
+    * pattern applied to a sketch). The fold is the exact k-min-set
+    * union (`array_sort(array_distinct(concat(...)))[1..k]`, pure
+    * codegen — no UDF in the fold), so stored ∪ batch ≡ sketch of the
+    * full corpus and the DuckDB oracle can check the increments by a
+    * BATCH REBUILD over the final corpus. O(churn) per increment:
+    * only the new docs are shingled/hashed; the stored side is
+    * O(sources × k) longs.
+    *
+    * KMV is monotone — sound for the append-only corpus modeled here
+    * (seed + two insert batches). Updates/deletes would need a
+    * rebuild of the affected sources (documented limitation, same as
+    * every mergeable-sketch store). */
+  private val kmvIncQ = GQ(
+    "sketch3_incremental_kmv",
+    (s, dir) => {
+      import graft.core.{LakeTable, TableProps}
+      import QueryPack.scratchDir
+      val kmv = udaf(new KmvSketch(K), Encoders.scalaLong)
+      val base = t(s, dir, "documents").select("doc_id", "source", "text")
+      val seed = base.filter(col("doc_id") % 3 =!= 0).withColumn("ts", lit(1L))
+      val inc1 = base.filter(col("doc_id") % 3 === 0).withColumn("ts", lit(2L))
+      val inc2 = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(col("text"), lit(" novel trailing shingle")))
+        .withColumn("ts", lit(3L))
+
+      val docs = LakeTable.create(s, scratchDir(s, dir, "sketch3docs"),
+        TableProps("sketch3docs", Seq("doc_id"), Some("ts"), Seq.empty))
+      val skt = LakeTable.create(s, scratchDir(s, dir, "sketch3state"),
+        TableProps("sketch3state", Seq("source"), Some("ts"), Seq.empty))
+
+      def batchSketch(batch: org.apache.spark.sql.DataFrame) = batch
+        .withColumn("w", expr(toksExpr))
+        .select(col("source"), explode(expr(shExpr)).as("sh"))
+        .select(col("source"), h60(col("sh")).as("h"))
+        .groupBy("source").agg(kmv(col("h")).as("bsk"))
+      /** Fold one ingest batch into the sketch store: exact k-min
+        * union of the stored and batch arrays, in-row. */
+      def fold(batch: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
+        val stored = skt.snapshot()
+        val st = if (stored.columns.contains("source"))
+          stored.select(col("source"), col("sketch").as("ssk"))
+        else s.emptyDataFrame
+          .withColumn("source", lit(null).cast("string"))
+          .withColumn("ssk", lit(null).cast("array<bigint>"))
+          .limit(0)
+        val merged = batchSketch(batch)
+          .join(st, Seq("source"), "full_outer")
+          .select(col("source"),
+            slice(array_sort(array_distinct(concat(
+              coalesce(col("ssk"), expr("array()").cast("array<bigint>")),
+              coalesce(col("bsk"), expr("array()").cast("array<bigint>"))))),
+              1, K).as("sketch"))
+          .withColumn("ts", lit(ts))
+          .persist()
+        try skt.upsert(merged) finally { merged.unpersist(); () }
+      }
+
+      val c1 = docs.upsert(seed)
+      fold(seed, 1L)
+      docs.upsert(inc1)
+      val c2 = docs.upsert(inc2)
+      // each maintenance pass reads ONLY the churn since its last
+      // commit (here both insert batches via one incremental read)
+      fold(docs.incremental(c1, Some(c2)).select("source", "text"), 2L)
+
+      val perSource = skt.snapshot().select(col("source"), col("sketch"))
+      val global = perSource
+        .select(explode(col("sketch")).as("h"))
+        .agg(kmv(col("h")).as("sketch"))
+        .select(lit("__all__").as("source") +: kmvStats(col("sketch")): _*)
+      perSource
+        .select(col("source") +: kmvStats(col("sketch")): _*)
+        .unionByName(global)
+        .orderBy("source")
+    },
+    // batch rebuild over the FINAL corpus — equality with the folded
+    // increments IS the mergeability check
+    Some(s"""WITH corpus AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT source, text || ' novel trailing shingle' AS text
+        FROM documents WHERE doc_id % 7 = 0),
+      tk AS (
+        SELECT source, unnest($shSql) AS sh
+        FROM (SELECT source, $toksSql AS w FROM corpus)),
+      h AS (
+        SELECT DISTINCT source, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+        FROM tk),
+      r AS (
+        SELECT source, h,
+          row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM h),
+      g AS (
+        SELECT '__all__' AS source, h,
+          row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM r WHERE rn <= $K)),
+      u AS (
+        SELECT * FROM r UNION ALL SELECT * FROM g),
+      stats AS (
+        SELECT source,
+          CAST(count(*) AS INT) AS n_kept,
+          CAST(max(CASE WHEN rn = $K THEN h END) AS BIGINT) AS kth_min
+        FROM u WHERE rn <= $K GROUP BY source)
+      SELECT source, n_kept, kth_min,
+        CASE WHEN n_kept < $K THEN CAST(n_kept AS DOUBLE)
+          ELSE ${K - 1}.0 * $HashDomainLit / CAST(kth_min AS DOUBLE) END
+          AS est_distinct
+      FROM stats ORDER BY source"""))
+
+  def qs: Seq[GQ] = Seq(kmvQ, cmQ, kmvIncQ)
 }
