@@ -112,7 +112,7 @@ case class VecFloatDot(left: Expression, right: Expression)
 object GraftFunctions {
   val VecDotName = "graft_vec_dot"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       VecDotName,
       exprs => {
@@ -120,4 +120,17 @@ object GraftFunctions {
         VecFloatDot(exprs.head, exprs(1))
       },
       "built-in")
+    // bounded-state aggregators on the SQL surface:
+    //   graft_kmv64(hash BIGINT)            -> ARRAY<BIGINT> k-min sketch
+    //   graft_topk10(score DOUBLE, id BIGINT) -> ARRAY<STRUCT<_1,_2>>
+    spark.udf.register("graft_kmv64",
+      org.apache.spark.sql.functions.udaf(new KmvSketch(64),
+        org.apache.spark.sql.Encoders.scalaLong))
+    spark.udf.register("graft_topk10",
+      org.apache.spark.sql.functions.udaf(new TopKAgg(10),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong)))
+    ()
+  }
 }

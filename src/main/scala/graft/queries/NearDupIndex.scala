@@ -61,13 +61,19 @@ private[graft] object NearDupIndex {
       // (stale bands would feed phantom candidates into every future
       // batch; pairs output would stay correct, but each batch would
       // pay wasted candidate/verify work forever).
+      // bootstrap detection BEFORE the upsert below: a never-written
+      // store has a zero-column snapshot (driver-side schema check,
+      // no job)
+      val storeWasEmpty = !sigs.snapshot().columns.contains("doc_id")
       val newSigs = cache(DedupOps.minhashBands(churnC))
       sigs.upsert(newSigs.withColumn("ts", lit(ts)))
       // candidates: churn bands × the store (which now holds CURRENT
       // signatures of the whole corpus — pairs wholly inside the
-      // churn are found the same way)
+      // churn are found the same way). On bootstrap the store content
+      // IS newSigs — probe the cached frame instead of re-reading and
+      // merge-windowing the table we just wrote.
       val lb = newSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
-      val rb = sigs.snapshot()
+      val rb = (if (storeWasEmpty) newSigs else sigs.snapshot())
         .select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = cache(lb.as("l").join(rb.as("r"),
           col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))

@@ -301,4 +301,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(n2 == 1L, s"pairs after increment: $n2")
     assert(pairSet() == Set((3L, 4L)))
   }
+
+  test("sketch aggregators are callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(1L, 5L, 3L, 5L, 99L).toDF("h").createOrReplaceTempView("sk_in")
+    val sk = sql("SELECT graft_kmv64(h) AS s FROM sk_in")
+      .head().getSeq[Long](0)
+    assert(sk == Seq(1L, 3L, 5L, 99L)) // distinct, sorted k-mins
+    Seq((0.9, 1L), (0.7, 2L), (0.9, 0L), (0.1, 3L))
+      .toDF("score", "id").createOrReplaceTempView("tk_in")
+    val top = sql("SELECT graft_topk10(score, id) AS t FROM tk_in")
+      .selectExpr("inline(t)").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(top == Seq((0.9, 0L), (0.9, 1L), (0.7, 2L), (0.1, 3L)))
+  }
 }
