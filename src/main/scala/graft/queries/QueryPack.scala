@@ -16,7 +16,8 @@ object QueryPack {
   /** Full registry; SparkEntry derives `queries`/`oracleSql` from this. */
   def all: Seq[GQ] =
     Relational.qs ++ LakeQueries.qs ++ TextOps.qs ++ CurationOps.qs ++
-      DedupOps.qs ++ SimilarityOps.qs ++ SketchOps.qs ++ MultimodalOps.qs
+      DedupOps.qs ++ SimilarityOps.qs ++ SketchOps.qs ++ GraphOps.qs ++
+      MultimodalOps.qs
 
   /** Per-(gate, sfDir) scratch table path, dropped clean — the one
     * definition every lake-backed gate query uses. */
