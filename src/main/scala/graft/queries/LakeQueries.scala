@@ -882,6 +882,54 @@ object LakeQueries {
       FROM sessions GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx"""))
 
+  /** st3 — STREAM-STREAM interval join as an oracle-checked gate: the
+    * view and click streams of the events table (two file-source
+    * reads of one staged dir) joined on user within a 30-minute
+    * attribution window, both sides watermarked so the join state is
+    * BOUNDED — the only stream-stream join shape that survives an
+    * unbounded run (spec-covered in StreamingSpec; this gates the
+    * operator's OUTPUT against the batch self-join oracle). Inner
+    * joins emit matches as both sides arrive, so a single AvailableNow
+    * drain is complete — no sentinel flush needed. */
+  private val streamJoinQ = GQ(
+    "st3_stream_join",
+    (s, dir) => {
+      val sink = scratch(s, dir, "st3")
+      val ck = scratch(s, dir, "st3_ck")
+      val src = scratch(s, dir, "st3_src")
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"), col("event_type"))
+        .write.mode("append").parquet(src)
+      val sch = s.read.parquet(src).schema
+      def side(t: String, pfx: String) = s.readStream.schema(sch).parquet(src)
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(s"${pfx}_user"),
+          col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"))
+        .withWatermark(s"${pfx}_ts", "30 minutes")
+      val joined = side("view", "v").join(side("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 30 minutes"))
+      val q = joined
+        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+          col("c_id").as("click_id"))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink).orderBy("user_id", "view_id", "click_id")
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      FROM events v JOIN events c
+        ON c.user_id = v.user_id
+        AND v.event_type = 'view' AND c.event_type = 'click'
+        AND epoch_us(c.ts) >= epoch_us(v.ts)
+        AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
+      ORDER BY 1, 2, 3"""))
+
   /** lake22 — serving-path POINT LOOKUP: `snapshotForKeys` plans only
     * the files whose timeline-stored record-key bounds can contain the
     * probed keys — zero footer I/O, zero listing beyond the timeline
@@ -967,5 +1015,5 @@ object LakeQueries {
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
     timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
     cdcQ, mvQ, savepointQ, predicateDmlQ, occQ, vacuumQ, cdcArchiveQ,
-    streamIngestQ, streamSessionizeQ, pointLookupQ, dataSkipQ)
+    streamIngestQ, streamSessionizeQ, streamJoinQ, pointLookupQ, dataSkipQ)
 }

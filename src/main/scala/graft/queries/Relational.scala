@@ -659,7 +659,54 @@ object Relational {
       SELECT user_id, event_id, us, n_clicks, click_value
       FROM c WHERE event_type = 'error' ORDER BY user_id, event_id"""))
 
+  /** q25 — time-series RESAMPLE + forward fill: every user's event
+    * stream regularized onto an hourly grid (per-bucket event count,
+    * last-observed value carried into empty buckets) — the gap-fill
+    * op every feature/metrics pipeline needs before joining
+    * irregular streams. One aggregation builds the observed buckets,
+    * the grid comes from an in-row `sequence()` explode (no
+    * generator join), and the fill is a single `last(ignoreNulls)`
+    * running window per user — grid size is bounded by the TIME SPAN,
+    * not the event count, so the window is safe at any SF. `max_by`
+    * picks the bucket's last value deterministically ((user, ts) is
+    * unique in the generator, pinned by the oracle hash itself). */
+  private val q25 = GQ(
+    "q25_resample_ffill",
+    (s, dir) => {
+      val HourUs = 3600000000L
+      val b = events(s, dir)
+        .select(col("user_id"),
+          expr(s"unix_micros(cast(ts as timestamp)) div $HourUs").as("bucket"),
+          unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      val obs = b.groupBy("user_id", "bucket")
+        .agg(count(lit(1)).as("n"), max_by(col("value"), col("us")).as("v"))
+      val grid = b.groupBy("user_id")
+        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+        .select(col("user_id"),
+          explode(expr("sequence(b0, b1)")).as("bucket"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), (col("bucket") * HourUs).as("bucket_us"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("v"), ignoreNulls = true).over(w).as("value"))
+        .orderBy("user_id", "bucket_us")
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+      b AS (SELECT user_id, us // 3600000000 AS bucket, us, value FROM ev),
+      obs AS (SELECT user_id, bucket, count(*) AS n, max_by(value, us) AS v
+        FROM b GROUP BY 1, 2),
+      rng AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        FROM b GROUP BY 1),
+      grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM rng),
+      j AS (SELECT g.user_id, g.bucket, coalesce(o.n, 0) AS n_events, o.v
+        FROM grid g LEFT JOIN obs o USING (user_id, bucket))
+      SELECT user_id, bucket * 3600000000 AS bucket_us, n_events,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+          ROWS UNBOUNDED PRECEDING) AS value
+      FROM j ORDER BY user_id, bucket"""))
+
   def qs: Seq[GQ] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15,
-      q16, q17, q18, q19, q20, q21, q22, q24)
+      q16, q17, q18, q19, q20, q21, q22, q24, q25)
 }
