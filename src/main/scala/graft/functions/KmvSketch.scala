@@ -23,13 +23,19 @@ import org.apache.spark.sql.expressions.Aggregator
   * hash SET (order-independent), so the gate's DuckDB oracle can
   * replay it exactly with a window over the same md5-derived hashes.
   */
-final class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+final class KmvSketch(k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
   require(k > 0, "k must be positive")
 
   override def zero: Array[Long] = Array.emptyLongArray
 
-  /** Insert `h` keeping the buffer sorted, distinct, and ≤ k long. */
-  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+  /** Insert `h` keeping the buffer sorted, distinct, and ≤ k long.
+    * Null inputs are SKIPPED (SQL-aggregate convention — a primitive
+    * `Long` input would silently decode a null row as hash 0, the
+    * domain minimum, permanently occupying the sketch's first slot). */
+  override def reduce(buf: Array[Long], hIn: java.lang.Long): Array[Long] = {
+    if (hIn == null) return buf
+    val h = hIn.longValue()
     val i = java.util.Arrays.binarySearch(buf, h)
     if (i >= 0) buf // already present
     else {
@@ -66,11 +72,4 @@ final class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Array[Long]]
     ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Array[Long]] =
     ExpressionEncoder[Array[Long]]()
-}
-
-object KmvSketch {
-  /** Hash domain: 15 hex chars of md5 = 60 bits, so both engines can
-    * parse it exactly into a signed 64-bit integer. */
-  val HashBits = 60
-  val HashDomain: Double = math.pow(2.0, HashBits)
 }

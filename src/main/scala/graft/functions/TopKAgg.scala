@@ -15,23 +15,32 @@ import org.apache.spark.sql.expressions.Aggregator
   * #queries tasks; this aggregator makes the same answer
   * O(k × partitions)).
   *
-  * The comparator is total ((score, id) pairs are unique per group in
-  * every caller), so the result is deterministic and identical to the
-  * window form row-for-row: element i of the output is the rank-(i+1)
-  * row.
+  * The comparator is `java.lang.Double.compare` — total including
+  * NaN, which ranks GREATEST exactly as Spark's and DuckDB's DESC
+  * orderings do — so the result is deterministic under any
+  * partitioning and identical to the window form row-for-row:
+  * element i of the output is the rank-(i+1) row. Rows with a null
+  * score or id are skipped (the SQL-aggregate convention; a
+  * `(Double, Long)` input would silently decode nulls as 0).
   */
 final class TopKAgg(k: Int)
-    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    extends Aggregator[(java.lang.Double, java.lang.Long),
+      Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0, "k must be positive")
 
-  /** a strictly better than b under (score DESC, id ASC). */
-  @inline private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** a strictly better than b under (score DESC NaN-greatest, id ASC). */
+  @inline private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 
   override def reduce(
-      buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+      buf: Seq[(Double, Long)],
+      in: (java.lang.Double, java.lang.Long)): Seq[(Double, Long)] = {
+    if (in._1 == null || in._2 == null) return buf
+    val x = (in._1.doubleValue(), in._2.longValue())
     if (buf.size >= k && !beats(x, buf.last)) buf
     else {
       val i = buf.indexWhere(beats(x, _)) match {

@@ -125,12 +125,12 @@ object GraftFunctions {
     //   graft_topk10(score DOUBLE, id BIGINT) -> ARRAY<STRUCT<_1,_2>>
     spark.udf.register("graft_kmv64",
       org.apache.spark.sql.functions.udaf(new KmvSketch(64),
-        org.apache.spark.sql.Encoders.scalaLong))
+        org.apache.spark.sql.Encoders.LONG))
     spark.udf.register("graft_topk10",
       org.apache.spark.sql.functions.udaf(new TopKAgg(10),
         org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaDouble,
-          org.apache.spark.sql.Encoders.scalaLong)))
+          org.apache.spark.sql.Encoders.DOUBLE,
+          org.apache.spark.sql.Encoders.LONG)))
     ()
   }
 }

@@ -60,11 +60,26 @@ object DedupOps {
     * (the exploded relation is the largest intermediate in every
     * shingle query; shuffling it once cost more than the rest of
     * dedup4 combined). */
+  /** In-row word n-gram array over a tokens array column `w` (WITH
+    * duplicates — wrap in array_distinct for set semantics). The ONE
+    * Spark-side shingle constructor; [[shingles]] and the sketch
+    * queries both build on it so tokenization can never drift. */
+  private[graft] def shingleArrExpr(n: Int): String = {
+    val grams = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
+    s"case when size(w) >= $n then transform(sequence(1, size(w) - ${n - 1}), " +
+      s"i -> concat_ws(' ', $grams)) else array() end"
+  }
+
+  /** DuckDB mirror of [[shingleArrExpr]] (same guard semantics:
+    * `range` is end-exclusive and empty when len(w) < n). */
+  private[graft] def shingleArrSql(n: Int): String = {
+    val grams = (0 until n).map(k => s"w[i + $k]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len(w) - ${n - 2}), i -> $grams)"
+  }
+
   private[graft] def shingles(
       df: DataFrame, n: Int, outer: Boolean = false): DataFrame = {
-    val grams = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
-    val arr = expr(
-      s"case when size(w) >= $n then array_distinct(transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $grams))) else array() end")
+    val arr = expr(s"array_distinct(${shingleArrExpr(n)})")
     df.withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
       // outer keeps a doc too short to shingle as one null-sh row —
       // signature builds need it so a shrunken doc still OVERWRITES
@@ -74,14 +89,11 @@ object DedupOps {
   }
 
   /** Same shingling in DuckDB ("sh" relation over corpus). */
-  private[queries] def shinglesSql(n: Int): String = {
-    val grams = (0 until n).map(k => s"w[i + $k]").mkString(" || ' ' || ")
+  private[queries] def shinglesSql(n: Int): String =
     s"""sh AS (
-      SELECT doc_id, unnest(list_distinct(
-        list_transform(range(1, len(w) - ${n - 2}), i -> $grams))) AS sh
+      SELECT doc_id, unnest(list_distinct(${shingleArrSql(n)})) AS sh
       FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
             FROM corpus))"""
-  }
 
   /** Exact Jaccard over the distinct-shingle relation for given pairs.
     * jaccard = |∩| / (|A| + |B| - |∩|): one double division of exact

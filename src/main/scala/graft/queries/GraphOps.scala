@@ -37,6 +37,7 @@ object GraphOps {
     (s, dir) => {
       val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
         regexp_extract(col("props"), "\\d+", 0).cast("int").as("k"))
+        .filter(col("k").isNotNull) // digitless props: drop in BOTH engines
       val wn = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val edges = ev
@@ -95,9 +96,10 @@ object GraphOps {
           FROM nodes LEFT JOIN s$i ON s$i.dst = nodes.id)"""
       }
       s"""WITH e AS (
-          SELECT user_id, ts, event_id,
-            CAST(regexp_extract(props, '[0-9]+') AS INT) AS k
-          FROM events),
+          SELECT user_id, ts, event_id, k FROM (
+            SELECT user_id, ts, event_id,
+              TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) AS k
+            FROM events) WHERE k IS NOT NULL),
         seq AS (SELECT user_id, k,
             lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
           FROM e),

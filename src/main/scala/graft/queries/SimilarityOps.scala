@@ -103,8 +103,8 @@ object SimilarityOps {
       // identical (cosine DESC, vec_id ASC) ranking
       val topk = udaf(new graft.functions.TopKAgg(10),
         org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaDouble,
-          org.apache.spark.sql.Encoders.scalaLong))
+          org.apache.spark.sql.Encoders.DOUBLE,
+          org.apache.spark.sql.Encoders.LONG))
       scored.groupBy("q_id")
         .agg(topk(col("cosine"), col("vec_id")).as("top"))
         .select(col("q_id"), posexplode(col("top")))

@@ -21,13 +21,15 @@ class SketchOpsSpec extends AnyFunSuite {
     val vals = Vector.fill(400)(rnd.nextLong(1L << 40))
     val expected = vals.distinct.sorted.take(k).toArray
 
-    // sequential reduce
-    val seq = vals.foldLeft(agg.zero)(agg.reduce)
+    // sequential reduce (boxed input: nulls are skippable rows)
+    def red(b: Array[Long], v: Long) = agg.reduce(b, v)
+    val seq = vals.foldLeft(agg.zero)(red)
     assert(seq.sameElements(expected))
+    assert(agg.reduce(seq, null).sameElements(seq)) // null rows skipped
 
     // arbitrary partition + merge (associativity/commutativity)
     val parts = vals.grouped(37).toSeq
-      .map(p => p.foldLeft(agg.zero)(agg.reduce))
+      .map(p => p.foldLeft(agg.zero)(red))
     val mergedL = parts.foldLeft(agg.zero)(agg.merge)
     val mergedR = parts.reverse.foldLeft(agg.zero)(agg.merge)
     assert(mergedL.sameElements(expected))
@@ -35,21 +37,20 @@ class SketchOpsSpec extends AnyFunSuite {
 
     // partial sketch (fewer distinct than k) keeps everything
     val few = Vector(5L, 3L, 5L, 9L, 3L)
-    assert(few.foldLeft(agg.zero)(agg.reduce).sameElements(Array(3L, 5L, 9L)))
+    assert(few.foldLeft(agg.zero)(red).sameElements(Array(3L, 5L, 9L)))
   }
 
   test("sketch1 estimates land within KMV error bounds of the true counts") {
     val out = SparkEntry.queries("sketch1_kmv_distinct")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
-    // true distinct-shingle counts per source, straight from the corpus
+    // true distinct-shingle counts per source, straight from the
+    // corpus via the SAME shingle constructor the gate uses
     val truth = {
       import org.apache.spark.sql.functions._
+      import graft.queries.SketchOps
       graft.util.Tables.t(spark, sf, "documents")
-        .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
-        .select(col("source"), explode(expr(
-          "case when size(w) >= 3 then transform(sequence(1, size(w) - 2), " +
-            "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
-            "element_at(w, i + 2))) else array() end")).as("sh"))
+        .withColumn("w", expr(SketchOps.toksExpr))
+        .select(col("source"), explode(expr(SketchOps.shExpr)).as("sh"))
         .groupBy("source").agg(countDistinct(col("sh")).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
@@ -77,14 +78,22 @@ class SketchOpsSpec extends AnyFunSuite {
     val xs = Vector.tabulate(300)(i => (rnd.nextInt(40).toDouble, i.toLong))
     val expected = xs.sortBy { case (sc, id) => (-sc, id) }.take(k)
 
-    assert(xs.foldLeft(agg.zero)(agg.reduce) == expected)
+    def red(b: Seq[(Double, Long)], x: (Double, Long)) =
+      agg.reduce(b, (x._1: java.lang.Double, x._2: java.lang.Long))
+    assert(xs.foldLeft(agg.zero)(red) == expected)
     val parts = rnd.shuffle(xs).grouped(23).toSeq
-      .map(p => p.foldLeft(agg.zero)(agg.reduce))
+      .map(p => p.foldLeft(agg.zero)(red))
     assert(parts.foldLeft(agg.zero)(agg.merge) == expected)
     assert(parts.reverse.foldLeft(agg.zero)(agg.merge) == expected)
     // groups smaller than k keep everything, ordered
-    assert(Vector((1.0, 9L), (3.0, 2L)).foldLeft(agg.zero)(agg.reduce) ==
+    assert(Vector((1.0, 9L), (3.0, 2L)).foldLeft(agg.zero)(red) ==
       Vector((3.0, 2L), (1.0, 9L)))
+    // null score or id rows are skipped; NaN ranks GREATEST (total
+    // order via Double.compare — matches Spark/DuckDB DESC semantics)
+    assert(agg.reduce(agg.zero, (null, 1L: java.lang.Long)).isEmpty)
+    assert(agg.reduce(agg.zero, (0.5: java.lang.Double, null)).isEmpty)
+    val withNaN = red(red(red(agg.zero, (0.9, 2L)), (Double.NaN, 1L)), (0.5, 3L))
+    assert(withNaN.head._1.isNaN && withNaN.tail == Seq((0.9, 2L), (0.5, 3L)))
   }
 
   test("sketch2 count-min error is one-sided and exact for unique buckets") {

@@ -58,8 +58,9 @@ object ProfilePipe4 {
       time("  sigs.upsert(seed)")(
         sigStore.upsert(newSigs.withColumn("ts", lit(1L))))
       val lb = newSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
-      val rb = sigStore.snapshot()
-        .select(col("doc_id"), explode(col("bands")).as("bk"))
+      // mirror reconcile's bootstrap fast path: empty store before the
+      // upsert → the store content IS newSigs
+      val rb = newSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = lb.as("l").join(rb.as("r"),
           col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
         .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
