@@ -440,15 +440,27 @@ object SimilarityOps {
   }
 
   /** All-centroid (d2, cid) structs sorted ascending; expects `ee`
-    * (self-dot) and `embedding` columns on the input row. */
+    * (self-dot) and `embedding` columns on the input row.
+    *
+    * The centroid table is ONE complex literal (`typedLit` of the
+    * packed (cid, centroid, self-dot) array), not k×64 scalar
+    * literals: complex literals compile to a `references[n]` object
+    * in generated code, so the codegen TEXT is identical across
+    * Lloyd's iterations and the compiled class is reused — the
+    * per-iteration wall cost is the aggregation job alone, not a
+    * fresh whole-stage compile of a 1k-constant projection. The
+    * arithmetic ((ee - 2·dot) + cc, same fold order) is unchanged, so
+    * distances stay bit-identical to the oracle replay. */
   private def ivfSortedAssign(cents: Seq[(Int, Seq[Double])]): Column = {
     val dotFn = graft.functions.GraftFunctions.VecDotName
-    array_sort(array(cents.map { case (cid, c) =>
+    val packed = typedLit(cents.map { case (cid, c) => (cid, c, ivfSelfDot(c)) })
+    array_sort(array(cents.indices.map { i =>
+      val x = element_at(packed, i + 1)
       struct(
         (col("ee") - lit(2.0) *
-          call_function(dotFn, col("embedding"), array(c.map(lit): _*)) +
-          lit(ivfSelfDot(c))).as("d2"),
-        lit(cid).as("cid"))
+          call_function(dotFn, col("embedding"), x.getField("_2")) +
+          x.getField("_3")).as("d2"),
+        x.getField("_1").as("cid"))
     }: _*))
   }
 
