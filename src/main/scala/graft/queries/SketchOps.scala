@@ -288,5 +288,79 @@ object SketchOps {
           AS est_distinct
       FROM stats ORDER BY source"""))
 
-  def qs: Seq[GQ] = Seq(kmvQ, cmQ, kmvIncQ)
+  /** sketch4 — QUANTILES from a deterministic bounded sample: token-
+    * count p50/p90/p99 per source estimated from the 16 docs with
+    * the smallest salted 48-bit md5 hash (16 keeps the sample a
+    * strict subset at every test SF, so the sampled path is actually
+    * exercised against the exact pin) (a uniform, content-stable
+    * sample — samp1's selection rule carried by the bounded
+    * [[graft.functions.TopKAgg]] aggregator, so the per-source
+    * "sample" ships ≤ k pairs per partition instead of window-
+    * sorting every doc into one reducer). Exact corpus quantiles ride
+    * along as the error pin, like sketch2's exact counts — at corpus
+    * scale only the sampled side would run. The 48-bit hash is exact
+    * in a double, so the (hash ASC, doc_id ASC) selection order is
+    * identical in both engines; discrete quantiles index into the
+    * sorted sample (no interpolation — integers stay exact). */
+  private val quantQ = GQ(
+    "sketch4_quantile_sample",
+    (s, dir) => {
+      val SampleK = 16
+      val topk = udaf(new graft.functions.TopKAgg(SampleK),
+        Encoders.tuple(Encoders.DOUBLE, Encoders.LONG))
+      // negate the 48-bit hash: TopKAgg keeps the LARGEST scores, we
+      // want the SMALLEST hashes (both exact in double below 2^53)
+      val d = t(s, dir, "documents")
+        .withColumn("n_tok", size(expr(toksExpr)).cast("long"))
+        .withColumn("nh",
+          -conv(substring(md5(concat(lit("sketch4:"),
+            col("doc_id").cast("string"))), 1, 12), 16, 10)
+            .cast("double"))
+        .persist() // feeds the sampled AND the exact side
+      def quantiles(counts: Column, prefix: String): Seq[Column] =
+        Seq(0.50 -> "p50", 0.90 -> "p90", 0.99 -> "p99").map { case (q, nm) =>
+          element_at(counts,
+            ceil(lit(q) * size(counts)).cast("int")).as(prefix + nm)
+        }
+      val sampled = d.groupBy("source")
+        .agg(topk(col("nh"), col("n_tok")).as("top"))
+        // the sample pairs arrive (hash-score, n_tok); sort the token
+        // counts for discrete quantile indexing
+        .withColumn("counts", sort_array(expr("transform(top, x -> x._2)")))
+        .select(col("source") +: (size(col("counts")).as("n_sampled") +:
+          quantiles(col("counts"), "")): _*)
+      val exact = d.groupBy("source")
+        .agg(sort_array(collect_list(col("n_tok"))).as("counts"))
+        .select(col("source") +: quantiles(col("counts"), "exact_"): _*)
+      sampled.join(exact, "source").orderBy("source")
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tok,
+          CAST('0x' || substr(md5('sketch4:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        FROM documents),
+      r AS (
+        SELECT source, n_tok,
+          row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rn
+        FROM d),
+      smp AS (
+        SELECT source, list_sort(list(n_tok)) AS counts
+        FROM r WHERE rn <= 16 GROUP BY source),
+      ex AS (
+        SELECT source, list_sort(list(n_tok)) AS counts
+        FROM d GROUP BY source)
+      SELECT s.source,
+        CAST(len(s.counts) AS INT) AS n_sampled,
+        -- CAST(q AS DOUBLE): a DECIMAL literal would make q*len exact
+        -- where Spark's double product rounds up (e.g. 0.9*200 ->
+        -- 180.00000000000003 -> ceil 181 on the exact side) — force the SAME double path
+        s.counts[CAST(ceil(CAST(0.50 AS DOUBLE) * len(s.counts)) AS INT)] AS p50,
+        s.counts[CAST(ceil(CAST(0.90 AS DOUBLE) * len(s.counts)) AS INT)] AS p90,
+        s.counts[CAST(ceil(CAST(0.99 AS DOUBLE) * len(s.counts)) AS INT)] AS p99,
+        e.counts[CAST(ceil(CAST(0.50 AS DOUBLE) * len(e.counts)) AS INT)] AS exact_p50,
+        e.counts[CAST(ceil(CAST(0.90 AS DOUBLE) * len(e.counts)) AS INT)] AS exact_p90,
+        e.counts[CAST(ceil(CAST(0.99 AS DOUBLE) * len(e.counts)) AS INT)] AS exact_p99
+      FROM smp s JOIN ex e ON e.source = s.source
+      ORDER BY s.source"""))
+
+  def qs: Seq[GQ] = Seq(kmvQ, cmQ, kmvIncQ, quantQ)
 }
