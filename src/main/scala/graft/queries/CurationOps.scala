@@ -135,14 +135,20 @@ object CurationOps {
       val (corpus, bench) = deconCorpus(s, dir)
       val updMask = col("doc_id") % 2 === 0 && col("doc_id") % 29 === 0 &&
         col("doc_id") % 23 =!= 0
+      // persist: each batch is consumed by its docs-table upsert AND
+      // its flag pass, and the corpus lineage is a broadcast join
+      // over the documents scan — one materialization per batch
+      // instead of one per consumer (harness clears caches after)
       val seed = corpus.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text2")).withColumn("ts", lit(1L))
+        .persist()
       val churn = corpus.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("text2"))
         .unionByName(corpus.filter(updMask)
           .select(col("doc_id"),
             concat(col("text2"), lit(" "), col("frag")).as("text2")))
         .withColumn("ts", lit(2L))
+        .persist()
       val docsTab = LakeTable.create(s, QueryPack.scratchDir(s, dir, "decon3docs"),
         TableProps("decon3docs", Seq("doc_id"), Some("ts"), Seq.empty))
       val verdicts = LakeTable.create(s, QueryPack.scratchDir(s, dir, "decon3verd"),

@@ -53,9 +53,18 @@ object GraphOps {
       // literal 0.15, NOT (1.0 - Damping): 1.0 - double(0.85) is not
       // the double nearest "0.15", and the oracle writes the literal
       val base = 0.15 / n
-      val outdeg = edges.groupBy("src").agg(sum(col("w")).as("outw"))
+      val outdeg = edges.groupBy("src").agg(sum(col("w")).as("outw")).persist()
       var pr = nodes.withColumn("pr", lit(1.0 / n))
-      var prevPr: Option[DataFrame] = None
+      // the iteration relations are O(nodes)/O(distinct edges) —
+      // tiny next to the event scan (which nodes.count() above has
+      // already materialized into the caches at full parallelism);
+      // run the loop's shuffles at 8 partitions so per-iteration cost
+      // is the aggregation, not 32-task scheduling of near-empty
+      // shuffles (conf restored after; a production graph sizes this
+      // to its node count)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       for (_ <- 1 to Iters) {
         val contribs = edges
           .join(outdeg, "src")
@@ -64,17 +73,18 @@ object GraphOps {
             round(col("pr") * col("w") / col("outw"), 12)
               .cast("decimal(30,12)").as("c"))
         val inbound = contribs.groupBy("dst").agg(sum(col("c")).as("sm"))
-        val next = nodes
+        // no per-iteration materialization: each rank relation feeds
+        // exactly ONE consumer (the next iteration's contribution
+        // join), so the whole [[Iters]]-deep chain runs as a single
+        // lazy job over the cached edges/nodes/outdeg — four extra
+        // joins in one DAG instead of four separate job launches
+        pr = nodes
           .join(inbound.withColumnRenamed("dst", "id"), Seq("id"), "left")
           .select(col("id"),
             round(lit(base) + lit(Damping) *
               coalesce(col("sm").cast("double"), lit(0.0)), 9).as("pr"))
-          .persist()
-        next.count() // materialize: keeps per-iteration plans O(1)
-        prevPr.foreach(_.unpersist())
-        prevPr = Some(next)
-        pr = next
       }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val out = pr.select(col("id"), col("pr")).orderBy("id")
       // edges/nodes stay cached for the (lazy) final action; the
       // harness clears caches between queries

@@ -911,14 +911,21 @@ object LakeQueries {
         col("v_user") === col("c_user") &&
           col("c_ts") >= col("v_ts") &&
           col("c_ts") <= col("v_ts") + expr("interval 30 minutes"))
-      val q = joined
-        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
-          col("c_id").as("click_id"))
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // 8 state-store partitions, same sizing rationale as st2: the
+      // count is pinned at query start and each store checkpoints its
+      // own files per batch (conf restored immediately)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        joined
+          .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+            col("c_id").as("click_id"))
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.awaitTermination()
       s.read.parquet(sink).orderBy("user_id", "view_id", "click_id")
     },
