@@ -96,6 +96,20 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(withNaN.head._1.isNaN && withNaN.tail == Seq((0.9, 2L), (0.5, 3L)))
   }
 
+  test("sketch4 sample quantiles are ordered and drawn from real values") {
+    val rows = SparkEntry.queries("sketch4_quantile_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getInt(1)
+      assert(n > 0 && n <= 16, s"sample size $n out of range")
+      val Seq(p50, p90, p99, e50, e90, e99) =
+        (2 to 7).map(r.getLong(_))
+      assert(p50 <= p90 && p90 <= p99, s"sample quantiles unordered: $r")
+      assert(e50 <= e90 && e90 <= e99, s"exact quantiles unordered: $r")
+      assert(p50 > 0 && e50 > 0)
+    }
+  }
+
   test("sketch2 count-min error is one-sided and exact for unique buckets") {
     val rows = SparkEntry.queries("sketch2_countmin_topk")(spark, sf).collect()
     assert(rows.length == 25)
