@@ -55,16 +55,6 @@ object GraphOps {
       val base = 0.15 / n
       val outdeg = edges.groupBy("src").agg(sum(col("w")).as("outw")).persist()
       var pr = nodes.withColumn("pr", lit(1.0 / n))
-      // the iteration relations are O(nodes)/O(distinct edges) —
-      // tiny next to the event scan (which nodes.count() above has
-      // already materialized into the caches at full parallelism);
-      // run the loop's shuffles at 8 partitions so per-iteration cost
-      // is the aggregation, not 32-task scheduling of near-empty
-      // shuffles (conf restored after; a production graph sizes this
-      // to its node count)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
       for (_ <- 1 to Iters) {
         val contribs = edges
           .join(outdeg, "src")
@@ -84,7 +74,6 @@ object GraphOps {
             round(lit(base) + lit(Damping) *
               coalesce(col("sm").cast("double"), lit(0.0)), 9).as("pr"))
       }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val out = pr.select(col("id"), col("pr")).orderBy("id")
       // edges/nodes stay cached for the (lazy) final action; the
       // harness clears caches between queries

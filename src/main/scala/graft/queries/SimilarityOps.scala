@@ -444,13 +444,15 @@ object SimilarityOps {
     *
     * The centroid table is ONE complex literal (`typedLit` of the
     * packed (cid, centroid, self-dot) array), not k×64 scalar
-    * literals: complex literals compile to a `references[n]` object
-    * in generated code, so the codegen TEXT is identical across
-    * Lloyd's iterations and the compiled class is reused — the
-    * per-iteration wall cost is the aggregation job alone, not a
-    * fresh whole-stage compile of a 1k-constant projection. The
-    * arithmetic ((ee - 2·dot) + cc, same fold order) is unchanged, so
-    * distances stay bit-identical to the oracle replay. */
+    * literals: the optimizer folds the scalar getFields (cid,
+    * self-dot) back to inline literals, but the k centroid VECTORS
+    * stay `references[n]` array objects — generated-code size is
+    * k·O(1) instead of k·O(dims), which is what keeps the projection
+    * compilable at production k (the old form emitted 64 literal
+    * doubles per centroid: k=1024 would be a 65k-constant method).
+    * The arithmetic ((ee - 2·dot) + cc, same fold order) is
+    * unchanged, so distances stay bit-identical to the oracle
+    * replay. */
   private def ivfSortedAssign(cents: Seq[(Int, Seq[Double])]): Column = {
     val dotFn = graft.functions.GraftFunctions.VecDotName
     val packed = typedLit(cents.map { case (cid, c) => (cid, c, ivfSelfDot(c)) })

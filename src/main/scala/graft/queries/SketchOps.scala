@@ -299,13 +299,22 @@ object SketchOps {
     * sorting every doc into one reducer). Exact corpus quantiles ride
     * along as the error pin, like sketch2's exact counts — at corpus
     * scale only the sampled side would run. The 48-bit hash is exact
-    * in a double, so the (hash ASC, doc_id ASC) selection order is
-    * identical in both engines; discrete quantiles index into the
-    * sorted sample (no interpolation — integers stay exact). */
+    * in a double, and BOTH engines tie-break equal hashes by n_tok
+    * (TopKAgg's second tuple element; `ORDER BY h, n_tok` in the
+    * oracle) — equal (hash, n_tok) ties leave the selected n_tok
+    * MULTISET identical regardless of which row wins, so the
+    * quantiles are exactly engine-independent. Discrete quantiles
+    * index into the sorted sample (no interpolation — integers stay
+    * exact). */
+  /** sketch4 sample size — 16 keeps the sample a strict subset of
+    * every source at every test SF; interpolated into the oracle so
+    * the two sides can never drift. */
+  private val SampleKLit = 16
+
   private val quantQ = GQ(
     "sketch4_quantile_sample",
     (s, dir) => {
-      val SampleK = 16
+      val SampleK = SampleKLit
       val topk = udaf(new graft.functions.TopKAgg(SampleK),
         Encoders.tuple(Encoders.DOUBLE, Encoders.LONG))
       // negate the 48-bit hash: TopKAgg keeps the LARGEST scores, we
@@ -340,11 +349,11 @@ object SketchOps {
         FROM documents),
       r AS (
         SELECT source, n_tok,
-          row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rn
+          row_number() OVER (PARTITION BY source ORDER BY h ASC, n_tok ASC) AS rn
         FROM d),
       smp AS (
         SELECT source, list_sort(list(n_tok)) AS counts
-        FROM r WHERE rn <= 16 GROUP BY source),
+        FROM r WHERE rn <= $SampleKLit GROUP BY source),
       ex AS (
         SELECT source, list_sort(list(n_tok)) AS counts
         FROM d GROUP BY source)
