@@ -23,6 +23,34 @@ object GraphOps {
   private val Damping = 0.85
   private val Iters = 4
 
+  /** Weighted directed transition edges (src, dst, w) from consecutive
+    * events of each user (shared by graph1/graph2). */
+  private def transitionEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+      regexp_extract(col("props"), "\\d+", 0).cast("int").as("k"))
+      .filter(col("k").isNotNull) // digitless props: drop in BOTH engines
+    val wn = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("nk", lead(col("k"), 1).over(wn))
+      .filter(col("nk").isNotNull)
+      .groupBy(col("k").as("src"), col("nk").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** DuckDB mirror of [[transitionEdges]] — the `edges` CTE chain. */
+  private val transitionEdgesSql =
+    """e AS (
+        SELECT user_id, ts, event_id, k FROM (
+          SELECT user_id, ts, event_id,
+            TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) AS k
+          FROM events) WHERE k IS NOT NULL),
+      seq AS (SELECT user_id, k,
+          lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
+        FROM e),
+      edges AS (SELECT k AS src, nk AS dst, count(*) AS w
+        FROM seq WHERE nk IS NOT NULL GROUP BY 1, 2)"""
+
   /** graph1 — PageRank over the session-transition graph: consecutive
     * events of a user form a directed edge between their `props.k`
     * page ids (the classic clickstream Markov chain), and [[Iters]]
@@ -35,17 +63,7 @@ object GraphOps {
   private val pagerankQ = GQ(
     "graph1_pagerank",
     (s, dir) => {
-      val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
-        regexp_extract(col("props"), "\\d+", 0).cast("int").as("k"))
-        .filter(col("k").isNotNull) // digitless props: drop in BOTH engines
-      val wn = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val edges = ev
-        .withColumn("nk", lead(col("k"), 1).over(wn))
-        .filter(col("nk").isNotNull)
-        .groupBy(col("k").as("src"), col("nk").as("dst"))
-        .agg(count(lit(1)).as("w"))
-        .persist()
+      val edges = transitionEdges(s, dir).persist()
       val nodes = edges.select(col("src").as("id"))
         .unionByName(edges.select(col("dst").as("id")))
         .distinct().persist()
@@ -94,16 +112,7 @@ object GraphOps {
                 * coalesce(CAST(sm AS DOUBLE), CAST(0 AS DOUBLE)), 9) AS pr
           FROM nodes LEFT JOIN s$i ON s$i.dst = nodes.id)"""
       }
-      s"""WITH e AS (
-          SELECT user_id, ts, event_id, k FROM (
-            SELECT user_id, ts, event_id,
-              TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) AS k
-            FROM events) WHERE k IS NOT NULL),
-        seq AS (SELECT user_id, k,
-            lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nk
-          FROM e),
-        edges AS (SELECT k AS src, nk AS dst, count(*) AS w
-          FROM seq WHERE nk IS NOT NULL GROUP BY 1, 2),
+      s"""WITH $transitionEdgesSql,
         nodes AS (SELECT src AS id FROM edges
           UNION SELECT dst FROM edges),
         meta AS (SELECT count(*) AS n FROM nodes),
@@ -114,5 +123,86 @@ object GraphOps {
         SELECT id, pr FROM p$Iters ORDER BY id"""
     })
 
-  def qs: Seq[GQ] = Seq(pagerankQ)
+  /** graph2 — exact TRIANGLE COUNTING over the undirected transition
+    * graph, per node plus the dedicated "__total__" row. Edges are
+    * DEGREE-ORIENTED first (each undirected edge points from its
+    * (degree, id)-smaller endpoint to the larger), the standard
+    * worst-case-optimal trick: every triangle is then found exactly
+    * once by the two-hop equi-join `o(u,v) ⋈ o(v,w) ⋈ o(u,w)`, and a
+    * high-degree hub never fans out more than O(√|E|) — the multi-way
+    * self-join stays a pair of hash joins co-partitioned on node ids,
+    * with nothing broadcast that scales with the graph. Exact integer
+    * counts — oracle equality is trivial. */
+  private val triangleQ = GQ(
+    "graph2_triangles",
+    (s, dir) => {
+      val und = transitionEdges(s, dir)
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .persist()
+      val deg = und.select(col("a").as("id"))
+        .unionByName(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val oriented = und
+        .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v")))
+            .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .persist()
+      val tri = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+        .join(oriented.as("e3"),
+          col("x") === col("e3.u") && col("z") === col("e3.v"), "leftsemi")
+      val perNode = tri
+        .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+      val nodes = deg.select("id")
+      nodes.join(perNode, Seq("id"), "left")
+        .select(col("id").cast("long").as("id"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .unionByName(tri.agg(count(lit(1)).as("n_triangles"))
+          .select(lit(-1L).as("id"), col("n_triangles")))
+        .orderBy("id")
+    },
+    Some(s"""WITH $transitionEdgesSql,
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+      deg AS (
+        SELECT id, count(*) AS deg FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        GROUP BY id),
+      o AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+            THEN u.a ELSE u.b END AS u,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+            THEN u.b ELSE u.a END AS v
+        FROM und u
+        JOIN deg da ON da.id = u.a
+        JOIN deg db ON db.id = u.b),
+      tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM o e1
+        JOIN o e2 ON e2.u = e1.v
+        WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.u = e1.u AND e3.v = e2.v)),
+      pn AS (
+        SELECT id, count(*) AS n_triangles FROM (
+          SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        GROUP BY id)
+      SELECT CAST(d.id AS BIGINT) AS id,
+        coalesce(pn.n_triangles, 0) AS n_triangles
+      FROM deg d LEFT JOIN pn ON pn.id = d.id
+      UNION ALL
+      SELECT -1 AS id, count(*) AS n_triangles FROM tri
+      ORDER BY id"""))
+
+  def qs: Seq[GQ] = Seq(pagerankQ, triangleQ)
 }
