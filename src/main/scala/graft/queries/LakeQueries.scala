@@ -937,6 +937,81 @@ object LakeQueries {
         AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
       ORDER BY 1, 2, 3"""))
 
+  /** st4 — streaming WINDOWED AGGREGATION parity: q13's daily
+    * (window × event_type) counts and DECIMAL-exact sums computed by
+    * a watermarked streaming aggregation in APPEND mode — a window
+    * row is emitted exactly once, when the watermark passes its end
+    * (the incremental-report production shape; state is O(open
+    * windows)). A far-future sentinel event advances the watermark
+    * past every real window after the first drain (the st2 pattern);
+    * sentinel rows are filtered AFTER the watermark operator, so they
+    * drive time without polluting the aggregate. Oracle = q13's exact
+    * batch SQL. */
+  private val streamWindowQ = GQ(
+    "st4_stream_windowed_agg",
+    (s, dir) => {
+      val sink = scratch(s, dir, "st4")
+      val ck = scratch(s, dir, "st4_ck")
+      val src = scratch(s, dir, "st4_src")
+      val e = events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+          col("value"))
+      e.write.mode("append").parquet(src)
+      val maxTs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val sch = s.read.parquet(src).schema
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        // NO pre-aggregation sentinel filter: a filter above
+        // withWatermark gets PUSHED BELOW the watermark collector by
+        // the optimizer, so the sentinel rows would never advance
+        // event time (observed: the last day's windows never flush).
+        // Sentinel windows aggregate like any other and are dropped
+        // at readout — the same output-side exclusion st2 uses.
+        s.readStream.schema(sch).parquet(src)
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("sum_value"))
+          .select(col("window.start").as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .writeStream.format("parquet")
+          .outputMode("append")
+          .option("path", sink)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      def sentinel(us: Long): Unit = {
+        import s.implicits._
+        Seq((us, "__sentinel__", 0.0))
+          .toDF("us", "event_type", "value")
+          .select(expr("timestamp_micros(us)").as("ts"), col("event_type"),
+            col("value"))
+          .write.mode("append").parquet(src)
+      }
+      try {
+        q.processAllAvailable()
+        // two-sentinel cascade (st2's pattern): the watermark advances
+        // at a batch's END and append-mode emission happens in the
+        // NEXT batch, so sentinel 2's data batch is what flushes the
+        // windows sentinel 1 closed
+        sentinel(maxTs + 2L * 86400000000L)
+        q.processAllAvailable()
+        sentinel(maxTs + 4L * 86400000000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(sink)
+        .filter(col("event_type") =!= "__sentinel__")
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+      event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** lake22 — serving-path POINT LOOKUP: `snapshotForKeys` plans only
     * the files whose timeline-stored record-key bounds can contain the
     * probed keys — zero footer I/O, zero listing beyond the timeline
@@ -1022,5 +1097,6 @@ object LakeQueries {
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
     timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
     cdcQ, mvQ, savepointQ, predicateDmlQ, occQ, vacuumQ, cdcArchiveQ,
-    streamIngestQ, streamSessionizeQ, streamJoinQ, pointLookupQ, dataSkipQ)
+    streamIngestQ, streamSessionizeQ, streamJoinQ, streamWindowQ,
+    pointLookupQ, dataSkipQ)
 }
