@@ -124,7 +124,8 @@ object GraphOps {
     })
 
   /** graph2 — exact TRIANGLE COUNTING over the undirected transition
-    * graph, per node plus the dedicated "__total__" row. Edges are
+    * graph, per node plus a total row under the sentinel id -1 (sorts
+    * first; real page ids are non-negative). Edges are
     * DEGREE-ORIENTED first (each undirected edge points from its
     * (degree, id)-smaller endpoint to the larger), the standard
     * worst-case-optimal trick: every triangle is then found exactly
@@ -142,9 +143,13 @@ object GraphOps {
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
         .persist()
+      // deg feeds both orientation joins AND the final node list;
+      // tri feeds the per-node explode AND the total row — persist
+      // both (the harness clears caches between queries)
       val deg = und.select(col("a").as("id"))
         .unionByName(und.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
+        .persist()
       val oriented = und
         .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
         .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
@@ -160,6 +165,7 @@ object GraphOps {
         .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
         .join(oriented.as("e3"),
           col("x") === col("e3.u") && col("z") === col("e3.v"), "leftsemi")
+        .persist()
       val perNode = tri
         .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("n_triangles"))

@@ -1002,15 +1002,14 @@ object LakeQueries {
         q.processAllAvailable()
       } finally q.stop()
       s.read.parquet(sink)
-        .filter(col("event_type") =!= "__sentinel__")
+        // null-safe: =!= would also drop a NULL event_type group the
+        // oracle keeps
+        .filter(!(col("event_type") <=> "__sentinel__"))
         .select(col("window_start").cast("timestamp_ntz").as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")
     },
-    Some("""SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
-      event_type, count(*) AS n,
-      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+    Some(Relational.dailyWindowAggSql))
 
   /** lake22 — serving-path POINT LOOKUP: `snapshotForKeys` plans only
     * the files whose timeline-stored record-key bounds can contain the

@@ -20,6 +20,14 @@ import graft.util.Tables._
   */
 object Relational {
 
+  /** q13's batch oracle — ALSO the parity oracle of the streaming
+    * st4 gate (one definition so the two can never drift). */
+  private[queries] val dailyWindowAggSql =
+    """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+      event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** q1 — TPC-H Q1-shaped scan+filter+groupBy aggregate.
     * Covers SURVEY §2.5 aggregations + §2.3 P4/P9 filter/literal.
     * Ref behavior: SparkSQLDemo.scala:65-67 (scan-project-show) widened
@@ -281,10 +289,7 @@ object Relational {
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))
     },
-    Some("""SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
-      event_type, count(*) AS n,
-      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+    Some(Relational.dailyWindowAggSql))
 
   /** q14 — TPC-H Q5-shaped six-table star join (region → nation →
     * supplier/customer → orders → lineitem) with a local-supplier
