@@ -757,12 +757,17 @@ final class LakeTable private[core] (
     }
   }
 
-  /** DELETE FROM ... WHERE (SparkSQLDemo.scala:73-75): rewrite only
-    * files containing matches (parquet min/max prunes the probe). */
+  /** DELETE FROM ... WHERE (SparkSQLDemo.scala:73-75). COW: rewrite
+    * only files containing matches (parquet min/max prunes the probe).
+    * MOR: evaluate the predicate on the merged view of the reachable
+    * file groups and append O(matched rows) of tombstone delta rows —
+    * no base file is rewritten (Hudi's SQL DELETE on MOR is
+    * read-merged-view → upsert-shaped delete, TestBatchMOR.java:39-52
+    * exercises exactly this cheap-update property). */
   def deleteWhere(cond: Column): String = {
-    // predicate ops need a single-version view ONLY where the
-    // predicate can reach — scoped, not full-table, compaction
-    if (isMor) compactWhere(cond)
+    if (isMor) return morDelete(
+      morPredicateMatches(cond)
+        .select((props.primaryKey ++ props.partitionFields).map(col): _*))
     withInflight { instant =>
       val affected = filesMatching(cond)
       val kept = readAffected(affected, schema)
@@ -773,13 +778,40 @@ final class LakeTable private[core] (
     }
   }
 
-  /** UPDATE ... SET ... WHERE (SparkSQLDemo.scala:69-71). Updated rows
-    * take the new commit time; untouched rows in rewritten files keep
-    * theirs (incremental-query correctness). */
+  /** The merged-view rows a predicate DML statement targets on MOR:
+    * read ONLY the file groups whose raw rows can satisfy `cond`
+    * (row-accurate seed scan, then the per-partition key-range overlap
+    * closure so every version of every candidate key is present),
+    * merge on read, and filter with the predicate — so matching is
+    * decided on CURRENT versions, never on stale ones. Cost is
+    * O(reachable file groups) read, zero rewrite. */
+  private def morPredicateMatches(cond: Column): DataFrame = {
+    val live = timeline.liveFiles(None)
+    val scope = overlapClosure(live, filesMatching(cond).toSet)
+    val s = withMetaSchema(schema)
+    val merged =
+      if (scope.isEmpty) emptyDf(s) else mergeOnRead(readLive(scope, s))
+    merged.filter(coalesce(cond, lit(false)))
+  }
+
+  /** UPDATE ... SET ... WHERE (SparkSQLDemo.scala:69-71). COW: rewrite
+    * only files containing matches; updated rows take the new commit
+    * time, untouched rows in rewritten files keep theirs (incremental-
+    * query correctness). MOR: the matched CURRENT versions get `set`
+    * applied and are appended as one delta commit — O(matched rows)
+    * write, no base rewrite; the read-side merge picks them because
+    * they tie on preCombine and carry the later commit time. (Like
+    * Hudi's upsert-shaped SQL UPDATE, a SET that LOWERS the preCombine
+    * value loses to the stored version on read — payload semantics.) */
   def updateWhere(cond: Column, set: Map[String, Column]): String = {
-    // predicate ops need a single-version view ONLY where the
-    // predicate can reach — scoped, not full-table, compaction
-    if (isMor) compactWhere(cond)
+    if (isMor) {
+      val cur = schema
+      val updated = morPredicateMatches(cond).select(
+        cur.fieldNames.toSeq.map { c =>
+          if (set.contains(c)) set(c).cast(cur(c).dataType).as(c) else col(c)
+        }: _*)
+      return morAppend(updated, "deltacommit")
+    }
     withInflight { instant =>
     val affected = filesMatching(cond)
     val hit = coalesce(cond, lit(false))
@@ -1707,7 +1739,18 @@ final class LakeTable private[core] (
     * everything (conservative), gluing its whole partition into one
     * component. */
   private def compactClosure(live: Seq[FileEntry], seedPaths: Set[String]): Unit = {
-    if (seedPaths.isEmpty) return
+    val entries = overlapClosure(live, seedPaths)
+    // all-base scope: the view there is already single-version
+    if (entries.exists(_.delta)) { compactEntries(entries); () }
+  }
+
+  /** The per-partition key-range overlap closure of a seed file set
+    * (see [[compactClosure]] for why closure makes a subset sound to
+    * merge in isolation). Exact via one min-key sort + merge sweep per
+    * partition — O(n log n) driver work, no pairwise fixpoint. */
+  private def overlapClosure(
+      live: Seq[FileEntry], seedPaths: Set[String]): Seq[FileEntry] = {
+    if (seedPaths.isEmpty) return Seq.empty
     val scope = Seq.newBuilder[FileEntry]
     live.groupBy(_.partition).values.foreach { files =>
       val hasSeed = files.exists(f => seedPaths.contains(f.path))
@@ -1738,27 +1781,7 @@ final class LakeTable private[core] (
         }
       }
     }
-    val entries = scope.result()
-    // all-base scope: the view there is already single-version
-    if (entries.exists(_.delta)) compactEntries(entries)
-  }
-
-  /** Scoped pre-DML compaction for predicate operations on MOR: fold
-    * only the file groups that can hold a row satisfying `cond`
-    * (row-accurate seed scan, footer-stats pruned) instead of every
-    * group with deltas — a DELETE/UPDATE touching one partition of a
-    * large table leaves the other partitions' delta files alone.
-    * Seeding over RAW (unmerged) versions is a correct superset of
-    * matching current versions, because every current version is in
-    * some live file and any stale co-versions join the scope via the
-    * overlap closure. */
-  private def compactWhere(cond: Column): Unit = withOcc() {
-    // withOcc: a concurrent commit during this internal compaction
-    // must retry it (with a freshly-derived scope), not abort the
-    // user's DML — same hazard GraftTable wraps on the SQL path
-    val live = timeline.liveFiles(None)
-    if (live.exists(_.delta))
-      compactClosure(live, filesMatching(cond).toSet)
+    scope.result()
   }
 
   /** Scoped pre-DML compaction for keyed operations on MOR (`global`

@@ -496,10 +496,11 @@ object LakeQueries {
 
   /** Predicate (non-keyed) DML — W4/W5 through the native path — on
     * BOTH table types in one gate: COW rewrites only files holding
-    * matches; MOR first folds only the file groups the predicate can
-    * reach (scoped compaction), then rewrites. The MOR variant layers
-    * a delta commit over the base so the DML really exercises the
-    * merge-then-mutate path. */
+    * matches; MOR evaluates the predicate on the merged view of the
+    * reachable file groups and appends O(matched rows) of delta /
+    * tombstone rows — no base file rewrite. The MOR variant layers a
+    * delta commit over the base so the DML really exercises the
+    * merged-view matching path. */
   private val predicateDmlQ = GQ(
     "lake18_predicate_dml",
     (s, dir) => {

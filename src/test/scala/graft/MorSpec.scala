@@ -52,36 +52,47 @@ class MorSpec extends AnyFunSuite {
     assert(live.forall(_.instant == c))
   }
 
-  test("predicate DML compacts only the file groups the predicate touches") {
+  test("predicate DML on MOR appends deltas; no base or delta file is rewritten") {
     val t = LakeTable.create(spark, tmp(), morProps())
     // base + one delta per partition
     t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d2"), (3, "c", 1L, "d3"))
       .toDF("id", "v", "ts", "dt"))
     t.upsert(Seq((1, "a2", 2L, "d1"), (2, "b2", 2L, "d2"), (3, "c2", 2L, "d3"))
       .toDF("id", "v", "ts", "dt"))
-    val deltasBefore = t.timeline.liveFiles(None).filter(_.delta)
-    assert(deltasBefore.map(_.partition).toSet == Set("dt=d1", "dt=d2", "dt=d3"))
-    // UPDATE reaching ONLY partition d1: d2/d3 delta files must remain
-    // exactly as they were (scoped compaction), and the result is the
-    // same as the full-compact version produced
+    val before = t.timeline.liveFiles(None).map(_.path).toSet
+    assert(t.timeline.liveFiles(None).filter(_.delta)
+      .map(_.partition).toSet == Set("dt=d1", "dt=d2", "dt=d3"))
+    // UPDATE is an O(matched rows) DELTA append: every pre-existing
+    // file (bases AND other partitions' deltas) survives byte-for-byte
     t.updateWhere(col("dt") === "d1" && col("id") === 1,
       Map("v" -> lit("a3")))
-    val after = t.timeline.liveFiles(None)
-    val untouched = deltasBefore.filter(d => d.partition != "dt=d1")
-    assert(untouched.forall(d => after.exists(_.path == d.path)),
-      s"other partitions' deltas were compacted: " +
-        s"${untouched.filterNot(d => after.exists(_.path == d.path)).map(_.path)}")
-    assert(!after.exists(f => f.delta && f.partition == "dt=d1"),
-      "the touched partition must be delta-free post-DML")
+    val afterU = t.timeline.liveFiles(None)
+    assert(before.subsetOf(afterU.map(_.path).toSet),
+      s"predicate UPDATE rewrote files: ${before.diff(afterU.map(_.path).toSet)}")
+    val uCommit = t.timeline.commits().last
+    assert(uCommit.action == "deltacommit" && uCommit.removed.isEmpty,
+      "predicate UPDATE on MOR must be a pure delta commit")
+    assert(afterU.exists(f =>
+      f.delta && f.partition == "dt=d1" && !before.contains(f.path)),
+      "the update must land as a new delta file in the touched partition")
+    // and it updated the CURRENT merged version (ts=2), not the stale one
     assert(rows(t) == Set((1, "a3", 2L), (2, "b2", 2L), (3, "c2", 2L)))
-    // deleteWhere on d2 likewise leaves d3's delta alone
+    // DELETE likewise: a tombstone delta, nothing rewritten
+    val before2 = t.timeline.liveFiles(None).map(_.path).toSet
     t.deleteWhere(col("dt") === "d2")
-    val after2 = t.timeline.liveFiles(None)
-    assert(after2.exists(f => f.delta && f.partition == "dt=d3"))
+    val afterD = t.timeline.liveFiles(None)
+    assert(before2.subsetOf(afterD.map(_.path).toSet),
+      "predicate DELETE on MOR must not rewrite any file")
+    val dCommit = t.timeline.commits().last
+    assert(dCommit.action == "deltacommit" && dCommit.removed.isEmpty)
     assert(rows(t) == Set((1, "a3", 2L), (3, "c2", 2L)))
-    // stale-version safety: the d3 group folds only when ITS keys are
-    // targeted, and the old version can never resurface
+    // stale-version safety: matching is decided on merged winners, and
+    // the superseded version can never resurface
     t.updateWhere(col("id") === 3, Map("v" -> lit("c3")))
+    assert(rows(t) == Set((1, "a3", 2L), (3, "c3", 2L)))
+    // a predicate matching ONLY a stale version must be a no-op:
+    // v='c2' is id=3's superseded value (current is 'c3')
+    t.deleteWhere(col("v") === "c2")
     assert(rows(t) == Set((1, "a3", 2L), (3, "c3", 2L)))
   }
 
