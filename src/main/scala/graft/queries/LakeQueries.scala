@@ -1093,10 +1093,81 @@ object LakeQueries {
       WHERE c_custkey % 3 = 1 AND c_custkey BETWEEN 50 AND 99
       ORDER BY c_custkey"""))
 
+  /** lake24 — writer-vs-TABLE-SERVICE optimistic concurrency (the
+    * other half of multi-writer OCC beyond lake19's writer-vs-writer):
+    * a clustering service call (rewrites EVERY live file group) races
+    * a concurrent upsert from an independent table handle. Whichever
+    * commits second sees the overlapping file-group removal and
+    * retries against the fresh state — the service re-clusters the
+    * post-upsert files, or the writer re-probes the clustered layout.
+    * Final state must equal the sequential result either way (a
+    * clustering is data-identical, so the race is order-independent).
+    * At 100 TB compaction/clustering is ALWAYS concurrent with ingest;
+    * this is the property that makes the services safe to schedule. */
+  private val serviceOccQ = GQ(
+    "lake24_service_occ",
+    (s, dir) => {
+      val p = scratch(s, dir, "lake24")
+      val tab = LakeTable.create(s, p, props(true))
+      tab.upsert(base(s, dir))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 3 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_name", concat(col("c_name"), lit("_a"))))
+      val writer = LakeTable.load(s, p)
+      val service = LakeTable.load(s, p)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fw = Future(writer.withOcc()(writer.upsert(
+        base(s, dir).filter(col("c_custkey") % 2 === 0)
+          .withColumn("ts", lit(3L))
+          .withColumn("c_name", concat(col("c_name"), lit("_w"))))))
+      val fs = Future(service.withOcc()(service.cluster(Seq("c_custkey"))))
+      Await.result(fw, 10.minutes)
+      Await.result(fs, 10.minutes)
+      dataCols(tab.snapshot())
+    },
+    Some("""SELECT c_custkey,
+      c_name || CASE WHEN c_custkey % 2 = 0 THEN '_w'
+                     WHEN c_custkey % 3 = 0 THEN '_a' ELSE '' END AS c_name,
+      c_nationkey, c_acctbal, c_mktsegment,
+      CAST(CASE WHEN c_custkey % 2 = 0 THEN 3
+                WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
+      FROM customer ORDER BY c_custkey"""))
+
+  /** lake25 — MOR time travel to a PRE-COMPACTION instant: the as-of
+    * read must merge that era's delta files (delta update + tombstone
+    * both visible), not serve the read-optimized base view, and a
+    * post-compaction update must be invisible. Compaction rewrites the
+    * physical layout but never the logical history — the property that
+    * lets table services run freely under time-travel consumers. */
+  private val morTravelQ = GQ(
+    "lake25_mor_time_travel",
+    (s, dir) => {
+      val tab = LakeTable.create(s, scratch(s, dir, "lake25"),
+        props(true).copy(tableType = "mor"))
+      tab.upsert(base(s, dir))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 5 === 0)
+        .withColumn("ts", lit(2L))
+        .withColumn("c_name", concat(col("c_name"), lit("_d"))))
+      val pre = tab.delete(base(s, dir).filter(col("c_custkey") % 7 === 0)
+        .select("c_custkey", "c_mktsegment"))
+      tab.compact()
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 3 === 0)
+        .withColumn("ts", lit(3L))
+        .withColumn("c_name", concat(col("c_name"), lit("_p"))))
+      dataCols(tab.snapshot(Some(pre)))
+    },
+    Some("""SELECT c_custkey,
+      CASE WHEN c_custkey % 5 = 0 THEN c_name || '_d' ELSE c_name END AS c_name,
+      c_nationkey, c_acctbal, c_mktsegment,
+      CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
+      FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
     timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
     cdcQ, mvQ, savepointQ, predicateDmlQ, occQ, vacuumQ, cdcArchiveQ,
     streamIngestQ, streamSessionizeQ, streamJoinQ, streamWindowQ,
-    pointLookupQ, dataSkipQ)
+    pointLookupQ, dataSkipQ, serviceOccQ, morTravelQ)
 }

@@ -96,6 +96,23 @@ class MorSpec extends AnyFunSuite {
     assert(rows(t) == Set((1, "a3", 2L), (3, "c3", 2L)))
   }
 
+  test("time travel to a pre-compaction instant merges that era's deltas") {
+    val t = LakeTable.create(spark, tmp(), morProps())
+    t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d1")).toDF("id", "v", "ts", "dt"))
+    // delta update + tombstone, then a compaction and a later update:
+    // as-of the pre-compaction instant the read must serve the
+    // DELTA-MERGED state of that era (a2 wins, key 2 deleted), not the
+    // read-optimized (base-only) view and not any post-asOf state
+    val preCompact = t.delete(Seq((2, "d1")).toDF("id", "dt"))
+    t.upsert(Seq((1, "a2", 2L, "d1")).toDF("id", "v", "ts", "dt"))
+    t.compact()
+    t.upsert(Seq((1, "a3", 3L, "d1")).toDF("id", "v", "ts", "dt"))
+    assert(t.snapshot(Some(preCompact)).select("id", "v", "ts").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet ==
+      Set((1, "a", 1L)))
+    assert(rows(t) == Set((1, "a3", 3L)))
+  }
+
   test("SQL row-level DML on MOR scope-compacts; other deltas survive") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
