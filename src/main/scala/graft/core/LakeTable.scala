@@ -634,24 +634,24 @@ final class LakeTable private[core] (
   /** Apply one SQL row-level operation's deltas in a single atomic
     * commit: `deleteIds` rows disappear, `upserts` rows are merged in
     * (an UPDATE arrives as its key in `deleteIds` plus the new row in
-    * `upserts`). One COW rewrite of the affected files — no
-    * intermediate state between the delete and the insert halves. */
+    * `upserts`). COW: one rewrite of the affected files — no
+    * intermediate state between the delete and the insert halves.
+    * MOR: one mixed delta commit ([[applyDeltasMor]]) — O(statement
+    * rows) append, no compaction, no base rewrite. */
   def applyDeltas(
       deleteIds: Option[DataFrame],
       upserts: Option[DataFrame],
-      action: String = "merge"): String = {
-    // ONE cheap (key, partition) projection of the statement's rows:
-    // it scopes the MOR pre-compaction AND feeds the probe below (the
-    // statsOf pattern — the conformed frames never materialize twice)
+      action: String = "merge",
+      tag: Option[String] = None): String = {
+    if (isMor) return applyDeltasMor(deleteIds, upserts, tag)
+    // ONE cheap (key, partition) projection of the statement's rows
+    // for the probe below (the statsOf pattern — the conformed frames
+    // never materialize twice)
     val keyProj =
       (upserts.map(df => df.select(
         keyCol.as(RecordKeyCol), ppCol.as(PartitionPathCol))).toSeq ++
         deleteIds.map(_.select(RecordKeyCol, PartitionPathCol)).toSeq)
         .reduceOption(_.unionByName(_))
-    // MOR: the row-level rewrite read the merged view in-query; fold
-    // only the file groups this statement's keys touch before the
-    // rewrite below — other partitions' delta files stay untouched
-    if (isMor) keyProj.foreach(k => compactForKeys(k.distinct(), global = false))
     withInflight { instant =>
     val newSchema = upserts.map(unionSchema).getOrElse(schema)
     val incoming = upserts.map(df =>
@@ -730,19 +730,86 @@ final class LakeTable private[core] (
     val st = writeFiles(merged, instant)
     incoming.foreach(_.unpersist())
     delKeys.foreach(_.unpersist())
-    doCommit(instant, action, st, affected, newSchema)
+    doCommit(instant, action, st, affected, newSchema, tag)
     instant
     }
   }
 
+  /** The MOR fast path for [[applyDeltas]]: ONE delta commit carrying
+    * the statement's tombstones AND its new row versions — no
+    * pre-compaction, no base rewrite, O(statement rows) write cost
+    * (Hudi's MOR write path lands updates and deletes as log records;
+    * TestBatchMOR.java:39-52 is the reference's MOR DML). A key in
+    * BOTH halves (the UPDATE shape) writes only its new row: the
+    * positional-erase watermark is commit-granular, so a same-commit
+    * tombstone would erase the new row too — the new version instead
+    * competes with stored versions by payload ordering, exactly the
+    * read-side merge rule. */
+  private def applyDeltasMor(
+      deleteIds: Option[DataFrame],
+      upserts: Option[DataFrame],
+      tag: Option[String]): String = {
+    val committed = withInflight { instant =>
+      val newSchema = upserts.map(unionSchema).getOrElse(schema)
+      val dataFields = newSchema.fields.toSeq
+      val order = (MetaCols :+ DeletedCol) ++ dataFields.map(_.name)
+      val data = upserts.map(df =>
+        conform(withMeta(dedupBatch(df), instant), newSchema)
+          .withColumn(DeletedCol,
+            lit(null).cast(org.apache.spark.sql.types.BooleanType))
+          .select(order.map(col): _*))
+      val tomb = deleteIds.map { ids =>
+        val keep = upserts match {
+          case Some(df) => ids.select(RecordKeyCol, PartitionPathCol).distinct()
+            .join(df.select(keyCol.as(RecordKeyCol), ppCol.as(PartitionPathCol)),
+              Seq(RecordKeyCol, PartitionPathCol), "left_anti")
+          case None => ids.select(RecordKeyCol, PartitionPathCol).distinct()
+        }
+        keep
+          .withColumn(CommitTimeCol, lit(instant))
+          .withColumn(DeletedCol, lit(true))
+          .select((MetaCols :+ DeletedCol).map(col) ++ dataFields.map(f =>
+            lit(null).cast(f.dataType).as(f.name)): _*)
+      }
+      val out = (data.toSeq ++ tomb.toSeq).reduceOption(_.unionByName(_))
+        .getOrElse(emptyDf(withMetaSchema(newSchema)))
+      val st = writeFiles(out, instant)
+      // "deltacommit" (not the statement's verb): the timeline's delta
+      // flag is what routes these files through the read-side merge
+      // and future compactions — same as Hudi, where MOR SQL DML lands
+      // as deltacommits on the timeline
+      doCommit(instant, "deltacommit", st, Seq.empty, newSchema, tag)
+      instant
+    }
+    // outside the fence: the delta commit is durable; compaction takes
+    // (and fences) its own instant
+    maybeInlineCompact()
+    committed
+  }
+
+  /** One-commit upsert+delete (Hudi's combined upsert/deleteKeys
+    * batch, JavaClientHive2Hudi.java:228-265 shape): `deleteKeys` rows
+    * (primary-key [+ partition] columns) disappear, `df` rows merge
+    * in; a key on both sides is an update. MOR: one mixed delta
+    * append. COW: the [[applyDeltas]] single rewrite. The single
+    * commit is what makes a `tag`-guarded reconciliation atomic
+    * ([[graft.streaming.ExactlyOnce]]). */
+  def upsertWithDeletes(
+      df: DataFrame, deleteKeys: DataFrame,
+      tag: Option[String] = None): String = {
+    val ids = deleteKeys
+      .withColumn(RecordKeyCol, keyCol)
+      .withColumn(PartitionPathCol, ppCol)
+      .select(RecordKeyCol, PartitionPathCol)
+    applyDeltas(Some(ids), Some(df), "upsert", tag)
+  }
+
   /** Delete by pre-computed row identity (`_record_key`,
-    * `_partition_path`) — the SQL row-level-operation path. */
+    * `_partition_path`) — the SQL row-level-operation path. MOR:
+    * an O(ids) tombstone delta append. */
   def deleteByRowId(ids: DataFrame): String = {
-    // MOR: fold only the file groups the ids' keys can live in — the
-    // single-version guarantee is needed just where the rewrite acts
     if (isMor)
-      compactForKeys(ids.select(RecordKeyCol, PartitionPathCol).distinct(),
-        global = false)
+      return applyDeltasMor(Some(ids), None, None)
     withInflight { instant =>
     val delKeys = ids.select(RecordKeyCol, PartitionPathCol).distinct()
     val probe = affectedFiles(delKeys)

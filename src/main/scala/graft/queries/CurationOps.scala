@@ -755,12 +755,20 @@ object CurationOps {
           .withColumn("text", concat(col("text"), lit(" v2"))))
         .withColumn("ts", lit(2L))
 
+      // MOR state tables: every index write (doc ingest, signature
+      // upsert, pair tombstone + re-insert) is a probe-free O(batch)
+      // delta append — the maintenance service's write amplification
+      // stays O(churn) and never rewrites a base file (a compaction
+      // cadence would bound delta-chain length in a long deployment)
       val docs = LakeTable.create(s, scratchDir(s, dir, "pipe4docs"),
-        TableProps("pipe4docs", Seq("doc_id"), Some("ts"), Seq.empty))
+        TableProps("pipe4docs", Seq("doc_id"), Some("ts"), Seq.empty,
+          tableType = "mor"))
       val sigStore = LakeTable.create(s, scratchDir(s, dir, "pipe4sigs"),
-        TableProps("pipe4sigs", Seq("doc_id"), Some("ts"), Seq.empty))
+        TableProps("pipe4sigs", Seq("doc_id"), Some("ts"), Seq.empty,
+          tableType = "mor"))
       val pairsTab = LakeTable.create(s, scratchDir(s, dir, "pipe4pairs"),
-        TableProps("pipe4pairs", Seq("a", "b"), Some("ts"), Seq.empty))
+        TableProps("pipe4pairs", Seq("a", "b"), Some("ts"), Seq.empty,
+          tableType = "mor"))
 
       // both passes run the ONE shared reconciliation ([[NearDupIndex]]
       // — the same code the streaming service executes per micro-batch):

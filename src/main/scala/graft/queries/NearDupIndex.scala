@@ -21,8 +21,9 @@ import graft.core.LakeTable
   * candidates come from the churn's exploded bands equi-joined against
   * the store; verification re-shingles only candidate docs; the pairs
   * semi-joins split the OR-of-keys into two hash semi-joins; the
-  * reconciliation is ONE 3-clause merge commit. No full-corpus stage
-  * after bootstrap. */
+  * reconciliation is ONE upsert+delete commit (a mixed tombstone+data
+  * delta append on MOR state tables). No full-corpus stage after
+  * bootstrap. */
 private[graft] object NearDupIndex {
 
   /** Apply one churn batch to the index.
@@ -88,10 +89,13 @@ private[graft] object NearDupIndex {
       // reconcile the pairs table. A never-written pairs table has a
       // zero-column snapshot — nothing stored to reconcile against,
       // so the bootstrap pass is a plain tagged upsert. Otherwise:
-      // stale = stored pairs touching churn that did NOT re-qualify;
-      // ONE 3-clause merge commit deletes the vanished, updates the
-      // re-verified, inserts the new (the lake4 pattern applied to
-      // index maintenance instead of delete-then-upsert).
+      // ONE upsert+delete commit — stored pairs touching churn are the
+      // delete side, the recomputed pairs the upsert side; a pair on
+      // both sides is an update (upsertWithDeletes drops its tombstone
+      // and lets the new version win by ordering). On a MOR pairs
+      // table this is a single probe-free O(batch) mixed delta append;
+      // on COW a single scoped rewrite. One commit keeps the
+      // ExactlyOnce tag atomic with the whole reconciliation.
       val snap = pairs.snapshot()
       if (!snap.columns.contains("a")) {
         pairs.upsert(newPairs.withColumn("ts", lit(ts)), tag = tag)
@@ -99,25 +103,14 @@ private[graft] object NearDupIndex {
         val churnIds = cache(churnC.select("doc_id")
           .unionByName(deletedC).distinct())
         val cur = snap.select("a", "b")
+        // OR-of-keys as two hash semi-joins, not one OR-join
         val touched = cur.join(churnIds.withColumnRenamed("doc_id", "a"),
             Seq("a"), "leftsemi")
           .unionByName(cur.join(churnIds.withColumnRenamed("doc_id", "b"),
             Seq("b"), "leftsemi"))
           .distinct()
-        // cache the merge SOURCE: merge consumes it at least twice
-        // (key probe + full-outer write) and its lineage re-runs the
-        // semi/anti joins against the pairs snapshot per evaluation —
-        // measured 7.3 s -> 1.5 s for the pipe4 churn pass at sf0.1
-        val src = cache(touched.join(newPairs, Seq("a", "b"), "left_anti")
-          .withColumn("jaccard", lit(null).cast("double"))
-          .withColumn("__op", lit("d"))
-          .unionByName(newPairs.withColumn("__op", lit("u")))
-          .withColumn("ts", lit(ts)))
-        pairs.merge(src,
-          matchedUpdate = Some(col("__op") === "u"),
-          matchedDelete = Some(col("__op") === "d"),
-          notMatchedInsert = Some(col("__op") === "u"),
-          tag = tag)
+        pairs.upsertWithDeletes(
+          newPairs.withColumn("ts", lit(ts)), touched, tag = tag)
       }
       ()
     } finally cached.foreach(_.unpersist())

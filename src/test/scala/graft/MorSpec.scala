@@ -113,7 +113,7 @@ class MorSpec extends AnyFunSuite {
     assert(rows(t) == Set((1, "a3", 3L)))
   }
 
-  test("SQL row-level DML on MOR scope-compacts; other deltas survive") {
+  test("SQL row-level DML on MOR lands as delta commits; no file is rewritten") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft.warehouse", "target/graft_warehouse_test")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
@@ -127,24 +127,28 @@ class MorSpec extends AnyFunSuite {
       .toDF("id", "v", "ts", "dt"))
     t.upsert(Seq((1, "a2", 2L, "d1"), (2, "b2", 2L, "d2"), (3, "c2", 2L, "d3"))
       .toDF("id", "v", "ts", "dt"))
-    val deltasBefore = t.timeline.liveFiles(None).filter(_.delta)
-    assert(deltasBefore.map(_.partition).toSet == Set("dt=d1", "dt=d2", "dt=d3"))
+    val before = t.timeline.liveFiles(None).map(_.path).toSet
+    assert(t.timeline.liveFiles(None).filter(_.delta)
+      .map(_.partition).toSet == Set("dt=d1", "dt=d2", "dt=d3"))
     // the SQL statement reads through the in-query merged view and
-    // compacts ONLY d1's file groups — no full-table compaction to scan
+    // appends ONE mixed delta commit — every pre-existing file survives
     spark.sql("UPDATE graft.db.morscope SET v = 'a3' WHERE dt = 'd1' AND id = 1")
     val after = t.timeline.liveFiles(None)
-    val untouched = deltasBefore.filter(_.partition != "dt=d1")
-    assert(untouched.nonEmpty && untouched.forall(d => after.exists(_.path == d.path)),
-      "SQL UPDATE on d1 compacted other partitions' delta files")
+    assert(before.subsetOf(after.map(_.path).toSet),
+      "SQL UPDATE on MOR rewrote files")
+    val uCommit = t.timeline.commits().last
+    assert(uCommit.action == "deltacommit" && uCommit.removed.isEmpty,
+      s"SQL UPDATE on MOR must be a pure delta commit, was ${uCommit.action}")
     // correctness via the path-API merged read (a catalog SELECT would
     // compact-on-read and erase the evidence this test is about)
     assert(t.snapshot().select("id", "v").as[(Int, String)].collect().toSet ==
       Set((1, "a3"), (2, "b2"), (3, "c2")))
-    // DELETE likewise: touching d2 leaves d3's delta alone
+    // DELETE likewise: a tombstone delta, nothing rewritten
+    val before2 = t.timeline.liveFiles(None).map(_.path).toSet
     spark.sql("DELETE FROM graft.db.morscope WHERE dt = 'd2'")
     val after2 = t.timeline.liveFiles(None)
-    assert(after2.exists(f => f.delta && f.partition == "dt=d3"),
-      "SQL DELETE on d2 compacted d3's delta file")
+    assert(before2.subsetOf(after2.map(_.path).toSet),
+      "SQL DELETE on MOR rewrote files")
     assert(t.snapshot().select("id", "v").as[(Int, String)].collect().toSet ==
       Set((1, "a3"), (3, "c2")))
   }
