@@ -112,7 +112,26 @@ final class LakeTable private[core] (
     val s = withMetaSchema(schemaAsOf(asOf))
     if (live.isEmpty) return emptyDf(s)
     val raw = readLive(live, s)
-    if (isMor) mergeOnRead(raw) else raw
+    if (isMor) morMerged(raw, live) else raw
+  }
+
+  /** [[mergeOnRead]] with the SINGLE-COMMIT fast path: when every live
+    * file belongs to one instant, every (key, partition) has at most
+    * one row (each write path key-dedups its batch when a preCombine
+    * field exists), so the merge windows are identities and only the
+    * tombstone filter applies — a freshly-compacted or one-load MOR
+    * table reads as a plain scan with zero merge shuffles. Guarded to
+    * managed files + a declared preCombine (no-preCombine batches are
+    * not deduped, and adopted foreign files may carry duplicate keys —
+    * those take the full merge, whose window then picks one winner). */
+  private def morMerged(raw: DataFrame, live: Seq[FileEntry]): DataFrame = {
+    val single = props.preCombineField.isDefined &&
+      !live.exists(_.external) &&
+      live.iterator.map(_.instant).toSet.size == 1
+    if (!single) mergeOnRead(raw)
+    else if (raw.columns.contains(DeletedCol))
+      raw.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
+    else raw
   }
 
   /** Read a set of live file entries with full meta columns: managed
@@ -238,7 +257,7 @@ final class LakeTable private[core] (
     // is sound because the merge is per (key, partition) — a
     // partition's versions all live under that partition's paths.
     val raw = readLive(live, s)
-    if (isMor) mergeOnRead(raw) else raw
+    if (isMor) morMerged(raw, live) else raw
   }
 
   /** Containment test for read-side file skipping: a file can hold

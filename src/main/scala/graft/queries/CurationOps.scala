@@ -774,7 +774,13 @@ object CurationOps {
       // — the same code the streaming service executes per micro-batch):
       // the seed pass bootstraps through it (empty store → every seed
       // doc is churn), the increment reconciles only the CDC-read churn
-      val noDeletes = seed.select("doc_id").limit(0)
+      // a literal empty relation, not `seed.limit(0)`: the emptiness
+      // check inside reconcile must not drag the corpus-scan lineage
+      // into a throwaway job
+      val noDeletes = {
+        import s.implicits._
+        s.emptyDataset[Long].toDF("doc_id")
+      }
       val c1 = docs.upsert(seed)
       // bootstrap corpus == the seed batch (the table holds nothing
       // else yet) — no need to pay a snapshot merge-read for it

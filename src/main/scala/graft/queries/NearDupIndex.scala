@@ -65,17 +65,25 @@ private[graft] object NearDupIndex {
       // bootstrap detection BEFORE the upsert below: a never-written
       // store has a zero-column snapshot (driver-side schema check,
       // no job)
-      val storeWasEmpty = !sigs.snapshot().columns.contains("doc_id")
+      val preStore = sigs.snapshot() // plan pinned BEFORE the upsert
+      val storeWasEmpty = !preStore.columns.contains("doc_id")
       val newSigs = cache(DedupOps.minhashBands(churnC))
       sigs.upsert(newSigs.withColumn("ts", lit(ts)))
       // candidates: churn bands × the store (which now holds CURRENT
       // signatures of the whole corpus — pairs wholly inside the
-      // churn are found the same way). On bootstrap the store content
-      // IS newSigs — probe the cached frame instead of re-reading and
-      // merge-windowing the table we just wrote.
+      // churn are found the same way). The post-upsert store content
+      // is derived as newSigs ∪ (pre-upsert store minus churn keys)
+      // instead of re-reading and merge-windowing the files just
+      // written: every churn doc has a row in newSigs, so the
+      // anti-join reproduces exactly what the read-side merge would
+      // pick, one hash join cheaper than the merge window.
       val lb = newSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
-      val rb = (if (storeWasEmpty) newSigs else sigs.snapshot())
-        .select(col("doc_id"), explode(col("bands")).as("bk"))
+      val store =
+        if (storeWasEmpty) newSigs
+        else newSigs.select("doc_id", "bands").unionByName(
+          preStore.select("doc_id", "bands")
+            .join(newSigs.select("doc_id"), Seq("doc_id"), "left_anti"))
+      val rb = store.select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = cache(lb.as("l").join(rb.as("r"),
           col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
         .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
