@@ -820,24 +820,14 @@ object LakeQueries {
           .select(col("userId"), expr("timestamp_micros(us)").as("ts"),
             col("value"))
       }
-      // ONE long-running query with three processAllAvailable() drains
+      // ONE long-running query with the StreamDrain sentinel cascade
       // (not three AvailableNow query lifecycles — same batch/watermark
       // sequence, but the checkpoint/state-store/query startup is paid
       // once; st1 keeps the separate-runs shape that pins checkpoint
-      // RESUME). Drain N's data batch evaluates timeouts under the
-      // watermark advanced by drain N-1's files, so the sentinel
-      // cascade flushes trailing sessions exactly as the 3-run form
-      // did, deterministically — no reliance on no-data batches.
+      // RESUME).
       val sch = s.read.parquet(src).schema
-      // state-store partition count is pinned by the shuffle-partition
-      // conf at QUERY START and each partition checkpoints its own
-      // delta files per batch — 8 stores instead of 32 quarters that
-      // fixed I/O at gate scale (the conf is restored immediately;
-      // a production deployment sizes this to its key cardinality)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        s.readStream.schema(sch).parquet(src)
+      StreamDrain.runWithSentinels(s,
+        () => s.readStream.schema(sch).parquet(src)
           .withWatermark("ts", "0 seconds")
           .as[SessionEvent](org.apache.spark.sql.Encoders.product[SessionEvent])
           .transform(Sessionize.sessions(_, gapMs = GapUs / 1000))
@@ -845,15 +835,12 @@ object LakeQueries {
           .option("path", sink)
           .option("checkpointLocation", ck)
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      try {
-        q.processAllAvailable()
-        sentinel(maxUs + GapUs + 60000000L).write.mode("append").parquet(src)
-        q.processAllAvailable()
-        sentinel(maxUs + 2 * GapUs + 120000000L).write.mode("append").parquet(src)
-        q.processAllAvailable()
-      } finally q.stop()
+          .start(),
+        Seq(
+          () => sentinel(maxUs + GapUs + 60000000L)
+            .write.mode("append").parquet(src),
+          () => sentinel(maxUs + 2 * GapUs + 120000000L)
+            .write.mode("append").parquet(src)))
       s.read.parquet(sink).filter(col("userId") >= 0)
         .select(col("userId").as("user_id"),
           unix_micros(col("start")).as("start_us"),
@@ -912,22 +899,20 @@ object LakeQueries {
         col("v_user") === col("c_user") &&
           col("c_ts") >= col("v_ts") &&
           col("c_ts") <= col("v_ts") + expr("interval 30 minutes"))
-      // 8 state-store partitions, same sizing rationale as st2: the
-      // count is pinned at query start and each store checkpoints its
-      // own files per batch (conf restored immediately)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        joined
+      // StreamDrain.drainOnce carries this gate's completeness
+      // contract: the staged input must plan as ONE micro-batch (the
+      // sources set no maxFilesPerTrigger), or the 30-minute watermark
+      // advancing between batches could evict join state and drop
+      // matches the batch oracle keeps
+      StreamDrain.drainOnce(s,
+        () => joined
           .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
             col("c_id").as("click_id"))
           .writeStream.format("parquet")
           .option("path", sink)
           .option("checkpointLocation", ck)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.awaitTermination()
+          .start())
       s.read.parquet(sink).orderBy("user_id", "view_id", "click_id")
     },
     Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
@@ -960,16 +945,20 @@ object LakeQueries {
       e.write.mode("append").parquet(src)
       val maxTs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
       val sch = s.read.parquet(src).schema
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        // NO pre-aggregation sentinel filter: a filter above
-        // withWatermark gets PUSHED BELOW the watermark collector by
-        // the optimizer, so the sentinel rows would never advance
-        // event time (observed: the last day's windows never flush).
-        // Sentinel windows aggregate like any other and are dropped
-        // at readout — the same output-side exclusion st2 uses.
-        s.readStream.schema(sch).parquet(src)
+      def sentinel(us: Long): Unit = {
+        import s.implicits._
+        Seq((us, "__sentinel__", 0.0))
+          .toDF("us", "event_type", "value")
+          .select(expr("timestamp_micros(us)").as("ts"), col("event_type"),
+            col("value"))
+          .write.mode("append").parquet(src)
+      }
+      // NO pre-aggregation sentinel filter (StreamDrain doc): a filter
+      // above withWatermark gets PUSHED BELOW the watermark collector,
+      // so sentinel rows aggregate like any other and are dropped at
+      // readout — the same output-side exclusion st2 uses.
+      StreamDrain.runWithSentinels(s,
+        () => s.readStream.schema(sch).parquet(src)
           .withWatermark("ts", "0 seconds")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -981,27 +970,10 @@ object LakeQueries {
           .option("path", sink)
           .option("checkpointLocation", ck)
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      def sentinel(us: Long): Unit = {
-        import s.implicits._
-        Seq((us, "__sentinel__", 0.0))
-          .toDF("us", "event_type", "value")
-          .select(expr("timestamp_micros(us)").as("ts"), col("event_type"),
-            col("value"))
-          .write.mode("append").parquet(src)
-      }
-      try {
-        q.processAllAvailable()
-        // two-sentinel cascade (st2's pattern): the watermark advances
-        // at a batch's END and append-mode emission happens in the
-        // NEXT batch, so sentinel 2's data batch is what flushes the
-        // windows sentinel 1 closed
-        sentinel(maxTs + 2L * 86400000000L)
-        q.processAllAvailable()
-        sentinel(maxTs + 4L * 86400000000L)
-        q.processAllAvailable()
-      } finally q.stop()
+          .start(),
+        Seq(
+          () => sentinel(maxTs + 2L * 86400000000L),
+          () => sentinel(maxTs + 4L * 86400000000L)))
       s.read.parquet(sink)
         // null-safe: =!= would also drop a NULL event_type group the
         // oracle keeps
