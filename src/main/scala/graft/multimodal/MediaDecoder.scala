@@ -18,12 +18,16 @@ final case class DecodedMedia(
   * columns processed in per-partition batches.
   *
   * The Spark-side plumbing is real and tested — schema, partition
-  * batching via `mapPartitions`, typed output encoder — while the
-  * actual codec call is STUBBED (this container ships no image/audio
-  * libraries): [[decodeStub]] stands in for e.g. a JNI JPEG decode,
-  * producing deterministic fake dimensions/features from the bytes so
-  * tests are reproducible. Swap [[decodeStub]] for a real codec and
-  * nothing else changes.
+  * batching via `mapPartitions`, typed output encoder. Two formats
+  * decode FOR REAL with pure-JVM byte parsing (no codec library
+  * needed): uncompressed 24/32-bit [[decodeBmp BMP]] (header dims +
+  * per-channel pixel means as features) and PCM [[decodeWav WAV]]
+  * (header layout + per-octile RMS amplitude as features). Payloads
+  * in any other format fall back to [[decodeStub]] — the stand-in for
+  * e.g. a JNI JPEG decode (this container ships no image/audio
+  * libraries), producing deterministic fake dimensions/features from
+  * the bytes so tests are reproducible. Swap the stub for a real
+  * codec and nothing else changes.
   *
   * Scale: decode cost dominates at 100 TB, so the operator is shaped
   * for it — one task per input partition, no shuffle, streaming
@@ -46,6 +50,110 @@ object MediaDecoder {
     (width, height, channels, features)
   }
 
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** REAL decode of an uncompressed (BI_RGB) 24/32-bit BMP: width,
+    * height and channel count from the BITMAPINFOHEADER, features =
+    * mean intensity per channel in B,G,R[,A] order (rows are 4-byte
+    * padded; a negative header height means top-down storage — mean
+    * features are orientation-invariant). Returns None for anything
+    * that is not a plain uncompressed BMP — compressed or paletted
+    * variants fall back to the caller's stub path. */
+  def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return None // BITMAPCOREHEADER etc: not handled
+    val width = le32(b, 18)
+    val rawHeight = le32(b, 22)
+    val height = math.abs(rawHeight)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (width <= 0 || height == 0 || compression != 0 ||
+      (bpp != 24 && bpp != 32)) return None
+    val channels = bpp / 8
+    val pixOff = le32(b, 10)
+    val stride = ((width * channels + 3) / 4) * 4
+    if (pixOff < 0 || pixOff.toLong + stride.toLong * height > b.length)
+      return None
+    val sums = new Array[Long](channels)
+    var row = 0
+    while (row < height) {
+      var x = 0
+      val base = pixOff + row * stride
+      while (x < width) {
+        var c = 0
+        while (c < channels) {
+          sums(c) += (b(base + x * channels + c) & 0xff).toLong
+          c += 1
+        }
+        x += 1
+      }
+      row += 1
+    }
+    val nPix = width.toLong * height
+    val features = Array.tabulate(8)(i =>
+      if (i < channels) (sums(i).toDouble / nPix / 255.0).toFloat else 0f)
+    Some((width, height, channels, features))
+  }
+
+  /** REAL decode of a PCM WAV: channel count / sample rate / sample
+    * count from the RIFF chunks (mapped onto the image-shaped record
+    * as width = frames per channel, height = sample rate), features =
+    * RMS amplitude (normalized to [0,1]) of each octile of the 16-bit
+    * sample stream. Returns None for non-RIFF/WAVE payloads or
+    * non-PCM encodings. */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    var off = 12
+    var channels = 0; var sampleRate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = le32(b, off + 4)
+      if (size < 0 || off + 8 + size.toLong > b.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16 || le16(b, off + 8) != 1) return None // PCM only
+          channels = le16(b, off + 10)
+          sampleRate = le32(b, off + 12)
+          bits = le16(b, off + 22)
+        case "data" => dataOff = off + 8; dataLen = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1) // chunks are 2-byte aligned
+    }
+    if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataOff < 0)
+      return None
+    val nSamples = dataLen / 2
+    val frames = nSamples / channels
+    val features = Array.tabulate(8) { i =>
+      val from = i * nSamples / 8
+      val until = (i + 1) * nSamples / 8
+      if (until <= from) 0f
+      else {
+        var s = 0.0; var j = from
+        while (j < until) {
+          val v = le16(b, dataOff + 2 * j).toShort.toDouble / 32768.0
+          s += v * v
+          j += 1
+        }
+        math.sqrt(s / (until - from)).toFloat
+      }
+    }
+    Some((frames, sampleRate, channels, features))
+  }
+
+  /** Format-sniffing decode: real BMP/WAV parsing when the payload is
+    * one, the deterministic stub otherwise. */
+  def decodeAny(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
+    decodeBmp(bytes).orElse(decodeWav(bytes)).getOrElse(decodeStub(bytes))
+
   /** Decode a frame of (id, payload) rows partition-by-partition. The
     * input is repartitioned only if the caller asks (decode is
     * shuffle-free by default). */
@@ -61,7 +169,7 @@ object MediaDecoder {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
           val payload = if (bytes == null) Array.emptyByteArray else bytes
-          val (w, h, c, feats) = decodeStub(payload)
+          val (w, h, c, feats) = decodeAny(payload)
           DecodedMedia(id, payload.length, w, h, c,
             md.digest(payload).map("%02x".format(_)).mkString,
             feats)

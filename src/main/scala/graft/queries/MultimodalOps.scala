@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.util.Tables._
 
 /** Multimodal-column plumbing: media treated as opaque `binary`
-  * payloads with typed metadata. The container has no image/audio
-  * codecs, so decoding is a clearly-marked deterministic fake (see
-  * [[graft.multimodal.MediaDecoder]] for the mapPartitions batch
-  * pipeline); what is real and tested here is the Spark-side shape —
-  * binary column handling, metadata extraction as codegen'd
-  * expressions, and the DuckDB-checkable byte-level arithmetic. */
+  * payloads with typed metadata. [[graft.multimodal.MediaDecoder]]
+  * holds the mapPartitions batch pipeline: uncompressed BMP and PCM
+  * WAV decode FOR REAL via pure-JVM header/pixel parsing (spec-
+  * fixtured); other formats fall back to a clearly-marked
+  * deterministic stub (the container ships no codec libraries). What
+  * this gate checks is the Spark-side shape — binary column handling,
+  * metadata extraction as codegen'd expressions, and the
+  * DuckDB-checkable byte-level arithmetic. */
 object MultimodalOps {
 
   /** mm1 — binary payload + metadata extraction: treat each document's
