@@ -679,10 +679,16 @@ object Relational {
     "q25_resample_ffill",
     (s, dir) => {
       val HourUs = 3600000000L
+      // FLOOR division, not `div`: Spark's `div` truncates toward zero
+      // while the DuckDB oracle's `//` floors — for a pre-1970
+      // timestamp (negative epoch micros) the two would disagree by
+      // one bucket. pmod keeps the computation integer-exact for any
+      // sign (no double rounding near bucket boundaries).
       val b = events(s, dir)
         .select(col("user_id"),
-          expr(s"unix_micros(cast(ts as timestamp)) div $HourUs").as("bucket"),
           unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+        .withColumn("bucket",
+          expr(s"(us - pmod(us, $HourUs)) div $HourUs"))
       val obs = b.groupBy("user_id", "bucket")
         .agg(count(lit(1)).as("n"), max_by(col("value"), col("us")).as("v"))
       val grid = b.groupBy("user_id")
