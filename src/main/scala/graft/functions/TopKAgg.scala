@@ -41,13 +41,28 @@ final class TopKAgg(k: Int)
       in: (java.lang.Double, java.lang.Long)): Seq[(Double, Long)] = {
     if (in._1 == null || in._2 == null) return buf
     val x = (in._1.doubleValue(), in._2.longValue())
+    // common case once the buffer fills: one comparison, no allocation
     if (buf.size >= k && !beats(x, buf.last)) buf
     else {
-      val i = buf.indexWhere(beats(x, _)) match {
-        case -1 => buf.size
-        case n => n
+      // buffer is sorted best-first: binary-search the insert slot and
+      // build the result with ONE array copy — O(log k) compare +
+      // O(k) copy per QUALIFYING row, instead of a linear scan plus
+      // four intermediate Vector rebuilds (KmvSketch's pattern)
+      val n = buf.size
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (beats(x, buf(mid))) hi = mid else lo = mid + 1
       }
-      (buf.take(i) :+ x) ++ buf.drop(i).take(k - i - 1)
+      val outLen = math.min(n + 1, k)
+      val arr = new Array[(Double, Long)](outLen)
+      var i = 0
+      while (i < lo) { arr(i) = buf(i); i += 1 }
+      if (lo < outLen) arr(lo) = x
+      i = lo + 1
+      while (i < outLen) { arr(i) = buf(i - 1); i += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
     }
   }
 
