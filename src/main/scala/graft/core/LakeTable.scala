@@ -935,15 +935,9 @@ final class LakeTable private[core] (
       matchedDelete: Option[Column] = None,
       notMatchedInsert: Option[Column] = None,
       tag: Option[String] = None): String = {
-    // merge needs a single-version view only for the groups its
-    // source keys can touch. The probe is global (key-only matching,
-    // like the merge itself), so the partition column is a dummy —
-    // evaluating ppCol here would fail on sources that legitimately
-    // omit partition columns.
     if (isMor)
-      compactForKeys(
-        source.select(keyCol.as(RecordKeyCol), lit("").as(PartitionPathCol)),
-        global = true)
+      return mergeMor(source, matchedUpdate, matchedDelete,
+        notMatchedInsert, tag)
     withInflight { instant =>
     val cur = schema
     // Clause conditions resolve against the source's own columns (the
@@ -1003,6 +997,82 @@ final class LakeTable private[core] (
     doCommit(instant, "merge", st, affected, cur, tag)
     instant
     }
+  }
+
+  /** MERGE INTO on MOR as ONE mixed delta commit (no pre-compaction,
+    * no base rewrite, O(statement rows) write — Hudi's MOR merge is
+    * likewise log-append). Clause routing is decided against the
+    * MERGED current view of the key-probed file groups (matching on
+    * key GLOBALLY, same as the COW leg): matched updates and
+    * qualifying inserts land as data rows that compete with stored
+    * versions by payload ordering on read (upsert-shaped — unlike the
+    * COW rewrite, a statement row with a LOWER preCombine loses to
+    * the stored version, exactly as [[applyDeltas]] behaves on MOR);
+    * matched deletes tombstone the STORED (key, partition); an update
+    * whose source row carries a different partition value writes a
+    * tombstone for the old partition plus the new row — the
+    * partition-migration semantic (SparkSQLDemo.scala:84). */
+  private def mergeMor(
+      source: DataFrame,
+      matchedUpdate: Option[Column],
+      matchedDelete: Option[Column],
+      notMatchedInsert: Option[Column],
+      tag: Option[String]): String = {
+    val cur = schema
+    // global key-dedup of the source + clause flags over the RAW
+    // source columns — identical to the COW leg
+    val wKey = Window.partitionBy(keyCol).orderBy(
+      (props.preCombineField.map(f => col(f).desc).toSeq :+
+        xxhash64(struct(source.columns.toSeq.map(col): _*)).desc): _*)
+    val srcFlagged = source.withColumn("__rn", row_number().over(wKey))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__c_upd", matchedUpdate.getOrElse(lit(true)))
+      .withColumn("__c_del", matchedDelete.getOrElse(lit(true)))
+      .withColumn("__c_ins", notMatchedInsert.getOrElse(lit(true)))
+      .withColumn("__src_key", keyCol)
+      .withColumn("__src_pp", ppCol)
+      .persist()
+    try {
+      // CURRENT stored (key, partition) of the source's keys: every
+      // version of a probed key is inside the probed file set (the
+      // bounds pass is conservative), so the merged view over it
+      // resolves the source keys exactly; other keys' possibly-
+      // incomplete merges are dropped by the key join below
+      val probe = affectedFiles(
+        srcFlagged.select(col("__src_key").as(RecordKeyCol),
+          lit("").as(PartitionPathCol)), global = true)
+      val liveByPath = timeline.liveFiles(None).map(f => f.path -> f).toMap
+      val entries = probe.files.flatMap(liveByPath.get)
+      val stored =
+        (if (entries.isEmpty) emptyDf(withMetaSchema(cur))
+         else mergeOnRead(readLive(entries, withMetaSchema(cur))))
+          .select(col(RecordKeyCol).as("__st_key"),
+            col(PartitionPathCol).as("__st_pp"))
+      val matchedC = col("__st_key").isNotNull
+      // update is checked before delete (the demo's clause order)
+      val route = when(matchedC && col("__c_upd"), lit("u"))
+        .when(matchedC && col("__c_del"), lit("d"))
+        .when(!matchedC && col("__c_ins"), lit("i"))
+        .otherwise(lit("k"))
+      val routed = srcFlagged
+        .join(gatedBroadcast(stored, probe.batchRows),
+          col("__src_key") === col("__st_key"), "left_outer")
+        .withColumn("__route", route)
+        .persist()
+      try {
+        // new row versions as plain DATA columns (applyDeltasMor
+        // stamps meta, conforms to the schema, key-dedups — a key
+        // matched in several stored partitions routes to ONE new row)
+        val upserts = routed.filter(col("__route").isin("u", "i"))
+          .select(cur.fieldNames.toSeq.filter(source.columns.contains)
+            .map(col): _*)
+        val ids = routed.filter(col("__route") === "d" ||
+            (col("__route") === "u" && !(col("__src_pp") <=> col("__st_pp"))))
+          .select(col("__st_key").as(RecordKeyCol),
+            col("__st_pp").as(PartitionPathCol))
+        applyDeltasMor(Some(ids), Some(upserts), tag)
+      } finally { routed.unpersist(); () }
+    } finally { srcFlagged.unpersist(); () }
   }
 
   // ------------------------------------------------------------ internals
@@ -1811,29 +1881,16 @@ final class LakeTable private[core] (
       instant
     }
 
-  /** Close a seed file set over per-partition key-range overlap and
-    * compact it if it contains any delta. Closure is REQUIRED for the
-    * predicate-DML use: a key's current (matching) version and stale
-    * (non-matching) versions always share the key ⇒ their files'
-    * ranges overlap ⇒ the overlap component pulls every version of
-    * every in-scope key into the same compaction, so the follow-up
-    * rewrite can never resurrect a stale version.
-    *
-    * Interval-overlap components are computed EXACTLY with one
-    * min-key sort + merge sweep per partition — O(n log n) driver
-    * work, not a pairwise fixpoint. A file without key stats overlaps
-    * everything (conservative), gluing its whole partition into one
-    * component. */
-  private def compactClosure(live: Seq[FileEntry], seedPaths: Set[String]): Unit = {
-    val entries = overlapClosure(live, seedPaths)
-    // all-base scope: the view there is already single-version
-    if (entries.exists(_.delta)) { compactEntries(entries); () }
-  }
-
-  /** The per-partition key-range overlap closure of a seed file set
-    * (see [[compactClosure]] for why closure makes a subset sound to
-    * merge in isolation). Exact via one min-key sort + merge sweep per
-    * partition — O(n log n) driver work, no pairwise fixpoint. */
+  /** The per-partition key-range overlap closure of a seed file set —
+    * the subset soundness condition for merging in isolation
+    * ([[morPredicateMatches]]): a key's current version and stale
+    * versions always share the key ⇒ their files' ranges overlap ⇒
+    * the closure pulls every version of every in-scope key into the
+    * subset, so a merged read over it can never resurrect a stale
+    * version. Exact via one min-key sort + merge sweep per partition —
+    * O(n log n) driver work, no pairwise fixpoint. A file without key
+    * stats overlaps everything (conservative), gluing its whole
+    * partition into one component. */
   private def overlapClosure(
       live: Seq[FileEntry], seedPaths: Set[String]): Seq[FileEntry] = {
     if (seedPaths.isEmpty) return Seq.empty
@@ -1869,16 +1926,6 @@ final class LakeTable private[core] (
     }
     scope.result()
   }
-
-  /** Scoped pre-DML compaction for keyed operations on MOR (`global`
-    * as in [[affectedFiles]]): seeds are the key-probe's candidates. */
-  private def compactForKeys(keys: DataFrame, global: Boolean): Unit =
-    withOcc() {
-      val live = timeline.liveFiles(None)
-      if (live.exists(_.delta))
-        compactClosure(live,
-          affectedFiles(keys, global = global).files.toSet)
-    }
 
   /** Restore (rollback) the table to its state as of `instant` —
     * the Hudi `call rollback_to_savepoint` analog, as one ordinary

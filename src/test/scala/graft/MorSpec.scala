@@ -196,20 +196,31 @@ class MorSpec extends AnyFunSuite {
     assert(partsFor(StringContains("dt", "d")) == Set("d1", "d2"))
   }
 
-  test("keyed merge compacts only the touched key's file groups") {
+  test("keyed merge on MOR is a delta append; no file group is touched") {
     val t = LakeTable.create(spark, tmp(), morProps())
     t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d2")).toDF("id", "v", "ts", "dt"))
     t.upsert(Seq((1, "a2", 2L, "d1"), (2, "b2", 2L, "d2")).toDF("id", "v", "ts", "dt"))
-    val d2delta = t.timeline.liveFiles(None)
-      .filter(f => f.delta && f.partition == "dt=d2")
-    assert(d2delta.nonEmpty)
+    val before = t.timeline.liveFiles(None).map(_.path).toSet
     // MERGE touching only id=1 (lives in d1)
     t.merge(Seq((1, "a3", 3L, "d1", "UPDATE")).toDF("id", "v", "ts", "dt", "op"),
       matchedUpdate = Some(col("op") === "UPDATE"))
     val after = t.timeline.liveFiles(None)
-    assert(d2delta.forall(d => after.exists(_.path == d.path)),
-      "merge on id=1 must not compact d2's file group")
+    assert(before.subsetOf(after.map(_.path).toSet),
+      "MOR merge must not rewrite or compact any file")
+    val c = t.timeline.commits().last
+    assert(c.action == "deltacommit" && c.removed.isEmpty)
     assert(rows(t) == Set((1, "a3", 3L), (2, "b2", 2L)))
+    // DELETE clause: tombstones the stored row; partition MIGRATION:
+    // an update arriving under a new partition value tombstones the
+    // old (key, partition) and inserts the new — both as deltas
+    t.merge(Seq((2, "x", 4L, "d2", "DELETE"), (1, "a4", 4L, "d9", "UPDATE"))
+      .toDF("id", "v", "ts", "dt", "op"),
+      matchedUpdate = Some(col("op") === "UPDATE"),
+      matchedDelete = Some(col("op") === "DELETE"))
+    assert(t.timeline.commits().last.removed.isEmpty)
+    assert(t.snapshot().select("id", "v", "ts", "dt").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet == Set((1, "a4", 4L, "d9")))
   }
 
   test("inline compaction after N delta commits (compaction.delta_commits)") {
