@@ -115,19 +115,35 @@ final class LakeTable private[core] (
     if (isMor) morMerged(raw, live) else raw
   }
 
+  /** Commit actions whose staged batch is key-deduped by the write
+    * path (given a preCombine field) — the only commits the
+    * single-commit read fast path may trust. File-ADOPTION commits
+    * (catalog-sync mirrors, and any future pointer-adoption kind) can
+    * stamp files from MANY source commits under one instant whose
+    * rows span multiple versions per key — an allowlist fails safe to
+    * the full merge for those. */
+  private val SingleVersionActions = Set(
+    "commit", "deltacommit", "upsert", "insert", "replace", "delete",
+    "update", "merge")
+
   /** [[mergeOnRead]] with the SINGLE-COMMIT fast path: when every live
-    * file belongs to one instant, every (key, partition) has at most
-    * one row (each write path key-dedups its batch when a preCombine
-    * field exists), so the merge windows are identities and only the
-    * tombstone filter applies — a freshly-compacted or one-load MOR
-    * table reads as a plain scan with zero merge shuffles. Guarded to
-    * managed files + a declared preCombine (no-preCombine batches are
-    * not deduped, and adopted foreign files may carry duplicate keys —
-    * those take the full merge, whose window then picks one winner). */
+    * file belongs to one instant AND that commit's batch was
+    * key-deduped by the write path ([[SingleVersionActions]]), every
+    * (key, partition) has at most one row, so the merge windows are
+    * identities and only the tombstone filter applies — a freshly-
+    * compacted or one-load MOR table reads as a plain scan with zero
+    * merge shuffles. Guarded to managed files + a declared preCombine
+    * (no-preCombine batches are not deduped, and adopted foreign files
+    * may carry duplicate keys); an instant whose action metadata is
+    * archived also falls back to the full merge. */
   private def morMerged(raw: DataFrame, live: Seq[FileEntry]): DataFrame = {
     val single = props.preCombineField.isDefined &&
-      !live.exists(_.external) &&
-      live.iterator.map(_.instant).toSet.size == 1
+      !live.exists(_.external) && {
+        val instants = live.iterator.map(_.instant).toSet
+        instants.size == 1 && timeline.commits()
+          .find(_.instant == instants.head)
+          .exists(c => SingleVersionActions.contains(c.action))
+      }
     if (!single) mergeOnRead(raw)
     else if (raw.columns.contains(DeletedCol))
       raw.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)

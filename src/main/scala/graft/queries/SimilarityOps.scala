@@ -132,14 +132,25 @@ object SimilarityOps {
     * brute-forces all pairs — equality of the two is itself the
     * recall check (identical vectors cannot split buckets). */
   /** Near-duplicate pairs (cosine ≥ 0.999) over the corpus with
-    * injected exact copies, LSH-pruned — shared by sim2 and sim5. */
+    * injected exact copies, LSH-pruned — shared by sim2 and sim5.
+    *
+    * `spark.graft.ann.bits` (default 6) is the bucket-occupancy knob
+    * the SCALING.md audit flags: candidate count grows with occupancy
+    * SQUARED and bucket count is 2^bits, so a deployment scales bits
+    * with log2(corpus) to hold occupancy constant. Raising bits
+    * trades recall only for non-identical near-dups (a 0.999-cosine
+    * pair splits a hyperplane with p ≈ 1.4% per bit; hamming-1
+    * multiprobe absorbs single splits) — exact copies share every
+    * bucket at ANY bit count, so the gate's oracle parity is
+    * bits-invariant. */
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val bits = s.conf.get("spark.graft.ann.bits", AnnBits.toString).toInt
     val e0 = t(s, dir, "embeddings").select("vec_id", "embedding")
     val c = e0.unionByName(e0.filter(col("vec_id") % 9 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000L))
-    val prep = annBuckets(c, "embedding")
+    val prep = annBuckets(c, "embedding", bits)
       .withColumn("nrm", expr(normExpr("embedding")))
-    val probes = (0 to AnnBits).map(j =>
+    val probes = (0 to bits).map(j =>
       if (j == 0) col("bucket") else expr(s"bucket ^ ${1L << (j - 1)}"))
     val left = prep.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"), explode(array(probes: _*)).as("q_bucket"))

@@ -269,6 +269,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bothUnchanged.nonEmpty, "no seed-only pairs survived")
   }
 
+  test("sim2 result is invariant under the ann.bits occupancy knob") {
+    // the SCALING.md 100x knob: more hyperplane bits shrink bucket
+    // occupancy (quadratic candidate savings) without losing the
+    // exact-copy near-dups the gate's corpus contains — same verified
+    // pairs at 6 and 12 bits
+    val dflt = SparkEntry.queries("sim2_cosine_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.ann.bits", "12")
+    try {
+      val wide = SparkEntry.queries("sim2_cosine_neardup")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(wide == dflt, s"bits=12 changed the pair set")
+    } finally spark.conf.unset("spark.graft.ann.bits")
+  }
+
   test("real BMP and WAV payloads decode through header parsing, not the stub") {
     import java.nio.{ByteBuffer, ByteOrder}
     // 2×2 24-bit bottom-up BI_RGB BMP, every pixel (B,G,R) = (10,20,30);
