@@ -121,9 +121,14 @@ final class LakeTable private[core] (
     * (catalog-sync mirrors, and any future pointer-adoption kind) can
     * stamp files from MANY source commits under one instant whose
     * rows span multiple versions per key — an allowlist fails safe to
-    * the full merge for those. */
+    * the full merge for those. "replace" is deliberately ABSENT:
+    * [[migrateExternal]] rewrites adopted foreign rows VERBATIM (no
+    * merge, original per-file commit times kept) under one replace
+    * commit, so a replace instant does not imply one version per key
+    * even though restore/cluster/overwrite replaces happen to be
+    * merged or deduped. */
   private val SingleVersionActions = Set(
-    "commit", "deltacommit", "upsert", "insert", "replace", "delete",
+    "commit", "deltacommit", "upsert", "insert", "delete",
     "update", "merge")
 
   /** [[mergeOnRead]] with the SINGLE-COMMIT fast path: when every live
@@ -869,7 +874,10 @@ final class LakeTable private[core] (
   def deleteWhere(cond: Column): String = {
     if (isMor) return morDelete(
       morPredicateMatches(cond)
-        .select((props.primaryKey ++ props.partitionFields).map(col): _*))
+        // distinct: a partition field that is ALSO a primary-key
+        // column must not be selected twice (ambiguous reference)
+        .select((props.primaryKey ++ props.partitionFields)
+          .distinct.map(col): _*))
     withInflight { instant =>
       val affected = filesMatching(cond)
       val kept = readAffected(affected, schema)
@@ -906,6 +914,18 @@ final class LakeTable private[core] (
     * Hudi's upsert-shaped SQL UPDATE, a SET that LOWERS the preCombine
     * value loses to the stored version on read — payload semantics.) */
   def updateWhere(cond: Column, set: Map[String, Column]): String = {
+    // Hudi semantics: UPDATE cannot modify record-key or partition
+    // columns ("Primary key or partition path cannot be updated") —
+    // on COW the rewritten row would keep its old physical placement
+    // and meta identity, and on MOR the new version would land under
+    // a NEW (key, partition) leaving the old one alive. MERGE handles
+    // partition-migrating updates (tombstone-old + insert-new).
+    val immutableCols =
+      (props.primaryKey ++ props.partitionFields).toSet.intersect(set.keySet)
+    require(immutableCols.isEmpty,
+      s"UPDATE cannot modify primary-key or partition columns " +
+        s"(${immutableCols.mkString(", ")}); use MERGE for " +
+        "partition-migrating updates")
     if (isMor) {
       val cur = schema
       val updated = morPredicateMatches(cond).select(
@@ -956,25 +976,9 @@ final class LakeTable private[core] (
         notMatchedInsert, tag)
     withInflight { instant =>
     val cur = schema
-    // Clause conditions resolve against the source's own columns (the
-    // demo's conditions only reference source fields, e.g. opt_type),
-    // evaluated BEFORE projecting the source onto the table schema so
-    // extra routing columns remain visible to them.
-    // MERGE matches on key across ALL partitions (global index), so
-    // the source must be deduped per KEY alone: the same key arriving
-    // under two partition values would otherwise full-outer-match the
-    // stored row twice and commit duplicate versions of that key.
-    // Largest preCombine wins; stable-hash tie-break (Hudi keeps an
-    // arbitrary one).
-    val wKey = Window.partitionBy(keyCol).orderBy(
-      (props.preCombineField.map(f => col(f).desc).toSeq :+
-        xxhash64(struct(source.columns.toSeq.map(col): _*)).desc): _*)
-    val srcDeduped = source.withColumn("__rn", row_number().over(wKey))
-      .filter(col("__rn") === 1).drop("__rn")
-    val srcRaw = withMeta(srcDeduped, instant)
-      .withColumn("__c_upd", matchedUpdate.getOrElse(lit(true)))
-      .withColumn("__c_del", matchedDelete.getOrElse(lit(true)))
-      .withColumn("__c_ins", notMatchedInsert.getOrElse(lit(true)))
+    val srcRaw = withMeta(
+      mergeSource(source, matchedUpdate, matchedDelete, notMatchedInsert),
+      instant)
     val flagCols = Seq("__c_upd", "__c_del", "__c_ins")
     val src = conform(srcRaw, cur, extra = flagCols)
     // key-only probe off the RAW source (global matching ignores the
@@ -1028,6 +1032,31 @@ final class LakeTable private[core] (
     * whose source row carries a different partition value writes a
     * tombstone for the old partition plus the new row — the
     * partition-migration semantic (SparkSQLDemo.scala:84). */
+  /** The merge source key-deduped GLOBALLY per key (largest
+    * preCombine wins, stable-hash tie-break — Hudi keeps an arbitrary
+    * one; the same key arriving under two partition values would
+    * otherwise match a stored row twice and commit duplicate
+    * versions) with the three clause conditions evaluated over the
+    * RAW source columns (the demo's conditions reference source
+    * fields like opt_type, so they must bind BEFORE the table-schema
+    * projection). ONE definition shared by the COW and MOR merge legs
+    * so dedup/clause semantics can never diverge between table
+    * types. */
+  private def mergeSource(
+      source: DataFrame,
+      matchedUpdate: Option[Column],
+      matchedDelete: Option[Column],
+      notMatchedInsert: Option[Column]): DataFrame = {
+    val wKey = Window.partitionBy(keyCol).orderBy(
+      (props.preCombineField.map(f => col(f).desc).toSeq :+
+        xxhash64(struct(source.columns.toSeq.map(col): _*)).desc): _*)
+    source.withColumn("__rn", row_number().over(wKey))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__c_upd", matchedUpdate.getOrElse(lit(true)))
+      .withColumn("__c_del", matchedDelete.getOrElse(lit(true)))
+      .withColumn("__c_ins", notMatchedInsert.getOrElse(lit(true)))
+  }
+
   private def mergeMor(
       source: DataFrame,
       matchedUpdate: Option[Column],
@@ -1035,19 +1064,11 @@ final class LakeTable private[core] (
       notMatchedInsert: Option[Column],
       tag: Option[String]): String = {
     val cur = schema
-    // global key-dedup of the source + clause flags over the RAW
-    // source columns — identical to the COW leg
-    val wKey = Window.partitionBy(keyCol).orderBy(
-      (props.preCombineField.map(f => col(f).desc).toSeq :+
-        xxhash64(struct(source.columns.toSeq.map(col): _*)).desc): _*)
-    val srcFlagged = source.withColumn("__rn", row_number().over(wKey))
-      .filter(col("__rn") === 1).drop("__rn")
-      .withColumn("__c_upd", matchedUpdate.getOrElse(lit(true)))
-      .withColumn("__c_del", matchedDelete.getOrElse(lit(true)))
-      .withColumn("__c_ins", notMatchedInsert.getOrElse(lit(true)))
-      .withColumn("__src_key", keyCol)
-      .withColumn("__src_pp", ppCol)
-      .persist()
+    val srcFlagged =
+      mergeSource(source, matchedUpdate, matchedDelete, notMatchedInsert)
+        .withColumn("__src_key", keyCol)
+        .withColumn("__src_pp", ppCol)
+        .persist()
     try {
       // CURRENT stored (key, partition) of the source's keys: every
       // version of a probed key is inside the probed file set (the

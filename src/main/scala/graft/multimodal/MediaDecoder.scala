@@ -76,8 +76,14 @@ object MediaDecoder {
       (bpp != 24 && bpp != 32)) return None
     val channels = bpp / 8
     val pixOff = le32(b, 10)
-    val stride = ((width * channels + 3) / 4) * 4
-    if (pixOff < 0 || pixOff.toLong + stride.toLong * height > b.length)
+    // all size arithmetic in Long with coarse guards first: a crafted
+    // header (width ~ 2^30) would overflow an Int stride to a negative
+    // value and sail through the bounds check into an
+    // ArrayIndexOutOfBounds — corrupt input must fall back, not throw
+    val strideL = ((width.toLong * channels + 3) / 4) * 4
+    if (strideL <= 0 || strideL > b.length || height > b.length) return None
+    val stride = strideL.toInt
+    if (pixOff < 0 || pixOff.toLong + strideL * height > b.length)
       return None
     val sums = new Array[Long](channels)
     var row = 0

@@ -66,7 +66,11 @@ private[graft] object NearDupIndex {
       // store has a zero-column snapshot (driver-side schema check,
       // no job)
       val preStore = sigs.snapshot() // plan pinned BEFORE the upsert
-      val storeWasEmpty = !preStore.columns.contains("doc_id")
+      // "bands", not "doc_id": a store whose ONLY prior write was a
+      // tombstone delete has schema {doc_id} with zero live rows — it
+      // must take the bootstrap branch, not select a missing bands
+      // column from the pre-upsert snapshot
+      val storeWasEmpty = !preStore.columns.contains("bands")
       val newSigs = cache(DedupOps.minhashBands(churnC))
       sigs.upsert(newSigs.withColumn("ts", lit(ts)))
       // candidates: churn bands × the store (which now holds CURRENT

@@ -96,6 +96,46 @@ class MorSpec extends AnyFunSuite {
     assert(rows(t) == Set((1, "a3", 2L), (3, "c3", 2L)))
   }
 
+  test("UPDATE refuses to modify primary-key or partition columns") {
+    // Hudi semantics: on MOR the new version would land under a NEW
+    // (key, partition) leaving the old row alive; on COW the rewrite
+    // would keep the old physical placement. MERGE is the
+    // partition-migrating path.
+    val t = LakeTable.create(spark, tmp(), morProps())
+    t.upsert(Seq((1, "a", 1L, "d1")).toDF("id", "v", "ts", "dt"))
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 1, Map("dt" -> lit("d2")))
+    }
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 1, Map("id" -> lit(9)))
+    }
+    assert(rows(t) == Set((1, "a", 1L)))
+  }
+
+  test("near-dup reconcile survives a delete-only first batch on a fresh store") {
+    // the signature store's only prior write being a tombstone delete
+    // leaves schema {doc_id} with zero live rows — the next batch must
+    // take the bootstrap branch, not select a missing bands column
+    import graft.queries.NearDupIndex
+    import java.nio.file.Files
+    def tmpd(p: String) = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), p).toString + "/t"
+    val sigs = LakeTable.create(spark, tmpd("ndx_sigs_"), TableProps(
+      "sigs", Seq("doc_id"), Some("ts"), Seq.empty, tableType = "mor"))
+    val pairs = LakeTable.create(spark, tmpd("ndx_pairs_"), TableProps(
+      "pairs", Seq("a", "b"), Some("ts"), Seq.empty, tableType = "mor"))
+    val famA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq((1L, famA), (2L, famA + " extra")).toDF("doc_id", "text")
+    // batch 1: deletes only (doc 9 never existed — still a tombstone)
+    NearDupIndex.reconcile(docs.limit(0), Seq(9L).toDF("doc_id"),
+      docs.limit(0), sigs, pairs, 1L)
+    // batch 2: real churn — must bootstrap cleanly and find the pair
+    NearDupIndex.reconcile(docs, Seq.empty[Long].toDF("doc_id"),
+      docs, sigs, pairs, 2L)
+    assert(pairs.snapshot().select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("time travel to a pre-compaction instant merges that era's deltas") {
     val t = LakeTable.create(spark, tmp(), morProps())
     t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 1L, "d1")).toDF("id", "v", "ts", "dt"))

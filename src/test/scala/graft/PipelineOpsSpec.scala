@@ -330,6 +330,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     // corrupt/truncated BMP magic falls back rather than throwing
     assert(MediaDecoder.decodeBmp("BMnot-really".getBytes("US-ASCII")).isEmpty)
     assert(MediaDecoder.decodeWav("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // adversarial header: width ~2^30 would overflow an Int stride to
+    // negative and sail past a naive bounds check into an
+    // ArrayIndexOutOfBounds — must return None, never throw
+    val evil = ByteBuffer.allocate(70).order(ByteOrder.LITTLE_ENDIAN)
+    evil.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54)
+    evil.putInt(40).putInt(0x30000000).putInt(1).putShort(1).putShort(24)
+    evil.putInt(0).putInt(16).putInt(0).putInt(0).putInt(0).putInt(0)
+    assert(MediaDecoder.decodeBmp(evil.array()).isEmpty)
   }
 
   test("frame sampling emits one row per Nth window") {
