@@ -886,7 +886,128 @@ object SimilarityOps {
       SELECT q_id, vec_id, tcos, cosine, CAST(rank AS INT) AS rank FROM r
       WHERE rank <= 10 ORDER BY q_id, rank"""))
 
+  /** pipe5 — SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the SAME
+    * deterministic fixed-seed Lloyd's as sim4, compute cosine
+    * near-duplicate pairs ONLY within each cluster (the clusters ARE
+    * the blocking structure — no corpus × corpus join anywhere), close
+    * the pairs into components, and from each component keep the
+    * member FARTHEST from its cluster centroid (the paper's keep-rule:
+    * low centroid-similarity examples are the least redundant), ties
+    * by vec_id. Scale shape: assignment is the O(N·k) codegen'd
+    * packed-literal projection; the pairwise stage shuffles by cid and
+    * is bounded by cluster occupancy — a deployment scales k with
+    * corpus size exactly as the paper does (50k clusters for LAION) to
+    * hold per-cluster cost constant; components are the size-gated
+    * [[components]]. The oracle replays Lloyd's relationally (sim4's
+    * unrolled CTEs over the injected-copy corpus), so cluster-scoped
+    * recall is checked EXACTLY, not against brute force. */
+  private val semDedupQ = GQ(
+    "pipe5_semantic_dedup",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e0 = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = e0.unionByName(e0.filter(col("vec_id") % 9 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      val e = corpus
+        .withColumn("nrm", expr(normExpr("embedding")))
+        .withColumn("ee", expr(dotExpr("embedding", "embedding")))
+        .persist()
+      val init: Seq[(Int, Seq[Double])] =
+        e.filter(col("vec_id") < ivfK)
+          .select(col("vec_id").cast("int").as("cid"),
+            expr(s"transform(embedding, x -> round(cast(x AS double), $ivfCentRound))")
+              .as("cent"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+          .sortBy(_._1).toSeq
+      val cents = ivfLloyds(e, init)
+      // d2r rides along: the keep-rule ranks on distance-to-centroid,
+      // so the assignment projection is the ONLY pass that touches
+      // centroids (rounded to 9 dp — both engines rank identically)
+      val assigned = e.withColumn("a1", element_at(ivfSortedAssign(cents), 1))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("a1").getField("cid").as("cid"),
+          round(col("a1").getField("d2"), 9).as("d2r"))
+        .persist()
+      val pairs = assigned.as("x").join(assigned.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+        .filter(round(expr(dotExpr("x.embedding", "y.embedding")) /
+          (col("x.nrm") * col("y.nrm")), 9) >= 0.999)
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      val comp = components(pairs)
+      val members = comp.join(assigned, col("id") === col("vec_id"))
+      val w = Window.partitionBy(col("lbl"))
+        .orderBy(col("d2r").desc, col("vec_id").asc)
+      val ranked = members.withColumn("rn", row_number().over(w))
+      val kept = ranked.filter(col("rn") === 1)
+        .select(col("lbl"), col("vec_id").as("kept_id"))
+      ranked.filter(col("rn") > 1)
+        .select(col("lbl"), col("vec_id").as("dropped_id"))
+        .join(kept, "lbl")
+        .select("dropped_id", "kept_id")
+        .orderBy("dropped_id")
+    },
+    Some(semDedupOracleSql))
+
+  /** pipe5's oracle: sim4's unrolled Lloyd's CTEs over the
+    * injected-copy corpus, then within-cluster pairs, recursive
+    * components, and the farthest-from-centroid keep-rule. */
+  private def semDedupOracleSql: String = {
+    val dot = dotSql _
+    def d2 = s"e.ee - 2*${dot("e.embedding", "c.cent")} + ${dot("c.cent", "c.cent")}"
+    def assignCte(n: Int, cents: String) =
+      s"""a$n AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn
+        FROM e, $cents c)"""
+    val meanList = (1 to Dims)
+      .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), $ivfCentRound)")
+      .mkString("[", ", ", "]")
+    def updateCte(n: Int, prev: String) =
+      s"""m$n AS (SELECT cid, $meanList AS cent2
+          FROM a$n WHERE rn = 1 GROUP BY cid),
+        c$n AS (SELECT p.cid, coalesce(m$n.cent2, p.cent) AS cent
+          FROM $prev p LEFT JOIN m$n USING (cid))"""
+    val iters = (1 to ivfIters).map { n =>
+      val prev = if (n == 1) "c0" else s"c${n - 1}"
+      assignCte(n, prev) + ",\n" + updateCte(n, prev)
+    }.mkString(",\n")
+    s"""WITH RECURSIVE corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 1000000, embedding
+          FROM embeddings WHERE vec_id % 9 = 0),
+      e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+          ${dot("embedding", "embedding")} AS ee FROM corpus),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+          list_transform(embedding, x -> round(CAST(x AS DOUBLE), $ivfCentRound)) AS cent
+        FROM corpus WHERE vec_id < $ivfK),
+      $iters,
+      af AS (SELECT vec_id, embedding, nrm, cid, d2r FROM (
+          SELECT e.vec_id, e.embedding, e.nrm, c.cid, round($d2, 9) AS d2r,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn
+          FROM e, c$ivfIters c) WHERE rn = 1),
+      p AS (SELECT x.vec_id AS a, y.vec_id AS b
+        FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE round(${dot("x.embedding", "y.embedding")} /
+          (x.nrm * y.nrm), 9) >= 0.999),
+      edges AS (SELECT a AS src, b AS dst FROM p
+        UNION ALL SELECT b, a FROM p),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      r(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e2.dst, r.lbl FROM r JOIN edges e2 ON e2.src = r.id),
+      comp AS (SELECT id, min(lbl) AS lbl FROM r GROUP BY id),
+      ranked AS (SELECT comp.lbl, af.vec_id, af.d2r,
+          row_number() OVER (PARTITION BY comp.lbl
+            ORDER BY af.d2r DESC, af.vec_id ASC) AS rn
+        FROM comp JOIN af ON af.vec_id = comp.id),
+      keep AS (SELECT lbl, vec_id AS kept_id FROM ranked WHERE rn = 1)
+      SELECT d.vec_id AS dropped_id, keep.kept_id
+      FROM ranked d JOIN keep USING (lbl) WHERE d.rn > 1
+      ORDER BY dropped_id"""
+  }
+
   def qs: Seq[GQ] =
     Seq(topkQ, nearDupQ, annQ, ivfQ, ivfIncQ, graphDedupQ, graphDedupDistQ,
-      pqQ, mrQ)
+      pqQ, mrQ, semDedupQ)
 }

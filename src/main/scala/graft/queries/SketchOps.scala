@@ -288,6 +288,120 @@ object SketchOps {
           AS est_distinct
       FROM stats ORDER BY source"""))
 
+  /** sketch5 — KMV SET ALGEBRA between source pairs: estimated
+    * union / intersection / Jaccard of the distinct-shingle sets of
+    * every pair of sources, computed ONLY from the per-source k-min
+    * sketches — the corpus-overlap question ("how much does crawl A
+    * duplicate crawl B?") answered from O(sources × k) longs instead
+    * of a full distinct-set join, which is how it must be answered at
+    * 100 TB (the exact sides here are the gate's error pin, like
+    * sketch2's exact counts — at corpus scale only the sketch side
+    * runs). The estimator is the standard KMV algebra: the pair's
+    * union sketch is the k-min of the two sketch arrays' union (loses
+    * nothing — any hash in the union's top-k is in its own source's
+    * top-k); est_jaccard ρ = |{h ∈ union sketch : h in BOTH
+    * sketches}| / |union sketch|; est_intersect = ρ × est_union. All
+    * arithmetic is single divisions/products of exact integers in
+    * mirrored order, so both engines produce bit-identical doubles. */
+  private val setAlgQ = GQ(
+    "sketch5_kmv_set_algebra",
+    (s, dir) => {
+      val kmv = udaf(new KmvSketch(K), Encoders.LONG)
+      // persist: feeds the sketch side AND the exact pin (the harness
+      // clears caches between queries)
+      val hashes = t(s, dir, "documents")
+        .withColumn("w", expr(toksExpr))
+        .select(col("source"), explode(expr(shExpr)).as("sh"))
+        .select(col("source"), h60(col("sh")).as("h"))
+        .persist()
+      val perSource = hashes.groupBy("source").agg(kmv(col("h")).as("sketch"))
+      // sources × sources is metadata-sized (a handful of rows) — the
+      // crossJoin never touches corpus-scale data
+      val pairs = perSource
+        .select(col("source").as("src_a"), col("sketch").as("ska"))
+        .crossJoin(perSource
+          .select(col("source").as("src_b"), col("sketch").as("skb")))
+        .filter(col("src_a") < col("src_b"))
+      val est = pairs
+        .withColumn("u",
+          expr(s"slice(array_sort(array_distinct(concat(ska, skb))), 1, $K)"))
+        .withColumn("n_union_kept", size(col("u")).cast("int"))
+        .withColumn("in_both", size(expr(
+          "filter(u, x -> array_contains(ska, x) AND array_contains(skb, x))"))
+          .cast("int"))
+        .withColumn("est_union",
+          when(col("n_union_kept") < K, col("n_union_kept").cast("double"))
+            .otherwise(lit((K - 1).toDouble) * expr(HashDomainLit) /
+              element_at(col("u"), K).cast("double")))
+        .withColumn("est_jaccard",
+          col("in_both").cast("double") / col("n_union_kept").cast("double"))
+        .withColumn("est_intersect", col("est_jaccard") * col("est_union"))
+      val dist = hashes.distinct()
+      val sizes = dist.groupBy("source").agg(count(lit(1)).as("nd"))
+      val inter = dist.select(col("source").as("src_a"), col("h"))
+        .join(dist.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("exact_inter"))
+      est
+        .join(sizes.select(col("source").as("src_a"), col("nd").as("na")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("nd").as("nb")), "src_b")
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+        .withColumn("exact_union", col("na") + col("nb") - col("exact_inter"))
+        .withColumn("exact_jaccard", col("exact_inter").cast("double") /
+          col("exact_union").cast("double"))
+        .select("src_a", "src_b", "n_union_kept", "in_both", "est_union",
+          "est_intersect", "est_jaccard", "exact_union", "exact_inter",
+          "exact_jaccard")
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH tk AS (
+        SELECT source, unnest($shSql) AS sh
+        FROM (SELECT source, $toksSql AS w FROM documents)),
+      h AS (
+        SELECT DISTINCT source, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+        FROM tk),
+      r AS (
+        SELECT source, h,
+          row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM h),
+      sk AS (
+        SELECT source, list(h ORDER BY h) AS sketch
+        FROM r WHERE rn <= $K GROUP BY source),
+      pr AS (
+        SELECT a.source AS src_a, a.sketch AS ska,
+          b.source AS src_b, b.sketch AS skb
+        FROM sk a JOIN sk b ON a.source < b.source),
+      uu AS (
+        SELECT src_a, src_b, ska, skb,
+          list_slice(list_sort(list_distinct(list_concat(ska, skb))), 1, $K) AS u
+        FROM pr),
+      e AS (
+        SELECT src_a, src_b,
+          CAST(len(u) AS INT) AS n_union_kept,
+          CAST(len(list_filter(u,
+            x -> list_contains(ska, x) AND list_contains(skb, x))) AS INT) AS in_both,
+          CASE WHEN len(u) < $K THEN CAST(len(u) AS DOUBLE)
+            ELSE ${K - 1}.0 * $HashDomainLit / CAST(u[$K] AS DOUBLE) END AS est_union
+        FROM uu),
+      sizes AS (SELECT source, count(*) AS nd FROM h GROUP BY source),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS exact_inter
+        FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT e.src_a, e.src_b, n_union_kept, in_both, est_union,
+        (CAST(in_both AS DOUBLE) / CAST(n_union_kept AS DOUBLE)) * est_union
+          AS est_intersect,
+        CAST(in_both AS DOUBLE) / CAST(n_union_kept AS DOUBLE) AS est_jaccard,
+        CAST(sa.nd + sb.nd - coalesce(exact_inter, 0) AS BIGINT) AS exact_union,
+        CAST(coalesce(exact_inter, 0) AS BIGINT) AS exact_inter,
+        CAST(coalesce(exact_inter, 0) AS DOUBLE) /
+          CAST(sa.nd + sb.nd - coalesce(exact_inter, 0) AS DOUBLE) AS exact_jaccard
+      FROM e JOIN sizes sa ON sa.source = e.src_a
+        JOIN sizes sb ON sb.source = e.src_b
+        LEFT JOIN inter ON inter.src_a = e.src_a AND inter.src_b = e.src_b
+      ORDER BY e.src_a, e.src_b"""))
+
   /** sketch4 — QUANTILES from a deterministic bounded sample: token-
     * count p50/p90/p99 per source estimated from the 16 docs with
     * the smallest salted 48-bit md5 hash (16 keeps the sample a
@@ -371,5 +485,5 @@ object SketchOps {
       FROM smp s JOIN ex e ON e.source = s.source
       ORDER BY s.source"""))
 
-  def qs: Seq[GQ] = Seq(kmvQ, cmQ, kmvIncQ, quantQ)
+  def qs: Seq[GQ] = Seq(kmvQ, cmQ, kmvIncQ, quantQ, setAlgQ)
 }

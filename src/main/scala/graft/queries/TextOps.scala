@@ -261,6 +261,40 @@ object TextOps {
         count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
       FROM c GROUP BY source, bin ORDER BY source, bin"""))
 
+  /** pack2 — sliding-window chunking: split each document into
+    * overlapping token windows (64-token chunks, stride 48 → 16-token
+    * overlap) — the RAG-indexing / context-window-preparation
+    * counterpart of pack1's bin packing. Pure per-row generate+slice
+    * (`sequence` → `explode` → `slice`), fully codegen'd, ZERO
+    * shuffles besides the output sort — at 100 TB this runs at scan
+    * speed and chunk rows never leave their input partition. Each
+    * chunk carries its md5 fingerprint (chunk-level exact dedup key)
+    * so downstream dedup can run on chunks without re-tokenizing. */
+  private val chunkWin = GQ(
+    "pack2_chunk_overlap",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, greatest(size(toks), 1), 48)")).as("start"))
+        .withColumn("chunk", expr("slice(toks, start, 64)"))
+        .select(col("doc_id"),
+          expr("(start - 1) div 48").cast("long").as("chunk_id"),
+          size(col("chunk")).cast("long").as("n_toks"),
+          md5(concat_ws(" ", col("chunk"))).as("fp"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      st AS (SELECT doc_id, toks, unnest(
+          generate_series(1, greatest(CAST(len(toks) AS BIGINT), 1), 48)) AS start
+        FROM tk),
+      ch AS (SELECT doc_id, start,
+          list_slice(toks, start, start + 63) AS chunk FROM st)
+      SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+        CAST(len(chunk) AS BIGINT) AS n_toks,
+        md5(array_to_string(chunk, ' ')) AS fp
+      FROM ch ORDER BY doc_id, chunk_id"""))
+
   /** text6 — TF-IDF top terms per document: the classic sparse
     * retrieval / keyword-extraction score. tf = termcount/doclen,
     * idf = ln(N/df); score rounded to 6 dp (the one transcendental —
@@ -306,6 +340,89 @@ object TextOps {
         FROM sc)
       SELECT doc_id, term, score, CAST(rank AS INT) AS rank FROM r
       WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  /** text8 — BM25 top-10 retrieval: the sparse-retrieval baseline every
+    * dense index (sim1-8) is measured against, and the retrieval stage
+    * of decontamination / quality-by-retrieval pipelines. Queries are
+    * the distinct terms of docs 0-4; candidates come from an
+    * INVERTED-INDEX equi-join on term (never a corpus × queries score
+    * loop), per-term contributions accumulate as integer micro-units
+    * (round(idf·tf, 6)·1e6 as BIGINT) so the per-doc score SUM is
+    * exact integer arithmetic — no float-accumulation-order drift
+    * between engines; the one transcendental (ln) is quantized to 6 dp
+    * like text6's idf. Top-k per query is the bounded [[TopKAgg]]
+    * aggregator (map-side k rows per partition), not a window rank —
+    * at 100 TB the window form would shuffle every scored row into
+    * #queries reducers. k1 = 1.2, b = 0.75 (the Robertson defaults);
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene form — always
+    * positive). */
+  private val bm25 = GQ(
+    "text8_bm25",
+    (s, dir) => {
+      val dt = t(s, dir, "documents").withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+      val dlen = dt.groupBy("doc_id").agg(sum("n").as("len"))
+      val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      // one tiny totals row: N docs and the exact-integer-derived avgdl
+      val totals = dlen.agg(count(lit(1)).as("n_docs"), sum("len").as("tot_len"))
+        .withColumn("avgdl",
+          col("tot_len").cast("double") / col("n_docs").cast("double"))
+      val qt = dt.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"), col("term"))
+      val idf6 = round(log(
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+      val tfpart = (col("n").cast("double") * lit(2.2)) /
+        (col("n").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("len").cast("double") / col("avgdl")))
+      val contrib = dt.join(broadcast(qt), Seq("term"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(dlen, "doc_id").join(dfreq, "term")
+        .crossJoin(broadcast(totals))
+        .select(col("q_id"), col("doc_id"),
+          round(idf6 * tfpart * lit(1e6)).cast("bigint").as("micro"))
+      val topk = udaf(new graft.functions.TopKAgg(10),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.DOUBLE,
+          org.apache.spark.sql.Encoders.LONG))
+      contrib.groupBy("q_id", "doc_id")
+        .agg(sum("micro").as("sm"))
+        .withColumn("score", col("sm").cast("double") / lit(1000000.0))
+        .groupBy("q_id").agg(topk(col("score"), col("doc_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col._2").as("doc_id"),
+          col("col._1").as("score"), (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS n FROM (
+          SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM dt GROUP BY doc_id),
+      dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+      tot AS (SELECT count(*) AS n_docs,
+          CAST(CAST(sum(len) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM dl),
+      qt AS (SELECT doc_id AS q_id, term FROM dt WHERE doc_id < 5),
+      contrib AS (SELECT qt.q_id, dt.doc_id,
+          CAST(round(
+            round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+            * ((CAST(n AS DOUBLE) * 2.2) /
+               (CAST(n AS DOUBLE) + 1.2 *
+                 (0.25 + 0.75 * CAST(len AS DOUBLE) / avgdl)))
+            * 1000000.0) AS BIGINT) AS micro
+        FROM dt JOIN qt USING (term) JOIN dl USING (doc_id)
+          JOIN dfq USING (term) CROSS JOIN tot
+        WHERE dt.doc_id <> qt.q_id),
+      sc AS (SELECT q_id, doc_id,
+          CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+        FROM contrib GROUP BY q_id, doc_id),
+      r AS (SELECT q_id, doc_id, score,
+          row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank FROM r
+      WHERE rank <= 10 ORDER BY q_id, rank"""))
 
   /** text7 — PMI collocations: corpus-level word-pair association,
     * pmi = ln(p(ab) / (p(a)·p(b))) over adjacent bigrams — the
@@ -608,5 +725,5 @@ object TextOps {
       WHERE word <> '' GROUP BY doc_id ORDER BY doc_id"""))
 
   def qs: Seq[GQ] = Seq(quality, langId, tokenStats, fingerprint, ngramProfile,
-    hashSplit, packBins, tfidf, pmi, surprisal, bpe, bpeApply)
+    hashSplit, packBins, chunkWin, tfidf, bm25, pmi, surprisal, bpe, bpeApply)
 }

@@ -340,6 +340,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(MediaDecoder.decodeBmp(evil.array()).isEmpty)
   }
 
+  test("pipe5: semantic dedup drops every injected copy, keeps exemplars") {
+    val rows = SparkEntry.queries("pipe5_semantic_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val dropped = rows.map(_._1).toSet
+    val kept = rows.map(_._2).toSet
+    // an injected copy is bit-identical to its original: equal
+    // distance-to-centroid, higher vec_id — the keep-rule
+    // (d2 DESC, vec_id ASC) can NEVER rank it first, so every copy
+    // must be dropped
+    val copies = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 9 === 0).select("vec_id").collect()
+      .map(_.getLong(0) + 1000000L).toSet
+    assert(copies.subsetOf(dropped),
+      s"surviving injected copies: ${copies -- dropped}")
+    // a kept exemplar is rn=1 of its component; it can never also be
+    // dropped
+    assert(kept.intersect(dropped).isEmpty,
+      s"ids both kept and dropped: ${kept.intersect(dropped)}")
+  }
+
+  test("text8: BM25 rankings are well-formed and never self-retrieve") {
+    val rows = SparkEntry.queries("text8_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val byRank = g.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to g.length),
+        s"q$q ranks not consecutive")
+      assert(g.length <= 10)
+      // scores non-increasing in rank; ties broken doc_id ASC
+      byRank.sliding(2).foreach { case Array(hi, lo) =>
+        assert(hi._3 > lo._3 || (hi._3 == lo._3 && hi._2 < lo._2),
+          s"q$q rank order violated at ${hi._4}")
+      case _ => }
+      assert(g.forall(_._2 != q), s"q$q retrieved itself")
+      assert(g.forall(_._3 > 0.0), s"q$q non-positive BM25 score")
+    }
+  }
+
+  test("pack2: chunk windows tile each document with stride 48") {
+    val rows = SparkEntry.queries("pack2_chunk_overlap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val lens = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(expr("split(lower(trim(text)), '\\\\s+')")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == lens.keySet, "chunk coverage misses documents")
+    byDoc.foreach { case (id, g) =>
+      val n = lens(id)
+      val expected = (n - 1) / 48 + 1
+      assert(g.map(_._2).sorted.toSeq == (0L until expected),
+        s"doc $id chunk ids not 0..${expected - 1}")
+      g.foreach { case (_, cid, nt, fp) =>
+        assert(nt == math.min(64L, n - 48L * cid), s"doc $id chunk $cid size")
+        assert(fp.length == 32, s"doc $id chunk $cid fingerprint")
+      }
+    }
+  }
+
   test("frame sampling emits one row per Nth window") {
     val docs = Tables.t(spark, sf, "documents").limit(10)
       .withColumn("payload", col("text").cast("binary"))

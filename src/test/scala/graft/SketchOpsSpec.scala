@@ -110,6 +110,32 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch5 set-algebra estimates agree with the exact overlap pins") {
+    val K = 64
+    val rows = SparkEntry.queries("sketch5_kmv_set_algebra")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nKept, inBoth) = (r.getInt(2), r.getInt(3))
+      val (estU, estI, estJ) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val (exU, exI, exJ) = (r.getLong(7), r.getLong(8), r.getDouble(9))
+      assert(inBoth <= nKept && nKept <= K)
+      assert(estJ >= 0.0 && estJ <= 1.0 && exJ >= 0.0 && exJ <= 1.0)
+      assert(estI == estJ * estU, "intersect estimator identity")
+      if (nKept < K) {
+        // a partial union sketch holds EVERY distinct hash of both
+        // sides — the "estimates" must be exact
+        assert(estU == exU.toDouble, s"partial sketch union drift: $r")
+        assert(inBoth.toLong == exI, s"partial sketch intersect drift: $r")
+      } else {
+        // k=64 → relative std error ~1/sqrt(62) ≈ 12.7%; allow 4 sigma
+        assert(math.abs(estU - exU) <= 0.51 * exU,
+          s"union estimate out of bounds: $r")
+        assert(math.abs(estJ - exJ) <= 0.5,
+          s"jaccard estimate out of bounds: $r")
+      }
+    }
+  }
+
   test("sketch2 count-min error is one-sided and exact for unique buckets") {
     val rows = SparkEntry.queries("sketch2_countmin_topk")(spark, sf).collect()
     assert(rows.length == 25)
