@@ -781,12 +781,24 @@ object CurationOps {
         import s.implicits._
         s.emptyDataset[Long].toDF("doc_id")
       }
-      val c1 = docs.upsert(seed)
+      // the docs-table loads and the seed reconciliation touch
+      // disjoint tables (docs vs sigs/pairs) and the seed reconcile
+      // reads the `seed` relation directly, not the docs table — run
+      // the two commit chains concurrently; the increment below joins
+      // on both (it needs commit c1 AND the bootstrapped index)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val docsLoad = Future {
+        val c1 = docs.upsert(seed)
+        docs.upsert(churn)
+        c1
+      }
       // bootstrap corpus == the seed batch (the table holds nothing
       // else yet) — no need to pay a snapshot merge-read for it
       NearDupIndex.reconcile(seed.select("doc_id", "text"), noDeletes,
         seed.select("doc_id", "text"), sigStore, pairsTab, 1L)
-      docs.upsert(churn)
+      val c1 = Await.result(docsLoad, Duration.Inf)
       val inc = docs.incremental(c1).select("doc_id", "text")
       NearDupIndex.reconcile(inc, noDeletes,
         docs.snapshot().select("doc_id", "text"), sigStore, pairsTab, 2L)

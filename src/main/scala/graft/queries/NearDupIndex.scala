@@ -1,5 +1,9 @@
 package graft.queries
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -52,6 +56,7 @@ private[graft] object NearDupIndex {
     // shingle→hash shuffles per consumer
     val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    var sigWrite: Future[Any] = Future.successful(())
     try {
       val churnC = cache(churn)
       val deletedC = cache(deletedIds)
@@ -72,7 +77,17 @@ private[graft] object NearDupIndex {
       // column from the pre-upsert snapshot
       val storeWasEmpty = !preStore.columns.contains("bands")
       val newSigs = cache(DedupOps.minhashBands(churnC))
-      sigs.upsert(newSigs.withColumn("ts", lit(ts)))
+      // the signature-store upsert and the pairs reconciliation below
+      // write DIFFERENT tables from the same cached inputs — run the
+      // store upsert on a background thread and overlap it with the
+      // candidate/verify/pairs chain (the two dominate reconcile cost
+      // back-to-back; concurrent they cost ~max instead of sum). Safe
+      // because every read this side depends on (preStore, the pairs
+      // snapshot) pinned its live-file list on the driver BEFORE this
+      // point — a concurrent append cannot leak into those plans — and
+      // the store derivation below reconstructs the post-upsert
+      // content from newSigs ∪ preStore without reading written files.
+      sigWrite = Future { sigs.upsert(newSigs.withColumn("ts", lit(ts))) }
       // candidates: churn bands × the store (which now holds CURRENT
       // signatures of the whole corpus — pairs wholly inside the
       // churn are found the same way). The post-upsert store content
@@ -124,7 +139,17 @@ private[graft] object NearDupIndex {
         pairs.upsertWithDeletes(
           newPairs.withColumn("ts", lit(ts)), touched, tag = tag)
       }
+      // reconcile's contract: both state tables are committed when it
+      // returns (the streaming service's exactly-once marker and the
+      // next increment's snapshot both rely on it) — result, not
+      // ready: a store-write failure must surface
+      Await.result(sigWrite, Duration.Inf)
       ()
-    } finally cached.foreach(_.unpersist())
+    } finally {
+      // on a pairs-chain failure the store write may still be in
+      // flight — never unpersist its inputs from under it
+      Await.ready(sigWrite, Duration.Inf)
+      cached.foreach(_.unpersist())
+    }
   }
 }
