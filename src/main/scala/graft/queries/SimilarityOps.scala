@@ -143,11 +143,35 @@ object SimilarityOps {
     * multiprobe absorbs single splits) — exact copies share every
     * bucket at ANY bit count, so the gate's oracle parity is
     * bits-invariant. */
+  /** Resolve `spark.graft.ann.bits`: an explicit integer, or `auto`,
+    * which sizes the hyperplane count from the corpus so bucket
+    * occupancy stays ~[[AutoOccupancy]] as the corpus grows —
+    * bits = ⌈log2(n / occupancy)⌉. This is the self-setting form of
+    * the 100× knob SCALING.md documents: candidate count grows with
+    * occupancy SQUARED, so a deployment must raise bits with
+    * log2(corpus); `auto` pays one COUNT(*) of the corpus relation
+    * (metadata-cheap on parquet) instead of relying on an operator
+    * remembering to retune. Clamped to [AnnBits, 48]: never fewer
+    * buckets than the hand-tuned default, never more bits than the
+    * multiprobe loop can afford. */
+  private val AutoOccupancy = 32L
+  private[graft] def resolveAnnBits(corpus: DataFrame): Int = {
+    val s = corpus.sparkSession
+    s.conf.get("spark.graft.ann.bits", AnnBits.toString) match {
+      case "auto" =>
+        val n = math.max(corpus.count(), 1L)
+        val bits = math.ceil(
+          math.log(n.toDouble / AutoOccupancy) / math.log(2.0)).toInt
+        math.min(48, math.max(AnnBits, bits))
+      case v => v.toInt
+    }
+  }
+
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val bits = s.conf.get("spark.graft.ann.bits", AnnBits.toString).toInt
     val e0 = t(s, dir, "embeddings").select("vec_id", "embedding")
     val c = e0.unionByName(e0.filter(col("vec_id") % 9 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000L))
+    val bits = resolveAnnBits(c)
     val prep = annBuckets(c, "embedding", bits)
       .withColumn("nrm", expr(normExpr("embedding")))
     val probes = (0 to bits).map(j =>

@@ -281,6 +281,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       val wide = SparkEntry.queries("sim2_cosine_neardup")(spark, sf)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(wide == dflt, s"bits=12 changed the pair set")
+      // `auto` sizes bits from the corpus (⌈log2(n/32)⌉, floored at
+      // the hand-tuned default) — self-setting at 100× corpus growth,
+      // same pair set here
+      spark.conf.set("spark.graft.ann.bits", "auto")
+      val auto = SparkEntry.queries("sim2_cosine_neardup")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(auto == dflt, s"bits=auto changed the pair set")
+      // and the resolver itself scales: 10x the corpus rows -> more
+      // bits, never below the default
+      import graft.queries.SimilarityOps
+      val corpus = Tables.t(spark, sf, "embeddings")
+      val small = SimilarityOps.resolveAnnBits(corpus)
+      val big = SimilarityOps.resolveAnnBits(
+        corpus.crossJoin(spark.range(32).select(lit(1).as("dup"))))
+      assert(small >= 6 && big > small,
+        s"auto bits did not scale: $small -> $big")
     } finally spark.conf.unset("spark.graft.ann.bits")
   }
 
