@@ -109,9 +109,16 @@ object ScalingAudit {
     println("[scale] generating 10x data (skipped if present)")
     generate(s, sf01)
 
-    val fams = Seq("q", "dedup", "sim", "text", "sketch", "graph")
+    // pack2/pipe5 are scan-bound (no lake writes) — in scope;
+    // pipe1-4's cost is commit-count, audited via the bench instead
+    val fams = Seq("q", "dedup", "sim", "text", "sketch", "graph",
+      "pack", "pipe5")
+    // optional arg: comma-separated name substrings to re-audit a
+    // subset (appending rows for newly added gates)
+    val only = args.headOption.map(_.split(",").toSeq)
     val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1).filter {
-      case (n, _) => fams.exists(n.startsWith)
+      case (n, _) => fams.exists(n.startsWith) &&
+        only.forall(_.exists(n.contains))
     }
     def timeOne(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
