@@ -154,10 +154,21 @@ object CurationOps {
       val verdicts = LakeTable.create(s, QueryPack.scratchDir(s, dir, "decon3verd"),
         TableProps("decon3verd", Seq("doc_id"), Some("ts"), Seq.empty))
       val bg = benchGrams(bench)
-      val c1 = docsTab.upsert(seed)
+      // the docs-table loads and the seed flag pass write DISJOINT
+      // tables, and the flag pass reads the `seed` relation directly —
+      // overlap the two commit chains (pipe4's pattern); the increment
+      // below joins on both
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val docsLoad = Future {
+        val c1 = docsTab.upsert(seed)
+        docsTab.upsert(churn)
+        c1
+      }
       verdicts.upsert(flagOverlap(seed.select("doc_id", "text2"), bg)
         .withColumn("ts", lit(1L)))
-      docsTab.upsert(churn)
+      val c1 = Await.result(docsLoad, Duration.Inf)
       val inc = docsTab.incremental(c1).select("doc_id", "text2")
       verdicts.upsert(flagOverlap(inc, bg).withColumn("ts", lit(2L)))
       verdicts.snapshot()

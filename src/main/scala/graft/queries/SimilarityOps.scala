@@ -641,8 +641,19 @@ object SimilarityOps {
       val asgn = LakeTable.create(s, scr("sim8asgn"),
         TableProps("sim8asgn", Seq("vec_id"), Some("ts"), Seq.empty))
 
-      // bootstrap: one-time centroid train on the seed + full assign
-      val c1 = vecs.upsert(seed)
+      // bootstrap: one-time centroid train on the seed + full assign.
+      // The vecs-table loads and the train/assign chain write DISJOINT
+      // tables and the training reads the `seed` relation directly —
+      // overlap the two commit chains (pipe4's pattern); the
+      // incremental read below joins on both
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val vecsLoad = Future {
+        val c1 = vecs.upsert(seed)
+        vecs.upsert(churn)
+        c1
+      }
       val se = withEe(seed.select("vec_id", "embedding")).persist()
       try {
         val init: Seq[(Int, Seq[Double])] =
@@ -660,7 +671,7 @@ object SimilarityOps {
 
         // increment: ONLY the churn is read and re-assigned; the
         // centroids are the fixed bootstrap ones
-        vecs.upsert(churn)
+        val c1 = Await.result(vecsLoad, Duration.Inf)
         val inc = withEe(vecs.incremental(c1).select("vec_id", "embedding"))
         asgn.upsert(inc
           .withColumn("cid",

@@ -1,5 +1,9 @@
 package graft.queries
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.{Column, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -236,22 +240,31 @@ object SketchOps {
         try skt.upsert(merged) finally { merged.unpersist(); () }
       }
 
-      val c1 = docs.upsert(seed)
+      // the docs-table loads and the seed sketch fold write DISJOINT
+      // tables, and the fold reads the `seed` relation directly —
+      // overlap the two commit chains (pipe4's pattern)
+      val docsLoad = Future {
+        val c1 = docs.upsert(seed)
+        docs.upsert(inc1)
+        val c2 = docs.upsert(inc2)
+        (c1, c2)
+      }
       fold(seed, 1L)
-      docs.upsert(inc1)
-      val c2 = docs.upsert(inc2)
+      val (c1, c2) = Await.result(docsLoad, Duration.Inf)
       // each maintenance pass reads ONLY the churn since its last
       // commit (here both insert batches via one incremental read)
       fold(docs.incremental(c1, Some(c2)).select("source", "text"), 2L)
 
       val perSource = skt.snapshot().select(col("source"), col("sketch"))
-      val global = perSource
+      // "allRow", not "global": a local named `global` would shadow
+      // the imported implicit ExecutionContext for the whole block
+      val allRow = perSource
         .select(explode(col("sketch")).as("h"))
         .agg(kmv(col("h")).as("sketch"))
         .select(lit("__all__").as("source") +: kmvStats(col("sketch")): _*)
       perSource
         .select(col("source") +: kmvStats(col("sketch")): _*)
-        .unionByName(global)
+        .unionByName(allRow)
         .orderBy("source")
     },
     // batch rebuild over the FINAL corpus — equality with the folded
