@@ -923,7 +923,218 @@ object CurationOps {
             CAST(n AS DOUBLE), 6) AS entropy
       FROM c ORDER BY doc_id"""))
 
+  /** pipe6 — incrementally maintained BM25 search index: text8's
+    * retrieval statistics as lake tables a maintenance service folds
+    * per ingest batch, the search-index analog of pipe3's MV / pipe4's
+    * near-dup store. State:
+    *   - POSTINGS keyed (doc_id, term) carrying (n, len) — a doc's
+    *     churn is ONE mixed commit (tombstone its old postings, write
+    *     the new; `upsertWithDeletes` on a MOR table = O(batch) delta
+    *     append);
+    *   - DF stats keyed term, maintained by folding the churn's
+    *     per-term PRESENCE delta (+1 appeared / −1 vanished, computed
+    *     from CDC before/after images) into the stored counts — the
+    *     pipe3 delta-fold pattern, never a corpus recount;
+    *   - a one-row TOTALS table (n_docs, tot_len) folded the same way.
+    * The three state writes touch disjoint tables and run
+    * CONCURRENTLY per increment. Each increment costs O(churn terms);
+    * the only full passes are the seed bootstrap and the final
+    * scoring read. The gate scores the maintained index with text8's
+    * exact arithmetic (integer micro-unit sums; same ln quantization)
+    * and must hash-equal the BATCH BM25 over the FINAL corpus —
+    * proving the folds compose exactly, including df decrements from
+    * text updates. */
+  private val incBm25Q = GQ(
+    "pipe6_incremental_bm25",
+    (s, dir) => {
+      import graft.core.{LakeTable, TableProps}
+      import QueryPack.scratchDir
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val updMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0
+      val seed = base.filter(col("doc_id") % 3 =!= 0).withColumn("ts", lit(1L))
+      val churn = base.filter(col("doc_id") % 3 === 0)
+        .unionByName(base.filter(updMask)
+          .withColumn("text", concat(col("text"), lit(" v2"))))
+        .withColumn("ts", lit(2L))
+
+      val docs = LakeTable.create(s, scratchDir(s, dir, "pipe6docs"),
+        TableProps("pipe6docs", Seq("doc_id"), Some("ts"), Seq.empty))
+      val post = LakeTable.create(s, scratchDir(s, dir, "pipe6post"),
+        TableProps("pipe6post", Seq("doc_id", "term"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+      val stats = LakeTable.create(s, scratchDir(s, dir, "pipe6stats"),
+        TableProps("pipe6stats", Seq("term"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+      val totals = LakeTable.create(s, scratchDir(s, dir, "pipe6tot"),
+        TableProps("pipe6tot", Seq("id"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+
+      // (doc_id, term, n, len): len = total tokens of the doc (equals
+      // text8's sum-of-n per doc), denormalized onto every posting row
+      // so scoring needs no per-doc length join — the doc's postings
+      // are rewritten wholesale on churn anyway
+      def postingsOf(d: DataFrame): DataFrame = d
+        .withColumn("toks", expr(toksExpr.format("text")))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+          explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("n"))
+        .select("doc_id", "term", "n", "len")
+
+      /** Fold one batch: `after` = post-image docs, `before` =
+        * pre-image docs of updated/deleted keys (empty on bootstrap). */
+      def maintain(after: DataFrame, before: DataFrame, ts: Long): Unit = {
+        val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+        def cache(df: DataFrame) = { cached += df.persist(); df }
+        // plans over the CURRENT state, pinned before the concurrent
+        // writes below (snapshot() resolves its file list eagerly)
+        val statsSnap = stats.snapshot()
+        val totalsSnap = totals.snapshot()
+        var writes: Seq[Future[Any]] = Seq.empty
+        try {
+          val newPost = cache(postingsOf(after))
+          val oldPost = cache(postingsOf(before))
+          val dfDelta = cache(newPost
+            .select(col("term"), lit(1L).as("s"))
+            .unionByName(oldPost.select(col("term"), lit(-1L).as("s")))
+            .groupBy("term").agg(sum("s").as("ddf"))
+            .filter(col("ddf") =!= 0))
+          val lenDelta = newPost.groupBy("doc_id").agg(first("len").as("len"))
+            .select(lit(1L).as("s"), col("len"))
+            .unionByName(oldPost.groupBy("doc_id").agg(first("len").as("len"))
+              .select(lit(-1L).as("s"), (-col("len")).as("len")))
+            .agg(coalesce(sum(col("s")), lit(0L)).as("dnd"),
+              coalesce(sum(col("len")), lit(0L)).as("dtl"))
+          // three DISJOINT state tables — write them concurrently
+          writes = Seq(
+            Future {
+              post.upsertWithDeletes(newPost.withColumn("ts", lit(ts)),
+                oldPost.select("doc_id", "term"))
+            },
+            Future {
+              val stored = if (statsSnap.columns.contains("term"))
+                statsSnap.select(col("term"), col("df"))
+              else dfDelta.select(col("term"), col("ddf").as("df")).limit(0)
+              val folded = stored.join(dfDelta, Seq("term"), "full_outer")
+                .select(col("term"),
+                  (coalesce(col("df"), lit(0L)) +
+                    coalesce(col("ddf"), lit(0L))).as("df"))
+              stats.upsert(folded.withColumn("ts", lit(ts)))
+            },
+            Future {
+              val stored = if (totalsSnap.columns.contains("n_docs"))
+                totalsSnap.select(col("n_docs"), col("tot_len"))
+              else s.range(1).select(lit(0L).as("n_docs"), lit(0L).as("tot_len"))
+              totals.upsert(stored.crossJoin(lenDelta)
+                .select(lit(0L).as("id"),
+                  (col("n_docs") + col("dnd")).as("n_docs"),
+                  (col("tot_len") + col("dtl")).as("tot_len"),
+                  lit(ts).as("ts")))
+            })
+          writes.foreach(Await.result(_, Duration.Inf))
+          ()
+        } finally {
+          writes.foreach(Await.ready(_, Duration.Inf))
+          cached.foreach(_.unpersist())
+        }
+      }
+
+      val emptyDocs = {
+        import s.implicits._
+        Seq.empty[(Long, String)].toDF("doc_id", "text")
+      }
+      val docsLoad = Future {
+        val c1 = docs.upsert(seed)
+        docs.upsert(churn)
+        c1
+      }
+      maintain(seed.select("doc_id", "text"), emptyDocs, 1L)
+      val c1 = Await.result(docsLoad, Duration.Inf)
+      val ch = docs.cdc(c1).persist()
+      try {
+        val op = col(LakeTable.ChangeOpCol)
+        val bef = col(LakeTable.BeforeImageCol)
+        maintain(
+          ch.filter(op =!= "d").select("doc_id", "text"),
+          ch.filter(op.isin("u", "d"))
+            .select(bef.getField("doc_id").as("doc_id"),
+              bef.getField("text").as("text")),
+          2L)
+      } finally { ch.unpersist(); () }
+
+      // scoring: text8's exact arithmetic over the MAINTAINED state
+      val postS = post.snapshot().select("doc_id", "term", "n", "len")
+      val statsS = stats.snapshot().filter(col("df") > 0).select("term", "df")
+      val totS = totals.snapshot().select(col("n_docs"),
+        (col("tot_len").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+      val qt = postS.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"), col("term"))
+      val idf6 = round(log(
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+      val tfpart = (col("n").cast("double") * lit(2.2)) /
+        (col("n").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("len").cast("double") / col("avgdl")))
+      val contrib = postS.join(broadcast(qt), Seq("term"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(statsS, "term")
+        .crossJoin(broadcast(totS))
+        .select(col("q_id"), col("doc_id"),
+          round(idf6 * tfpart * lit(1e6)).cast("bigint").as("micro"))
+      val topk = udaf(new graft.functions.TopKAgg(10),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.DOUBLE,
+          org.apache.spark.sql.Encoders.LONG))
+      contrib.groupBy("q_id", "doc_id")
+        .agg(sum("micro").as("sm"))
+        .withColumn("score", col("sm").cast("double") / lit(1000000.0))
+        .groupBy("q_id").agg(topk(col("score"), col("doc_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col._2").as("doc_id"),
+          col("col._1").as("score"), (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("q_id", "rank")
+    },
+    // the batch BM25 (text8's oracle) over the FINAL corpus —
+    // equality with the folded increments proves the maintenance
+    // composes exactly
+    Some(s"""WITH corpus AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
+            THEN text || ' v2' ELSE text END AS text
+        FROM documents),
+      tk AS (SELECT doc_id, ${toksSql.format("text")} AS toks FROM corpus),
+      dt AS (SELECT doc_id, term, count(*) AS n FROM (
+          SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM dt GROUP BY doc_id),
+      dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+      tot AS (SELECT count(*) AS n_docs,
+          CAST(CAST(sum(len) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM dl),
+      qt AS (SELECT doc_id AS q_id, term FROM dt WHERE doc_id < 5),
+      contrib AS (SELECT qt.q_id, dt.doc_id,
+          CAST(round(
+            round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
+            * ((CAST(n AS DOUBLE) * 2.2) /
+               (CAST(n AS DOUBLE) + 1.2 *
+                 (0.25 + 0.75 * CAST(len AS DOUBLE) / avgdl)))
+            * 1000000.0) AS BIGINT) AS micro
+        FROM dt JOIN qt USING (term) JOIN dl USING (doc_id)
+          JOIN dfq USING (term) CROSS JOIN tot
+        WHERE dt.doc_id <> qt.q_id),
+      sc AS (SELECT q_id, doc_id,
+          CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+        FROM contrib GROUP BY q_id, doc_id),
+      r AS (SELECT q_id, doc_id, score,
+          row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+        FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank FROM r
+      WHERE rank <= 10 ORDER BY q_id, rank"""))
+
   def qs: Seq[GQ] = Seq(deconQ, decon2Q, decon3Q, piiQ, repetitionQ, mixQ,
-    mix2Q, mix3Q, pipeQ, canonicalQ, incNearDupQ, entropyQ, leakSplitQ,
-    stats1Q, samp1Q)
+    mix2Q, mix3Q, pipeQ, canonicalQ, incNearDupQ, incBm25Q, entropyQ,
+    leakSplitQ, stats1Q, samp1Q)
 }

@@ -73,6 +73,54 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe6: maintained BM25 index scores equal an in-engine batch rebuild") {
+    val got = SparkEntry.queries("pipe6_incremental_bm25")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got.nonEmpty)
+    // batch reference: the same BM25 arithmetic straight over the
+    // FINAL corpus (no lake tables, window rank instead of TopKAgg) —
+    // exact equality proves the df/totals/postings folds composed,
+    // including df decrements from the text updates
+    import graft.util.Tables
+    import org.apache.spark.sql.expressions.Window
+    val fin = Tables.t(spark, sf, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val dt = fin
+      .select(col("doc_id"),
+        explode(expr("split(lower(trim(text)), '\\\\s+')")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    val dlen = dt.groupBy("doc_id").agg(sum("n").as("len"))
+    val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = dlen.agg(count(lit(1)).as("n_docs"), sum("len").as("tot_len"))
+      .withColumn("avgdl",
+        col("tot_len").cast("double") / col("n_docs").cast("double"))
+    val qt = dt.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val idf6 = round(log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+    val tfpart = (col("n").cast("double") * lit(2.2)) /
+      (col("n").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("len").cast("double") / col("avgdl")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val want = dt.join(qt, Seq("term")).filter(col("doc_id") =!= col("q_id"))
+      .join(dlen, "doc_id").join(dfreq, "term").crossJoin(totals)
+      .select(col("q_id"), col("doc_id"),
+        round(idf6 * tfpart * lit(1e6)).cast("bigint").as("micro"))
+      .groupBy("q_id", "doc_id").agg(sum("micro").as("sm"))
+      .withColumn("score", col("sm").cast("double") / lit(1000000.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(3), r.getInt(4))).toSeq
+    assert(got.sorted == want.sorted,
+      s"maintained index diverged from batch: ${got.sorted.diff(want.sorted).take(3)}")
+  }
+
   test("mix1 achieves rates near the per-source target") {
     val out = SparkEntry.queries("mix1_domain_mix")(spark, sf).collect()
     assert(out.length == 20) // 20 sources
