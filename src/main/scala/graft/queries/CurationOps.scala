@@ -156,19 +156,16 @@ object CurationOps {
       val bg = benchGrams(bench)
       // the docs-table loads and the seed flag pass write DISJOINT
       // tables, and the flag pass reads the `seed` relation directly —
-      // overlap the two commit chains (pipe4's pattern); the increment
-      // below joins on both
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val docsLoad = Future {
+      // overlap the two commit chains (QueryPack.overlapping); the
+      // increment below joins on both
+      val (c1, _) = QueryPack.overlapping {
         val c1 = docsTab.upsert(seed)
         docsTab.upsert(churn)
         c1
+      } {
+        verdicts.upsert(flagOverlap(seed.select("doc_id", "text2"), bg)
+          .withColumn("ts", lit(1L)))
       }
-      verdicts.upsert(flagOverlap(seed.select("doc_id", "text2"), bg)
-        .withColumn("ts", lit(1L)))
-      val c1 = Await.result(docsLoad, Duration.Inf)
       val inc = docsTab.incremental(c1).select("doc_id", "text2")
       verdicts.upsert(flagOverlap(inc, bg).withColumn("ts", lit(2L)))
       verdicts.snapshot()
@@ -796,20 +793,17 @@ object CurationOps {
       // disjoint tables (docs vs sigs/pairs) and the seed reconcile
       // reads the `seed` relation directly, not the docs table — run
       // the two commit chains concurrently; the increment below joins
-      // on both (it needs commit c1 AND the bootstrapped index)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val docsLoad = Future {
+      // on both (it needs commit c1 AND the bootstrapped index).
+      // Bootstrap corpus == the seed batch (the table holds nothing
+      // else yet) — no need to pay a snapshot merge-read for it.
+      val (c1, _) = QueryPack.overlapping {
         val c1 = docs.upsert(seed)
         docs.upsert(churn)
         c1
+      } {
+        NearDupIndex.reconcile(seed.select("doc_id", "text"), noDeletes,
+          seed.select("doc_id", "text"), sigStore, pairsTab, 1L)
       }
-      // bootstrap corpus == the seed batch (the table holds nothing
-      // else yet) — no need to pay a snapshot merge-read for it
-      NearDupIndex.reconcile(seed.select("doc_id", "text"), noDeletes,
-        seed.select("doc_id", "text"), sigStore, pairsTab, 1L)
-      val c1 = Await.result(docsLoad, Duration.Inf)
       val inc = docs.incremental(c1).select("doc_id", "text")
       NearDupIndex.reconcile(inc, noDeletes,
         docs.snapshot().select("doc_id", "text"), sigStore, pairsTab, 2L)
@@ -939,11 +933,13 @@ object CurationOps {
     * The three state writes touch disjoint tables and run
     * CONCURRENTLY per increment. Each increment costs O(churn terms);
     * the only full passes are the seed bootstrap and the final
-    * scoring read. The gate scores the maintained index with text8's
-    * exact arithmetic (integer micro-unit sums; same ln quantization)
-    * and must hash-equal the BATCH BM25 over the FINAL corpus —
-    * proving the folds compose exactly, including df decrements from
-    * text updates. */
+    * scoring read. The churn exercises every fold leg for real:
+    * inserts, text-REPLACING updates (old terms vanish — postings
+    * tombstones that are NOT re-inserted, negative df deltas), and
+    * doc deletes (all postings tombstoned, totals decremented). The
+    * gate scores the maintained index with the SHARED BM25 contract
+    * ([[TextOps.Bm25]]) and must hash-equal the BATCH BM25 over the
+    * FINAL corpus — proving the folds compose exactly. */
   private val incBm25Q = GQ(
     "pipe6_incremental_bm25",
     (s, dir) => {
@@ -954,11 +950,19 @@ object CurationOps {
       import scala.concurrent.duration.Duration
 
       val base = t(s, dir, "documents").select("doc_id", "text")
+      // updates REPLACE the text wholesale (old terms vanish → the
+      // postings tombstone leg and negative df folds are actually
+      // exercised, not just appends) and %7==1 seed docs are DELETED
+      // (doc-level removal: every posting tombstoned, totals
+      // decremented)
       val updMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0
+      val delMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1
       val seed = base.filter(col("doc_id") % 3 =!= 0).withColumn("ts", lit(1L))
       val churn = base.filter(col("doc_id") % 3 === 0)
         .unionByName(base.filter(updMask)
-          .withColumn("text", concat(col("text"), lit(" v2"))))
+          .withColumn("text",
+            concat(lit("replaced content block "),
+              col("doc_id").cast("string"))))
         .withColumn("ts", lit(2L))
 
       val docs = LakeTable.create(s, scratchDir(s, dir, "pipe6docs"),
@@ -1018,10 +1022,14 @@ object CurationOps {
               val stored = if (statsSnap.columns.contains("term"))
                 statsSnap.select(col("term"), col("df"))
               else dfDelta.select(col("term"), col("ddf").as("df")).limit(0)
-              val folded = stored.join(dfDelta, Seq("term"), "full_outer")
+              // O(churn terms), NOT O(vocabulary): only terms whose
+              // presence count changed get a new version — the
+              // delta side drives the join; unchanged dictionary rows
+              // are never rewritten (preCombine keeps their stored
+              // version at read time)
+              val folded = dfDelta.join(stored, Seq("term"), "left")
                 .select(col("term"),
-                  (coalesce(col("df"), lit(0L)) +
-                    coalesce(col("ddf"), lit(0L))).as("df"))
+                  (coalesce(col("df"), lit(0L)) + col("ddf")).as("df"))
               stats.upsert(folded.withColumn("ts", lit(ts)))
             },
             Future {
@@ -1046,13 +1054,16 @@ object CurationOps {
         import s.implicits._
         Seq.empty[(Long, String)].toDF("doc_id", "text")
       }
-      val docsLoad = Future {
+      // docs-table loads (upsert + delete commits) overlap the seed
+      // index bootstrap — disjoint tables (QueryPack.overlapping)
+      val (c1, _) = QueryPack.overlapping {
         val c1 = docs.upsert(seed)
         docs.upsert(churn)
+        docs.delete(base.filter(delMask).select("doc_id"))
         c1
+      } {
+        maintain(seed.select("doc_id", "text"), emptyDocs, 1L)
       }
-      maintain(seed.select("doc_id", "text"), emptyDocs, 1L)
-      val c1 = Await.result(docsLoad, Duration.Inf)
       val ch = docs.cdc(c1).persist()
       try {
         val op = col(LakeTable.ChangeOpCol)
@@ -1065,7 +1076,9 @@ object CurationOps {
           2L)
       } finally { ch.unpersist(); () }
 
-      // scoring: text8's exact arithmetic over the MAINTAINED state
+      // scoring: the SHARED exact-arithmetic BM25 contract
+      // ([[TextOps.Bm25]] — one definition for text8 and pipe6) over
+      // the MAINTAINED state
       val postS = post.snapshot().select("doc_id", "term", "n", "len")
       val statsS = stats.snapshot().filter(col("df") > 0).select("term", "df")
       val totS = totals.snapshot().select(col("n_docs"),
@@ -1073,66 +1086,24 @@ object CurationOps {
           .as("avgdl"))
       val qt = postS.filter(col("doc_id") < 5)
         .select(col("doc_id").as("q_id"), col("term"))
-      val idf6 = round(log(
-        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
-      val tfpart = (col("n").cast("double") * lit(2.2)) /
-        (col("n").cast("double") + lit(1.2) *
-          (lit(0.25) + lit(0.75) * col("len").cast("double") / col("avgdl")))
       val contrib = postS.join(broadcast(qt), Seq("term"))
         .filter(col("doc_id") =!= col("q_id"))
         .join(statsS, "term")
         .crossJoin(broadcast(totS))
-        .select(col("q_id"), col("doc_id"),
-          round(idf6 * tfpart * lit(1e6)).cast("bigint").as("micro"))
-      val topk = udaf(new graft.functions.TopKAgg(10),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.DOUBLE,
-          org.apache.spark.sql.Encoders.LONG))
-      contrib.groupBy("q_id", "doc_id")
-        .agg(sum("micro").as("sm"))
-        .withColumn("score", col("sm").cast("double") / lit(1000000.0))
-        .groupBy("q_id").agg(topk(col("score"), col("doc_id")).as("top"))
-        .select(col("q_id"), posexplode(col("top")))
-        .select(col("q_id"), col("col._2").as("doc_id"),
-          col("col._1").as("score"), (col("pos") + 1).cast("int").as("rank"))
-        .orderBy("q_id", "rank")
+        .select(col("q_id"), col("doc_id"), TextOps.Bm25.microCol.as("micro"))
+      TextOps.Bm25.rankTopK(contrib)
     },
-    // the batch BM25 (text8's oracle) over the FINAL corpus —
-    // equality with the folded increments proves the maintenance
-    // composes exactly
-    Some(s"""WITH corpus AS (SELECT doc_id,
+    // the batch BM25 (text8's shared oracle tail) over the FINAL
+    // corpus — equality with the folded increments proves the
+    // maintenance composes exactly
+    Some(TextOps.Bm25.oracleSql(
+      s"""corpus AS (SELECT doc_id,
           CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
-            THEN text || ' v2' ELSE text END AS text
-        FROM documents),
-      tk AS (SELECT doc_id, ${toksSql.format("text")} AS toks FROM corpus),
-      dt AS (SELECT doc_id, term, count(*) AS n FROM (
-          SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY doc_id, term),
-      dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM dt GROUP BY doc_id),
-      dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
-      tot AS (SELECT count(*) AS n_docs,
-          CAST(CAST(sum(len) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-        FROM dl),
-      qt AS (SELECT doc_id AS q_id, term FROM dt WHERE doc_id < 5),
-      contrib AS (SELECT qt.q_id, dt.doc_id,
-          CAST(round(
-            round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
-                (CAST(df AS DOUBLE) + 0.5) + 1.0), 6)
-            * ((CAST(n AS DOUBLE) * 2.2) /
-               (CAST(n AS DOUBLE) + 1.2 *
-                 (0.25 + 0.75 * CAST(len AS DOUBLE) / avgdl)))
-            * 1000000.0) AS BIGINT) AS micro
-        FROM dt JOIN qt USING (term) JOIN dl USING (doc_id)
-          JOIN dfq USING (term) CROSS JOIN tot
-        WHERE dt.doc_id <> qt.q_id),
-      sc AS (SELECT q_id, doc_id,
-          CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
-        FROM contrib GROUP BY q_id, doc_id),
-      r AS (SELECT q_id, doc_id, score,
-          row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
-        FROM sc)
-      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank FROM r
-      WHERE rank <= 10 ORDER BY q_id, rank"""))
+            THEN 'replaced content block ' || CAST(doc_id AS VARCHAR)
+            ELSE text END AS text
+        FROM documents
+        WHERE NOT (doc_id % 3 <> 0 AND doc_id % 7 = 1)),
+      tk AS (SELECT doc_id, ${toksSql.format("text")} AS toks FROM corpus)""")))
 
   def qs: Seq[GQ] = Seq(deconQ, decon2Q, decon3Q, piiQ, repetitionQ, mixQ,
     mix2Q, mix3Q, pipeQ, canonicalQ, incNearDupQ, incBm25Q, entropyQ,

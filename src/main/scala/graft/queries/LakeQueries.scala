@@ -417,26 +417,23 @@ object LakeQueries {
       // live-file list eagerly) BEFORE the change stream lands, then
       // run the MV bootstrap concurrently with the three DML commits —
       // disjoint tables; the CDC fold below needs both chains done
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
       val snap0 = tab.snapshot()
-      val mvBoot = Future {
+      QueryPack.overlapping {
         mv.upsert(snap0
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("cnt"),
             sum(dec2(col("c_acctbal"))).cast("decimal(18,2)").as("sum_bal")))
+      } {
+        // the change stream: update %5 (double the balance), delete %8
+        // (including some updated rows — net deletes), insert fresh %17
+        tab.upsert(base(s, dir).filter(col("c_custkey") % 5 === 0)
+          .withColumn("ts", lit(2L))
+          .withColumn("c_acctbal", (dec2(col("c_acctbal")) * 2).cast("double")))
+        tab.delete(base(s, dir).filter(col("c_custkey") % 8 === 0)
+          .select("c_custkey", "c_mktsegment"))
+        tab.insert(base(s, dir).filter(col("c_custkey") % 17 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
       }
-      // the change stream: update %5 (double the balance), delete %8
-      // (including some updated rows — net deletes), insert fresh %17
-      tab.upsert(base(s, dir).filter(col("c_custkey") % 5 === 0)
-        .withColumn("ts", lit(2L))
-        .withColumn("c_acctbal", (dec2(col("c_acctbal")) * 2).cast("double")))
-      tab.delete(base(s, dir).filter(col("c_custkey") % 8 === 0)
-        .select("c_custkey", "c_mktsegment"))
-      tab.insert(base(s, dir).filter(col("c_custkey") % 17 === 0)
-        .withColumn("c_custkey", col("c_custkey") + 1000000L))
-      Await.result(mvBoot, Duration.Inf)
       val op = col(LakeTable.ChangeOpCol)
       val bef = col(LakeTable.BeforeImageCol)
       val deltas = tab.cdc(c1)

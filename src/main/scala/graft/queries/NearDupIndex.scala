@@ -82,11 +82,14 @@ private[graft] object NearDupIndex {
       // store upsert on a background thread and overlap it with the
       // candidate/verify/pairs chain (the two dominate reconcile cost
       // back-to-back; concurrent they cost ~max instead of sum). Safe
-      // because every read this side depends on (preStore, the pairs
-      // snapshot) pinned its live-file list on the driver BEFORE this
-      // point — a concurrent append cannot leak into those plans — and
-      // the store derivation below reconstructs the post-upsert
-      // content from newSigs ∪ preStore without reading written files.
+      // because the only table this future writes is SIGS: preStore
+      // pinned its live-file list BEFORE this point (snapshot() is
+      // eager), the store derivation below reconstructs the
+      // post-upsert content from newSigs ∪ preStore without reading
+      // written files, and the pairs snapshot taken later reads a
+      // table this future never touches. Backgrounding a PAIRS write
+      // here would NOT be safe — its snapshot is taken after this
+      // point.
       sigWrite = Future { sigs.upsert(newSigs.withColumn("ts", lit(ts))) }
       // candidates: churn bands × the store (which now holds CURRENT
       // signatures of the whole corpus — pairs wholly inside the

@@ -27,4 +27,25 @@ object QueryPack {
     graft.core.LakeTable.drop(s, p)
     p
   }
+
+  /** Run `bg` (typically an independent table's commit chain) on a
+    * background thread while `fg` runs on this one; returns both
+    * results. The background future is ALWAYS awaited before this
+    * returns — including when `fg` throws — so a failing foreground
+    * never leaves lake commits running unsupervised (their cached
+    * inputs could be unpersisted, or the session stopped, from under
+    * them mid-commit). Sound only when the two chains write DISJOINT
+    * tables and any plan the foreground reads over a
+    * background-written table was pinned beforehand (`snapshot()`
+    * resolves its live-file list eagerly on the driver). */
+  private[queries] def overlapping[A, B](bg: => A)(fg: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val f = Future(bg)
+    val r = try fg catch {
+      case t: Throwable => Await.ready(f, Duration.Inf); throw t
+    }
+    (Await.result(f, Duration.Inf), r)
+  }
 }

@@ -149,11 +149,14 @@ object SimilarityOps {
     * bits = ⌈log2(n / occupancy)⌉. This is the self-setting form of
     * the 100× knob SCALING.md documents: candidate count grows with
     * occupancy SQUARED, so a deployment must raise bits with
-    * log2(corpus); `auto` pays one COUNT(*) of the corpus relation
-    * (metadata-cheap on parquet) instead of relying on an operator
-    * remembering to retune. Clamped to [AnnBits, 48]: never fewer
-    * buckets than the hand-tuned default, never more bits than the
-    * multiprobe loop can afford. */
+    * log2(corpus); `auto` pays one COUNT(*) of the given relation
+    * instead of relying on an operator remembering to retune. Callers
+    * should pass the CHEAPEST relation whose count approximates the
+    * corpus (a raw parquet relation counts from footer metadata;
+    * a derived union would rescan) — bits only moves with log2, so a
+    * ~10% undercount never shifts the result by a full bit. Clamped
+    * to [AnnBits, 48]: never fewer buckets than the hand-tuned
+    * default, never more bits than the multiprobe loop can afford. */
   private val AutoOccupancy = 32L
   private[graft] def resolveAnnBits(corpus: DataFrame): Int = {
     val s = corpus.sparkSession
@@ -171,7 +174,10 @@ object SimilarityOps {
     val e0 = t(s, dir, "embeddings").select("vec_id", "embedding")
     val c = e0.unionByName(e0.filter(col("vec_id") % 9 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000L))
-    val bits = resolveAnnBits(c)
+    // auto-bits from the RAW relation (footer-metadata count), not
+    // the derived union — the +n/9 injected copies move log2 by 0.15,
+    // never a full bit
+    val bits = resolveAnnBits(e0)
     val prep = annBuckets(c, "embedding", bits)
       .withColumn("nrm", expr(normExpr("embedding")))
     val probes = (0 to bits).map(j =>
@@ -644,34 +650,32 @@ object SimilarityOps {
       // bootstrap: one-time centroid train on the seed + full assign.
       // The vecs-table loads and the train/assign chain write DISJOINT
       // tables and the training reads the `seed` relation directly —
-      // overlap the two commit chains (pipe4's pattern); the
+      // overlap the two commit chains (QueryPack.overlapping); the
       // incremental read below joins on both
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val vecsLoad = Future {
-        val c1 = vecs.upsert(seed)
-        vecs.upsert(churn)
-        c1
-      }
       val se = withEe(seed.select("vec_id", "embedding")).persist()
       try {
-        val init: Seq[(Int, Seq[Double])] =
-          se.filter(col("vec_id") < ivfK * 3 / 2) // 16 seed ids under 24
-            .select(col("vec_id").cast("int").as("cid"),
-              expr(s"transform(embedding, x -> round(cast(x AS double), $ivfCentRound))")
-                .as("cent"))
-            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
-            .sortBy(_._1).toSeq
-        val cents = ivfLloyds(se, init)
-        asgn.upsert(se
-          .withColumn("cid",
-            element_at(ivfSortedAssign(cents), 1).getField("cid"))
-          .select(col("vec_id"), col("cid"), lit(1L).as("ts")))
+        val (c1, cents) = QueryPack.overlapping {
+          val c1 = vecs.upsert(seed)
+          vecs.upsert(churn)
+          c1
+        } {
+          val init: Seq[(Int, Seq[Double])] =
+            se.filter(col("vec_id") < ivfK * 3 / 2) // 16 seed ids under 24
+              .select(col("vec_id").cast("int").as("cid"),
+                expr(s"transform(embedding, x -> round(cast(x AS double), $ivfCentRound))")
+                  .as("cent"))
+              .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+              .sortBy(_._1).toSeq
+          val cents = ivfLloyds(se, init)
+          asgn.upsert(se
+            .withColumn("cid",
+              element_at(ivfSortedAssign(cents), 1).getField("cid"))
+            .select(col("vec_id"), col("cid"), lit(1L).as("ts")))
+          cents
+        }
 
         // increment: ONLY the churn is read and re-assigned; the
         // centroids are the fixed bootstrap ones
-        val c1 = Await.result(vecsLoad, Duration.Inf)
         val inc = withEe(vecs.incremental(c1).select("vec_id", "embedding"))
         asgn.upsert(inc
           .withColumn("cid",

@@ -1,9 +1,5 @@
 package graft.queries
 
-import scala.concurrent.{Await, Future}
-import scala.concurrent.ExecutionContext.Implicits.global
-import scala.concurrent.duration.Duration
-
 import org.apache.spark.sql.{Column, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -242,15 +238,15 @@ object SketchOps {
 
       // the docs-table loads and the seed sketch fold write DISJOINT
       // tables, and the fold reads the `seed` relation directly —
-      // overlap the two commit chains (pipe4's pattern)
-      val docsLoad = Future {
+      // overlap the two commit chains (QueryPack.overlapping)
+      val ((c1, c2), _) = QueryPack.overlapping {
         val c1 = docs.upsert(seed)
         docs.upsert(inc1)
         val c2 = docs.upsert(inc2)
         (c1, c2)
+      } {
+        fold(seed, 1L)
       }
-      fold(seed, 1L)
-      val (c1, c2) = Await.result(docsLoad, Duration.Inf)
       // each maintenance pass reads ONLY the churn since its last
       // commit (here both insert batches via one incremental read)
       fold(docs.incremental(c1, Some(c2)).select("source", "text"), 2L)

@@ -370,22 +370,45 @@ object TextOps {
           col("tot_len").cast("double") / col("n_docs").cast("double"))
       val qt = dt.filter(col("doc_id") < 5)
         .select(col("doc_id").as("q_id"), col("term"))
+      val contrib = dt.join(broadcast(qt), Seq("term"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(dlen, "doc_id").join(dfreq, "term")
+        .crossJoin(broadcast(totals))
+        .select(col("q_id"), col("doc_id"), Bm25.microCol.as("micro"))
+      Bm25.rankTopK(contrib)
+    },
+    Some(Bm25.oracleSql(
+      s"tk AS (SELECT doc_id, $toksSql AS toks FROM documents)")))
+
+  /** The ONE BM25 exact-arithmetic contract, shared by text8 (batch)
+    * and pipe6 (maintained index) so both sides — Spark scorer AND
+    * DuckDB oracle — can never drift: Robertson k1 = 1.2, b = 0.75,
+    * Lucene idf ln((N − df + 0.5)/(df + 0.5) + 1) quantized to 6 dp
+    * (the one transcendental), per-term contributions as integer
+    * micro-units (round(idf·tf · 1e6) as BIGINT) so the per-doc score
+    * SUM is exact integer arithmetic with no accumulation-order
+    * drift. */
+  private[queries] object Bm25 {
+    /** Per-term micro-unit contribution; expects columns
+      * n, len, df, n_docs, avgdl. */
+    def microCol: org.apache.spark.sql.Column = {
       val idf6 = round(log(
         (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
       val tfpart = (col("n").cast("double") * lit(2.2)) /
         (col("n").cast("double") + lit(1.2) *
           (lit(0.25) + lit(0.75) * col("len").cast("double") / col("avgdl")))
-      val contrib = dt.join(broadcast(qt), Seq("term"))
-        .filter(col("doc_id") =!= col("q_id"))
-        .join(dlen, "doc_id").join(dfreq, "term")
-        .crossJoin(broadcast(totals))
-        .select(col("q_id"), col("doc_id"),
-          round(idf6 * tfpart * lit(1e6)).cast("bigint").as("micro"))
+      round(idf6 * tfpart * lit(1e6)).cast("bigint")
+    }
+
+    /** (q_id, doc_id, micro) → top-10 per query via the bounded
+      * [[graft.functions.TopKAgg]] (map-side k rows per partition —
+      * never a per-query window sort of every scored row). */
+    def rankTopK(contrib: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.Encoders
       val topk = udaf(new graft.functions.TopKAgg(10),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.DOUBLE,
-          org.apache.spark.sql.Encoders.LONG))
+        Encoders.tuple(Encoders.DOUBLE, Encoders.LONG))
       contrib.groupBy("q_id", "doc_id")
         .agg(sum("micro").as("sm"))
         .withColumn("score", col("sm").cast("double") / lit(1000000.0))
@@ -394,8 +417,13 @@ object TextOps {
         .select(col("q_id"), col("col._2").as("doc_id"),
           col("col._1").as("score"), (col("pos") + 1).cast("int").as("rank"))
         .orderBy("q_id", "rank")
-    },
-    Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    }
+
+    /** Full oracle given a prelude of CTEs ending in
+      * tk(doc_id, toks); the dt/dl/dfq/tot/qt/scoring tail is shared
+      * verbatim across callers. */
+    def oracleSql(tkPrelude: String): String =
+      s"""WITH $tkPrelude,
       dt AS (SELECT doc_id, term, count(*) AS n FROM (
           SELECT doc_id, unnest(toks) AS term FROM tk) GROUP BY doc_id, term),
       dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM dt GROUP BY doc_id),
@@ -422,7 +450,8 @@ object TextOps {
           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
         FROM sc)
       SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank FROM r
-      WHERE rank <= 10 ORDER BY q_id, rank"""))
+      WHERE rank <= 10 ORDER BY q_id, rank"""
+  }
 
   /** text7 — PMI collocations: corpus-level word-pair association,
     * pmi = ln(p(ab) / (p(a)·p(b))) over adjacent bigrams — the

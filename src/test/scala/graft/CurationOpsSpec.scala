@@ -85,9 +85,11 @@ class CurationOpsSpec extends AnyFunSuite {
     import graft.util.Tables
     import org.apache.spark.sql.expressions.Window
     val fin = Tables.t(spark, sf, "documents")
+      .filter(!(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1))
       .withColumn("text",
         when(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          concat(lit("replaced content block "), col("doc_id").cast("string")))
+          .otherwise(col("text")))
     val dt = fin
       .select(col("doc_id"),
         explode(expr("split(lower(trim(text)), '\\\\s+')")).as("term"))
