@@ -342,6 +342,54 @@ object CurationOps {
       FROM documents
       ORDER BY h, doc_id LIMIT 100"""))
 
+  /** samp2 — WEIGHTED reservoir sample (Efraimidis–Spirakis A-ES):
+    * 8 docs per source drawn with probability proportional to token
+    * count — the token-budget-fair draw (a uniform doc sample
+    * under-represents long documents' tokens; weighting by length
+    * samples tokens uniformly). Each doc gets the A-ES key
+    * ln(u)/w with u an md5-derived uniform in (0,1] (deterministic,
+    * content-stable — no RNG), and the k largest keys per source win:
+    * exactly the distribution of sequential weighted reservoir
+    * sampling, but expressed as a bounded [[graft.functions.TopKAgg]]
+    * aggregate — map-side k pairs per partition, no per-group sort
+    * shuffle, works at any scale and any partitioning. u is an exact
+    * dyadic rational in both engines ((h48+1)/2^48), so ln sees
+    * identical inputs; the key is quantized to 6 dp with doc_id
+    * tie-break, the text6/text8 transcendental convention. */
+  private val samp2Q = GQ(
+    "samp2_weighted_reservoir",
+    (s, dir) => {
+      val u = (conv(substring(md5(concat(lit("samp2:"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long") +
+        lit(1L)).cast("double") / lit(281474976710656.0) // 2^48, exact
+      val d = t(s, dir, "documents")
+        .withColumn("w", size(expr(toksExpr.format("text"))).cast("long"))
+        .withColumn("wkey", round(log(u) / col("w").cast("double"), 6))
+      val topk = udaf(new graft.functions.TopKAgg(8),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.DOUBLE,
+          org.apache.spark.sql.Encoders.LONG))
+      d.groupBy("source").agg(topk(col("wkey"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col._2").as("doc_id"),
+          col("col._1").as("wkey"), (col("pos") + 1).cast("int").as("rank"))
+        .join(d.select("doc_id", "w"), "doc_id")
+        .select("source", "doc_id", "w", "wkey", "rank")
+        .orderBy("source", "rank")
+    },
+    Some(s"""WITH d AS (SELECT source, doc_id,
+          CAST(len(${toksSql.format("text")}) AS BIGINT) AS w
+        FROM documents),
+      k AS (SELECT source, doc_id, w,
+          round(ln((CAST('0x' || substr(md5('samp2:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 1)
+              / 281474976710656.0) / CAST(w AS DOUBLE), 6) AS wkey
+        FROM d),
+      r AS (SELECT source, doc_id, w, wkey,
+          row_number() OVER (PARTITION BY source ORDER BY wkey DESC, doc_id ASC) AS rank
+        FROM k)
+      SELECT source, doc_id, w, wkey, CAST(rank AS INT) AS rank FROM r
+      WHERE rank <= 8 ORDER BY source, rank"""))
+
   /** stats1 — the corpus data card: per (lang, source) cell plus
     * per-lang subtotals and a grand total (ROLLUP), reporting doc and
     * token volume, duplication (distinct content fingerprints vs
@@ -1107,5 +1155,5 @@ object CurationOps {
 
   def qs: Seq[GQ] = Seq(deconQ, decon2Q, decon3Q, piiQ, repetitionQ, mixQ,
     mix2Q, mix3Q, pipeQ, canonicalQ, incNearDupQ, incBm25Q, entropyQ,
-    leakSplitQ, stats1Q, samp1Q)
+    leakSplitQ, stats1Q, samp1Q, samp2Q)
 }

@@ -123,6 +123,35 @@ class CurationOpsSpec extends AnyFunSuite {
       s"maintained index diverged from batch: ${got.sorted.diff(want.sorted).take(3)}")
   }
 
+  test("samp2: weighted reservoir equals the window-sort reference") {
+    val got = SparkEntry.queries("samp2_weighted_reservoir")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+    assert(got.nonEmpty)
+    // per source: <= 8 rows, consecutive ranks, keys non-increasing
+    // with doc_id tie-break — i.e. the bounded aggregator reproduces
+    // exactly what a per-group sort would pick
+    got.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.length <= 8)
+      val byRank = g.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to g.length), s"$src ranks")
+      byRank.sliding(2).foreach { case Array(hi, lo) =>
+        assert(hi._3 > lo._3 || (hi._3 == lo._3 && hi._2 < lo._2),
+          s"$src order violated at rank ${hi._4}")
+      case _ => }
+    }
+    // weighting sanity: the sampled docs' mean token count should not
+    // sit BELOW the corpus mean (length-weighting favors long docs;
+    // generous one-sided bound at sample size 8/source)
+    val sampledW = SparkEntry.queries("samp2_weighted_reservoir")(spark, sf)
+      .agg(avg("w")).collect()(0).getDouble(0)
+    val corpusW = graft.util.Tables.t(spark, sf, "documents")
+      .select(size(expr("split(lower(trim(text)), '\\\\s+')")).cast("long").as("w"))
+      .agg(avg("w")).collect()(0).getDouble(0)
+    assert(sampledW > corpusW * 0.8,
+      s"weighted sample mean $sampledW far below corpus mean $corpusW")
+  }
+
   test("mix1 achieves rates near the per-source target") {
     val out = SparkEntry.queries("mix1_domain_mix")(spark, sf).collect()
     assert(out.length == 20) // 20 sources
