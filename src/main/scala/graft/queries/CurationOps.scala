@@ -993,9 +993,6 @@ object CurationOps {
     (s, dir) => {
       import graft.core.{LakeTable, TableProps}
       import QueryPack.scratchDir
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
 
       val base = t(s, dir, "documents").select("doc_id", "text")
       // updates REPLACE the text wholesale (old terms vanish → the
@@ -1025,78 +1022,13 @@ object CurationOps {
         TableProps("pipe6tot", Seq("id"), Some("ts"), Seq.empty,
           tableType = "mor"))
 
-      // (doc_id, term, n, len): len = total tokens of the doc (equals
-      // text8's sum-of-n per doc), denormalized onto every posting row
-      // so scoring needs no per-doc length join — the doc's postings
-      // are rewritten wholesale on churn anyway
-      def postingsOf(d: DataFrame): DataFrame = d
-        .withColumn("toks", expr(toksExpr.format("text")))
-        .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
-          explode(col("toks")).as("term"))
-        .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("n"))
-        .select("doc_id", "term", "n", "len")
-
-      /** Fold one batch: `after` = post-image docs, `before` =
-        * pre-image docs of updated/deleted keys (empty on bootstrap). */
-      def maintain(after: DataFrame, before: DataFrame, ts: Long): Unit = {
-        val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
-        def cache(df: DataFrame) = { cached += df.persist(); df }
-        // plans over the CURRENT state, pinned before the concurrent
-        // writes below (snapshot() resolves its file list eagerly)
-        val statsSnap = stats.snapshot()
-        val totalsSnap = totals.snapshot()
-        var writes: Seq[Future[Any]] = Seq.empty
-        try {
-          val newPost = cache(postingsOf(after))
-          val oldPost = cache(postingsOf(before))
-          val dfDelta = cache(newPost
-            .select(col("term"), lit(1L).as("s"))
-            .unionByName(oldPost.select(col("term"), lit(-1L).as("s")))
-            .groupBy("term").agg(sum("s").as("ddf"))
-            .filter(col("ddf") =!= 0))
-          val lenDelta = newPost.groupBy("doc_id").agg(first("len").as("len"))
-            .select(lit(1L).as("s"), col("len"))
-            .unionByName(oldPost.groupBy("doc_id").agg(first("len").as("len"))
-              .select(lit(-1L).as("s"), (-col("len")).as("len")))
-            .agg(coalesce(sum(col("s")), lit(0L)).as("dnd"),
-              coalesce(sum(col("len")), lit(0L)).as("dtl"))
-          // three DISJOINT state tables — write them concurrently
-          writes = Seq(
-            Future {
-              post.upsertWithDeletes(newPost.withColumn("ts", lit(ts)),
-                oldPost.select("doc_id", "term"))
-            },
-            Future {
-              val stored = if (statsSnap.columns.contains("term"))
-                statsSnap.select(col("term"), col("df"))
-              else dfDelta.select(col("term"), col("ddf").as("df")).limit(0)
-              // O(churn terms), NOT O(vocabulary): only terms whose
-              // presence count changed get a new version — the
-              // delta side drives the join; unchanged dictionary rows
-              // are never rewritten (preCombine keeps their stored
-              // version at read time)
-              val folded = dfDelta.join(stored, Seq("term"), "left")
-                .select(col("term"),
-                  (coalesce(col("df"), lit(0L)) + col("ddf")).as("df"))
-              stats.upsert(folded.withColumn("ts", lit(ts)))
-            },
-            Future {
-              val stored = if (totalsSnap.columns.contains("n_docs"))
-                totalsSnap.select(col("n_docs"), col("tot_len"))
-              else s.range(1).select(lit(0L).as("n_docs"), lit(0L).as("tot_len"))
-              totals.upsert(stored.crossJoin(lenDelta)
-                .select(lit(0L).as("id"),
-                  (col("n_docs") + col("dnd")).as("n_docs"),
-                  (col("tot_len") + col("dtl")).as("tot_len"),
-                  lit(ts).as("ts")))
-            })
-          writes.foreach(Await.result(_, Duration.Inf))
-          ()
-        } finally {
-          writes.foreach(Await.ready(_, Duration.Inf))
-          cached.foreach(_.unpersist())
-        }
-      }
+      // the fold algorithm lives in [[SearchIndex]] (shared with the
+      // PropertySpec random-DML harness): postings as one mixed
+      // tombstone+data commit, df/totals as churn-driven delta folds,
+      // three disjoint state writes run concurrently
+      def maintain(after: org.apache.spark.sql.DataFrame,
+          before: org.apache.spark.sql.DataFrame, ts: Long): Unit =
+        SearchIndex.maintain(after, before, post, stats, totals, ts)
 
       val emptyDocs = {
         import s.implicits._

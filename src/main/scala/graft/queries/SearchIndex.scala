@@ -1,0 +1,117 @@
+package graft.queries
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.LakeTable
+
+/** The ONE fold algorithm behind the maintained BM25 search index —
+  * shared by the `pipe6_incremental_bm25` gate (bootstrap and
+  * increment passes) and the PropertySpec random-DML test, so the
+  * DuckDB oracle and the property harness exercise the same code.
+  *
+  * State = three lake tables: POSTINGS keyed (doc_id, term) carrying
+  * (n, len); DF stats keyed term; a one-row TOTALS table
+  * (n_docs, tot_len). Each [[maintain]] call folds one batch of doc
+  * churn (post-images + pre-images) in O(churn terms): a churned
+  * doc's postings are one mixed tombstone+data commit, df and totals
+  * are delta folds driven by the churn side — never a corpus recount
+  * — and the three DISJOINT state writes run concurrently. */
+private[graft] object SearchIndex {
+
+  /** Tokens of the lowercased text — the corpus-wide convention
+    * (matches text8/TextOps and the pipe6 oracle). */
+  private val toksExpr = "split(lower(trim(text)), '\\\\s+')"
+
+  /** (doc_id, term, n, len) of a doc batch: len = total tokens of the
+    * doc (equals the batch BM25's sum-of-n per doc), denormalized
+    * onto every posting row so scoring needs no per-doc length join —
+    * the doc's postings are rewritten wholesale on churn anyway. */
+  def postingsOf(d: DataFrame): DataFrame = d
+    .withColumn("toks", expr(toksExpr))
+    .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+      explode(col("toks")).as("term"))
+    .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("n"))
+    .select("doc_id", "term", "n", "len")
+
+  /** Fold one churn batch into the index.
+    *
+    * @param after  post-image docs (doc_id, text) — inserts and the
+    *               new text of updates
+    * @param before pre-image docs of updated/deleted keys (empty on
+    *               bootstrap)
+    * @param ts     monotonic preCombine value for this batch
+    */
+  def maintain(
+      after: DataFrame,
+      before: DataFrame,
+      post: LakeTable,
+      stats: LakeTable,
+      totals: LakeTable,
+      ts: Long): Unit = {
+    val s = after.sparkSession
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cache(df: DataFrame) = { cached += df.persist(); df }
+    // plans over the CURRENT state, pinned before the concurrent
+    // writes below (snapshot() resolves its file list eagerly)
+    val statsSnap = stats.snapshot()
+    val totalsSnap = totals.snapshot()
+    var writes: Seq[Future[Any]] = Seq.empty
+    try {
+      val newPost = cache(postingsOf(after))
+      val oldPost = cache(postingsOf(before))
+      val dfDelta = cache(newPost
+        .select(col("term"), lit(1L).as("s"))
+        .unionByName(oldPost.select(col("term"), lit(-1L).as("s")))
+        .groupBy("term").agg(sum("s").as("ddf"))
+        .filter(col("ddf") =!= 0))
+      val lenDelta = newPost.groupBy("doc_id").agg(first("len").as("len"))
+        .select(lit(1L).as("s"), col("len"))
+        .unionByName(oldPost.groupBy("doc_id").agg(first("len").as("len"))
+          .select(lit(-1L).as("s"), (-col("len")).as("len")))
+        .agg(coalesce(sum(col("s")), lit(0L)).as("dnd"),
+          coalesce(sum(col("len")), lit(0L)).as("dtl"))
+      // three DISJOINT state tables — write them concurrently
+      writes = Seq(
+        Future {
+          post.upsertWithDeletes(newPost.withColumn("ts", lit(ts)),
+            oldPost.select("doc_id", "term"))
+        },
+        Future {
+          val stored = if (statsSnap.columns.contains("term"))
+            statsSnap.select(col("term"), col("df"))
+          else dfDelta.select(col("term"), col("ddf").as("df")).limit(0)
+          // O(churn terms), NOT O(vocabulary): only terms whose
+          // presence count changed get a new version — the delta side
+          // drives the join; unchanged dictionary rows are never
+          // rewritten (preCombine keeps their stored version at read
+          // time)
+          val folded = dfDelta.join(stored, Seq("term"), "left")
+            .select(col("term"),
+              (coalesce(col("df"), lit(0L)) + col("ddf")).as("df"))
+          stats.upsert(folded.withColumn("ts", lit(ts)))
+        },
+        Future {
+          val stored = if (totalsSnap.columns.contains("n_docs"))
+            totalsSnap.select(col("n_docs"), col("tot_len"))
+          else s.range(1).select(lit(0L).as("n_docs"), lit(0L).as("tot_len"))
+          totals.upsert(stored.crossJoin(lenDelta)
+            .select(lit(0L).as("id"),
+              (col("n_docs") + col("dnd")).as("n_docs"),
+              (col("tot_len") + col("dtl")).as("tot_len"),
+              lit(ts).as("ts")))
+        })
+      writes.foreach(Await.result(_, Duration.Inf))
+      ()
+    } finally {
+      // on a failure the other writes may still be in flight — never
+      // unpersist their inputs from under them
+      writes.foreach(Await.ready(_, Duration.Inf))
+      cached.foreach(_.unpersist())
+    }
+  }
+}

@@ -221,6 +221,81 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("search-index folds track random DML sequences") {
+    // randomized insert/update/delete batches folded through
+    // SearchIndex.maintain; after EVERY batch the three state tables
+    // must equal a batch recompute over the current corpus — the
+    // O(churn) folds can never strand a stale posting, leave a wrong
+    // df, or drift the totals, under any interleaving (exercises the
+    // tombstone-without-reinsert and negative-df legs far beyond the
+    // pipe6 gate's fixed scenario). COW and MOR state tables.
+    import graft.queries.SearchIndex
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel")
+    val textGen = for {
+      n <- Gen.choose(1, 6)
+      ws <- Gen.listOfN(n, Gen.oneOf(words))
+    } yield ws.mkString(" ")
+    val docGen = for {
+      id <- Gen.choose(1L, 10L); t <- textGen
+    } yield (id, t)
+    val opGen = for {
+      isDelete <- Gen.frequency(3 -> false, 1 -> true)
+      docs <- Gen.listOfN(3, docGen)
+    } yield (isDelete, docs.distinctBy(_._1))
+
+    for (tableType <- Seq("cow", "mor")) {
+      val post = LakeTable.create(spark, tmp(), TableProps(
+        "p6post", Seq("doc_id", "term"), Some("ts"), Seq.empty,
+        tableType = tableType))
+      val stats = LakeTable.create(spark, tmp(), TableProps(
+        "p6stats", Seq("term"), Some("ts"), Seq.empty,
+        tableType = tableType))
+      val totals = LakeTable.create(spark, tmp(), TableProps(
+        "p6tot", Seq("id"), Some("ts"), Seq.empty, tableType = tableType))
+      var model = Map.empty[Long, String]
+      samples(Gen.listOfN(6, opGen), 1).foreach { ops =>
+        ops.zipWithIndex.foreach { case ((isDelete, rows), i) =>
+          val ids = rows.map(_._1).toSet
+          val before = model.filter(kv => ids.contains(kv._1)).toSeq
+            .toDF("doc_id", "text")
+          val after =
+            if (isDelete) Seq.empty[(Long, String)].toDF("doc_id", "text")
+            else rows.toDF("doc_id", "text")
+          SearchIndex.maintain(after, before, post, stats, totals, i + 1L)
+          model = if (isDelete) model -- ids else model ++ rows
+
+          val corpus = model.toSeq.toDF("doc_id", "text")
+          val wantPost = SearchIndex.postingsOf(corpus).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+              r.getLong(3))).toSet
+          val gotPost = post.snapshot().select("doc_id", "term", "n", "len")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+              r.getLong(3))).toSet
+          assert(gotPost == wantPost,
+            s"[$tableType] batch $i postings: extra=${gotPost -- wantPost} " +
+              s"missing=${wantPost -- gotPost}")
+          val wantDf = wantPost.groupBy(_._2).map { case (t, g) =>
+            t -> g.map(_._1).size.toLong }
+          val storedDf = stats.snapshot().select("term", "df").collect()
+            .map(r => r.getString(0) -> r.getLong(1))
+          assert(storedDf.forall(_._2 >= 0),
+            s"[$tableType] batch $i negative df: ${storedDf.filter(_._2 < 0)}")
+          assert(storedDf.filter(_._2 > 0).toMap == wantDf,
+            s"[$tableType] batch $i df drift")
+          val tot = totals.snapshot().select("n_docs", "tot_len").collect()
+          assert(tot.length == 1)
+          val wantLen = model.values
+            .map(_.trim.toLowerCase.split("\\s+").length.toLong).sum
+          assert((tot(0).getLong(0), tot(0).getLong(1)) ==
+            (model.size.toLong, wantLen),
+            s"[$tableType] batch $i totals ${tot(0)} vs " +
+              s"(${model.size}, $wantLen)")
+        }
+      }
+    }
+  }
+
   test("raw (non-hive) partition layout: dirs are bare values") {
     val path = tmp()
     val t = LakeTable.create(spark, path, props(hive = false))
