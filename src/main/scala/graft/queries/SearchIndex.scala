@@ -45,6 +45,20 @@ private[graft] object SearchIndex {
     * @param before pre-image docs of updated/deleted keys (empty on
     *               bootstrap)
     * @param ts     monotonic preCombine value for this batch
+    * @param guard  per-table write wrapper. The df/totals folds are
+    *               NON-idempotent (a replayed batch would
+    *               double-increment), and the three writes are three
+    *               commits — a crash can land between them. The
+    *               streaming service passes a per-table
+    *               [[graft.streaming.ExactlyOnce]] `runOnce` here, so
+    *               each table independently skips a batch it already
+    *               folded (tag recorded atomically with its commit)
+    *               while tables missed by the crash apply it —
+    *               convergent under crash-anywhere replay. The batch
+    *               deltas derive ONLY from `after`/`before` (never
+    *               from state), so a partial replay folds the same
+    *               values the first attempt would have. Default: run
+    *               directly, no tag (the batch gate's path).
     */
   def maintain(
       after: DataFrame,
@@ -52,7 +66,9 @@ private[graft] object SearchIndex {
       post: LakeTable,
       stats: LakeTable,
       totals: LakeTable,
-      ts: Long): Unit = {
+      ts: Long,
+      guard: (LakeTable, Option[String] => Unit) => Unit =
+        (_, f) => f(None)): Unit = {
     val s = after.sparkSession
     val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cache(df: DataFrame) = { cached += df.persist(); df }
@@ -78,32 +94,41 @@ private[graft] object SearchIndex {
       // three DISJOINT state tables — write them concurrently
       writes = Seq(
         Future {
-          post.upsertWithDeletes(newPost.withColumn("ts", lit(ts)),
-            oldPost.select("doc_id", "term"))
+          guard(post, { tag =>
+            post.upsertWithDeletes(newPost.withColumn("ts", lit(ts)),
+              oldPost.select("doc_id", "term"), tag = tag)
+            ()
+          })
         },
         Future {
-          val stored = if (statsSnap.columns.contains("term"))
-            statsSnap.select(col("term"), col("df"))
-          else dfDelta.select(col("term"), col("ddf").as("df")).limit(0)
-          // O(churn terms), NOT O(vocabulary): only terms whose
-          // presence count changed get a new version — the delta side
-          // drives the join; unchanged dictionary rows are never
-          // rewritten (preCombine keeps their stored version at read
-          // time)
-          val folded = dfDelta.join(stored, Seq("term"), "left")
-            .select(col("term"),
-              (coalesce(col("df"), lit(0L)) + col("ddf")).as("df"))
-          stats.upsert(folded.withColumn("ts", lit(ts)))
+          guard(stats, { tag =>
+            val stored = if (statsSnap.columns.contains("term"))
+              statsSnap.select(col("term"), col("df"))
+            else dfDelta.select(col("term"), col("ddf").as("df")).limit(0)
+            // O(churn terms), NOT O(vocabulary): only terms whose
+            // presence count changed get a new version — the delta
+            // side drives the join; unchanged dictionary rows are
+            // never rewritten (preCombine keeps their stored version
+            // at read time)
+            val folded = dfDelta.join(stored, Seq("term"), "left")
+              .select(col("term"),
+                (coalesce(col("df"), lit(0L)) + col("ddf")).as("df"))
+            stats.upsert(folded.withColumn("ts", lit(ts)), tag = tag)
+            ()
+          })
         },
         Future {
-          val stored = if (totalsSnap.columns.contains("n_docs"))
-            totalsSnap.select(col("n_docs"), col("tot_len"))
-          else s.range(1).select(lit(0L).as("n_docs"), lit(0L).as("tot_len"))
-          totals.upsert(stored.crossJoin(lenDelta)
-            .select(lit(0L).as("id"),
-              (col("n_docs") + col("dnd")).as("n_docs"),
-              (col("tot_len") + col("dtl")).as("tot_len"),
-              lit(ts).as("ts")))
+          guard(totals, { tag =>
+            val stored = if (totalsSnap.columns.contains("n_docs"))
+              totalsSnap.select(col("n_docs"), col("tot_len"))
+            else s.range(1).select(lit(0L).as("n_docs"), lit(0L).as("tot_len"))
+            totals.upsert(stored.crossJoin(lenDelta)
+              .select(lit(0L).as("id"),
+                (col("n_docs") + col("dnd")).as("n_docs"),
+                (col("tot_len") + col("dtl")).as("tot_len"),
+                lit(ts).as("ts")), tag = tag)
+            ()
+          })
         })
       writes.foreach(Await.result(_, Duration.Inf))
       ()

@@ -486,6 +486,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming search-index maintenance: kill/restart converges to batch answer") {
+    import graft.streaming.SearchIndexMaintenance
+    import graft.queries.SearchIndex
+    val docsPath = tmp("six_docs_")
+    val postPath = tmp("six_post_")
+    val statsPath = tmp("six_stats_")
+    val totPath = tmp("six_tot_")
+    val ckpt = tmp("six_ckpt_")
+    val docs = LakeTable.create(spark, docsPath, TableProps(
+      "sixdocs", Seq("doc_id"), Some("ts"), Seq.empty))
+    LakeTable.create(spark, postPath, TableProps(
+      "sixpost", Seq("doc_id", "term"), Some("ts"), Seq.empty,
+      tableType = "mor"))
+    LakeTable.create(spark, statsPath, TableProps(
+      "sixstats", Seq("term"), Some("ts"), Seq.empty, tableType = "mor"))
+    LakeTable.create(spark, totPath, TableProps(
+      "sixtot", Seq("id"), Some("ts"), Seq.empty, tableType = "mor"))
+    docs.upsert(Seq(
+      (1L, "alpha bravo alpha", 1L),
+      (2L, "bravo charlie", 1L)).toDF("doc_id", "text", "ts"))
+    def run() = SearchIndexMaintenance.start(
+      spark, docsPath, postPath, statsPath, totPath, ckpt)
+    def check(phase: String): Unit = {
+      val corpus = docs.snapshot().select("doc_id", "text")
+      val wantPost = SearchIndex.postingsOf(corpus).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val gotPost = LakeTable.load(spark, postPath).snapshot()
+        .select("doc_id", "term", "n", "len").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(gotPost == wantPost, s"[$phase] postings: " +
+        s"extra=${gotPost -- wantPost} missing=${wantPost -- gotPost}")
+      val wantDf = wantPost.groupBy(_._2)
+        .map { case (t, g) => t -> g.map(_._1).size.toLong }
+      val gotDf = LakeTable.load(spark, statsPath).snapshot()
+        .filter(col("df") > 0).select("term", "df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotDf == wantDf, s"[$phase] df: got $gotDf want $wantDf")
+      val wantLen = wantPost.groupBy(_._1).map(_._2.head._4).sum
+      val tot = LakeTable.load(spark, totPath).snapshot()
+        .select("n_docs", "tot_len").collect()
+      assert(tot.length == 1 &&
+        (tot(0).getLong(0), tot(0).getLong(1)) ==
+          (wantPost.map(_._1).size.toLong, wantLen),
+        s"[$phase] totals ${tot.toSeq}")
+    }
+    // phase 1: bootstrap fold (batch 0 replays every current doc)
+    val q1 = run()
+    try {
+      q1.processAllAvailable()
+      check("bootstrap")
+    } finally q1.stop() // KILL mid-stream
+    // the corpus keeps moving while maintenance is down: doc 1's text
+    // is REPLACED (alpha/bravo postings tombstone, delta/echo appear,
+    // df decrements), doc 3 arrives, doc 2 is deleted
+    docs.upsert(Seq(
+      (1L, "delta echo", 2L),
+      (3L, "alpha foxtrot", 2L)).toDF("doc_id", "text", "ts"))
+    docs.delete(Seq(Tuple1(2L)).toDF("doc_id"))
+    // phase 2: restart from the checkpoint — the missed commits fold
+    // through the per-table exactly-once guards
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      check("restart")
+    } finally q2.stop()
+  }
+
   test("streaming near-dup maintenance: kill/restart converges to batch answer") {
     import graft.streaming.{ExactlyOnce, NearDupMaintenance}
     import graft.queries.DedupOps
