@@ -69,7 +69,6 @@ private[graft] object SearchIndex {
       ts: Long,
       guard: (LakeTable, Option[String] => Unit) => Unit =
         (_, f) => f(None)): Unit = {
-    val s = after.sparkSession
     val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cache(df: DataFrame) = { cached += df.persist(); df }
     // plans over the CURRENT state, pinned before the concurrent
@@ -119,13 +118,20 @@ private[graft] object SearchIndex {
         },
         Future {
           guard(totals, { tag =>
-            val stored = if (totalsSnap.columns.contains("n_docs"))
-              totalsSnap.select(col("n_docs"), col("tot_len"))
-            else s.range(1).select(lit(0L).as("n_docs"), lit(0L).as("tot_len"))
-            totals.upsert(stored.crossJoin(lenDelta)
+            // the stored side is ONE row at most — read it driver-side
+            // (a crossJoin against the stored relation would emit ZERO
+            // rows when the table exists with schema but no row yet,
+            // e.g. freshly CREATE TABLEd: empty × delta = empty)
+            val cur =
+              if (totalsSnap.columns.contains("n_docs"))
+                totalsSnap.select(col("n_docs"), col("tot_len")).collect()
+              else Array.empty[org.apache.spark.sql.Row]
+            val (n0, l0) = cur.headOption
+              .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+            totals.upsert(lenDelta
               .select(lit(0L).as("id"),
-                (col("n_docs") + col("dnd")).as("n_docs"),
-                (col("tot_len") + col("dtl")).as("tot_len"),
+                (lit(n0) + col("dnd")).as("n_docs"),
+                (lit(l0) + col("dtl")).as("tot_len"),
                 lit(ts).as("ts")), tag = tag)
             ()
           })

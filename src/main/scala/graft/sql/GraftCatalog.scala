@@ -400,6 +400,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           churn, deleted, snap, sigs, pairs, ts)
         Array(InternalRow(pairs.snapshot().count()))
       }
+      case "maintain_search_index" => procedure(
+        "maintain_search_index", "fold a docs table's churn into the " +
+          "maintained BM25 search index (postings/df-stats/totals — the " +
+          "SearchIndex increment): since_instant = '' bootstraps from the " +
+          "full snapshot; otherwise only the CDC churn after that instant " +
+          "is re-tokenized",
+        Seq("docs_table" -> StringT, "postings_table" -> StringT,
+          "stats_table" -> StringT, "totals_table" -> StringT,
+          "since_instant" -> StringT),
+        "postings BIGINT") { input =>
+        import org.apache.spark.sql.functions.col
+        val docs = lakeOf(input.getUTF8String(0).toString)
+        val post = lakeOf(input.getUTF8String(1).toString)
+        val stats = lakeOf(input.getUTF8String(2).toString)
+        val totals = lakeOf(input.getUTF8String(3).toString)
+        val since = input.getUTF8String(4).toString
+        val snap = docs.snapshot().select("doc_id", "text")
+        val (after, before) =
+          if (since.isEmpty) (snap, snap.limit(0))
+          else {
+            val feed = docs.cdc(since)
+            val op = col(LakeTable.ChangeOpCol)
+            val bef = col(LakeTable.BeforeImageCol)
+            (feed.filter(op =!= "d").select(col("doc_id"), col("text")),
+              feed.filter(op.isin("u", "d")).select(
+                bef.getField("doc_id").as("doc_id"),
+                bef.getField("text").as("text")))
+          }
+        // ts = the docs table's newest instant: monotonic across calls
+        // and derived from table state, not the wall clock
+        val commits = docs.timeline.commits()
+        require(commits.nonEmpty,
+          s"maintain_search_index: docs table '${input.getUTF8String(0)}' " +
+            "has no commits yet - ingest at least one batch before " +
+            "maintaining the search index")
+        val ts = commits.last.instant.toLong
+        graft.queries.SearchIndex.maintain(
+          after, before, post, stats, totals, ts)
+        Array(InternalRow(post.snapshot().count()))
+      }
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure $other")
     }
@@ -409,6 +449,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       "run_clustering", "run_zorder", "rollback_to_instant",
       "create_savepoint", "delete_savepoint", "show_fsview",
       "show_savepoints", "clean_orphans", "sync_database",
-      "maintain_neardups")
+      "maintain_neardups", "maintain_search_index")
       .map(Identifier.of(Array("system"), _))
 }

@@ -302,6 +302,49 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(pairSet() == Set((3L, 4L)))
   }
 
+  test("CALL maintain_search_index drives the BM25 index from SQL") {
+    for (t <- Seq("si_docs", "si_post", "si_stats", "si_tot"))
+      sql(s"DROP TABLE IF EXISTS graft.db.$t")
+    sql("""CREATE TABLE graft.db.si_docs (doc_id BIGINT, text STRING, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
+    sql("""CREATE TABLE graft.db.si_post (doc_id BIGINT, term STRING, n BIGINT,
+        len BIGINT, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'doc_id,term', preCombineField = 'ts')""")
+    sql("""CREATE TABLE graft.db.si_stats (term STRING, df BIGINT, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'term', preCombineField = 'ts')""")
+    sql("""CREATE TABLE graft.db.si_tot (id BIGINT, n_docs BIGINT,
+        tot_len BIGINT, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')""")
+    sql("""INSERT INTO graft.db.si_docs VALUES
+      (1, 'alpha bravo alpha', 1), (2, 'bravo charlie', 1)""")
+    // bootstrap from the full snapshot: 4 distinct (doc, term) postings
+    val n1 = sql("""CALL graft.system.maintain_search_index(
+      docs_table => 'db.si_docs', postings_table => 'db.si_post',
+      stats_table => 'db.si_stats', totals_table => 'db.si_tot',
+      since_instant => '')""").head().getLong(0)
+    assert(n1 == 4L, s"bootstrap postings: $n1")
+    def dfOf(term: String) = sql(
+      s"SELECT df FROM graft.db.si_stats WHERE term = '$term'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dfOf("bravo") == Seq(2L) && dfOf("alpha") == Seq(1L))
+    assert(sql("SELECT n_docs, tot_len FROM graft.db.si_tot").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 5L)))
+    // churn: doc 1's text REPLACED (alpha vanishes entirely — df drops
+    // to 0), doc 3 arrives
+    val since = sql("CALL graft.system.show_commits(table => 'db.si_docs')")
+      .collect().map(_.getString(0)).max
+    sql("""INSERT INTO graft.db.si_docs VALUES
+      (1, 'delta echo', 2), (3, 'charlie foxtrot', 2)""")
+    sql("""CALL graft.system.maintain_search_index(
+      docs_table => 'db.si_docs', postings_table => 'db.si_post',
+      stats_table => 'db.si_stats', totals_table => 'db.si_tot',
+      since_instant => '""" + since + "')")
+    assert(dfOf("alpha") == Seq(0L), "replaced term must fold to df 0")
+    assert(dfOf("charlie") == Seq(2L))
+    assert(sql("SELECT n_docs, tot_len FROM graft.db.si_tot").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 6L)))
+  }
+
   test("sketch aggregators are callable from SQL") {
     graft.functions.GraftFunctions.register(spark)
     Seq(1L, 5L, 3L, 5L, 99L).toDF("h").createOrReplaceTempView("sk_in")
