@@ -26,8 +26,8 @@ import graft.util.Tables._
   */
 object CurationOps {
 
-  private val toksExpr = "split(lower(trim(%s)), '\\\\s+')"
-  private val toksSql = "string_split_regex(lower(trim(%s)), '\\s+')"
+  private val toksExpr = TextOps.ToksExprFmt
+  private val toksSql = TextOps.ToksSqlFmt
 
   /** 13-word shingle hashes of a token-array column (md5 so the join
     * key is fixed-width). Word-level 13-grams are the standard
@@ -362,9 +362,14 @@ object CurationOps {
       val u = (conv(substring(md5(concat(lit("samp2:"),
         col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long") +
         lit(1L)).cast("double") / lit(281474976710656.0) // 2^48, exact
+      // persist: the corpus tokenization feeds BOTH the top-k pass
+      // and the w re-attach join below — one scan, not two (the
+      // harness clears caches between queries, so no unpersist here:
+      // the final action is lazy)
       val d = t(s, dir, "documents")
         .withColumn("w", size(expr(toksExpr.format("text"))).cast("long"))
         .withColumn("wkey", round(log(u) / col("w").cast("double"), 6))
+        .persist()
       val topk = udaf(new graft.functions.TopKAgg(8),
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.DOUBLE,

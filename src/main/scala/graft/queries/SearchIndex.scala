@@ -23,9 +23,10 @@ import graft.core.LakeTable
   * — and the three DISJOINT state writes run concurrently. */
 private[graft] object SearchIndex {
 
-  /** Tokens of the lowercased text — the corpus-wide convention
-    * (matches text8/TextOps and the pipe6 oracle). */
-  private val toksExpr = "split(lower(trim(text)), '\\\\s+')"
+  /** Tokens of the lowercased text — formatted from the ONE canonical
+    * definition ([[TextOps.ToksExprFmt]]): the fold and the batch
+    * oracle must tokenize byte-identically. */
+  private val toksExpr = TextOps.ToksExprFmt.format("text")
 
   /** (doc_id, term, n, len) of a doc batch: len = total tokens of the
     * doc (equals the batch BM25's sum-of-n per doc), denormalized

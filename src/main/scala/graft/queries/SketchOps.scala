@@ -26,8 +26,8 @@ object SketchOps {
     * arithmetic is bit-equal. */
   private val HashDomainLit = "1152921504606846976.0"
 
-  private[graft] val toksExpr = "split(lower(trim(text)), '\\\\s+')"
-  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+  private[graft] val toksExpr = TextOps.ToksExprFmt.format("text")
+  private val toksSql = TextOps.ToksSqlFmt.format("text")
 
   /** Word 3-gram shingles — the SAME constructor as the dedup family
     * ([[DedupOps.shingleArrExpr]], single source of truth). The

@@ -20,9 +20,18 @@ object TextOps {
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
   private def sqlList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString(", ")
 
+  /** Canonical corpus tokenization — THE single definition (both
+    * engines split lowercased trimmed text on \s+); format-style so
+    * oracles can tokenize computed columns. Every operator family
+    * (text*, sketch*, the search index, curation) formats these — the
+    * maintained-index folds and their batch oracles MUST tokenize
+    * byte-identically, so keep exactly one copy. */
+  private[graft] val ToksExprFmt = "split(lower(trim(%s)), '\\\\s+')"
+  private[graft] val ToksSqlFmt = "string_split_regex(lower(trim(%s)), '\\s+')"
+
   /** Tokens of the lowercased text (both engines split on \s+). */
-  private val toksExpr = "split(lower(trim(text)), '\\\\s+')"
-  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+  private val toksExpr = ToksExprFmt.format("text")
+  private val toksSql = ToksSqlFmt.format("text")
 
   /** text1 — quality scoring: length/stopword/alpha ratios combined
     * into one score (the heuristic-filter stage of a data pipeline). */

@@ -405,7 +405,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "maintained BM25 search index (postings/df-stats/totals — the " +
           "SearchIndex increment): since_instant = '' bootstraps from the " +
           "full snapshot; otherwise only the CDC churn after that instant " +
-          "is re-tokenized",
+          "is re-tokenized. The folds are increments, so the call is " +
+          "replay-guarded per table (keyed by since_instant — a repeated " +
+          "call is a no-op, never a double-fold); run ONE maintenance " +
+          "driver per index (this procedure OR SearchIndexMaintenance, " +
+          "not both over the same churn)",
         Seq("docs_table" -> StringT, "postings_table" -> StringT,
           "stats_table" -> StringT, "totals_table" -> StringT,
           "since_instant" -> StringT),
@@ -436,8 +440,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             "has no commits yet - ingest at least one batch before " +
             "maintaining the search index")
         val ts = commits.last.instant.toLong
+        // per-table replay guard keyed by since_instant (0 for
+        // bootstrap): the df/totals folds are NON-idempotent, so a
+        // retried/duplicated CALL must be a no-op — and runOnce's
+        // monotonic batch-id rule also rejects a second bootstrap
+        // landing on an already-incremented index. Same mechanism the
+        // streaming service uses, scoped to this procedure+docs table
+        // so the two drivers' markers never collide.
+        val once = new graft.streaming.ExactlyOnce(spark,
+          s"call:maintain_search_index:${input.getUTF8String(0)}")
+        val callId = if (since.isEmpty) 0L else since.toLong
         graft.queries.SearchIndex.maintain(
-          after, before, post, stats, totals, ts)
+          after, before, post, stats, totals, ts,
+          guard = (t, f) => { once.runOnce(t, callId)(f); () })
         Array(InternalRow(post.snapshot().count()))
       }
       case other =>

@@ -28,7 +28,16 @@ import graft.queries.SearchIndex
   *
   * Bootstrap: `startCommit="0"` replays every current doc as an
   * insert, so batch 0 builds the whole index through the same fold —
-  * no separate backfill job (the MvMaintenance convention). */
+  * no separate backfill job (the MvMaintenance convention).
+  *
+  * ONE maintenance driver per index: the folds are increments, so two
+  * drivers processing the SAME churn (this service plus ad-hoc
+  * `CALL maintain_search_index`, or two services on different
+  * checkpoints) double-fold df/totals. The supported hand-over is
+  * bootstrap-by-CALL then streaming from that point
+  * (`startCommit` = the bootstrap's `since` watermark) — version
+  * stamps are compatible because BOTH paths stamp index rows with
+  * docs-table commit instants. */
 object SearchIndexMaintenance {
 
   def start(
@@ -59,7 +68,7 @@ object SearchIndexMaintenance {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, postPath, statsPath, totalsPath, once,
+        applyBatch(spark, docsPath, postPath, statsPath, totalsPath, once,
           batch, batchId)
       }
       .start()
@@ -67,6 +76,7 @@ object SearchIndexMaintenance {
 
   private def applyBatch(
       spark: SparkSession,
+      docsPath: String,
       postPath: String,
       statsPath: String,
       totalsPath: String,
@@ -84,11 +94,19 @@ object SearchIndexMaintenance {
       val before = batchC.filter(op.isin("u", "d"))
         .select(bef.getField("doc_id").as("doc_id"),
           bef.getField("text").as("text"))
+      // preCombine stamp = the docs table's newest instant, NOT the
+      // micro-batch id: one consistent version domain with the CALL
+      // procedure (a CALL-bootstrapped index hands over to streaming
+      // cleanly); monotonic because batches apply in commit order.
+      // Replay detection stays keyed to batchId via the per-table
+      // guard — the stamp only orders versions within each table.
+      val ts = LakeTable.load(spark, docsPath)
+        .timeline.commits().last.instant.toLong
       SearchIndex.maintain(after, before,
         LakeTable.load(spark, postPath),
         LakeTable.load(spark, statsPath),
         LakeTable.load(spark, totalsPath),
-        batchId,
+        ts,
         guard = (t, f) => { once.runOnce(t, batchId)(f); () })
     } finally batchC.unpersist()
   }

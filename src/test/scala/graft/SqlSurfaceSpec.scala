@@ -343,6 +343,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(dfOf("charlie") == Seq(2L))
     assert(sql("SELECT n_docs, tot_len FROM graft.db.si_tot").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 6L)))
+    // a retried/duplicated CALL (same since_instant) must be a no-op:
+    // the df/totals folds are increments, so without the per-table
+    // replay guard this would double-fold
+    sql("""CALL graft.system.maintain_search_index(
+      docs_table => 'db.si_docs', postings_table => 'db.si_post',
+      stats_table => 'db.si_stats', totals_table => 'db.si_tot',
+      since_instant => '""" + since + "')")
+    assert(dfOf("charlie") == Seq(2L), "duplicate CALL double-folded df")
+    assert(sql("SELECT n_docs, tot_len FROM graft.db.si_tot").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 6L)),
+      "duplicate CALL double-folded totals")
+    // and a late re-bootstrap (since = '') on the incremented index is
+    // rejected by the monotonic guard, not double-applied
+    sql("""CALL graft.system.maintain_search_index(
+      docs_table => 'db.si_docs', postings_table => 'db.si_post',
+      stats_table => 'db.si_stats', totals_table => 'db.si_tot',
+      since_instant => '')""")
+    assert(sql("SELECT n_docs, tot_len FROM graft.db.si_tot").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 6L)),
+      "re-bootstrap was applied over the incremented index")
   }
 
   test("sketch aggregators are callable from SQL") {

@@ -553,6 +553,24 @@ class StreamingSpec extends AnyFunSuite {
       q2.processAllAvailable()
       check("restart")
     } finally q2.stop()
+    // phase 3: crash-window replay, PER TABLE — the fold committed
+    // (batch tag in the table's commit) but the sidecar marker write
+    // was lost. The df/totals folds are non-idempotent, so for each
+    // of the three state tables the commit-tag safety net must skip
+    // the re-fold and repair the marker; this is the crash-anywhere
+    // convergence the per-table guard design exists for.
+    val once = new graft.streaming.ExactlyOnce(spark, ckpt)
+    for (p <- Seq(postPath, statsPath, totPath)) {
+      val t = LakeTable.load(spark, p)
+      val lastId = once.committedBatchId(t)
+      assert(lastId >= 0, s"$p: no tagged commit")
+      assert(new java.io.File(p, s"_streaming/${once.markerName}").delete())
+      assert(!once.runOnce(t, lastId) { _ =>
+        fail(s"$p: crash-window replay must not re-fold the batch")
+      })
+      assert(once.lastBatchId(t) == lastId) // marker repaired
+    }
+    check("crash-window")
   }
 
   test("streaming near-dup maintenance: kill/restart converges to batch answer") {
