@@ -1061,36 +1061,92 @@ object CurationOps {
           2L)
       } finally { ch.unpersist(); () }
 
-      // scoring: the SHARED exact-arithmetic BM25 contract
-      // ([[TextOps.Bm25]] — one definition for text8 and pipe6) over
-      // the MAINTAINED state
-      val postS = post.snapshot().select("doc_id", "term", "n", "len")
-      val statsS = stats.snapshot().filter(col("df") > 0).select("term", "df")
-      val totS = totals.snapshot().select(col("n_docs"),
-        (col("tot_len").cast("double") / col("n_docs").cast("double"))
-          .as("avgdl"))
-      val qt = postS.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("q_id"), col("term"))
-      val contrib = postS.join(broadcast(qt), Seq("term"))
-        .filter(col("doc_id") =!= col("q_id"))
-        .join(statsS, "term")
-        .crossJoin(broadcast(totS))
-        .select(col("q_id"), col("doc_id"), TextOps.Bm25.microCol.as("micro"))
-      TextOps.Bm25.rankTopK(contrib)
+      // scoring: the SHARED exact-arithmetic BM25 contract over the
+      // MAINTAINED state (SearchIndex.scoreTop10 — also the st5 gate's
+      // read path)
+      SearchIndex.scoreTop10(post, stats, totals)
     },
     // the batch BM25 (text8's shared oracle tail) over the FINAL
     // corpus — equality with the folded increments proves the
     // maintenance composes exactly
-    Some(TextOps.Bm25.oracleSql(
-      s"""corpus AS (SELECT doc_id,
-          CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
-            THEN 'replaced content block ' || CAST(doc_id AS VARCHAR)
-            ELSE text END AS text
-        FROM documents
-        WHERE NOT (doc_id % 3 <> 0 AND doc_id % 7 = 1)),
-      tk AS (SELECT doc_id, ${toksSql.format("text")} AS toks FROM corpus)""")))
+    Some(bm25IndexOracle))
+
+  /** The pipe6/st5 DML scenario's FINAL corpus, scored by the shared
+    * batch BM25 oracle: both the batch-fold gate and the streaming
+    * service gate must hash-equal this. */
+  private def bm25IndexOracle: String = TextOps.Bm25.oracleSql(
+    s"""corpus AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
+          THEN 'replaced content block ' || CAST(doc_id AS VARCHAR)
+          ELSE text END AS text
+      FROM documents
+      WHERE NOT (doc_id % 3 <> 0 AND doc_id % 7 = 1)),
+    tk AS (SELECT doc_id, ${toksSql.format("text")} AS toks FROM corpus)""")
+
+  /** st5 — STREAMING search-index parity: the SAME DML scenario as
+    * pipe6 applied to the docs table, but the index is maintained by
+    * the continuously-running [[graft.streaming.SearchIndexMaintenance]]
+    * service (CDC feed → per-micro-batch folds with per-table
+    * exactly-once tags) instead of explicit maintain() calls — and the
+    * scored output must hash-equal the identical batch BM25 oracle.
+    * This puts the streaming service itself behind the DuckDB gate
+    * (the st1-st4 convention), not just behind specs: bootstrap batch,
+    * churn batch, and delete batch all flow through the checkpointed
+    * stream, including a mid-scenario service restart (kill after
+    * bootstrap, resume from the checkpoint for the churn). */
+  private val stSearchIndexQ = GQ(
+    "st5_stream_search_index",
+    (s, dir) => {
+      import graft.core.{LakeTable, TableProps}
+      import QueryPack.scratchDir
+
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val updMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0
+      val delMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1
+      val seed = base.filter(col("doc_id") % 3 =!= 0).withColumn("ts", lit(1L))
+      val churn = base.filter(col("doc_id") % 3 === 0)
+        .unionByName(base.filter(updMask)
+          .withColumn("text",
+            concat(lit("replaced content block "),
+              col("doc_id").cast("string"))))
+        .withColumn("ts", lit(2L))
+
+      val docsDir = scratchDir(s, dir, "st5docs")
+      val docs = LakeTable.create(s, docsDir,
+        TableProps("st5docs", Seq("doc_id"), Some("ts"), Seq.empty))
+      val postDir = scratchDir(s, dir, "st5post")
+      val post = LakeTable.create(s, postDir,
+        TableProps("st5post", Seq("doc_id", "term"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+      val statsDir = scratchDir(s, dir, "st5stats")
+      val stats = LakeTable.create(s, statsDir,
+        TableProps("st5stats", Seq("term"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+      val totDir = scratchDir(s, dir, "st5tot")
+      val totals = LakeTable.create(s, totDir,
+        TableProps("st5tot", Seq("id"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+      val ckpt = scratchDir(s, dir, "st5ckpt")
+
+      docs.upsert(seed)
+      def run() = graft.streaming.SearchIndexMaintenance.start(
+        s, docsDir, postDir, statsDir, totDir, ckpt)
+      // phase 1: the service bootstraps the index from the seed, then
+      // is KILLED (the restart below must resume from the checkpoint)
+      val q1 = run()
+      try q1.processAllAvailable() finally q1.stop()
+      // the corpus keeps moving while the service is down
+      docs.upsert(churn)
+      docs.delete(base.filter(delMask).select("doc_id"))
+      // phase 2: restart folds the missed churn + delete commits
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+
+      SearchIndex.scoreTop10(post, stats, totals)
+    },
+    Some(bm25IndexOracle))
 
   def qs: Seq[GQ] = Seq(deconQ, decon2Q, decon3Q, piiQ, repetitionQ, mixQ,
-    mix2Q, mix3Q, pipeQ, canonicalQ, incNearDupQ, incBm25Q, entropyQ,
-    leakSplitQ, stats1Q, samp1Q, samp2Q)
+    mix2Q, mix3Q, pipeQ, canonicalQ, incNearDupQ, incBm25Q, stSearchIndexQ,
+    entropyQ, leakSplitQ, stats1Q, samp1Q, samp2Q)
 }

@@ -39,6 +39,28 @@ private[graft] object SearchIndex {
     .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("n"))
     .select("doc_id", "term", "n", "len")
 
+  /** BM25 top-10 per query (queries = the distinct terms of docs
+    * 0-4 in the index) scored from the MAINTAINED state with the
+    * shared exact-arithmetic contract ([[TextOps.Bm25]]) — used by
+    * the pipe6 (batch folds) and st5 (streaming service) gates, whose
+    * outputs must both hash-equal the batch BM25 oracle. */
+  def scoreTop10(post: LakeTable, stats: LakeTable, totals: LakeTable)
+      : DataFrame = {
+    val postS = post.snapshot().select("doc_id", "term", "n", "len")
+    val statsS = stats.snapshot().filter(col("df") > 0).select("term", "df")
+    val totS = totals.snapshot().select(col("n_docs"),
+      (col("tot_len").cast("double") / col("n_docs").cast("double"))
+        .as("avgdl"))
+    val qt = postS.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val contrib = postS.join(broadcast(qt), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(statsS, "term")
+      .crossJoin(broadcast(totS))
+      .select(col("q_id"), col("doc_id"), TextOps.Bm25.microCol.as("micro"))
+    TextOps.Bm25.rankTopK(contrib)
+  }
+
   /** Fold one churn batch into the index.
     *
     * @param after  post-image docs (doc_id, text) — inserts and the
