@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -993,27 +993,36 @@ object CurationOps {
     * gate scores the maintained index with the SHARED BM25 contract
     * ([[TextOps.Bm25]]) and must hash-equal the BATCH BM25 over the
     * FINAL corpus — proving the folds compose exactly. */
+  /** The ONE search-index DML scenario, shared by the pipe6 and st5
+    * gates and mirrored relationally by [[bm25IndexOracle]]: seed =
+    * %3≠0 docs; churn = %3==0 inserts plus %5==0 updates whose text
+    * is REPLACED wholesale (old terms vanish → the postings tombstone
+    * leg and negative df folds are actually exercised, not just
+    * appends); %7==1 seed docs are DELETED (doc-level removal: every
+    * posting tombstoned, totals decremented). Returns
+    * (seed, churn, deleteKeys). */
+  private def bm25Scenario(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = t(s, dir, "documents").select("doc_id", "text")
+    val updMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0
+    val delMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1
+    val seed = base.filter(col("doc_id") % 3 =!= 0).withColumn("ts", lit(1L))
+    val churn = base.filter(col("doc_id") % 3 === 0)
+      .unionByName(base.filter(updMask)
+        .withColumn("text",
+          concat(lit("replaced content block "),
+            col("doc_id").cast("string"))))
+      .withColumn("ts", lit(2L))
+    (seed, churn, base.filter(delMask).select("doc_id"))
+  }
+
   private val incBm25Q = GQ(
     "pipe6_incremental_bm25",
     (s, dir) => {
       import graft.core.{LakeTable, TableProps}
       import QueryPack.scratchDir
 
-      val base = t(s, dir, "documents").select("doc_id", "text")
-      // updates REPLACE the text wholesale (old terms vanish → the
-      // postings tombstone leg and negative df folds are actually
-      // exercised, not just appends) and %7==1 seed docs are DELETED
-      // (doc-level removal: every posting tombstoned, totals
-      // decremented)
-      val updMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0
-      val delMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1
-      val seed = base.filter(col("doc_id") % 3 =!= 0).withColumn("ts", lit(1L))
-      val churn = base.filter(col("doc_id") % 3 === 0)
-        .unionByName(base.filter(updMask)
-          .withColumn("text",
-            concat(lit("replaced content block "),
-              col("doc_id").cast("string"))))
-        .withColumn("ts", lit(2L))
+      val (seed, churn, delKeys) = bm25Scenario(s, dir)
 
       val docs = LakeTable.create(s, scratchDir(s, dir, "pipe6docs"),
         TableProps("pipe6docs", Seq("doc_id"), Some("ts"), Seq.empty))
@@ -1044,7 +1053,7 @@ object CurationOps {
       val (c1, _) = QueryPack.overlapping {
         val c1 = docs.upsert(seed)
         docs.upsert(churn)
-        docs.delete(base.filter(delMask).select("doc_id"))
+        docs.delete(delKeys)
         c1
       } {
         maintain(seed.select("doc_id", "text"), emptyDocs, 1L)
@@ -1100,16 +1109,7 @@ object CurationOps {
       import graft.core.{LakeTable, TableProps}
       import QueryPack.scratchDir
 
-      val base = t(s, dir, "documents").select("doc_id", "text")
-      val updMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0
-      val delMask = col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1
-      val seed = base.filter(col("doc_id") % 3 =!= 0).withColumn("ts", lit(1L))
-      val churn = base.filter(col("doc_id") % 3 === 0)
-        .unionByName(base.filter(updMask)
-          .withColumn("text",
-            concat(lit("replaced content block "),
-              col("doc_id").cast("string"))))
-        .withColumn("ts", lit(2L))
+      val (seed, churn, delKeys) = bm25Scenario(s, dir)
 
       val docsDir = scratchDir(s, dir, "st5docs")
       val docs = LakeTable.create(s, docsDir,
@@ -1131,14 +1131,45 @@ object CurationOps {
       docs.upsert(seed)
       def run() = graft.streaming.SearchIndexMaintenance.start(
         s, docsDir, postDir, statsDir, totDir, ckpt)
-      // phase 1: the service bootstraps the index from the seed, then
-      // is KILLED (the restart below must resume from the checkpoint)
+      // phase 1: the service bootstraps the index from the seed
       val q1 = run()
       try q1.processAllAvailable() finally q1.stop()
+      // simulate the CRASH WINDOW deterministically: the batch-0 folds
+      // committed (tags in each table) but the crash lost the
+      // checkpoint's commit markers and one table's sidecar marker —
+      // rewind the checkpoint to the canonical crash state "offsets/0
+      // written, nothing committed" (commit files for EVERY batch and
+      // offsets past 0 removed, keeping the logs contiguous for
+      // Spark's integrity check). On restart the stream re-fires
+      // batch 0 through foreachBatch and the per-table exactly-once
+      // guards must skip the re-fold — a double-applied df/totals
+      // delta would hash-mismatch the oracle, so the guard itself is
+      // behind the DuckDB gate here.
+      def wipe(dir: String, keep: String => Boolean, armed: Boolean): Unit = {
+        // a file's local-FS checksum sidecar (".N.crc") must go WITH
+        // it: a stale destination crc makes the checkpoint's
+        // rewrite-on-replay rename fail, which Spark surfaces as a
+        // bogus "multiple streaming queries" conflict
+        def dataName(n: String): String =
+          if (n.startsWith(".") && n.endsWith(".crc"))
+            n.stripPrefix(".").stripSuffix(".crc")
+          else n
+        val fs = new java.io.File(dir).listFiles()
+        if (armed) require(fs != null && fs.exists(f => !keep(dataName(f.getName))),
+          s"st5: nothing to wipe under $dir — crash window not armed")
+        Option(fs).getOrElse(Array.empty)
+          .filterNot(f => keep(dataName(f.getName)))
+          .foreach(f => require(f.delete(), s"st5: could not delete $f"))
+      }
+      wipe(s"$ckpt/commits", _ => false, armed = true)
+      // a trailing empty batch may or may not have written offsets/1
+      wipe(s"$ckpt/offsets", _ == "0", armed = false)
+      wipe(s"$statsDir/_streaming", _ => false, armed = true)
       // the corpus keeps moving while the service is down
       docs.upsert(churn)
-      docs.delete(base.filter(delMask).select("doc_id"))
-      // phase 2: restart folds the missed churn + delete commits
+      docs.delete(delKeys)
+      // phase 2: restart replays batch 0 (guards skip it) and folds
+      // the missed churn + delete commits
       val q2 = run()
       try q2.processAllAvailable() finally q2.stop()
 
