@@ -112,7 +112,7 @@ object ScalingAudit {
     // pack2/pipe5 are scan-bound (no lake writes) — in scope;
     // pipe1-4's cost is commit-count, audited via the bench instead
     val fams = Seq("q", "dedup", "sim", "text", "sketch", "graph",
-      "pack", "pipe5")
+      "pack", "pipe5", "samp")
     // optional arg: comma-separated name substrings to re-audit a
     // subset (appending rows for newly added gates)
     val only = args.headOption.map(_.split(",").toSeq)
