@@ -677,7 +677,14 @@ final class LakeTable private[core] (
     * `upserts`). COW: one rewrite of the affected files — no
     * intermediate state between the delete and the insert halves.
     * MOR: one mixed delta commit ([[applyDeltasMor]]) — O(statement
-    * rows) append, no compaction, no base rewrite. */
+    * rows) append, no compaction, no base rewrite.
+    *
+    * MOR semantic caveat (payload ordering, same as Hudi's log-append
+    * DML): on MOR the upsert half competes with stored versions by
+    * preCombine at READ time, so an upsert row whose preCombine is
+    * LOWER than the stored version's silently loses — whereas the COW
+    * leg rewrites statement-wins. Callers that lower preCombine values
+    * get different results depending only on tableType. */
   def applyDeltas(
       deleteIds: Option[DataFrame],
       upserts: Option[DataFrame],
@@ -964,7 +971,15 @@ final class LakeTable private[core] (
     * demo's DELETE row for id=3 with a mismatched dt still deletes the
     * stored row (SparkSQLDemo.scala:84; SURVEY §5 pinned semantic).
     * An update whose source row carries a different partition value
-    * migrates the record to the new partition. */
+    * migrates the record to the new partition.
+    *
+    * MOR semantic caveat: the MOR leg ([[mergeMor]]) is a delta
+    * append, so matched-update rows compete with stored versions by
+    * preCombine at READ time — a source row with a LOWER preCombine
+    * than the stored version silently loses, while this COW leg
+    * applies statement-wins rewrite semantics. Same divergence as
+    * [[applyDeltas]]; keep source preCombine values monotonic if the
+    * statement must win on both table types. */
   def merge(
       source: DataFrame,
       matchedUpdate: Option[Column] = None,
@@ -1847,9 +1862,16 @@ final class LakeTable private[core] (
     val newSchema = unionSchema(df.drop(DeletedCol))
     val out =
       if (df.columns.contains(DeletedCol)) {
-        // tombstones: distinct keys (no preCombine column to dedup by),
-        // data columns nulled
-        val keysOnly = df.drop(DeletedCol).distinct()
+        // tombstones: project to key + partition (+ the preCombine
+        // column when the caller supplied one — an ORDERED tombstone,
+        // conditional on payload ordering) before the distinct:
+        // delete(keys) permits extra data columns in the keys frame,
+        // and a full-row distinct would write one tombstone per
+        // distinct row (inflated deltas) and leak row data that
+        // deleteWhere nulls out
+        val keyCols = (props.primaryKey ++ props.partitionFields ++
+          props.preCombineField.filter(df.columns.contains)).distinct
+        val keysOnly = df.select(keyCols.map(col): _*).distinct()
         withMeta(keysOnly, instant)
           .withColumn(DeletedCol, lit(true))
           .select((MetaCols :+ DeletedCol).map(col) ++

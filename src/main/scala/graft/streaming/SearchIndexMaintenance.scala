@@ -68,15 +68,34 @@ object SearchIndexMaintenance {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, docsPath, postPath, statsPath, totalsPath, once,
+        applyBatch(spark, checkpoint, postPath, statsPath, totalsPath, once,
           batch, batchId)
       }
       .start()
   }
 
+  /** The batch's end-offset commit instant, read from the streaming
+    * checkpoint's offset log (`offsets/<batchId>`: version line,
+    * metadata JSON, then one offset JSON per source — ours is the CDC
+    * source's `{"instant":"…"}`). The engine writes this file BEFORE
+    * invoking foreachBatch, so it always exists here, and a replayed
+    * batch re-reads the identical pinned value. */
+  private def endOffsetInstant(
+      spark: SparkSession, checkpoint: String, batchId: Long): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, s"offsets/$batchId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    "\"instant\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt) match {
+      case Some(m) => m.group(1)
+      case None => throw new IllegalStateException(
+        s"no CDC offset instant in checkpoint offset log $p")
+    }
+  }
+
   private def applyBatch(
       spark: SparkSession,
-      docsPath: String,
+      checkpoint: String,
       postPath: String,
       statsPath: String,
       totalsPath: String,
@@ -94,14 +113,18 @@ object SearchIndexMaintenance {
       val before = batchC.filter(op.isin("u", "d"))
         .select(bef.getField("doc_id").as("doc_id"),
           bef.getField("text").as("text"))
-      // preCombine stamp = the docs table's newest instant, NOT the
-      // micro-batch id: one consistent version domain with the CALL
-      // procedure (a CALL-bootstrapped index hands over to streaming
-      // cleanly); monotonic because batches apply in commit order.
+      // preCombine stamp = this batch's END-OFFSET docs commit instant
+      // (read back from the checkpoint offset log, which pins it): one
+      // consistent version domain with the CALL procedure (a
+      // CALL-bootstrapped index hands over to streaming cleanly),
+      // monotonic because offsets are commit instants applied in order,
+      // and — unlike the table's newest instant at processing time —
+      // REPRODUCIBLE on replay: a crash-window re-fire of this batch
+      // folds the same values AND the same stamp the first attempt
+      // would have, even if newer docs commits landed meanwhile.
       // Replay detection stays keyed to batchId via the per-table
       // guard — the stamp only orders versions within each table.
-      val ts = LakeTable.load(spark, docsPath)
-        .timeline.commits().last.instant.toLong
+      val ts = endOffsetInstant(spark, checkpoint, batchId).toLong
       SearchIndex.maintain(after, before,
         LakeTable.load(spark, postPath),
         LakeTable.load(spark, statsPath),
