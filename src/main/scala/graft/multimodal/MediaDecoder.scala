@@ -18,16 +18,17 @@ final case class DecodedMedia(
   * columns processed in per-partition batches.
   *
   * The Spark-side plumbing is real and tested — schema, partition
-  * batching via `mapPartitions`, typed output encoder. Two formats
-  * decode FOR REAL with pure-JVM byte parsing (no codec library
-  * needed): uncompressed 24/32-bit [[decodeBmp BMP]] (header dims +
-  * per-channel pixel means as features) and PCM [[decodeWav WAV]]
-  * (header layout + per-octile RMS amplitude as features). Payloads
-  * in any other format fall back to [[decodeStub]] — the stand-in for
-  * e.g. a JNI JPEG decode (this container ships no image/audio
-  * libraries), producing deterministic fake dimensions/features from
-  * the bytes so tests are reproducible. Swap the stub for a real
-  * codec and nothing else changes.
+  * batching via `mapPartitions`, typed output encoder. Real decodes,
+  * all pure-JVM: uncompressed 24/32-bit [[decodeBmp BMP]] (header
+  * dims + per-channel pixel means as features), PCM [[decodeWav WAV]]
+  * (header layout + per-octile RMS amplitude as features), and
+  * compressed PNG/JPEG/GIF via the JDK's own `javax.imageio` codecs
+  * ([[decodeImage]]). Payloads in any other format fall back to
+  * [[decodeStub]] — the stand-in for e.g. a JNI video decode (this
+  * container ships no external codec libraries), producing
+  * deterministic fake dimensions/features from the bytes so tests are
+  * reproducible. Swap the stub for a real codec and nothing else
+  * changes.
   *
   * Scale: decode cost dominates at 100 TB, so the operator is shaped
   * for it — one task per input partition, no shuffle, streaming
@@ -155,10 +156,66 @@ object MediaDecoder {
     Some((frames, sampleRate, channels, features))
   }
 
-  /** Format-sniffing decode: real BMP/WAV parsing when the payload is
-    * one, the deterministic stub otherwise. */
+  /** In-memory ImageIO: the default decode path spools through a tmp
+    * FileCacheImageInputStream — per-payload disk I/O the per-partition
+    * hot loop must never pay. JVM-global flag, set once. */
+  private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** PNG / JPEG / GIF magic — sniffed BEFORE handing bytes to ImageIO
+    * so arbitrary binary payloads never pay a codec parse attempt. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    (b.length > 8 && (b(0) & 0xff) == 0x89 &&
+      b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+    (b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) ||
+    (b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+
+  /** REAL decode of compressed PNG/JPEG/GIF via `javax.imageio` — the
+    * codecs ship inside the JDK, so "no image libraries in the
+    * container" does not apply to them. Dimensions from the decoded
+    * raster, channels from the color model (3, or 4 with alpha),
+    * features = mean intensity per channel in R,G,B[,A] order. Pixels
+    * are read one ROW at a time (no w×h driver-side buffer for huge
+    * images). Undecodable or non-image payloads return None — the
+    * caller's stub path. */
+  def decodeImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    if (!looksLikeImage(b)) return None
+    imageIoNoCache
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      val channels = if (img.getColorModel.hasAlpha) 4 else 3
+      val sums = new Array[Long](4)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          sums(0) += (p >>> 16) & 0xff
+          sums(1) += (p >>> 8) & 0xff
+          sums(2) += p & 0xff
+          sums(3) += (p >>> 24) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val nPix = w.toLong * h
+      val features = Array.tabulate(8)(i =>
+        if (i < channels) (sums(i).toDouble / nPix / 255.0).toFloat else 0f)
+      Some((w, h, channels, features))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Format-sniffing decode: real BMP/WAV/PNG/JPEG/GIF parsing when
+    * the payload is one, the deterministic stub otherwise. */
   def decodeAny(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
-    decodeBmp(bytes).orElse(decodeWav(bytes)).getOrElse(decodeStub(bytes))
+    decodeBmp(bytes).orElse(decodeWav(bytes)).orElse(decodeImage(bytes))
+      .getOrElse(decodeStub(bytes))
 
   /** Decode a frame of (id, payload) rows partition-by-partition. The
     * input is repartitioned only if the caller asks (decode is

@@ -356,6 +356,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(MediaDecoder.decodeBmp(evil.array()).isEmpty)
   }
 
+  test("compressed PNG decodes for real via the JDK's ImageIO codec") {
+    import java.awt.image.BufferedImage
+    // 2×2 RGB PNG, every pixel (R,G,B) = (30,20,10) — written through
+    // the same JDK codec family the decoder reads with, so the fixture
+    // needs no binary blob in the repo
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2)
+      img.setRGB(x, y, (30 << 16) | (20 << 8) | 10)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val png = buf.toByteArray
+    assert(png.length > 8 && (png(0) & 0xff) == 0x89 && png(1) == 'P')
+
+    val (w, h, c, f) = MediaDecoder.decodeImage(png).get
+    assert((w, h, c) == (2, 2, 3))
+    assert(math.abs(f(0) - 30f / 255) < 1e-6 && // R,G,B order for images
+      math.abs(f(1) - 20f / 255) < 1e-6 &&
+      math.abs(f(2) - 10f / 255) < 1e-6 && f(3) == 0f)
+
+    // alpha-carrying PNG reports 4 channels with the alpha mean last
+    val argb = new BufferedImage(2, 2, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 2; x <- 0 until 2)
+      argb.setRGB(x, y, (255 << 24) | (30 << 16) | (20 << 8) | 10)
+    val buf2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(argb, "png", buf2))
+    val (_, _, c2, f2) = MediaDecoder.decodeImage(buf2.toByteArray).get
+    assert(c2 == 4 && math.abs(f2(3) - 1f) < 1e-6)
+
+    // end-to-end: the decode() sniffer routes the PNG to the real
+    // codec, not the stub
+    import spark.implicits._
+    val out = MediaDecoder.decode(
+      Seq((7L, png)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().head
+    assert((out.width, out.height, out.channels) == (2, 2, 3))
+
+    // PNG magic on a garbage body falls back (ImageIO returns
+    // null/throws internally), never throws out of decodeAny
+    val fakePng = png.take(8) ++ "garbage-not-a-png-body".getBytes("UTF-8")
+    assert(MediaDecoder.decodeImage(fakePng).isEmpty)
+    val (sw, sh, _, _) = MediaDecoder.decodeAny(fakePng)
+    val st2 = MediaDecoder.decodeStub(fakePng)
+    assert((sw, sh) == (st2._1, st2._2))
+  }
+
   test("pipe5: semantic dedup drops every injected copy, keeps exemplars") {
     val rows = SparkEntry.queries("pipe5_semantic_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
