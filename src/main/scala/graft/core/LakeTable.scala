@@ -1661,7 +1661,8 @@ final class LakeTable private[core] (
     else {
       val t0 = System.nanoTime()
       try f finally Console.err.println(
-        f"[graft-profile] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+        f"[graft-profile] ${props.name}:$name%-24s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.3fs")
     }
 
   /** Row count + `_record_key` min/max per file from parquet footers

@@ -1048,12 +1048,17 @@ object CurationOps {
         import s.implicits._
         Seq.empty[(Long, String)].toDF("doc_id", "text")
       }
-      // docs-table loads (upsert + delete commits) overlap the seed
-      // index bootstrap — disjoint tables (QueryPack.overlapping)
+      // docs-table loads overlap the seed index bootstrap — disjoint
+      // tables (QueryPack.overlapping). The whole churn (inserts +
+      // updates + deletes) lands as ONE mixed upsert+delete commit:
+      // upsertWithDeletes treats a key on both sides as an update, so
+      // keys the scenario both updates AND deletes are anti-joined out
+      // of the upsert half first — the delete must win, as it did when
+      // the delete was a separate later commit.
       val (c1, _) = QueryPack.overlapping {
         val c1 = docs.upsert(seed)
-        docs.upsert(churn)
-        docs.delete(delKeys)
+        docs.upsertWithDeletes(
+          churn.join(delKeys, Seq("doc_id"), "left_anti"), delKeys)
         c1
       } {
         maintain(seed.select("doc_id", "text"), emptyDocs, 1L)
@@ -1165,9 +1170,12 @@ object CurationOps {
       // a trailing empty batch may or may not have written offsets/1
       wipe(s"$ckpt/offsets", _ == "0", armed = false)
       wipe(s"$statsDir/_streaming", _ => false, armed = true)
-      // the corpus keeps moving while the service is down
-      docs.upsert(churn)
-      docs.delete(delKeys)
+      // the corpus keeps moving while the service is down — the whole
+      // churn (inserts + updates + deletes) as ONE mixed commit; keys
+      // both updated and deleted anti-join out of the upsert half so
+      // the delete wins (same rule as the pipe6 leg)
+      docs.upsertWithDeletes(
+        churn.join(delKeys, Seq("doc_id"), "left_anti"), delKeys)
       // phase 2: restart replays batch 0 (guards skip it) and folds
       // the missed churn + delete commits
       val q2 = run()
