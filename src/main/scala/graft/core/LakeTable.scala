@@ -633,7 +633,16 @@ final class LakeTable private[core] (
     * tables, partition) columns. Partition-scoped like Hudi's default
     * index — a key arriving with a different partition value does not
     * match (pinned by the SparkSQLDemo merge-DELETE scenario,
-    * SparkSQLDemo.scala:84). */
+    * SparkSQLDemo.scala:84).
+    *
+    * MOR ordering caveat: when the keys frame ALSO contains the
+    * table's preCombine column (e.g. a caller passing full rows), the
+    * MOR tombstone is written ORDERED — conditional on payload
+    * ordering, so a stored row with a HIGHER preCombine value survives
+    * the delete (Hudi's `HoodieRecordPayload` delete semantics under
+    * `LatestByOrdering`). Keys frames projected to just pk+partition
+    * delete unconditionally. Callers wanting the unconditional erase
+    * must drop the preCombine column before calling. */
   def delete(keys: DataFrame, tag: Option[String] = None): String = {
     if (isMor) return morDelete(keys, tag)
     withInflight { instant =>

@@ -156,11 +156,15 @@ object MediaDecoder {
     Some((frames, sampleRate, channels, features))
   }
 
-  /** In-memory ImageIO: the default decode path spools through a tmp
-    * FileCacheImageInputStream — per-payload disk I/O the per-partition
-    * hot loop must never pay. JVM-global flag, set once. */
-  private lazy val imageIoNoCache: Unit =
-    javax.imageio.ImageIO.setUseCache(false)
+  /** Decompression-bomb guard: refuse a full raster decode when the
+    * header-declared pixel count exceeds this (16.7M px ≈ a 4096×4096
+    * frame, a ~67 MB ARGB raster — per-task, times 32 local threads).
+    * A tiny crafted PNG/GIF can declare 60000×60000 and ImageIO.read
+    * would allocate the multi-GB raster from the HEADER, throwing
+    * OutOfMemoryError (not caught by NonFatal) before a single
+    * compressed byte is validated — so dimensions are checked
+    * header-only, before any raster exists. */
+  private val MaxDecodePixels = 1L << 24
 
   /** PNG / JPEG / GIF magic — sniffed BEFORE handing bytes to ImageIO
     * so arbitrary binary payloads never pay a codec parse attempt. */
@@ -177,13 +181,30 @@ object MediaDecoder {
     * raster, channels from the color model (3, or 4 with alpha),
     * features = mean intensity per channel in R,G,B[,A] order. Pixels
     * are read one ROW at a time (no w×h driver-side buffer for huge
-    * images). Undecodable or non-image payloads return None — the
-    * caller's stub path. */
+    * images). Dimensions are validated from the HEADER (reader
+    * getWidth/getHeight — no raster) against [[MaxDecodePixels]] before
+    * the full decode, so a crafted 60000×60000 1 KB payload returns
+    * None instead of OOM-killing the executor. Undecodable or non-image
+    * payloads return None — the caller's stub path. The input stream is
+    * a per-call MemoryCacheImageInputStream (pure in-memory; avoids
+    * both per-payload tmp-file spooling and the JVM-global
+    * ImageIO.setUseCache flip). */
   def decodeImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
     if (!looksLikeImage(b)) return None
-    imageIoNoCache
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b))
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis, true, true)
+          // header-only dimension probe, then the guarded full decode
+          val w0 = reader.getWidth(0); val h0 = reader.getHeight(0)
+          if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > MaxDecodePixels) return None
+          reader.read(0)
+        } finally reader.dispose()
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0) return None
@@ -209,6 +230,7 @@ object MediaDecoder {
         if (i < channels) (sums(i).toDouble / nPix / 255.0).toFloat else 0f)
       Some((w, h, channels, features))
     } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
   }
 
   /** Format-sniffing decode: real BMP/WAV/PNG/JPEG/GIF parsing when

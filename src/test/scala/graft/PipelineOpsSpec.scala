@@ -399,6 +399,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     val (sw, sh, _, _) = MediaDecoder.decodeAny(fakePng)
     val st2 = MediaDecoder.decodeStub(fakePng)
     assert((sw, sh) == (st2._1, st2._2))
+
+    // decompression bomb: a tiny payload whose IHDR claims
+    // 60000×60000 (a ~14 GB ARGB raster). The header-only dimension
+    // guard must reject it BEFORE ImageIO allocates the raster —
+    // OutOfMemoryError is not caught by NonFatal, so without the guard
+    // this kills the JVM rather than falling back. Patch the valid
+    // PNG's IHDR width/height and recompute the chunk CRC so the
+    // header PARSES fine and only the guard can stop the decode.
+    val bomb = png.clone()
+    val dim = java.nio.ByteBuffer.allocate(4).putInt(60000).array()
+    System.arraycopy(dim, 0, bomb, 16, 4) // IHDR width  (bytes 16-19)
+    System.arraycopy(dim, 0, bomb, 20, 4) // IHDR height (bytes 20-23)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // chunk type "IHDR" + 13 data bytes
+    val crcBytes = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    System.arraycopy(crcBytes, 0, bomb, 29, 4)
+    assert(MediaDecoder.decodeImage(bomb).isEmpty)
+    val bombAny = MediaDecoder.decodeAny(bomb)
+    val bombStub = MediaDecoder.decodeStub(bomb)
+    assert((bombAny._1, bombAny._2) == (bombStub._1, bombStub._2))
   }
 
   test("pipe5: semantic dedup drops every injected copy, keeps exemplars") {
