@@ -582,7 +582,8 @@ final class LakeTable private[core] (
   def upsert(
       df: DataFrame,
       policy: MergePolicy = MergePolicy.LatestByOrdering,
-      tag: Option[String] = None): String = {
+      tag: Option[String] = None,
+      combine: Boolean = true): String = {
     if (isMor) {
       // MOR merges at READ time, so the policy is table-level
       // (props.morPayload). The per-call default (LatestByOrdering)
@@ -593,7 +594,7 @@ final class LakeTable private[core] (
         props.morPayload == "overwrite",
         "MOR merge policy is table-level; declare TBLPROPERTY " +
           "morPayload='overwrite' instead of a per-write policy")
-      return morAppend(df, "deltacommit", tag)
+      return morAppend(df, "deltacommit", tag, combine)
     }
     withInflight { instant =>
     val newSchema = unionSchema(df)
@@ -601,7 +602,7 @@ final class LakeTable private[core] (
     // (statsOf), so the windowed batch materializes exactly once —
     // inside the merge-write job. No persist: it would cache-fill a
     // frame consumed by a single job.
-    val incoming = conform(withMeta(dedupBatch(df), instant), newSchema)
+    val incoming = conform(withMeta(maybeCombine(df, combine), instant), newSchema)
     val affected = phase("probe")(affectedFiles(incoming,
       statsOf = Some(df.select(keyCol.as(RecordKeyCol), ppCol.as(PartitionPathCol)))).files)
     // insert-only fast path: no affected files means no existing
@@ -698,8 +699,9 @@ final class LakeTable private[core] (
       deleteIds: Option[DataFrame],
       upserts: Option[DataFrame],
       action: String = "merge",
-      tag: Option[String] = None): String = {
-    if (isMor) return applyDeltasMor(deleteIds, upserts, tag)
+      tag: Option[String] = None,
+      combine: Boolean = true): String = {
+    if (isMor) return applyDeltasMor(deleteIds, upserts, tag, combine)
     // ONE cheap (key, partition) projection of the statement's rows
     // for the probe below (the statsOf pattern — the conformed frames
     // never materialize twice)
@@ -711,7 +713,7 @@ final class LakeTable private[core] (
     withInflight { instant =>
     val newSchema = upserts.map(unionSchema).getOrElse(schema)
     val incoming = upserts.map(df =>
-      conform(withMeta(dedupBatch(df), instant), newSchema).persist())
+      conform(withMeta(maybeCombine(df, combine), instant), newSchema).persist())
     val delKeys = deleteIds.map(
       _.select(RecordKeyCol, PartitionPathCol).distinct().persist())
     val probe = keyProj.map(k => affectedFiles(k)).getOrElse(Probe(Seq.empty, 0L))
@@ -804,13 +806,14 @@ final class LakeTable private[core] (
   private def applyDeltasMor(
       deleteIds: Option[DataFrame],
       upserts: Option[DataFrame],
-      tag: Option[String]): String = {
+      tag: Option[String],
+      combine: Boolean = true): String = {
     val committed = withInflight { instant =>
       val newSchema = upserts.map(unionSchema).getOrElse(schema)
       val dataFields = newSchema.fields.toSeq
       val order = (MetaCols :+ DeletedCol) ++ dataFields.map(_.name)
       val data = upserts.map(df =>
-        conform(withMeta(dedupBatch(df), instant), newSchema)
+        conform(withMeta(maybeCombine(df, combine), instant), newSchema)
           .withColumn(DeletedCol,
             lit(null).cast(org.apache.spark.sql.types.BooleanType))
           .select(order.map(col): _*))
@@ -852,12 +855,13 @@ final class LakeTable private[core] (
     * ([[graft.streaming.ExactlyOnce]]). */
   def upsertWithDeletes(
       df: DataFrame, deleteKeys: DataFrame,
-      tag: Option[String] = None): String = {
+      tag: Option[String] = None,
+      combine: Boolean = true): String = {
     val ids = deleteKeys
       .withColumn(RecordKeyCol, keyCol)
       .withColumn(PartitionPathCol, ppCol)
       .select(RecordKeyCol, PartitionPathCol)
-    applyDeltas(Some(ids), Some(df), "upsert", tag)
+    applyDeltas(Some(ids), Some(df), "upsert", tag, combine)
   }
 
   /** Delete by pre-computed row identity (`_record_key`,
@@ -1550,6 +1554,17 @@ final class LakeTable private[core] (
   /** preCombine within the batch: largest ordering value per
     * (key, partition) wins; deterministic tie-break on a stable row
     * hash (Hudi keeps an arbitrary one, JavaClientHive2Hudi:325-327). */
+  /** Batch pre-combine, skippable per call (Hudi's
+    * `hoodie.combine.before.upsert=false`): a caller whose batch is
+    * ALREADY unique per (key, partition) — e.g. the output of a
+    * groupBy on the key — passes `combine=false` to skip the dedup
+    * window shuffle. With duplicate keys in the batch the resulting
+    * multi-version commit still reads correctly (preCombine merge),
+    * but which duplicate wins follows the read-side tie-break instead
+    * of [[dedupBatch]]'s — only skip when uniqueness is guaranteed. */
+  private def maybeCombine(df: DataFrame, combine: Boolean): DataFrame =
+    if (combine) dedupBatch(df) else df
+
   private def dedupBatch(df: DataFrame): DataFrame = props.preCombineField match {
     case None => df
     case Some(f) =>
@@ -1630,8 +1645,26 @@ final class LakeTable private[core] (
         val by = (if (partitioned) Seq(col(StagePartCol)) else Nil) :+
           col(StageBucketCol)
         withCols.repartition(by: _*)
-      } else if (!partitioned) withCols // files ≈ upstream parallelism
-      else {
+      } else if (!partitioned) {
+        // Small-file sizing (Hudi's small-file handling analog): an
+        // incremental fold committing a few thousand rows must not
+        // emit one near-empty file per upstream partition — at 32
+        // partitions that is 32 files PER COMMIT, and every later
+        // snapshot merge pays per-file open + footer costs that
+        // quickly dominate maintained-index reads. Catalyst's size
+        // estimate (exact for cached inputs, scan-derived otherwise)
+        // picks a target file count; an over-estimate just keeps the
+        // write wide (the previous behavior), so a genuinely large
+        // batch never serializes into one task. coalesce() is narrow:
+        // upstream stages keep their own parallelism.
+        val estBytes = withCols.queryExecution.optimizedPlan.stats.sizeInBytes
+        val maxParts = spark.sparkContext.defaultParallelism
+        val target =
+          if (estBytes <= 0 || !estBytes.isValidLong) maxParts
+          else math.min(maxParts.toLong,
+            estBytes.toLong / TargetFileBytes + 1).toInt
+        if (target < maxParts) withCols.coalesce(target) else withCols
+      } else {
         // co-locate each partition's rows; salt spreads hot partitions
         // across up to writeSaltBuckets files (small-file vs max-file
         // sizing). The explicit partition count keeps AQE from
@@ -1867,7 +1900,8 @@ final class LakeTable private[core] (
   /** Delta-append write: batch dedup + meta columns, no snapshot
     * consultation, one commit. */
   private def morAppend(
-      df: DataFrame, action: String, tag: Option[String] = None): String = {
+      df: DataFrame, action: String, tag: Option[String] = None,
+      combine: Boolean = true): String = {
     val committed = withInflight { instant =>
     val newSchema = unionSchema(df.drop(DeletedCol))
     val out =
@@ -1890,7 +1924,7 @@ final class LakeTable private[core] (
                 col(f.name).cast(f.dataType).as(f.name)
               else lit(null).cast(f.dataType).as(f.name)
             }: _*)
-      } else conform(withMeta(dedupBatch(df), instant), newSchema)
+      } else conform(withMeta(maybeCombine(df, combine), instant), newSchema)
     val st = writeFiles(out, instant)
     doCommit(instant, action, st, Seq.empty, newSchema, tag)
     instant
@@ -2260,6 +2294,13 @@ private[core] object Staged {
 }
 
 object LakeTable {
+
+  /** Per-file target for the small-file write sizing in
+    * [[LakeTable.writeFiles]] — the estimate is Catalyst's in-memory
+    * sizeInBytes, which overshoots parquet's on-disk bytes, so the
+    * resulting files land comfortably under typical HDFS-block-sized
+    * targets. */
+  private[core] val TargetFileBytes: Long = 128L << 20
 
   /** Unsigned UTF-8 byte comparison — the ordering BOTH Spark's
     * UTF8String min/max aggregates and parquet's Binary string stats

@@ -849,15 +849,23 @@ object CurationOps {
       // on both (it needs commit c1 AND the bootstrapped index).
       // Bootstrap corpus == the seed batch (the table holds nothing
       // else yet) — no need to pay a snapshot merge-read for it.
-      val (c1, _) = QueryPack.overlapping {
+      // the docs loads finish well before the seed reconcile — extend
+      // the background leg to ALSO read + materialize the churn
+      // increment (it needs only the docs commits, not the index), so
+      // the CDC read rides the bootstrap's shadow instead of the
+      // serial path between the two reconciles
+      val (inc, _) = QueryPack.overlapping {
         val c1 = docs.upsert(seed)
         docs.upsert(churn)
-        c1
+        val inc = docs.incremental(c1).select("doc_id", "text").persist()
+        inc.count()
+        inc
       } {
         NearDupIndex.reconcile(seed.select("doc_id", "text"), noDeletes,
           seed.select("doc_id", "text"), sigStore, pairsTab, 1L)
       }
-      val inc = docs.incremental(c1).select("doc_id", "text")
+      // reconcile re-registers `inc` in its own cache list and
+      // unpersists it on exit
       NearDupIndex.reconcile(inc, noDeletes,
         docs.snapshot().select("doc_id", "text"), sigStore, pairsTab, 2L)
 
@@ -1055,15 +1063,20 @@ object CurationOps {
       // keys the scenario both updates AND deletes are anti-joined out
       // of the upsert half first — the delete must win, as it did when
       // the delete was a separate later commit.
-      val (c1, _) = QueryPack.overlapping {
+      // the background leg also reads + materializes the churn's CDC
+      // images (they need only the docs commits, not the index), so
+      // the CDC read rides the bootstrap fold's shadow instead of the
+      // serial path between the two maintains
+      val (ch, _) = QueryPack.overlapping {
         val c1 = docs.upsert(seed)
         docs.upsertWithDeletes(
           churn.join(delKeys, Seq("doc_id"), "left_anti"), delKeys)
-        c1
+        val ch = docs.cdc(c1).persist()
+        ch.count()
+        ch
       } {
         maintain(seed.select("doc_id", "text"), emptyDocs, 1L)
       }
-      val ch = docs.cdc(c1).persist()
       try {
         val op = col(LakeTable.ChangeOpCol)
         val bef = col(LakeTable.BeforeImageCol)
@@ -1185,7 +1198,73 @@ object CurationOps {
     },
     Some(bm25IndexOracle))
 
+  /** st6 — the streaming search-index SERVICE racing `run_compaction`
+    * on its OWN state tables under OCC: at 100 TB the index state
+    * tables are MOR with ever-growing delta chains, so compaction is
+    * not an offline event — it runs concurrently with the maintenance
+    * stream, from a SEPARATE writer handle, while the fold commits
+    * delta appends to the same tables. The gate starts the service,
+    * lands the churn while it is live, and fires compaction on all
+    * three state tables (each under [[graft.core.LakeTable.withOcc]] —
+    * a commit race with the fold retries against fresh state) in a
+    * background thread racing the churn micro-batch. Compaction
+    * rewrites physical layout but never logical content, so whatever
+    * the interleaving, the scored output must STILL hash-equal the
+    * same batch BM25 oracle as pipe6/st5 — pinning that the fold's
+    * pinned-snapshot reads (MVCC: a compaction removing a pinned file
+    * does not vacuum it) and its delta commits both survive concurrent
+    * table services. */
+  private val stServiceOccQ = GQ(
+    "st6_service_occ_compaction",
+    (s, dir) => {
+      import graft.core.{LakeTable, TableProps}
+      import QueryPack.scratchDir
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+
+      val (seed, churn, delKeys) = bm25Scenario(s, dir)
+      val docsDir = scratchDir(s, dir, "st6docs")
+      val docs = LakeTable.create(s, docsDir,
+        TableProps("st6docs", Seq("doc_id"), Some("ts"), Seq.empty))
+      val postDir = scratchDir(s, dir, "st6post")
+      val post = LakeTable.create(s, postDir,
+        TableProps("st6post", Seq("doc_id", "term"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+      val statsDir = scratchDir(s, dir, "st6stats")
+      val stats = LakeTable.create(s, statsDir,
+        TableProps("st6stats", Seq("term"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+      val totDir = scratchDir(s, dir, "st6tot")
+      val totals = LakeTable.create(s, totDir,
+        TableProps("st6tot", Seq("id"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+      val ckpt = scratchDir(s, dir, "st6ckpt")
+
+      docs.upsert(seed)
+      val q = graft.streaming.SearchIndexMaintenance.start(
+        s, docsDir, postDir, statsDir, totDir, ckpt)
+      try {
+        q.processAllAvailable() // bootstrap batch folds the seed
+        // corpus churn lands while the service is LIVE …
+        docs.upsertWithDeletes(
+          churn.join(delKeys, Seq("doc_id"), "left_anti"), delKeys)
+        // … and compaction races the churn fold from separate writer
+        // handles (one per table — a writer is single-threaded)
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val fc = Future {
+          Seq(postDir, statsDir, totDir).foreach { p =>
+            val w = LakeTable.load(s, p)
+            w.withOcc()(w.compact())
+          }
+        }
+        q.processAllAvailable() // drains the churn batch under the race
+        Await.result(fc, 10.minutes)
+      } finally q.stop()
+      SearchIndex.scoreTop10(post, stats, totals)
+    },
+    Some(bm25IndexOracle))
+
   def qs: Seq[GQ] = Seq(deconQ, decon2Q, decon3Q, piiQ, repetitionQ, mixQ,
     mix2Q, mix3Q, pipeQ, canonicalQ, incNearDupQ, incBm25Q, stSearchIndexQ,
-    entropyQ, leakSplitQ, stats1Q, samp1Q, samp2Q)
+    stServiceOccQ, entropyQ, leakSplitQ, stats1Q, samp1Q, samp2Q)
 }

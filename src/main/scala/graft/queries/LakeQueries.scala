@@ -1144,10 +1144,59 @@ object LakeQueries {
       CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
       FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"""))
 
+  /** lake26 — MOR inline-compaction CADENCE
+    * (`compaction.delta_commits=2`, TestBatchMOR.java:40-46 /
+    * TestStreamingMOR.java:51): four delta commits must interleave an
+    * auto-fired compaction instant after every second one, and the
+    * compacted snapshot must equal the logical fold of all four
+    * batches. The gate pins BOTH: the output unions the ordered
+    * timeline-action sequence (delta, delta, commit, delta, delta,
+    * commit — a literal VALUES list on the oracle side, so a missing,
+    * extra, or mis-placed compaction instant hash-mismatches) with the
+    * final data state. The timeline rows come off the driver-side
+    * commit list (metadata-scale — the timeline IS a driver
+    * structure), not a windowed job. */
+  private val compactionCadenceQ = GQ(
+    "lake26_compaction_cadence",
+    (s, dir) => {
+      import s.implicits._
+      val tab = LakeTable.create(s, scratch(s, dir, "lake26"),
+        props(true).copy(tableType = "mor", compactDeltaCommits = 2))
+      tab.upsert(base(s, dir)) // delta 1
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 5 === 0) // delta 2
+        .withColumn("ts", lit(2L))
+        .withColumn("c_name", concat(col("c_name"), lit("_v2"))))
+      // ^ trailing deltas == 2 → inline compaction fires ("commit")
+      tab.delete(base(s, dir).filter(col("c_custkey") % 7 === 0) // delta 3
+        .select("c_custkey", "c_mktsegment"))
+      tab.upsert(base(s, dir).filter(col("c_custkey") % 3 === 0) // delta 4
+        .withColumn("ts", lit(3L))
+        .withColumn("c_name", concat(col("c_name"), lit("_p"))))
+      // ^ second compaction fires
+      val tl = tab.commits().select("commit_time", "action").collect()
+        .sortBy(_.getString(0)).map(_.getString(1)).zipWithIndex
+        .map { case (a, i) => (s"t${i + 1}", a) }.toSeq.toDF("k", "v")
+      val data = tab.snapshot()
+        .select(concat(lit("d"), col("c_custkey").cast("string")).as("k"),
+          concat(col("c_name"), lit(":"), col("ts").cast("string")).as("v"))
+      tl.unionByName(data).orderBy("k")
+    },
+    Some("""SELECT 't' || CAST(i AS VARCHAR) AS k, a AS v
+        FROM (VALUES (1,'deltacommit'),(2,'deltacommit'),(3,'commit'),
+          (4,'deltacommit'),(5,'deltacommit'),(6,'commit')) AS t(i, a)
+      UNION ALL
+      SELECT 'd' || CAST(c_custkey AS VARCHAR),
+        CASE WHEN c_custkey % 3 = 0 THEN c_name || '_p:3'
+             WHEN c_custkey % 5 = 0 THEN c_name || '_v2:2'
+             ELSE c_name || ':1' END
+      FROM customer
+      WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 3 <> 0)
+      ORDER BY k"""))
+
   def qs: Seq[GQ] = Seq(
     upsertQ, deleteQ, incrementalQ, mergeQ, evolutionQ, commitsQ, bootstrapQ,
     timeTravelQ, pruneQ, morQ, bucketQ, morRtSqlQ, clusterQ, restoreQ, zorderQ,
     cdcQ, mvQ, savepointQ, predicateDmlQ, occQ, vacuumQ, cdcArchiveQ,
     streamIngestQ, streamSessionizeQ, streamJoinQ, streamWindowQ,
-    pointLookupQ, dataSkipQ, serviceOccQ, morTravelQ)
+    pointLookupQ, dataSkipQ, serviceOccQ, morTravelQ, compactionCadenceQ)
 }

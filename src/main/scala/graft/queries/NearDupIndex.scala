@@ -60,7 +60,6 @@ private[graft] object NearDupIndex {
     try {
       val churnC = cache(churn)
       val deletedC = cache(deletedIds)
-      if (!deletedC.isEmpty) sigs.delete(deletedC)
       // minhashBands emits a row for EVERY churn doc — a text too
       // short to shingle gets an EMPTY band array, so the store can
       // never keep a STALE signature for a doc whose text shrank
@@ -77,34 +76,50 @@ private[graft] object NearDupIndex {
       // column from the pre-upsert snapshot
       val storeWasEmpty = !preStore.columns.contains("bands")
       val newSigs = cache(DedupOps.minhashBands(churnC))
-      // the signature-store upsert and the pairs reconciliation below
+      // materialize BEFORE the background write starts: the write's
+      // small-file sizing reads Catalyst stats, which are exact only
+      // for a computed cache (an unmaterialized one falls back to the
+      // corpus-scan estimate and writes one file per partition), and
+      // the write and the candidate join below would otherwise race
+      // to compute the same blocks
+      newSigs.count()
+      // the signature-store write and the pairs reconciliation below
       // write DIFFERENT tables from the same cached inputs — run the
-      // store upsert on a background thread and overlap it with the
+      // store write on a background thread and overlap it with the
       // candidate/verify/pairs chain (the two dominate reconcile cost
       // back-to-back; concurrent they cost ~max instead of sum). Safe
       // because the only table this future writes is SIGS: preStore
       // pinned its live-file list BEFORE this point (snapshot() is
       // eager), the store derivation below reconstructs the
-      // post-upsert content from newSigs ∪ preStore without reading
+      // post-write content from newSigs ∪ preStore without reading
       // written files, and the pairs snapshot taken later reads a
       // table this future never touches. Backgrounding a PAIRS write
       // here would NOT be safe — its snapshot is taken after this
-      // point.
-      sigWrite = Future { sigs.upsert(newSigs.withColumn("ts", lit(ts))) }
+      // point. The departed-doc tombstones ride the SAME commit
+      // (upsertWithDeletes — deleted ids are disjoint from churn ids
+      // by contract), one commit instead of delete-then-upsert two;
+      // combine=false: minhashBands is one row per doc by construction.
+      sigWrite = Future {
+        sigs.upsertWithDeletes(newSigs.withColumn("ts", lit(ts)),
+          deletedC, combine = false)
+      }
       // candidates: churn bands × the store (which now holds CURRENT
       // signatures of the whole corpus — pairs wholly inside the
-      // churn are found the same way). The post-upsert store content
-      // is derived as newSigs ∪ (pre-upsert store minus churn keys)
-      // instead of re-reading and merge-windowing the files just
-      // written: every churn doc has a row in newSigs, so the
-      // anti-join reproduces exactly what the read-side merge would
-      // pick, one hash join cheaper than the merge window.
+      // churn are found the same way). The post-write store content
+      // is derived as newSigs ∪ (pre-write store minus churn minus
+      // departed keys) instead of re-reading and merge-windowing the
+      // files just written: every churn doc has a row in newSigs, so
+      // the anti-join reproduces exactly what the read-side merge
+      // would pick, one hash join cheaper than the merge window. The
+      // departed ids join the anti side because their tombstones now
+      // land in the same background commit (preStore still has them).
       val lb = newSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
       val store =
         if (storeWasEmpty) newSigs
         else newSigs.select("doc_id", "bands").unionByName(
           preStore.select("doc_id", "bands")
-            .join(newSigs.select("doc_id"), Seq("doc_id"), "left_anti"))
+            .join(newSigs.select("doc_id").unionByName(deletedC),
+              Seq("doc_id"), "left_anti"))
       val rb = store.select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = cache(lb.as("l").join(rb.as("r"),
           col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
@@ -115,6 +130,8 @@ private[graft] object NearDupIndex {
       // verification re-shingles only docs that appear in a candidate
       val newPairs = cache(DedupOps.verifyJaccard(
         cand, docsSnap.join(candIds, "doc_id"), cache))
+      // materialized for the same write-sizing reason as newSigs
+      newPairs.count()
 
       // reconcile the pairs table. A never-written pairs table has a
       // zero-column snapshot — nothing stored to reconcile against,
@@ -126,9 +143,13 @@ private[graft] object NearDupIndex {
       // table this is a single probe-free O(batch) mixed delta append;
       // on COW a single scoped rewrite. One commit keeps the
       // ExactlyOnce tag atomic with the whole reconciliation.
+      // combine=false on both branches: newPairs is unique per (a, b)
+      // by construction (cand is distinct least/greatest-normalized;
+      // the verify join attaches per-doc arrays keyed uniquely)
       val snap = pairs.snapshot()
       if (!snap.columns.contains("a")) {
-        pairs.upsert(newPairs.withColumn("ts", lit(ts)), tag = tag)
+        pairs.upsert(newPairs.withColumn("ts", lit(ts)), tag = tag,
+          combine = false)
       } else {
         val churnIds = cache(churnC.select("doc_id")
           .unionByName(deletedC).distinct())
@@ -140,7 +161,8 @@ private[graft] object NearDupIndex {
             Seq("b"), "leftsemi"))
           .distinct()
         pairs.upsertWithDeletes(
-          newPairs.withColumn("ts", lit(ts)), touched, tag = tag)
+          newPairs.withColumn("ts", lit(ts)), touched, tag = tag,
+          combine = false)
       }
       // reconcile's contract: both state tables are committed when it
       // returns (the streaming service's exactly-once marker and the

@@ -100,25 +100,46 @@ private[graft] object SearchIndex {
     val totalsSnap = totals.snapshot()
     var writes: Seq[Future[Any]] = Seq.empty
     try {
-      val newPost = cache(postingsOf(after))
-      val oldPost = cache(postingsOf(before))
+      // tokenize each side ONCE into a cached frame: the postings
+      // groupBy AND the totals scalar fold both read it — without the
+      // cache the totals leg would either re-tokenize or aggregate
+      // doc lengths back out of the exploded postings (a second
+      // churn-sized groupBy(doc_id) shuffle)
+      val afterToks = cache(after
+        .select(col("doc_id"), expr(toksExpr).as("toks")))
+      val beforeToks = cache(before
+        .select(col("doc_id"), expr(toksExpr).as("toks")))
+      def postingsOfToks(t: DataFrame): DataFrame = t
+        .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+          explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("n"))
+        .select("doc_id", "term", "n", "len")
+      val newPost = cache(postingsOfToks(afterToks))
+      val oldPost = cache(postingsOfToks(beforeToks))
+      // materialize BEFORE the concurrent writes: the write paths'
+      // small-file sizing reads Catalyst stats (exact only for a
+      // computed cache — an unmaterialized one falls back to the
+      // corpus-scan estimate and emits one near-empty file per
+      // partition), and the three futures would otherwise race to
+      // compute the same blocks
+      newPost.count(); oldPost.count()
+      // the stats fold's write input, cached so ITS write is sized
+      // from real stats too (the join against the stored dictionary
+      // otherwise estimates at the product of its inputs)
       val dfDelta = cache(newPost
         .select(col("term"), lit(1L).as("s"))
         .unionByName(oldPost.select(col("term"), lit(-1L).as("s")))
         .groupBy("term").agg(sum("s").as("ddf"))
         .filter(col("ddf") =!= 0))
-      val lenDelta = newPost.groupBy("doc_id").agg(first("len").as("len"))
-        .select(lit(1L).as("s"), col("len"))
-        .unionByName(oldPost.groupBy("doc_id").agg(first("len").as("len"))
-          .select(lit(-1L).as("s"), (-col("len")).as("len")))
-        .agg(coalesce(sum(col("s")), lit(0L)).as("dnd"),
-          coalesce(sum(col("len")), lit(0L)).as("dtl"))
-      // three DISJOINT state tables — write them concurrently
+      // three DISJOINT state tables — write them concurrently. The
+      // postings and stats batches are unique per key BY CONSTRUCTION
+      // (groupBy on the key), so the write-side pre-combine window is
+      // skipped (combine=false, Hudi's combine.before.upsert=false)
       writes = Seq(
         Future {
           guard(post, { tag =>
             post.upsertWithDeletes(newPost.withColumn("ts", lit(ts)),
-              oldPost.select("doc_id", "term"), tag = tag)
+              oldPost.select("doc_id", "term"), tag = tag, combine = false)
             ()
           })
         },
@@ -132,30 +153,49 @@ private[graft] object SearchIndex {
             // side drives the join; unchanged dictionary rows are
             // never rewritten (preCombine keeps their stored version
             // at read time)
+            // persist + materialize so the upsert's small-file sizing
+            // sees real stats (the join's Catalyst estimate is the
+            // product of its inputs), then drop the cache — this
+            // future is its only consumer
             val folded = dfDelta.join(stored, Seq("term"), "left")
               .select(col("term"),
                 (coalesce(col("df"), lit(0L)) + col("ddf")).as("df"))
-            stats.upsert(folded.withColumn("ts", lit(ts)), tag = tag)
+              .withColumn("ts", lit(ts)).persist()
+            try {
+              folded.count()
+              stats.upsert(folded, tag = tag, combine = false)
+            } finally folded.unpersist()
             ()
           })
         },
         Future {
           guard(totals, { tag =>
-            // the stored side is ONE row at most — read it driver-side
-            // (a crossJoin against the stored relation would emit ZERO
-            // rows when the table exists with schema but no row yet,
-            // e.g. freshly CREATE TABLEd: empty × delta = empty)
+            // BOTH sides of the one-row fold resolve driver-side: the
+            // stored side is one row at most (and a crossJoin against
+            // it would emit ZERO rows on a freshly CREATE TABLEd
+            // schema-only table: empty × delta = empty), and the delta
+            // side is two scalars off the cached token frames — so the
+            // committed frame is a literal local row, not a plan that
+            // re-aggregates the churn inside the write job
             val cur =
               if (totalsSnap.columns.contains("n_docs"))
                 totalsSnap.select(col("n_docs"), col("tot_len")).collect()
               else Array.empty[org.apache.spark.sql.Row]
             val (n0, l0) = cur.headOption
               .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
-            totals.upsert(lenDelta
-              .select(lit(0L).as("id"),
-                (lit(n0) + col("dnd")).as("n_docs"),
-                (lit(l0) + col("dtl")).as("tot_len"),
-                lit(ts).as("ts")), tag = tag)
+            val d = afterToks
+              .select(lit(1L).as("s"), size(col("toks")).cast("long").as("len"))
+              .unionByName(beforeToks.select(lit(-1L).as("s"),
+                (-size(col("toks"))).cast("long").as("len")))
+              .agg(coalesce(sum(col("s")), lit(0L)),
+                coalesce(sum(col("len")), lit(0L))).head()
+            val (dnd, dtl) = (d.getLong(0), d.getLong(1))
+            val sp = after.sparkSession
+            import sp.implicits._
+            totals.upsert(
+              Seq((0L, n0 + dnd, l0 + dtl, ts))
+                .toDF("id", "n_docs", "tot_len", "ts"),
+              tag = tag, combine = false)
             ()
           })
         })

@@ -123,6 +123,65 @@ object ProfPipe6 {
             bef.getField("text").as("text")),
         post3, stats3, totals3, 2L))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // churn-maintain REPLAY, step-timed, against a fresh copy of the
+    // post-seed state (post4/stats4/tot4 = seed fold only)
+    val post4 = mk("post4", Seq("doc_id", "term"))
+    val stats4 = mk("stats4", Seq("term"))
+    val totals4 = mk("tot4", Seq("id"))
+    graft.queries.SearchIndex.maintain(after, emptyDocs,
+      post4, stats4, totals4, 1L)
+    val chAfter = ch.filter(op =!= "d").select("doc_id", "text")
+    val chBefore = ch.filter(op.isin("u", "d"))
+      .select(bef.getField("doc_id").as("doc_id"),
+        bef.getField("text").as("text"))
+    val np2 = graft.queries.SearchIndex.postingsOf(chAfter).persist()
+    time("churn-newPost-mat")(np2.count())
+    val op2 = graft.queries.SearchIndex.postingsOf(chBefore).persist()
+    time("churn-oldPost-mat")(op2.count())
+    val dfd2 = np2.select(col("term"), lit(1L).as("s"))
+      .unionByName(op2.select(col("term"), lit(-1L).as("s")))
+      .groupBy("term").agg(sum("s").as("ddf"))
+      .filter(col("ddf") =!= 0).persist()
+    time("churn-dfDelta-mat")(dfd2.count())
+    time("churn-post-upsertWithDeletes")(
+      post4.upsertWithDeletes(np2.withColumn("ts", lit(2L)),
+        op2.select("doc_id", "term")))
+    time("churn-stats-fold")(  {
+      val statsSnap = stats4.snapshot()
+      val folded = dfd2.join(statsSnap.select(col("term"), col("df")),
+        Seq("term"), "left")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) + col("ddf")).as("df"))
+      stats4.upsert(folded.withColumn("ts", lit(2L)))
+    })
+    time("churn-totals-fold") {
+      val cur = totals4.snapshot().select("n_docs", "tot_len").collect()
+      val (n0, l0) = cur.headOption
+        .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+      val ld2 = np2.groupBy("doc_id").agg(first("len").as("len"))
+        .select(lit(1L).as("s"), col("len"))
+        .unionByName(op2.groupBy("doc_id").agg(first("len").as("len"))
+          .select(lit(-1L).as("s"), (-col("len")).as("len")))
+        .agg(coalesce(sum(col("s")), lit(0L)).as("dnd"),
+          coalesce(sum(col("len")), lit(0L)).as("dtl"))
+      totals4.upsert(ld2.select(lit(0L).as("id"),
+        (lit(n0) + col("dnd")).as("n_docs"),
+        (lit(l0) + col("dtl")).as("tot_len"), lit(2L).as("ts")))
+    }
+    // scoreTop10 decomposition on the churned state
+    val postSnap = time("score-post-snapshot-plan")(post4.snapshot())
+    time("score-post-snapshot-count")(postSnap.count())
+    val scored4 = graft.queries.SearchIndex.scoreTop10(post4, stats4, totals4)
+    time("score-full")(scored4.count())
+    val plan = scored4.queryExecution.executedPlan.toString
+    Console.err.println("[prof] score plan: reusedExchange=" +
+      "ReusedExchange".r.findAllIn(plan).size +
+      " exchanges=" + "Exchange".r.findAllIn(plan).size +
+      " smj=" + "SortMergeJoin".r.findAllIn(plan).size +
+      " bhj=" + "BroadcastHashJoin".r.findAllIn(plan).size +
+      " scans=" + "Scan parquet".r.findAllIn(plan).size +
+      " windows=" + "Window".r.findAllIn(plan).size)
     val scored = time("scoreTop10-plan")(
       graft.queries.SearchIndex.scoreTop10(post3, stats3, totals3))
     time("scoreTop10-count")(scored.count())
