@@ -233,6 +233,53 @@ object MediaDecoder {
     finally iis.close()
   }
 
+  /** Deterministic 24-bit BI_RGB BMP fixture bytes: `w`×`h`, every
+    * pixel the same (r,g,b) — the byte-level inverse of [[decodeBmp]],
+    * used by the mm2 gate to drive the REAL decode path with payloads
+    * whose expected decode output is computable arithmetically (no
+    * reference decoder needed on the oracle side). */
+  def encodeBmp24(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    buf.putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+    buf.putInt(0).putInt(0)
+    var row = 0
+    while (row < h) {
+      var x = 0
+      while (x < w) { // pixel order B,G,R
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = stride - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      row += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic solid-color PNG fixture: encoded through the same
+    * JDK codec family [[decodeImage]] reads with. The exact byte
+    * stream is encoder-dependent, but the decoded pixels (hence the
+    * mm2 gate's output) are fully determined by (w, h, r, g, b). */
+  def encodePngSolid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Format-sniffing decode: real BMP/WAV/PNG/JPEG/GIF parsing when
     * the payload is one, the deterministic stub otherwise. */
   def decodeAny(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =

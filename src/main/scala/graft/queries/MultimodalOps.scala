@@ -41,5 +41,56 @@ object MultimodalOps {
         md5(text) AS fingerprint
       FROM documents ORDER BY doc_id"""))
 
-  def qs: Seq[GQ] = Seq(binaryMetaQ)
+  /** mm2 — REAL image decode end-to-end behind the oracle: every doc
+    * gets a deterministic solid-color fixture — even doc_ids a
+    * hand-built 24-bit BMP ([[graft.multimodal.MediaDecoder.encodeBmp24]]),
+    * odd doc_ids a JDK-codec PNG — routed through the production
+    * [[graft.multimodal.MediaDecoder.decode]] mapPartitions pipeline
+    * (magic sniff → real BMP pixel parse / real `javax.imageio`
+    * decode; shuffle-free, one task per input partition). The oracle
+    * side never decodes anything: dimensions and per-channel means of
+    * a solid-color image are pure arithmetic on the fixture
+    * definition — (color/255) cast to float — so a decoder channel
+    * swap, padding mistake, or raster offset hash-mismatches. Channel
+    * order is format-true: BMP features report B,G,R; PNG features
+    * report R,G,B. */
+  private val realDecodeQ = GQ(
+    "mm2_real_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.MediaDecoder
+      val payloads = t(s, dir, "documents").select("doc_id")
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { d =>
+            val w = (d % 5 + 2).toInt; val h = (d % 3 + 2).toInt
+            val r = (d % 256).toInt
+            val g = (d * 3 % 256).toInt
+            val b = (d * 7 % 256).toInt
+            val bytes =
+              if (d % 2 == 0) MediaDecoder.encodeBmp24(w, h, r, g, b)
+              else MediaDecoder.encodePngSolid(w, h, r, g, b)
+            (d, bytes)
+          }
+        }
+        .toDF("doc_id", "payload")
+      MediaDecoder.decode(payloads, "doc_id", "payload")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          element_at(col("features"), 1).as("c0"),
+          element_at(col("features"), 2).as("c1"),
+          element_at(col("features"), 3).as("c2"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        CAST(doc_id % 5 + 2 AS INT) AS width,
+        CAST(doc_id % 3 + 2 AS INT) AS height,
+        3 AS channels,
+        CAST((CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256
+                   ELSE doc_id % 256 END) / 255.0 AS REAL) AS c0,
+        CAST(((doc_id * 3) % 256) / 255.0 AS REAL) AS c1,
+        CAST((CASE WHEN doc_id % 2 = 0 THEN doc_id % 256
+                   ELSE (doc_id * 7) % 256 END) / 255.0 AS REAL) AS c2
+      FROM documents ORDER BY doc_id"""))
+
+  def qs: Seq[GQ] = Seq(binaryMetaQ, realDecodeQ)
 }

@@ -109,10 +109,13 @@ object ScalingAudit {
     println("[scale] generating 10x data (skipped if present)")
     generate(s, sf01)
 
-    // pack2/pipe5 are scan-bound (no lake writes) — in scope;
-    // pipe1-4's cost is commit-count, audited via the bench instead
+    // round-10 extension: the incremental-service (pipe*, decon*) and
+    // churn-heavy lake gates (lake16 CDC, lake18 predicate DML, lake21
+    // CDC+archive) are in scope too — their scenarios scale churn WITH
+    // corpus (modulo-mask batches), so a fold whose cost tracked the
+    // CORPUS instead of the churn would show super-linear here
     val fams = Seq("q", "dedup", "sim", "text", "sketch", "graph",
-      "pack", "pipe5", "samp")
+      "pack", "pipe", "samp", "decon", "lake16", "lake18", "lake21")
     // optional arg: comma-separated name substrings to re-audit a
     // subset (appending rows for newly added gates)
     val only = args.headOption.map(_.split(",").toSeq)
