@@ -854,12 +854,17 @@ object CurationOps {
       // increment (it needs only the docs commits, not the index), so
       // the CDC read rides the bootstrap's shadow instead of the
       // serial path between the two reconciles
-      val (inc, _) = QueryPack.overlapping {
+      // the bg leg also pre-merges the docs MOR snapshot the increment
+      // verifies against — the merge-window read rides the bootstrap's
+      // shadow too instead of the serial path between the reconciles
+      val ((inc, docsSnap), _) = QueryPack.overlapping {
         val c1 = docs.upsert(seed)
         docs.upsert(churn)
         val inc = docs.incremental(c1).select("doc_id", "text").persist()
         inc.count()
-        inc
+        val snap = docs.snapshot().select("doc_id", "text").persist()
+        snap.count()
+        (inc, snap)
       } {
         NearDupIndex.reconcile(seed.select("doc_id", "text"), noDeletes,
           seed.select("doc_id", "text"), sigStore, pairsTab, 1L)
@@ -867,7 +872,8 @@ object CurationOps {
       // reconcile re-registers `inc` in its own cache list and
       // unpersists it on exit
       NearDupIndex.reconcile(inc, noDeletes,
-        docs.snapshot().select("doc_id", "text"), sigStore, pairsTab, 2L)
+        docsSnap, sigStore, pairsTab, 2L)
+      docsSnap.unpersist()
 
       pairsTab.snapshot().select("a", "b", "jaccard").orderBy("a", "b")
     },

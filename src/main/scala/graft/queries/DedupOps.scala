@@ -174,16 +174,21 @@ object DedupOps {
   private[graft] def verifyJaccard(
       cand: DataFrame, docs: DataFrame,
       cache: DataFrame => DataFrame = identity): DataFrame = {
-    val sh = shingles(docs, 3)
-    // the a-side and b-side joins read the same doc-array subtree;
-    // incremental callers pass their cache-registrar so the
-    // candidate-pruned doc arrays materialize once instead of
-    // re-shingling per join side — and get UNPERSISTED by that
-    // caller's cleanup (a persist taken here would leak one pinned
-    // cache entry per micro-batch on the streaming path). Batch
-    // callers keep the re-derive: their `docs` is the whole corpus.
-    val docSets = cache(sh.groupBy("doc_id").agg(
-      collect_list(col("sh")).as("shs"), count(lit(1)).as("sz")))
+    // per-doc shingle SET built IN-ROW (array_distinct over the n-gram
+    // transform) — a narrow projection on the doc scan, no
+    // explode+groupBy shuffle: the exploded relation is the largest
+    // intermediate in every shingle query and re-collecting it per
+    // verify call cost more than the intersection itself. Same
+    // elements as the exploded+collected form (shingleArrExpr is the
+    // ONE tokenizer), only the array order differs — array_intersect
+    // and size() are order-blind. A doc too short to shingle keeps an
+    // EMPTY set row: its pairs compute jaccard NaN/0 and fail the
+    // threshold, same outcome as the old inner-join drop.
+    val docSets = cache(docs
+      .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
+      .withColumn("shs", expr(s"array_distinct(${shingleArrExpr(3)})"))
+      .select(col("doc_id"), col("shs"),
+        size(col("shs")).cast("long").as("sz")))
     cand
       .join(docSets.as("za"), col("a") === col("za.doc_id"))
       .join(docSets.as("zb"), col("b") === col("zb.doc_id"))

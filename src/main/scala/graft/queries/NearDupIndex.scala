@@ -57,6 +57,7 @@ private[graft] object NearDupIndex {
     val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
     var sigWrite: Future[Any] = Future.successful(())
+    var touchedJob: Future[Any] = Future.successful(())
     try {
       val churnC = cache(churn)
       val deletedC = cache(deletedIds)
@@ -103,6 +104,35 @@ private[graft] object NearDupIndex {
         sigs.upsertWithDeletes(newSigs.withColumn("ts", lit(ts)),
           deletedC, combine = false)
       }
+      // the PAIRS tombstone side (stored pairs touching a churned or
+      // departed doc) depends only on the pairs snapshot and the churn
+      // ids — both known NOW. Pin the snapshot and materialize the
+      // frame on a background thread so it rides the candidate/verify
+      // chain's shadow instead of serializing inside the final write's
+      // critical path. Persist registration stays on this thread (the
+      // cache list is not thread-safe); only the count() runs behind.
+      // Safe: nothing commits to PAIRS between this pin and the final
+      // write, and the future reads tables (pairs, churn cache) the
+      // sigs write never touches.
+      val pairsSnap = pairs.snapshot()
+      val pairsBootstrap = !pairsSnap.columns.contains("a")
+      val touchedPre: Option[DataFrame] =
+        if (pairsBootstrap) None
+        else {
+          val churnIds = cache(churnC.select("doc_id")
+            .unionByName(deletedC).distinct())
+          val cur = pairsSnap.select("a", "b")
+          // OR-of-keys as two hash semi-joins, not one OR-join
+          val touched = cache(
+            cur.join(churnIds.withColumnRenamed("doc_id", "a"),
+                Seq("a"), "leftsemi")
+              .unionByName(cur.join(
+                churnIds.withColumnRenamed("doc_id", "b"),
+                Seq("b"), "leftsemi"))
+              .distinct())
+          touchedJob = Future { touched.count() }
+          Some(touched)
+        }
       // candidates: churn bands × the store (which now holds CURRENT
       // signatures of the whole corpus — pairs wholly inside the
       // churn are found the same way). The post-write store content
@@ -146,23 +176,17 @@ private[graft] object NearDupIndex {
       // combine=false on both branches: newPairs is unique per (a, b)
       // by construction (cand is distinct least/greatest-normalized;
       // the verify join attaches per-doc arrays keyed uniquely)
-      val snap = pairs.snapshot()
-      if (!snap.columns.contains("a")) {
-        pairs.upsert(newPairs.withColumn("ts", lit(ts)), tag = tag,
-          combine = false)
-      } else {
-        val churnIds = cache(churnC.select("doc_id")
-          .unionByName(deletedC).distinct())
-        val cur = snap.select("a", "b")
-        // OR-of-keys as two hash semi-joins, not one OR-join
-        val touched = cur.join(churnIds.withColumnRenamed("doc_id", "a"),
-            Seq("a"), "leftsemi")
-          .unionByName(cur.join(churnIds.withColumnRenamed("doc_id", "b"),
-            Seq("b"), "leftsemi"))
-          .distinct()
-        pairs.upsertWithDeletes(
-          newPairs.withColumn("ts", lit(ts)), touched, tag = tag,
-          combine = false)
+      touchedPre match {
+        case None =>
+          pairs.upsert(newPairs.withColumn("ts", lit(ts)), tag = tag,
+            combine = false)
+        case Some(touched) =>
+          // materialized under the verify chain's shadow above; await
+          // so a snapshot-read failure surfaces here, not in finally
+          Await.result(touchedJob, Duration.Inf)
+          pairs.upsertWithDeletes(
+            newPairs.withColumn("ts", lit(ts)), touched, tag = tag,
+            combine = false)
       }
       // reconcile's contract: both state tables are committed when it
       // returns (the streaming service's exactly-once marker and the
@@ -171,9 +195,11 @@ private[graft] object NearDupIndex {
       Await.result(sigWrite, Duration.Inf)
       ()
     } finally {
-      // on a pairs-chain failure the store write may still be in
-      // flight — never unpersist its inputs from under it
+      // on a pairs-chain failure the store write or the touched
+      // prefetch may still be in flight — never unpersist their
+      // inputs from under them
       Await.ready(sigWrite, Duration.Inf)
+      Await.ready(touchedJob, Duration.Inf)
       cached.foreach(_.unpersist())
     }
   }
