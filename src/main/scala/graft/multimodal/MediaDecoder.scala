@@ -233,12 +233,133 @@ object MediaDecoder {
     finally iis.close()
   }
 
-  /** Deterministic 24-bit BI_RGB BMP fixture bytes: `w`×`h`, every
-    * pixel the same (r,g,b) — the byte-level inverse of [[decodeBmp]],
-    * used by the mm2 gate to drive the REAL decode path with payloads
-    * whose expected decode output is computable arithmetically (no
-    * reference decoder needed on the oracle side). */
-  def encodeBmp24(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+  /** Stream every pixel of an image payload in row-major IMAGE order
+    * as `visit(x, y, r, g, b)` (always R,G,B regardless of the
+    * container's byte order), holding at most one pixel row in memory.
+    * BMP payloads are parsed directly (bottom-up files are flipped to
+    * image coordinates — unlike mean features, positional consumers
+    * such as [[resizeBox]] are NOT orientation-invariant); PNG/JPEG/GIF
+    * go through the same header-guarded `javax.imageio` row reads as
+    * [[decodeImage]]. `onDims(w, h)` fires once, before the first
+    * pixel, so positional consumers can size their accumulators.
+    * Returns the image dimensions, or None for undecodable /
+    * non-image / bomb-guarded payloads. */
+  private def streamPixels(b: Array[Byte])(onDims: (Int, Int) => Unit)(
+      visit: (Int, Int, Int, Int, Int) => Unit): Option[(Int, Int)] = {
+    // BMP branch: same guarded header parse as decodeBmp
+    if (b.length >= 54 && b(0) == 'B' && b(1) == 'M' && le32(b, 14) >= 40) {
+      val width = le32(b, 18)
+      val rawHeight = le32(b, 22)
+      val height = math.abs(rawHeight)
+      val bpp = le16(b, 28)
+      if (width <= 0 || height == 0 || le32(b, 30) != 0 ||
+        (bpp != 24 && bpp != 32)) return None
+      val channels = bpp / 8
+      val pixOff = le32(b, 10)
+      val strideL = ((width.toLong * channels + 3) / 4) * 4
+      if (strideL <= 0 || strideL > b.length || height > b.length) return None
+      val stride = strideL.toInt
+      if (pixOff < 0 || pixOff.toLong + strideL * height > b.length)
+        return None
+      onDims(width, height)
+      var row = 0
+      while (row < height) {
+        // positive header height = bottom-up storage: file row 0 is
+        // the BOTTOM image row
+        val y = if (rawHeight > 0) height - 1 - row else row
+        var x = 0
+        val base = pixOff + row * stride
+        while (x < width) { // byte order B,G,R[,A]
+          val o = base + x * channels
+          visit(x, y, b(o + 2) & 0xff, b(o + 1) & 0xff, b(o) & 0xff)
+          x += 1
+        }
+        row += 1
+      }
+      return Some((width, height))
+    }
+    if (!looksLikeImage(b)) return None
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis, true, true)
+          val w0 = reader.getWidth(0); val h0 = reader.getHeight(0)
+          if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > MaxDecodePixels) return None
+          reader.read(0)
+        } finally reader.dispose()
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      onDims(w, h)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          visit(x, y, (p >>> 16) & 0xff, (p >>> 8) & 0xff, p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
+  /** Box-binned area RESIZE of one image payload to an `outW`×`outH`
+    * grid: input pixel (x, y) contributes its full value to output
+    * cell (⌊x·outW/inW⌋, ⌊y·outH/inH⌋); each cell's value is the mean
+    * of its binned pixels. This is the standard anti-aliased
+    * downsample of a training-data image pipeline (exactly the area
+    * average when the grid divides the image; pixel-granular binning
+    * otherwise), chosen over interpolating kernels because its output
+    * is INTEGER arithmetic on the input — a DuckDB oracle can replay
+    * it bit-exactly with no image library.
+    *
+    * Memory is O(outW·outH), never O(inW·inH): cell sums accumulate
+    * while [[streamPixels]] walks rows, so a huge input image resizes
+    * in one pass with a single row buffered.
+    *
+    * @return (inW, inH, nPix, sums): `nPix(cy·outW+cx)` = pixels
+    *         binned into the cell, `sums((cy·outW+cx)·3 + c)` = that
+    *         cell's channel-c (R,G,B) intensity sum. None for
+    *         undecodable payloads or non-positive target dims. */
+  def resizeBoxRaw(b: Array[Byte], outW: Int, outH: Int)
+      : Option[(Int, Int, Array[Long], Array[Long])] = {
+    if (outW <= 0 || outH <= 0 || outW.toLong * outH > MaxDecodePixels)
+      return None
+    val nPix = new Array[Long](outW * outH)
+    val sums = new Array[Long](outW * outH * 3)
+    var dimW = 1; var dimH = 1
+    streamPixels(b) { (w, h) => dimW = w; dimH = h } { (x, y, r, g, bl) =>
+      val cx = ((x.toLong * outW) / dimW).toInt
+      val cy = ((y.toLong * outH) / dimH).toInt
+      val cell = cy * outW + cx
+      nPix(cell) += 1
+      sums(cell * 3) += r
+      sums(cell * 3 + 1) += g
+      sums(cell * 3 + 2) += bl
+    } match {
+      case Some((w, h)) => Some((w, h, nPix, sums))
+      case None => None
+    }
+  }
+
+  /** Deterministic 24-bit BI_RGB BMP fixture bytes: `w`×`h`, pixel
+    * (x, y) colored by `px` (returning packed 0xRRGGBB) — the
+    * byte-level inverse of [[decodeBmp]]/[[streamPixels]], used by the
+    * mm2/mm3 gates to drive the REAL decode path with payloads whose
+    * expected decode output is computable arithmetically (no reference
+    * decoder needed on the oracle side). Rows are stored bottom-up
+    * (positive header height), the common BMP layout. */
+  def encodeBmp24With(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
     val stride = ((w * 3 + 3) / 4) * 4
     val size = 54 + stride * h
     val buf = java.nio.ByteBuffer.allocate(size)
@@ -249,9 +370,12 @@ object MediaDecoder {
     buf.putInt(0).putInt(0)
     var row = 0
     while (row < h) {
+      val y = h - 1 - row // bottom-up: file row 0 = bottom image row
       var x = 0
-      while (x < w) { // pixel order B,G,R
-        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+      while (x < w) { // pixel byte order B,G,R
+        val p = px(x, y)
+        buf.put((p & 0xff).toByte).put(((p >>> 8) & 0xff).toByte)
+          .put(((p >>> 16) & 0xff).toByte)
         x += 1
       }
       var pad = stride - w * 3
@@ -261,24 +385,33 @@ object MediaDecoder {
     buf.array()
   }
 
-  /** Deterministic solid-color PNG fixture: encoded through the same
-    * JDK codec family [[decodeImage]] reads with. The exact byte
-    * stream is encoder-dependent, but the decoded pixels (hence the
-    * mm2 gate's output) are fully determined by (w, h, r, g, b). */
-  def encodePngSolid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+  /** Solid-color BMP fixture (mm2 gate). */
+  def encodeBmp24(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+    encodeBmp24With(w, h)((_, _) => (r << 16) | (g << 8) | b)
+
+  /** Deterministic PNG fixture with pixel (x, y) colored by `px`
+    * (packed 0xRRGGBB): encoded through the same JDK codec family
+    * [[decodeImage]] reads with. The exact byte stream is
+    * encoder-dependent, but PNG is lossless so the decoded pixels
+    * (hence the mm2/mm3 gates' output) are fully determined by
+    * (w, h, px). */
+  def encodePngWith(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val rgb = (r << 16) | (g << 8) | b
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      while (x < w) { img.setRGB(x, y, px(x, y)); x += 1 }
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }
+
+  /** Solid-color PNG fixture (mm2 gate). */
+  def encodePngSolid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+    encodePngWith(w, h)((_, _) => (r << 16) | (g << 8) | b)
 
   /** Format-sniffing decode: real BMP/WAV/PNG/JPEG/GIF parsing when
     * the payload is one, the deterministic stub otherwise. */
@@ -309,12 +442,18 @@ object MediaDecoder {
       }
   }
 
-  /** Frame-sampling shape for video-like payloads: split a payload
-    * into fixed-size windows and emit one row per sampled frame —
-    * demonstrates the 1-to-N explode side of media processing. */
-  def sampleFrames(
+  /** Resize every (id, payload) image row to an `outW`×`outH` grid
+    * ([[resizeBoxRaw]] box-binned area average) and emit ONE ROW PER
+    * NON-EMPTY CELL: (id, width, height, cell_x, cell_y, n_pix,
+    * r_sum, g_sum, b_sum) — the cell mean is `sum / (n_pix * 255.0)`,
+    * left to the caller so the emitted values stay exact integers.
+    * Same execution shape as [[decode]]: one task per input partition,
+    * no shuffle, streaming iterator, O(outW·outH) memory per payload
+    * regardless of input image size. Undecodable payloads emit no
+    * rows. */
+  def resizeBox(
       df: DataFrame, idCol: String, binCol: String,
-      frameBytes: Int, everyNth: Int): DataFrame = {
+      outW: Int, outH: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
@@ -322,14 +461,60 @@ object MediaDecoder {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           val payload = if (bytes == null) Array.emptyByteArray else bytes
-          payload.grouped(frameBytes).zipWithIndex
-            .filter(_._2 % everyNth == 0)
-            .map { case (frame, idx) =>
-              val (w, h, _, _) = decodeStub(frame)
-              (id, idx, frame.length, w, h)
+          resizeBoxRaw(payload, outW, outH).iterator.flatMap {
+            case (w, h, nPix, sums) =>
+              Iterator.range(0, outW * outH)
+                .filter(nPix(_) > 0)
+                .map { cell =>
+                  (id, w, h, cell % outW, cell / outW, nPix(cell),
+                    sums(cell * 3), sums(cell * 3 + 1), sums(cell * 3 + 2))
+                }
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "cell_x", "cell_y", "n_pix",
+        "r_sum", "g_sum", "b_sum")
+  }
+
+  /** Frame-sampling shape for video-like payloads: treat a payload as
+    * fixed-size frame windows and emit one row per SAMPLED frame with
+    * a real per-frame decode ([[decodeAny]] — frames carrying a BMP /
+    * PNG / WAV payload decode for real; anything else takes the
+    * clearly-marked stub, the stand-in for a JNI video codec).
+    * Skipped frames are never copied or decoded — the stride jumps
+    * straight to the next sampled offset, so sampling 1/N touches
+    * ~1/N of the frame bytes (the 100 TB point of frame sampling). A
+    * short final window is emitted as-is, mirroring a truncated tail
+    * GOP. */
+  def sampleFrames(
+      df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, everyNth: Int): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0,
+      s"frameBytes=$frameBytes everyNth=$everyNth must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray else bytes
+          val step = frameBytes.toLong * everyNth
+          Iterator.iterate(0L)(_ + step)
+            .takeWhile(_ < payload.length)
+            .map { off =>
+              val o = off.toInt
+              val end = math.min(o + frameBytes, payload.length)
+              val frame = java.util.Arrays.copyOfRange(payload, o, end)
+              val idx = (off / frameBytes).toInt
+              val (w, h, _, feats) = decodeAny(frame)
+              (id, idx, frame.length, w, h,
+                if (feats.length > 0) feats(0) else 0f,
+                if (feats.length > 1) feats(1) else 0f,
+                if (feats.length > 2) feats(2) else 0f)
             }
         }
       }
-      .toDF(idCol, "frame_idx", "frame_bytes", "width", "height")
+      .toDF(idCol, "frame_idx", "frame_bytes", "width", "height",
+        "c0", "c1", "c2")
   }
 }

@@ -92,5 +92,112 @@ object MultimodalOps {
                    ELSE (doc_id * 7) % 256 END) / 255.0 AS REAL) AS c2
       FROM documents ORDER BY doc_id"""))
 
-  def qs: Seq[GQ] = Seq(binaryMetaQ, realDecodeQ)
+  /** mm3 — REAL image RESIZE end-to-end behind the oracle: every doc
+    * gets a deterministic GRADIENT fixture (pixel (x, y) = (base_r+x,
+    * base_g+y, base_b+x+y); even doc_ids a hand-built BMP, odd a
+    * JDK-codec PNG) routed through
+    * [[graft.multimodal.MediaDecoder.resizeBox]] — the streaming
+    * box-binned area resize (O(outW·outH) memory, one task per
+    * partition, no shuffle). Output is one row per 2×2 target cell
+    * with INTEGER pixel counts and channel sums, so the DuckDB oracle
+    * replays the binning arithmetic exactly from the fixture
+    * definition (an unrolled VALUES grid — no image library): a
+    * row-order flip (BMP bottom-up handling), a channel swap, or an
+    * off-by-one in the ⌊x·outW/inW⌋ binning hash-mismatches. Gradients
+    * (not solid colors) make the check resize-SENSITIVE: cell sums
+    * differ per cell, so collapsing cells or misassigning pixels can't
+    * cancel out. */
+  private val resizeQ = GQ(
+    "mm3_resize_box",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.MediaDecoder
+      val payloads = t(s, dir, "documents").select("doc_id")
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { d =>
+            val w = (d % 5 + 2).toInt; val h = (d % 3 + 2).toInt
+            val br = (d % 199).toInt
+            val bg = (d * 3 % 199).toInt
+            val bb = (d * 7 % 199).toInt
+            def px(x: Int, y: Int): Int =
+              ((br + x) << 16) | ((bg + y) << 8) | (bb + x + y)
+            val bytes =
+              if (d % 2 == 0) MediaDecoder.encodeBmp24With(w, h)(px)
+              else MediaDecoder.encodePngWith(w, h)(px)
+            (d, bytes)
+          }
+        }
+        .toDF("doc_id", "payload")
+      MediaDecoder.resizeBox(payloads, "doc_id", "payload", 2, 2)
+        .orderBy("doc_id", "cell_y", "cell_x")
+    },
+    Some("""WITH px AS (
+        SELECT doc_id,
+               doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h,
+               xi, yi,
+               doc_id % 199 + xi AS r,
+               (doc_id * 3) % 199 + yi AS g,
+               (doc_id * 7) % 199 + xi + yi AS b
+        FROM documents
+        CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5)) AS xs(xi)
+        CROSS JOIN (VALUES (0),(1),(2),(3)) AS ys(yi)
+        WHERE xi < doc_id % 5 + 2 AND yi < doc_id % 3 + 2
+      )
+      SELECT doc_id,
+        CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        CAST((xi * 2) // w AS INT) AS cell_x,
+        CAST((yi * 2) // h AS INT) AS cell_y,
+        count(*) AS n_pix,
+        CAST(sum(r) AS BIGINT) AS r_sum,
+        CAST(sum(g) AS BIGINT) AS g_sum,
+        CAST(sum(b) AS BIGINT) AS b_sum
+      FROM px
+      GROUP BY doc_id, w, h, cell_x, cell_y
+      ORDER BY doc_id, cell_y, cell_x"""))
+
+  /** mm4 — frame sampling over video-like payloads, decode included:
+    * each doc's payload is `doc_id % 4 + 2` concatenated fixed-size
+    * (78-byte, 4×2) solid-color BMP frames; [[graft.multimodal
+    * .MediaDecoder.sampleFrames]] strides to every 2nd frame by OFFSET
+    * (skipped frames are never copied or decoded — at 100 TB of video
+    * that stride is the operator), decodes the sampled frames for real
+    * via the BMP parser, and emits per-frame dims + channel means. The
+    * oracle replays the per-(doc, frame) color arithmetic; features
+    * are format-true B,G,R like mm2. */
+  private val frameSampleQ = GQ(
+    "mm4_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.MediaDecoder
+      val payloads = t(s, dir, "documents").select("doc_id")
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { d =>
+            val frames = (0 until (d % 4 + 2).toInt).map { fi =>
+              MediaDecoder.encodeBmp24(4, 2,
+                ((d + 11 * fi) % 256).toInt,
+                ((d * 3 + 7 * fi) % 256).toInt,
+                ((d * 5 + 13 * fi) % 256).toInt)
+            }
+            (d, Array.concat(frames: _*))
+          }
+        }
+        .toDF("doc_id", "payload")
+      MediaDecoder.sampleFrames(payloads, "doc_id", "payload", 78, 2)
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""SELECT doc_id,
+        fi AS frame_idx,
+        78 AS frame_bytes,
+        4 AS width, 2 AS height,
+        CAST(((doc_id * 5 + 13 * fi) % 256) / 255.0 AS REAL) AS c0,
+        CAST(((doc_id * 3 + 7 * fi) % 256) / 255.0 AS REAL) AS c1,
+        CAST(((doc_id + 11 * fi) % 256) / 255.0 AS REAL) AS c2
+      FROM documents
+      CROSS JOIN (VALUES (0),(2),(4)) AS fs(fi)
+      WHERE fi < doc_id % 4 + 2
+      ORDER BY doc_id, fi"""))
+
+  def qs: Seq[GQ] = Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ)
 }

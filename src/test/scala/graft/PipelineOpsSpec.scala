@@ -496,4 +496,62 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(perDoc.getOrElse(id, 0L) == expected, s"doc $id")
     }
   }
+
+  test("resizeBox: hand-computed 3x3 binning; BMP/PNG parity; guards") {
+    import MediaDecoder.{encodeBmp24With, encodePngWith, resizeBoxRaw}
+    // 3×3 gradient, pixel value (x, y, x+y) per channel. Binned 2×2
+    // with cx = ⌊x·2/3⌋: x∈{0,1}→0, x=2→1 (same for y), so cells get
+    // 4/2/2/1 pixels — hand-check every count and sum.
+    def px(x: Int, y: Int): Int = (x << 16) | (y << 8) | (x + y)
+    val bmp = encodeBmp24With(3, 3)(px)
+    val (w, h, n, s) = resizeBoxRaw(bmp, 2, 2).get
+    assert((w, h) == (3, 3))
+    assert(n.toSeq == Seq(4L, 2L, 2L, 1L))
+    // cell (0,0): x,y ∈ {0,1}²  → r-sum 0+1+0+1=2, g-sum 2, b-sum 0+1+1+2=4
+    assert(s.slice(0, 3).toSeq == Seq(2L, 2L, 4L))
+    // cell (1,0): x=2, y∈{0,1}  → r 4, g 1, b 2+3=5
+    assert(s.slice(3, 6).toSeq == Seq(4L, 1L, 5L))
+    // cell (0,1): x∈{0,1}, y=2  → r 1, g 4, b 2+3=5
+    assert(s.slice(6, 9).toSeq == Seq(1L, 4L, 5L))
+    // cell (1,1): x=2, y=2      → r 2, g 2, b 4
+    assert(s.slice(9, 12).toSeq == Seq(2L, 2L, 4L))
+    // the SAME image through the other container must bin identically —
+    // in particular the BMP bottom-up row flip (a missing flip swaps
+    // the cell_y=0 and cell_y=1 rows of a vertical gradient)
+    val png = encodePngWith(3, 3)(px)
+    val (pw, ph, pn, ps) = resizeBoxRaw(png, 2, 2).get
+    assert((pw, ph) == (3, 3) && pn.toSeq == n.toSeq && ps.toSeq == s.toSeq)
+    // guards: corrupt payloads and bad target dims fall back to None
+    assert(resizeBoxRaw("not an image".getBytes("UTF-8"), 2, 2).isEmpty)
+    assert(resizeBoxRaw(bmp, 0, 2).isEmpty)
+    assert(resizeBoxRaw(Array.emptyByteArray, 2, 2).isEmpty)
+  }
+
+  test("sampleFrames: offset stride decodes sampled BMP frames for real") {
+    val d = 7L
+    val frames = (0 until 5).map { fi =>
+      MediaDecoder.encodeBmp24(4, 2, 10 + fi, 20 + fi, 30 + fi)
+    }
+    assert(frames.forall(_.length == 78))
+    val payload = Array.concat(frames: _*)
+    val df = spark.createDataFrame(Seq((d, payload))).toDF("doc_id", "payload")
+    val out = MediaDecoder.sampleFrames(df, "doc_id", "payload", 78, 2)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    out.foreach { r =>
+      val fi = r.getInt(1)
+      assert(r.getInt(2) == 78 && r.getInt(3) == 4 && r.getInt(4) == 2)
+      // real BMP decode: features are B,G,R means of the solid frame
+      assert(math.abs(r.getFloat(5) - (30 + fi) / 255f) < 1e-6)
+      assert(math.abs(r.getFloat(7) - (10 + fi) / 255f) < 1e-6)
+    }
+    // short tail window: 100 bytes at frameBytes=78 → frames 0 (78 B)
+    // and a 22-byte tail at idx 1, sampled with everyNth=1
+    val tailDf = spark.createDataFrame(Seq((1L, payload.take(100))))
+      .toDF("doc_id", "payload")
+    val tail = MediaDecoder.sampleFrames(tailDf, "doc_id", "payload", 78, 1)
+      .orderBy("frame_idx").collect()
+    assert(tail.map(r => (r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((0, 78), (1, 22)))
+  }
 }
