@@ -107,13 +107,11 @@ object MediaDecoder {
     Some((width, height, channels, features))
   }
 
-  /** REAL decode of a PCM WAV: channel count / sample rate / sample
-    * count from the RIFF chunks (mapped onto the image-shaped record
-    * as width = frames per channel, height = sample rate), features =
-    * RMS amplitude (normalized to [0,1]) of each octile of the 16-bit
-    * sample stream. Returns None for non-RIFF/WAVE payloads or
-    * non-PCM encodings. */
-  def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+  /** Guarded RIFF/WAVE chunk walk for 16-bit PCM: returns
+    * (dataOff, dataLen, channels, sampleRate), or None for
+    * non-RIFF/WAVE payloads, non-PCM encodings, non-16-bit samples,
+    * or chunk sizes escaping the payload. */
+  private def parseWavPcm16(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
       b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
       b(11) != 'E') return None
@@ -135,8 +133,21 @@ object MediaDecoder {
       }
       off += 8 + size + (size & 1) // chunks are 2-byte aligned
     }
-    if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataOff < 0)
-      return None
+    if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataOff < 0) None
+    else Some((dataOff, dataLen, channels, sampleRate))
+  }
+
+  /** REAL decode of a PCM WAV: channel count / sample rate / sample
+    * count from the RIFF chunks (mapped onto the image-shaped record
+    * as width = frames per channel, height = sample rate), features =
+    * RMS amplitude (normalized to [0,1]) of each octile of the 16-bit
+    * sample stream. Returns None for non-RIFF/WAVE payloads or
+    * non-PCM encodings. */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    val (dataOff, dataLen, channels, sampleRate) = parseWavPcm16(b) match {
+      case Some(p) => p
+      case None => return None
+    }
     val nSamples = dataLen / 2
     val frames = nSamples / channels
     val features = Array.tabulate(8) { i =>
@@ -412,6 +423,83 @@ object MediaDecoder {
   /** Solid-color PNG fixture (mm2 gate). */
   def encodePngSolid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
     encodePngWith(w, h)((_, _) => (r << 16) | (g << 8) | b)
+
+  /** Deterministic 16-bit PCM WAV fixture bytes — the byte-level
+    * inverse of [[parseWavPcm16]]/[[decodeWav]] (mm5 gate and specs).
+    * `samples` is the interleaved frame stream. */
+  def encodeWavPcm16(
+      rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** RESAMPLE one 16-bit PCM payload by integer decimation: keep every
+    * `factor`-th FRAME (all channels of it), drop the rest — the audio
+    * analog of [[sampleFrames]]' stride (a production pipeline would
+    * low-pass first; decimation is the part with data-movement shape,
+    * and skipped frames are never read). Energy/peak of the KEPT
+    * samples come back as exact integers (sum of squares, max |s|) so
+    * a DuckDB oracle replays them without float-summation-order
+    * hazards.
+    *
+    * @return (framesIn, rateIn, channels, framesOut, rateOut,
+    *         sumsqOut, peakOut); None for non-PCM-16 payloads or
+    *         factor <= 0. */
+  def resamplePcmRaw(b: Array[Byte], factor: Int)
+      : Option[(Int, Int, Int, Int, Int, Long, Long)] = {
+    if (factor <= 0) return None
+    parseWavPcm16(b).map { case (dataOff, dataLen, channels, rate) =>
+      val framesIn = dataLen / 2 / channels
+      var sumsq = 0L; var peak = 0L; var framesOut = 0
+      var f = 0
+      while (f < framesIn) {
+        var c = 0
+        while (c < channels) {
+          val v = le16(b, dataOff + 2 * (f * channels + c)).toShort.toLong
+          sumsq += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          c += 1
+        }
+        framesOut += 1
+        f += factor
+      }
+      (framesIn, rate, channels, framesOut, rate / factor, sumsq, peak)
+    }
+  }
+
+  /** Resample every (id, payload) PCM row by integer decimation
+    * ([[resamplePcmRaw]]) — same execution shape as [[decode]]: one
+    * task per partition, no shuffle, streaming. Non-PCM payloads emit
+    * no rows. */
+  def resamplePcm(
+      df: DataFrame, idCol: String, binCol: String, factor: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray else bytes
+          resamplePcmRaw(payload, factor).map {
+            case (fi, ri, ch, fo, ro, sumsq, peak) =>
+              (id, fi, ri, ch, fo, ro, sumsq, peak)
+          }
+        }
+      }
+      .toDF(idCol, "frames_in", "rate_in", "channels", "frames_out",
+        "rate_out", "sumsq_out", "peak_out")
+  }
 
   /** Format-sniffing decode: real BMP/WAV/PNG/JPEG/GIF parsing when
     * the payload is one, the deterministic stub otherwise. */

@@ -199,5 +199,53 @@ object MultimodalOps {
       WHERE fi < doc_id % 4 + 2
       ORDER BY doc_id, fi"""))
 
-  def qs: Seq[GQ] = Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ)
+  /** mm5 — PCM audio resample, decode included: each doc gets a
+    * deterministic mono 16-bit WAV (sample j = (doc_id·31 + j·37) %
+    * 201 − 100, 10–39 frames at 8 kHz) built by the byte-level WAV
+    * encoder and DECIMATED ×2 through
+    * [[graft.multimodal.MediaDecoder.resamplePcm]] (real RIFF chunk
+    * parse; skipped frames never read). Kept-sample energy and peak
+    * come back as exact integers, so the DuckDB oracle replays the
+    * stride arithmetic over an unrolled even-index grid with no
+    * float-summation-order hazard. */
+  private val resampleQ = GQ(
+    "mm5_audio_resample",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.MediaDecoder
+      val payloads = t(s, dir, "documents").select("doc_id")
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { d =>
+            val n = (d % 30 + 10).toInt
+            val samples = Array.tabulate(n)(j =>
+              ((d * 31 + j * 37) % 201 - 100).toShort)
+            (d, MediaDecoder.encodeWavPcm16(8000, 1, samples))
+          }
+        }
+        .toDF("doc_id", "payload")
+      MediaDecoder.resamplePcm(payloads, "doc_id", "payload", 2)
+        .orderBy("doc_id")
+    },
+    Some("""WITH s AS (
+        SELECT doc_id, doc_id % 30 + 10 AS n, j,
+               (doc_id * 31 + j * 37) % 201 - 100 AS x
+        FROM documents
+        CROSS JOIN (VALUES (0),(2),(4),(6),(8),(10),(12),(14),(16),(18),
+                           (20),(22),(24),(26),(28),(30),(32),(34),(36),(38))
+                   AS js(j)
+        WHERE j < doc_id % 30 + 10
+      )
+      SELECT doc_id,
+        CAST(n AS INT) AS frames_in,
+        8000 AS rate_in,
+        1 AS channels,
+        CAST(count(*) AS INT) AS frames_out,
+        4000 AS rate_out,
+        CAST(sum(x * x) AS BIGINT) AS sumsq_out,
+        CAST(max(abs(x)) AS BIGINT) AS peak_out
+      FROM s GROUP BY doc_id, n ORDER BY doc_id"""))
+
+  def qs: Seq[GQ] =
+    Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ)
 }

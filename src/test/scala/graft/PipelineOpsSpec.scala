@@ -554,4 +554,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tail.map(r => (r.getInt(1), r.getInt(2))).toSeq ==
       Seq((0, 78), (1, 22)))
   }
+
+  test("resamplePcm: stereo decimation keeps whole frames; guards hold") {
+    import MediaDecoder.{encodeWavPcm16, resamplePcmRaw}
+    // stereo, 5 frames: frame f = (L=10f, R=-10f). Decimate ×2 → frames
+    // 0,2,4 kept WHOLE (both channels): sumsq = 2·(0²+20²+40²) = 4000,
+    // peak = 40
+    val samples = Array.tabulate(10) { i =>
+      val f = i / 2
+      (if (i % 2 == 0) 10 * f else -10 * f).toShort
+    }
+    val wav = encodeWavPcm16(44100, 2, samples)
+    val (fi, ri, ch, fo, ro, sumsq, peak) = resamplePcmRaw(wav, 2).get
+    assert((fi, ri, ch, fo, ro) == (5, 44100, 2, 3, 22050))
+    assert(sumsq == 2L * (0 + 400 + 1600))
+    assert(peak == 40L)
+    // factor 1 = identity pass over all frames
+    val all = resamplePcmRaw(wav, 1).get
+    assert(all._4 == 5 && all._6 == 2L * (0 + 100 + 400 + 900 + 1600))
+    // guards: bad factor, non-WAV payloads, and the encoder round-trips
+    // through the existing decoder
+    assert(resamplePcmRaw(wav, 0).isEmpty)
+    assert(resamplePcmRaw("not audio".getBytes("UTF-8"), 2).isEmpty)
+    val (frames, rate, chans, _) = MediaDecoder.decodeWav(wav).get
+    assert((frames, rate, chans) == (5, 44100, 2))
+  }
 }
