@@ -159,7 +159,7 @@ private[graft] object NearDupIndex {
         .unionByName(cand.select(col("b").as("doc_id"))).distinct()
       // verification re-shingles only docs that appear in a candidate
       val newPairs = cache(DedupOps.verifyJaccard(
-        cand, docsSnap.join(candIds, "doc_id"), cache))
+        cand, docsSnap.join(candIds, "doc_id"), Some(cache)))
       // materialized for the same write-sizing reason as newSigs
       newPairs.count()
 

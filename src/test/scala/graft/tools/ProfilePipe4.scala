@@ -125,7 +125,7 @@ object ProfilePipe4 {
       val candIds = cand.select(col("a").as("doc_id"))
         .unionByName(cand.select(col("b").as("doc_id"))).distinct()
       val newPairs = DedupOps.verifyJaccard(
-        cand, docsSnap.join(candIds, "doc_id"), _.persist()).persist()
+        cand, docsSnap.join(candIds, "doc_id"), Some(_.persist())).persist()
       time("s3 verify-mat")(println("  pairs=" + newPairs.count()))
       val churnIds = churnC.select("doc_id").persist()
       val cur = pairsTab.snapshot().select("a", "b")
