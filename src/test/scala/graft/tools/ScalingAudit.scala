@@ -115,7 +115,8 @@ object ScalingAudit {
     // corpus (modulo-mask batches), so a fold whose cost tracked the
     // CORPUS instead of the churn would show super-linear here
     val fams = Seq("q", "dedup", "sim", "text", "sketch", "graph",
-      "pack", "pipe", "samp", "decon", "lake16", "lake18", "lake21")
+      "pack", "pipe", "samp", "decon", "lake16", "lake18", "lake21",
+      "mm")
     // optional arg: comma-separated name substrings to re-audit a
     // subset (appending rows for newly added gates)
     val only = args.headOption.map(_.split(",").toSeq)
