@@ -98,7 +98,7 @@ object Bench {
     // samples disagree by >30% (the generic contention signature).
     val flagged = ordered.filter { case (name, _) =>
       val vs = passes.map(_(name))
-      name.startsWith("st") || name.startsWith("samp") ||
+      name.matches("^st[0-9].*") || name.startsWith("samp") ||
         (vs.min > 0 && vs.max > vs.min * 1.3)
     }
     val pass3 = if (flagged.isEmpty) Map.empty[String, Double]

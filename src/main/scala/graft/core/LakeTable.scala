@@ -1652,12 +1652,27 @@ final class LakeTable private[core] (
         // partitions that is 32 files PER COMMIT, and every later
         // snapshot merge pays per-file open + footer costs that
         // quickly dominate maintained-index reads. Catalyst's size
-        // estimate (exact for cached inputs, scan-derived otherwise)
-        // picks a target file count; an over-estimate just keeps the
-        // write wide (the previous behavior), so a genuinely large
-        // batch never serializes into one task. coalesce() is narrow:
-        // upstream stages keep their own parallelism.
-        val estBytes = withCols.queryExecution.optimizedPlan.stats.sizeInBytes
+        // estimate picks a target file count; an over-estimate just
+        // keeps the write wide (the previous behavior), so erring
+        // wide is safe. Two estimate classes: a cached input reports
+        // EXACT in-memory bytes (the maintained-fold paths all pass
+        // computed caches) — trust it; a scan-derived estimate is
+        // on-disk COMPRESSED bytes (fileCompressionFactor defaults to
+        // 1.0), under the decoded size by the parquet compression
+        // ratio — pad it 4× so a large raw-parquet upsert
+        // (format("graft") over spark.read.parquet) never coalesces
+        // its whole scan+encode into one task. coalesce() is narrow:
+        // stages upstream of the last exchange keep their own
+        // parallelism, and the padded floor keeps the post-exchange
+        // (or scan) chain wide for anything data-heavy.
+        val plan = withCols.queryExecution.optimizedPlan
+        val exact = plan.collectLeaves().forall {
+          case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+          case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+          case _ => false
+        }
+        val est0 = plan.stats.sizeInBytes
+        val estBytes = if (exact) est0 else est0 * 4
         val maxParts = spark.sparkContext.defaultParallelism
         val target =
           if (estBytes <= 0 || !estBytes.isValidLong) maxParts

@@ -177,6 +177,11 @@ object MediaDecoder {
     * header-only, before any raster exists. */
   private val MaxDecodePixels = 1L << 24
 
+  /** [[resizeBoxRaw]]'s target-grid cap: accumulator cells are 32 B
+    * (4 Longs) vs 4 B per raster pixel, so the grid cap is 64× lower
+    * than [[MaxDecodePixels]] for the same per-task memory class. */
+  private val MaxResizeCells = 1L << 18
+
   /** PNG / JPEG / GIF magic — sniffed BEFORE handing bytes to ImageIO
     * so arbitrary binary payloads never pay a codec parse attempt. */
   private def looksLikeImage(b: Array[Byte]): Boolean =
@@ -200,7 +205,14 @@ object MediaDecoder {
     * a per-call MemoryCacheImageInputStream (pure in-memory; avoids
     * both per-payload tmp-file spooling and the JVM-global
     * ImageIO.setUseCache flip). */
-  def decodeImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+  /** The ONE guarded ImageIO read ([[decodeImage]] and
+    * [[streamPixels]] both go through it): magic sniff, per-call
+    * in-memory input stream, header-only dimension probe against
+    * [[MaxDecodePixels]] BEFORE the raster exists, reader disposal,
+    * NonFatal fallback. Returns None for undecodable / non-image /
+    * bomb-guarded payloads. */
+  private def readGuardedImage(
+      b: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (!looksLikeImage(b)) return None
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(b))
@@ -216,9 +228,19 @@ object MediaDecoder {
           if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > MaxDecodePixels) return None
           reader.read(0)
         } finally reader.dispose()
-      if (img == null) return None
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else Some(img)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
+  def decodeImage(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    val img = readGuardedImage(b) match {
+      case Some(i) => i
+      case None => return None
+    }
+    {
       val w = img.getWidth; val h = img.getHeight
-      if (w <= 0 || h <= 0) return None
       val channels = if (img.getColorModel.hasAlpha) 4 else 3
       val sums = new Array[Long](4)
       val row = new Array[Int](w)
@@ -240,8 +262,7 @@ object MediaDecoder {
       val features = Array.tabulate(8)(i =>
         if (i < channels) (sums(i).toDouble / nPix / 255.0).toFloat else 0f)
       Some((w, h, channels, features))
-    } catch { case scala.util.control.NonFatal(_) => None }
-    finally iis.close()
+    }
   }
 
   /** Stream every pixel of an image payload in row-major IMAGE order
@@ -289,23 +310,8 @@ object MediaDecoder {
       }
       return Some((width, height))
     }
-    if (!looksLikeImage(b)) return None
-    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new java.io.ByteArrayInputStream(b))
-    try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
-      val img =
-        try {
-          reader.setInput(iis, true, true)
-          val w0 = reader.getWidth(0); val h0 = reader.getHeight(0)
-          if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > MaxDecodePixels) return None
-          reader.read(0)
-        } finally reader.dispose()
-      if (img == null) return None
+    readGuardedImage(b).map { img =>
       val w = img.getWidth; val h = img.getHeight
-      if (w <= 0 || h <= 0) return None
       onDims(w, h)
       val row = new Array[Int](w)
       var y = 0
@@ -319,9 +325,8 @@ object MediaDecoder {
         }
         y += 1
       }
-      Some((w, h))
-    } catch { case scala.util.control.NonFatal(_) => None }
-    finally iis.close()
+      (w, h)
+    }
   }
 
   /** Box-binned area RESIZE of one image payload to an `outW`×`outH`
@@ -336,15 +341,22 @@ object MediaDecoder {
     *
     * Memory is O(outW·outH), never O(inW·inH): cell sums accumulate
     * while [[streamPixels]] walks rows, so a huge input image resizes
-    * in one pass with a single row buffered.
+    * in one pass with a single row buffered. The target grid is
+    * capped at [[MaxResizeCells]] — accumulator cells cost 32 bytes
+    * each (one count + three sums, all Long), 4× an ARGB raster pixel,
+    * so reusing the raster-sized [[MaxDecodePixels]] here would allow
+    * ~537 MB of per-task accumulators (the OOM class the decode guard
+    * exists to prevent). 2^18 cells = a 512×512 thumbnail grid at
+    * ≤8.4 MB per task.
     *
     * @return (inW, inH, nPix, sums): `nPix(cy·outW+cx)` = pixels
     *         binned into the cell, `sums((cy·outW+cx)·3 + c)` = that
     *         cell's channel-c (R,G,B) intensity sum. None for
-    *         undecodable payloads or non-positive target dims. */
+    *         undecodable payloads or non-positive / over-cap target
+    *         dims. */
   def resizeBoxRaw(b: Array[Byte], outW: Int, outH: Int)
       : Option[(Int, Int, Array[Long], Array[Long])] = {
-    if (outW <= 0 || outH <= 0 || outW.toLong * outH > MaxDecodePixels)
+    if (outW <= 0 || outH <= 0 || outW.toLong * outH > MaxResizeCells)
       return None
     val nPix = new Array[Long](outW * outH)
     val sums = new Array[Long](outW * outH * 3)
@@ -416,7 +428,14 @@ object MediaDecoder {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    // explicit in-memory image stream: ImageIO.write(…, OutputStream)
+    // would otherwise spool through a temp FILE per call (default
+    // useCache=true) — per-payload disk I/O inside the fixture hot
+    // loop, and an outright IOException under an unwritable tmpdir.
+    // Mirror of the decode side's MemoryCacheImageInputStream.
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try javax.imageio.ImageIO.write(img, "png", ios)
+    finally ios.close()
     out.toByteArray
   }
 

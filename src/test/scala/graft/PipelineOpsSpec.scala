@@ -521,9 +521,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val png = encodePngWith(3, 3)(px)
     val (pw, ph, pn, ps) = resizeBoxRaw(png, 2, 2).get
     assert((pw, ph) == (3, 3) && pn.toSeq == n.toSeq && ps.toSeq == s.toSeq)
-    // guards: corrupt payloads and bad target dims fall back to None
+    // guards: corrupt payloads and bad target dims fall back to None;
+    // an over-cap grid (accumulators are 32 B/cell) must refuse
+    // BEFORE allocating, not OOM
     assert(resizeBoxRaw("not an image".getBytes("UTF-8"), 2, 2).isEmpty)
     assert(resizeBoxRaw(bmp, 0, 2).isEmpty)
+    assert(resizeBoxRaw(bmp, 4096, 4096).isEmpty)
     assert(resizeBoxRaw(Array.emptyByteArray, 2, 2).isEmpty)
   }
 
