@@ -138,6 +138,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hasCodegen(qual))
   }
 
+  test("multimodal pipelines stay shuffle-free up to the output sort") {
+    // decode/resize/sample are mapPartitions chains: the ONLY exchange
+    // allowed is the gate's final orderBy (range partitioning) — a
+    // hash exchange, aggregate, or join anywhere means the media
+    // bytes themselves got shuffled, which at 100 TB of payloads is
+    // the difference between a map job and a broken plan
+    for (name <- Seq("mm2_real_decode", "mm3_resize_box",
+        "mm4_frame_sample", "mm5_audio_resample")) {
+      val plan = executedPlan(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("hashpartitioning"),
+        s"$name must not hash-shuffle payloads:\n$plan")
+      assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+        s"$name should be join/agg-free:\n$plan")
+    }
+  }
+
   test("sim6 PQ: distance tables broadcast; ADC never goes cartesian") {
     val plan = executedPlan(SparkEntry.queries("sim6_pq_adc_topk")(spark, sf))
     // the codebook and per-query distance tables are K×M-row sides —

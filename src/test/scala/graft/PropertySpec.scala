@@ -296,6 +296,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("resizeBox ≡ brute-force 2D binning over random gradients") {
+    import graft.multimodal.MediaDecoder
+    val caseGen = for {
+      w <- Gen.choose(1, 17)
+      h <- Gen.choose(1, 13)
+      ow <- Gen.choose(1, 5)
+      oh <- Gen.choose(1, 4)
+      seed <- Gen.choose(0, 999)
+      png <- Gen.oneOf(true, false)
+    } yield (w, h, ow, oh, seed, png)
+    samples(caseGen, 40).foreach { case (w, h, ow, oh, seed, png) =>
+      // pseudo-random but bounded pixels (no channel wrap anywhere)
+      def px(x: Int, y: Int): Int = {
+        val r = (seed + 3 * x + 5 * y) % 256
+        val g = (seed * 7 + 11 * x + y) % 256
+        val b = (seed * 13 + x + 17 * y) % 256
+        (r << 16) | (g << 8) | b
+      }
+      val bytes =
+        if (png) MediaDecoder.encodePngWith(w, h)(px)
+        else MediaDecoder.encodeBmp24With(w, h)(px)
+      val (gw, gh, nPix, sums) = MediaDecoder.resizeBoxRaw(bytes, ow, oh).get
+      assert((gw, gh) == (w, h), s"dims $w x $h -> got $gw x $gh")
+      // independent reference: walk every pixel, bin with the spec'd
+      // floor mapping into plain 2D accumulators
+      val refN = Array.ofDim[Long](oh, ow)
+      val refS = Array.ofDim[Long](oh, ow, 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cx = x * ow / w; val cy = y * oh / h
+        val p = px(x, y)
+        refN(cy)(cx) += 1
+        refS(cy)(cx)(0) += (p >>> 16) & 0xff
+        refS(cy)(cx)(1) += (p >>> 8) & 0xff
+        refS(cy)(cx)(2) += p & 0xff
+      }
+      for (cy <- 0 until oh; cx <- 0 until ow) {
+        val cell = cy * ow + cx
+        assert(nPix(cell) == refN(cy)(cx),
+          s"($w x $h -> $ow x $oh png=$png) cell ($cx,$cy) count")
+        for (c <- 0 until 3)
+          assert(sums(cell * 3 + c) == refS(cy)(cx)(c),
+            s"($w x $h -> $ow x $oh png=$png seed=$seed) cell ($cx,$cy) ch$c")
+      }
+    }
+  }
+
   test("raw (non-hive) partition layout: dirs are bare values") {
     val path = tmp()
     val t = LakeTable.create(spark, path, props(hive = false))
