@@ -176,6 +176,16 @@ private[graft] object NearDupIndex {
       // combine=false on both branches: newPairs is unique per (a, b)
       // by construction (cand is distinct least/greatest-normalized;
       // the verify join attaches per-doc arrays keyed uniquely)
+      // the SIGNATURE write must be durable BEFORE the tagged pairs
+      // commit: the streaming service's exactly-once marker rides the
+      // pairs tag, and a replay that finds the tag skips the whole
+      // batch — so "pairs tag present ⇒ sigs batch committed" is the
+      // crash-safety invariant. Awaiting here (after the
+      // candidate/verify chain it overlapped with) keeps the
+      // concurrency win and only serializes the final pairs commit
+      // behind it. result, not ready: a store-write failure must
+      // surface before the tag is written.
+      Await.result(sigWrite, Duration.Inf)
       touchedPre match {
         case None =>
           pairs.upsert(newPairs.withColumn("ts", lit(ts)), tag = tag,
@@ -188,11 +198,6 @@ private[graft] object NearDupIndex {
             newPairs.withColumn("ts", lit(ts)), touched, tag = tag,
             combine = false)
       }
-      // reconcile's contract: both state tables are committed when it
-      // returns (the streaming service's exactly-once marker and the
-      // next increment's snapshot both rely on it) — result, not
-      // ready: a store-write failure must surface
-      Await.result(sigWrite, Duration.Inf)
       ()
     } finally {
       // on a pairs-chain failure the store write or the touched

@@ -74,6 +74,16 @@ final class CommitTailStream(
   private val startCommit: String =
     Option(options.get("startCommit")).getOrElse("0")
 
+  /** Monotonic high-water mark over offered offsets (same guard as
+    * [[GraftCdcSource]]): the inflight fence below can REGRESS — a
+    * slow writer's marker surfacing after a newer commit was already
+    * offered — and offering the lower instant would make the engine
+    * record it as the committed end offset and re-emit the already-
+    * delivered range on the next trigger. Seeded from every restored
+    * checkpoint offset ([[deserializeOffset]]) so the guard holds
+    * across restarts, not just within a session. */
+  @volatile private var highWater: String = startCommit
+
   override def initialOffset(): Offset = CommitOffset(startCommit)
 
   /** Newest committed instant, FENCED at the earliest instant a
@@ -89,15 +99,16 @@ final class CommitTailStream(
           .filter(_ < inflight).lastOption.getOrElse(startCommit)
       case _ => latest
     }
-    CommitOffset(if (fenced < startCommit) startCommit else fenced)
+    val floor = if (fenced < startCommit) startCommit else fenced
+    val eff = if (floor < highWater) highWater else floor
+    highWater = eff
+    CommitOffset(eff)
   }
 
   override def deserializeOffset(json: String): Offset = {
-    val m = "\"instant\"\\s*:\\s*\"([^\"]*)\"".r
-    m.findFirstMatchIn(json) match {
-      case Some(g) => CommitOffset(g.group(1))
-      case None => throw new IllegalArgumentException(s"bad offset: $json")
-    }
+    val instant = OffsetLog.instantOf(json)
+    if (instant > highWater) highWater = instant
+    CommitOffset(instant)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -119,14 +130,30 @@ final class CommitTailStream(
     val entries =
       if (archivedPast) lake.timeline.liveFiles(None)
       else lake.timeline.liveFiles(Some(until)).filter(_.instant > begin)
-    val files = entries.map(e => lake.abs(e.path))
-    if (files.isEmpty) return Array.empty
-    val inner = ParquetTable("graft-stream", spark,
-      CaseInsensitiveStringMap.empty(), files.toList,
-      Some(fileSchema), classOf[ParquetFileFormat])
-      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
-    inner.toBatch.planInputPartitions()
-      .map(p => RangedPartition(p, begin, until): InputPartition)
+    if (entries.isEmpty) return Array.empty
+    def plan(paths: Seq[String], syntheticCt: String): Array[InputPartition] =
+      ParquetTable("graft-stream", spark,
+        CaseInsensitiveStringMap.empty(), paths.toList,
+        Some(fileSchema), classOf[ParquetFileFormat])
+        .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+        .toBatch.planInputPartitions()
+        .map(p => RangedPartition(p, begin, until, syntheticCt): InputPartition)
+    // external (bootstrap-adopted) files carry no _commit_time column —
+    // the raw read yields nulls and the range filter would silently
+    // drop every adopted row. The batch incremental query synthesizes
+    // the adopting commit's instant for them (readLive); mirror that
+    // here by planning external files per adopting instant with that
+    // instant as the rows' synthetic commit time. Typically one group
+    // (the bootstrap commit); native files plan as one batch.
+    val (external, native) = entries.partition(_.external)
+    val nativeParts =
+      if (native.isEmpty) Array.empty[InputPartition]
+      else plan(native.map(e => lake.abs(e.path)), null)
+    val externalParts = external.groupBy(_.instant).toSeq.sortBy(_._1)
+      .flatMap { case (instant, es) =>
+        plan(es.map(e => lake.abs(e.path)), instant)
+      }
+    nativeParts ++ externalParts
   }
 
   /** One factory for the whole stream: Spark's parquet reader factory
@@ -142,24 +169,39 @@ final class CommitTailStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CommitRangeFilterFactory(innerFactory, ctOrdinal, delOrdinal,
-      prepended.length,
-      if (prepended.nonEmpty) outputSchema.fields.map(_.dataType) else null)
+      prepended.length, outputSchema.fields.map(_.dataType),
+      if (needsCtProjection) -1
+      else outputSchema.fieldIndex(LakeTable.CommitTimeCol))
 }
 
-/** An inner parquet partition plus the commit range its rows must lie in. */
+/** An inner parquet partition plus the commit range its rows must lie
+  * in. `syntheticCt` (nullable) stands in for a missing per-row
+  * `_commit_time` — external bootstrap files carry none, and their
+  * rows all belong to the adopting commit. Locality hints delegate to
+  * the wrapped parquet partition: dropping them would schedule every
+  * micro-batch's tasks blind to block placement. */
 final case class RangedPartition(
-    inner: InputPartition, begin: String, until: String) extends InputPartition
+    inner: InputPartition, begin: String, until: String,
+    syntheticCt: String) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
 
-/** Row-filtering wrapper: keeps rows with begin < _commit_time <= until,
-  * drops MOR tombstone rows (`delOrdinal` >= 0), and, when
-  * `projectTypes` is non-null, drops the `numPrepended` internal
-  * leading columns so the output matches the pruned schema exactly. */
+/** Row-filtering wrapper: keeps rows with begin < _commit_time <= until
+  * (a null stored commit time takes the partition's `syntheticCt` —
+  * external bootstrap rows), drops MOR tombstone rows
+  * (`delOrdinal` >= 0), shifts off the `numPrepended` internal leading
+  * columns so the output matches the pruned schema exactly, and — when
+  * the output RETAINS `_commit_time` (`outCtOrdinal` >= 0) —
+  * materializes the synthetic instant into it, matching the batch
+  * incremental query's readLive synthesis. */
 final class CommitRangeFilterFactory(
     inner: PartitionReaderFactory,
     ctOrdinal: Int,
     delOrdinal: Int,
     numPrepended: Int,
-    projectTypes: Array[DataType])
+    outTypes: Array[DataType],
+    outCtOrdinal: Int)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
@@ -176,26 +218,32 @@ final class CommitRangeFilterFactory(
           val isTombstone =
             delOrdinal >= 0 && !row.isNullAt(delOrdinal) &&
               row.getBoolean(delOrdinal)
-          if (ct != null && !isTombstone) {
-            val s = ct.toString
+          val s = if (ct != null) ct.toString else rp.syntheticCt
+          if (s != null && !isTombstone) {
             if (s > rp.begin && s <= rp.until) {
-              current = if (projectTypes == null) row else project(row)
+              val sub = if (ct == null && outCtOrdinal >= 0) s else null
+              current =
+                if (numPrepended == 0 && sub == null) row
+                else project(row, sub)
               return true
             }
           }
         }
         false
       }
-      private def project(row: InternalRow): InternalRow = {
-        val out = new GenericInternalRow(projectTypes.length)
+      private def project(row: InternalRow, sub: String): InternalRow = {
+        val out = new GenericInternalRow(outTypes.length)
         var i = 0
-        while (i < projectTypes.length) {
+        while (i < outTypes.length) {
           // internal columns (commit time / tombstone marker) are
           // prepended; shift them off
           out.update(i, if (row.isNullAt(i + numPrepended)) null
-            else row.get(i + numPrepended, projectTypes(i)))
+            else row.get(i + numPrepended, outTypes(i)))
           i += 1
         }
+        if (sub != null)
+          out.update(outCtOrdinal,
+            org.apache.spark.unsafe.types.UTF8String.fromString(sub))
         out
       }
       override def get(): InternalRow = current

@@ -42,9 +42,14 @@ final class GraftCdcSource(
     * commit was already offered), and re-offering the lower instant
     * would make the engine re-emit an already-delivered range —
     * at-least-once duplicates that a net-change consumer (an MV fold)
-    * would double-apply. Never offer below what we already offered;
-    * the empty-batch guard in [[batchFrame]] stays as a defensive
-    * backstop, not a load-bearing path. */
+    * would double-apply. Never offer below what we already offered.
+    * Re-seeded from the restored checkpoint offsets in [[getBatch]]
+    * (the engine's WAL replay runs before any fresh [[getOffset]]), so
+    * the guard holds across restarts too — a fence regression
+    * straddling a restart would otherwise re-deliver the last
+    * checkpointed range under a NEW batch id, past the per-batch
+    * exactly-once tags. The empty-batch guard in [[batchFrame]] stays
+    * as a defensive backstop, not a load-bearing path. */
   @volatile private var highWater: String = startCommit
 
   override def getOffset: Option[Offset] = {
@@ -70,6 +75,11 @@ final class GraftCdcSource(
       case CdcOffset(i) => i
       case o => parse(o.json())
     }
+    // restart re-seed: begin/until come from the restored checkpoint
+    // during WAL replay — never offer below what a previous run of
+    // this query already delivered
+    if (begin > highWater) highWater = begin
+    if (until > highWater) highWater = until
     // V1 contract: the returned frame must carry isStreaming=true
     org.apache.spark.sql.graftshim.StreamBatchShim.asStreaming(
       batchFrame(begin, until))
@@ -116,11 +126,7 @@ final class GraftCdcSource(
     df.select(cols.toIndexedSeq: _*)
   }
 
-  private def parse(json: String): String =
-    "\"instant\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(json) match {
-      case Some(g) => g.group(1)
-      case None => throw new IllegalArgumentException(s"bad offset: $json")
-    }
+  private def parse(json: String): String = OffsetLog.instantOf(json)
 
   override def stop(): Unit = ()
 }

@@ -73,7 +73,8 @@ object NearDupMaintenance {
         val sigs = LakeTable.load(spark, sigPath)
         val pairs = LakeTable.load(spark, pairsPath)
         once.runOnce(pairs, batchId) { tag =>
-          applyBatch(spark, docsPath, sigs, pairs, batch, batchId, tag)
+          applyBatch(spark, docsPath, sigs, pairs, batch, checkpoint,
+            batchId, tag)
         }
         ()
       }
@@ -86,6 +87,7 @@ object NearDupMaintenance {
       sigs: LakeTable,
       pairs: LakeTable,
       batch: DataFrame,
+      checkpoint: String,
       batchId: Long,
       tag: Option[String]): Unit = {
     // persist the CDC micro-batch once: the churn/deleted splits and
@@ -101,8 +103,18 @@ object NearDupMaintenance {
         .select(coalesce(col("doc_id"), bef.getField("doc_id")).as("doc_id"))
       val docsSnap = LakeTable.load(spark, docsPath).snapshot()
         .select("doc_id", "text")
+      // preCombine stamp = this batch's END-OFFSET docs commit instant
+      // (pinned in the checkpoint offset log): ONE version domain with
+      // the `CALL graft.system.maintain_neardups` procedure, which
+      // stamps docs commit instants — a CALL-bootstrapped store hands
+      // over to streaming cleanly (batch-id stamps, being tiny, would
+      // LOSE every read-side merge against bootstrap-era rows and the
+      // stream's updates would be silently ignored). Monotonic across
+      // checkpoint resets too, unlike batch ids. Same convention as
+      // [[SearchIndexMaintenance]].
+      val ts = OffsetLog.endOffsetInstant(spark, checkpoint, batchId).toLong
       graft.queries.NearDupIndex.reconcile(
-        upserted, deletedIds, docsSnap, sigs, pairs, batchId, tag)
+        upserted, deletedIds, docsSnap, sigs, pairs, ts, tag)
     } finally batchC.unpersist()
   }
 }

@@ -74,35 +74,6 @@ object SearchIndexMaintenance {
       .start()
   }
 
-  /** The batch's end-offset commit instant, read from the streaming
-    * checkpoint's offset log (`offsets/<batchId>`: version line,
-    * metadata JSON, then one offset JSON per source — ours is the CDC
-    * source's `{"instant":"…"}`). The engine writes this file BEFORE
-    * invoking foreachBatch, so it always exists here, and a replayed
-    * batch re-reads the identical pinned value. Parsing is restricted
-    * to the per-SOURCE offset lines (line 3 onward — the version line
-    * and the metadata JSON can legitimately contain an `instant` key
-    * someday), and exactly one source offset is asserted: this query
-    * has one source, and a silent second one would make "the" end
-    * offset ambiguous. */
-  private def endOffsetInstant(
-      spark: SparkSession, checkpoint: String, batchId: Long): String = {
-    val p = new org.apache.hadoop.fs.Path(checkpoint, s"offsets/$batchId")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    // OffsetSeqLog layout: line 1 = version, line 2 = metadata JSON,
-    // lines 3+ = one serialized offset per source, in source order
-    val sourceLines = txt.split("\n").drop(2).filter(_.nonEmpty)
-    require(sourceLines.length == 1,
-      s"expected exactly one source offset in $p, got ${sourceLines.length}")
-    "\"instant\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(sourceLines.head) match {
-      case Some(m) => m.group(1)
-      case None => throw new IllegalStateException(
-        s"no CDC offset instant in checkpoint offset log $p")
-    }
-  }
-
   private def applyBatch(
       spark: SparkSession,
       checkpoint: String,
@@ -134,7 +105,7 @@ object SearchIndexMaintenance {
       // would have, even if newer docs commits landed meanwhile.
       // Replay detection stays keyed to batchId via the per-table
       // guard — the stamp only orders versions within each table.
-      val ts = endOffsetInstant(spark, checkpoint, batchId).toLong
+      val ts = OffsetLog.endOffsetInstant(spark, checkpoint, batchId).toLong
       SearchIndex.maintain(after, before,
         LakeTable.load(spark, postPath),
         LakeTable.load(spark, statsPath),

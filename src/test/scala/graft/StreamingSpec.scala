@@ -661,4 +661,50 @@ class StreamingSpec extends AnyFunSuite {
     })
     assert(once.lastBatchId(pairsTab) == lastId)
   }
+
+  test("commit tail emits bootstrap-adopted rows with the adopting instant") {
+    // external (metadata-bootstrap) files carry no _commit_time column;
+    // the stream must synthesize the adopting commit's instant — the
+    // batch incremental query's semantics — instead of silently
+    // dropping every adopted row on the null range filter. Driven at
+    // the MicroBatchStream level (planInputPartitions + reader), the
+    // exact surface the engine drives.
+    import org.apache.spark.sql.types.{IntegerType, StringType,
+      StructField, StructType}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.streaming.{CommitOffset, CommitTailStream}
+    val srcDir = tmp("boot_src_")
+    Seq((1, "a", 1L), (2, "b", 1L)).toDF("id", "v", "ts")
+      .write.parquet(srcDir)
+    val t = LakeTable.bootstrapMetadata(spark, tmp("boot_tail_"), srcDir,
+      TableProps("boottail", Seq("id"), Some("ts"), Seq.empty))
+    val boot = t.timeline.commits().head.instant
+    // output schema REQUESTS _commit_time: adopted rows must carry the
+    // synthesized instant, not null
+    val out = StructType(Seq(StructField("id", IntegerType),
+      StructField("v", StringType),
+      StructField(LakeTable.CommitTimeCol, StringType)))
+    val stream = new CommitTailStream(spark, t,
+      CaseInsensitiveStringMap.empty(), out)
+    val end = stream.latestOffset()
+    val parts = stream.planInputPartitions(CommitOffset("0"), end)
+    assert(parts.nonEmpty, "bootstrap commit must plan partitions")
+    val factory = stream.createReaderFactory()
+    val rows = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+      try {
+        while (r.next()) {
+          val row = r.get()
+          buf += ((row.getInt(0), row.getUTF8String(1).toString,
+            row.getUTF8String(2).toString))
+        }
+      } finally r.close()
+      buf
+    }.sortBy(_._1).toVector
+    assert(rows.map(r => (r._1, r._2)) == Vector((1, "a"), (2, "b")),
+      s"adopted rows must stream: $rows")
+    assert(rows.forall(_._3 == boot),
+      s"synthesized _commit_time must be the adopting instant $boot: $rows")
+  }
 }
