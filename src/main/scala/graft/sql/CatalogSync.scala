@@ -125,7 +125,16 @@ object CatalogSync {
     val srcPaths = srcLive.map(_.path).toSet
     val fresh = srcLive.filterNot(f => tgtPaths.contains(f.path))
     val stale = tgtLive.map(_.path).filterNot(srcPaths.contains)
-    if (fresh.isEmpty && stale.isEmpty) return (0, 0)
+    // schema-only source changes (ALTER TABLE ADD COLUMN writes props,
+    // no files) must still sync: an unchanged file set with a drifted
+    // schema would otherwise report up_to_date while mirror readers
+    // keep the stale schema until the next data commit
+    val schemaDrift = src.schema.toDDL != tgt.schema.toDDL
+    if (fresh.isEmpty && stale.isEmpty && !schemaDrift) return (0, 0)
+    if (fresh.isEmpty && stale.isEmpty) {
+      tgt.timeline.writeProps(tgt.props.copy(schemaDdl = src.schema.toDDL))
+      return (0, 0)
+    }
     // managed graft files carry their meta columns in-file, so the
     // mirror references them as managed too (reads see the ORIGINAL
     // per-row commit times); source-external (bootstrapped) files stay

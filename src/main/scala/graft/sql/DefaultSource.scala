@@ -55,9 +55,14 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
       providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val path = streamPath(parameters)
+    val ci = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
+    // `startCommit` (the Flink read-start-commit analog) with
+    // `beginInstant` accepted as an alias — the batch CDC read names
+    // it beginInstant, and silently ignoring one spelling would replay
+    // the whole history from commit 0
     new graft.streaming.GraftCdcSource(sqlContext.sparkSession,
       LakeTable.load(sqlContext.sparkSession, path),
-      parameters.getOrElse("startCommit", "0"))
+      ci.get("startCommit").orElse(ci.get("beginInstant")).getOrElse("0"))
   }
 
   private def streamPath(parameters: Map[String, String]): String = {
@@ -116,11 +121,10 @@ class DefaultSource extends RelationProvider with SchemaRelationProvider
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft writes require a path"))
-    val operation = parameters.getOrElse("operation", "upsert")
-    val policy = parameters.get("mergePolicy") match {
-      case Some("overwrite") => MergePolicy.OverwriteWithLatest
-      case _ => MergePolicy.LatestByOrdering
-    }
+    val operation = parameters.getOrElse("operation", "upsert").toLowerCase
+    require(Set("upsert", "insert", "overwrite", "delete")(operation),
+      s"unknown operation '$operation' (upsert | insert | overwrite | delete)")
+    val policy = DefaultSource.parseMergePolicy(parameters.get("mergePolicy"))
     val tableExists = LakeTable.exists(spark, path)
     // CreatableRelationProvider contract: ErrorIfExists (the
     // DataFrameWriter default) must throw on an existing table, and
@@ -243,4 +247,19 @@ object GraftRelation {
     case Not(c) => toColumn(c).map(!_)
     case _ => None
   }
+}
+
+object DefaultSource {
+  /** Case-insensitive, validated mergePolicy parse — shared by the
+    * batch write path and the streaming sink so a typo ('Overwrite',
+    * 'overwrit') errors instead of silently degrading to the default
+    * ordering policy. */
+  private[sql] def parseMergePolicy(
+      v: Option[String]): graft.core.MergePolicy =
+    v.map(_.toLowerCase) match {
+      case Some("overwrite") => graft.core.MergePolicy.OverwriteWithLatest
+      case Some("latest") | None => graft.core.MergePolicy.LatestByOrdering
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown mergePolicy '$other' (latest | overwrite)")
+    }
 }

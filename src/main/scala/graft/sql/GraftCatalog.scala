@@ -142,12 +142,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     changes.foreach {
       case c: TableChange.UpdateColumnComment =>
         // W8: alter table change column comment
-        // (SyncCommentsAcrossClusters.scala:94-109)
+        // (SyncCommentsAcrossClusters.scala:94-109). Nested-field
+        // refs are refused rather than silently matching nothing.
+        require(c.fieldNames.length == 1,
+          s"nested column comments unsupported: ${c.fieldNames.mkString(".")}")
+        require(schema.fieldNames.contains(c.fieldNames.head),
+          s"no such column: ${c.fieldNames.head}")
         schema = StructType(schema.map { f =>
-          if (f.name == c.fieldNames.mkString(".")) f.withComment(c.newComment) else f
+          if (f.name == c.fieldNames.head) f.withComment(c.newComment) else f
         })
       case c: TableChange.AddColumn =>
-        schema = schema.add(c.fieldNames.mkString("."), c.dataType, true)
+        // honor declared nullability and comment instead of silently
+        // recording every added column as nullable/uncommented
+        require(c.fieldNames.length == 1,
+          s"nested ADD COLUMN unsupported: ${c.fieldNames.mkString(".")}")
+        val f0 = org.apache.spark.sql.types.StructField(
+          c.fieldNames.head, c.dataType, c.isNullable)
+        schema = schema.add(
+          if (c.comment != null) f0.withComment(c.comment) else f0)
       case other => throw new UnsupportedOperationException(s"alter: $other")
     }
     lake.timeline.writeProps(lake.props.copy(schemaDdl = schema.toDDL))
@@ -162,7 +174,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     existed
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  /** Strip this catalog's own name from an identifier's namespace:
+    * Spark's RENAME TO passes the TARGET ident catalog-qualified
+    * (namespace ["graft","db"]), which would silently relocate the
+    * table under `<warehouse>/graft/db/...` — a path no read ever
+    * resolves. */
+  private def normalize(ident: Identifier): Identifier =
+    if (ident.namespace().length > 1 && ident.namespace().head == catalogName)
+      Identifier.of(ident.namespace().drop(1), ident.name())
+    else ident
+
+  override def renameTable(oldIdent0: Identifier, newIdent0: Identifier): Unit = {
+    val oldIdent = normalize(oldIdent0)
+    val newIdent = normalize(newIdent0)
+    // explicit pre-checks: Hadoop rename semantics would otherwise
+    // NEST the source directory under an existing destination (HDFS)
+    // or copy into it (local FS) — the source table silently vanishes
+    // and the destination gains a foreign subtree, with no error
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     if (!fs.rename(new Path(tablePath(oldIdent)), new Path(tablePath(newIdent))))
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
   }
@@ -196,13 +226,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = new Path((warehouse +: namespace).mkString("/"))
-    fs.exists(p) && fs.delete(p, cascade)
+    if (!fs.exists(p)) return false
+    // non-cascade on a non-empty namespace: the DSv2 contract is a
+    // typed exception Spark renders as a user-facing error, not the
+    // raw IOException a non-recursive FS delete throws
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    fs.delete(p, cascade)
   }
 
   // ----------------------------------------------------------- procedures
 
   private def lakeOf(tableRef: String): LakeTable = {
-    val parts = tableRef.split("\\.")
+    // accept the natural fully-qualified CALL spelling
+    // ('graft.db.t') by stripping this catalog's own name — without
+    // this the catalog name is misread as a namespace level and the
+    // load fails with a confusing not-a-lake-table error
+    val parts0 = tableRef.split("\\.")
+    val parts =
+      if (parts0.length > 1 && parts0.head == catalogName) parts0.tail
+      else parts0
     LakeTable.load(spark, tablePath(Identifier.of(parts.dropRight(1), parts.last)))
   }
 

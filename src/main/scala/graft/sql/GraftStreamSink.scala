@@ -23,11 +23,10 @@ final class GraftStreamSink(
 
   private val path = parameters.getOrElse("path",
     throw new IllegalArgumentException("graft streaming sink requires a path"))
-  private val operation = parameters.getOrElse("operation", "upsert")
-  private val policy = parameters.get("mergePolicy") match {
-    case Some("overwrite") => MergePolicy.OverwriteWithLatest
-    case _ => MergePolicy.LatestByOrdering
-  }
+  private val operation = parameters.getOrElse("operation", "upsert").toLowerCase
+  require(Set("upsert", "insert", "delete")(operation),
+    s"unknown sink operation '$operation' (upsert | insert | delete)")
+  private val policy = DefaultSource.parseMergePolicy(parameters.get("mergePolicy"))
 
   private def lake(): LakeTable =
     if (LakeTable.exists(spark, path)) LakeTable.load(spark, path)

@@ -87,6 +87,11 @@ final class GraftTable(
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
+  // one live-file fold per table instance, not per metadataColumns()
+  // call — Spark may ask several times while analyzing one query
+  private lazy val hasExternalFiles: Boolean =
+    lake.timeline.liveFiles(None).exists(_.external)
+
   override def metadataColumns(): Array[MetadataColumn] = {
     // External (bootstrapped) files read through the delegated scan
     // carry no stored meta columns → nulls; declare nullable while any
@@ -94,7 +99,7 @@ final class GraftTable(
     // first (newRowLevelOperationBuilder), so the
     // (_record_key, _partition_path) row id stays non-nullable where
     // Spark requires it.
-    val hasExternal = lake.timeline.liveFiles(None).exists(_.external)
+    val hasExternal = hasExternalFiles
     LakeTable.MetaCols.map { c =>
       new MetadataColumn {
         override def name: String = c
@@ -260,9 +265,4 @@ object GraftTable {
   /** Internal scan option: serve the MOR merged view in-query (no
     * compact-on-read write). Set by the row-level operation's scan. */
   private[sql] val InQueryMergeOption = "graft.internal.inQueryMerge"
-
-  private[sql] def globMatch(glob: String, s: String): Boolean = {
-    val rx = ("\\Q" + glob.replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "\\E").r
-    rx.pattern.matcher(s).matches()
-  }
 }

@@ -378,4 +378,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .map(r => (r.getDouble(0), r.getLong(1))).toSeq
     assert(top == Seq((0.9, 0L), (0.9, 1L), (0.7, 2L), (0.1, 3L)))
   }
+
+  test("catalog contract: rename guards, typed ADD COLUMN, qualified CALL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    sql("DROP TABLE IF EXISTS graft.db.ct1")
+    sql("DROP TABLE IF EXISTS graft.db.ct2")
+    sql("""CREATE TABLE graft.db.ct1 (id INT, v STRING, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')""")
+    sql("INSERT INTO graft.db.ct1 VALUES (1,'a',100)")
+    // rename onto an existing table must throw, not nest directories
+    sql("""CREATE TABLE graft.db.ct2 (id INT, v STRING, ts BIGINT) USING graft
+      TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')""")
+    intercept[Exception] {
+      sql("ALTER TABLE graft.db.ct1 RENAME TO graft.db.ct2")
+    }
+    // renaming a nonexistent table must throw, and both tables survive
+    intercept[Exception] {
+      sql("ALTER TABLE graft.db.ct_missing RENAME TO graft.db.ct3")
+    }
+    assert(sql("SELECT v FROM graft.db.ct1").collect().map(_.getString(0))
+      .toSeq == Seq("a"))
+    // a clean rename works and the data follows
+    sql("DROP TABLE IF EXISTS graft.db.ct3")
+    sql("ALTER TABLE graft.db.ct1 RENAME TO graft.db.ct3")
+    assert(sql("SELECT v FROM graft.db.ct3").collect().map(_.getString(0))
+      .toSeq == Seq("a"))
+    // ADD COLUMN records NOT NULL and the comment instead of dropping them
+    sql("ALTER TABLE graft.db.ct3 ADD COLUMN w INT NOT NULL COMMENT 'width'")
+    val f = spark.table("graft.db.ct3").schema("w")
+    assert(!f.nullable, "ADD COLUMN must honor NOT NULL")
+    assert(f.getComment().contains("width"), "ADD COLUMN must keep the comment")
+    // the natural fully-qualified CALL spelling resolves
+    val commits = sql("CALL graft.system.show_commits('graft.db.ct3')").collect()
+    assert(commits.nonEmpty, "qualified CALL ref must resolve")
+    sql("DROP TABLE graft.db.ct2")
+    sql("DROP TABLE graft.db.ct3")
+  }
 }
