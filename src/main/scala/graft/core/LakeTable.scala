@@ -66,7 +66,15 @@ final class LakeTable private[core] (
       if (props.schemaDdl.nonEmpty) StructType.fromDDL(props.schemaDdl)
       else new StructType()
     timeline.commits().lastOption match {
-      case None => declared
+      case None =>
+        // fully-archived timeline (every commit folded into the
+        // checkpoint): the newest schema lives on the checkpoint — a
+        // schemaless-declared table would otherwise silently read its
+        // live files with a meta-columns-only schema (same fallback
+        // schemaAsOf already has)
+        if (declared.nonEmpty) declared
+        else timeline.readCheckpoint().filter(_.schemaDdl.nonEmpty)
+          .map(c => StructType.fromDDL(c.schemaDdl)).getOrElse(declared)
       case Some(c) =>
         // an empty commit recorded before any schema exists (e.g. a
         // no-op delete on a fresh schemaless table) stores ddl = "" —
@@ -147,7 +155,11 @@ final class LakeTable private[core] (
         val instants = live.iterator.map(_.instant).toSet
         instants.size == 1 && timeline.commits()
           .find(_.instant == instants.head)
-          .exists(c => SingleVersionActions.contains(c.action))
+          // a combine=false batch may carry duplicate keys even under
+          // an allowlisted action — its commit records dedupedKeys =
+          // false and must take the full merge
+          .exists(c => SingleVersionActions.contains(c.action) &&
+            c.dedupedKeys.getOrElse(true))
       }
     if (!single) mergeOnRead(raw)
     else if (raw.columns.contains(DeletedCol))
@@ -718,71 +730,36 @@ final class LakeTable private[core] (
       _.select(RecordKeyCol, PartitionPathCol).distinct().persist())
     val probe = keyProj.map(k => affectedFiles(k)).getOrElse(Probe(Seq.empty, 0L))
     val affected = probe.files
-    // MOR read schema carries _deleted. The scoped compaction above
-    // normally folds every tombstone first, but a delta landing in the
-    // window between that compaction and this probe must STAY a
-    // deletion — carry the flag through the merge and filter winners,
-    // never flatten a tombstone into a live null-data row.
+    // COW-only from here (the MOR leg returned applyDeltasMor above):
+    // COW base files never carry the _deleted tombstone column, so no
+    // tombstone handling belongs in this body — the earlier copy of it
+    // here was unreachable and was removed.
     val existingRaw = readAffected(affected, newSchema)
-    val hasDel = existingRaw.columns.contains(DeletedCol)
-    def dropTombstones(df: DataFrame): DataFrame =
-      if (hasDel) df.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
-      else df
-    val existingAnti = delKeys match {
+    val existing = delKeys match {
       case Some(k) => existingRaw.join(gatedBroadcast(k, probe.batchRows),
         Seq(RecordKeyCol, PartitionPathCol), "left_anti")
       case None => existingRaw
     }
-    // Mirror mergeOnRead on the existing side: a concurrent delta
-    // landing between the scoped compaction and this probe may carry an
-    // UNCONDITIONAL tombstone (null preCombine) — positional erase, not
-    // payload competition. Drop everything at-or-before its commit so
-    // an older base-row version with a non-null preCombine can't win
-    // the pick window below and resurrect the key.
     val byKey = Window.partitionBy(col(RecordKeyCol), col(PartitionPathCol))
-    val existing = if (hasDel) {
-      val uncondDel: Column = props.preCombineField match {
-        case Some(f) => coalesce(col(DeletedCol), lit(false)) && col(f).isNull
-        case None => coalesce(col(DeletedCol), lit(false))
-      }
-      existingAnti
-        .withColumn("__delWm",
-          max(when(uncondDel, col(CommitTimeCol))).over(byKey))
-        .filter(col("__delWm").isNull || col(CommitTimeCol) > col("__delWm"))
-        .drop("__delWm")
-    } else existingAnti
-    // Full mergeOnRead parity including the payload rule: an
-    // 'overwrite' MOR table orders by commit time alone (ordCol
-    // constant), so a concurrent delta with a HIGHER preCombine value
-    // must not beat this statement's later commit — exactly what the
-    // read-side merge would decide.
-    val ordCol: Column =
-      if (isMor && props.morPayload == "overwrite") lit(0)
-      else props.preCombineField.map(col).getOrElse(lit(0))
-    // Same tiebreak chain as mergeOnRead (ord desc nulls-last, then
-    // commit time) so conditional tombstones and tied/null-preCombine
-    // versions resolve identically on both paths; IncomingFlag breaks
-    // the final tie in favor of this statement's rows.
+    // Same tiebreak chain as mergeOnRead (preCombine desc nulls-last,
+    // then commit time) so tied/null-preCombine versions resolve
+    // identically on both paths; IncomingFlag breaks the final tie in
+    // favor of this statement's rows.
+    val ordCol: Column = props.preCombineField.map(col).getOrElse(lit(0))
     val pickOrd = Seq(ordCol.desc_nulls_last, col(CommitTimeCol).desc)
     val merged = incoming match {
       case None =>
-        dropTombstones(
-          existing.withColumn("__rn",
+        existing.withColumn("__rn",
             row_number().over(byKey.orderBy(pickOrd: _*)))
-            .filter(col("__rn") === 1))
+          .filter(col("__rn") === 1)
           .drop("__rn")
       case Some(inc) if affected.isEmpty => inc
       case Some(inc) =>
-        val incD = if (hasDel)
-          inc.withColumn(DeletedCol,
-            lit(null).cast(org.apache.spark.sql.types.BooleanType))
-        else inc
         val pick = byKey.orderBy(pickOrd :+ col(IncomingFlag).desc: _*)
-        dropTombstones(
-          existing.withColumn(IncomingFlag, lit(0))
-            .unionByName(incD.withColumn(IncomingFlag, lit(1)))
-            .withColumn("__rn", row_number().over(pick))
-            .filter(col("__rn") === 1))
+        existing.withColumn(IncomingFlag, lit(0))
+          .unionByName(inc.withColumn(IncomingFlag, lit(1)))
+          .withColumn("__rn", row_number().over(pick))
+          .filter(col("__rn") === 1)
           .drop("__rn", IncomingFlag)
     }
     val st = writeFiles(merged, instant)
@@ -836,8 +813,12 @@ final class LakeTable private[core] (
       // "deltacommit" (not the statement's verb): the timeline's delta
       // flag is what routes these files through the read-side merge
       // and future compactions — same as Hudi, where MOR SQL DML lands
-      // as deltacommits on the timeline
-      doCommit(instant, "deltacommit", st, Seq.empty, newSchema, tag)
+      // as deltacommits on the timeline. Tombstone-only commits are
+      // key-distinct; mixed/data commits are deduped only when the
+      // pre-combine window ran.
+      doCommit(instant, "deltacommit", st, Seq.empty, newSchema, tag,
+        deduped = Some(upserts.isEmpty || !combine ||
+          props.preCombineField.isDefined))
       instant
     }
     // outside the fence: the delta commit is durable; compaction takes
@@ -871,16 +852,22 @@ final class LakeTable private[core] (
     if (isMor)
       return applyDeltasMor(Some(ids), None, None)
     withInflight { instant =>
-    val delKeys = ids.select(RecordKeyCol, PartitionPathCol).distinct()
-    val probe = affectedFiles(delKeys)
-    val affected = probe.files
-    val anti = probeKeysDf(probe)
-      .getOrElse(gatedBroadcast(delKeys, probe.batchRows))
-    val kept = readAffected(affected, schema)
-      .join(anti, Seq(RecordKeyCol, PartitionPathCol), "left_anti")
-    val st = writeFiles(kept, instant)
-    doCommit(instant, "delete", st, affected, schema)
-    instant
+    // persist for the same two-consumer reason delete() documents:
+    // the probe and the write job's anti join must see the SAME key
+    // set even from a nondeterministic ids source
+    val delKeys = ids.select(RecordKeyCol, PartitionPathCol)
+      .distinct().persist()
+    try {
+      val probe = affectedFiles(delKeys)
+      val affected = probe.files
+      val anti = probeKeysDf(probe)
+        .getOrElse(gatedBroadcast(delKeys, probe.batchRows))
+      val kept = readAffected(affected, schema)
+        .join(anti, Seq(RecordKeyCol, PartitionPathCol), "left_anti")
+      val st = writeFiles(kept, instant)
+      doCommit(instant, "delete", st, affected, schema)
+      instant
+    } finally delKeys.unpersist()
     }
   }
 
@@ -1041,6 +1028,14 @@ final class LakeTable private[core] (
           case _ => when(takeSource, col(s"__s_$c")).otherwise(col(c))
         }).as(c)
       }: _*)
+      // a key live in SEVERAL partitions (legitimate under the
+      // partition-scoped default index) matches the one source row once
+      // per stored location, and every match takes the IDENTICAL source
+      // image — collapse them, or the rewrite commits duplicate rows.
+      // Safe key: stored rows are unique per (key, partition), updated
+      // images share (key, partition, instant), and the MOR leg already
+      // key-dedups in applyDeltasMor.
+      .dropDuplicates(Seq(RecordKeyCol, PartitionPathCol, CommitTimeCol))
     val st = writeFiles(out, instant)
     doCommit(instant, "merge", st, affected, cur, tag)
     instant
@@ -1119,8 +1114,20 @@ final class LakeTable private[core] (
         .when(matchedC && col("__c_del"), lit("d"))
         .when(!matchedC && col("__c_ins"), lit("i"))
         .otherwise(lit("k"))
+      // prune the stored side to the source's keys BEFORE the outer
+      // join: `stored` holds every (key, partition) in the probed file
+      // groups — table-sized when the source's key bounds straddle
+      // many files — while the outer join only ever consumes rows
+      // matching a source key. The semi-join bounds the broadcast to
+      // O(source keys × their partitions), so the batchRows gate
+      // actually measures the relation it gates (force-broadcasting
+      // the unpruned stored side off a 2-row source is a driver OOM
+      // on a wide table).
+      val srcKeys = srcFlagged.select(col("__src_key").as("__st_key")).distinct()
+      val storedPruned = stored.join(
+        gatedBroadcast(srcKeys, probe.batchRows), Seq("__st_key"), "leftsemi")
       val routed = srcFlagged
-        .join(gatedBroadcast(stored, probe.batchRows),
+        .join(gatedBroadcast(storedPruned, probe.batchRows),
           col("__src_key") === col("__st_key"), "left_outer")
         .withColumn("__route", route)
         .persist()
@@ -1558,10 +1565,12 @@ final class LakeTable private[core] (
     * `hoodie.combine.before.upsert=false`): a caller whose batch is
     * ALREADY unique per (key, partition) — e.g. the output of a
     * groupBy on the key — passes `combine=false` to skip the dedup
-    * window shuffle. With duplicate keys in the batch the resulting
-    * multi-version commit still reads correctly (preCombine merge),
-    * but which duplicate wins follows the read-side tie-break instead
-    * of [[dedupBatch]]'s — only skip when uniqueness is guaranteed. */
+    * window shuffle. Uniqueness is a HARD caller contract: the commit
+    * records `dedupedKeys=true` on its word, and the single-commit
+    * read fast path ([[morMerged]]) serves such a commit as a plain
+    * scan — a batch that violates the contract can surface its
+    * duplicate keys UNMERGED. Callers that cannot guarantee
+    * uniqueness must keep combine=true. */
   private def maybeCombine(df: DataFrame, combine: Boolean): DataFrame =
     if (combine) dedupBatch(df) else df
 
@@ -1892,13 +1901,15 @@ final class LakeTable private[core] (
   private def doCommit(
       instant: String, action: String, st: Staged,
       removed: Seq[String], schemaOut: StructType,
-      tag: Option[String] = None): Unit =
+      tag: Option[String] = None,
+      deduped: Option[Boolean] = None): Unit =
     try phase("commit-json")(timeline.commit(CommitMeta(
       instant, action, st.added, removed.map(relativize), Seq.empty,
       schemaOut.toDDL, st.rows, st.parts,
       if (st.keyBounds.nonEmpty) Some(st.keyBounds) else None, tag,
       if (st.buckets.nonEmpty) Some(st.buckets) else None,
-      colStats = if (st.colStats.nonEmpty) Some(st.colStats) else None)))
+      colStats = if (st.colStats.nonEmpty) Some(st.colStats) else None,
+      dedupedKeys = deduped)))
     catch {
       case e: CommitConflictException =>
         // lost the OCC race: the staged files will never be referenced
@@ -1918,9 +1929,16 @@ final class LakeTable private[core] (
       df: DataFrame, action: String, tag: Option[String] = None,
       combine: Boolean = true): String = {
     val committed = withInflight { instant =>
-    val newSchema = unionSchema(df.drop(DeletedCol))
+    // tombstone-only writes NEVER evolve the table schema: delete(keys)
+    // permits extra data columns in the keys frame (full CDC rows with
+    // e.g. an 'op' column), and unioning those in would permanently
+    // widen the table with spurious all-null columns — a divergence
+    // the COW delete path (which passes `schema`) never had
+    val isTombstone = df.columns.contains(DeletedCol)
+    val newSchema =
+      if (isTombstone) schema else unionSchema(df.drop(DeletedCol))
     val out =
-      if (df.columns.contains(DeletedCol)) {
+      if (isTombstone) {
         // tombstones: project to key + partition (+ the preCombine
         // column when the caller supplied one — an ORDERED tombstone,
         // conditional on payload ordering) before the distinct:
@@ -1941,7 +1959,11 @@ final class LakeTable private[core] (
             }: _*)
       } else conform(withMeta(maybeCombine(df, combine), instant), newSchema)
     val st = writeFiles(out, instant)
-    doCommit(instant, action, st, Seq.empty, newSchema, tag)
+    // tombstones are key-distinct by construction; data batches are
+    // deduped only when the pre-combine window actually ran
+    doCommit(instant, action, st, Seq.empty, newSchema, tag,
+      deduped = Some(isTombstone || !combine ||
+        props.preCombineField.isDefined))
     instant
     }
     // outside the fence: the delta commit above is already durable, and
@@ -1965,10 +1987,10 @@ final class LakeTable private[core] (
     * groups with pending log files for the same reason). Overlap is
     * judged conservatively: missing key bounds ⇒ affected. Original
     * per-row commit times survive, so incremental reads stay exact. */
-  def compact(): String = {
+  def compact(): Option[String] = {
     val live = timeline.liveFiles(None)
     val (delta, base) = live.partition(_.delta)
-    if (delta.isEmpty) return timeline.nextInstant() // nothing to fold
+    if (delta.isEmpty) return None // nothing to fold — no commit
     val deltaByPart = delta.groupBy(_.partition) // indexed, not O(n×m)
     def overlaps(b: FileEntry): Boolean =
       deltaByPart.getOrElse(b.partition, Nil).exists { d =>
@@ -1979,7 +2001,7 @@ final class LakeTable private[core] (
         }
       }
     val (rewrite, _) = base.partition(overlaps)
-    compactEntries(delta ++ rewrite)
+    Some(compactEntries(delta ++ rewrite))
   }
 
   /** Fold exactly `affected` (deltas + the base files of their groups)
@@ -2082,13 +2104,14 @@ final class LakeTable private[core] (
     * clustering IS a compaction with an ordering). Not applicable to
     * bucket-index tables, whose file placement is owned by the bucket
     * routing (and already probe-free). */
-  def cluster(sortCols: Seq[String] = Seq.empty, targetFiles: Int = 0): String = {
+  def cluster(sortCols: Seq[String] = Seq.empty,
+      targetFiles: Int = 0): Option[String] = {
     require(props.bucketIndexBuckets == 0,
       "clustering is incompatible with the bucket index: bucket routing " +
         "owns file placement and keyed DML is already probe-free")
     val live = timeline.liveFiles(None)
-    if (live.isEmpty) return timeline.nextInstant() // nothing to rewrite
-    withInflight { inst =>
+    if (live.isEmpty) return None // nothing to rewrite — no commit
+    Some(withInflight { inst =>
       val s = withMetaSchema(schema)
       val raw = readLive(live, s)
       val data = if (isMor) mergeOnRead(raw) else raw
@@ -2102,7 +2125,7 @@ final class LakeTable private[core] (
         inst, clusterBy = by, clusterFiles = targetFiles)
       doCommit(inst, "replace", st, live.map(_.path), schema)
       inst
-    }
+    })
   }
 
   /** Z-order clustering (the Hudi/Delta `zorder` analog): rewrite the
@@ -2113,13 +2136,13 @@ final class LakeTable private[core] (
     * is pure codegen'd bit arithmetic over min/max-normalized 16-bit
     * ranks (one tiny stats aggregate beforehand); the rewrite itself
     * is the same range-shuffle replace commit as [[cluster]]. */
-  def zorderCluster(cols: Seq[String], targetFiles: Int = 0): String = {
+  def zorderCluster(cols: Seq[String], targetFiles: Int = 0): Option[String] = {
     require(cols.size == 2, "zorderCluster interleaves exactly two columns")
     require(props.bucketIndexBuckets == 0,
       "clustering is incompatible with the bucket index")
     val live = timeline.liveFiles(None)
-    if (live.isEmpty) return timeline.nextInstant()
-    withInflight { inst =>
+    if (live.isEmpty) return None
+    Some(withInflight { inst =>
       val s = withMetaSchema(schema)
       val raw = readLive(live, s)
       val data = if (isMor) mergeOnRead(raw) else raw
@@ -2150,7 +2173,7 @@ final class LakeTable private[core] (
         inst, clusterBy = Seq(z), clusterFiles = targetFiles)
       doCommit(inst, "replace", st, live.map(_.path), schema)
       inst
-    }
+    })
   }
 
   /** Inline compaction after `compactDeltaCommits` consecutive delta

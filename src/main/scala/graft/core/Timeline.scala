@@ -59,7 +59,15 @@ final case class CommitMeta(
     /** per added file: declared stats column → [typeTag, min, max]
       * from the parquet footer (typeTag "s" = utf8 string, "l" =
       * integral-as-long) — the col-stats data-skipping index. */
-    colStats: Option[Map[String, Map[String, Seq[String]]]] = None)
+    colStats: Option[Map[String, Map[String, Seq[String]]]] = None,
+    /** whether this commit's rows are key-deduped (at most one version
+      * per (key, partition)) — MOR write paths that skip the
+      * pre-combine window (`combine=false`) record false here so the
+      * single-commit read fast path falls back to the full merge
+      * instead of surfacing the batch's duplicate keys unmerged.
+      * None (older commits / COW paths) = infer from the action
+      * allowlist, the pre-flag behavior. */
+    dedupedKeys: Option[Boolean] = None)
 
 /** One live data file as seen by readers: its path, the commit that
   * (logically) wrote its rows, partition path, and optional record-key
@@ -512,9 +520,12 @@ final class Timeline(conf: Configuration, val basePath: String) {
       // mirroring a table with many delta files would otherwise make
       // timeline resolution O(n²) in the commit's file count.
       da = c.deltaAdded.map(_.toSet).getOrElse(Set.empty[String])
+      // Set for the same O(n²) reason as deltaAdded: a bootstrap
+      // commit has external == added (100k files → 10^10 comparisons)
+      ext = c.external.toSet
       f <- c.added if !removed.contains(f)
     } yield FileEntry(f, c.instant, c.partitions.getOrElse(f, ""),
-      c.external.contains(f),
+      ext(f),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
       c.buckets.flatMap(_.get(f)),
@@ -565,9 +576,10 @@ final class Timeline(conf: Configuration, val basePath: String) {
     val archivedEntries = for {
       c <- toArchive
       da = c.deltaAdded.map(_.toSet).getOrElse(Set.empty[String])
+      ext = c.external.toSet
       f <- c.added if !removed.contains(f) && !priorPaths.contains(f)
     } yield FileEntry(f, c.instant, c.partitions.getOrElse(f, ""),
-      c.external.contains(f),
+      ext(f),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.headOption),
       c.keyBounds.flatMap(_.get(f)).flatMap(_.lift(1)),
       c.buckets.flatMap(_.get(f)),
@@ -767,9 +779,15 @@ object Timeline {
   /** Whether a timeline path entry is absolute (a plain path or a
     * scheme URI) vs table-relative — the ONE owned/adopted-reference
     * predicate; keep [[LakeTable.abs]], [[Timeline.clean]]'s `owned`,
-    * and [[Timeline.createSavepoint]]'s `resolve` on it. */
+    * and [[Timeline.createSavepoint]]'s `resolve` on it. A URI is
+    * recognized only by a LEADING scheme (RFC 3986 shape), not by
+    * `contains(":/")` — a relative partition path whose VALUE embeds
+    * a URL (`u=http://x/part.parquet`) must stay table-relative, or
+    * reads resolve a bogus scheme and clean() classifies the table's
+    * own file as foreign (never physically deleted). */
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*:/".r
   private[graft] def isAbsolutePath(rel: String): Boolean =
-    rel.startsWith("/") || rel.contains(":/")
+    rel.startsWith("/") || SchemePrefix.findPrefixOf(rel).isDefined
 
   /** Shared daemon scheduler for inflight-marker heartbeats: one
     * thread serves every Timeline instance in the JVM (touches are

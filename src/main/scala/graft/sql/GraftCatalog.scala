@@ -309,8 +309,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "run_compaction", "fold the merged snapshot into fresh base files (MOR)",
         Seq("table" -> StringT),
         "instant STRING") { input =>
-        val instant = lakeOf(input.getUTF8String(0).toString).compact()
-        Array(InternalRow(UTF8String.fromString(instant)))
+        // None = nothing to fold: zero result rows, no phantom instant
+        lakeOf(input.getUTF8String(0).toString).compact()
+          .map(i => InternalRow(UTF8String.fromString(i))).toArray
       }
       case "rollback_to_instant" => procedure(
         "rollback_to_instant", "restore the table to its state as of an instant",
@@ -325,17 +326,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "for tight, disjoint per-file key ranges",
         Seq("table" -> StringT),
         "instant STRING") { input =>
-        val inst = lakeOf(input.getUTF8String(0).toString).cluster()
-        Array(InternalRow(UTF8String.fromString(inst)))
+        lakeOf(input.getUTF8String(0).toString).cluster()
+          .map(i => InternalRow(UTF8String.fromString(i))).toArray
       }
       case "run_zorder" => procedure(
         "run_zorder", "rewrite live files in Morton (z-order) interleave " +
           "of two numeric columns for two-dimensional pruning locality",
         Seq("table" -> StringT, "col_a" -> StringT, "col_b" -> StringT),
         "instant STRING") { input =>
-        val inst = lakeOf(input.getUTF8String(0).toString).zorderCluster(Seq(
+        lakeOf(input.getUTF8String(0).toString).zorderCluster(Seq(
           input.getUTF8String(1).toString, input.getUTF8String(2).toString))
-        Array(InternalRow(UTF8String.fromString(inst)))
+          .map(i => InternalRow(UTF8String.fromString(i))).toArray
       }
       case "archive_commits" => procedure(
         "archive_commits", "fold old commits into the timeline checkpoint",

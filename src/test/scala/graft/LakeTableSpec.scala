@@ -308,4 +308,25 @@ class LakeTableSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
     assert(got == Set(("u", Some(1), Some("a")), ("d", None, Some("b"))))
   }
+
+  test("merge consolidates a key live in two partitions to ONE row") {
+    // partition-scoped upserts legitimately leave key 1 live in BOTH
+    // d1 and d2 (the default non-global index); a global-key MERGE
+    // update must then consolidate to ONE source image, not write the
+    // image once per stored location. Covers both table types.
+    for (tt <- Seq("cow", "mor")) {
+      val t = LakeTable.create(spark, tmp(), demoProps.copy(tableType = tt))
+      t.upsert(Seq((1, "a", 1.0, 100L, "d1"), (2, "b", 1.0, 100L, "d1"))
+        .toDF("id", "name", "price", "ts", "dt"))
+      t.upsert(Seq((1, "a2", 2.0, 200L, "d2"))
+        .toDF("id", "name", "price", "ts", "dt"))
+      assert(rows(t.snapshot()).count(_._1 == 1) == 2, s"$tt: setup")
+      t.merge(Seq((1, "m", 9.0, 300L, "d2", "UPDATE"))
+        .toDF("id", "name", "price", "ts", "dt", "opt_type"),
+        matchedUpdate = Some(col("opt_type") === "UPDATE"))
+      val got = rows(t.snapshot()).filter(_._1 == 1)
+      assert(got == Set((1, "m", 9.0, 300L, "d2")),
+        s"$tt: expected one consolidated row, got $got")
+    }
+  }
 }

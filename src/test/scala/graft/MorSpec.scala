@@ -45,7 +45,7 @@ class MorSpec extends AnyFunSuite {
     // delete then re-insert: later commit wins
     t.upsert(Seq((1, "back", 3L, "d1")).toDF("id", "v", "ts", "dt"))
     assert(rows(t) == Set((1, "back", 3L), (2, "b", 1L)))
-    val c = t.compact()
+    val c = t.compact().get
     assert(rows(t) == Set((1, "back", 3L), (2, "b", 1L)))
     // after compaction only the base files are live
     val live = t.timeline.liveFiles(None)
