@@ -50,14 +50,18 @@ case class VecFloatDot(left: Expression, right: Expression)
   private def mayHaveNullElems(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].containsNull
 
+  // per-expression constants, hoisted off the interpreted per-row path
+  // (lazy: dataType is only callable once the expression is resolved)
+  private lazy val xf = elemType(left) == FloatType
+  private lazy val yf = elemType(right) == FloatType
+  private lazy val checkNulls =
+    mayHaveNullElems(left) || mayHaveNullElems(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
-    val xf = elemType(left) == FloatType
-    val yf = elemType(right) == FloatType
-    val checkNulls = mayHaveNullElems(left) || mayHaveNullElems(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -112,6 +116,20 @@ case class VecFloatDot(left: Expression, right: Expression)
 object GraftFunctions {
   val VecDotName = "graft_vec_dot"
 
+  /** The ONE encoder plumbing for the bounded aggregators — query-pack
+    * call sites use these instead of rebuilding the udaf + encoder
+    * tuple at each site (an input-type change would otherwise need
+    * editing in half a dozen places). */
+  def kmvUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new KmvSketch(k),
+      org.apache.spark.sql.Encoders.LONG)
+
+  def topkUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.DOUBLE,
+        org.apache.spark.sql.Encoders.LONG))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       VecDotName,
@@ -123,14 +141,8 @@ object GraftFunctions {
     // bounded-state aggregators on the SQL surface:
     //   graft_kmv64(hash BIGINT)            -> ARRAY<BIGINT> k-min sketch
     //   graft_topk10(score DOUBLE, id BIGINT) -> ARRAY<STRUCT<_1,_2>>
-    spark.udf.register("graft_kmv64",
-      org.apache.spark.sql.functions.udaf(new KmvSketch(64),
-        org.apache.spark.sql.Encoders.LONG))
-    spark.udf.register("graft_topk10",
-      org.apache.spark.sql.functions.udaf(new TopKAgg(10),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.DOUBLE,
-          org.apache.spark.sql.Encoders.LONG)))
+    spark.udf.register("graft_kmv64", kmvUdaf(64))
+    spark.udf.register("graft_topk10", topkUdaf(10))
     ()
   }
 }

@@ -370,10 +370,7 @@ object CurationOps {
         .withColumn("w", size(expr(toksExpr.format("text"))).cast("long"))
         .withColumn("wkey", round(log(u) / col("w").cast("double"), 6))
         .persist()
-      val topk = udaf(new graft.functions.TopKAgg(8),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.DOUBLE,
-          org.apache.spark.sql.Encoders.LONG))
+      val topk = graft.functions.GraftFunctions.topkUdaf(8)
       d.groupBy("source").agg(topk(col("wkey"), col("doc_id")).as("top"))
         .select(col("source"), posexplode(col("top")))
         .select(col("source"), col("col._2").as("doc_id"),

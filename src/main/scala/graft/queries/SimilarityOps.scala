@@ -101,10 +101,7 @@ object SimilarityOps {
       // (a full-corpus shuffle at 100 TB); the mergeable aggregator
       // ships at most k pairs per partition per query and yields the
       // identical (cosine DESC, vec_id ASC) ranking
-      val topk = udaf(new graft.functions.TopKAgg(10),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.DOUBLE,
-          org.apache.spark.sql.Encoders.LONG))
+      val topk = graft.functions.GraftFunctions.topkUdaf(10)
       scored.groupBy("q_id")
         .agg(topk(col("cosine"), col("vec_id")).as("top"))
         .select(col("q_id"), posexplode(col("top")))

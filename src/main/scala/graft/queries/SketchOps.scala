@@ -68,7 +68,7 @@ object SketchOps {
   private val kmvQ = GQ(
     "sketch1_kmv_distinct",
     (s, dir) => {
-      val kmv = udaf(new KmvSketch(K), Encoders.LONG)
+      val kmv = graft.functions.GraftFunctions.kmvUdaf(K)
       val hashes = t(s, dir, "documents")
         .withColumn("w", expr(toksExpr))
         .select(col("source"), explode(expr(shExpr)).as("sh"))
@@ -195,7 +195,7 @@ object SketchOps {
     (s, dir) => {
       import graft.core.{LakeTable, TableProps}
       import QueryPack.scratchDir
-      val kmv = udaf(new KmvSketch(K), Encoders.LONG)
+      val kmv = graft.functions.GraftFunctions.kmvUdaf(K)
       val base = t(s, dir, "documents").select("doc_id", "source", "text")
       val seed = base.filter(col("doc_id") % 3 =!= 0).withColumn("ts", lit(1L))
       val inc1 = base.filter(col("doc_id") % 3 === 0).withColumn("ts", lit(2L))
@@ -315,7 +315,7 @@ object SketchOps {
   private val setAlgQ = GQ(
     "sketch5_kmv_set_algebra",
     (s, dir) => {
-      val kmv = udaf(new KmvSketch(K), Encoders.LONG)
+      val kmv = graft.functions.GraftFunctions.kmvUdaf(K)
       // persist: feeds the sketch side AND the exact pin (the harness
       // clears caches between queries)
       val hashes = t(s, dir, "documents")
@@ -438,8 +438,7 @@ object SketchOps {
     "sketch4_quantile_sample",
     (s, dir) => {
       val SampleK = SampleKLit
-      val topk = udaf(new graft.functions.TopKAgg(SampleK),
-        Encoders.tuple(Encoders.DOUBLE, Encoders.LONG))
+      val topk = graft.functions.GraftFunctions.topkUdaf(SampleK)
       // negate the 48-bit hash: TopKAgg keeps the LARGEST scores, we
       // want the SMALLEST hashes (both exact in double below 2^53)
       val d = t(s, dir, "documents")

@@ -415,9 +415,7 @@ object TextOps {
       * never a per-query window sort of every scored row). */
     def rankTopK(contrib: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = {
-      import org.apache.spark.sql.Encoders
-      val topk = udaf(new graft.functions.TopKAgg(10),
-        Encoders.tuple(Encoders.DOUBLE, Encoders.LONG))
+      val topk = graft.functions.GraftFunctions.topkUdaf(10)
       contrib.groupBy("q_id", "doc_id")
         .agg(sum("micro").as("sm"))
         .withColumn("score", col("sm").cast("double") / lit(1000000.0))

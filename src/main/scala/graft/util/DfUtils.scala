@@ -26,13 +26,27 @@ object DfUtils {
       .load()
 
   /** Lowercase + strip spaces from column names
-    * (DfUtils.scala:21-26 `schemaToLowerCase`, minus the rdd rebuild). */
-  def lowercaseColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase.replaceAll(" ", "")).toSeq: _*)
+    * (DfUtils.scala:21-26 `schemaToLowerCase`, minus the rdd rebuild).
+    * Locale.ROOT so the mapping is machine-independent (a Turkish
+    * default locale lowercases "ID" to dotless-ı "ıd"), and collisions
+    * fail fast here instead of as a distant ambiguous-reference error
+    * in whatever references the name next. */
+  def lowercaseColumns(df: DataFrame): DataFrame = {
+    val renamed = df.columns
+      .map(_.toLowerCase(java.util.Locale.ROOT).replaceAll(" ", ""))
+    val dups = renamed.groupBy(identity).collect {
+      case (n, hits) if hits.length > 1 => n
+    }
+    require(dups.isEmpty,
+      s"lowercaseColumns would collide column names: ${dups.mkString(", ")}")
+    df.toDF(renamed.toSeq: _*)
+  }
 
-  /** Cast every column to string (DfUtils.scala:28-32). */
+  /** Cast every column to string (DfUtils.scala:28-32). `df(c)` (not
+    * `col(c)`): a flat column whose NAME contains a dot must not be
+    * parsed as a struct-field path. */
   def castAllToString(df: DataFrame): DataFrame =
-    df.select(df.columns.map(c => col(c).cast(StringType).as(c)).toSeq: _*)
+    df.select(df.columns.map(c => df(c).cast(StringType).as(c)).toSeq: _*)
 
   /** Force-nullable schema (BootstrapDemo.scala:275-280
     * `makeDfColNullable`, minus the rdd rebuild): each column is
@@ -44,7 +58,10 @@ object DfUtils {
     * nullability — and when(lit(true), c) gets constant-folded back
     * to non-nullable during analysis; verified empirically.) */
   def forceNullable(df: DataFrame): DataFrame =
-    df.selectExpr(df.columns.map(c => s"if(true, `$c`, null) AS `$c`").toSeq: _*)
+    df.selectExpr(df.columns.map { c0 =>
+      val c = c0.replace("`", "``") // a literal backtick in a column
+      s"if(true, `$c`, null) AS `$c`" // name must not escape the quote
+    }.toSeq: _*)
 }
 
 /** Filesystem helpers mirroring `common/FsUtils.scala`. */

@@ -29,6 +29,12 @@ object Tables {
     * needed so hashes match the oracle regardless of session-TZ type.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // DELIBERATE session-global set (documented side effect): the
+    // legacy nanosAsLong decode is SQLConf-only (no per-read option),
+    // and a save/restore around this lazy read would race plan
+    // resolution. The driver entry points (Bench/Verify/TestSpark)
+    // set it at session build so semantics never depend on whether
+    // events() ran first; this set covers ad-hoc sessions.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(spark, sfDir, "events")
     val tsCol = df.schema("ts").dataType match {
