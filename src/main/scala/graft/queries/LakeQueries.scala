@@ -100,7 +100,7 @@ object LakeQueries {
           when(col("c_custkey") % 10 === 0, lit("DELETE")).otherwise(lit("UPDATE")))
       val insertPart = base(s, dir).filter(col("c_custkey") % 2 === 1)
         .withColumn("ts", lit(2L))
-        .withColumn("c_custkey", col("c_custkey") + 1000000)
+        .withColumn("c_custkey", col("c_custkey") + 1000000000L)
         .withColumn("c_name", concat(col("c_name"), lit("_new")))
         .withColumn("opt_type", lit("INSERT"))
       tab.merge(matchedPart.unionByName(insertPart),
@@ -120,7 +120,7 @@ object LakeQueries {
         CAST(CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ts
       FROM customer WHERE NOT (c_custkey % 2 = 0 AND c_custkey % 10 = 0)
       UNION ALL
-      SELECT c_custkey + 1000000, c_name || '_new', c_nationkey, c_acctbal,
+      SELECT c_custkey + 1000000000, c_name || '_new', c_nationkey, c_acctbal,
         c_mktsegment, CAST(2 AS BIGINT) AS ts
       FROM customer WHERE c_custkey % 2 = 1
       ) ORDER BY c_custkey"""))
@@ -260,12 +260,7 @@ object LakeQueries {
   private val morRtSqlQ = GQ(
     "lake12_mor_rt_sql",
     (s, dir) => {
-      s.conf.set("spark.sql.catalog.graft_gate", "graft.sql.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_gate.warehouse",
-        "target/graft_warehouse_gate")
-      val tbl = s"graft_gate.db.lake12_${math.abs(dir.hashCode)}"
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.db")
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val tbl = QueryPack.catalogTable(s, dir, "lake12")
       s.sql(s"""CREATE TABLE $tbl (
         c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, ts BIGINT)
         USING graft TBLPROPERTIES (
@@ -363,7 +358,7 @@ object LakeQueries {
       tab.delete(base(s, dir).filter(col("c_custkey") % 9 === 0)
         .select("c_custkey", "c_mktsegment"))
       tab.insert(base(s, dir).filter(col("c_custkey") % 13 === 0)
-        .withColumn("c_custkey", col("c_custkey") + 1000000)
+        .withColumn("c_custkey", col("c_custkey") + 1000000000L)
         .withColumn("c_name", concat(col("c_name"), lit("_new"))))
       val before = col(LakeTable.BeforeImageCol)
       tab.cdc(c1)
@@ -376,7 +371,7 @@ object LakeQueries {
         .orderBy("c_custkey", "op")
     },
     Some("""WITH ins AS (
-        SELECT 'i' AS op, c_custkey + 1000000 AS c_custkey,
+        SELECT 'i' AS op, c_custkey + 1000000000 AS c_custkey,
           c_name || '_new' AS c_name, c_acctbal,
           CAST(NULL AS VARCHAR) AS before_name,
           CAST(NULL AS DOUBLE) AS before_acctbal
@@ -432,7 +427,7 @@ object LakeQueries {
         tab.delete(base(s, dir).filter(col("c_custkey") % 8 === 0)
           .select("c_custkey", "c_mktsegment"))
         tab.insert(base(s, dir).filter(col("c_custkey") % 17 === 0)
-          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+          .withColumn("c_custkey", col("c_custkey") + 1000000000L))
       }
       val op = col(LakeTable.ChangeOpCol)
       val bef = col(LakeTable.BeforeImageCol)
@@ -459,7 +454,14 @@ object LakeQueries {
             coalesce(col("dsum"), lit(BigDecimal(0))))
             .cast("decimal(18,2)").as("sum_bal"))
         .persist()
-      try mv.upsert(folded)
+      // a group whose members ALL churned away folds to cnt=0 — the
+      // full recompute (the MV's contract and the oracle) has no such
+      // group, so it must leave the MV as a tombstone, not a zero row.
+      // Unreachable with this gate's churn masks; load-bearing for the
+      // fold as a reusable shape.
+      try mv.upsertWithDeletes(
+        folded.filter(col("cnt") =!= 0L),
+        folded.filter(col("cnt") === 0L).select("c_mktsegment"))
       finally folded.unpersist()
       mv.snapshot().drop(LakeTable.MetaCols: _*)
         .select(col("c_mktsegment"), col("cnt"),
@@ -588,8 +590,12 @@ object LakeQueries {
       implicit val ec: ExecutionContext = ExecutionContext.global
       val f1 = Future(w1.withOcc()(w1.upsert(batch(0, "_w1"))))
       val f2 = Future(w2.withOcc()(w2.upsert(batch(1, "_w2"))))
-      Await.result(f1, 10.minutes)
-      Await.result(f2, 10.minutes)
+      // ready BOTH before extracting either result: rethrowing f1's
+      // failure with f2 still committing would abandon a lake write
+      // unsupervised (the hazard QueryPack.overlapping documents)
+      Await.ready(f1, 10.minutes); Await.ready(f2, 10.minutes)
+      Await.result(f1, 1.second)
+      Await.result(f2, 1.second)
       dataCols(tab.snapshot())
     },
     Some("""SELECT c_custkey,
@@ -695,7 +701,7 @@ object LakeQueries {
       tab.delete(base(s, dir).filter(col("c_custkey") % 11 === 0)
         .select("c_custkey", "c_mktsegment"))
       tab.insert(base(s, dir).filter(col("c_custkey") % 13 === 0)
-        .withColumn("c_custkey", col("c_custkey") + 1000000)
+        .withColumn("c_custkey", col("c_custkey") + 1000000000L)
         .withColumn("ts", lit(4L))
         .withColumn("c_name", concat(col("c_name"), lit("_new"))))
       val before = col(LakeTable.BeforeImageCol)
@@ -736,7 +742,7 @@ object LakeQueries {
           c_name AS before_name, c_acctbal AS before_acctbal
         FROM beforeState WHERE c_custkey % 11 = 0
       ), ins AS (
-        SELECT 'i' AS op, c_custkey + 1000000 AS c_custkey,
+        SELECT 'i' AS op, c_custkey + 1000000000 AS c_custkey,
           c_name || '_new' AS c_name, c_acctbal, CAST(4 AS BIGINT) AS ts,
           CAST(NULL AS VARCHAR) AS before_name,
           CAST(NULL AS DOUBLE) AS before_acctbal
@@ -1038,12 +1044,7 @@ object LakeQueries {
   private val dataSkipQ = GQ(
     "lake23_data_skipping",
     (s, dir) => {
-      s.conf.set("spark.sql.catalog.graft_gate", "graft.sql.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_gate.warehouse",
-        "target/graft_warehouse_gate")
-      val tbl = s"graft_gate.db.lake23_${math.abs(dir.hashCode)}"
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.db")
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val tbl = QueryPack.catalogTable(s, dir, "lake23")
       s.sql(s"""CREATE TABLE $tbl (
         c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE,
         c_mktsegment STRING, ts BIGINT)
@@ -1103,8 +1104,10 @@ object LakeQueries {
           .withColumn("ts", lit(3L))
           .withColumn("c_name", concat(col("c_name"), lit("_w"))))))
       val fs = Future(service.withOcc()(service.cluster(Seq("c_custkey"))))
-      Await.result(fw, 10.minutes)
-      Await.result(fs, 10.minutes)
+      // ready both before extracting either (see lake19)
+      Await.ready(fw, 10.minutes); Await.ready(fs, 10.minutes)
+      Await.result(fw, 1.second)
+      Await.result(fs, 1.second)
       dataCols(tab.snapshot())
     },
     Some("""SELECT c_custkey,

@@ -19,13 +19,33 @@ object QueryPack {
       DedupOps.qs ++ SimilarityOps.qs ++ SketchOps.qs ++ GraphOps.qs ++
       MultimodalOps.qs
 
+  /** Collision-safe, identifier-safe rendering of an sfDir hash:
+    * unsigned (math.abs(Int.MinValue) is NEGATIVE, and a minus sign
+    * breaks unquoted SQL identifiers built from it). */
+  private[queries] def dirTag(sfDir: String): String =
+    java.lang.Integer.toUnsignedString(sfDir.hashCode)
+
   /** Per-(gate, sfDir) scratch table path, dropped clean — the one
     * definition every lake-backed gate query uses. */
   private[queries] def scratchDir(
       s: SparkSession, sfDir: String, name: String): String = {
-    val p = s"target/graft_scratch/${name}_${math.abs(sfDir.hashCode)}"
+    val p = s"target/graft_scratch/${name}_${dirTag(sfDir)}"
     graft.core.LakeTable.drop(s, p)
     p
+  }
+
+  /** The ONE SQL-catalog gate bootstrap (lake12/lake23): register the
+    * gate catalog, ensure the namespace, drop + return the fresh
+    * per-sfDir table name. */
+  private[queries] def catalogTable(
+      s: SparkSession, sfDir: String, name: String): String = {
+    s.conf.set("spark.sql.catalog.graft_gate", "graft.sql.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_gate.warehouse",
+      "target/graft_warehouse_gate")
+    val tbl = s"graft_gate.db.${name}_${dirTag(sfDir)}"
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.db")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    tbl
   }
 
   /** Run `bg` (typically an independent table's commit chain) on a
