@@ -336,6 +336,10 @@ object CurationOps {
         .orderBy(col("h"), col("doc_id"))
         .limit(k)
         .select("doc_id", "lang", "source", "h")
+        // terminal orderBy: DataFrame limit makes NO ordering contract
+        // (TakeOrderedAndProject happens to preserve it today) and the
+        // driver compares rows positionally against the oracle
+        .orderBy(col("h"), col("doc_id"))
     },
     Some("""SELECT doc_id, lang, source,
         md5('samp1:' || CAST(doc_id AS VARCHAR)) AS h
@@ -573,7 +577,10 @@ object CurationOps {
       val h = expr(
         "conv(substring(md5(concat('mix:', cast(doc_id as string))), 1, 12), 16, 10)")
         .cast("long") % 1000
-      val rate = lit(200) + lit(50) * (expr("cast(substring(source, 4, 10) as int)") % 9)
+      // substring to END of string, matching the oracle's substr(source, 4)
+      // byte-for-byte — a bounded length here would silently diverge on a
+      // testdata generation with longer numeric suffixes
+      val rate = lit(200) + lit(50) * (expr("cast(substring(source, 4) as int)") % 9)
       t(s, dir, "documents")
         .withColumn("kept", (h < rate).cast("long"))
         .withColumn("tok", ceil(col("n_chars").cast("double") / 4.0).cast("long"))
@@ -581,8 +588,7 @@ object CurationOps {
         .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
           sum(when(col("kept") === 1, col("tok")).otherwise(lit(0L)))
             .as("kept_tokens"))
-        .withColumn("rate_permille",
-          lit(200) + lit(50) * (expr("cast(substring(source, 4, 10) as int)") % 9))
+        .withColumn("rate_permille", rate)
         .withColumn("achieved",
           col("n_kept").cast("double") / col("n_docs").cast("double"))
         .select("source", "n_docs", "n_kept", "kept_tokens", "rate_permille",
@@ -666,7 +672,7 @@ object CurationOps {
   private def qualityCol: org.apache.spark.sql.Column = {
     val nToks = size(col("toks")).cast("double")
     lit(0.4) * (size(expr(
-      "filter(toks, w -> w in ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))"))
+      s"filter(toks, w -> w in (${TextOps.stopwordSqlList}))"))
       .cast("double") / nToks) +
       lit(0.3) * (size(expr("filter(toks, w -> w rlike '^[a-z]+$')"))
         .cast("double") / nToks) +
@@ -674,7 +680,7 @@ object CurationOps {
   }
 
   private val qualitySql =
-    """0.4 * (CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'that', 'for'))) AS DOUBLE)
+    s"""0.4 * (CAST(len(list_filter(toks, w -> w IN (${TextOps.stopwordSqlList}))) AS DOUBLE)
         / CAST(len(toks) AS DOUBLE))
       + 0.3 * (CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
         / CAST(len(toks) AS DOUBLE))

@@ -163,7 +163,17 @@ object SimilarityOps {
         val bits = math.ceil(
           math.log(n.toDouble / AutoOccupancy) / math.log(2.0)).toInt
         math.min(48, math.max(AnnBits, bits))
-      case v => v.toInt
+      case v =>
+        // validate explicit settings: bits >= 63 silently corrupts the
+        // probe set via Long shift wraparound (1L << 64 == 1L), and a
+        // typo'd value should name the conf it came from
+        val b = try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.ann.bits must be an int in [1, 48] or 'auto', got '$v'")
+        }
+        require(b >= 1 && b <= 48,
+          s"spark.graft.ann.bits must be in [1, 48], got $b")
+        b
     }
   }
 
@@ -184,8 +194,11 @@ object SimilarityOps {
     left.join(prep, col("bucket") === col("q_bucket") && col("q_id") < col("vec_id"))
       .withColumn("cosine", cosineCol)
       .filter(col("cosine") >= 0.999)
+      // no distinct: the bits+1 probe values are pairwise distinct and a
+      // candidate has ONE bucket, so each (a, b) joins through at most
+      // one probe, in one orientation (q_id < vec_id) — a dedup here
+      // would re-shuffle the whole pair relation for nothing
       .select(col("q_id").as("a"), col("vec_id").as("b"), col("cosine"))
-      .distinct()
   }
 
   /** The sim2/sim5 corpus + pair graph, DuckDB side. */
@@ -320,14 +333,11 @@ object SimilarityOps {
     * component representative — the "drop these duplicates, keep one
     * per cluster" output of a training-data pipeline. Oracle: DuckDB
     * recursive CTE computing min reachable id per node. */
-  private val graphDedupQ = GQ(
-    "sim5_graph_dedup",
-    (s, dir) =>
-      components(nearDupPairs(s, dir).select("a", "b"))
-        .filter(col("id") =!= col("lbl"))
-        .select(col("id").as("vec_id"), col("lbl").as("canonical"))
-        .orderBy("vec_id"),
-    Some(s"""WITH RECURSIVE $pairsSql,
+  /** The ONE recursive-components oracle shared by sim5 and sim5b —
+    * the two gates must agree exactly (same pair graph, same labels),
+    * so their oracle text is a single definition by construction. */
+  private val componentsOracleSql: String =
+    s"""WITH RECURSIVE $pairsSql,
       edges AS (SELECT a AS src, b AS dst FROM pairs
         UNION ALL SELECT b, a FROM pairs),
       nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -336,7 +346,16 @@ object SimilarityOps {
         UNION
         SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
       SELECT id AS vec_id, min(lbl) AS canonical FROM r
-      GROUP BY id HAVING min(lbl) <> id ORDER BY vec_id"""))
+      GROUP BY id HAVING min(lbl) <> id ORDER BY vec_id"""
+
+  private val graphDedupQ = GQ(
+    "sim5_graph_dedup",
+    (s, dir) =>
+      components(nearDupPairs(s, dir).select("a", "b"))
+        .filter(col("id") =!= col("lbl"))
+        .select(col("id").as("vec_id"), col("lbl").as("canonical"))
+        .orderBy("vec_id"),
+    Some(componentsOracleSql))
 
   /** sim5b — the SAME graph dedup forced through the distributed
     * min-id label-propagation branch (the 100 TB path): the conf knob
@@ -364,16 +383,7 @@ object SimilarityOps {
         case None => s.conf.unset(k)
       }
     },
-    Some(s"""WITH RECURSIVE $pairsSql,
-      edges AS (SELECT a AS src, b AS dst FROM pairs
-        UNION ALL SELECT b, a FROM pairs),
-      nodes AS (SELECT DISTINCT src AS id FROM edges),
-      r(id, lbl) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id)
-      SELECT id AS vec_id, min(lbl) AS canonical FROM r
-      GROUP BY id HAVING min(lbl) <> id ORDER BY vec_id"""))
+    Some(componentsOracleSql))
 
   /** sim3's DuckDB oracle: the hyperplanes are fixed md5-derived ±1
     * constants, so bucket membership is fully SQL-expressible — the

@@ -19,6 +19,11 @@ object TextOps {
   private val Stopwords =
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
   private def sqlList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString(", ")
+  /** The ONE stopword list, as a SQL IN-list — text1's signals and
+    * CurationOps.qualityCol/qualitySql (the pipeline classifier) must
+    * score with the same words or the reported quality desyncs from
+    * what the curation gates filter on. */
+  private[queries] def stopwordSqlList: String = sqlList(Stopwords)
 
   /** Canonical corpus tokenization — THE single definition (both
     * engines split lowercased trimmed text on \s+); format-style so
