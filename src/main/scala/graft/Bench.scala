@@ -7,6 +7,50 @@ import org.apache.spark.sql.SparkSession
   * (table reads + one tiny aggregate per input table) so measurements
   * reflect steady-state plans, not first-query JIT/codegen compile. */
 object Bench {
+
+  /** Host CPU ticks from the first `/proc/stat` line:
+    * (steal, total, busy) where busy excludes idle/iowait/steal.
+    * None off-Linux — every contention check then degrades to
+    * "quiet". */
+  private def hostTicks(): Option[(Long, Long, Long)] = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    val line = try src.getLines().next() finally src.close()
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    val total = f.sum
+    val steal = if (f.length > 7) f(7) else 0L
+    val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+    Some((steal, total, total - idle - steal))
+  } catch { case _: Throwable => None }
+
+  /** This JVM's own utime+stime ticks (same USER_HZ unit as
+    * /proc/stat) — local[32] is one process, so host busy minus
+    * self is CO-TENANT load. */
+  private def selfTicks(): Long = try {
+    val src = scala.io.Source.fromFile("/proc/self/stat")
+    val s = try src.mkString finally src.close()
+    val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+    rest(11).toLong + rest(12).toLong
+  } catch { case _: Throwable => 0L }
+
+  /** Interference observed over one measurement window, as fractions
+    * of total host CPU time: hypervisor steal, and busy time that was
+    * NOT this JVM (other containers/processes on the box). */
+  final case class Win(steal: Double, other: Double)
+
+  private def window(h0: Option[(Long, Long, Long)], self0: Long): Win =
+    (h0, hostTicks()) match {
+      case (Some((s0, t0, b0)), Some((s1, t1, b1))) if t1 > t0 =>
+        val tot = (t1 - t0).toDouble
+        Win((s1 - s0) / tot,
+          math.max(0.0, (b1 - b0) - (selfTicks() - self0)) / tot)
+      case _ => Win(0.0, 0.0)
+    }
+
+  /** The host is quiet enough to trust a wall-clock number: <2%
+    * steal and <10% co-tenant CPU (this box shows 9-22% steal in bad
+    * windows and identical benches then vary 2-3×). */
+  private def quiet(w: Win): Boolean = w.steal < 0.02 && w.other < 0.10
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,48 +114,94 @@ object Bench {
     // spike together (driver r6 recorded q2 at 6.64 s where a clean
     // run measures 0.21 s). Separating the samples by a whole pass
     // (~1 min+) makes a min-across-passes survive any contention
-    // window shorter than a pass.
+    // window shorter than a pass. Min-of-2 is NOT enough when the
+    // co-tenancy outlasts the whole bench (r8-r10 driver runs were
+    // 1.2-1.4× a clean rerun on a handful of queries), so every
+    // sample also measures host interference (/proc/stat steal +
+    // co-tenant busy) over its own window, and queries with no
+    // quiet-window sample are retried in detected-quiet windows
+    // until settled or a deadline.
     val Runs = 2
+    val deadlineMs = System.currentTimeMillis() +
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1080").toLong * 1000
     // optional local-iteration filter (comma-separated name
     // substrings); the driver never sets it, so its runs time the
     // full set
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.exists(kv._1.contains)))
-    def timeQueries(qs: Seq[(String, (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame)]): Map[String, Double] =
-      qs.map { case (name, fn) =>
+    val samples = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ListBuffer[(Double, Win)]]
+    def runPass(qs: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]): Unit =
+      qs.foreach { case (name, fn) =>
+        val h0 = hostTicks(); val self0 = selfTicks()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
+        val w = window(h0, self0)
         // queries may cache intermediates they reuse across branches;
         // don't let one query's cache skew the next one's measurement
         spark.catalog.clearCache()
-        name -> dt
-      }.toMap
-    val passes = (1 to Runs).map(_ => timeQueries(ordered))
-    // Contention-directed THIRD sample: the streaming/sampling gates
-    // run 1.2-1.5× slower in driver benches than in a clean rerun of
-    // the same build (BENCH_r08/r09 vs judge-clean) — their wall time
-    // is dominated by micro-batch scheduling latency, which contention
-    // inflates for longer than one whole pass, defeating min-of-2.
-    // One more sample for that family, plus any query whose two
-    // samples disagree by >30% (the generic contention signature).
-    val flagged = ordered.filter { case (name, _) =>
-      val vs = passes.map(_(name))
-      name.matches("^st[0-9].*") || name.startsWith("samp") ||
-        (vs.min > 0 && vs.max > vs.min * 1.3)
+        samples.getOrElseUpdate(name,
+          scala.collection.mutable.ListBuffer.empty) += ((dt, w))
+      }
+    runPass(ordered)
+    runPass(ordered)
+    // A query's number is trustworthy once it has ≥1 sample measured
+    // in a quiet window — two for the streaming/sampling family,
+    // whose wall time is micro-batch scheduling latency and stays
+    // noisy even when quiet — and its two best samples agree within
+    // 30% (the generic contention signature; retry cap bounds this).
+    def settled(name: String): Boolean = {
+      val ss = samples(name)
+      val quietNeeded =
+        if (name.matches("^st[0-9].*") || name.startsWith("samp")) 2 else 1
+      val sorted = ss.map(_._1).sorted
+      ss.count(s => quiet(s._2)) >= quietNeeded &&
+        // agreement check only above 0.5 s: sub-second queries carry
+        // 30%+ of pure JIT/GC jitter yet contribute ~nothing to the
+        // total, and retrying them wastes the bounded retry rounds
+        (sorted.size < 2 || sorted(0) < 0.5 ||
+          sorted(1) <= sorted(0) * 1.3)
     }
-    val pass3 = if (flagged.isEmpty) Map.empty[String, Double]
-      else timeQueries(flagged)
+    // Sleep until the host looks quiet over a 2 s probe window (our
+    // JVM is idle while probing, so co-tenant busy reads clean), then
+    // rerun just the unsettled queries. Bounded by rounds + deadline.
+    def waitQuiet(): Unit = {
+      var done = false
+      while (!done && System.currentTimeMillis() < deadlineMs) {
+        val h0 = hostTicks(); val self0 = selfTicks()
+        Thread.sleep(2000)
+        done = quiet(window(h0, self0)) || hostTicks().isEmpty
+      }
+    }
+    var extraRounds = 0
+    var need = ordered.filter(q => !settled(q._1))
+    while (need.nonEmpty && extraRounds < 3 &&
+        System.currentTimeMillis() < deadlineMs) {
+      waitQuiet()
+      runPass(need)
+      extraRounds += 1
+      need = ordered.filter(q => !settled(q._1))
+    }
     val results = ordered.map { case (name, _) =>
-      name -> (passes.map(_(name)) ++ pass3.get(name)).min
+      name -> samples(name).map(_._1).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query sample counts + whether any sample was quiet-window:
+    // round-over-round comparisons can then account for differing
+    // sample sizes instead of comparing min-of-2 against min-of-4
+    val passCounts = ordered.map { case (name, _) =>
+      s"\"" + name + "\":" + samples(name).size }.mkString("{", ",", "}")
+    val quietFlags = ordered.map { case (name, _) =>
+      s"\"" + name + "\":" +
+        (if (samples(name).exists(s => quiet(s._2))) 1 else 0)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"extra_rounds":$extraRounds,"passes":$passCounts,"quiet":$quietFlags,"queries":$qs,"sf":"$sfDir"}"""
     // Emit robustly: a contended driver run once truncated this line
     // mid-JSON. Print + hard flush BEFORE spark.stop() (whose shutdown
     // logging can interleave), and leave a recovery copy on disk.

@@ -155,9 +155,12 @@ final class LakeTable private[core] (
         val instants = live.iterator.map(_.instant).toSet
         instants.size == 1 && timeline.commits()
           .find(_.instant == instants.head)
-          // a combine=false batch may carry duplicate keys even under
-          // an allowlisted action — its commit records dedupedKeys =
-          // false and must take the full merge
+          // dedupedKeys=true means the batch is unique per (key,
+          // partition): either the pre-combine window ran, or the
+          // caller passed combine=false and the flag records its HARD
+          // uniqueness contract on its word (see the applyDeltas
+          // scaladoc). Only dedupedKeys=false — a combine=true batch
+          // written without a preCombine field — forces the full merge.
           .exists(c => SingleVersionActions.contains(c.action) &&
             c.dedupedKeys.getOrElse(true))
       }

@@ -105,10 +105,17 @@ private[graft] object SearchIndex {
       // cache the totals leg would either re-tokenize or aggregate
       // doc lengths back out of the exploded postings (a second
       // churn-sized groupBy(doc_id) shuffle)
+      // docs whose text is NULL or tokenizes to nothing carry no
+      // postings (explode emits no rows) and must not count in
+      // n_docs/tot_len either — the oracle derives both from the
+      // exploded relation. Filter ONCE here so the postings and
+      // totals legs stay consistent (size(NULL) is NULL → dropped).
       val afterToks = cache(after
-        .select(col("doc_id"), expr(toksExpr).as("toks")))
+        .select(col("doc_id"), expr(toksExpr).as("toks"))
+        .filter(size(col("toks")) > 0))
       val beforeToks = cache(before
-        .select(col("doc_id"), expr(toksExpr).as("toks")))
+        .select(col("doc_id"), expr(toksExpr).as("toks"))
+        .filter(size(col("toks")) > 0))
       def postingsOfToks(t: DataFrame): DataFrame = t
         .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
           explode(col("toks")).as("term"))

@@ -37,7 +37,7 @@ object CatalogSync {
   final case class TableSync(
       num: Int,
       tableName: String,
-      mark: String, // success | up_to_date | skipped | failed
+      mark: String, // success | up_to_date | schema_synced | skipped | failed
       syncTime: String,
       filesAdded: Int,
       filesRemoved: Int,
@@ -89,10 +89,14 @@ object CatalogSync {
         TableSync(num, name, "skipped", ts, 0, 0, "not a lake table")
       else
         try {
-          val (added, removed) =
+          val (added, removed, schemaOnly) =
             syncTable(spark, d.toString, s"$warehouse/$targetDb/$name")
           TableSync(num, name,
-            if (added == 0 && removed == 0) "up_to_date" else "success",
+            if (added != 0 || removed != 0) "success"
+            // a props-only schema propagation is NOT a no-op: surface
+            // it distinctly so callers/logs can see metadata moved
+            else if (schemaOnly) "schema_synced"
+            else "up_to_date",
             ts, added, removed, "")
         } catch {
           // per-table isolation, like the reference's try/catch per sync
@@ -105,14 +109,19 @@ object CatalogSync {
   }
 
   /** Mirror one source table's live file set into `tgtPath`; returns
-    * (files added, files dropped). The target is created on first sync
+    * (files added, files dropped, schema-only sync). The third flag is
+    * true only for the props-only branch — an unchanged file set whose
+    * source schema drifted, propagated without a commit — so callers
+    * can tell a metadata sync from a genuine no-op.
+    * The target is created on first sync
     * with the source's table properties (pk / preCombine / partition /
     * type / payload), so keyed DML against the mirror behaves like the
     * source. Mirrored entries keep the source's key bounds, bucket ids,
     * delta flags, and external markers — probes prune and MOR merges
     * exactly as they would at the source. */
   private[graft] def syncTable(
-      spark: SparkSession, srcPath: String, tgtPath: String): (Int, Int) = {
+      spark: SparkSession, srcPath: String, tgtPath: String)
+      : (Int, Int, Boolean) = {
     val src = LakeTable.load(spark, srcPath)
     val tgt =
       if (LakeTable.exists(spark, tgtPath)) LakeTable.load(spark, tgtPath)
@@ -130,10 +139,10 @@ object CatalogSync {
     // schema would otherwise report up_to_date while mirror readers
     // keep the stale schema until the next data commit
     val schemaDrift = src.schema.toDDL != tgt.schema.toDDL
-    if (fresh.isEmpty && stale.isEmpty && !schemaDrift) return (0, 0)
+    if (fresh.isEmpty && stale.isEmpty && !schemaDrift) return (0, 0, false)
     if (fresh.isEmpty && stale.isEmpty) {
       tgt.timeline.writeProps(tgt.props.copy(schemaDdl = src.schema.toDDL))
-      return (0, 0)
+      return (0, 0, true)
     }
     // managed graft files carry their meta columns in-file, so the
     // mirror references them as managed too (reads see the ORIGINAL
@@ -159,7 +168,7 @@ object CatalogSync {
         case f if f.bucket.isDefined => f.path -> f.bucket.get
       }.toMap).filter(_.nonEmpty),
       deltaAdded = Some(fresh.filter(_.delta).map(_.path)).filter(_.nonEmpty)))
-    (fresh.size, stale.size)
+    (fresh.size, stale.size, false)
   }
 
   /** Append this run's outcomes to the audit table
