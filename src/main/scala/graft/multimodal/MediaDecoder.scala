@@ -583,6 +583,60 @@ object MediaDecoder {
         "r_sum", "g_sum", "b_sum")
   }
 
+  /** 64-bit average-hash (aHash) of one image payload: box-resize to
+    * an 8×8 grid ([[resizeBoxRaw]]), per-cell gray level = summed
+    * r+g+b intensity (channel-ORDER-invariant, so BMP's B,G,R and
+    * PNG's R,G,B byte layouts hash identically), bit i (= cell_y·8 +
+    * cell_x) set iff cell i's per-pixel gray mean ≥ the whole image's
+    * — compared integer-exactly as cross-products, so a SQL oracle
+    * replays every bit with no image library. A uniform brightness
+    * shift moves every cell with the mean and leaves the hash
+    * unchanged — the property that makes aHash a PERCEPTUAL
+    * fingerprint rather than an exact one. Returned as two 32-bit
+    * halves (hi = bits 32-63): packing bit 63 into one signed 64-bit
+    * value would overflow the oracle side's integer arithmetic.
+    * Memory/IO cost is [[resizeBoxRaw]]'s: one streaming pass,
+    * O(64 cells) state, any input size. None for undecodable
+    * payloads. */
+  def aHash64(b: Array[Byte]): Option[(Long, Long)] =
+    resizeBoxRaw(b, 8, 8).map { case (_, _, nPix, sums) =>
+      val cellGray = Array.tabulate(64)(c =>
+        sums(c * 3) + sums(c * 3 + 1) + sums(c * 3 + 2))
+      var totPix = 0L; var totGray = 0L
+      var i = 0
+      while (i < 64) { totPix += nPix(i); totGray += cellGray(i); i += 1 }
+      var hi = 0L; var lo = 0L
+      i = 0
+      while (i < 64) {
+        // cellGray(i)/nPix(i) ≥ totGray/totPix as exact cross-products
+        // (cellGray ≤ 765·MaxDecodePixels and totPix ≤ MaxDecodePixels,
+        // so both products stay far below Long overflow); cells an
+        // undersized image leaves empty stay 0
+        if (nPix(i) > 0 && cellGray(i) * totPix >= totGray * nPix(i)) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      (hi, lo)
+    }
+
+  /** [[aHash64]] over a frame of (id, payload) rows: same shuffle-free
+    * one-task-per-partition shape as [[decode]]; one row per decodable
+    * payload, hash as two unsigned 32-bit halves. */
+  def aHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray else bytes
+          aHash64(payload).map { case (hi, lo) => (id, hi, lo) }
+        }
+      }
+      .toDF(idCol, "hash_hi", "hash_lo")
+  }
+
   /** Frame-sampling shape for video-like payloads: treat a payload as
     * fixed-size frame windows and emit one row per SAMPLED frame with
     * a real per-frame decode ([[decodeAny]] — frames carrying a BMP /

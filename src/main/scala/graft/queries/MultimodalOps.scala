@@ -246,6 +246,118 @@ object MultimodalOps {
         CAST(max(abs(x)) AS BIGINT) AS peak_out
       FROM s GROUP BY doc_id, n ORDER BY doc_id"""))
 
+  /** mm6 — PERCEPTUAL image near-dup, decode included: the missing
+    * intersection of dedup and multimodal. Every doc gets a
+    * deterministic 16×16 noise image (channel value = integer
+    * arithmetic on (doc_id, x, y) with doc-dependent multiplicative
+    * coefficients, so distinct docs get uncorrelated spatial patterns
+    * — a plain gradient would aHash identically for every doc); every
+    * 8th doc is instead a PERTURBED COPY of its predecessor's image —
+    * doc_id%16==1 a global +1 brightness shift, doc_id%16==9 a
+    * single-pixel +60 pop — and lands in the OTHER codec (odd = PNG,
+    * its base even = BMP), so the pair must survive a cross-format
+    * decode. Pipeline: encode → [[graft.multimodal.MediaDecoder.aHash]]
+    * (8×8 box-resize → 64-bit mean-threshold hash, one shuffle-free
+    * pass) → hamming-band blocking: 8 bands of 8 bits, so hamming ≤ 7
+    * pigeonholes into ≥1 equal band — the banded equi-join has FULL
+    * recall at the threshold and is never all-pairs (at 100 TB the
+    * band buckets bound candidates exactly like dedup3's SimHash
+    * blocks). The DuckDB oracle replays fixture arithmetic, binning,
+    * threshold, and bit packing exactly, and verifies pairs
+    * BRUTE-FORCE (all-pairs over the 64-bit signatures) — a banding
+    * recall loss hash-mismatches. */
+  private val PhSide = 16
+  private val phashQ = GQ(
+    "mm6_phash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.MediaDecoder
+      val payloads = t(s, dir, "documents").select("doc_id")
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { d =>
+            val sd = if (d % 8 == 1) d - 1 else d // perturbed docs copy d-1
+            val m = (d % 16).toInt
+            def ch(x: Int, y: Int, k: Int): Int = {
+              val v = ((k match {
+                case 0 => (sd * 131 + x) * (sd % 97 + 31) +
+                  (sd * 137 + y) * (sd % 89 + 29) + x.toLong * y * (sd % 83 + 11)
+                case 1 => (sd * 139 + x) * (sd % 101 + 37) +
+                  (sd * 149 + y) * (sd % 79 + 23) + x.toLong * y * (sd % 71 + 13)
+                case _ => (sd * 151 + x) * (sd % 103 + 41) +
+                  (sd * 157 + y) * (sd % 73 + 19) + x.toLong * y * (sd % 61 + 17)
+              }) % 256).toInt
+              if (m == 1) math.min(v + 1, 255)
+              else if (m == 9 && x == 0 && y == 0 && k == 0) math.min(v + 60, 255)
+              else v
+            }
+            def px(x: Int, y: Int): Int =
+              (ch(x, y, 0) << 16) | (ch(x, y, 1) << 8) | ch(x, y, 2)
+            val bytes =
+              if (d % 2 == 0) MediaDecoder.encodeBmp24With(PhSide, PhSide)(px)
+              else MediaDecoder.encodePngWith(PhSide, PhSide)(px)
+            (d, bytes)
+          }
+        }
+        .toDF("doc_id", "payload")
+      val sig = MediaDecoder.aHash(payloads, "doc_id", "payload")
+      val blocks = sig.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        explode(array((0 until 8).map { k =>
+          val half = if (k < 4) col("hash_lo") else col("hash_hi")
+          concat_ws(":", lit(k),
+            shiftright(half, 8 * (k % 4)).bitwiseAND(lit(255L)))
+        }: _*)).as("blk"))
+      blocks.as("l").join(blocks.as("r"),
+          col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          (expr("bit_count(l.hash_hi ^ r.hash_hi)") +
+            expr("bit_count(l.hash_lo ^ r.hash_lo)")).cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 7)
+        .orderBy("a", "b")
+    },
+    Some("""WITH g(i) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+          (8),(9),(10),(11),(12),(13),(14),(15)),
+      px AS (SELECT d.doc_id, xs.i AS xi, ys.i AS yi,
+          CASE WHEN d.doc_id % 8 = 1 THEN d.doc_id - 1 ELSE d.doc_id END AS sd,
+          d.doc_id % 16 AS m
+        FROM documents d CROSS JOIN g xs CROSS JOIN g ys),
+      pv AS (SELECT doc_id, xi, yi, m,
+          ((sd*131 + xi) * (sd % 97 + 31) + (sd*137 + yi) * (sd % 89 + 29)
+            + xi*yi*(sd % 83 + 11)) % 256 AS r0,
+          ((sd*139 + xi) * (sd % 101 + 37) + (sd*149 + yi) * (sd % 79 + 23)
+            + xi*yi*(sd % 71 + 13)) % 256 AS g0,
+          ((sd*151 + xi) * (sd % 103 + 41) + (sd*157 + yi) * (sd % 73 + 19)
+            + xi*yi*(sd % 61 + 17)) % 256 AS b0
+        FROM px),
+      pp AS (SELECT doc_id, xi, yi,
+          CASE WHEN m = 1 THEN LEAST(r0 + 1, 255)
+               WHEN m = 9 AND xi = 0 AND yi = 0 THEN LEAST(r0 + 60, 255)
+               ELSE r0 END
+          + CASE WHEN m = 1 THEN LEAST(g0 + 1, 255) ELSE g0 END
+          + CASE WHEN m = 1 THEN LEAST(b0 + 1, 255) ELSE b0 END AS gray
+        FROM pv),
+      cells AS (SELECT doc_id, xi // 2 AS cx, yi // 2 AS cy,
+          CAST(sum(gray) AS BIGINT) AS cg
+        FROM pp GROUP BY doc_id, xi // 2, yi // 2),
+      tot AS (SELECT doc_id, CAST(sum(cg) AS BIGINT) AS tg
+        FROM cells GROUP BY doc_id),
+      bits AS (SELECT c.doc_id, cy * 8 + cx AS i,
+          CASE WHEN cg * 64 >= tg THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN tot USING (doc_id)),
+      sig AS (SELECT doc_id,
+          CAST(sum(CASE WHEN i < 32
+            THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo,
+          CAST(sum(CASE WHEN i >= 32
+            THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+          AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+      ORDER BY a, b"""))
+
   def qs: Seq[GQ] =
-    Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ)
+    Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ, phashQ)
 }

@@ -530,6 +530,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(resizeBoxRaw(Array.emptyByteArray, 2, 2).isEmpty)
   }
 
+  test("aHash64: brightness invariance, BMP/PNG parity, locality, guards") {
+    import MediaDecoder.{aHash64, encodeBmp24With, encodePngWith}
+    // noise-ish 16×16 so the 8×8 grid cells have distinct sums
+    def px(x: Int, y: Int): Int = {
+      val r = (x * 37 + y * 91 + x * y * 13) % 256
+      val g = (x * 53 + y * 71 + x * y * 17) % 256
+      val b = (x * 61 + y * 43 + x * y * 19) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val base = aHash64(encodeBmp24With(16, 16)(px)).get
+    // the same pixels through the other codec hash identically even
+    // though the byte layouts differ (BMP bottom-up B,G,R vs PNG
+    // top-down R,G,B) — gray summing is channel-order-invariant and
+    // streamPixels normalizes row order
+    assert(aHash64(encodePngWith(16, 16)(px)).get == base)
+    // uniform brightness shift: every cell moves with the mean, hash
+    // unchanged — the perceptual property the near-dup gate leans on
+    def bright(x: Int, y: Int): Int = {
+      val p = px(x, y)
+      def c(v: Int) = math.min(v + 20, 255)
+      (c(p >>> 16) << 16) | (c((p >>> 8) & 0xff) << 8) | c(p & 0xff)
+    }
+    assert(aHash64(encodeBmp24With(16, 16)(bright)).get == base)
+    // a single-pixel pop flips at most a few bits (its own cell +
+    // mean-marginal cells), never the whole hash
+    def popped(x: Int, y: Int): Int =
+      if (x == 0 && y == 0) 0xffffff else px(x, y)
+    val (phi, plo) = aHash64(encodeBmp24With(16, 16)(popped)).get
+    val hamming = java.lang.Long.bitCount(phi ^ base._1) +
+      java.lang.Long.bitCount(plo ^ base._2)
+    assert(hamming <= 7, s"single-pixel change moved $hamming bits")
+    // a structurally different image lands FAR away in hamming space
+    val (ohi, olo) = aHash64(encodeBmp24With(16, 16)((x, y) =>
+      px(15 - x, y) ^ 0x7f3f1f)).get
+    assert(java.lang.Long.bitCount(ohi ^ base._1) +
+      java.lang.Long.bitCount(olo ^ base._2) > 7)
+    // halves carry no sign bit: each is an unsigned 32-bit value
+    assert(base._1 >= 0 && base._1 <= 0xffffffffL &&
+      base._2 >= 0 && base._2 <= 0xffffffffL)
+    assert(aHash64("not an image".getBytes("UTF-8")).isEmpty)
+    assert(aHash64(Array.emptyByteArray).isEmpty)
+  }
+
   test("sampleFrames: offset stride decodes sampled BMP frames for real") {
     val d = 7L
     val frames = (0 until 5).map { fi =>
