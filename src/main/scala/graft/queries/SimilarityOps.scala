@@ -573,6 +573,51 @@ object SimilarityOps {
     },
     Some(ivfOracleSql))
 
+  /** Shared Lloyd's-iteration CTE scaffolding for the sim4/sim6/sim8
+    * DuckDB oracles — one aN (argmin assignment) + mN/cN (rounded
+    * means with empty-cluster carry-over) chain per iteration,
+    * parameterized by source relation, carried columns, vector
+    * geometry, and the PQ per-subspace grouping key. The three
+    * oracles previously carried near-copies of this scaffolding
+    * (round-10 review); the emitted SQL is byte-identical to the
+    * pre-refactor strings — pinned by md5 in SimilarityOraclesSpec,
+    * since the driver hashes DuckDB results of the oracle TEXT. */
+  private final class LloydScaffold(
+      from: String, carry: String, vec: String, sq: String, dims: Int,
+      dot: (String, String) => String, subspaced: Boolean = false) {
+    // d² against centroid table alias c, embedding table alias e
+    val d2: String =
+      s"e.$sq - 2*${dot(s"e.$vec", "c.cent")} + ${dot("c.cent", "c.cent")}"
+    private val meanList = (1 to dims)
+      .map(i => s"round(avg(CAST($vec[$i] AS DOUBLE)), $ivfCentRound)")
+      .mkString("[", ", ", "]")
+    def assignCte(n: Int, cents: String): String =
+      if (subspaced)
+        s"""a$n AS (SELECT $carry, c.cid, $d2 AS d2,
+          row_number() OVER (PARTITION BY e.vec_id, e.m
+            ORDER BY $d2 ASC, c.cid ASC) AS rn
+        FROM $from JOIN $cents c ON c.m = e.m)"""
+      else
+        s"""a$n AS (SELECT $carry, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn
+        FROM $from, $cents c)"""
+    private def updateCte(n: Int, prev: String): String =
+      if (subspaced)
+        s"""m$n AS (SELECT m, cid, $meanList AS cent2
+          FROM a$n WHERE rn = 1 GROUP BY m, cid),
+        c$n AS (SELECT p.m, p.cid, coalesce(m$n.cent2, p.cent) AS cent
+          FROM $prev p LEFT JOIN m$n ON m$n.m = p.m AND m$n.cid = p.cid)"""
+      else
+        s"""m$n AS (SELECT cid, $meanList AS cent2
+          FROM a$n WHERE rn = 1 GROUP BY cid),
+        c$n AS (SELECT p.cid, coalesce(m$n.cent2, p.cent) AS cent
+          FROM $prev p LEFT JOIN m$n USING (cid))"""
+    def iters(count: Int): String = (1 to count).map { n =>
+      val prev = if (n == 1) "c0" else s"c${n - 1}"
+      assignCte(n, prev) + ",\n" + updateCte(n, prev)
+    }.mkString(",\n")
+  }
+
   /** sim4's DuckDB oracle: replays the identical fixed-seed Lloyd's
     * iterations relationally — every CTE pair (aN = argmin assignment,
     * cN = rounded means with empty-cluster carry-over) mirrors one
@@ -580,24 +625,10 @@ object SimilarityOps {
     * is bit-reproducible across engines). */
   private def ivfOracleSql: String = {
     val dot = dotSql _
-    // d² against centroid table alias c, embedding table alias e
-    def d2 = s"e.ee - 2*${dot("e.embedding", "c.cent")} + ${dot("c.cent", "c.cent")}"
-    def assignCte(n: Int, cents: String) =
-      s"""a$n AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-          row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn
-        FROM e, $cents c)"""
-    val meanList = (1 to Dims)
-      .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), $ivfCentRound)")
-      .mkString("[", ", ", "]")
-    def updateCte(n: Int, prev: String) =
-      s"""m$n AS (SELECT cid, $meanList AS cent2
-          FROM a$n WHERE rn = 1 GROUP BY cid),
-        c$n AS (SELECT p.cid, coalesce(m$n.cent2, p.cent) AS cent
-          FROM $prev p LEFT JOIN m$n USING (cid))"""
-    val iters = (1 to ivfIters).map { n =>
-      val prev = if (n == 1) "c0" else s"c${n - 1}"
-      assignCte(n, prev) + ",\n" + updateCte(n, prev)
-    }.mkString(",\n")
+    val sc = new LloydScaffold("e", "e.vec_id, e.embedding, e.nrm",
+      "embedding", "ee", Dims, dotSql)
+    val iters = sc.iters(ivfIters)
+    def assignCte(n: Int, cents: String) = sc.assignCte(n, cents)
     s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
           ${dot("embedding", "embedding")} AS ee FROM embeddings),
       c0 AS (SELECT CAST(vec_id AS INT) AS cid,
@@ -700,23 +731,10 @@ object SimilarityOps {
     * negated updates applied). */
   private def ivfIncOracleSql: String = {
     val dot = dotSql _
-    def d2 = s"e.ee - 2*${dot("e.embedding", "c.cent")} + ${dot("c.cent", "c.cent")}"
-    def assignCte(n: Int, cents: String) =
-      s"""a$n AS (SELECT e.vec_id, e.embedding, c.cid,
-          row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn
-        FROM es e, $cents c)"""
-    val meanList = (1 to Dims)
-      .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), $ivfCentRound)")
-      .mkString("[", ", ", "]")
-    def updateCte(n: Int, prev: String) =
-      s"""m$n AS (SELECT cid, $meanList AS cent2
-          FROM a$n WHERE rn = 1 GROUP BY cid),
-        c$n AS (SELECT p.cid, coalesce(m$n.cent2, p.cent) AS cent
-          FROM $prev p LEFT JOIN m$n USING (cid))"""
-    val iters = (1 to ivfIters).map { n =>
-      val prev = if (n == 1) "c0" else s"c${n - 1}"
-      assignCte(n, prev) + ",\n" + updateCte(n, prev)
-    }.mkString(",\n")
+    val sc = new LloydScaffold("es e", "e.vec_id, e.embedding",
+      "embedding", "ee", Dims, dotSql)
+    val iters = sc.iters(ivfIters)
+    def d2 = sc.d2
     s"""WITH seedsrc AS (SELECT vec_id, embedding FROM embeddings
           WHERE vec_id % 3 <> 0),
       es AS (SELECT vec_id, embedding,
@@ -823,24 +841,10 @@ object SimilarityOps {
     def dot8(a: String, b: String) =
       s"list_sum(list_transform(range(1, ${pqSubDims + 1}), " +
         s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-    def d2 = s"e.ss - 2*${dot8("e.sub", "c.cent")} + ${dot8("c.cent", "c.cent")}"
-    def assignCte(n: Int, cents: String) =
-      s"""a$n AS (SELECT e.vec_id, e.m, e.sub, e.ss, c.cid, $d2 AS d2,
-          row_number() OVER (PARTITION BY e.vec_id, e.m
-            ORDER BY $d2 ASC, c.cid ASC) AS rn
-        FROM e JOIN $cents c ON c.m = e.m)"""
-    val meanList = (1 to pqSubDims)
-      .map(i => s"round(avg(CAST(sub[$i] AS DOUBLE)), $ivfCentRound)")
-      .mkString("[", ", ", "]")
-    def updateCte(n: Int, prev: String) =
-      s"""m$n AS (SELECT m, cid, $meanList AS cent2
-          FROM a$n WHERE rn = 1 GROUP BY m, cid),
-        c$n AS (SELECT p.m, p.cid, coalesce(m$n.cent2, p.cent) AS cent
-          FROM $prev p LEFT JOIN m$n ON m$n.m = p.m AND m$n.cid = p.cid)"""
-    val iters = (1 to pqIters).map { n =>
-      val prev = if (n == 1) "c0" else s"c${n - 1}"
-      assignCte(n, prev) + ",\n" + updateCte(n, prev)
-    }.mkString(",\n")
+    val sc = new LloydScaffold("e", "e.vec_id, e.m, e.sub, e.ss",
+      "sub", "ss", pqSubDims, dot8, subspaced = true)
+    val iters = sc.iters(pqIters)
+    def assignCte(n: Int, cents: String) = sc.assignCte(n, cents)
     val last = pqIters + 1
     s"""WITH es AS (SELECT vec_id, CAST(ms.m AS INT) AS m,
           list_slice(embedding, CAST(ms.m * $pqSubDims + 1 AS INT),
