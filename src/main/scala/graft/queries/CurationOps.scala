@@ -158,7 +158,8 @@ object CurationOps {
       // tables, and the flag pass reads the `seed` relation directly —
       // overlap the two commit chains (QueryPack.overlapping); the
       // increment below joins on both
-      val (c1, _) = QueryPack.overlapping {
+      val (c1, _) = QueryPack.overlapping(
+          Seq(docsTab.basePath), Seq(verdicts.basePath)) {
         val c1 = docsTab.upsert(seed)
         docsTab.upsert(churn)
         c1
@@ -860,7 +861,8 @@ object CurationOps {
       // the bg leg also pre-merges the docs MOR snapshot the increment
       // verifies against — the merge-window read rides the bootstrap's
       // shadow too instead of the serial path between the reconciles
-      val ((inc, docsSnap), _) = QueryPack.overlapping {
+      val ((inc, docsSnap), _) = QueryPack.overlapping(
+          Seq(docs.basePath), Seq(sigStore.basePath, pairsTab.basePath)) {
         val c1 = docs.upsert(seed)
         docs.upsert(churn)
         val inc = docs.incremental(c1).select("doc_id", "text").persist()
@@ -1076,7 +1078,8 @@ object CurationOps {
       // images (they need only the docs commits, not the index), so
       // the CDC read rides the bootstrap fold's shadow instead of the
       // serial path between the two maintains
-      val (ch, _) = QueryPack.overlapping {
+      val (ch, _) = QueryPack.overlapping(Seq(docs.basePath),
+          Seq(post.basePath, stats.basePath, totals.basePath)) {
         val c1 = docs.upsert(seed)
         docs.upsertWithDeletes(
           churn.join(delKeys, Seq("doc_id"), "left_anti"), delKeys)

@@ -413,7 +413,7 @@ object LakeQueries {
       // run the MV bootstrap concurrently with the three DML commits —
       // disjoint tables; the CDC fold below needs both chains done
       val snap0 = tab.snapshot()
-      QueryPack.overlapping {
+      QueryPack.overlapping(Seq(mv.basePath), Seq(tab.basePath)) {
         mv.upsert(snap0
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("cnt"),

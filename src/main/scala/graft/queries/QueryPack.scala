@@ -57,11 +57,22 @@ object QueryPack {
     * them mid-commit). Sound only when the two chains write DISJOINT
     * tables and any plan the foreground reads over a
     * background-written table was pinned beforehand (`snapshot()`
-    * resolves its live-file list eagerly on the driver). */
-  private[queries] def overlapping[A, B](bg: => A)(fg: => B): (A, B) = {
+    * resolves its live-file list eagerly on the driver). The
+    * disjointness half of that contract is ENFORCED: each chain
+    * declares the base paths it commits to and the helper refuses
+    * overlapping resolved paths, so a future gate edit can't silently
+    * violate the precondition. */
+  private[queries] def overlapping[A, B](
+      bgWrites: Seq[String], fgWrites: Seq[String])(
+      bg: => A)(fg: => B): (A, B) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    def canon(p: String) = new java.io.File(p).getCanonicalPath
+    val clash = bgWrites.map(canon).toSet intersect fgWrites.map(canon).toSet
+    require(clash.isEmpty,
+      s"overlapping: both chains declare writes to ${clash.mkString(", ")} " +
+        "— the concurrent-chain helper is sound only for disjoint tables")
     val f = Future(bg)
     val r = try fg catch {
       case t: Throwable => Await.ready(f, Duration.Inf); throw t

@@ -692,7 +692,8 @@ object SimilarityOps {
       // incremental read below joins on both
       val se = withEe(seed.select("vec_id", "embedding")).persist()
       try {
-        val (c1, cents) = QueryPack.overlapping {
+        val (c1, cents) = QueryPack.overlapping(
+            Seq(vecs.basePath), Seq(asgn.basePath)) {
           val c1 = vecs.upsert(seed)
           vecs.upsert(churn)
           c1

@@ -239,7 +239,8 @@ object SketchOps {
       // the docs-table loads and the seed sketch fold write DISJOINT
       // tables, and the fold reads the `seed` relation directly —
       // overlap the two commit chains (QueryPack.overlapping)
-      val ((c1, c2), _) = QueryPack.overlapping {
+      val ((c1, c2), _) = QueryPack.overlapping(
+          Seq(docs.basePath), Seq(skt.basePath)) {
         val c1 = docs.upsert(seed)
         docs.upsert(inc1)
         val c2 = docs.upsert(inc2)
