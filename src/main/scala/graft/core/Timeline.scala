@@ -538,12 +538,32 @@ final class Timeline(conf: Configuration, val basePath: String) {
 
   private def checkpointPath = new Path(dir, CHECKPOINT_FILE)
 
-  def readCheckpoint(): Option[CheckpointMeta] = {
-    if (!fs.exists(checkpointPath)) return None
-    val in = fs.open(checkpointPath)
-    try Some(JsonMethods.parse(in)
-      .extract[CheckpointMeta](formats, manifest[CheckpointMeta]))
-    finally in.close()
+  /** Parsed checkpoint keyed on the file's (length, modtime): an aged
+    * table's checkpoint carries its whole live-file index (50k files ≈
+    * several MB of JSON), and every liveFiles() — i.e. every snapshot
+    * or probe PLANNING — reads it. Re-parsing per call made planning
+    * O(live files) in PARSE cost, the round-11 metadata-axis stress
+    * cliff; the status key keeps the cache correct under external
+    * writers (archive() replaces the file atomically, changing both
+    * length and modtime). */
+  private var cpCache: Option[(Long, Long, CheckpointMeta)] = None
+
+  def readCheckpoint(): Option[CheckpointMeta] = this.synchronized {
+    if (!fs.exists(checkpointPath)) { cpCache = None; return None }
+    val st = fs.getFileStatus(checkpointPath)
+    cpCache match {
+      case Some((len, mod, cp))
+          if len == st.getLen && mod == st.getModificationTime =>
+        Some(cp)
+      case _ =>
+        val in = fs.open(checkpointPath)
+        val cp =
+          try JsonMethods.parse(in)
+            .extract[CheckpointMeta](formats, manifest[CheckpointMeta])
+          finally in.close()
+        cpCache = Some((st.getLen, st.getModificationTime, cp))
+        Some(cp)
+    }
   }
 
   /** Archive: fold the oldest active commits into the checkpoint once
@@ -611,6 +631,10 @@ final class Timeline(conf: Configuration, val basePath: String) {
       // in the active dir, where liveFiles ignores it (at-or-before
       // the checkpoint boundary) and the next archive() re-moves it
       fs.rename(new Path(dir, name), new Path(archiveDir, name))
+      // the listing no longer returns the archived name — drop its
+      // cache entry so a long-lived writer's heap tracks the ACTIVE
+      // window, not the table's whole commit history
+      commitCache.remove(name)
     }
     toArchive.size
   }
