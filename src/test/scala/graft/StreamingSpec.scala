@@ -573,6 +573,83 @@ class StreamingSpec extends AnyFunSuite {
     check("crash-window")
   }
 
+  test("mid-stream schema evolution: maintained index folds on, equals batch answer") {
+    // at 100 TB, producers add columns without stopping consumers:
+    // the docs schema WIDENS (additive upsert, lake5
+    // ROW_DATA_TYPE_WIDER semantics) while SearchIndexMaintenance is
+    // LIVE — same query lifecycle, no restart. The CDC source pinned
+    // its schema at stream start and the fold projects (doc_id,
+    // text), so widened batches must keep folding and the index must
+    // stay hash-equal to the batch answer over the widened corpus.
+    import graft.streaming.SearchIndexMaintenance
+    import graft.queries.SearchIndex
+    val docsPath = tmp("sev_docs_")
+    val postPath = tmp("sev_post_")
+    val statsPath = tmp("sev_stats_")
+    val totPath = tmp("sev_tot_")
+    val ckpt = tmp("sev_ckpt_")
+    val docs = LakeTable.create(spark, docsPath, TableProps(
+      "sevdocs", Seq("doc_id"), Some("ts"), Seq.empty))
+    LakeTable.create(spark, postPath, TableProps(
+      "sevpost", Seq("doc_id", "term"), Some("ts"), Seq.empty,
+      tableType = "mor"))
+    LakeTable.create(spark, statsPath, TableProps(
+      "sevstats", Seq("term"), Some("ts"), Seq.empty, tableType = "mor"))
+    LakeTable.create(spark, totPath, TableProps(
+      "sevtot", Seq("id"), Some("ts"), Seq.empty, tableType = "mor"))
+    docs.upsert(Seq(
+      (1L, "alpha bravo alpha", 1L),
+      (2L, "bravo charlie", 1L)).toDF("doc_id", "text", "ts"))
+    def check(phase: String): Unit = {
+      val corpus = docs.snapshot().select("doc_id", "text")
+      val wantPost = SearchIndex.postingsOf(corpus).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val gotPost = LakeTable.load(spark, postPath).snapshot()
+        .select("doc_id", "term", "n", "len").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(gotPost == wantPost, s"[$phase] postings: " +
+        s"extra=${gotPost -- wantPost} missing=${wantPost -- gotPost}")
+      val wantDf = wantPost.groupBy(_._2)
+        .map { case (t, g) => t -> g.map(_._1).size.toLong }
+      val gotDf = LakeTable.load(spark, statsPath).snapshot()
+        .filter(col("df") > 0).select("term", "df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotDf == wantDf, s"[$phase] df: got $gotDf want $wantDf")
+      val wantLen = wantPost.groupBy(_._1).map(_._2.head._4).sum
+      val tot = LakeTable.load(spark, totPath).snapshot()
+        .select("n_docs", "tot_len").collect()
+      assert(tot.length == 1 &&
+        (tot(0).getLong(0), tot(0).getLong(1)) ==
+          (wantPost.map(_._1).size.toLong, wantLen),
+        s"[$phase] totals ${tot.toSeq}")
+    }
+    val q = SearchIndexMaintenance.start(
+      spark, docsPath, postPath, statsPath, totPath, ckpt)
+    try {
+      q.processAllAvailable()
+      check("pre-widen")
+      // the widening batch: a NEW column arrives together with an
+      // update (doc 1 re-texted) and an insert (doc 3) — postings
+      // must tombstone/decrement the pre-image terms as usual
+      docs.upsert(Seq(
+        (1L, "delta echo", 2L, "en"),
+        (3L, "alpha foxtrot", 2L, "de")).toDF("doc_id", "text", "ts", "lang"))
+      q.processAllAvailable()
+      assert(LakeTable.load(spark, docsPath).schema.fieldNames
+        .contains("lang"), "docs schema did not widen")
+      check("post-widen")
+      // keep going on the widened table: a delete and another widened
+      // insert fold through the same live query
+      docs.delete(Seq(Tuple1(2L)).toDF("doc_id"))
+      docs.upsert(Seq((4L, "echo golf", 3L, "fr"))
+        .toDF("doc_id", "text", "ts", "lang"))
+      q.processAllAvailable()
+      check("post-widen-churn")
+    } finally q.stop()
+  }
+
   test("streaming near-dup maintenance: kill/restart converges to batch answer") {
     import graft.streaming.{ExactlyOnce, NearDupMaintenance}
     import graft.queries.DedupOps
