@@ -114,9 +114,15 @@ object ScalingAudit {
     // CDC+archive) are in scope too — their scenarios scale churn WITH
     // corpus (modulo-mask batches), so a fold whose cost tracked the
     // CORPUS instead of the churn would show super-linear here
+    // round-11 extension: the streaming-service gates (st1-st6) run
+    // their full scenarios against the given dir too — churn scales
+    // with corpus via the same modulo masks, so a service fold whose
+    // cost tracked the corpus would show super-linear here, while the
+    // per-scenario fixed floor (checkpoint + commit count) should
+    // keep the ratio under-linear
     val fams = Seq("q", "dedup", "sim", "text", "sketch", "graph",
       "pack", "pipe", "samp", "decon", "lake16", "lake18", "lake21",
-      "mm")
+      "mm", "st")
     // optional arg: comma-separated name substrings to re-audit a
     // subset (appending rows for newly added gates)
     val only = args.headOption.map(_.split(",").toSeq)
