@@ -267,61 +267,87 @@ object MultimodalOps {
     * BRUTE-FORCE (all-pairs over the 64-bit signatures) — a banding
     * recall loss hash-mismatches. */
   private val PhSide = 16
-  private val phashQ = GQ(
-    "mm6_phash_neardup",
-    (s, dir) => {
-      import s.implicits._
-      import graft.multimodal.MediaDecoder
-      val payloads = t(s, dir, "documents").select("doc_id")
-        .as[Long]
-        .mapPartitions { it =>
-          it.map { d =>
-            val sd = if (d % 8 == 1) d - 1 else d // perturbed docs copy d-1
-            val m = (d % 16).toInt
-            def ch(x: Int, y: Int, k: Int): Int = {
-              val v = ((k match {
-                case 0 => (sd * 131 + x) * (sd % 97 + 31) +
-                  (sd * 137 + y) * (sd % 89 + 29) + x.toLong * y * (sd % 83 + 11)
-                case 1 => (sd * 139 + x) * (sd % 101 + 37) +
-                  (sd * 149 + y) * (sd % 79 + 23) + x.toLong * y * (sd % 71 + 13)
-                case _ => (sd * 151 + x) * (sd % 103 + 41) +
-                  (sd * 157 + y) * (sd % 73 + 19) + x.toLong * y * (sd % 61 + 17)
-              }) % 256).toInt
-              if (m == 1) math.min(v + 1, 255)
-              else if (m == 9 && x == 0 && y == 0 && k == 0) math.min(v + 60, 255)
-              else v
-            }
-            def px(x: Int, y: Int): Int =
-              (ch(x, y, 0) << 16) | (ch(x, y, 1) << 8) | ch(x, y, 2)
-            val bytes =
-              if (d % 2 == 0) MediaDecoder.encodeBmp24With(PhSide, PhSide)(px)
-              else MediaDecoder.encodePngWith(PhSide, PhSide)(px)
-            (d, bytes)
-          }
-        }
-        .toDF("doc_id", "payload")
-      val sig = MediaDecoder.aHash(payloads, "doc_id", "payload")
-      val blocks = sig.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
-        explode(array((0 until 8).map { k =>
-          val half = if (k < 4) col("hash_lo") else col("hash_hi")
-          concat_ws(":", lit(k),
-            shiftright(half, 8 * (k % 4)).bitwiseAND(lit(255L)))
-        }: _*)).as("blk"))
-      blocks.as("l").join(blocks.as("r"),
-          col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-          (expr("bit_count(l.hash_hi ^ r.hash_hi)") +
-            expr("bit_count(l.hash_lo ^ r.hash_lo)")).cast("int").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 7)
-        .orderBy("a", "b")
-    },
-    Some("""WITH g(i) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+
+  /** Shared deterministic noise-image fixture for the perceptual-hash
+    * gates (mm6/mm7): channel value = integer arithmetic on (source
+    * doc, x, y) with doc-dependent multiplicative coefficients, so
+    * distinct docs get uncorrelated spatial patterns. Injection masks:
+    * doc d is a PERTURBED COPY of d-1 iff d % pairMod == rem — a
+    * global +1 brightness shift when d % (2·pairMod) == rem, a
+    * single-pixel +60 pop when it's rem + pairMod. `rem = -1`
+    * disables injection (pure noise — the mm7 seed images). Even docs
+    * encode as BMP, odd as PNG, so every injected pair spans the two
+    * codecs. */
+  private def phashFixture(d: Long, pairMod: Int, rem: Int): Array[Byte] = {
+    import graft.multimodal.MediaDecoder
+    val inject = rem >= 0 && d % pairMod == rem
+    val sd = if (inject) d - 1 else d
+    val m2 = (d % (2 * pairMod)).toInt
+    val bright = inject && m2 == rem
+    val pop = inject && m2 == rem + pairMod
+    def ch(x: Int, y: Int, k: Int): Int = {
+      val v = ((k match {
+        case 0 => (sd * 131 + x) * (sd % 97 + 31) +
+          (sd * 137 + y) * (sd % 89 + 29) + x.toLong * y * (sd % 83 + 11)
+        case 1 => (sd * 139 + x) * (sd % 101 + 37) +
+          (sd * 149 + y) * (sd % 79 + 23) + x.toLong * y * (sd % 71 + 13)
+        case _ => (sd * 151 + x) * (sd % 103 + 41) +
+          (sd * 157 + y) * (sd % 73 + 19) + x.toLong * y * (sd % 61 + 17)
+      }) % 256).toInt
+      if (bright) math.min(v + 1, 255)
+      else if (pop && x == 0 && y == 0 && k == 0) math.min(v + 60, 255)
+      else v
+    }
+    def px(x: Int, y: Int): Int =
+      (ch(x, y, 0) << 16) | (ch(x, y, 1) << 8) | ch(x, y, 2)
+    if (d % 2 == 0) MediaDecoder.encodeBmp24With(PhSide, PhSide)(px)
+    else MediaDecoder.encodePngWith(PhSide, PhSide)(px)
+  }
+
+  /** (doc_id) frame → (doc_id, payload) fixture frame. */
+  private def imgFrame(
+      df: org.apache.spark.sql.DataFrame, pairMod: Int, rem: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(d => (d, phashFixture(d, pairMod, rem))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Explode a signature frame into its 8 hamming bands of 8 bits:
+    * pigeonhole gives hamming ≤ 7 ⇒ ≥ 1 equal band, so a band
+    * equi-join has FULL recall at the threshold and is never
+    * all-pairs — at 100 TB the band buckets bound candidates exactly
+    * like dedup3's SimHash blocks. */
+  private def banded(sig: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sig.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+      explode(array((0 until 8).map { k =>
+        val half = if (k < 4) col("hash_lo") else col("hash_hi")
+        concat_ws(":", lit(k),
+          shiftright(half, 8 * (k % 4)).bitwiseAND(lit(255L)))
+      }: _*)).as("blk"))
+
+  private def hammingCol: org.apache.spark.sql.Column =
+    (expr("bit_count(l.hash_hi ^ r.hash_hi)") +
+      expr("bit_count(l.hash_lo ^ r.hash_lo)")).cast("int")
+
+  /** Shared DuckDB oracle body for the perceptual-hash gates: replay
+    * the fixture arithmetic (masks parameterized), 16×16 → 8×8
+    * binning, mean threshold, bit packing, then verify pairs
+    * BRUTE-FORCE (all-pairs over the 64-bit signatures) — a banding
+    * recall loss on the Spark side hash-mismatches. `alive` filters
+    * the corpus to the docs the Spark side ends up with (mm7's
+    * deletes). */
+  private def phashOracle(pairMod: Int, rem: Int, alive: String): String =
+    s"""WITH g(i) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
           (8),(9),(10),(11),(12),(13),(14),(15)),
       px AS (SELECT d.doc_id, xs.i AS xi, ys.i AS yi,
-          CASE WHEN d.doc_id % 8 = 1 THEN d.doc_id - 1 ELSE d.doc_id END AS sd,
-          d.doc_id % 16 AS m
-        FROM documents d CROSS JOIN g xs CROSS JOIN g ys),
+          CASE WHEN d.doc_id % $pairMod = $rem THEN d.doc_id - 1
+               ELSE d.doc_id END AS sd,
+          d.doc_id % ${2 * pairMod} AS m
+        FROM documents d CROSS JOIN g xs CROSS JOIN g ys$alive),
       pv AS (SELECT doc_id, xi, yi, m,
           ((sd*131 + xi) * (sd % 97 + 31) + (sd*137 + yi) * (sd % 89 + 29)
             + xi*yi*(sd % 83 + 11)) % 256 AS r0,
@@ -331,11 +357,12 @@ object MultimodalOps {
             + xi*yi*(sd % 61 + 17)) % 256 AS b0
         FROM px),
       pp AS (SELECT doc_id, xi, yi,
-          CASE WHEN m = 1 THEN LEAST(r0 + 1, 255)
-               WHEN m = 9 AND xi = 0 AND yi = 0 THEN LEAST(r0 + 60, 255)
+          CASE WHEN m = $rem THEN LEAST(r0 + 1, 255)
+               WHEN m = ${rem + pairMod} AND xi = 0 AND yi = 0
+                 THEN LEAST(r0 + 60, 255)
                ELSE r0 END
-          + CASE WHEN m = 1 THEN LEAST(g0 + 1, 255) ELSE g0 END
-          + CASE WHEN m = 1 THEN LEAST(b0 + 1, 255) ELSE b0 END AS gray
+          + CASE WHEN m = $rem THEN LEAST(g0 + 1, 255) ELSE g0 END
+          + CASE WHEN m = $rem THEN LEAST(b0 + 1, 255) ELSE b0 END AS gray
         FROM pv),
       cells AS (SELECT doc_id, xi // 2 AS cx, yi // 2 AS cy,
           CAST(sum(gray) AS BIGINT) AS cg
@@ -356,8 +383,178 @@ object MultimodalOps {
           AS hamming
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
-      ORDER BY a, b"""))
+      ORDER BY a, b"""
+
+  /** mm6 — PERCEPTUAL image near-dup, decode included: the
+    * intersection of dedup and multimodal. Every doc gets a
+    * deterministic 16×16 noise image ([[phashFixture]] — a plain
+    * gradient would aHash identically for every doc); every 8th doc
+    * is a perturbed cross-codec copy of its predecessor. Pipeline:
+    * encode → [[graft.multimodal.MediaDecoder.aHash]] (8×8 box-resize
+    * → 64-bit mean-threshold hash, one shuffle-free pass) →
+    * hamming-band blocking ([[banded]]) → exact hamming ≤ 7. */
+  private val phashQ = GQ(
+    "mm6_phash_neardup",
+    (s, dir) => {
+      import graft.multimodal.MediaDecoder
+      val sig = MediaDecoder.aHash(
+        imgFrame(t(s, dir, "documents"), 8, 1), "doc_id", "payload")
+      val blocks = banded(sig)
+      blocks.as("l").join(blocks.as("r"),
+          col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          hammingCol.as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 7)
+        .orderBy("a", "b")
+    },
+    Some(phashOracle(8, 1, "")))
+
+  /** mm7's churn masks, shared by the query and its oracle filter:
+    * inserts = doc_id % 3 == 0, updates = the % 7 == 2 injection docs
+    * already in the seed, deletes = a seed slice disjoint from both. */
+  private val mm7DelSql =
+    "doc_id % 11 = 3 AND doc_id % 3 <> 0 AND doc_id % 7 <> 2"
+
+  /** Apply one churn batch of images to the maintained perceptual-hash
+    * index — the ingest-time image-dedup shape of a 100 TB multimodal
+    * corpus (the mm analog of [[NearDupIndex.reconcile]], simpler
+    * because the 16-byte signature IS the verification artifact: no
+    * re-decode of candidates, exact hamming comes straight off the
+    * stored halves).
+    *
+    * State = a SIGNATURE STORE keyed by doc_id (hash halves; updates
+    * are plain upserts, preCombine keeps the newest) and a PAIRS
+    * table keyed (a, b). Cost is O(churn) per call: only churn
+    * payloads are decoded/hashed; candidates come from churn bands
+    * equi-joined against the store; the pairs reconciliation is ONE
+    * mixed upsert+tombstone commit. No full-corpus stage after
+    * bootstrap. */
+  private[queries] def phashReconcile(
+      churnImgs: org.apache.spark.sql.DataFrame,
+      deletedIds: org.apache.spark.sql.DataFrame,
+      sigs: graft.core.LakeTable,
+      pairs: graft.core.LakeTable,
+      ts: Long): Unit = {
+    import graft.multimodal.MediaDecoder
+    val cached = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    def cache(df: org.apache.spark.sql.DataFrame) = {
+      cached += df.persist(); df
+    }
+    try {
+      // plans pinned BEFORE the writes below (snapshot() resolves its
+      // file list eagerly); a never-written store/pairs table has a
+      // schema-only snapshot — the bootstrap branches
+      val preStore = sigs.snapshot()
+      val storeWasEmpty = !preStore.columns.contains("hash_lo")
+      val pairsSnap = pairs.snapshot()
+      val pairsBootstrap = !pairsSnap.columns.contains("a")
+      val delC = cache(deletedIds)
+      val newSigs = cache(
+        MediaDecoder.aHash(churnImgs, "doc_id", "payload"))
+      // materialize before the write: small-file sizing reads Catalyst
+      // stats, exact only for a computed cache
+      newSigs.count()
+      // one commit: churn signatures + departed-doc tombstones.
+      // combine=false — aHash emits one row per payload and the churn
+      // is one row per doc (post-merge images) by contract
+      sigs.upsertWithDeletes(newSigs.withColumn("ts", lit(ts)), delC,
+        combine = false)
+      // post-write store content derived WITHOUT re-reading the files
+      // just written: every churn doc has a row in newSigs, so the
+      // anti-join reproduces what the read-side merge would pick
+      val store =
+        if (storeWasEmpty) newSigs
+        else newSigs.unionByName(
+          preStore.select("doc_id", "hash_hi", "hash_lo")
+            .join(newSigs.select("doc_id").unionByName(delC),
+              Seq("doc_id"), "left_anti"))
+      // candidates: churn bands × store bands (store includes the
+      // churn, so pairs wholly inside the batch are found too);
+      // least/greatest-normalized so each pair lands once
+      val cand = cache(banded(newSigs).as("l").join(banded(store).as("r"),
+          col("l.blk") === col("r.blk") &&
+            col("l.doc_id") =!= col("r.doc_id"))
+        .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
+          greatest(col("l.doc_id"), col("r.doc_id")).as("b"),
+          hammingCol.as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 7))
+      cand.count()
+      if (pairsBootstrap)
+        pairs.upsert(cand.withColumn("ts", lit(ts)), combine = false)
+      else {
+        // stored pairs touching a churned or departed doc are the
+        // tombstone side; re-derived pairs the upsert side; a pair on
+        // both is an update. OR-of-keys as two hash semi-joins.
+        val churnIds = cache(newSigs.select("doc_id").unionByName(delC)
+          .distinct())
+        val cur = pairsSnap.select("a", "b")
+        val touched = cur
+          .join(churnIds.withColumnRenamed("doc_id", "a"), Seq("a"),
+            "leftsemi")
+          .unionByName(cur.join(
+            churnIds.withColumnRenamed("doc_id", "b"), Seq("b"),
+            "leftsemi"))
+          .distinct()
+        pairs.upsertWithDeletes(cand.withColumn("ts", lit(ts)), touched,
+          combine = false)
+      }
+    } finally cached.foreach(_.unpersist())
+  }
+
+  /** mm7 — INCREMENTAL perceptual image dedup: the maintained-index
+    * version of mm6, the shape a 100 TB multimodal corpus actually
+    * runs at ingest (pipe4's pattern with image signatures). Seed
+    * images (pure noise, no dups) land in a lake table and bootstrap
+    * the index; a churn commit brings inserts (doc_id % 3 == 0),
+    * updates (the % 7 == 2 docs re-imaged as perturbed copies of
+    * their predecessor — brightness or single-pixel, cross-codec) and
+    * deletes; ONLY the churn is read (incremental scan), decoded,
+    * hashed, and band-probed against the store. The oracle replays
+    * the FINAL corpus brute-force — so the maintained pairs table
+    * must equal a from-scratch batch rebuild, including pairs
+    * spanning the commit boundary and pairs killed by a deleted
+    * partner. */
+  private val phashIncQ = GQ(
+    "mm7_phash_incremental",
+    (s, dir) => {
+      import graft.core.{LakeTable, TableProps}
+      def scr(n: String) = QueryPack.scratchDir(s, dir, n)
+      val ids = t(s, dir, "documents").select("doc_id")
+      val seedIds = ids.filter(col("doc_id") % 3 =!= 0)
+      val churnIds = ids.filter(
+        col("doc_id") % 3 === 0 || col("doc_id") % 7 === 2)
+      val delIds = ids.filter(expr(mm7DelSql))
+      val imgs = LakeTable.create(s, scr("mm7imgs"),
+        TableProps("mm7imgs", Seq("doc_id"), Some("ts"), Seq.empty))
+      val sigs = LakeTable.create(s, scr("mm7sigs"),
+        TableProps("mm7sigs", Seq("doc_id"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+      val pairsT = LakeTable.create(s, scr("mm7pairs"),
+        TableProps("mm7pairs", Seq("a", "b"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+      // seed commit: pure-noise images (rem = -1 disables injection —
+      // the % 7 == 2 docs get their perturbed image only at update
+      // time, so their pair MUST come from the incremental path)
+      val c1 = imgs.upsert(imgFrame(seedIds, 7, -1)
+        .withColumn("ts", lit(1L)))
+      phashReconcile(imgs.snapshot().select("doc_id", "payload"),
+        delIds.limit(0), sigs, pairsT, 1L)
+      // churn commit: final images for inserts + updates, tombstones
+      // for the departed slice — then ONLY the increment is read
+      imgs.upsertWithDeletes(
+        imgFrame(churnIds, 7, 2).withColumn("ts", lit(2L)), delIds)
+      val inc = imgs.incremental(c1).select("doc_id", "payload")
+      phashReconcile(inc, delIds, sigs, pairsT, 2L)
+      pairsT.snapshot().select("a", "b", "hamming").orderBy("a", "b")
+    },
+    Some(phashOracle(7, 2,
+      "\n        WHERE NOT (" +
+        mm7DelSql.replace("doc_id", "d.doc_id") + ")")))
 
   def qs: Seq[GQ] =
-    Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ, phashQ)
+    Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ,
+      phashQ, phashIncQ)
 }
