@@ -16,7 +16,10 @@ object Bench {
     val src = scala.io.Source.fromFile("/proc/stat")
     val line = try src.getLines().next() finally src.close()
     val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-    val total = f.sum
+    // first 8 fields only (user..steal): guest/guest_nice (9-10) are
+    // already folded into user/nice by the kernel — summing them too
+    // would understate the steal/other fractions on a KVM host
+    val total = f.take(8).sum
     val steal = if (f.length > 7) f(7) else 0L
     val idle = f(3) + (if (f.length > 4) f(4) else 0L)
     Some((steal, total, total - idle - steal))
@@ -232,14 +235,21 @@ object Bench {
     // sample sizes instead of comparing min-of-2 against min-of-4
     val passCounts = ordered.map { case (name, _) =>
       s"\"" + name + "\":" + samples(name).size }.mkString("{", ",", "}")
+    // same condition settled() trusts: interference-quiet AND from a
+    // pass whose calibration was near the run's best — a flag that
+    // ignored the calib gate would report calib-slow samples as quiet
+    val bestCalib = passCalibs.min
     val quietFlags = ordered.map { case (name, _) =>
       s"\"" + name + "\":" +
-        (if (samples(name).exists(s => quiet(s._2))) 1 else 0)
+        (if (samples(name).exists(s =>
+          quiet(s._2) && s._3 <= bestCalib * 1.25)) 1 else 0)
     }.mkString("{", ",", "}")
     // per-pass fixed-work CPU calibration (ms): the cross-run host-
     // speed anchor — compare two rounds' totals only after dividing
-    // out their calib ratio
-    val calibs = passCalibs.map(c => f"$c%.1f").mkString("[", ",", "]")
+    // out their calib ratio. Rounded without the locale-sensitive f""
+    // interpolator (a comma decimal separator would corrupt the JSON)
+    val calibs = passCalibs.map(c => (math.round(c * 10) / 10.0).toString)
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"extra_rounds":$extraRounds,"calib_ms":$calibs,"passes":$passCounts,"quiet":$quietFlags,"queries":$qs,"sf":"$sfDir"}"""

@@ -246,26 +246,8 @@ object MultimodalOps {
         CAST(max(abs(x)) AS BIGINT) AS peak_out
       FROM s GROUP BY doc_id, n ORDER BY doc_id"""))
 
-  /** mm6 — PERCEPTUAL image near-dup, decode included: the missing
-    * intersection of dedup and multimodal. Every doc gets a
-    * deterministic 16×16 noise image (channel value = integer
-    * arithmetic on (doc_id, x, y) with doc-dependent multiplicative
-    * coefficients, so distinct docs get uncorrelated spatial patterns
-    * — a plain gradient would aHash identically for every doc); every
-    * 8th doc is instead a PERTURBED COPY of its predecessor's image —
-    * doc_id%16==1 a global +1 brightness shift, doc_id%16==9 a
-    * single-pixel +60 pop — and lands in the OTHER codec (odd = PNG,
-    * its base even = BMP), so the pair must survive a cross-format
-    * decode. Pipeline: encode → [[graft.multimodal.MediaDecoder.aHash]]
-    * (8×8 box-resize → 64-bit mean-threshold hash, one shuffle-free
-    * pass) → hamming-band blocking: 8 bands of 8 bits, so hamming ≤ 7
-    * pigeonholes into ≥1 equal band — the banded equi-join has FULL
-    * recall at the threshold and is never all-pairs (at 100 TB the
-    * band buckets bound candidates exactly like dedup3's SimHash
-    * blocks). The DuckDB oracle replays fixture arithmetic, binning,
-    * threshold, and bit packing exactly, and verifies pairs
-    * BRUTE-FORCE (all-pairs over the 64-bit signatures) — a banding
-    * recall loss hash-mismatches. */
+  /** Fixture image side (16×16 → exact 2×2 cells under the 8×8 hash
+    * grid), shared by mm6/mm7. */
   private val PhSide = 16
 
   /** Shared deterministic noise-image fixture for the perceptual-hash

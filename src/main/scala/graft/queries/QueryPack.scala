@@ -57,11 +57,14 @@ object QueryPack {
     * them mid-commit). Sound only when the two chains write DISJOINT
     * tables and any plan the foreground reads over a
     * background-written table was pinned beforehand (`snapshot()`
-    * resolves its live-file list eagerly on the driver). The
-    * disjointness half of that contract is ENFORCED: each chain
-    * declares the base paths it commits to and the helper refuses
-    * overlapping resolved paths, so a future gate edit can't silently
-    * violate the precondition. */
+    * resolves its live-file list eagerly on the driver). Each chain
+    * DECLARES the base paths it commits to and the helper refuses
+    * overlapping resolved declarations — the declarations are the
+    * reviewed contract, so a gate edit that moves a write between
+    * chains must touch the declaration to pass. (The actual write
+    * set is not instrumented: chains spawn their own futures on
+    * pooled threads, so a thread-local recorder inside the commit
+    * path could not attribute writes to a chain reliably.) */
   private[queries] def overlapping[A, B](
       bgWrites: Seq[String], fgWrites: Seq[String])(
       bg: => A)(fg: => B): (A, B) = {

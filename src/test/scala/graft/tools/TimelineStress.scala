@@ -21,9 +21,10 @@ import graft.core.{CommitMeta, Timeline}
   *     commits into the checkpoint; active stays O(max) while the
   *     checkpoint carries the full live-file index.
   *
-  * Usage: runMain graft.tools.TimelineStress [nCommits] [archiveEvery]
-  * (archiveEvery 0 = never). Prints one table row per 1/10th of the
-  * run plus cold-instance timings at the end.
+  * Usage: runMain graft.tools.TimelineStress [nCommits] [filesPer]
+  * [archiveEvery] (archiveEvery 0 = never — the unarchived regime).
+  * Prints one table row per 1/10th of the run plus cold-instance
+  * timings at the end.
   */
 object TimelineStress {
 
