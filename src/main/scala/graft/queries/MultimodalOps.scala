@@ -412,7 +412,7 @@ object MultimodalOps {
     * equi-joined against the store; the pairs reconciliation is ONE
     * mixed upsert+tombstone commit. No full-corpus stage after
     * bootstrap. */
-  private[queries] def phashReconcile(
+  private[graft] def phashReconcile(
       churnImgs: org.apache.spark.sql.DataFrame,
       deletedIds: org.apache.spark.sql.DataFrame,
       sigs: graft.core.LakeTable,

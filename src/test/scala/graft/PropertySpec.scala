@@ -221,6 +221,104 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("phash index reconciliation tracks random image DML sequences") {
+    // randomized insert/update/delete batches of IMAGES against the
+    // maintained perceptual-hash index (MultimodalOps.phashReconcile):
+    // docs draw from 3 image families × 4 tweaks (exact copy /
+    // brightness copy / pixel-popped copy / unrelated noise), so
+    // near-dup pairs form and dissolve as docs are re-imaged; after
+    // EVERY batch the pairs table must equal a brute-force recompute
+    // (aHash every current image, all-pairs hamming ≤ 7) — the
+    // O(churn) band-probe reconcile can never strand a stale pair or
+    // miss a new one, under any interleaving. COW and MOR state.
+    import graft.multimodal.MediaDecoder
+    import graft.queries.MultimodalOps
+    val Side = 16
+    def noisePx(seed: Long)(x: Int, y: Int): Int = {
+      def ch(k: Int): Int = {
+        val v = (((seed * (131 + k)) + x) * (seed % 97 + 31 + 2 * k) +
+          ((seed * (137 + k)) + y) * (seed % 89 + 23 + 3 * k) +
+          x.toLong * y * (seed % 83 + 11 + k)) % 256
+        ((v + 256) % 256).toInt // positive residue even for negative v
+      }
+      (ch(0) << 16) | (ch(1) << 8) | ch(2)
+    }
+    def image(id: Long, fam: Int, tweak: Int): Array[Byte] = {
+      val basePx = noisePx(100L * (fam + 1)) _
+      val px: (Int, Int) => Int = tweak match {
+        case 0 => basePx
+        case 1 => (x, y) => { // brightness copy: aHash-identical
+          val p = basePx(x, y)
+          def c(v: Int) = math.min(v + 1, 255)
+          (c(p >>> 16) << 16) | (c((p >>> 8) & 0xff) << 8) | c(p & 0xff)
+        }
+        case 2 => (x, y) => // pixel pop: small hamming
+          if (x == 0 && y == 0) basePx(0, 0) | 0xff0000 else basePx(x, y)
+        case _ => noisePx(7919L * id + 13) _ // unrelated
+      }
+      if (id % 2 == 0) MediaDecoder.encodeBmp24With(Side, Side)(px)
+      else MediaDecoder.encodePngWith(Side, Side)(px)
+    }
+    val docGen = for {
+      id <- Gen.choose(1L, 12L)
+      fam <- Gen.choose(0, 2)
+      tweak <- Gen.choose(0, 3)
+    } yield (id, fam, tweak)
+    val opGen = for {
+      isDelete <- Gen.frequency(4 -> false, 1 -> true)
+      docs <- Gen.listOfN(3, docGen)
+    } yield (isDelete, docs.distinctBy(_._1))
+
+    for (tableType <- Seq("cow", "mor")) {
+      val sigs = LakeTable.create(spark, tmp(), TableProps(
+        "ppsigs", Seq("doc_id"), Some("ts"), Seq.empty,
+        tableType = tableType))
+      val pairs = LakeTable.create(spark, tmp(), TableProps(
+        "pppairs", Seq("a", "b"), Some("ts"), Seq.empty,
+        tableType = tableType))
+      // in-memory corpus model: id → current image bytes
+      val corpus = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+      def bruteForce(): Set[(Long, Long, Int)] = {
+        val hs = corpus.toSeq.flatMap { case (id, bytes) =>
+          MediaDecoder.aHash64(bytes).map { case (hi, lo) => (id, hi, lo) }
+        }
+        (for {
+          (a, ahi, alo) <- hs; (b, bhi, blo) <- hs if a < b
+          h = java.lang.Long.bitCount(ahi ^ bhi) +
+            java.lang.Long.bitCount(alo ^ blo)
+          if h <= 7
+        } yield (a, b, h)).toSet
+      }
+      samples(Gen.listOfN(6, opGen), 1).foreach { ops =>
+        ops.zipWithIndex.foreach { case ((isDelete, rows), i) =>
+          if (rows.nonEmpty) {
+            val ts = i + 1L
+            if (isDelete) {
+              rows.foreach { case (id, _, _) => corpus.remove(id) }
+              MultimodalOps.phashReconcile(
+                Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload"),
+                rows.map(_._1).toDF("doc_id"), sigs, pairs, ts)
+            } else {
+              val imgs = rows.map { case (id, fam, tweak) =>
+                val b = image(id, fam, tweak); corpus(id) = b; (id, b)
+              }
+              MultimodalOps.phashReconcile(
+                imgs.toDF("doc_id", "payload"),
+                Seq.empty[Long].toDF("doc_id"), sigs, pairs, ts)
+            }
+            val got = LakeTable.load(spark, pairs.basePath).snapshot()
+              .select("a", "b", "hamming").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+            val want = bruteForce()
+            assert(got == want,
+              s"[$tableType] batch $i (delete=$isDelete, rows=$rows): " +
+                s"got $got want $want")
+          }
+        }
+      }
+    }
+  }
+
   test("search-index folds track random DML sequences") {
     // randomized insert/update/delete batches folded through
     // SearchIndex.maintain; after EVERY batch the three state tables
