@@ -351,6 +351,30 @@ class TableServicesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("archived"))
   }
 
+  test("checkpoint cache invalidates when another instance re-archives") {
+    // the round-11 parse cache keys on the checkpoint file's
+    // (length, modtime); a SECOND Timeline instance — the external-
+    // writer stand-in — archiving more commits replaces the file, and
+    // the first instance's cached parse must invalidate, not serve
+    // the stale (smaller) live-file set
+    val t = LakeTable.create(spark, tmp(), props)
+    (1 to 6).foreach(i => t.upsert(mkDf(row(i, s"v$i", dt = s"d${i % 2}"))))
+    assert(t.archive(minToKeep = 4, maxToKeep = 4) == 2)
+    // prime the first instance's cache
+    val live1 = t.timeline.liveFiles(None).size
+    assert(t.timeline.readCheckpoint().get.files.nonEmpty)
+    // a different instance over the same path archives further
+    val other = LakeTable.load(spark, t.basePath)
+    assert(other.archive(minToKeep = 1, maxToKeep = 1) == 3)
+    // first instance: fresh parse, not the stale cache — the
+    // checkpoint now carries more folded files, and the TOTAL live
+    // set is unchanged
+    val cp = t.timeline.readCheckpoint().get
+    assert(cp.files.size > 2, s"stale cached checkpoint: ${cp.files.size}")
+    assert(t.timeline.liveFiles(None).size == live1)
+    assert(t.snapshot().count() == 6)
+  }
+
   test("bucket index: files are bucketed and DML touches only the key's bucket") {
     val t = LakeTable.create(spark, tmp(),
       props.copy(writeSaltBuckets = 1, bucketIndexBuckets = 4))
