@@ -152,12 +152,6 @@ object Bench {
     // quiet-window sample are retried in detected-quiet windows
     // until settled or a deadline.
     val Runs = 2
-    // bounds the whole retry phase: base passes take ~6-7 min at
-    // sf0.1, so 13 min total stays inside the envelope prior rounds'
-    // driver runs tolerated while leaving ~6 min for quiet-window
-    // retries
-    val deadlineMs = System.currentTimeMillis() +
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "780").toLong * 1000
     // optional local-iteration filter (comma-separated name
     // substrings); the driver never sets it, so its runs time the
     // full set
@@ -187,6 +181,13 @@ object Bench {
     calibrate() // JIT the calibration loop itself before the first use
     runPass(ordered)
     runPass(ordered)
+    // retry budget anchored AFTER the base passes, so a contended
+    // (slow) base run cannot eat it — retries matter most exactly
+    // when the base passes were slow. ~6 min of retry room on top of
+    // the ~6-7 min clean base keeps the worst case inside the
+    // envelope prior rounds' driver runs tolerated.
+    val deadlineMs = System.currentTimeMillis() +
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "360").toLong * 1000
     // recovery checkpoint: if anything kills the process during the
     // retry phase below (driver timeout, OOM), the base min-of-2
     // result survives on disk instead of the run producing nothing
@@ -206,17 +207,21 @@ object Bench {
     // whose wall time is micro-batch scheduling latency and stays
     // noisy even when quiet — and its two best samples agree within
     // 30% (the generic contention signature; retry cap bounds this).
+    // the ONE trust predicate (settled() and the emitted quiet flags
+    // both use it): interference-quiet AND from a pass whose
+    // calibration was within 25% of the run's best — a pass the
+    // calibration probe measured as slow is contended in some mode,
+    // whatever /proc/stat said about it. bestCalib is re-read per
+    // call: a faster retry pass retroactively disqualifies samples
+    // from slower passes.
+    def trusted(s: (Double, Win, Double)): Boolean =
+      quiet(s._2) && s._3 <= passCalibs.min * 1.25
     def settled(name: String): Boolean = {
       val ss = samples(name)
       val quietNeeded =
         if (name.matches("^st[0-9].*") || name.startsWith("samp")) 2 else 1
       val sorted = ss.map(_._1).sorted
-      // a sample only counts as quiet if its pass's calibration was
-      // within 25% of the run's best — a pass the calibration probe
-      // measured as slow is contended in some mode, whatever
-      // /proc/stat said about it
-      val bestCalib = passCalibs.min
-      ss.count(s => quiet(s._2) && s._3 <= bestCalib * 1.25) >= quietNeeded &&
+      ss.count(trusted) >= quietNeeded &&
         // agreement check only above 0.5 s: sub-second queries carry
         // 30%+ of pure JIT/GC jitter yet contribute ~nothing to the
         // total, and retrying them wastes the bounded retry rounds
@@ -253,14 +258,9 @@ object Bench {
     // sample sizes instead of comparing min-of-2 against min-of-4
     val passCounts = ordered.map { case (name, _) =>
       s"\"" + name + "\":" + samples(name).size }.mkString("{", ",", "}")
-    // same condition settled() trusts: interference-quiet AND from a
-    // pass whose calibration was near the run's best — a flag that
-    // ignored the calib gate would report calib-slow samples as quiet
-    val bestCalib = passCalibs.min
     val quietFlags = ordered.map { case (name, _) =>
       s"\"" + name + "\":" +
-        (if (samples(name).exists(s =>
-          quiet(s._2) && s._3 <= bestCalib * 1.25)) 1 else 0)
+        (if (samples(name).exists(trusted)) 1 else 0)
     }.mkString("{", ",", "}")
     // per-pass fixed-work CPU calibration (ms): the cross-run host-
     // speed anchor — compare two rounds' totals only after dividing

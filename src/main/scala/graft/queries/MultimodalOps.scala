@@ -256,10 +256,10 @@ object MultimodalOps {
     * distinct docs get uncorrelated spatial patterns. Injection masks:
     * doc d is a PERTURBED COPY of d-1 iff d % pairMod == rem — a
     * global +1 brightness shift when d % (2·pairMod) == rem, a
-    * single-pixel +60 pop when it's rem + pairMod. `rem = -1`
-    * disables injection (pure noise — the mm7 seed images). Even docs
-    * encode as BMP, odd as PNG, so every injected pair spans the two
-    * codecs. */
+    * single-pixel +60 pop when it's rem + pairMod (a negative `rem`
+    * disables injection entirely). mm6 uses masks (8, 1); mm7 seeds
+    * with (13, 5) and churns with (7, 2). Even docs encode as BMP,
+    * odd as PNG, so every injected pair spans the two codecs. */
   private def phashFixture(d: Long, pairMod: Int, rem: Int): Array[Byte] = {
     import graft.multimodal.MediaDecoder
     val inject = rem >= 0 && d % pairMod == rem
@@ -316,21 +316,26 @@ object MultimodalOps {
       expr("bit_count(l.hash_lo ^ r.hash_lo)")).cast("int")
 
   /** Shared DuckDB oracle body for the perceptual-hash gates: replay
-    * the fixture arithmetic (masks parameterized), 16×16 → 8×8
-    * binning, mean threshold, bit packing, then verify pairs
-    * BRUTE-FORCE (all-pairs over the 64-bit signatures) — a banding
-    * recall loss on the Spark side hash-mismatches. `alive` filters
-    * the corpus to the docs the Spark side ends up with (mm7's
-    * deletes). */
-  private def phashOracle(pairMod: Int, rem: Int, alive: String): String =
+    * the fixture arithmetic, 16×16 → 8×8 binning, mean threshold, bit
+    * packing, then verify pairs BRUTE-FORCE (all-pairs over the
+    * 64-bit signatures) — a banding recall loss on the Spark side
+    * hash-mismatches. Parameterized by SQL EXPRESSIONS over the
+    * documents alias `d` — `sdSql` (source doc for the noise
+    * pattern), `brightSql`/`popSql` (perturbation booleans) — so mm7
+    * can replay a final corpus whose image rule depends on churn
+    * membership; `alive` filters to the docs the Spark side ends up
+    * with (mm7's deletes). */
+  private def phashOracle(
+      sdSql: String, brightSql: String, popSql: String,
+      alive: String): String =
     s"""WITH g(i) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
           (8),(9),(10),(11),(12),(13),(14),(15)),
       px AS (SELECT d.doc_id, xs.i AS xi, ys.i AS yi,
-          CASE WHEN d.doc_id % $pairMod = $rem THEN d.doc_id - 1
-               ELSE d.doc_id END AS sd,
-          d.doc_id % ${2 * pairMod} AS m
+          $sdSql AS sd,
+          $brightSql AS bright,
+          $popSql AS pop
         FROM documents d CROSS JOIN g xs CROSS JOIN g ys$alive),
-      pv AS (SELECT doc_id, xi, yi, m,
+      pv AS (SELECT doc_id, xi, yi, bright, pop,
           ((sd*131 + xi) * (sd % 97 + 31) + (sd*137 + yi) * (sd % 89 + 29)
             + xi*yi*(sd % 83 + 11)) % 256 AS r0,
           ((sd*139 + xi) * (sd % 101 + 37) + (sd*149 + yi) * (sd % 79 + 23)
@@ -339,12 +344,12 @@ object MultimodalOps {
             + xi*yi*(sd % 61 + 17)) % 256 AS b0
         FROM px),
       pp AS (SELECT doc_id, xi, yi,
-          CASE WHEN m = $rem THEN LEAST(r0 + 1, 255)
-               WHEN m = ${rem + pairMod} AND xi = 0 AND yi = 0
+          CASE WHEN bright THEN LEAST(r0 + 1, 255)
+               WHEN pop AND xi = 0 AND yi = 0
                  THEN LEAST(r0 + 60, 255)
                ELSE r0 END
-          + CASE WHEN m = $rem THEN LEAST(g0 + 1, 255) ELSE g0 END
-          + CASE WHEN m = $rem THEN LEAST(b0 + 1, 255) ELSE b0 END AS gray
+          + CASE WHEN bright THEN LEAST(g0 + 1, 255) ELSE g0 END
+          + CASE WHEN bright THEN LEAST(b0 + 1, 255) ELSE b0 END AS gray
         FROM pv),
       cells AS (SELECT doc_id, xi // 2 AS cx, yi // 2 AS cy,
           CAST(sum(gray) AS BIGINT) AS cg
@@ -390,13 +395,19 @@ object MultimodalOps {
         .filter(col("hamming") <= 7)
         .orderBy("a", "b")
     },
-    Some(phashOracle(8, 1, "")))
+    Some(phashOracle(
+      "CASE WHEN d.doc_id % 8 = 1 THEN d.doc_id - 1 ELSE d.doc_id END",
+      "d.doc_id % 16 = 1", "d.doc_id % 16 = 9", "")))
 
   /** mm7's churn masks, shared by the query and its oracle filter:
     * inserts = doc_id % 3 == 0, updates = the % 7 == 2 injection docs
     * already in the seed, deletes = a seed slice disjoint from both. */
   private val mm7DelSql =
     "doc_id % 11 = 3 AND doc_id % 3 <> 0 AND doc_id % 7 <> 2"
+
+  /** A doc keeps its SEED image iff it is never churned: in the seed
+    * (% 3 ≠ 0) and not an update target (% 7 ≠ 2). */
+  private val mm7SeedKept = "d.doc_id % 3 <> 0 AND d.doc_id % 7 <> 2"
 
   /** Apply one churn batch of images to the maintained perceptual-hash
     * index — the ingest-time image-dedup shape of a 100 TB multimodal
@@ -432,15 +443,23 @@ object MultimodalOps {
       val storeWasEmpty = !preStore.columns.contains("hash_lo")
       val pairsSnap = pairs.snapshot()
       val pairsBootstrap = !pairsSnap.columns.contains("a")
-      val delC = cache(deletedIds)
       val newSigs = cache(
         MediaDecoder.aHash(churnImgs, "doc_id", "payload"))
       // materialize before the write: small-file sizing reads Catalyst
       // stats, exact only for a computed cache
       newSigs.count()
-      // one commit: churn signatures + departed-doc tombstones.
-      // combine=false — aHash emits one row per payload and the churn
-      // is one row per doc (post-merge images) by contract
+      // a churn doc whose NEW payload is undecodable has no aHash row
+      // — it must DROP OUT of the index (its old signature describes
+      // a superseded image, and a from-scratch rebuild would have no
+      // row for it), so it joins the tombstone side instead of
+      // silently keeping stale pairs alive
+      val undecodable = churnImgs.select("doc_id")
+        .join(newSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+      val delC = cache(deletedIds.unionByName(undecodable).distinct())
+      // one commit: churn signatures + departed/undecodable-doc
+      // tombstones. combine=false — aHash emits one row per payload
+      // and the churn is one row per doc (post-merge images) by
+      // contract
       sigs.upsertWithDeletes(newSigs.withColumn("ts", lit(ts)), delC,
         combine = false)
       // post-write store content derived WITHOUT re-reading the files
@@ -489,16 +508,21 @@ object MultimodalOps {
   /** mm7 — INCREMENTAL perceptual image dedup: the maintained-index
     * version of mm6, the shape a 100 TB multimodal corpus actually
     * runs at ingest (pipe4's pattern with image signatures). Seed
-    * images (pure noise, no dups) land in a lake table and bootstrap
-    * the index; a churn commit brings inserts (doc_id % 3 == 0),
-    * updates (the % 7 == 2 docs re-imaged as perturbed copies of
-    * their predecessor — brightness or single-pixel, cross-codec) and
-    * deletes; ONLY the churn is read (incremental scan), decoded,
-    * hashed, and band-probed against the store. The oracle replays
-    * the FINAL corpus brute-force — so the maintained pairs table
-    * must equal a from-scratch batch rebuild, including pairs
-    * spanning the commit boundary and pairs killed by a deleted
-    * partner. */
+    * images carry their OWN injected pairs (% 13 == 5 copies — so the
+    * bootstrap stores real pairs and the churn reconcile exercises
+    * the non-bootstrap tombstone branch); a churn commit brings
+    * inserts (doc_id % 3 == 0), updates (the % 7 == 2 docs re-imaged
+    * as perturbed copies of their predecessor — brightness or
+    * single-pixel, cross-codec) and deletes — the delete slice
+    * includes partners of STORED bootstrap pairs (e.g. 278 of
+    * (277, 278): % 13 == 5 ∧ % 11 == 3), so a reconcile that fails to
+    * tombstone a departed doc's stored pairs hash-mismatches. ONLY
+    * the churn is read (incremental scan), decoded, hashed, and
+    * band-probed against the store. The oracle replays the FINAL
+    * corpus brute-force (image rule per churn membership: churned
+    * docs follow the (7, 2) masks, never-churned seed docs keep their
+    * (13, 5) image) — the maintained pairs table must equal a
+    * from-scratch batch rebuild. */
   private val phashIncQ = GQ(
     "mm7_phash_incremental",
     (s, dir) => {
@@ -517,10 +541,11 @@ object MultimodalOps {
       val pairsT = LakeTable.create(s, scr("mm7pairs"),
         TableProps("mm7pairs", Seq("a", "b"), Some("ts"), Seq.empty,
           tableType = "mor"))
-      // seed commit: pure-noise images (rem = -1 disables injection —
-      // the % 7 == 2 docs get their perturbed image only at update
-      // time, so their pair MUST come from the incremental path)
-      val c1 = imgs.upsert(imgFrame(seedIds, 7, -1)
+      // seed commit: (13, 5)-injected images — the bootstrap finds
+      // and STORES those pairs; the % 7 == 2 docs get their perturbed
+      // image only at update time, so their pair must come from the
+      // incremental path
+      val c1 = imgs.upsert(imgFrame(seedIds, 13, 5)
         .withColumn("ts", lit(1L)))
       phashReconcile(imgs.snapshot().select("doc_id", "payload"),
         delIds.limit(0), sigs, pairsT, 1L)
@@ -532,7 +557,12 @@ object MultimodalOps {
       phashReconcile(inc, delIds, sigs, pairsT, 2L)
       pairsT.snapshot().select("a", "b", "hamming").orderBy("a", "b")
     },
-    Some(phashOracle(7, 2,
+    Some(phashOracle(
+      s"CASE WHEN d.doc_id % 7 = 2 THEN d.doc_id - 1 " +
+        s"WHEN $mm7SeedKept AND d.doc_id % 13 = 5 THEN d.doc_id - 1 " +
+        "ELSE d.doc_id END",
+      s"(d.doc_id % 14 = 2) OR ($mm7SeedKept AND d.doc_id % 26 = 5)",
+      s"(d.doc_id % 14 = 9) OR ($mm7SeedKept AND d.doc_id % 26 = 18)",
       "\n        WHERE NOT (" +
         mm7DelSql.replace("doc_id", "d.doc_id") + ")")))
 

@@ -224,8 +224,10 @@ class PropertySpec extends AnyFunSuite {
   test("phash index reconciliation tracks random image DML sequences") {
     // randomized insert/update/delete batches of IMAGES against the
     // maintained perceptual-hash index (MultimodalOps.phashReconcile):
-    // docs draw from 3 image families × 4 tweaks (exact copy /
-    // brightness copy / pixel-popped copy / unrelated noise), so
+    // docs draw from 3 image families × 5 tweaks (exact copy /
+    // brightness copy / pixel-popped copy / unrelated noise /
+    // UNDECODABLE bytes — an update to corrupt media must drop the
+    // doc out of the index, not strand its stale signature), so
     // near-dup pairs form and dissolve as docs are re-imaged; after
     // EVERY batch the pairs table must equal a brute-force recompute
     // (aHash every current image, all-pairs hamming ≤ 7) — the
@@ -243,26 +245,29 @@ class PropertySpec extends AnyFunSuite {
       }
       (ch(0) << 16) | (ch(1) << 8) | ch(2)
     }
-    def image(id: Long, fam: Int, tweak: Int): Array[Byte] = {
-      val basePx = noisePx(100L * (fam + 1)) _
-      val px: (Int, Int) => Int = tweak match {
-        case 0 => basePx
-        case 1 => (x, y) => { // brightness copy: aHash-identical
-          val p = basePx(x, y)
-          def c(v: Int) = math.min(v + 1, 255)
-          (c(p >>> 16) << 16) | (c((p >>> 8) & 0xff) << 8) | c(p & 0xff)
+    def image(id: Long, fam: Int, tweak: Int): Array[Byte] =
+      if (tweak == 4) // undecodable: the doc must DROP OUT of the index
+        s"corrupt payload $id".getBytes("UTF-8")
+      else {
+        val basePx = noisePx(100L * (fam + 1)) _
+        val px: (Int, Int) => Int = tweak match {
+          case 0 => basePx
+          case 1 => (x, y) => { // brightness copy: aHash-identical
+            val p = basePx(x, y)
+            def c(v: Int) = math.min(v + 1, 255)
+            (c(p >>> 16) << 16) | (c((p >>> 8) & 0xff) << 8) | c(p & 0xff)
+          }
+          case 2 => (x, y) => // pixel pop: small hamming
+            if (x == 0 && y == 0) basePx(0, 0) | 0xff0000 else basePx(x, y)
+          case _ => noisePx(7919L * id + 13) _ // unrelated
         }
-        case 2 => (x, y) => // pixel pop: small hamming
-          if (x == 0 && y == 0) basePx(0, 0) | 0xff0000 else basePx(x, y)
-        case _ => noisePx(7919L * id + 13) _ // unrelated
+        if (id % 2 == 0) MediaDecoder.encodeBmp24With(Side, Side)(px)
+        else MediaDecoder.encodePngWith(Side, Side)(px)
       }
-      if (id % 2 == 0) MediaDecoder.encodeBmp24With(Side, Side)(px)
-      else MediaDecoder.encodePngWith(Side, Side)(px)
-    }
     val docGen = for {
       id <- Gen.choose(1L, 12L)
       fam <- Gen.choose(0, 2)
-      tweak <- Gen.choose(0, 3)
+      tweak <- Gen.choose(0, 4)
     } yield (id, fam, tweak)
     val opGen = for {
       isDelete <- Gen.frequency(4 -> false, 1 -> true)

@@ -122,13 +122,17 @@ object ScalingAudit {
     // keep the ratio under-linear
     val fams = Seq("q", "dedup", "sim", "text", "sketch", "graph",
       "pack", "pipe", "samp", "decon", "lake16", "lake18", "lake21",
-      "mm", "st")
+      "mm")
     // optional arg: comma-separated name substrings to re-audit a
     // subset (appending rows for newly added gates)
     val only = args.headOption.map(_.split(",").toSeq)
     val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1).filter {
-      case (n, _) => fams.exists(n.startsWith) &&
-        only.forall(_.exists(n.contains))
+      case (n, _) =>
+        // streaming family matched by regex, not a "st" prefix — a
+        // prefix would also catch stats1_data_card (Bench uses the
+        // same ^st[0-9] pattern for this family)
+        (fams.exists(n.startsWith) || n.matches("^st[0-9].*")) &&
+          only.forall(_.exists(n.contains))
     }
     def timeOne(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
