@@ -650,6 +650,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mid-stream schema evolution: near-dup service folds on too") {
+    // same producer-widens-while-consumer-runs claim for the OTHER
+    // maintained service: NearDupMaintenance keeps reconciling across
+    // an additive docs widening within one query lifecycle, and the
+    // pairs table stays equal to a brute-force recompute
+    import graft.queries.DedupOps
+    import graft.streaming.NearDupMaintenance
+    val docsPath = tmp("sev2_docs_")
+    val sigPath = tmp("sev2_sigs_")
+    val pairsPath = tmp("sev2_pairs_")
+    val ckpt = tmp("sev2_ckpt_")
+    val docs = LakeTable.create(spark, docsPath, TableProps(
+      "sev2docs", Seq("doc_id"), Some("ts"), Seq.empty))
+    LakeTable.create(spark, sigPath, TableProps(
+      "sev2sigs", Seq("doc_id"), Some("ts"), Seq.empty))
+    LakeTable.create(spark, pairsPath, TableProps(
+      "sev2pairs", Seq("a", "b"), Some("ts"), Seq.empty))
+    val fam = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs.upsert(Seq(
+      (1L, fam, 1L),
+      (2L, fam + " extra", 1L)).toDF("doc_id", "text", "ts"))
+    def recompute(): Set[(Long, Long)] = {
+      val snap = docs.snapshot().select("doc_id", "text")
+      val allPairs = snap.select(col("doc_id").as("a"))
+        .crossJoin(snap.select(col("doc_id").as("b")))
+        .filter(col("a") < col("b"))
+      DedupOps.verifyJaccard(allPairs, snap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def pairSet(): Set[(Long, Long)] =
+      LakeTable.load(spark, pairsPath).snapshot()
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = NearDupMaintenance.start(spark, docsPath, sigPath, pairsPath, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(pairSet() == Set((1L, 2L)) && pairSet() == recompute())
+      // widen mid-stream: new docs arrive WITH a lang column — one a
+      // near-dup of doc 1, one unrelated
+      docs.upsert(Seq(
+        (3L, fam + " more", 2L, "en"),
+        (4L, "unrelated totally different words entirely", 2L, "de"))
+        .toDF("doc_id", "text", "ts", "lang"))
+      q.processAllAvailable()
+      assert(LakeTable.load(spark, docsPath).schema.fieldNames
+        .contains("lang"), "docs schema did not widen")
+      assert(pairSet() == Set((1L, 2L), (1L, 3L), (2L, 3L)) &&
+        pairSet() == recompute(), s"got ${pairSet()}")
+      // churn on the widened table through the same live query
+      docs.delete(Seq(Tuple1(2L)).toDF("doc_id"))
+      q.processAllAvailable()
+      assert(pairSet() == Set((1L, 3L)) && pairSet() == recompute())
+    } finally q.stop()
+  }
+
   test("streaming near-dup maintenance: kill/restart converges to batch answer") {
     import graft.streaming.{ExactlyOnce, NearDupMaintenance}
     import graft.queries.DedupOps
