@@ -106,5 +106,24 @@ object TimelineStress {
       e.minKey.exists(_ <= probeHi) && e.maxKey.exists(_ >= probeLo)))
     println(f"probe planning over ${lf1.size} live files: " +
       f"${cand.size} candidates in ${prMs}%.1f ms")
+    // correctness, not just timing: across every archive cycle the
+    // live index must stay EXACT — no file lost or duplicated by the
+    // checkpoint folds, and the per-file key bounds (the probe index)
+    // must survive archiving
+    require(lf1.size == n * filesPer,
+      s"live index drifted: ${lf1.size} files, expected ${n * filesPer}")
+    require(lf1.map(_.path).distinct.size == lf1.size,
+      "duplicate live entries after archive folds")
+    require(lf1.forall(e => e.minKey.isDefined && e.maxKey.isDefined),
+      "key bounds lost across the archive boundary")
+    // the 51-key probe window overlaps ⌈51/filesPer⌉ (+1 boundary)
+    // commits of filesPer files each — candidates must stay in that
+    // envelope, nowhere near the full index
+    val maxCand = (51 / filesPer + 2) * filesPer
+    require(cand.nonEmpty && cand.size <= maxCand,
+      s"probe pruning broken: ${cand.size} candidates for a " +
+        s"$maxCand-file key window")
+    println("OK: live index exact, key bounds survive archiving, " +
+      "probe pruning bounded")
   }
 }
