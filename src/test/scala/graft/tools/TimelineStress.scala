@@ -62,15 +62,25 @@ object TimelineStress {
     var i = 0
     var commitMs = 0.0
     while (i < n) {
-      val instant = tl.nextInstant()
+      // beginWrite (not bare nextInstant): real writers fence their
+      // commit with an inflight marker, so the measured commit cost
+      // includes marker handling — and commit() doesn't warn about an
+      // absent fence a thousand times
+      val instant = tl.beginWrite()
       val files = (0 until filesPer).map(j => s"part_${instant}_$j.parquet")
       val lo = f"${i * filesPer}%09d"
       val hi = f"${i * filesPer + filesPer - 1}%09d"
-      val (_, cms) = timeMs(tl.commit(CommitMeta(
-        instant, "commit", files, Seq.empty, Seq.empty,
-        "id INT, ts BIGINT, v STRING", filesPer.toLong * 100, Map.empty,
-        keyBounds = Some(files.map(_ -> Seq(lo, hi)).toMap),
-        dedupedKeys = Some(true))))
+      val (_, cms) = timeMs {
+        try tl.commit(CommitMeta(
+          instant, "commit", files, Seq.empty, Seq.empty,
+          "id INT, ts BIGINT, v STRING", filesPer.toLong * 100, Map.empty,
+          keyBounds = Some(files.map(_ -> Seq(lo, hi)).toMap),
+          dedupedKeys = Some(true)))
+        // the write path's contract: the fence (and its heartbeat
+        // task) is released once the commit lands — without this a
+        // thousand leaked heartbeats tick for the whole run
+        finally tl.clearInflight(instant)
+      }
       commitMs = cms
       live += filesPer
       i += 1
