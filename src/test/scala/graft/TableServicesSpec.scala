@@ -351,6 +351,50 @@ class TableServicesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("archived"))
   }
 
+  test("live index stays exact across many archive folds (aged table)") {
+    // the metadata-axis claim as a CI check (TimelineStress is the
+    // measuring harness; this pins correctness): 200 fenced commits
+    // with periodic archiving — the live set must be exact after
+    // every fold (no file lost or duplicated), key bounds must
+    // survive into the checkpoint, and the active window stays
+    // bounded regardless of table age
+    import org.apache.hadoop.conf.Configuration
+    import graft.core.{CommitMeta, Timeline}
+    val dir = tmp()
+    val tl = new Timeline(
+      new Configuration(), dir)
+    tl.writeProps(graft.core.TableProps(
+      "aged", Seq("id"), Some("ts"), Seq.empty))
+    val n = 200; val filesPer = 3; val archiveEvery = 40
+    (0 until n).foreach { i =>
+      val instant = tl.beginWrite()
+      val files = (0 until filesPer).map(j => s"f_${instant}_$j.parquet")
+      val lo = f"${i * filesPer}%06d"; val hi = f"${i * filesPer + filesPer - 1}%06d"
+      try tl.commit(CommitMeta(
+        instant, "commit", files, Seq.empty, Seq.empty,
+        "id INT, ts BIGINT", filesPer.toLong, Map.empty,
+        keyBounds = Some(files.map(_ -> Seq(lo, hi)).toMap)))
+      finally tl.clearInflight(instant)
+      if ((i + 1) % archiveEvery == 0) {
+        tl.archive(archiveEvery / 2, archiveEvery)
+        val live = tl.liveFiles(None)
+        assert(live.size == (i + 1) * filesPer,
+          s"fold at commit ${i + 1} drifted: ${live.size}")
+        assert(live.map(_.path).distinct.size == live.size,
+          "duplicate entries after fold")
+      }
+    }
+    assert(tl.commits().size <= archiveEvery, "active window unbounded")
+    val live = tl.liveFiles(None)
+    assert(live.size == n * filesPer)
+    assert(live.forall(e => e.minKey.isDefined && e.maxKey.isDefined),
+      "key bounds lost across archive folds")
+    // a cold reader sees the identical index
+    val cold = new Timeline(new Configuration(), dir)
+    assert(cold.liveFiles(None).map(_.path).toSet ==
+      live.map(_.path).toSet)
+  }
+
   test("checkpoint cache invalidates when another instance re-archives") {
     // the round-11 parse cache keys on the checkpoint file's
     // (length, modtime); a SECOND Timeline instance — the external-
