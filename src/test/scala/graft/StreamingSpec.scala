@@ -686,7 +686,9 @@ class StreamingSpec extends AnyFunSuite {
     val q = NearDupMaintenance.start(spark, docsPath, sigPath, pairsPath, ckpt)
     try {
       q.processAllAvailable()
-      assert(pairSet() == Set((1L, 2L)) && pairSet() == recompute())
+      val ps0 = pairSet()
+      assert(ps0 == Set((1L, 2L)), s"bootstrap pairs: $ps0")
+      assert(ps0 == recompute(), "bootstrap != brute force")
       // widen mid-stream: new docs arrive WITH a lang column — one a
       // near-dup of doc 1, one unrelated
       docs.upsert(Seq(
@@ -696,12 +698,15 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(LakeTable.load(spark, docsPath).schema.fieldNames
         .contains("lang"), "docs schema did not widen")
-      assert(pairSet() == Set((1L, 2L), (1L, 3L), (2L, 3L)) &&
-        pairSet() == recompute(), s"got ${pairSet()}")
+      val ps1 = pairSet()
+      assert(ps1 == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"post-widen: $ps1")
+      assert(ps1 == recompute(), "post-widen != brute force")
       // churn on the widened table through the same live query
       docs.delete(Seq(Tuple1(2L)).toDF("doc_id"))
       q.processAllAvailable()
-      assert(pairSet() == Set((1L, 3L)) && pairSet() == recompute())
+      val ps2 = pairSet()
+      assert(ps2 == Set((1L, 3L)), s"post-delete: $ps2")
+      assert(ps2 == recompute(), "post-delete != brute force")
     } finally q.stop()
   }
 

@@ -376,7 +376,11 @@ class TableServicesSpec extends AnyFunSuite {
         keyBounds = Some(files.map(_ -> Seq(lo, hi)).toMap)))
       finally tl.clearInflight(instant)
       if ((i + 1) % archiveEvery == 0) {
-        tl.archive(archiveEvery / 2, archiveEvery)
+        val folded = tl.archive(archiveEvery / 2, archiveEvery)
+        // the first cadence call is a no-op (exactly maxToKeep active
+        // is not > maxToKeep); every later one must actually fold
+        assert(i + 1 == archiveEvery || folded > 0,
+          s"archive at commit ${i + 1} folded nothing")
         val live = tl.liveFiles(None)
         assert(live.size == (i + 1) * filesPer,
           s"fold at commit ${i + 1} drifted: ${live.size}")

@@ -62,23 +62,21 @@ object TimelineStress {
     var i = 0
     var commitMs = 0.0
     while (i < n) {
-      // beginWrite (not bare nextInstant): real writers fence their
-      // commit with an inflight marker, so the measured commit cost
-      // includes marker handling — and commit() doesn't warn about an
-      // absent fence a thousand times
-      val instant = tl.beginWrite()
-      val files = (0 until filesPer).map(j => s"part_${instant}_$j.parquet")
       val lo = f"${i * filesPer}%09d"
       val hi = f"${i * filesPer + filesPer - 1}%09d"
+      // timed region = the FULL fence lifecycle a real writer pays:
+      // beginWrite (marker create + heartbeat schedule), the commit,
+      // and clearInflight (marker release — also prevents a thousand
+      // leaked heartbeat tasks ticking for the rest of the run)
       val (_, cms) = timeMs {
+        val instant = tl.beginWrite()
+        val files =
+          (0 until filesPer).map(j => s"part_${instant}_$j.parquet")
         try tl.commit(CommitMeta(
           instant, "commit", files, Seq.empty, Seq.empty,
           "id INT, ts BIGINT, v STRING", filesPer.toLong * 100, Map.empty,
           keyBounds = Some(files.map(_ -> Seq(lo, hi)).toMap),
           dedupedKeys = Some(true)))
-        // the write path's contract: the fence (and its heartbeat
-        // task) is released once the commit lands — without this a
-        // thousand leaked heartbeats tick for the whole run
         finally tl.clearInflight(instant)
       }
       commitMs = cms
