@@ -497,6 +497,65 @@ object MediaDecoder {
     }
   }
 
+  /** Energy-gated PCM segmentation — the silence-trim / VAD-shape
+    * primitive of a speech-curation pipeline: one streaming pass over
+    * the decoded 16-bit frames (real RIFF parse, like
+    * [[resamplePcmRaw]]) emitting every MAXIMAL run of consecutive
+    * frames whose first-channel |amplitude| ≥ `threshold`, as
+    * (startFrame, nFrames, sum of squared amplitudes). O(1) state per
+    * payload (current-run accumulator only), integer-exact output so
+    * a SQL oracle can replay the gating and run-grouping bit-for-bit.
+    * None for non-PCM payloads or a non-positive threshold. */
+  def segmentPcmRaw(b: Array[Byte], threshold: Int)
+      : Option[(Int, Seq[(Int, Int, Long)])] = {
+    if (threshold <= 0) return None
+    parseWavPcm16(b).map { case (dataOff, dataLen, channels, _) =>
+      val framesIn = dataLen / 2 / channels
+      val segs = Seq.newBuilder[(Int, Int, Long)]
+      var start = -1; var sumsq = 0L
+      var f = 0
+      while (f < framesIn) {
+        val v = le16(b, dataOff + 2 * f * channels).toShort.toLong
+        if (math.abs(v) >= threshold) {
+          if (start < 0) { start = f; sumsq = 0L }
+          sumsq += v * v
+        } else if (start >= 0) {
+          segs += ((start, f - start, sumsq)); start = -1
+        }
+        f += 1
+      }
+      if (start >= 0) segs += ((start, framesIn - start, sumsq))
+      (framesIn, segs.result())
+    }
+  }
+
+  /** [[segmentPcmRaw]] over a frame of (id, payload) rows: one row per
+    * voiced segment — (id, frames_in, seg_idx 1-based, start_frame,
+    * n_frames, sumsq). Same shuffle-free one-task-per-partition shape
+    * as [[decode]]; undecodable payloads emit no rows. */
+  def segmentPcm(
+      df: DataFrame, idCol: String, binCol: String,
+      threshold: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray else bytes
+          segmentPcmRaw(payload, threshold).iterator.flatMap {
+            case (framesIn, segs) =>
+              segs.iterator.zipWithIndex.map {
+                case ((start, len, sumsq), i) =>
+                  (id, framesIn, i + 1, start, len, sumsq)
+              }
+          }
+        }
+      }
+      .toDF(idCol, "frames_in", "seg_idx", "start_frame", "n_frames",
+        "sumsq")
+  }
+
   /** Resample every (id, payload) PCM row by integer decimation
     * ([[resamplePcmRaw]]) — same execution shape as [[decode]]: one
     * task per partition, no shuffle, streaming. Non-PCM payloads emit

@@ -566,7 +566,76 @@ object MultimodalOps {
       "\n        WHERE NOT (" +
         mm7DelSql.replace("doc_id", "d.doc_id") + ")")))
 
+  /** mm8 — energy-gated audio segmentation, decode included: the
+    * silence-trim / VAD-shape primitive a speech-curation pipeline
+    * runs over every clip before transcription. Each doc gets a
+    * deterministic mono WAV whose samples alternate between LOUD
+    * 8-frame blocks (amplitude ∈ [50, 150] — two of every three
+    * blocks, phase doc-dependent) and QUIET blocks (|amplitude| < 20),
+    * built by the byte-level WAV encoder; [[graft.multimodal
+    * .MediaDecoder.segmentPcm]] real-RIFF-parses it and emits each
+    * maximal ≥-threshold run with integer start/length/energy in ONE
+    * streaming pass (O(1) state — at 100 TB of audio the operator
+    * never buffers a clip). The DuckDB oracle replays the sample
+    * arithmetic over an unrolled frame grid and re-derives the runs
+    * relationally (lag → run-start flags → running sum = run id), so
+    * an off-by-one at either end of a segment, a dropped
+    * tail-of-clip segment, or a sign error in the 16-bit decode
+    * hash-mismatches. */
+  private val segmentQ = GQ(
+    "mm8_audio_segments",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.MediaDecoder
+      val payloads = t(s, dir, "documents").select("doc_id")
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { d =>
+            val n = (d % 40 + 20).toInt
+            val samples = Array.tabulate(n) { j =>
+              if ((d * 7 + j / 8) % 3 != 0)
+                ((d * 31 + j * 37) % 101 + 50).toShort // loud block
+              else ((d * 11 + j * 5) % 40 - 20).toShort // quiet block
+            }
+            (d, MediaDecoder.encodeWavPcm16(8000, 1, samples))
+          }
+        }
+        .toDF("doc_id", "payload")
+      MediaDecoder.segmentPcm(payloads, "doc_id", "payload", 50)
+        .orderBy("doc_id", "seg_idx")
+    },
+    Some("""WITH js(j) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),
+          (10),(11),(12),(13),(14),(15),(16),(17),(18),(19),
+          (20),(21),(22),(23),(24),(25),(26),(27),(28),(29),
+          (30),(31),(32),(33),(34),(35),(36),(37),(38),(39),
+          (40),(41),(42),(43),(44),(45),(46),(47),(48),(49),
+          (50),(51),(52),(53),(54),(55),(56),(57),(58),(59)),
+      s AS (SELECT d.doc_id, j, d.doc_id % 40 + 20 AS n,
+          CASE WHEN (d.doc_id * 7 + j // 8) % 3 <> 0
+               THEN (d.doc_id * 31 + j * 37) % 101 + 50
+               ELSE (d.doc_id * 11 + j * 5) % 40 - 20 END AS x
+        FROM documents d CROSS JOIN js
+        WHERE j < d.doc_id % 40 + 20),
+      v AS (SELECT doc_id, j, n, x, abs(x) >= 50 AS voiced FROM s),
+      m AS (SELECT doc_id, j, n, x, voiced,
+          CASE WHEN voiced AND NOT coalesce(
+              lag(voiced) OVER (PARTITION BY doc_id ORDER BY j), FALSE)
+            THEN 1 ELSE 0 END AS segstart
+        FROM v),
+      r AS (SELECT doc_id, j, n, x, voiced,
+          SUM(segstart) OVER (PARTITION BY doc_id ORDER BY j) AS run
+        FROM m)
+      SELECT doc_id,
+        CAST(min(n) AS INT) AS frames_in,
+        CAST(run AS INT) AS seg_idx,
+        CAST(min(j) AS INT) AS start_frame,
+        CAST(count(*) AS INT) AS n_frames,
+        CAST(sum(x * x) AS BIGINT) AS sumsq
+      FROM r WHERE voiced
+      GROUP BY doc_id, run
+      ORDER BY doc_id, seg_idx"""))
+
   def qs: Seq[GQ] =
     Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ,
-      phashQ, phashIncQ)
+      phashQ, phashIncQ, segmentQ)
 }

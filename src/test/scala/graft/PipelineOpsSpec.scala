@@ -601,6 +601,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       Seq((0, 78), (1, 22)))
   }
 
+  test("segmentPcmRaw: hand-computed runs, tail segment, guards") {
+    import MediaDecoder.{encodeWavPcm16, segmentPcmRaw}
+    // |x| >= 100 gates frames 1-2 (one run), frame 5 (run to the
+    // payload END — the truncated-tail case), with negative
+    // amplitudes proving the signed 16-bit decode
+    val mono = encodeWavPcm16(8000, 1,
+      Array[Short](10, 120, -150, 30, -99, 200))
+    val (n, segs) = segmentPcmRaw(mono, 100).get
+    assert(n == 6)
+    assert(segs == Seq((1, 2, 120L * 120 + 150L * 150), (5, 1, 200L * 200)))
+    // stereo: gating reads the FIRST channel only — frame 1's loud
+    // right channel must not open a segment
+    val stereo = encodeWavPcm16(8000, 2,
+      Array[Short](10, 0, 20, 500, -300, 0, 40, 0))
+    val (sn, ssegs) = segmentPcmRaw(stereo, 100).get
+    assert(sn == 4)
+    assert(ssegs == Seq((2, 1, 300L * 300)))
+    // an all-quiet clip has zero segments but still decodes
+    assert(segmentPcmRaw(encodeWavPcm16(8000, 1,
+      Array[Short](1, 2, 3)), 100).get == ((3, Seq.empty)))
+    assert(segmentPcmRaw("not audio".getBytes("UTF-8"), 100).isEmpty)
+    assert(segmentPcmRaw(mono, 0).isEmpty)
+  }
+
   test("resamplePcm: stereo decimation keeps whole frames; guards hold") {
     import MediaDecoder.{encodeWavPcm16, resamplePcmRaw}
     // stereo, 5 frames: frame f = (L=10f, R=-10f). Decimate ×2 → frames
