@@ -158,13 +158,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.exists(kv._1.contains)))
+    // per query: (wall sec, interference window, pass calib ms, pass
+    // index) — the pass index lets the emitted min_pass map attribute
+    // each query's min to the calibration of the pass it came from,
+    // so cross-round normalization works per QUERY, not just totals
     val samples = scala.collection.mutable.Map
-      .empty[String, scala.collection.mutable.ListBuffer[(Double, Win, Double)]]
+      .empty[String, scala.collection.mutable.ListBuffer[(Double, Win, Double, Int)]]
     val passCalibs = scala.collection.mutable.ListBuffer.empty[Double]
     def runPass(qs: Seq[(String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame)]): Unit = {
       val calib = calibrate()
       passCalibs += calib
+      val passIdx = passCalibs.size - 1
       qs.foreach { case (name, fn) =>
         val h0 = hostTicks(); val self0 = selfTicks()
         val t0 = System.nanoTime()
@@ -175,7 +180,7 @@ object Bench {
         // don't let one query's cache skew the next one's measurement
         spark.catalog.clearCache()
         samples.getOrElseUpdate(name,
-          scala.collection.mutable.ListBuffer.empty) += ((dt, w, calib))
+          scala.collection.mutable.ListBuffer.empty) += ((dt, w, calib, passIdx))
       }
     }
     calibrate() // JIT the calibration loop itself before the first use
@@ -214,7 +219,7 @@ object Bench {
     // whatever /proc/stat said about it. bestCalib is re-read per
     // call: a faster retry pass retroactively disqualifies samples
     // from slower passes.
-    def trusted(s: (Double, Win, Double)): Boolean =
+    def trusted(s: (Double, Win, Double, Int)): Boolean =
       quiet(s._2) && s._3 <= passCalibs.min * 1.25
     def settled(name: String): Boolean = {
       val ss = samples(name)
@@ -244,9 +249,14 @@ object Bench {
     while (need.nonEmpty && extraRounds < 3 &&
         System.currentTimeMillis() < deadlineMs) {
       waitQuiet()
-      runPass(need)
-      extraRounds += 1
-      need = ordered.filter(q => !settled(q._1))
+      // waitQuiet can sleep clear up to the deadline on a never-quiet
+      // host; launching a retry pass then would overrun the declared
+      // budget by a full pass — re-check before paying for one
+      if (System.currentTimeMillis() < deadlineMs) {
+        runPass(need)
+        extraRounds += 1
+        need = ordered.filter(q => !settled(q._1))
+      }
     }
     val results = ordered.map { case (name, _) =>
       name -> samples(name).map(_._1).min
@@ -268,19 +278,37 @@ object Bench {
     // interpolator (a comma decimal separator would corrupt the JSON)
     val calibs = passCalibs.map(c => (math.round(c * 10) / 10.0).toString)
       .mkString("[", ",", "]")
+    // pass index each query's min sample came from (indexes calib_ms):
+    // lets a cross-round comparison normalize per QUERY by the calib
+    // of the pass that actually produced its number
+    val minPassByName = ordered.map { case (name, _) =>
+      name -> samples(name).minBy(_._1)._4 }
+    val minPass = minPassByName.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"extra_rounds":$extraRounds,"calib_ms":$calibs,"passes":$passCounts,"quiet":$quietFlags,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"extra_rounds":$extraRounds,"calib_ms":$calibs,"passes":$passCounts,"quiet":$quietFlags,"min_pass":$minPass,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver archives only the LAST 2000 chars of output into
+    // BENCH_rN.json, and the main line puts calib_ms/value before the
+    // 100+ query entries — the truncation used to eat exactly the
+    // cross-round normalization anchor. Emit a second compact trailing
+    // line that repeats it; min_pass here is POSITIONAL over the
+    // queries sorted by name (same order as the main line), indexing
+    // into calib_ms.
+    val minPassArr = minPassByName.map(_._2).mkString("[", ",", "]")
+    val tail =
+      s"""{"calib_ms":$calibs,"total":$total,"extra_rounds":$extraRounds,"min_pass":$minPassArr}"""
     // Emit robustly: a contended driver run once truncated this line
     // mid-JSON. Print + hard flush BEFORE spark.stop() (whose shutdown
     // logging can interleave), and leave a recovery copy on disk.
     println(line)
+    println(tail)
     System.out.flush()
     Console.out.flush()
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (line + "\n" + tail + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
   }

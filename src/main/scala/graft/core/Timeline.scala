@@ -61,12 +61,14 @@ final case class CommitMeta(
       * integral-as-long) — the col-stats data-skipping index. */
     colStats: Option[Map[String, Map[String, Seq[String]]]] = None,
     /** whether this commit's rows are key-deduped (at most one version
-      * per (key, partition)) — MOR write paths that skip the
-      * pre-combine window (`combine=false`) record false here so the
-      * single-commit read fast path falls back to the full merge
-      * instead of surfacing the batch's duplicate keys unmerged.
-      * None (older commits / COW paths) = infer from the action
-      * allowlist, the pre-flag behavior. */
+      * per (key, partition)). True when the pre-combine window ran OR
+      * the caller passed `combine=false` — uniqueness is then a HARD
+      * caller contract and the writer records true on its word (see
+      * LakeTable.maybeCombine). Only a combine=true batch written
+      * without a preCombine field records false, forcing the
+      * single-commit read fast path back to the full merge. None
+      * (older commits / COW paths) = infer from the action allowlist,
+      * the pre-flag behavior. */
     dedupedKeys: Option[Boolean] = None)
 
 /** One live data file as seen by readers: its path, the commit that
@@ -538,22 +540,47 @@ final class Timeline(conf: Configuration, val basePath: String) {
 
   private def checkpointPath = new Path(dir, CHECKPOINT_FILE)
 
-  /** Parsed checkpoint keyed on the file's (length, modtime): an aged
-    * table's checkpoint carries its whole live-file index (50k files ≈
-    * several MB of JSON), and every liveFiles() — i.e. every snapshot
-    * or probe PLANNING — reads it. Re-parsing per call made planning
-    * O(live files) in PARSE cost, the round-11 metadata-axis stress
-    * cliff; the status key keeps the cache correct under external
-    * writers (archive() replaces the file atomically, changing both
-    * length and modtime). */
-  private var cpCache: Option[(Long, Long, CheckpointMeta)] = None
+  /** Parsed checkpoint keyed on the file's (length, modtime, head):
+    * an aged table's checkpoint carries its whole live-file index
+    * (50k files ≈ several MB of JSON), and every liveFiles() — i.e.
+    * every snapshot or probe PLANNING — reads it. Re-parsing per call
+    * made planning O(live files) in PARSE cost, the round-11
+    * metadata-axis stress cliff; the status key keeps the cache
+    * correct under external writers (archive() replaces the file
+    * atomically, changing length and modtime).
+    *
+    * (length, modtime) alone can alias on filesystems with coarse
+    * mtime granularity: two archive() rewrites inside one tick that
+    * happen to land on equal byte length would serve a stale parse.
+    * The head — the file's first 64 bytes, which start
+    * `{"asOf":"<instant>"` and archive()'s boundary instant strictly
+    * increases — disambiguates. It is re-verified on a status match
+    * ONLY while the file is young (modtime within 2 s of now):
+    * aliasing needs the SECOND rewrite to land in the same tick as
+    * the first, so once a tick has passed, (length, modtime) alone is
+    * sound and the hot planning path stays one getFileStatus. */
+  private var cpCache: Option[(Long, Long, String, CheckpointMeta)] = None
+
+  private def cpHead(): String = {
+    val in = fs.open(checkpointPath)
+    try {
+      val buf = new Array[Byte](64)
+      var n = 0; var r = 0
+      while (n < buf.length &&
+          { r = in.read(buf, n, buf.length - n); r > 0 }) n += r
+      new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 
   def readCheckpoint(): Option[CheckpointMeta] = this.synchronized {
     if (!fs.exists(checkpointPath)) { cpCache = None; return None }
     val st = fs.getFileStatus(checkpointPath)
+    val young =
+      System.currentTimeMillis() - st.getModificationTime < 2000L
     cpCache match {
-      case Some((len, mod, cp))
-          if len == st.getLen && mod == st.getModificationTime =>
+      case Some((len, mod, head, cp))
+          if len == st.getLen && mod == st.getModificationTime &&
+            (!young || cpHead() == head) =>
         Some(cp)
       case _ =>
         val in = fs.open(checkpointPath)
@@ -561,7 +588,7 @@ final class Timeline(conf: Configuration, val basePath: String) {
           try JsonMethods.parse(in)
             .extract[CheckpointMeta](formats, manifest[CheckpointMeta])
           finally in.close()
-        cpCache = Some((st.getLen, st.getModificationTime, cp))
+        cpCache = Some((st.getLen, st.getModificationTime, cpHead(), cp))
         Some(cp)
     }
   }
@@ -623,6 +650,9 @@ final class Timeline(conf: Configuration, val basePath: String) {
         (priorCp.toSeq.flatMap(_.archivedRemoved) ++
           toArchive.flatMap(_.removed)).distinct)
     atomicWrite(checkpointPath, Serialization.write(cp)(formats))
+    // this instance just replaced the checkpoint: drop the cached
+    // parse rather than relying on the status/head key to notice
+    this.synchronized { cpCache = None }
     val archiveDir = new Path(dir, "archived")
     fs.mkdirs(archiveDir)
     toArchive.foreach { c =>

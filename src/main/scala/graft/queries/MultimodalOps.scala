@@ -250,6 +250,21 @@ object MultimodalOps {
     * grid), shared by mm6/mm7. */
   private val PhSide = 16
 
+  /** The noise fixture's per-channel coefficient rows
+    * (mulX, modX, addX, mulY, modY, addY, modXY, addXY): channel k =
+    * ((sd·mulX + x)·(sd % modX + addX) + (sd·mulY + y)·(sd % modY +
+    * addY) + x·y·(sd % modXY + addXY)) % 256. Named ONCE — both
+    * [[phashFixture]] and the oracle SQL built by [[phashOracle]]
+    * derive from it, so a drive-by edit cannot desync the two
+    * replays. (The hash PIPELINE arithmetic — binning, threshold,
+    * packing, banding — stays independently written on each side;
+    * these are fixture INPUTS, where a desync would be a false
+    * failure, never a false pass.) */
+  private val PhCoef: Seq[(Int, Int, Int, Int, Int, Int, Int, Int)] = Seq(
+    (131, 97, 31, 137, 89, 29, 83, 11),
+    (139, 101, 37, 149, 79, 23, 71, 13),
+    (151, 103, 41, 157, 73, 19, 61, 17))
+
   /** Shared deterministic noise-image fixture for the perceptual-hash
     * gates (mm6/mm7): channel value = integer arithmetic on (source
     * doc, x, y) with doc-dependent multiplicative coefficients, so
@@ -268,14 +283,10 @@ object MultimodalOps {
     val bright = inject && m2 == rem
     val pop = inject && m2 == rem + pairMod
     def ch(x: Int, y: Int, k: Int): Int = {
-      val v = ((k match {
-        case 0 => (sd * 131 + x) * (sd % 97 + 31) +
-          (sd * 137 + y) * (sd % 89 + 29) + x.toLong * y * (sd % 83 + 11)
-        case 1 => (sd * 139 + x) * (sd % 101 + 37) +
-          (sd * 149 + y) * (sd % 79 + 23) + x.toLong * y * (sd % 71 + 13)
-        case _ => (sd * 151 + x) * (sd % 103 + 41) +
-          (sd * 157 + y) * (sd % 73 + 19) + x.toLong * y * (sd % 61 + 17)
-      }) % 256).toInt
+      val (mx, nx, ax, my, ny, ay, nxy, axy) = PhCoef(k)
+      val v = (((sd * mx + x) * (sd % nx + ax) +
+        (sd * my + y) * (sd % ny + ay) +
+        x.toLong * y * (sd % nxy + axy)) % 256).toInt
       if (bright) math.min(v + 1, 255)
       else if (pop && x == 0 && y == 0 && k == 0) math.min(v + 60, 255)
       else v
@@ -325,6 +336,15 @@ object MultimodalOps {
     * can replay a final corpus whose image rule depends on churn
     * membership; `alive` filters to the docs the Spark side ends up
     * with (mm7's deletes). */
+  /** Channel k's fixture arithmetic as DuckDB SQL over alias columns
+    * (sd, xi, yi) — generated from the same [[PhCoef]] row the Scala
+    * fixture consumes. */
+  private def chanSql(k: Int): String = {
+    val (mx, nx, ax, my, ny, ay, nxy, axy) = PhCoef(k)
+    s"((sd*$mx + xi) * (sd % $nx + $ax) + (sd*$my + yi) * (sd % $ny + $ay)" +
+      s" + xi*yi*(sd % $nxy + $axy)) % 256"
+  }
+
   private def phashOracle(
       sdSql: String, brightSql: String, popSql: String,
       alive: String): String =
@@ -336,12 +356,9 @@ object MultimodalOps {
           $popSql AS pop
         FROM documents d CROSS JOIN g xs CROSS JOIN g ys$alive),
       pv AS (SELECT doc_id, xi, yi, bright, pop,
-          ((sd*131 + xi) * (sd % 97 + 31) + (sd*137 + yi) * (sd % 89 + 29)
-            + xi*yi*(sd % 83 + 11)) % 256 AS r0,
-          ((sd*139 + xi) * (sd % 101 + 37) + (sd*149 + yi) * (sd % 79 + 23)
-            + xi*yi*(sd % 71 + 13)) % 256 AS g0,
-          ((sd*151 + xi) * (sd % 103 + 41) + (sd*157 + yi) * (sd % 73 + 19)
-            + xi*yi*(sd % 61 + 17)) % 256 AS b0
+          ${chanSql(0)} AS r0,
+          ${chanSql(1)} AS g0,
+          ${chanSql(2)} AS b0
         FROM px),
       pp AS (SELECT doc_id, xi, yi,
           CASE WHEN bright THEN LEAST(r0 + 1, 255)
