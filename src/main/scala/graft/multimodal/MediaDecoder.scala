@@ -679,6 +679,83 @@ object MediaDecoder {
       (hi, lo)
     }
 
+  /** 64-bit ENVELOPE hash of a PCM WAV — the audio analog of
+    * [[aHash64]], built for near-dup detection robust to the two
+    * perturbations a re-encoded copy of the same recording carries:
+    * a constant amplitude scale and leading/trailing silence.
+    *
+    *  1. trim leading/trailing silence (first-channel `abs < threshold`)
+    *  2. split the active region into 65 equal-span windows
+    *     (window of frame f = `f·65 / m`, integer division)
+    *  3. per-window envelope = sum of `abs(sample)`
+    *  4. bit k (k < 64) = window k's MEAN `abs` ≥ window k+1's, as
+    *     exact integer cross-products (`sum·count` ≤ 32768·frames² —
+    *     far below Long overflow)
+    *
+    * Mean DELTAS are invariant to amplitude scaling (both sides of
+    * every comparison scale together) and to padding (trimmed before
+    * windowing). Two streaming passes over the payload bytes — trim
+    * bounds, then window folds — O(windows) state, never a samples
+    * buffer. None for non-PCM payloads and all-silent clips. Windows
+    * an m < 65 clip leaves empty compare as mean 0. */
+  def envHash64(b: Array[Byte], threshold: Int): Option[(Long, Long)] =
+    parseWavPcm16(b).flatMap { case (dataOff, dataLen, channels, _) =>
+      val framesIn = dataLen / 2 / channels
+      var first = -1; var last = -1
+      var f = 0
+      while (f < framesIn) {
+        val v = le16(b, dataOff + 2 * f * channels).toShort.toInt
+        if (math.abs(v) >= threshold) { if (first < 0) first = f; last = f }
+        f += 1
+      }
+      if (first < 0) None
+      else {
+        val m = last - first + 1
+        val W = 65
+        val sums = new Array[Long](W)
+        val cnts = new Array[Long](W)
+        f = 0
+        while (f < m) {
+          val v = le16(b, dataOff + 2 * (first + f) * channels).toShort.toInt
+          val w = (f.toLong * W / m).toInt
+          sums(w) += math.abs(v)
+          cnts(w) += 1
+          f += 1
+        }
+        var hi = 0L; var lo = 0L
+        var k = 0
+        while (k < 64) {
+          if (sums(k) * math.max(cnts(k + 1), 1L) >=
+              sums(k + 1) * math.max(cnts(k), 1L)) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        Some((hi, lo))
+      }
+    }
+
+  /** [[envHash64]] over a frame of (id, payload) rows: same
+    * shuffle-free one-task-per-partition shape as [[decode]]; one row
+    * per decodable non-silent payload, hash as two unsigned 32-bit
+    * halves — the same (hash_hi, hash_lo) contract as [[aHash]], so
+    * the hamming-band blocking machinery is shared verbatim. */
+  def envHash(
+      df: DataFrame, idCol: String, binCol: String,
+      threshold: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray else bytes
+          envHash64(payload, threshold).map { case (hi, lo) => (id, hi, lo) }
+        }
+      }
+      .toDF(idCol, "hash_hi", "hash_lo")
+  }
+
   /** [[aHash64]] over a frame of (id, payload) rows: same shuffle-free
     * one-task-per-partition shape as [[decode]]; one row per decodable
     * payload, hash as two unsigned 32-bit halves. */

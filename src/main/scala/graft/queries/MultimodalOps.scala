@@ -652,7 +652,105 @@ object MultimodalOps {
       GROUP BY doc_id, run
       ORDER BY doc_id, seg_idx"""))
 
+  /** mm9 audio fixture: doc d is a RE-ENCODED COPY of d-1 iff
+    * d % 9 == 2 — amplitude-doubled with a deterministic ±1
+    * per-sample magnitude jitter (a requantized transfer) when
+    * d % 18 == 2, or prefixed with 10–49 frames of sub-threshold
+    * silence (a padded re-container) when d % 18 == 11. Base clip:
+    * m = sd % 60 + 140 mono PCM frames, every magnitude ∈ [50, 250]
+    * (loud throughout, so a padded copy's ACTIVE region is exactly
+    * the source clip), magnitude pattern doc-dependent via
+    * multiplicative coefficients (uncorrelated envelopes across
+    * docs), sign a separate ±pattern the envelope must ignore. */
+  private def audioNearDupFixture(d: Long): Array[Byte] = {
+    import graft.multimodal.MediaDecoder
+    val inject = d % 9 == 2
+    val sd = if (inject) d - 1 else d
+    val scaled = inject && d % 18 == 2
+    val padded = inject && d % 18 == 11
+    val m = (sd % 60 + 140).toInt
+    val pad = if (padded) (d % 40 + 10).toInt else 0
+    val samples = Array.tabulate(pad + m) { i =>
+      if (i < pad) ((i.toLong * 11) % 31 - 15).toShort // |x| < 50: silence
+      else {
+        val j = (i - pad).toLong
+        val mag = 50 + ((sd * 31 + j) * (sd % 83 + 13) +
+          j * j * (sd % 29 + 7)) % 101
+        val magOut = if (scaled) 2 * mag + (j % 3 - 1) else mag
+        val sign = if ((sd + j) % 4 < 2) 1 else -1
+        (sign * magOut).toShort
+      }
+    }
+    MediaDecoder.encodeWavPcm16(8000, 1, samples)
+  }
+
+  /** mm9 — PERCEPTUAL audio near-dup, the last dedup modality (text:
+    * dedup2–6, image: mm6/mm7): every doc gets a deterministic mono
+    * WAV ([[audioNearDupFixture]]); every 9th is a re-encoded copy of
+    * its predecessor — amplitude-rescaled or silence-padded, the
+    * perturbations [[graft.multimodal.MediaDecoder.envHash64]]'s
+    * trim + mean-delta envelope bits are built to survive. Pipeline:
+    * encode → envelope hash (streaming RIFF parse, O(windows) state)
+    * → the SAME hamming-band blocking as the image gates ([[banded]]
+    * — pigeonhole full recall at d ≤ 7, candidates band-bounded,
+    * never all-pairs) → exact hamming ≤ 7. The DuckDB oracle replays
+    * the magnitude arithmetic and the window/bit derivation, then
+    * verifies pairs BRUTE-FORCE over the 64-bit signatures, so a
+    * banding recall loss, a trim off-by-one, or a windowing skew
+    * hash-mismatches. (The oracle never materializes the padding:
+    * trim provably removes it, which is exactly the claim the padded
+    * fixtures test on the Spark side.) */
+  private val audioNearDupQ = GQ(
+    "mm9_audio_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.MediaDecoder
+      val payloads = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map(d => (d, audioNearDupFixture(d))))
+        .toDF("doc_id", "payload")
+      val sig = MediaDecoder.envHash(payloads, "doc_id", "payload", 50)
+      val blocks = banded(sig)
+      blocks.as("l").join(blocks.as("r"),
+          col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          hammingCol.as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 7)
+        .orderBy("a", "b")
+    },
+    Some("""WITH g AS (SELECT j FROM range(0, 200) t(j)),
+      d0 AS (SELECT doc_id,
+          CASE WHEN doc_id % 9 = 2 THEN doc_id - 1 ELSE doc_id END AS sd,
+          doc_id % 18 = 2 AS scl
+        FROM documents),
+      dim AS (SELECT doc_id, sd, scl, sd % 60 + 140 AS m FROM d0),
+      mag AS (SELECT doc_id, m, j, scl,
+          50 + ((sd*31 + j) * (sd % 83 + 13) + j*j*(sd % 29 + 7)) % 101 AS b0
+        FROM dim CROSS JOIN g WHERE j < m),
+      amp AS (SELECT doc_id, m, j,
+          CASE WHEN scl THEN 2*b0 + (j % 3 - 1) ELSE b0 END AS a
+        FROM mag),
+      win AS (SELECT doc_id, (j * 65) // m AS w,
+          CAST(sum(a) AS BIGINT) AS e, CAST(count(*) AS BIGINT) AS c
+        FROM amp GROUP BY doc_id, (j * 65) // m),
+      bits AS (SELECT l.doc_id, l.w AS k,
+          CASE WHEN l.e * r.c >= r.e * l.c THEN 1 ELSE 0 END AS bit
+        FROM win l JOIN win r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+        WHERE l.w < 64),
+      sig AS (SELECT doc_id,
+          CAST(sum(CASE WHEN k < 32
+            THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo,
+          CAST(sum(CASE WHEN k >= 32
+            THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+          AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+      ORDER BY a, b"""))
+
   def qs: Seq[GQ] =
     Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ,
-      phashQ, phashIncQ, segmentQ)
+      phashQ, phashIncQ, segmentQ, audioNearDupQ)
 }

@@ -649,4 +649,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     val (frames, rate, chans, _) = MediaDecoder.decodeWav(wav).get
     assert((frames, rate, chans) == (5, 44100, 2))
   }
+
+  test("envHash64: invariant to amplitude scale, silence padding, and sign; guards hold") {
+    import MediaDecoder.{encodeWavPcm16, envHash64}
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    // a loud 130-frame clip with a doc-style pseudo-random envelope
+    val base = Array.tabulate(130) { j =>
+      val mag = 50 + ((7L * 31 + j) * 20 + j.toLong * j * 9) % 101
+      ((if (j % 4 < 2) 1 else -1) * mag).toShort
+    }
+    val h0 = envHash64(encodeWavPcm16(8000, 1, base), 50).get
+    // hash halves are unsigned 32-bit (safe to pack in SQL BIGINT)
+    assert(h0._1 >= 0 && h0._1 < (1L << 32) && h0._2 >= 0 && h0._2 < (1L << 32))
+    // exact ×2 amplitude: every mean comparison scales together
+    assert(envHash64(encodeWavPcm16(8000, 1,
+      base.map(s => (s * 2).toShort)), 50).get == h0)
+    // leading AND trailing sub-threshold silence: trimmed before
+    // windowing, so the hash is bit-identical
+    val padded = Array.fill(37)(12.toShort) ++ base ++
+      Array.fill(23)((-9).toShort)
+    assert(envHash64(encodeWavPcm16(8000, 1, padded), 50).get == h0)
+    // global sign flip: the envelope reads |sample|
+    assert(envHash64(encodeWavPcm16(8000, 1,
+      base.map(s => (-s).toShort)), 50).get == h0)
+    // a different clip (coefficients of another doc) is FAR: band
+    // blocking at hamming <= 7 must not pair it
+    val other = Array.tabulate(130) { j =>
+      (50 + ((19L * 31 + j) * 33 + j.toLong * j * 24) % 101).toShort
+    }
+    assert(hamming(envHash64(encodeWavPcm16(8000, 1, other), 50).get, h0) > 7)
+    // guards: all-silent clip, non-audio payload
+    assert(envHash64(encodeWavPcm16(8000, 1,
+      Array[Short](1, -2, 3)), 50).isEmpty)
+    assert(envHash64("not audio".getBytes("UTF-8"), 50).isEmpty)
+  }
+
+  test("mm9: every injected re-encoded audio copy is recalled, padded copies at hamming 0") {
+    val pairs = SparkEntry.queries("mm9_audio_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    val maxDoc = Tables.t(spark, sf, "documents")
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val scaled = (2L to maxDoc by 18).map(d => (d - 1, d))
+    val padded = (11L to maxDoc by 18).map(d => (d - 1, d))
+    assert(scaled.nonEmpty && padded.nonEmpty, "fixture corpus too small")
+    // full recall of BOTH perturbation variants at hamming <= 7
+    assert(scaled.toSet.subsetOf(got), s"missed scaled: ${scaled.toSet -- got}")
+    assert(padded.toSet.subsetOf(got), s"missed padded: ${padded.toSet -- got}")
+    // a padded copy's active region IS the source clip: trim must
+    // make it bit-identical, not merely near
+    val paddedHam = pairs.filter(p => padded.contains((p._1, p._2))).map(_._3)
+    assert(paddedHam.nonEmpty && paddedHam.forall(_ == 0),
+      s"padded pairs should hash identically, got $paddedHam")
+    // and nothing else pairs: the fixture injects exactly these
+    assert(got == (scaled ++ padded).toSet,
+      s"false pairs: ${got -- scaled -- padded}")
+  }
 }
