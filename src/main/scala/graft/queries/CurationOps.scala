@@ -782,6 +782,73 @@ object CurationOps {
       FROM ranked d JOIN keep USING (lbl) WHERE d.rn > 1
       ORDER BY dropped_id"""))
 
+  /** pipe7 — JOINT multimodal canonical selection: the verdict
+    * composition a 100 TB multimodal curation run actually executes.
+    * Every doc carries text AND an image payload; near-dup evidence
+    * comes from BOTH modalities — dedup2's MinHash+LSH verified text
+    * pairs and mm6's perceptual-hash image pairs — and a pair
+    * duplicated in EITHER modality is an edge. Union → connected
+    * components → pipe2's keep-best-quality policy. Image edges merge
+    * clusters text alone keeps apart (a re-encoded image copy whose
+    * caption was rewritten) and vice versa; the canonical table is
+    * computed over the MERGED graph, so one cluster keeps exactly one
+    * survivor however its members were detected. Cost shape is
+    * unchanged from the parts: each modality's pair generation is
+    * banded (never all-pairs), the union is a pair-set concat, and
+    * the corpus is touched only for the per-doc quality column.
+    * Oracle = the composition of the parts' arithmetic oracles
+    * (brute-force text pairs + brute-force image signatures) under
+    * the same recursive-components + ranking SQL as pipe2. */
+  private val jointCanonicalQ = GQ(
+    "pipe7_multimodal_canonical",
+    (s, dir) => {
+      val textPairs = DedupOps.minhashPairs(s, dir).select("a", "b")
+      val imgPairs = MultimodalOps.phashPairs(s, dir).select("a", "b")
+      val labels =
+        SimilarityOps.components(textPairs.unionByName(imgPairs))
+      val q = DedupOps.corpus(s, dir)
+        .withColumn("toks", expr(toksExpr.format("text")))
+        .withColumn("quality", qualityCol)
+        .select(col("doc_id"), round(col("quality"), 9).as("qr"))
+      val member = labels.join(q, col("id") === col("doc_id"))
+      val w = Window.partitionBy(col("lbl"))
+        .orderBy(col("qr").desc, col("doc_id").asc)
+      val ranked = member.withColumn("rn", row_number().over(w))
+        .select("lbl", "doc_id", "rn")
+      val keep = ranked.filter(col("rn") === 1)
+        .select(col("lbl"), col("doc_id").as("kept_id"))
+      ranked.filter(col("rn") > 1)
+        .join(keep, Seq("lbl"))
+        .select(col("doc_id").as("dropped_id"), col("kept_id"))
+        .orderBy("dropped_id")
+    },
+    Some(s"""WITH RECURSIVE ${DedupOps.corpusSql},
+      ${DedupOps.pairsCteSql},
+      ${MultimodalOps.phashSigCtes},
+      ipairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs
+        UNION ALL SELECT a, b FROM ipairs
+        UNION ALL SELECT b, a FROM ipairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      r(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(lbl) AS lbl FROM r GROUP BY id),
+      q AS (SELECT doc_id, round($qualitySql, 9) AS qr
+        FROM (SELECT doc_id, ${toksSql.format("text")} AS toks FROM corpus)),
+      ranked AS (SELECT comp.lbl, comp.id AS doc_id,
+          row_number() OVER (PARTITION BY comp.lbl
+            ORDER BY q.qr DESC, comp.id ASC) AS rn
+        FROM comp JOIN q ON q.doc_id = comp.id),
+      keep AS (SELECT lbl, doc_id AS kept_id FROM ranked WHERE rn = 1)
+      SELECT d.doc_id AS dropped_id, keep.kept_id
+      FROM ranked d JOIN keep USING (lbl) WHERE d.rn > 1
+      ORDER BY dropped_id"""))
+
   /** pipe4 — incremental near-dup maintenance: dedup2's MinHash+LSH
     * pipeline as a continuously-maintained SERVICE instead of a batch
     * job, the shape a 100 TB corpus actually needs (re-running banded
@@ -1277,6 +1344,6 @@ object CurationOps {
     Some(bm25IndexOracle))
 
   def qs: Seq[GQ] = Seq(deconQ, decon2Q, decon3Q, piiQ, repetitionQ, mixQ,
-    mix2Q, mix3Q, pipeQ, canonicalQ, incNearDupQ, incBm25Q, stSearchIndexQ,
+    mix2Q, mix3Q, pipeQ, canonicalQ, jointCanonicalQ, incNearDupQ, incBm25Q, stSearchIndexQ,
     stServiceOccQ, entropyQ, leakSplitQ, stats1Q, samp1Q, samp2Q)
 }

@@ -348,7 +348,18 @@ object MultimodalOps {
   private def phashOracle(
       sdSql: String, brightSql: String, popSql: String,
       alive: String): String =
-    s"""WITH g(i) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+    s"""WITH ${phashSigCtesFor(sdSql, brightSql, popSql, alive)}
+      SELECT a.doc_id AS a, b.doc_id AS b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+          AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+      ORDER BY a, b"""
+
+  private def phashSigCtesFor(
+      sdSql: String, brightSql: String, popSql: String,
+      alive: String): String =
+    s"""g(i) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
           (8),(9),(10),(11),(12),(13),(14),(15)),
       px AS (SELECT d.doc_id, xs.i AS xi, ys.i AS yi,
           $sdSql AS sd,
@@ -381,37 +392,46 @@ object MultimodalOps {
             THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo,
           CAST(sum(CASE WHEN i >= 32
             THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
-        FROM bits GROUP BY doc_id)
-      SELECT a.doc_id AS a, b.doc_id AS b,
-        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
-          AS hamming
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
-      ORDER BY a, b"""
+        FROM bits GROUP BY doc_id)"""
 
-  /** mm6 — PERCEPTUAL image near-dup, decode included: the
-    * intersection of dedup and multimodal. Every doc gets a
-    * deterministic 16×16 noise image ([[phashFixture]] — a plain
+  /** mm6's Spark pipeline as a reusable pair source — every doc gets
+    * a deterministic 16×16 noise image ([[phashFixture]] — a plain
     * gradient would aHash identically for every doc); every 8th doc
-    * is a perturbed cross-codec copy of its predecessor. Pipeline:
-    * encode → [[graft.multimodal.MediaDecoder.aHash]] (8×8 box-resize
-    * → 64-bit mean-threshold hash, one shuffle-free pass) →
-    * hamming-band blocking ([[banded]]) → exact hamming ≤ 7. */
+    * is a perturbed cross-codec copy of its predecessor; encode →
+    * [[graft.multimodal.MediaDecoder.aHash]] (8×8 box-resize → 64-bit
+    * mean-threshold hash, one shuffle-free pass) → hamming-band
+    * blocking ([[banded]]) → exact hamming ≤ 7, returning
+    * (a, b, hamming) unordered. mm6 — the PERCEPTUAL image near-dup
+    * gate, the intersection of dedup and multimodal — wraps it;
+    * pipe7 unions it with dedup2's text pairs. */
+  private[queries] def phashPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.multimodal.MediaDecoder
+    val sig = MediaDecoder.aHash(
+      imgFrame(t(s, dir, "documents"), 8, 1), "doc_id", "payload")
+    val blocks = banded(sig)
+    blocks.as("l").join(blocks.as("r"),
+        col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        hammingCol.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 7)
+  }
+
+  /** mm6's oracle signature-CTE chain (fixture replay → 8×8 binning →
+    * mean threshold → bit packing) with mm6's default masks, ending
+    * in `sig` (doc_id, hi, lo) — exposed so pipe7's oracle can
+    * brute-force image pairs in the same WITH as dedup2's text
+    * pairs. CTE names are mm6-local (g/px/pv/pp/cells/tot/bits/sig);
+    * composing queries must not reuse them. */
+  private[queries] def phashSigCtes: String = phashSigCtesFor(
+    "CASE WHEN d.doc_id % 8 = 1 THEN d.doc_id - 1 ELSE d.doc_id END",
+    "d.doc_id % 16 = 1", "d.doc_id % 16 = 9", "")
+
   private val phashQ = GQ(
     "mm6_phash_neardup",
-    (s, dir) => {
-      import graft.multimodal.MediaDecoder
-      val sig = MediaDecoder.aHash(
-        imgFrame(t(s, dir, "documents"), 8, 1), "doc_id", "payload")
-      val blocks = banded(sig)
-      blocks.as("l").join(blocks.as("r"),
-          col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-          hammingCol.as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 7)
-        .orderBy("a", "b")
-    },
+    (s, dir) => phashPairs(s, dir).orderBy("a", "b"),
     Some(phashOracle(
       "CASE WHEN d.doc_id % 8 = 1 THEN d.doc_id - 1 ELSE d.doc_id END",
       "d.doc_id % 16 = 1", "d.doc_id % 16 = 9", "")))

@@ -650,6 +650,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((frames, rate, chans) == (5, 44100, 2))
   }
 
+  test("pipe7: modality verdicts compose — every pair from EITHER modality resolves to one survivor") {
+    val dropped = SparkEntry.queries("pipe7_multimodal_canonical")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def kept(x: Long): Long = dropped.getOrElse(x, x)
+    val textPairs = SparkEntry.queries("dedup2_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val imgPairs = SparkEntry.queries("mm6_phash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(textPairs.nonEmpty && imgPairs.nonEmpty)
+    // a duplicate pair detected by EITHER modality must land in one
+    // cluster: both members resolve to the same canonical doc, and
+    // they can't both survive
+    (textPairs ++ imgPairs).foreach { case (a, b) =>
+      assert(kept(a) == kept(b), s"pair ($a,$b) split across clusters")
+      assert(dropped.contains(a) || dropped.contains(b),
+        s"both members of ($a,$b) survived")
+    }
+    // and the MERGE is real: some cluster holds an image pair AND a
+    // text pair (d%8==1 image-pairs with d-1; d%7==0 text-pairs with
+    // d+1000000), so its 3+ members share one survivor — the verdict
+    // composition pipe2 (text-only) cannot produce
+    val merged = imgPairs.filter { case (_, d) =>
+      textPairs.exists(tp => tp._1 == d || tp._2 == d)
+    }
+    assert(merged.nonEmpty, "fixture corpus produced no cross-modality cluster")
+    merged.foreach { case (a, d) =>
+      val textMate = textPairs.collectFirst {
+        case (x, y) if x == d => y
+        case (x, y) if y == d => x
+      }.get
+      assert(kept(a) == kept(textMate),
+        s"cross-modality cluster {$a,$d,$textMate} not merged")
+    }
+  }
+
   test("envHash64: invariant to amplitude scale, silence padding, and sign; guards hold") {
     import MediaDecoder.{encodeWavPcm16, envHash64}
     def hamming(a: (Long, Long), b: (Long, Long)): Int =
