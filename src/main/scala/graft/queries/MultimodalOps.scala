@@ -465,8 +465,13 @@ object MultimodalOps {
       deletedIds: org.apache.spark.sql.DataFrame,
       sigs: graft.core.LakeTable,
       pairs: graft.core.LakeTable,
-      ts: Long): Unit = {
-    import graft.multimodal.MediaDecoder
+      ts: Long,
+      // the ONE modality-specific step: payload frame → (doc_id,
+      // hash_hi, hash_lo). Default = image aHash (mm7); mm10 passes
+      // the audio envelope hash — everything downstream (banding,
+      // store probe, mixed reconcile commit) is signature-generic.
+      hashFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        graft.multimodal.MediaDecoder.aHash(_, "doc_id", "payload")): Unit = {
     val cached = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.sql.DataFrame]
     def cache(df: org.apache.spark.sql.DataFrame) = {
@@ -480,23 +485,23 @@ object MultimodalOps {
       val storeWasEmpty = !preStore.columns.contains("hash_lo")
       val pairsSnap = pairs.snapshot()
       val pairsBootstrap = !pairsSnap.columns.contains("a")
-      val newSigs = cache(
-        MediaDecoder.aHash(churnImgs, "doc_id", "payload"))
+      val newSigs = cache(hashFn(churnImgs))
       // materialize before the write: small-file sizing reads Catalyst
       // stats, exact only for a computed cache
       newSigs.count()
-      // a churn doc whose NEW payload is undecodable has no aHash row
-      // — it must DROP OUT of the index (its old signature describes
-      // a superseded image, and a from-scratch rebuild would have no
-      // row for it), so it joins the tombstone side instead of
-      // silently keeping stale pairs alive
+      // a churn doc whose NEW payload yields no signature (undecodable
+      // media; an all-silent clip under the envelope hash) must DROP
+      // OUT of the index — its old signature describes a superseded
+      // payload, and a from-scratch rebuild would have no row for it —
+      // so it joins the tombstone side instead of silently keeping
+      // stale pairs alive
       val undecodable = churnImgs.select("doc_id")
         .join(newSigs.select("doc_id"), Seq("doc_id"), "left_anti")
       val delC = cache(deletedIds.unionByName(undecodable).distinct())
       // one commit: churn signatures + departed/undecodable-doc
-      // tombstones. combine=false — aHash emits one row per payload
-      // and the churn is one row per doc (post-merge images) by
-      // contract
+      // tombstones. combine=false — the hash fn emits at most one row
+      // per payload and the churn is one row per doc (post-merge
+      // payloads) by contract
       sigs.upsertWithDeletes(newSigs.withColumn("ts", lit(ts)), delC,
         combine = false)
       // post-write store content derived WITHOUT re-reading the files
@@ -560,40 +565,61 @@ object MultimodalOps {
     * docs follow the (7, 2) masks, never-churned seed docs keep their
     * (13, 5) image) — the maintained pairs table must equal a
     * from-scratch batch rebuild. */
+  /** The ONE incremental perceptual-dedup scenario (mm7/mm10 share
+    * it; only the payload fixture and the 64-bit signature fn
+    * differ): a seed commit carries (13, 5)-injected payloads — the
+    * bootstrap reconcile finds and STORES those pairs, so the churn
+    * reconcile exercises the non-bootstrap tombstone branch — then a
+    * churn commit brings inserts (doc_id % 3 == 0), updates (the
+    * % 7 == 2 docs re-encoded under the (7, 2) masks) and the
+    * [[mm7DelSql]] delete slice, whose victims include partners of
+    * stored bootstrap pairs. ONLY the increment is read
+    * (incremental scan), hashed, and band-probed against the store
+    * ([[phashReconcile]]); the maintained pairs table must equal a
+    * from-scratch batch rebuild of the FINAL corpus, which is what
+    * the oracle replays brute-force. */
+  private def incDedupScenario(
+      s: org.apache.spark.sql.SparkSession, dir: String, prefix: String,
+      frame: (org.apache.spark.sql.DataFrame, Int, Int) =>
+        org.apache.spark.sql.DataFrame,
+      hashFn: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.core.{LakeTable, TableProps}
+    def scr(n: String) = QueryPack.scratchDir(s, dir, n)
+    val ids = t(s, dir, "documents").select("doc_id")
+    val seedIds = ids.filter(col("doc_id") % 3 =!= 0)
+    val churnIds = ids.filter(
+      col("doc_id") % 3 === 0 || col("doc_id") % 7 === 2)
+    val delIds = ids.filter(expr(mm7DelSql))
+    val payloads = LakeTable.create(s, scr(prefix + "pay"),
+      TableProps(prefix + "pay", Seq("doc_id"), Some("ts"), Seq.empty))
+    val sigs = LakeTable.create(s, scr(prefix + "sigs"),
+      TableProps(prefix + "sigs", Seq("doc_id"), Some("ts"), Seq.empty,
+        tableType = "mor"))
+    val pairsT = LakeTable.create(s, scr(prefix + "pairs"),
+      TableProps(prefix + "pairs", Seq("a", "b"), Some("ts"), Seq.empty,
+        tableType = "mor"))
+    // seed commit: (13, 5)-injected payloads — the % 7 == 2 docs get
+    // their perturbed payload only at update time, so their pair must
+    // come from the incremental path
+    val c1 = payloads.upsert(frame(seedIds, 13, 5)
+      .withColumn("ts", lit(1L)))
+    phashReconcile(payloads.snapshot().select("doc_id", "payload"),
+      delIds.limit(0), sigs, pairsT, 1L, hashFn)
+    // churn commit: final payloads for inserts + updates, tombstones
+    // for the departed slice — then ONLY the increment is read
+    payloads.upsertWithDeletes(
+      frame(churnIds, 7, 2).withColumn("ts", lit(2L)), delIds)
+    val inc = payloads.incremental(c1).select("doc_id", "payload")
+    phashReconcile(inc, delIds, sigs, pairsT, 2L, hashFn)
+    pairsT.snapshot().select("a", "b", "hamming").orderBy("a", "b")
+  }
+
   private val phashIncQ = GQ(
     "mm7_phash_incremental",
-    (s, dir) => {
-      import graft.core.{LakeTable, TableProps}
-      def scr(n: String) = QueryPack.scratchDir(s, dir, n)
-      val ids = t(s, dir, "documents").select("doc_id")
-      val seedIds = ids.filter(col("doc_id") % 3 =!= 0)
-      val churnIds = ids.filter(
-        col("doc_id") % 3 === 0 || col("doc_id") % 7 === 2)
-      val delIds = ids.filter(expr(mm7DelSql))
-      val imgs = LakeTable.create(s, scr("mm7imgs"),
-        TableProps("mm7imgs", Seq("doc_id"), Some("ts"), Seq.empty))
-      val sigs = LakeTable.create(s, scr("mm7sigs"),
-        TableProps("mm7sigs", Seq("doc_id"), Some("ts"), Seq.empty,
-          tableType = "mor"))
-      val pairsT = LakeTable.create(s, scr("mm7pairs"),
-        TableProps("mm7pairs", Seq("a", "b"), Some("ts"), Seq.empty,
-          tableType = "mor"))
-      // seed commit: (13, 5)-injected images — the bootstrap finds
-      // and STORES those pairs; the % 7 == 2 docs get their perturbed
-      // image only at update time, so their pair must come from the
-      // incremental path
-      val c1 = imgs.upsert(imgFrame(seedIds, 13, 5)
-        .withColumn("ts", lit(1L)))
-      phashReconcile(imgs.snapshot().select("doc_id", "payload"),
-        delIds.limit(0), sigs, pairsT, 1L)
-      // churn commit: final images for inserts + updates, tombstones
-      // for the departed slice — then ONLY the increment is read
-      imgs.upsertWithDeletes(
-        imgFrame(churnIds, 7, 2).withColumn("ts", lit(2L)), delIds)
-      val inc = imgs.incremental(c1).select("doc_id", "payload")
-      phashReconcile(inc, delIds, sigs, pairsT, 2L)
-      pairsT.snapshot().select("a", "b", "hamming").orderBy("a", "b")
-    },
+    (s, dir) => incDedupScenario(s, dir, "mm7", imgFrame,
+      df => graft.multimodal.MediaDecoder.aHash(df, "doc_id", "payload")),
     Some(phashOracle(
       s"CASE WHEN d.doc_id % 7 = 2 THEN d.doc_id - 1 " +
         s"WHEN $mm7SeedKept AND d.doc_id % 13 = 5 THEN d.doc_id - 1 " +
@@ -672,22 +698,28 @@ object MultimodalOps {
       GROUP BY doc_id, run
       ORDER BY doc_id, seg_idx"""))
 
-  /** mm9 audio fixture: doc d is a RE-ENCODED COPY of d-1 iff
-    * d % 9 == 2 — amplitude-doubled with a deterministic ±1
+  /** Shared deterministic audio fixture for the envelope-hash gates
+    * (mm9/mm10): doc d is a RE-ENCODED COPY of d-1 iff
+    * d % pairMod == rem — amplitude-doubled with a deterministic ±1
     * per-sample magnitude jitter (a requantized transfer) when
-    * d % 18 == 2, or prefixed with 10–49 frames of sub-threshold
-    * silence (a padded re-container) when d % 18 == 11. Base clip:
+    * d % (2·pairMod) == rem, or prefixed with 10–49 frames of
+    * sub-threshold silence (a padded re-container) when it's
+    * rem + pairMod (a negative `rem` disables injection). Base clip:
     * m = sd % 60 + 140 mono PCM frames, every magnitude ∈ [50, 250]
     * (loud throughout, so a padded copy's ACTIVE region is exactly
     * the source clip), magnitude pattern doc-dependent via
     * multiplicative coefficients (uncorrelated envelopes across
-    * docs), sign a separate ±pattern the envelope must ignore. */
-  private def audioNearDupFixture(d: Long): Array[Byte] = {
+    * docs), sign a separate ±pattern the envelope must ignore.
+    * mm9 uses masks (9, 2); mm10 seeds with (13, 5) and churns with
+    * (7, 2) — the mm7 mask scheme. */
+  private def audioNearDupFixture(
+      d: Long, pairMod: Int, rem: Int): Array[Byte] = {
     import graft.multimodal.MediaDecoder
-    val inject = d % 9 == 2
+    val inject = rem >= 0 && d % pairMod == rem
     val sd = if (inject) d - 1 else d
-    val scaled = inject && d % 18 == 2
-    val padded = inject && d % 18 == 11
+    val m2 = (d % (2 * pairMod)).toInt
+    val scaled = inject && m2 == rem
+    val padded = inject && m2 == rem + pairMod
     val m = (sd % 60 + 140).toInt
     val pad = if (padded) (d % 40 + 10).toInt else 0
     val samples = Array.tabulate(pad + m) { i =>
@@ -704,6 +736,67 @@ object MultimodalOps {
     MediaDecoder.encodeWavPcm16(8000, 1, samples)
   }
 
+  /** (doc_id) frame → (doc_id, payload) WAV fixture frame — the
+    * audio analog of [[imgFrame]]. */
+  private def audioFrame(
+      df: org.apache.spark.sql.DataFrame, pairMod: Int, rem: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(d => (d, audioNearDupFixture(d, pairMod, rem))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Envelope-oracle signature CTEs (fixture magnitude replay →
+    * 65-window sums → mean-delta bits → packing), ending in `esig`
+    * (doc_id, hi, lo). Names are e-prefixed and disjoint from
+    * [[phashSigCtesFor]]'s, so a gate can compose both modalities in
+    * one WITH. Parameterized like the phash builder: `sdSql` (source
+    * doc), `sclSql` (amplitude-scaled boolean) — the padded variant
+    * never appears because trim provably removes padding, which is
+    * exactly the claim the padded fixtures test on the Spark side —
+    * and `alive` (a WHERE filtering the doc set). */
+  private def envSigCtes(
+      sdSql: String, sclSql: String, alive: String): String =
+    s"""eg AS (SELECT j FROM range(0, 200) t(j)),
+      ed AS (SELECT doc_id, $sdSql AS sd, $sclSql AS scl
+        FROM documents d$alive),
+      edim AS (SELECT doc_id, sd, scl, sd % 60 + 140 AS m FROM ed),
+      emag AS (SELECT doc_id, m, j, scl,
+          50 + ((sd*31 + j) * (sd % 83 + 13) + j*j*(sd % 29 + 7)) % 101 AS b0
+        FROM edim CROSS JOIN eg WHERE j < m),
+      eamp AS (SELECT doc_id, m, j,
+          CASE WHEN scl THEN 2*b0 + (j % 3 - 1) ELSE b0 END AS a
+        FROM emag),
+      ewin AS (SELECT doc_id, (j * 65) // m AS w,
+          CAST(sum(a) AS BIGINT) AS e, CAST(count(*) AS BIGINT) AS c
+        FROM eamp GROUP BY doc_id, (j * 65) // m),
+      ebits AS (SELECT l.doc_id, l.w AS k,
+          CASE WHEN l.e * r.c >= r.e * l.c THEN 1 ELSE 0 END AS bit
+        FROM ewin l JOIN ewin r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+        WHERE l.w < 64),
+      esig AS (SELECT doc_id,
+          CAST(sum(CASE WHEN k < 32
+            THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo,
+          CAST(sum(CASE WHEN k >= 32
+            THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi
+        FROM ebits GROUP BY doc_id)"""
+
+  /** Full envelope oracle: replay signatures ([[envSigCtes]]), then
+    * verify pairs BRUTE-FORCE over the 64-bit signatures — a banding
+    * recall loss, a trim off-by-one, or a windowing skew on the Spark
+    * side hash-mismatches. */
+  private def envOracle(
+      sdSql: String, sclSql: String, alive: String): String =
+    s"""WITH ${envSigCtes(sdSql, sclSql, alive)}
+      SELECT a.doc_id AS a, b.doc_id AS b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+          AS hamming
+      FROM esig a JOIN esig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+      ORDER BY a, b"""
+
   /** mm9 — PERCEPTUAL audio near-dup, the last dedup modality (text:
     * dedup2–6, image: mm6/mm7): every doc gets a deterministic mono
     * WAV ([[audioNearDupFixture]]); every 9th is a re-encoded copy of
@@ -713,22 +806,13 @@ object MultimodalOps {
     * encode → envelope hash (streaming RIFF parse, O(windows) state)
     * → the SAME hamming-band blocking as the image gates ([[banded]]
     * — pigeonhole full recall at d ≤ 7, candidates band-bounded,
-    * never all-pairs) → exact hamming ≤ 7. The DuckDB oracle replays
-    * the magnitude arithmetic and the window/bit derivation, then
-    * verifies pairs BRUTE-FORCE over the 64-bit signatures, so a
-    * banding recall loss, a trim off-by-one, or a windowing skew
-    * hash-mismatches. (The oracle never materializes the padding:
-    * trim provably removes it, which is exactly the claim the padded
-    * fixtures test on the Spark side.) */
+    * never all-pairs) → exact hamming ≤ 7. */
   private val audioNearDupQ = GQ(
     "mm9_audio_neardup",
     (s, dir) => {
-      import s.implicits._
       import graft.multimodal.MediaDecoder
-      val payloads = t(s, dir, "documents").select("doc_id").as[Long]
-        .mapPartitions(_.map(d => (d, audioNearDupFixture(d))))
-        .toDF("doc_id", "payload")
-      val sig = MediaDecoder.envHash(payloads, "doc_id", "payload", 50)
+      val sig = MediaDecoder.envHash(
+        audioFrame(t(s, dir, "documents"), 9, 2), "doc_id", "payload", 50)
       val blocks = banded(sig)
       blocks.as("l").join(blocks.as("r"),
           col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
@@ -738,39 +822,33 @@ object MultimodalOps {
         .filter(col("hamming") <= 7)
         .orderBy("a", "b")
     },
-    Some("""WITH g AS (SELECT j FROM range(0, 200) t(j)),
-      d0 AS (SELECT doc_id,
-          CASE WHEN doc_id % 9 = 2 THEN doc_id - 1 ELSE doc_id END AS sd,
-          doc_id % 18 = 2 AS scl
-        FROM documents),
-      dim AS (SELECT doc_id, sd, scl, sd % 60 + 140 AS m FROM d0),
-      mag AS (SELECT doc_id, m, j, scl,
-          50 + ((sd*31 + j) * (sd % 83 + 13) + j*j*(sd % 29 + 7)) % 101 AS b0
-        FROM dim CROSS JOIN g WHERE j < m),
-      amp AS (SELECT doc_id, m, j,
-          CASE WHEN scl THEN 2*b0 + (j % 3 - 1) ELSE b0 END AS a
-        FROM mag),
-      win AS (SELECT doc_id, (j * 65) // m AS w,
-          CAST(sum(a) AS BIGINT) AS e, CAST(count(*) AS BIGINT) AS c
-        FROM amp GROUP BY doc_id, (j * 65) // m),
-      bits AS (SELECT l.doc_id, l.w AS k,
-          CASE WHEN l.e * r.c >= r.e * l.c THEN 1 ELSE 0 END AS bit
-        FROM win l JOIN win r ON l.doc_id = r.doc_id AND r.w = l.w + 1
-        WHERE l.w < 64),
-      sig AS (SELECT doc_id,
-          CAST(sum(CASE WHEN k < 32
-            THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo,
-          CAST(sum(CASE WHEN k >= 32
-            THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi
-        FROM bits GROUP BY doc_id)
-      SELECT a.doc_id AS a, b.doc_id AS b,
-        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
-          AS hamming
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
-      ORDER BY a, b"""))
+    Some(envOracle(
+      "CASE WHEN d.doc_id % 9 = 2 THEN d.doc_id - 1 ELSE d.doc_id END",
+      "d.doc_id % 18 = 2", "")))
+
+  /** mm10 — INCREMENTAL perceptual audio dedup: [[incDedupScenario]]
+    * with the audio fixture and the envelope hash — the maintained
+    * form of mm9, completing the modality symmetry (text pipe4,
+    * image mm7, audio mm10) on the SAME signature-store machinery;
+    * only the 64-bit hash differs. Oracle = brute-force envelope
+    * replay of the final corpus under the mm7 mask composition
+    * (churned docs follow (7, 2), never-churned seed docs keep their
+    * (13, 5) clip, deletes filtered). */
+  private val audioIncQ = GQ(
+    "mm10_audio_incremental",
+    (s, dir) => incDedupScenario(s, dir, "mm10",
+      audioFrame,
+      df => graft.multimodal.MediaDecoder
+        .envHash(df, "doc_id", "payload", 50)),
+    Some(envOracle(
+      s"CASE WHEN d.doc_id % 7 = 2 THEN d.doc_id - 1 " +
+        s"WHEN $mm7SeedKept AND d.doc_id % 13 = 5 THEN d.doc_id - 1 " +
+        "ELSE d.doc_id END",
+      s"(d.doc_id % 14 = 2) OR ($mm7SeedKept AND d.doc_id % 26 = 5)",
+      "\n        WHERE NOT (" +
+        mm7DelSql.replace("doc_id", "d.doc_id") + ")")))
 
   def qs: Seq[GQ] =
     Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ,
-      phashQ, phashIncQ, segmentQ, audioNearDupQ)
+      phashQ, phashIncQ, segmentQ, audioNearDupQ, audioIncQ)
 }

@@ -685,6 +685,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm10: maintained audio pairs exclude departed docs and span both commit paths") {
+    val pairs = SparkEntry.queries("mm10_audio_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // the delete slice's docs must never appear in the maintained
+    // index (their stored bootstrap pairs were tombstoned)
+    def deleted(d: Long) = d % 11 == 3 && d % 3 != 0 && d % 7 != 2
+    val stale = pairs.filter(p => deleted(p._1) || deleted(p._2))
+    assert(stale.isEmpty, s"pairs reference departed docs: ${stale.take(5)}")
+    // both provenances are live: pairs stored by the BOOTSTRAP
+    // reconcile (seed (13,5) injections, both partners never churned)
+    // and pairs formed by the INCREMENTAL reconcile (churn (7,2)
+    // updates probing the store)
+    def seedKept(d: Long) = d % 3 != 0 && d % 7 != 2 && !deleted(d)
+    assert(pairs.exists { case (a, b) =>
+      b % 13 == 5 && b - a == 1 && seedKept(a) && seedKept(b) },
+      "no surviving bootstrap-stored pair")
+    assert(pairs.exists { case (a, b) =>
+      b % 7 == 2 && b - a == 1 && !deleted(a) },
+      "no incrementally-formed churn pair")
+  }
+
   test("envHash64: invariant to amplitude scale, silence padding, and sign; guards hold") {
     import MediaDecoder.{encodeWavPcm16, envHash64}
     def hamming(a: (Long, Long), b: (Long, Long)): Int =
