@@ -554,12 +554,18 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * happen to land on equal byte length would serve a stale parse.
     * The head — the file's first 64 bytes, which start
     * `{"asOf":"<instant>"` and archive()'s boundary instant strictly
-    * increases — disambiguates. It is re-verified on a status match
-    * ONLY while the file is young (modtime within 2 s of now):
-    * aliasing needs the SECOND rewrite to land in the same tick as
-    * the first, so once a tick has passed, (length, modtime) alone is
-    * sound and the hot planning path stays one getFileStatus. */
-  private var cpCache: Option[(Long, Long, String, CheckpointMeta)] = None
+    * increases — disambiguates. Head and parse come from ONE read of
+    * the file's bytes, so they can never describe different rewrites.
+    * An entry is TRUSTED once a head verification (or its creation)
+    * happens with the file older than the 2 s tick bound — a same-tick
+    * rewrite can then no longer exist without bumping the status key —
+    * and until then every status hit re-verifies the head, so an entry
+    * cached BETWEEN two same-tick rewrites cannot outlive the tick
+    * unverified. Steady state stays one getFileStatus per call. */
+  private case class CpEntry(len: Long, mod: Long, head: String,
+      cp: CheckpointMeta, var trusted: Boolean)
+
+  private var cpCache: Option[CpEntry] = None
 
   private def cpHead(): String = {
     val in = fs.open(checkpointPath)
@@ -575,20 +581,36 @@ final class Timeline(conf: Configuration, val basePath: String) {
   def readCheckpoint(): Option[CheckpointMeta] = this.synchronized {
     if (!fs.exists(checkpointPath)) { cpCache = None; return None }
     val st = fs.getFileStatus(checkpointPath)
-    val young =
-      System.currentTimeMillis() - st.getModificationTime < 2000L
+    def oldEnough =
+      System.currentTimeMillis() - st.getModificationTime >= 2000L
     cpCache match {
-      case Some((len, mod, head, cp))
-          if len == st.getLen && mod == st.getModificationTime &&
-            (!young || cpHead() == head) =>
-        Some(cp)
+      case Some(e)
+          if e.len == st.getLen && e.mod == st.getModificationTime &&
+            (e.trusted || {
+              val stillOld = oldEnough // evaluate BEFORE the head read
+              e.head == cpHead() && { if (stillOld) e.trusted = true; true }
+            }) =>
+        Some(e.cp)
       case _ =>
+        // head + parse from the SAME bytes: a concurrent replace
+        // between two opens could otherwise pair one rewrite's parse
+        // with another's head and defeat the head check forever
         val in = fs.open(checkpointPath)
-        val cp =
-          try JsonMethods.parse(in)
-            .extract[CheckpointMeta](formats, manifest[CheckpointMeta])
-          finally in.close()
-        cpCache = Some((st.getLen, st.getModificationTime, cpHead(), cp))
+        val bytes =
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](1 << 16)
+            var r = in.read(buf)
+            while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+            out.toByteArray
+          } finally in.close()
+        val cp = JsonMethods
+          .parse(new java.io.ByteArrayInputStream(bytes))
+          .extract[CheckpointMeta](formats, manifest[CheckpointMeta])
+        val head = new String(bytes, 0, math.min(64, bytes.length),
+          java.nio.charset.StandardCharsets.UTF_8)
+        cpCache = Some(CpEntry(st.getLen, st.getModificationTime, head,
+          cp, trusted = oldEnough))
         Some(cp)
     }
   }

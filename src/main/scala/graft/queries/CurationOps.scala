@@ -740,31 +740,37 @@ object CurationOps {
     * pair generation and sim5's component propagation. Everything
     * stays O(pairs): the corpus is only touched for the per-doc
     * quality column. */
-  private val canonicalQ = GQ(
-    "pipe2_canonical_selection",
-    (s, dir) => {
-      val labels =
-        SimilarityOps.components(DedupOps.minhashPairs(s, dir).select("a", "b"))
-      val q = DedupOps.corpus(s, dir)
-        .withColumn("toks", expr(toksExpr.format("text")))
-        .withColumn("quality", qualityCol)
-        .select(col("doc_id"), round(col("quality"), 9).as("qr"))
-      val member = labels.join(q, col("id") === col("doc_id"))
-      val w = Window.partitionBy(col("lbl"))
-        .orderBy(col("qr").desc, col("doc_id").asc)
-      val ranked = member.withColumn("rn", row_number().over(w))
-        .select("lbl", "doc_id", "rn")
-      val keep = ranked.filter(col("rn") === 1)
-        .select(col("lbl"), col("doc_id").as("kept_id"))
-      ranked.filter(col("rn") > 1)
-        .join(keep, Seq("lbl"))
-        .select(col("doc_id").as("dropped_id"), col("kept_id"))
-        .orderBy("dropped_id")
-    },
-    Some(s"""WITH RECURSIVE ${DedupOps.corpusSql},
-      ${DedupOps.pairsCteSql},
-      edges AS (SELECT a AS src, b AS dst FROM pairs
-        UNION ALL SELECT b, a FROM pairs),
+  /** The ONE keep-best retention policy (pipe2/pipe7 share it): given
+    * (id, lbl) component labels, rank members by the quality
+    * classifier (9-dp rounded score, doc_id tie-break) and emit
+    * (dropped_id, kept_id) ordered. Touches the corpus only for the
+    * per-doc quality column — O(pairs) + O(docs). */
+  private def canonicalSelection(
+      s: SparkSession, dir: String, labels: DataFrame): DataFrame = {
+    val q = DedupOps.corpus(s, dir)
+      .withColumn("toks", expr(toksExpr.format("text")))
+      .withColumn("quality", qualityCol)
+      .select(col("doc_id"), round(col("quality"), 9).as("qr"))
+    val member = labels.join(q, col("id") === col("doc_id"))
+    val w = Window.partitionBy(col("lbl"))
+      .orderBy(col("qr").desc, col("doc_id").asc)
+    val ranked = member.withColumn("rn", row_number().over(w))
+      .select("lbl", "doc_id", "rn")
+    val keep = ranked.filter(col("rn") === 1)
+      .select(col("lbl"), col("doc_id").as("kept_id"))
+    ranked.filter(col("rn") > 1)
+      .join(keep, Seq("lbl"))
+      .select(col("doc_id").as("dropped_id"), col("kept_id"))
+      .orderBy("dropped_id")
+  }
+
+  /** The matching oracle tail: `edgesSql` (a src/dst UNION body over
+    * the caller's pair CTEs) → recursive components → quality ranking
+    * → (dropped_id, kept_id). Callers prepend corpus/pair CTEs under
+    * one WITH RECURSIVE. ONE definition, so a tie-break or rounding
+    * change cannot split pipe2 from pipe7. */
+  private def canonicalOracleTail(edgesSql: String): String =
+    s"""edges AS ($edgesSql),
       nodes AS (SELECT DISTINCT src AS id FROM edges),
       r(id, lbl) AS (
         SELECT id, id FROM nodes
@@ -780,7 +786,17 @@ object CurationOps {
       keep AS (SELECT lbl, doc_id AS kept_id FROM ranked WHERE rn = 1)
       SELECT d.doc_id AS dropped_id, keep.kept_id
       FROM ranked d JOIN keep USING (lbl) WHERE d.rn > 1
-      ORDER BY dropped_id"""))
+      ORDER BY dropped_id"""
+
+  private val canonicalQ = GQ(
+    "pipe2_canonical_selection",
+    (s, dir) => canonicalSelection(s, dir, SimilarityOps.components(
+      DedupOps.minhashPairs(s, dir).select("a", "b"))),
+    Some(s"""WITH RECURSIVE ${DedupOps.corpusSql},
+      ${DedupOps.pairsCteSql},
+      ${canonicalOracleTail(
+        """SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs""")}"""))
 
   /** pipe7 — JOINT multimodal canonical selection: the verdict
     * composition a 100 TB multimodal curation run actually executes.
@@ -801,53 +817,20 @@ object CurationOps {
     * the same recursive-components + ranking SQL as pipe2. */
   private val jointCanonicalQ = GQ(
     "pipe7_multimodal_canonical",
-    (s, dir) => {
-      val textPairs = DedupOps.minhashPairs(s, dir).select("a", "b")
-      val imgPairs = MultimodalOps.phashPairs(s, dir).select("a", "b")
-      val labels =
-        SimilarityOps.components(textPairs.unionByName(imgPairs))
-      val q = DedupOps.corpus(s, dir)
-        .withColumn("toks", expr(toksExpr.format("text")))
-        .withColumn("quality", qualityCol)
-        .select(col("doc_id"), round(col("quality"), 9).as("qr"))
-      val member = labels.join(q, col("id") === col("doc_id"))
-      val w = Window.partitionBy(col("lbl"))
-        .orderBy(col("qr").desc, col("doc_id").asc)
-      val ranked = member.withColumn("rn", row_number().over(w))
-        .select("lbl", "doc_id", "rn")
-      val keep = ranked.filter(col("rn") === 1)
-        .select(col("lbl"), col("doc_id").as("kept_id"))
-      ranked.filter(col("rn") > 1)
-        .join(keep, Seq("lbl"))
-        .select(col("doc_id").as("dropped_id"), col("kept_id"))
-        .orderBy("dropped_id")
-    },
+    (s, dir) => canonicalSelection(s, dir, SimilarityOps.components(
+      DedupOps.minhashPairs(s, dir).select("a", "b").unionByName(
+        MultimodalOps.phashPairs(s, dir).select("a", "b")))),
     Some(s"""WITH RECURSIVE ${DedupOps.corpusSql},
       ${DedupOps.pairsCteSql},
       ${MultimodalOps.phashSigCtes},
       ipairs AS (SELECT a.doc_id AS a, b.doc_id AS b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7),
-      edges AS (SELECT a AS src, b AS dst FROM pairs
+      ${canonicalOracleTail(
+        """SELECT a AS src, b AS dst FROM pairs
         UNION ALL SELECT b, a FROM pairs
         UNION ALL SELECT a, b FROM ipairs
-        UNION ALL SELECT b, a FROM ipairs),
-      nodes AS (SELECT DISTINCT src AS id FROM edges),
-      r(id, lbl) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.id),
-      comp AS (SELECT id, min(lbl) AS lbl FROM r GROUP BY id),
-      q AS (SELECT doc_id, round($qualitySql, 9) AS qr
-        FROM (SELECT doc_id, ${toksSql.format("text")} AS toks FROM corpus)),
-      ranked AS (SELECT comp.lbl, comp.id AS doc_id,
-          row_number() OVER (PARTITION BY comp.lbl
-            ORDER BY q.qr DESC, comp.id ASC) AS rn
-        FROM comp JOIN q ON q.doc_id = comp.id),
-      keep AS (SELECT lbl, doc_id AS kept_id FROM ranked WHERE rn = 1)
-      SELECT d.doc_id AS dropped_id, keep.kept_id
-      FROM ranked d JOIN keep USING (lbl) WHERE d.rn > 1
-      ORDER BY dropped_id"""))
+        UNION ALL SELECT b, a FROM ipairs""")}"""))
 
   /** pipe4 — incremental near-dup maintenance: dedup2's MinHash+LSH
     * pipeline as a continuously-maintained SERVICE instead of a batch

@@ -756,7 +756,14 @@ object MultimodalOps {
     * doc), `sclSql` (amplitude-scaled boolean) — the padded variant
     * never appears because trim provably removes padding, which is
     * exactly the claim the padded fixtures test on the Spark side —
-    * and `alive` (a WHERE filtering the doc set). */
+    * and `alive` (a WHERE filtering the doc set). The window fold
+    * left-joins a full 65-window spine: a clip with fewer than 65
+    * active frames leaves windows EMPTY, and [[graft.multimodal
+    * .MediaDecoder.envHash64]] compares an empty window as mean 0
+    * (sum 0, count clamped to 1) — an inner self-join would silently
+    * DROP those bits and desync from the Scala side on short clips
+    * (the fixtures' clips are 140–199 frames, but the builder must
+    * not depend on that). */
   private def envSigCtes(
       sdSql: String, sclSql: String, alive: String): String =
     s"""eg AS (SELECT j FROM range(0, 200) t(j)),
@@ -769,9 +776,18 @@ object MultimodalOps {
       eamp AS (SELECT doc_id, m, j,
           CASE WHEN scl THEN 2*b0 + (j % 3 - 1) ELSE b0 END AS a
         FROM emag),
-      ewin AS (SELECT doc_id, (j * 65) // m AS w,
+      ewin0 AS (SELECT doc_id, (j * 65) // m AS w,
           CAST(sum(a) AS BIGINT) AS e, CAST(count(*) AS BIGINT) AS c
         FROM eamp GROUP BY doc_id, (j * 65) // m),
+      espine AS (SELECT doc_id, eg.j AS w
+        FROM (SELECT DISTINCT doc_id FROM ed) eds CROSS JOIN eg
+        WHERE eg.j < 65),
+      ewin AS (SELECT s.doc_id, s.w,
+          COALESCE(w0.e, CAST(0 AS BIGINT)) AS e,
+          CASE WHEN w0.c IS NULL OR w0.c = 0
+            THEN CAST(1 AS BIGINT) ELSE w0.c END AS c
+        FROM espine s LEFT JOIN ewin0 w0
+          ON w0.doc_id = s.doc_id AND w0.w = s.w),
       ebits AS (SELECT l.doc_id, l.w AS k,
           CASE WHEN l.e * r.c >= r.e * l.c THEN 1 ELSE 0 END AS bit
         FROM ewin l JOIN ewin r ON l.doc_id = r.doc_id AND r.w = l.w + 1

@@ -423,6 +423,43 @@ class TableServicesSpec extends AnyFunSuite {
     assert(t.snapshot().count() == 6)
   }
 
+  test("checkpoint cache detects a same-length same-mtime rewrite (coarse-mtime aliasing)") {
+    // the hostile case for a (length, modtime)-keyed parse cache: two
+    // checkpoint rewrites inside one mtime tick landing on EQUAL byte
+    // length. The head (64-byte prefix carrying the strictly
+    // increasing asOf boundary) must catch it — including for a cache
+    // entry CREATED between the two rewrites, which stays
+    // head-verified until a check happens past the tick window.
+    val path = tmp()
+    LakeTable.create(spark, path, props)
+    val conf = spark.sessionState.newHadoopConf()
+    val tl = new Timeline(conf, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(conf)
+    val cpPath = new org.apache.hadoop.fs.Path(
+      path, Timeline.META_DIR + "/" + Timeline.CHECKPOINT_FILE)
+    def forge(asOf: String): Unit = {
+      val out = fs.create(cpPath, true)
+      // same byte length for every asOf of equal digit count
+      out.write(s"""{"asOf":"$asOf","files":[],"schemaDdl":""}"""
+        .getBytes("UTF-8"))
+      out.close()
+    }
+    forge("101")
+    val mt = fs.getFileStatus(cpPath).getModificationTime
+    assert(tl.readCheckpoint().get.asOf == "101") // cached, file young
+    forge("102") // rewrite #2: equal length...
+    fs.setTimes(cpPath, mt, -1) // ...and the SAME mtime tick
+    assert(fs.getFileStatus(cpPath).getLen ==
+      s"""{"asOf":"101","files":[],"schemaDdl":""}""".length)
+    assert(tl.readCheckpoint().get.asOf == "102",
+      "stale cached checkpoint served across a same-tick rewrite")
+    // and the entry created AFTER the second rewrite still verifies
+    // (head match) rather than serving blind off the status key while
+    // the file is inside the tick window
+    assert(tl.readCheckpoint().get.asOf == "102")
+  }
+
   test("bucket index: files are bucketed and DML touches only the key's bucket") {
     val t = LakeTable.create(spark, tmp(),
       props.copy(writeSaltBuckets = 1, bucketIndexBuckets = 4))
