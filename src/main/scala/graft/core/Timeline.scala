@@ -267,6 +267,18 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * a LIVE writer whose data phase outlasts the window (routine for
     * large batches) never loses fence protection — only a writer whose
     * JVM died stops touching and expires. */
+  /** O_EXCL file creation — the ONE exclusive-create arbiter used by
+    * both the table lock and the inflight-marker claim: on local
+    * paths, `java.io.File.createNewFile` (Hadoop's ChecksumFileSystem
+    * implements `create(overwrite = false)` as a NON-atomic
+    * exists-then-create, so two same-millisecond writers could both
+    * "create" one file through it); `FileSystem.createNewFile`
+    * elsewhere. False = already exists; real I/O errors propagate. */
+  private def exclusiveCreate(p: Path): Boolean =
+    if (Option(p.toUri.getScheme).forall(_ == "file"))
+      new java.io.File(p.toUri.getPath).createNewFile()
+    else fs.createNewFile(p)
+
   def beginWrite(): String = {
     // the marker doubles as allocation-time instant ARBITRATION across
     // instances: created exclusively (no overwrite), so two writers in
@@ -281,44 +293,60 @@ final class Timeline(conf: Configuration, val basePath: String) {
     // 1.0 after.
     var instant = nextInstant()
     var attempts = 0
+    var claimed = false
+    // CLAIM phase. Only low-level marker-creation failure (mkdirs /
+    // the exclusive create itself throwing) is best-effort — the
+    // write then proceeds unfenced, the pre-arbitration behavior.
+    // Arbitration OUTCOMES are not best-effort: a contested name
+    // bumps, a confirmed-committed name bumps, and exhausting the
+    // bump budget fails LOUDLY (IllegalStateException, deliberately
+    // not an IOException) — proceeding on a name another live writer
+    // holds or a committed name would guarantee the phantom
+    // whole-write retry this loop exists to eliminate.
+    def bump(reason: String): Unit = {
+      if (attempts >= 1000) throw new IllegalStateException(
+        s"could not allocate an instant near $instant on $basePath: $reason")
+      attempts += 1; instant = nextInstant()
+    }
     try {
       fs.mkdirs(inflightDir)
-      // exclusive-create claim: java.io.File.createNewFile (true
-      // O_EXCL) on local paths — Hadoop's ChecksumFileSystem
-      // implements create(overwrite=false) as a NON-atomic
-      // exists-then-create, so two same-millisecond writers could
-      // both "claim" one instant through it (same reason the table
-      // lock goes through java.io.File locally)
-      val local = Option(new Path(inflightDir, instant).toUri.getScheme)
-        .forall(_ == "file")
-      def tryClaim(p: Path): Boolean =
-        if (local) new java.io.File(p.toUri.getPath).createNewFile()
-        else try { fs.create(p, false).close(); true }
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: java.io.IOException =>
-            if (fs.exists(p)) false else throw e
-        }
-      var claimed = false
       while (!claimed) {
-        if (!tryClaim(new Path(inflightDir, instant))) {
-          if (attempts >= 1000) throw new java.io.IOException(
-            s"could not claim an inflight marker near $instant")
-          attempts += 1; instant = nextInstant()
-        } else if (fs.exists(new Path(dir, instant + COMMIT_SUFFIX))) {
+        if (!exclusiveCreate(new Path(inflightDir, instant)))
+          bump("marker contested")
+        else {
           // the marker claim alone leaves one window: the previous
           // holder of this instant COMMITTED it and cleared its marker
           // between our nextInstant() floor read and the claim above.
           // The commit funnel writes the commit file BEFORE clearing
           // the marker, so if the name was ever committed, the file is
           // visible by the time its marker is claimable — one
-          // post-claim existence check closes the window exactly.
-          fs.delete(new Path(inflightDir, instant), false)
-          if (attempts >= 1000) throw new java.io.IOException(
-            s"could not allocate an uncommitted instant near $instant")
-          attempts += 1; instant = nextInstant()
-        } else claimed = true
+          // post-claim existence check closes the window exactly. If
+          // the check itself fails transiently, KEEP the claim: the
+          // commit funnel's own exists check still protects
+          // correctness, and the worst case is the pre-arbitration
+          // behavior (a commit-time conflict → one OCC retry).
+          val committed =
+            try fs.exists(new Path(dir, instant + COMMIT_SUFFIX))
+            catch { case _: java.io.IOException => false }
+          if (committed) {
+            try fs.delete(new Path(inflightDir, instant), false)
+            catch { case _: java.io.IOException => () }
+            bump("instant already committed")
+          } else claimed = true
+        }
       }
+    } catch {
+      case e: java.io.IOException =>
+        // fence is best-effort, but an unfenced write must be VISIBLE:
+        // commit-tail streams can skip this commit if they pass it
+        // while the write is still running
+        log.warn(s"inflight fence marker creation failed for $instant " +
+          s"on $basePath — this write proceeds unfenced: $e")
+    }
+    // HEARTBEAT phase — never skipped when a marker was claimed (an
+    // unrefreshed marker expires mid-write and commit-tail streams
+    // silently skip the commit, the exact bug the heartbeat prevents).
+    if (claimed) try {
       val marker = new Path(inflightDir, instant)
       // clamp: a (mis)configured window <= 2ms would make the period 0,
       // which scheduleWithFixedDelay rejects with IllegalArgumentException
@@ -330,12 +358,9 @@ final class Timeline(conf: Configuration, val basePath: String) {
         java.util.concurrent.TimeUnit.MILLISECONDS)
       heartbeats.put(instant, task)
     } catch {
-      case e: java.io.IOException =>
-        // fence is best-effort, but an unfenced write must be VISIBLE:
-        // commit-tail streams can skip this commit if they pass it
-        // while the write is still running
-        log.warn(s"inflight fence marker creation failed for $instant " +
-          s"on $basePath — this write proceeds unfenced: $e")
+      case e: java.util.concurrent.RejectedExecutionException =>
+        log.warn(s"heartbeat scheduling failed for $instant on " +
+          s"$basePath — the fence expires after ${inflightStaleMs}ms: $e")
     }
     instant
   }
@@ -422,12 +447,9 @@ final class Timeline(conf: Configuration, val basePath: String) {
   private def withTableLockOwned[T](f: Option[String] => T): T = {
     val lock = new Path(dir, ".commit.lock")
     val owner = UUID.randomUUID().toString
-    val local = Option(lock.toUri.getScheme).forall(_ == "file")
     def tryClaim(): Boolean =
-      try {
-        if (local) new java.io.File(lock.toUri.getPath).createNewFile()
-        else fs.createNewFile(lock)
-      } catch { case _: java.io.IOException => false }
+      try exclusiveCreate(lock)
+      catch { case _: java.io.IOException => false }
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     var claimed = tryClaim()
     while (!claimed) {

@@ -730,16 +730,6 @@ object CurationOps {
         CAST(1 AS BIGINT) AS ts
       FROM q WHERE quality >= 0.55 ORDER BY doc_id"""))
 
-  /** pipe2 — canonical selection: the retention policy at the end of
-    * a dedup pipeline. Near-duplicate clusters (MinHash+LSH verified
-    * pairs → connected components) are resolved by the quality
-    * classifier: the highest-quality member of each cluster (9-dp
-    * rounded score, doc_id tie-break) is KEPT and every other member
-    * emitted as (dropped_id, kept_id) — the "which rows do I delete,
-    * and what survives in their place" answer, composed from dedup2's
-    * pair generation and sim5's component propagation. Everything
-    * stays O(pairs): the corpus is only touched for the per-doc
-    * quality column. */
   /** The ONE keep-best retention policy (pipe2/pipe7 share it): given
     * (id, lbl) component labels, rank members by the quality
     * classifier (9-dp rounded score, doc_id tie-break) and emit
@@ -788,6 +778,16 @@ object CurationOps {
       FROM ranked d JOIN keep USING (lbl) WHERE d.rn > 1
       ORDER BY dropped_id"""
 
+  /** pipe2 — canonical selection: the retention policy at the end of
+    * a dedup pipeline. Near-duplicate clusters (MinHash+LSH verified
+    * pairs → connected components) are resolved by the quality
+    * classifier: the highest-quality member of each cluster (9-dp
+    * rounded score, doc_id tie-break) is KEPT and every other member
+    * emitted as (dropped_id, kept_id) — the "which rows do I delete,
+    * and what survives in their place" answer, composed from dedup2's
+    * pair generation and sim5's component propagation. Everything
+    * stays O(pairs): the corpus is only touched for the per-doc
+    * quality column. */
   private val canonicalQ = GQ(
     "pipe2_canonical_selection",
     (s, dir) => canonicalSelection(s, dir, SimilarityOps.components(

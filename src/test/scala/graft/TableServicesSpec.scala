@@ -446,7 +446,12 @@ class TableServicesSpec extends AnyFunSuite {
       out.close()
     }
     forge("101")
-    val mt = fs.getFileStatus(cpPath).getModificationTime
+    // pin the mtime into the FUTURE so the cache entry is created
+    // inside the tick window DETERMINISTICALLY — with a wall-clock
+    // mtime, a >2s stall (GC, CPU steal) between forge and the first
+    // read would make the entry trusted at creation and void the test
+    val mt = System.currentTimeMillis() + 3600 * 1000L
+    fs.setTimes(cpPath, mt, -1)
     assert(tl.readCheckpoint().get.asOf == "101") // cached, file young
     forge("102") // rewrite #2: equal length...
     fs.setTimes(cpPath, mt, -1) // ...and the SAME mtime tick

@@ -58,8 +58,10 @@ object OccStress {
         Future {
           val own = LakeTable.load(spark, path)
           var done = false
+          var tries = 0
           while (!done) {
             try {
+              tries += 1
               attempts.incrementAndGet()
               own.upsert((1 to rowsPer)
                 .map(i => (k * rowsPer + i, s"w$k", 2L, dt(k)))
@@ -68,6 +70,11 @@ object OccStress {
             } catch {
               case e: graft.core.CommitConflictException =>
                 if (verbose) println(s"[occ] retry w=$k: ${e.getMessage}")
+                // generous cap: fail FAST with the real conflict
+                // message on a non-resolving-conflict regression
+                // instead of spinning into the Await timeout
+                if (tries > 200) throw new IllegalStateException(
+                  s"w=$k: conflict not resolving after $tries tries", e)
             }
           }
         }
