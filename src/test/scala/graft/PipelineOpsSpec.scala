@@ -707,6 +707,49 @@ class PipelineOpsSpec extends AnyFunSuite {
       "no incrementally-formed churn pair")
   }
 
+  test("audio reconcile: an all-silent re-encode drops the doc's signature and pairs") {
+    // the envelope-specific leg of phashReconcile's no-signature
+    // tombstone path: a churn clip that is all sub-threshold silence
+    // yields NO envHash row (the audio analog of undecodable media),
+    // so the doc must drop out of the maintained index — stale pairs
+    // describing its superseded clip included
+    import MediaDecoder.encodeWavPcm16
+    import graft.core.{LakeTable, TableProps}
+    import graft.queries.MultimodalOps
+    import spark.implicits._
+    def scratch(n: String) = {
+      val p = s"target/graft_scratch/audiorec_$n"
+      LakeTable.drop(spark, p); p
+    }
+    val sigs = LakeTable.create(spark, scratch("sigs"),
+      TableProps("arsigs", Seq("doc_id"), Some("ts"), Seq.empty,
+        tableType = "mor"))
+    val pairsT = LakeTable.create(spark, scratch("pairs"),
+      TableProps("arpairs", Seq("a", "b"), Some("ts"), Seq.empty,
+        tableType = "mor"))
+    val clip = Array.tabulate(130) { j =>
+      (50 + ((11L * 31 + j) * 24 + j.toLong * j * 9) % 101).toShort
+    }
+    val hash = (df: org.apache.spark.sql.DataFrame) =>
+      MediaDecoder.envHash(df, "doc_id", "payload", 50)
+    // bootstrap: docs 1 and 2 carry the SAME clip → stored pair (1,2)
+    MultimodalOps.phashReconcile(
+      Seq((1L, encodeWavPcm16(8000, 1, clip)),
+        (2L, encodeWavPcm16(8000, 1, clip))).toDF("doc_id", "payload"),
+      Seq.empty[Long].toDF("doc_id"), sigs, pairsT, 1L, hash)
+    assert(pairsT.snapshot().select("a", "b").as[(Long, Long)]
+      .collect().toSet == Set((1L, 2L)))
+    // churn: doc 2 re-encoded as all-silence (no envelope signature)
+    MultimodalOps.phashReconcile(
+      Seq((2L, encodeWavPcm16(8000, 1, Array.fill(130)(7.toShort))))
+        .toDF("doc_id", "payload"),
+      Seq.empty[Long].toDF("doc_id"), sigs, pairsT, 2L, hash)
+    assert(pairsT.snapshot().select("a", "b").collect().isEmpty,
+      "stale pair survived an all-silent re-encode")
+    assert(sigs.snapshot().filter(col("doc_id") === 2L).collect().isEmpty,
+      "silent doc kept a stale signature")
+  }
+
   test("envHash64: invariant to amplitude scale, silence padding, and sign; guards hold") {
     import MediaDecoder.{encodeWavPcm16, envHash64}
     def hamming(a: (Long, Long), b: (Long, Long)): Int =
