@@ -255,18 +255,6 @@ final class Timeline(conf: Configuration, val basePath: String) {
     scala.collection.concurrent.TrieMap
       .empty[String, java.util.concurrent.ScheduledFuture[_]]
 
-  /** Publish write intent for `instant` BEFORE any data is written.
-    * Streaming tails fence on these: without the marker, a slow writer
-    * holding a lower instant that commits after a faster writer would
-    * have its records permanently skipped by a commit-tail stream that
-    * already advanced past it (Hudi caps streaming reads at the
-    * earliest inflight instant for the same reason). Cleared by the
-    * commit funnel; a crashed writer's marker expires after
-    * `inflightStaleMs`. A background heartbeat re-touches the marker
-    * at a third of that window for as long as the write is running, so
-    * a LIVE writer whose data phase outlasts the window (routine for
-    * large batches) never loses fence protection — only a writer whose
-    * JVM died stops touching and expires. */
   /** O_EXCL file creation — the ONE exclusive-create arbiter used by
     * both the table lock and the inflight-marker claim: on local
     * paths, `java.io.File.createNewFile` (Hadoop's ChecksumFileSystem
@@ -279,6 +267,18 @@ final class Timeline(conf: Configuration, val basePath: String) {
       new java.io.File(p.toUri.getPath).createNewFile()
     else fs.createNewFile(p)
 
+  /** Publish write intent for `instant` BEFORE any data is written.
+    * Streaming tails fence on these: without the marker, a slow writer
+    * holding a lower instant that commits after a faster writer would
+    * have its records permanently skipped by a commit-tail stream that
+    * already advanced past it (Hudi caps streaming reads at the
+    * earliest inflight instant for the same reason). Cleared by the
+    * commit funnel; a crashed writer's marker expires after
+    * `inflightStaleMs`. A background heartbeat re-touches the marker
+    * at a third of that window for as long as the write is running, so
+    * a LIVE writer whose data phase outlasts the window (routine for
+    * large batches) never loses fence protection — only a writer whose
+    * JVM died stops touching and expires. */
   def beginWrite(): String = {
     // the marker doubles as allocation-time instant ARBITRATION across
     // instances: created exclusively (no overwrite), so two writers in
@@ -666,13 +666,8 @@ final class Timeline(conf: Configuration, val basePath: String) {
         // with another's head and defeat the head check forever
         val in = fs.open(checkpointPath)
         val bytes =
-          try {
-            val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](1 << 16)
-            var r = in.read(buf)
-            while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
-            out.toByteArray
-          } finally in.close()
+          try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
         val cp = JsonMethods
           .parse(new java.io.ByteArrayInputStream(bytes))
           .extract[CheckpointMeta](formats, manifest[CheckpointMeta])

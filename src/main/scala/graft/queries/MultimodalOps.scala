@@ -297,16 +297,20 @@ object MultimodalOps {
     else MediaDecoder.encodePngWith(PhSide, PhSide)(px)
   }
 
-  /** (doc_id) frame → (doc_id, payload) fixture frame. */
-  private def imgFrame(
+  /** (doc_id) frame → (doc_id, payload) fixture frame — the ONE
+    * encode-side mapPartitions shape, parameterized by the modality's
+    * deterministic fixture. */
+  private def payloadFrame(fixture: (Long, Int, Int) => Array[Byte])(
       df: org.apache.spark.sql.DataFrame, pairMod: Int, rem: Int)
       : org.apache.spark.sql.DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     df.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(d => (d, phashFixture(d, pairMod, rem))))
+      .mapPartitions(_.map(d => (d, fixture(d, pairMod, rem))))
       .toDF("doc_id", "payload")
   }
+
+  private val imgFrame = payloadFrame(phashFixture) _
 
   /** Explode a signature frame into its 8 hamming bands of 8 bits:
     * pigeonhole gives hamming ≤ 7 ⇒ ≥ 1 equal band, so a band
@@ -737,16 +741,8 @@ object MultimodalOps {
   }
 
   /** (doc_id) frame → (doc_id, payload) WAV fixture frame — the
-    * audio analog of [[imgFrame]]. */
-  private def audioFrame(
-      df: org.apache.spark.sql.DataFrame, pairMod: Int, rem: Int)
-      : org.apache.spark.sql.DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
-    df.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(d => (d, audioNearDupFixture(d, pairMod, rem))))
-      .toDF("doc_id", "payload")
-  }
+    * audio instance of [[payloadFrame]]. */
+  private val audioFrame = payloadFrame(audioNearDupFixture) _
 
   /** Envelope-oracle signature CTEs (fixture magnitude replay →
     * 65-window sums → mean-delta bits → packing), ending in `esig`
