@@ -8,7 +8,8 @@ set -u
 Q="${AB_QUERIES:-st5,st6,pipe4,pipe6,sim6,sketch3,sim8}"
 ROUNDS="${AB_ROUNDS:-3}"
 JOPTS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx8g -Dderby.stream.error.file=/dev/null"
-mkdir -p /root/repo/target/ab
+mkdir -p /root/repo/target/ab /root/repo/target/calib
+javac -d /root/repo/target/calib /root/repo/scripts/Calib.java
 : > /root/repo/target/ab/calib.txt
 for round in $(seq 1 "$ROUNDS"); do
   for leg in r10 cur; do
