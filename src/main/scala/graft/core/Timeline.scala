@@ -262,10 +262,16 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * exists-then-create, so two same-millisecond writers could both
     * "create" one file through it); `FileSystem.createNewFile`
     * elsewhere. False = already exists; real I/O errors propagate. */
-  private def exclusiveCreate(p: Path): Boolean =
-    if (Option(p.toUri.getScheme).forall(_ == "file"))
-      new java.io.File(p.toUri.getPath).createNewFile()
+  private def exclusiveCreate(p: Path): Boolean = {
+    // a scheme-less path inherits the TABLE's filesystem — resolving
+    // it as local would create the file on the driver's disk when
+    // fs.defaultFS is remote (unclaimable lock, unfenced writes)
+    val scheme = Option(p.toUri.getScheme)
+      .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
+    if (scheme == "file")
+      new java.io.File(fs.makeQualified(p).toUri.getPath).createNewFile()
     else fs.createNewFile(p)
+  }
 
   /** Publish write intent for `instant` BEFORE any data is written.
     * Streaming tails fence on these: without the marker, a slow writer
@@ -625,14 +631,21 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * `{"asOf":"<instant>"` and archive()'s boundary instant strictly
     * increases — disambiguates. Head and parse come from ONE read of
     * the file's bytes, so they can never describe different rewrites.
-    * An entry is TRUSTED once a head verification (or its creation)
-    * happens with the file older than the 2 s tick bound — a same-tick
-    * rewrite can then no longer exist without bumping the status key —
-    * and until then every status hit re-verifies the head, so an entry
-    * cached BETWEEN two same-tick rewrites cannot outlive the tick
-    * unverified. Steady state stays one getFileStatus per call. */
+    * An entry is TRUSTED once the tick can no longer produce an
+    * unseen same-status rewrite: at creation when the mtime is ≥ 2 s
+    * in the reader's past (the no-skew common case), or — robust to
+    * writer-clock OFFSET skew, which can hold `now - mtime` negative
+    * forever — on a head-verified hit ≥ 2 s of READER time after the
+    * entry was born (clock RATES agree even when offsets don't, so
+    * 2 s of reader time bounds the writer's tick too; any same-tick
+    * rewrite either already happened — head differs, reparse — or can
+    * no longer happen). Until then every status hit re-verifies the
+    * head, so an entry cached BETWEEN two same-tick rewrites cannot
+    * outlive the tick unverified, and the verify overhead is bounded
+    * at ~2 s of extra 64-byte reads rather than forever under skew.
+    * Steady state stays one getFileStatus per call. */
   private case class CpEntry(len: Long, mod: Long, head: String,
-      cp: CheckpointMeta, var trusted: Boolean)
+      cp: CheckpointMeta, bornAt: Long, var trusted: Boolean)
 
   private var cpCache: Option[CpEntry] = None
 
@@ -656,8 +669,10 @@ final class Timeline(conf: Configuration, val basePath: String) {
       case Some(e)
           if e.len == st.getLen && e.mod == st.getModificationTime &&
             (e.trusted || {
-              val stillOld = oldEnough // evaluate BEFORE the head read
-              e.head == cpHead() && { if (stillOld) e.trusted = true; true }
+              // promotion condition evaluated BEFORE the head read
+              val promote = oldEnough ||
+                System.currentTimeMillis() - e.bornAt >= 2000L
+              e.head == cpHead() && { if (promote) e.trusted = true; true }
             }) =>
         Some(e.cp)
       case _ =>
@@ -674,7 +689,7 @@ final class Timeline(conf: Configuration, val basePath: String) {
         val head = new String(bytes, 0, math.min(64, bytes.length),
           java.nio.charset.StandardCharsets.UTF_8)
         cpCache = Some(CpEntry(st.getLen, st.getModificationTime, head,
-          cp, trusted = oldEnough))
+          cp, bornAt = System.currentTimeMillis(), trusted = oldEnough))
         Some(cp)
     }
   }
