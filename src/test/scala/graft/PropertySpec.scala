@@ -324,6 +324,98 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("envelope-hash audio index reconciliation tracks random clip DML sequences") {
+    // the audio twin of the image property above, over the SAME
+    // shared reconcile machinery with the envelope hash plugged in:
+    // docs draw from 3 clip families × 5 tweaks (exact copy /
+    // amplitude-doubled copy / silence-padded copy / unrelated clip /
+    // ALL-SILENT — a re-encode with no signature must drop the doc
+    // out of the index); after EVERY batch the pairs table must equal
+    // a brute-force recompute (envHash64 every current clip,
+    // all-pairs hamming ≤ 7), under any interleaving. COW and MOR.
+    import graft.multimodal.MediaDecoder
+    import graft.queries.MultimodalOps
+    def baseMag(seed: Long)(j: Int): Short =
+      (50 + ((seed * 31 + j) * (seed % 83 + 13) +
+        j.toLong * j * (seed % 29 + 7)) % 101).toShort
+    def clip(id: Long, fam: Int, tweak: Int): Array[Byte] = tweak match {
+      case 4 => // all sub-threshold: no envelope signature
+        MediaDecoder.encodeWavPcm16(8000, 1, Array.fill(120)(9.toShort))
+      case _ =>
+        val m = 120 + fam * 17
+        val mag = baseMag(100L * (fam + 1)) _
+        val samples: Array[Short] = tweak match {
+          case 0 => Array.tabulate(m)(mag(_))
+          case 1 => // exact ×2 amplitude: envelope-identical
+            Array.tabulate(m)(j => (mag(j) * 2).toShort)
+          case 2 => // leading silence: trimmed, envelope-identical
+            Array.fill(23)(11.toShort) ++ Array.tabulate(m)(mag(_))
+          case _ => Array.tabulate(m)(baseMag(7919L * id + 13)(_))
+        }
+        MediaDecoder.encodeWavPcm16(8000, 1, samples)
+    }
+    val envHashFn = (df: org.apache.spark.sql.DataFrame) =>
+      MediaDecoder.envHash(df, "doc_id", "payload", 50)
+    val docGen = for {
+      id <- Gen.choose(1L, 12L)
+      fam <- Gen.choose(0, 2)
+      tweak <- Gen.choose(0, 4)
+    } yield (id, fam, tweak)
+    val opGen = for {
+      isDelete <- Gen.frequency(4 -> false, 1 -> true)
+      docs <- Gen.listOfN(3, docGen)
+    } yield (isDelete, docs.distinctBy(_._1))
+
+    for (tableType <- Seq("cow", "mor")) {
+      val sigs = LakeTable.create(spark, tmp(), TableProps(
+        "pasigs", Seq("doc_id"), Some("ts"), Seq.empty,
+        tableType = tableType))
+      val pairs = LakeTable.create(spark, tmp(), TableProps(
+        "papairs", Seq("a", "b"), Some("ts"), Seq.empty,
+        tableType = tableType))
+      val corpus = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+      def bruteForce(): Set[(Long, Long, Int)] = {
+        val hs = corpus.toSeq.flatMap { case (id, bytes) =>
+          MediaDecoder.envHash64(bytes, 50).map { case (hi, lo) =>
+            (id, hi, lo) }
+        }
+        (for {
+          (a, ahi, alo) <- hs; (b, bhi, blo) <- hs if a < b
+          h = java.lang.Long.bitCount(ahi ^ bhi) +
+            java.lang.Long.bitCount(alo ^ blo)
+          if h <= 7
+        } yield (a, b, h)).toSet
+      }
+      samples(Gen.listOfN(6, opGen), 1).foreach { ops =>
+        ops.zipWithIndex.foreach { case ((isDelete, rows), i) =>
+          if (rows.nonEmpty) {
+            val ts = i + 1L
+            if (isDelete) {
+              rows.foreach { case (id, _, _) => corpus.remove(id) }
+              MultimodalOps.phashReconcile(
+                Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload"),
+                rows.map(_._1).toDF("doc_id"), sigs, pairs, ts, envHashFn)
+            } else {
+              val clips = rows.map { case (id, fam, tweak) =>
+                val b = clip(id, fam, tweak); corpus(id) = b; (id, b)
+              }
+              MultimodalOps.phashReconcile(
+                clips.toDF("doc_id", "payload"),
+                Seq.empty[Long].toDF("doc_id"), sigs, pairs, ts, envHashFn)
+            }
+            val got = LakeTable.load(spark, pairs.basePath).snapshot()
+              .select("a", "b", "hamming").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+            val want = bruteForce()
+            assert(got == want,
+              s"[$tableType] batch $i (delete=$isDelete, rows=$rows): " +
+                s"got $got want $want")
+          }
+        }
+      }
+    }
+  }
+
   test("search-index folds track random DML sequences") {
     // randomized insert/update/delete batches folded through
     // SearchIndex.maintain; after EVERY batch the three state tables
