@@ -335,8 +335,13 @@ final class Timeline(conf: Configuration, val basePath: String) {
             try fs.exists(new Path(dir, instant + COMMIT_SUFFIX))
             catch { case _: java.io.IOException => false }
           if (committed) {
+            // best-effort in FULL: a RuntimeException from fs.delete
+            // (not just IOException) must not escape the claim loop —
+            // it would abort beginWrite after bump bookkeeping and
+            // leave an orphaned marker fencing tail readers until it
+            // expires. clearInflight's catch is equally broad.
             try fs.delete(new Path(inflightDir, instant), false)
-            catch { case _: java.io.IOException => () }
+            catch { case scala.util.control.NonFatal(_) => () }
             bump("instant already committed")
           } else claimed = true
         }
@@ -632,18 +637,21 @@ final class Timeline(conf: Configuration, val basePath: String) {
     * increases — disambiguates. Head and parse come from ONE read of
     * the file's bytes, so they can never describe different rewrites.
     * An entry is TRUSTED once the tick can no longer produce an
-    * unseen same-status rewrite: at creation when the mtime is ≥ 2 s
-    * in the reader's past (the no-skew common case), or — robust to
-    * writer-clock OFFSET skew, which can hold `now - mtime` negative
-    * forever — on a head-verified hit ≥ 2 s of READER time after the
-    * entry was born (clock RATES agree even when offsets don't, so
-    * 2 s of reader time bounds the writer's tick too; any same-tick
-    * rewrite either already happened — head differs, reparse — or can
-    * no longer happen). Until then every status hit re-verifies the
-    * head, so an entry cached BETWEEN two same-tick rewrites cannot
-    * outlive the tick unverified, and the verify overhead is bounded
-    * at ~2 s of extra 64-byte reads rather than forever under skew.
-    * Steady state stays one getFileStatus per call. */
+    * unseen same-status rewrite: on a head-verified hit ≥ 2 s of
+    * READER time after the entry was born. Reader time is the one
+    * clock immune to BOTH skew directions — `now - mtime` is
+    * meaningless when the writer's offset differs (a writer AHEAD
+    * holds it negative forever; a writer BEHIND makes a just-written
+    * file look old, which is why there is deliberately no
+    * mtime-derived trust shortcut at birth or at hit) — while clock
+    * RATES agree even when offsets don't, so 2 s of reader time
+    * bounds the writer's mtime tick too: any same-tick rewrite either
+    * already happened (head differs, reparse) or can no longer
+    * happen. Until then every status hit re-verifies the head, so an
+    * entry cached BETWEEN two same-tick rewrites cannot outlive the
+    * tick unverified, and the verify overhead is bounded at ~2 s of
+    * extra 64-byte reads per entry. Steady state stays one
+    * getFileStatus per call. */
   private case class CpEntry(len: Long, mod: Long, head: String,
       cp: CheckpointMeta, bornAt: Long, var trusted: Boolean)
 
@@ -663,14 +671,12 @@ final class Timeline(conf: Configuration, val basePath: String) {
   def readCheckpoint(): Option[CheckpointMeta] = this.synchronized {
     if (!fs.exists(checkpointPath)) { cpCache = None; return None }
     val st = fs.getFileStatus(checkpointPath)
-    def oldEnough =
-      System.currentTimeMillis() - st.getModificationTime >= 2000L
     cpCache match {
       case Some(e)
           if e.len == st.getLen && e.mod == st.getModificationTime &&
             (e.trusted || {
               // promotion condition evaluated BEFORE the head read
-              val promote = oldEnough ||
+              val promote =
                 System.currentTimeMillis() - e.bornAt >= 2000L
               e.head == cpHead() && { if (promote) e.trusted = true; true }
             }) =>
@@ -689,7 +695,7 @@ final class Timeline(conf: Configuration, val basePath: String) {
         val head = new String(bytes, 0, math.min(64, bytes.length),
           java.nio.charset.StandardCharsets.UTF_8)
         cpCache = Some(CpEntry(st.getLen, st.getModificationTime, head,
-          cp, bornAt = System.currentTimeMillis(), trusted = oldEnough))
+          cp, bornAt = System.currentTimeMillis(), trusted = false))
         Some(cp)
     }
   }

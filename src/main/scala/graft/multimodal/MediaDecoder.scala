@@ -684,11 +684,19 @@ object MediaDecoder {
     * perturbations a re-encoded copy of the same recording carries:
     * a constant amplitude scale and leading/trailing silence.
     *
-    *  1. trim leading/trailing silence (first-channel `abs < threshold`)
-    *  2. split the active region into 65 equal-span windows
+    *  1. per-frame magnitude = MAX over channels of `abs(sample)` —
+    *     the multi-channel contract: a mono clip and its
+    *     stereo-duplicated re-encode hash identically (max of equal
+    *     channels = the channel), and a clip whose loud content lives
+    *     in ANY one channel (silent-left/loud-right stereo) is heard,
+    *     not dropped; unlike a summed mixdown, max also keeps the
+    *     mono↔stereo magnitude SCALE identical, so the trim threshold
+    *     means the same thing at every channel count
+    *  2. trim leading/trailing silence (frame magnitude < threshold)
+    *  3. split the active region into 65 equal-span windows
     *     (window of frame f = `f·65 / m`, integer division)
-    *  3. per-window envelope = sum of `abs(sample)`
-    *  4. bit k (k < 64) = window k's MEAN `abs` ≥ window k+1's, as
+    *  4. per-window envelope = sum of frame magnitudes
+    *  5. bit k (k < 64) = window k's MEAN magnitude ≥ window k+1's, as
     *     exact integer cross-products (`sum·count` ≤ 32768·frames² —
     *     far below Long overflow)
     *
@@ -701,11 +709,20 @@ object MediaDecoder {
   def envHash64(b: Array[Byte], threshold: Int): Option[(Long, Long)] =
     parseWavPcm16(b).flatMap { case (dataOff, dataLen, channels, _) =>
       val framesIn = dataLen / 2 / channels
+      def mag(f: Int): Int = {
+        var best = 0; var c = 0
+        while (c < channels) {
+          val v = math.abs(
+            le16(b, dataOff + 2 * (f * channels + c)).toShort.toInt)
+          if (v > best) best = v
+          c += 1
+        }
+        best
+      }
       var first = -1; var last = -1
       var f = 0
       while (f < framesIn) {
-        val v = le16(b, dataOff + 2 * f * channels).toShort.toInt
-        if (math.abs(v) >= threshold) { if (first < 0) first = f; last = f }
+        if (mag(f) >= threshold) { if (first < 0) first = f; last = f }
         f += 1
       }
       if (first < 0) None
@@ -716,9 +733,8 @@ object MediaDecoder {
         val cnts = new Array[Long](W)
         f = 0
         while (f < m) {
-          val v = le16(b, dataOff + 2 * (first + f) * channels).toShort.toInt
           val w = (f.toLong * W / m).toInt
-          sums(w) += math.abs(v)
+          sums(w) += mag(first + f)
           cnts(w) += 1
           f += 1
         }

@@ -786,6 +786,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(envHash64("not audio".getBytes("UTF-8"), 50).isEmpty)
   }
 
+  test("envHash64: multi-channel contract — per-frame MAX over channels") {
+    import MediaDecoder.{encodeWavPcm16, envHash64}
+    val base = Array.tabulate(130) { j =>
+      val mag = 50 + ((7L * 31 + j) * 20 + j.toLong * j * 9) % 101
+      ((if (j % 4 < 2) 1 else -1) * mag).toShort
+    }
+    val h0 = envHash64(encodeWavPcm16(8000, 1, base), 50).get
+    // a stereo-duplicated re-encode of the same mono recording hashes
+    // IDENTICALLY: max of two equal channels = the channel, and max
+    // (unlike a summed mixdown) keeps the magnitude scale — the trim
+    // threshold means the same thing at every channel count
+    val stereoDup = Array.tabulate(260)(i => base(i / 2))
+    assert(envHash64(encodeWavPcm16(8000, 2, stereoDup), 50).get == h0)
+    // loud content in ANY one channel is heard: silent-left/loud-right
+    // equals the loud channel's mono hash (this clip previously
+    // dropped out of the index entirely under first-channel-only
+    // trimming)
+    val silentLeft = Array.tabulate(260)(i =>
+      if (i % 2 == 0) ((i / 2 % 7) - 3).toShort else base(i / 2))
+    assert(envHash64(encodeWavPcm16(8000, 2, silentLeft), 50).get == h0)
+    // and channel order is immaterial (max is symmetric)
+    val silentRight = Array.tabulate(260)(i =>
+      if (i % 2 == 1) ((i / 2 % 7) - 3).toShort else base(i / 2))
+    assert(envHash64(encodeWavPcm16(8000, 2, silentRight), 50).get == h0)
+    // all channels silent stays the no-signature path
+    val allQuiet = Array.tabulate(260)(i => ((i % 9) - 4).toShort)
+    assert(envHash64(encodeWavPcm16(8000, 2, allQuiet), 50).isEmpty)
+  }
+
   test("mm9: every injected re-encoded audio copy is recalled, padded copies at hamming 0") {
     val pairs = SparkEntry.queries("mm9_audio_neardup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -465,6 +465,36 @@ class TableServicesSpec extends AnyFunSuite {
     assert(tl.readCheckpoint().get.asOf == "102")
   }
 
+  test("checkpoint cache: a writer clock BEHIND the reader cannot buy trust at birth") {
+    // the OTHER skew direction: a writer whose clock trails the
+    // reader stamps a just-written file with an mtime that already
+    // looks old. Any mtime-derived trust shortcut would promote the
+    // entry at creation and serve a same-tick equal-length rewrite
+    // stale; trust must come only from reader-time aging, so within
+    // the entry's first 2 s every hit re-verifies the head.
+    val path = tmp()
+    LakeTable.create(spark, path, props)
+    val conf = spark.sessionState.newHadoopConf()
+    val tl = new Timeline(conf, path)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val cpPath = new org.apache.hadoop.fs.Path(
+      path, Timeline.META_DIR + "/" + Timeline.CHECKPOINT_FILE)
+    def forge(asOf: String): Unit = {
+      val out = fs.create(cpPath, true)
+      out.write(s"""{"asOf":"$asOf","files":[],"schemaDdl":""}"""
+        .getBytes("UTF-8"))
+      out.close()
+    }
+    forge("201")
+    val mt = System.currentTimeMillis() - 3600 * 1000L // looks ancient
+    fs.setTimes(cpPath, mt, -1)
+    assert(tl.readCheckpoint().get.asOf == "201")
+    forge("202") // equal length, and the writer re-stamps the same old tick
+    fs.setTimes(cpPath, mt, -1)
+    assert(tl.readCheckpoint().get.asOf == "202",
+      "old-looking mtime bought birth trust: stale checkpoint served")
+  }
+
   test("bucket index: files are bucketed and DML touches only the key's bucket") {
     val t = LakeTable.create(spark, tmp(),
       props.copy(writeSaltBuckets = 1, bucketIndexBuckets = 4))
