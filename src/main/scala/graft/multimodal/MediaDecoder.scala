@@ -789,6 +789,96 @@ object MediaDecoder {
       .toDF(idCol, "hash_hi", "hash_lo")
   }
 
+  /** 64-bit perceptual hash of a VIDEO-like payload (fixed-size frame
+    * windows, the [[sampleFrames]] container contract): sample
+    * `samples` frames at fixed TIME FRACTIONS — slot k reads frame
+    * ⌊k·nFrames/samples⌋ — aHash each sampled frame ([[aHash64]]),
+    * and fold to one signature by PER-BIT MAJORITY (bit i set iff
+    * ≥ half the decodable sampled frames set it; exact-half ties set
+    * the bit). Built for the two perturbations a re-encoded copy of
+    * the same footage carries:
+    *
+    *  - a FRAME-RATE change: time-fraction sampling indexes by
+    *    position in the clip, not absolute frame number, so a
+    *    frame-doubled re-encode (frame i = source frame ⌊i/2⌋)
+    *    samples byte-identical content — ⌊⌊2a⌋/2⌋ = ⌊a⌋ makes slot
+    *    k's frame EXACTLY the source's slot-k frame;
+    *  - a global BRIGHTNESS shift: inherited from [[aHash64]]'s
+    *    mean-threshold invariance per frame, and per-bit majority
+    *    never amplifies per-frame bit noise (a folded bit flips only
+    *    when half the sampled frames flip it).
+    *
+    * Skipped frames are never copied or decoded — each slot jumps
+    * straight to its byte offset, so cost is O(samples) frame decodes
+    * regardless of clip length (the 100 TB point: a signature pass
+    * over a video corpus touches `samples/nFrames` of the bytes).
+    * Slots may repeat a frame when the clip is shorter than
+    * `samples`; repeats vote again, keeping the fold a pure function
+    * of the slot sequence. None when no sampled frame decodes or the
+    * payload is shorter than one frame. */
+  def videoHash64(
+      b: Array[Byte], frameBytes: Int, samples: Int): Option[(Long, Long)] = {
+    if (frameBytes <= 0 || samples <= 0 || b.length < frameBytes) return None
+    val nFrames = b.length / frameBytes
+    val ones = new Array[Int](64)
+    var sampled = 0
+    var k = 0
+    while (k < samples) {
+      val idx = (k.toLong * nFrames / samples).toInt
+      val frame = java.util.Arrays.copyOfRange(
+        b, idx * frameBytes, (idx + 1) * frameBytes)
+      aHash64(frame) match {
+        case Some((hi, lo)) =>
+          sampled += 1
+          var i = 0
+          while (i < 64) {
+            val set =
+              if (i < 32) ((lo >>> i) & 1L) == 1L
+              else ((hi >>> (i - 32)) & 1L) == 1L
+            if (set) ones(i) += 1
+            i += 1
+          }
+        case None => ()
+      }
+      k += 1
+    }
+    if (sampled == 0) None
+    else {
+      var hi = 0L; var lo = 0L
+      var i = 0
+      while (i < 64) {
+        if (2 * ones(i) >= sampled) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      Some((hi, lo))
+    }
+  }
+
+  /** [[videoHash64]] over a frame of (id, payload) rows: same
+    * shuffle-free one-task-per-partition shape as [[decode]]; one row
+    * per hashable payload, hash as two unsigned 32-bit halves — the
+    * same (hash_hi, hash_lo) contract as [[aHash]]/[[envHash]], so
+    * the hamming-band blocking machinery is shared verbatim. */
+  def videoHash(
+      df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, samples: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray else bytes
+          videoHash64(payload, frameBytes, samples).map {
+            case (hi, lo) => (id, hi, lo)
+          }
+        }
+      }
+      .toDF(idCol, "hash_hi", "hash_lo")
+  }
+
   /** Frame-sampling shape for video-like payloads: treat a payload as
     * fixed-size frame windows and emit one row per SAMPLED frame with
     * a real per-frame decode ([[decodeAny]] — frames carrying a BMP /

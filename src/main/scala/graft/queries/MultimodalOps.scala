@@ -275,6 +275,15 @@ object MultimodalOps {
     * disables injection entirely). mm6 uses masks (8, 1); mm7 seeds
     * with (13, 5) and churns with (7, 2). Even docs encode as BMP,
     * odd as PNG, so every injected pair spans the two codecs. */
+  /** Channel k of the noise arithmetic at seed `sv` — the Scala twin
+    * of [[chanSql]]; both read the SAME [[PhCoef]] row. */
+  private def chVal(sv: Long, x: Int, y: Int, k: Int): Int = {
+    val (mx, nx, ax, my, ny, ay, nxy, axy) = PhCoef(k)
+    (((sv * mx + x) * (sv % nx + ax) +
+      (sv * my + y) * (sv % ny + ay) +
+      x.toLong * y * (sv % nxy + axy)) % 256).toInt
+  }
+
   private def phashFixture(d: Long, pairMod: Int, rem: Int): Array[Byte] = {
     import graft.multimodal.MediaDecoder
     val inject = rem >= 0 && d % pairMod == rem
@@ -283,10 +292,7 @@ object MultimodalOps {
     val bright = inject && m2 == rem
     val pop = inject && m2 == rem + pairMod
     def ch(x: Int, y: Int, k: Int): Int = {
-      val (mx, nx, ax, my, ny, ay, nxy, axy) = PhCoef(k)
-      val v = (((sd * mx + x) * (sd % nx + ax) +
-        (sd * my + y) * (sd % ny + ay) +
-        x.toLong * y * (sd % nxy + axy)) % 256).toInt
+      val v = chVal(sd, x, y, k)
       if (bright) math.min(v + 1, 255)
       else if (pop && x == 0 && y == 0 && k == 0) math.min(v + 60, 255)
       else v
@@ -329,6 +335,26 @@ object MultimodalOps {
   private def hammingCol: org.apache.spark.sql.Column =
     (expr("bit_count(l.hash_hi ^ r.hash_hi)") +
       expr("bit_count(l.hash_lo ^ r.hash_lo)")).cast("int")
+
+  /** Band-blocked near-dup pairs over a 64-bit signature frame
+    * (doc_id, hash_hi, hash_lo) — the ONE hamming pair generator
+    * every hash-bearing modality shares (image aHash mm6, audio
+    * envelope mm9, video majority-fold mm11, and pipe7/pipe8's
+    * unions): explode into 8 hamming bands ([[banded]]), band-bucket
+    * equi-join, exact hamming ≤ 7, emitted as (a, b, hamming) with
+    * a < b, unordered. Defining the threshold and band fan-out HERE
+    * means a change moves every modality together instead of
+    * desyncing them. */
+  private[queries] def pairsFromSigs(sig: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val blocks = banded(sig)
+    blocks.as("l").join(blocks.as("r"),
+        col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        hammingCol.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 7)
+  }
 
   /** Shared DuckDB oracle body for the perceptual-hash gates: replay
     * the fixture arithmetic, 16×16 → 8×8 binning, mean threshold, bit
@@ -410,18 +436,9 @@ object MultimodalOps {
     * pipe7 unions it with dedup2's text pairs. */
   private[queries] def phashPairs(
       s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-    import graft.multimodal.MediaDecoder
-    val sig = MediaDecoder.aHash(
-      imgFrame(t(s, dir, "documents"), 8, 1), "doc_id", "payload")
-    val blocks = banded(sig)
-    blocks.as("l").join(blocks.as("r"),
-        col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        hammingCol.as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 7)
-  }
+      : org.apache.spark.sql.DataFrame =
+    pairsFromSigs(graft.multimodal.MediaDecoder.aHash(
+      imgFrame(t(s, dir, "documents"), 8, 1), "doc_id", "payload"))
 
   /** mm6's oracle signature-CTE chain (fixture replay → 8×8 binning →
     * mean threshold → bit packing) with mm6's default masks, ending
@@ -819,21 +836,27 @@ object MultimodalOps {
     * → the SAME hamming-band blocking as the image gates ([[banded]]
     * — pigeonhole full recall at d ≤ 7, candidates band-bounded,
     * never all-pairs) → exact hamming ≤ 7. */
+  /** mm9's Spark pipeline as a reusable pair source (the audio twin
+    * of [[phashPairs]]): encode the (9, 2)-masked WAV fixtures →
+    * envelope hash → [[pairsFromSigs]]. mm9 wraps it; pipe8 unions it
+    * with the text and image pair sources. */
+  private[queries] def audioPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    pairsFromSigs(graft.multimodal.MediaDecoder.envHash(
+      audioFrame(t(s, dir, "documents"), 9, 2), "doc_id", "payload", 50))
+
+  /** mm9's oracle signature-CTE chain with mm9's default masks,
+    * ending in `esig` (doc_id, hi, lo) — exposed for pipe8's joint
+    * oracle exactly like [[phashSigCtes]] is for pipe7's. CTE names
+    * are e-prefixed and disjoint from the phash chain's. */
+  private[queries] def envSigCtesMm9: String = envSigCtes(
+    "CASE WHEN d.doc_id % 9 = 2 THEN d.doc_id - 1 ELSE d.doc_id END",
+    "d.doc_id % 18 = 2", "")
+
   private val audioNearDupQ = GQ(
     "mm9_audio_neardup",
-    (s, dir) => {
-      import graft.multimodal.MediaDecoder
-      val sig = MediaDecoder.envHash(
-        audioFrame(t(s, dir, "documents"), 9, 2), "doc_id", "payload", 50)
-      val blocks = banded(sig)
-      blocks.as("l").join(blocks.as("r"),
-          col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-          hammingCol.as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 7)
-        .orderBy("a", "b")
-    },
+    (s, dir) => audioPairs(s, dir).orderBy("a", "b"),
     Some(envOracle(
       "CASE WHEN d.doc_id % 9 = 2 THEN d.doc_id - 1 ELSE d.doc_id END",
       "d.doc_id % 18 = 2", "")))
@@ -860,7 +883,173 @@ object MultimodalOps {
       "\n        WHERE NOT (" +
         mm7DelSql.replace("doc_id", "d.doc_id") + ")")))
 
+  /** Time-fraction sample slots per video signature (shared by the
+    * Spark fold and its oracle replay). */
+  private val VSamples = 5
+
+  /** One 16×16 BMP24 fixture frame's byte size: 54-byte header + 16
+    * rows of 48 pixel bytes (stride already 4-aligned) — the fixed
+    * frame-window contract [[graft.multimodal.MediaDecoder.videoHash64]]
+    * strides by. */
+  private val VFrameBytes = 54 + PhSide * ((PhSide * 3 + 3) / 4 * 4)
+
+  /** Shared deterministic video fixture for the video near-dup gate
+    * (mm11): doc d's clip is `sd % 3 + 4` concatenated 16×16 BMP
+    * frames, frame fi's pixels the [[chVal]] noise arithmetic at seed
+    * `sd·5 + fi·3` (scene content varies per frame, uncorrelated
+    * across docs). Doc d is a RE-ENCODED COPY of d-1 iff
+    * d % pairMod == rem — globally brightened (+1 every channel,
+    * clamped) when d % (2·pairMod) == rem, or FRAME-RATE DOUBLED
+    * (every source frame emitted twice: re-encode at 2× fps) when
+    * it's rem + pairMod (a negative `rem` disables injection). mm11
+    * uses masks (8, 3). Frames are BMP-only: fixed byte size is the
+    * frame-container contract (PNG frames vary per-frame). */
+  private def videoFixture(d: Long, pairMod: Int, rem: Int): Array[Byte] = {
+    import graft.multimodal.MediaDecoder
+    val inject = rem >= 0 && d % pairMod == rem
+    val sd = if (inject) d - 1 else d
+    val m2 = (d % (2 * pairMod)).toInt
+    val bright = inject && m2 == rem
+    val dbl = inject && m2 == rem + pairMod
+    val fsrc = (sd % 3 + 4).toInt
+    val nf = if (dbl) 2 * fsrc else fsrc
+    val frames = (0 until nf).map { i =>
+      val fi = if (dbl) i / 2 else i
+      val sv = sd * 5 + fi * 3
+      def px(x: Int, y: Int): Int = {
+        def c(k: Int) = {
+          val v = chVal(sv, x, y, k)
+          if (bright) math.min(v + 1, 255) else v
+        }
+        (c(0) << 16) | (c(1) << 8) | c(2)
+      }
+      MediaDecoder.encodeBmp24With(PhSide, PhSide)(px)
+    }
+    Array.concat(frames: _*)
+  }
+
+  /** (doc_id) frame → (doc_id, payload) video fixture frame — the
+    * video instance of [[payloadFrame]]. */
+  private val videoFrame = payloadFrame(videoFixture) _
+
+  /** Video-oracle signature CTEs (fixture frame replay → per-sampled-
+    * frame aHash bits → per-bit majority fold → packing), ending in
+    * `vsig` (doc_id, hi, lo). Names are v-prefixed and disjoint from
+    * both the phash and envelope chains, so a joint gate can compose
+    * all three modalities in one WITH. Parameterized by `sdSql`
+    * (source doc), `brightSql` (global +1 boolean), `dblSql`
+    * (frame-rate-doubled boolean), `alive` (doc-set WHERE filter).
+    * The rate-doubling never reaches the pixel arithmetic: slot k of
+    * a doubled clip reads source frame ⌊⌊k·2m/T⌋/2⌋ = ⌊k·m/T⌋ — the
+    * identity the Spark fold's time-fraction sampling relies on is
+    * REPLAYED, not assumed, so a sampling off-by-one on either side
+    * hash-mismatches. */
+  private def videoSigCtesFor(
+      sdSql: String, brightSql: String, dblSql: String,
+      alive: String): String =
+    s"""vg(i) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+          (8),(9),(10),(11),(12),(13),(14),(15)),
+      vk(k) AS (VALUES (0),(1),(2),(3),(4)),
+      vd AS (SELECT doc_id, $sdSql AS sd, $brightSql AS bright,
+          $dblSql AS dbl
+        FROM documents d$alive),
+      vdim AS (SELECT doc_id, sd, bright, dbl,
+          (sd % 3 + 4) * (CASE WHEN dbl THEN 2 ELSE 1 END) AS nf
+        FROM vd),
+      vfr AS (SELECT doc_id, bright, k,
+          sd * 5 + (CASE WHEN dbl THEN ((k * nf) // $VSamples) // 2
+                         ELSE (k * nf) // $VSamples END) * 3 AS sv
+        FROM vdim CROSS JOIN vk),
+      vpx AS (SELECT doc_id, k, bright, sv AS sd, xs.i AS xi, ys.i AS yi
+        FROM vfr CROSS JOIN vg xs CROSS JOIN vg ys),
+      vpv AS (SELECT doc_id, k, xi, yi, bright,
+          ${chanSql(0)} AS r0,
+          ${chanSql(1)} AS g0,
+          ${chanSql(2)} AS b0
+        FROM vpx),
+      vpp AS (SELECT doc_id, k, xi, yi,
+          CASE WHEN bright THEN LEAST(r0 + 1, 255) ELSE r0 END
+          + CASE WHEN bright THEN LEAST(g0 + 1, 255) ELSE g0 END
+          + CASE WHEN bright THEN LEAST(b0 + 1, 255) ELSE b0 END AS gray
+        FROM vpv),
+      vcells AS (SELECT doc_id, k, xi // 2 AS cx, yi // 2 AS cy,
+          CAST(sum(gray) AS BIGINT) AS cg
+        FROM vpp GROUP BY doc_id, k, xi // 2, yi // 2),
+      vtot AS (SELECT doc_id, k, CAST(sum(cg) AS BIGINT) AS tg
+        FROM vcells GROUP BY doc_id, k),
+      vbits AS (SELECT c.doc_id, c.k, cy * 8 + cx AS i,
+          CASE WHEN cg * 64 >= tg THEN 1 ELSE 0 END AS bit
+        FROM vcells c JOIN vtot
+          ON vtot.doc_id = c.doc_id AND vtot.k = c.k),
+      vones AS (SELECT doc_id, i, CAST(sum(bit) AS BIGINT) AS ones,
+          CAST(count(*) AS BIGINT) AS sampled
+        FROM vbits GROUP BY doc_id, i),
+      vmaj AS (SELECT doc_id, i,
+          CASE WHEN 2 * ones >= sampled THEN 1 ELSE 0 END AS bit
+        FROM vones),
+      vsig AS (SELECT doc_id,
+          CAST(sum(CASE WHEN i < 32
+            THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo,
+          CAST(sum(CASE WHEN i >= 32
+            THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+            AS BIGINT) AS hi
+        FROM vmaj GROUP BY doc_id)"""
+
+  /** mm11's oracle signature-CTE chain with mm11's default masks —
+    * exposed for a joint gate exactly like [[phashSigCtes]] /
+    * [[envSigCtesMm9]]. */
+  private[queries] def videoSigCtes: String = videoSigCtesFor(
+    "CASE WHEN d.doc_id % 8 = 3 THEN d.doc_id - 1 ELSE d.doc_id END",
+    "d.doc_id % 16 = 3", "d.doc_id % 16 = 11", "")
+
+  /** Full video oracle: replay folded signatures ([[videoSigCtesFor]]),
+    * then verify pairs BRUTE-FORCE over the 64-bit signatures — a
+    * banding recall loss, a sampling off-by-one, or a majority-fold
+    * tie-break skew on the Spark side hash-mismatches. */
+  private def videoOracle(
+      sdSql: String, brightSql: String, dblSql: String,
+      alive: String): String =
+    s"""WITH ${videoSigCtesFor(sdSql, brightSql, dblSql, alive)}
+      SELECT a.doc_id AS a, b.doc_id AS b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+          AS hamming
+      FROM vsig a JOIN vsig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+      ORDER BY a, b"""
+
+  /** mm11's Spark pipeline as a reusable pair source (the video twin
+    * of [[phashPairs]]): encode the (8, 3)-masked multi-frame
+    * fixtures → [[graft.multimodal.MediaDecoder.videoHash]]
+    * (time-fraction frame sampling + per-frame aHash + per-bit
+    * majority fold, one shuffle-free pass) → [[pairsFromSigs]]. */
+  private[queries] def videoPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    pairsFromSigs(graft.multimodal.MediaDecoder.videoHash(
+      videoFrame(t(s, dir, "documents"), 8, 3), "doc_id", "payload",
+      VFrameBytes, VSamples))
+
+  /** mm11 — PERCEPTUAL video near-dup, completing the modality matrix
+    * (text dedup2–6, image mm6/mm7, audio mm9/mm10): every doc gets a
+    * deterministic multi-frame clip ([[videoFixture]]); every 8th is
+    * a re-encoded copy of its predecessor — globally brightened or
+    * frame-rate doubled, the perturbations the time-fraction-sampled
+    * majority fold is built to survive (rate changes cancel exactly;
+    * brightness rides aHash's per-frame mean-threshold invariance,
+    * and per-bit majority never amplifies residual clamp noise).
+    * Pipeline: encode → per-video 64-bit signature (O(samples) frame
+    * decodes per clip — skipped frames never read) → the SAME
+    * hamming-band blocking as every other modality
+    * ([[pairsFromSigs]]) → exact hamming ≤ 7. */
+  private val videoNearDupQ = GQ(
+    "mm11_video_neardup",
+    (s, dir) => videoPairs(s, dir).orderBy("a", "b"),
+    Some(videoOracle(
+      "CASE WHEN d.doc_id % 8 = 3 THEN d.doc_id - 1 ELSE d.doc_id END",
+      "d.doc_id % 16 = 3", "d.doc_id % 16 = 11", "")))
+
   def qs: Seq[GQ] =
     Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ,
-      phashQ, phashIncQ, segmentQ, audioNearDupQ, audioIncQ)
+      phashQ, phashIncQ, segmentQ, audioNearDupQ, audioIncQ,
+      videoNearDupQ)
 }

@@ -836,4 +836,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == (scaled ++ padded).toSet,
       s"false pairs: ${got -- scaled -- padded}")
   }
+
+  test("videoHash64: frame-rate doubling cancels exactly; repeats, guards hold") {
+    import MediaDecoder.{encodeBmp24With, videoHash64}
+    val fb = 54 + 16 * 48 // one 16x16 BMP24 frame
+    def frame(seed: Long): Array[Byte] = encodeBmp24With(16, 16) { (x, y) =>
+      val r = ((seed * 131 + x) * (seed % 97 + 31) + y * 7).toInt & 0xff
+      val g = ((seed * 139 + y) * (seed % 101 + 37) + x * 5).toInt & 0xff
+      val b = ((seed * 151 + x + y) * (seed % 103 + 41)).toInt & 0xff
+      (r << 16) | (g << 8) | b
+    }
+    val clip = Array.concat((0 until 6).map(i => frame(40 + 3 * i)): _*)
+    val h0 = videoHash64(clip, fb, 5).get
+    assert(h0._1 >= 0 && h0._1 < (1L << 32) && h0._2 >= 0 && h0._2 < (1L << 32))
+    // a 2x-fps re-encode (every source frame twice): time-fraction
+    // sampling reads byte-identical frames — hash EQUAL, not just near
+    val doubled = Array.concat(
+      (0 until 12).map(i => frame(40 + 3 * (i / 2))): _*)
+    assert(videoHash64(doubled, fb, 5).get == h0,
+      "frame-rate doubling must cancel exactly")
+    // a clip shorter than the slot count still hashes (slots repeat
+    // frames deterministically)
+    val short = Array.concat((0 until 3).map(i => frame(90 + i)): _*)
+    assert(videoHash64(short, fb, 5).isDefined)
+    // a different clip is FAR (band blocking at <= 7 must not pair it)
+    val other = Array.concat((0 until 6).map(i => frame(700 + 11 * i)): _*)
+    val ho = videoHash64(other, fb, 5).get
+    assert(java.lang.Long.bitCount(h0._1 ^ ho._1) +
+      java.lang.Long.bitCount(h0._2 ^ ho._2) > 7)
+    // guards: sub-frame payload, garbage frames (aHash64 None for all
+    // sampled frames -> no signature), bad params
+    assert(videoHash64(new Array[Byte](fb - 1), fb, 5).isEmpty)
+    assert(videoHash64(Array.fill(3 * fb)(7.toByte), fb, 5).isEmpty)
+    assert(videoHash64(clip, 0, 5).isEmpty && videoHash64(clip, fb, 0).isEmpty)
+  }
+
+  test("mm11: every injected re-encoded video copy is recalled, rate-doubled at hamming 0") {
+    val pairs = SparkEntry.queries("mm11_video_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    val maxDoc = Tables.t(spark, sf, "documents")
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val bright = (3L to maxDoc by 16).map(d => (d - 1, d))
+    val doubled = (11L to maxDoc by 16).map(d => (d - 1, d))
+    assert(bright.nonEmpty && doubled.nonEmpty, "fixture corpus too small")
+    // full recall of BOTH perturbation variants at hamming <= 7
+    assert(bright.toSet.subsetOf(got), s"missed bright: ${bright.toSet -- got}")
+    assert(doubled.toSet.subsetOf(got),
+      s"missed rate-doubled: ${doubled.toSet -- got}")
+    // a rate-doubled copy samples byte-identical frames: the folded
+    // signature must be bit-identical, not merely near
+    val dblHam = pairs.filter(p => doubled.contains((p._1, p._2))).map(_._3)
+    assert(dblHam.nonEmpty && dblHam.forall(_ == 0),
+      s"rate-doubled pairs should hash identically, got $dblHam")
+    // and nothing else pairs: the fixture injects exactly these
+    assert(got == (bright ++ doubled).toSet,
+      s"false pairs: ${got -- bright -- doubled}")
+  }
 }
