@@ -832,6 +832,55 @@ object CurationOps {
         UNION ALL SELECT a, b FROM ipairs
         UNION ALL SELECT b, a FROM ipairs""")}"""))
 
+  /** pipe8 — FOUR-modality joint canonical selection: pipe7 extended
+    * to every hash-bearing modality the engine indexes. A doc carries
+    * text, an image, an audio clip, AND a video clip; near-dup
+    * evidence from ANY modality is an edge — dedup2's MinHash+LSH
+    * text pairs, mm6's image phash pairs, mm9's audio envelope pairs,
+    * mm11's video majority-fold pairs — and the merged graph resolves
+    * to ONE survivor per cluster under the same keep-best policy as
+    * pipe2/pipe7 ([[canonicalSelection]]: a tie-break change cannot
+    * split the three gates). The modality signature CTEs were built
+    * name-disjoint (phash g/px/…/sig, envelope e-prefixed, video
+    * v-prefixed) precisely so this oracle composes them in one WITH;
+    * each modality's pair generation stays banded (never all-pairs),
+    * the union is a pair-set concat, the corpus is touched only for
+    * the per-doc quality column — the cost shape of the parts. The
+    * injection masks deliberately overlap (e.g. doc_id ≡ 35 mod 144
+    * is a text, image, AND audio copy of its predecessor; many docs
+    * are copies in one modality only), so cross-modality merges are
+    * exercised, not hypothetical. */
+  private val quadCanonicalQ = GQ(
+    "pipe8_trimodal_canonical",
+    (s, dir) => canonicalSelection(s, dir, SimilarityOps.components(
+      DedupOps.minhashPairs(s, dir).select("a", "b")
+        .unionByName(MultimodalOps.phashPairs(s, dir).select("a", "b"))
+        .unionByName(MultimodalOps.audioPairs(s, dir).select("a", "b"))
+        .unionByName(MultimodalOps.videoPairs(s, dir).select("a", "b")))),
+    Some(s"""WITH RECURSIVE ${DedupOps.corpusSql},
+      ${DedupOps.pairsCteSql},
+      ${MultimodalOps.phashSigCtes},
+      ipairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7),
+      ${MultimodalOps.envSigCtesMm9},
+      apairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM esig a JOIN esig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7),
+      ${MultimodalOps.videoSigCtes},
+      vpairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM vsig a JOIN vsig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7),
+      ${canonicalOracleTail(
+        """SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs
+        UNION ALL SELECT a, b FROM ipairs
+        UNION ALL SELECT b, a FROM ipairs
+        UNION ALL SELECT a, b FROM apairs
+        UNION ALL SELECT b, a FROM apairs
+        UNION ALL SELECT a, b FROM vpairs
+        UNION ALL SELECT b, a FROM vpairs""")}"""))
+
   /** pipe4 — incremental near-dup maintenance: dedup2's MinHash+LSH
     * pipeline as a continuously-maintained SERVICE instead of a batch
     * job, the shape a 100 TB corpus actually needs (re-running banded
@@ -1327,6 +1376,7 @@ object CurationOps {
     Some(bm25IndexOracle))
 
   def qs: Seq[GQ] = Seq(deconQ, decon2Q, decon3Q, piiQ, repetitionQ, mixQ,
-    mix2Q, mix3Q, pipeQ, canonicalQ, jointCanonicalQ, incNearDupQ, incBm25Q, stSearchIndexQ,
+    mix2Q, mix3Q, pipeQ, canonicalQ, jointCanonicalQ, quadCanonicalQ,
+    incNearDupQ, incBm25Q, stSearchIndexQ,
     stServiceOccQ, entropyQ, leakSplitQ, stats1Q, samp1Q, samp2Q)
 }

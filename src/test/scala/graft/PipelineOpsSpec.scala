@@ -685,6 +685,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe8: all four modality verdicts compose to one survivor per merged cluster") {
+    val dropped = SparkEntry.queries("pipe8_trimodal_canonical")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def kept(x: Long): Long = dropped.getOrElse(x, x)
+    val byGate = Seq("dedup2_minhash_lsh", "mm6_phash_neardup",
+      "mm9_audio_neardup", "mm11_video_neardup").map { g =>
+      g -> SparkEntry.queries(g)(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    byGate.foreach { case (g, ps) => assert(ps.nonEmpty, s"$g empty") }
+    val allPairs = byGate.flatMap(_._2)
+    // a duplicate pair detected by ANY of the four modalities lands in
+    // one cluster with exactly one survivor between the two members
+    allPairs.foreach { case (a, b) =>
+      assert(kept(a) == kept(b), s"pair ($a,$b) split across clusters")
+      assert(dropped.contains(a) || dropped.contains(b),
+        s"both members of ($a,$b) survived")
+    }
+    // the audio and video arms are LOAD-BEARING: pipe8 must drop docs
+    // pipe7 (text+image only) keeps — the injection masks guarantee
+    // audio-only (d%9==2 outside the text/image masks) and video-only
+    // copies exist
+    val pipe7Dropped = SparkEntry
+      .queries("pipe7_multimodal_canonical")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped.size > pipe7Dropped.size,
+      s"audio/video arms added no verdicts: pipe8=${dropped.size} " +
+        s"pipe7=${pipe7Dropped.size}")
+    // and a TRI-modality chain merges: find a doc that pairs through
+    // text with one mate and through audio or video with another —
+    // all three must share one survivor
+    val textPairs = byGate.head._2
+    val avPairs = byGate.drop(2).flatMap(_._2)
+    val chained = avPairs.flatMap { case (a, b) =>
+      textPairs.collectFirst {
+        case (x, y) if x == a || y == a || x == b || y == b =>
+          (a, b, if (x == a || x == b) y else x)
+      }
+    }
+    assert(chained.nonEmpty, "no text x audio/video chained cluster in fixture")
+    chained.foreach { case (a, b, c) =>
+      assert(kept(a) == kept(b) && kept(b) == kept(c),
+        s"chained cluster {$a,$b,$c} not merged")
+    }
+  }
+
   test("mm10: maintained audio pairs exclude departed docs and span both commit paths") {
     val pairs = SparkEntry.queries("mm10_audio_incremental")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
