@@ -465,6 +465,111 @@ class TableServicesSpec extends AnyFunSuite {
     assert(tl.readCheckpoint().get.asOf == "102")
   }
 
+  test("maintained signature index survives archive, clean, and compaction between reconciles") {
+    // the maintained-index × table-services composition: mm7/mm10's
+    // signature stores are lake tables whose FEED is an incremental
+    // scan of the payloads table — so the floor commit getting folded
+    // into the checkpoint by archive(), superseded payload files
+    // getting clean()ed, and the sigs/pairs MOR stores being
+    // compacted MID-maintenance must all be invisible to the
+    // reconcile. After every reconcile the pairs table must equal a
+    // brute-force recompute of the CURRENT corpus, and the
+    // incremental feed must stay O(churn) rows (an archive that
+    // forced a full-corpus re-read would show up as extra rows, not
+    // just extra cost). COW and MOR payload tables.
+    import graft.multimodal.MediaDecoder
+    import graft.queries.MultimodalOps
+    def img(id: Long, v: Int): Array[Byte] = {
+      // id % 10 == 1 is an exact copy of its predecessor AT THE SAME
+      // VERSION: churn that bumps one side's version breaks the pair,
+      // which the brute-force mirror tracks
+      val base = if (id % 10 == 1) id - 1 else id
+      val seed = base * 1000 + v * 7
+      MediaDecoder.encodeBmp24With(16, 16) { (x, y) =>
+        def c(m: Long, n: Long, a: Long) =
+          (((seed * m + x) * (seed % n + a) + x.toLong * y * 3) % 256).toInt
+        (c(131, 97, 31) << 16) | (c(139, 101, 37) << 8) | c(151, 103, 41)
+      }
+    }
+    val hashFn = (df: org.apache.spark.sql.DataFrame) =>
+      MediaDecoder.aHash(df, "doc_id", "payload")
+    for (tableType <- Seq("cow", "mor")) {
+      val pay = LakeTable.create(spark, tmp(), TableProps(
+        "svcpay", Seq("doc_id"), Some("ts"), Seq.empty,
+        tableType = tableType))
+      val sigs = LakeTable.create(spark, tmp(), TableProps(
+        "svcsigs", Seq("doc_id"), Some("ts"), Seq.empty, tableType = "mor"))
+      val pairs = LakeTable.create(spark, tmp(), TableProps(
+        "svcpairs", Seq("a", "b"), Some("ts"), Seq.empty, tableType = "mor"))
+      val corpus = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+      def check(label: String): Unit = {
+        val hs = corpus.toSeq.flatMap { case (id, b) =>
+          MediaDecoder.aHash64(b).map { case (hi, lo) => (id, hi, lo) }
+        }
+        val want = (for {
+          (a, ahi, alo) <- hs; (b, bhi, blo) <- hs if a < b
+          h = java.lang.Long.bitCount(ahi ^ bhi) +
+            java.lang.Long.bitCount(alo ^ blo)
+          if h <= 7
+        } yield (a, b)).toSet
+        val got = LakeTable.load(spark, pairs.basePath).snapshot()
+          .select("a", "b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want, s"[$tableType/$label] got $got want $want")
+      }
+      val ids = (1L to 30L).toSeq
+      // seed: every doc at v1; bootstrap reconcile
+      ids.foreach(id => corpus(id) = img(id, 1))
+      val c1 = pay.upsert(
+        corpus.toSeq.map { case (id, b) => (id, b, 1L) }
+          .toDF("doc_id", "payload", "ts"))
+      MultimodalOps.phashReconcile(
+        pay.snapshot().select("doc_id", "payload"),
+        Seq.empty[Long].toDF("doc_id"), sigs, pairs, 1L, hashFn)
+      check("bootstrap")
+      // churn A: updates + deletes, fed by the incremental scan
+      val updA = ids.filter(_ % 7 == 2)
+      val delA = ids.filter(_ % 13 == 5)
+      updA.foreach(id => corpus(id) = img(id, 2))
+      delA.foreach(corpus.remove)
+      val c2 = pay.upsertWithDeletes(
+        updA.map(id => (id, corpus(id), 2L)).toDF("doc_id", "payload", "ts"),
+        delA.toDF("doc_id"))
+      val incA = pay.incremental(c1).select("doc_id", "payload")
+      assert(incA.count() == updA.size,
+        s"[$tableType] churn-A feed not O(churn)")
+      MultimodalOps.phashReconcile(incA, delA.toDF("doc_id"),
+        sigs, pairs, 2L, hashFn)
+      check("churn A")
+      // SERVICE STORM between reconciles: commit churn B, then fold
+      // the floor commit (c2) into the checkpoint, clean superseded
+      // payload files, and compact both MOR index stores — the next
+      // reconcile's incremental scan crosses the archive boundary
+      val updB = ids.filter(id => id % 5 == 3 && corpus.contains(id))
+      val delB = Seq(11L).filter(corpus.contains) // partner of stored pair (10, 11)
+      assert(corpus.contains(11L) && corpus.contains(10L))
+      updB.foreach(id => corpus(id) = img(id, 3))
+      delB.foreach(corpus.remove)
+      pay.upsertWithDeletes(
+        updB.map(id => (id, corpus(id), 3L)).toDF("doc_id", "payload", "ts"),
+        delB.toDF("doc_id"))
+      assert(pay.archive(minToKeep = 1, maxToKeep = 1) >= 2,
+        s"[$tableType] floor commit not folded")
+      pay.clean(retainCommits = 1)
+      assert(sigs.compact().isDefined && pairs.compact().isDefined)
+      val incB = pay.incremental(c2).select("doc_id", "payload")
+      assert(incB.count() == updB.size,
+        s"[$tableType] churn-B feed not O(churn) across the archive boundary")
+      MultimodalOps.phashReconcile(incB, delB.toDF("doc_id"),
+        sigs, pairs, 3L, hashFn)
+      check("churn B across archive+clean+compaction")
+      // the tombstoned partner's stored pair is gone for real
+      assert(!LakeTable.load(spark, pairs.basePath).snapshot()
+        .select("a", "b").collect()
+        .exists(r => r.getLong(0) == 10L && r.getLong(1) == 11L))
+    }
+  }
+
   test("checkpoint cache: a writer clock BEHIND the reader cannot buy trust at birth") {
     // the OTHER skew direction: a writer whose clock trails the
     // reader stamps a just-written file with an mtime that already
