@@ -465,6 +465,180 @@ class TableServicesSpec extends AnyFunSuite {
     assert(tl.readCheckpoint().get.asOf == "102")
   }
 
+  test("instant arbitration holds across separate JVMs: disjoint partitions, amplification 1.0") {
+    // the cross-process form of the OCC oracle: the round-12
+    // instant-arbitration fix (Timeline.exclusiveCreate — a true
+    // O_EXCL marker claim replacing Hadoop's non-atomic local
+    // exists-then-create) exists precisely for writers in DIFFERENT
+    // processes, which no in-process test can exercise. A real second
+    // JVM (graft.tools.OccJvmWriter, launched the way ab_bench.sh
+    // launches Bench) commits into partition dB while this JVM
+    // commits into dA; both count whole-write OCC retries. Disjoint
+    // partitions share no file groups, so EVERY retry would be a
+    // phantom (an instant-name collision) — both writers must report
+    // attempts == commits (amplification exactly 1.0), and the final
+    // table must equal the sequential oracle. A start barrier + the
+    // tight commit loops make same-floor instant allocations routine
+    // (each writer's next instant is bump(last committed), so
+    // sub-millisecond commit turnaround forces both processes onto
+    // the same candidate name — the marker claim is what keeps that
+    // from becoming a retry).
+    val path = tmp()
+    LakeTable.create(spark, path, props)
+      .upsert(mkDf(row(900001, "seed", dt = "dA"), row(900002, "seed", dt = "dB")))
+    val syncDir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "occsync_").toFile
+    val nCommits = 8; val rowsPer = 5
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val out = new java.io.File(syncDir, "child.out")
+    val cmd = (Seq("java", "-Xmx3g", "-cp", sys.props("java.class.path")) ++
+      addOpens ++
+      Seq("graft.tools.OccJvmWriter", path, "2", nCommits.toString,
+        rowsPer.toString, "dB", syncDir.getPath)).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(out)
+    val proc = pb.start()
+    try {
+      // wait for the child's table handle, then drop the start gate
+      val ready = new java.io.File(syncDir, "ready.2")
+      val t0 = System.currentTimeMillis()
+      while (!ready.exists()) {
+        assert(proc.isAlive, s"child JVM died during startup:\n" +
+          scala.io.Source.fromFile(out).mkString)
+        assert(System.currentTimeMillis() - t0 < 120000L, "child never ready")
+        Thread.sleep(50)
+      }
+      new java.io.File(syncDir, "go").createNewFile()
+      // host side: same commit loop into the OTHER partition
+      val own = LakeTable.load(spark, path)
+      var attempts = 0
+      (1 to nCommits).foreach { c =>
+        var done = false
+        while (!done) {
+          try {
+            attempts += 1
+            own.upsert((1 to rowsPer)
+              .map(i => (1000000 + (c - 1) * rowsPer + i, s"j1-c$c",
+                c.toLong, "dA"))
+              .toDF("id", "v", "ts", "dt"))
+            done = true
+          } catch {
+            case e: graft.core.CommitConflictException =>
+              if (attempts > 200) throw new IllegalStateException(
+                "host: conflict not resolving", e)
+          }
+        }
+      }
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      val childLog = scala.io.Source.fromFile(out).mkString
+      assert(proc.exitValue() == 0, s"child JVM failed:\n$childLog")
+      // amplification exactly 1.0 on BOTH sides: disjoint partitions
+      // mean any retry was a phantom instant collision
+      assert(attempts == nCommits,
+        s"host amplification ${attempts.toDouble / nCommits}")
+      val m = "attempts=(\\d+)".r.findFirstMatchIn(childLog)
+      assert(m.exists(_.group(1).toInt == nCommits),
+        s"child amplification != 1.0:\n$childLog")
+      // sequential oracle: every commit's rows present, latest ts wins
+      val snap = LakeTable.load(spark, path).snapshot()
+      assert(snap.count() == 2 + 2L * nCommits * rowsPer)
+      assert(snap.filter(col("dt") === "dA" && col("id") >= 1000000)
+        .count() == nCommits * rowsPer)
+      assert(snap.filter(col("dt") === "dB" && col("id") >= 2000000)
+        .count() == nCommits * rowsPer)
+      assert(snap.filter(col("v").startsWith("j2-c") &&
+        col("dt") =!= "dB").count() == 0)
+      // and the two processes really did interleave on the timeline:
+      // 1 seed + 16 writer commits, all distinct instants
+      val instants = LakeTable.load(spark, path).timeline.commits()
+        .map(_.instant)
+      assert(instants.size == 1 + 2 * nCommits && instants.distinct.size ==
+        instants.size)
+    } finally {
+      if (proc.isAlive) proc.destroyForcibly()
+    }
+  }
+
+  test("marker claims are exclusive across separate JVMs under same-millisecond flooding") {
+    // the deterministic companion to the commit-loop smoke above: the
+    // commit loops allocate an instant every ~200 ms, so genuine
+    // same-millisecond cross-process collisions are rare there. Here
+    // BOTH processes tight-loop Timeline.beginWrite (a claim costs
+    // ~1 ms, no data write), flooding the same wall-clock
+    // milliseconds by construction — hundreds of contested
+    // allocations per run. Exclusivity criterion: the two processes'
+    // claimed-instant sets must be DISJOINT. Hadoop's local
+    // create(overwrite=false) is a non-atomic exists-then-create, so
+    // without the O_EXCL claim (Timeline.exclusiveCreate) both
+    // processes "win" the same name and the sets intersect.
+    val path = tmp()
+    LakeTable.create(spark, path, props)
+    val syncDir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "occmrk_").toFile
+    val count = 400
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val out = new java.io.File(syncDir, "child.out")
+    val pb = new ProcessBuilder((Seq("java", "-Xmx512m", "-cp",
+      sys.props("java.class.path")) ++ addOpens ++
+      Seq("graft.tools.OccJvmWriter", "markers", path, "2",
+        count.toString, syncDir.getPath)): _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(out)
+    val proc = pb.start()
+    try {
+      val ready = new java.io.File(syncDir, "ready.2")
+      val t0 = System.currentTimeMillis()
+      while (!ready.exists()) {
+        assert(proc.isAlive, s"child JVM died during startup:\n" +
+          scala.io.Source.fromFile(out).mkString)
+        assert(System.currentTimeMillis() - t0 < 120000L, "child never ready")
+        Thread.sleep(20)
+      }
+      val tl = new Timeline(spark.sessionState.newHadoopConf(), path)
+      new java.io.File(syncDir, "go").createNewFile()
+      val mine = (1 to count).map(_ => tl.beginWrite())
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      assert(proc.exitValue() == 0, s"child JVM failed:\n" +
+        scala.io.Source.fromFile(out).mkString)
+      val theirs = scala.io.Source
+        .fromFile(new java.io.File(syncDir, "claims.2"))
+        .getLines().toSeq
+      mine.foreach(tl.clearInflight)
+      assert(mine.size == count && mine.distinct.size == count)
+      assert(theirs.size == count && theirs.distinct.size == count)
+      val shared = mine.toSet.intersect(theirs.toSet)
+      assert(shared.isEmpty,
+        s"${shared.size} instants claimed by BOTH JVMs: " +
+          shared.take(5).mkString(", "))
+      // the race was REAL: the claim windows overlapped (instants are
+      // wall-clock-ordered, so interleaved ranges prove concurrency —
+      // serialized loops would make disjointness vacuous)
+      assert(mine.min < theirs.max && theirs.min < mine.max,
+        "claim loops did not overlap; arbitration was never contested")
+    } finally {
+      if (proc.isAlive) proc.destroyForcibly()
+    }
+  }
+
   test("maintained signature index survives archive, clean, and compaction between reconciles") {
     // the maintained-index × table-services composition: mm7/mm10's
     // signature stores are lake tables whose FEED is an incremental
