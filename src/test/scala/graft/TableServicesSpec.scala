@@ -613,7 +613,16 @@ class TableServicesSpec extends AnyFunSuite {
         Thread.sleep(20)
       }
       val tl = new Timeline(spark.sessionState.newHadoopConf(), path)
-      new java.io.File(syncDir, "go").createNewFile()
+      // rendezvous at a shared wall-clock instant (written INTO the go
+      // file): a bare existence gate can serialize the loops when the
+      // child's poll latency exceeds the host's whole claim run
+      val startAt = System.currentTimeMillis() + 800L
+      val goTmp = new java.io.File(syncDir, "go.tmp")
+      val goW = new java.io.PrintWriter(goTmp, "UTF-8")
+      try goW.print(startAt.toString) finally goW.close()
+      // rename = atomic publish: the child never sees a partial write
+      assert(goTmp.renameTo(new java.io.File(syncDir, "go")))
+      while (System.currentTimeMillis() < startAt) {}
       val mine = (1 to count).map(_ => tl.beginWrite())
       assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
         "child JVM did not finish")

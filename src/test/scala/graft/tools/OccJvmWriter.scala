@@ -92,13 +92,23 @@ object OccJvmWriter {
     val tl = new graft.core.Timeline(
       new org.apache.hadoop.conf.Configuration(), path)
     new java.io.File(syncDir, s"ready.$writerId").createNewFile()
+    // the go file CARRIES the shared start instant (same machine =
+    // same clock): a bare existence gate lets the creator's loop
+    // finish inside the watcher's poll latency and the race
+    // serializes — both sides must spin to one wall-clock millisecond
     val go = new java.io.File(syncDir, "go")
     val waitStart = System.currentTimeMillis()
-    while (!go.exists()) {
+    var startAt = -1L
+    while (startAt < 0) {
       if (System.currentTimeMillis() - waitStart > 120000L)
         sys.error("go file never appeared")
-      Thread.sleep(20)
+      if (go.exists()) {
+        val txt = scala.io.Source.fromFile(go).mkString.trim
+        if (txt.nonEmpty) startAt = txt.toLong
+      }
+      if (startAt < 0) Thread.sleep(5)
     }
+    while (System.currentTimeMillis() < startAt) {}
     val claims = (1 to count).map(_ => tl.beginWrite())
     val w = new java.io.PrintWriter(
       new java.io.File(syncDir, s"claims.$writerId"), "UTF-8")
