@@ -840,16 +840,18 @@ object CurationOps {
     * mm11's video majority-fold pairs — and the merged graph resolves
     * to ONE survivor per cluster under the same keep-best policy as
     * pipe2/pipe7 ([[canonicalSelection]]: a tie-break change cannot
-    * split the three gates). The modality signature CTEs were built
-    * name-disjoint (phash g/px/…/sig, envelope e-prefixed, video
-    * v-prefixed) precisely so this oracle composes them in one WITH;
-    * each modality's pair generation stays banded (never all-pairs),
-    * the union is a pair-set concat, the corpus is touched only for
-    * the per-doc quality column — the cost shape of the parts. The
-    * injection masks deliberately overlap (e.g. doc_id ≡ 35 mod 144
-    * is a text, image, AND audio copy of its predecessor; many docs
-    * are copies in one modality only), so cross-modality merges are
-    * exercised, not hypothetical. */
+    * split any of the canonical gates). The modality signature CTEs
+    * were built name-disjoint (phash g/px/…/sig, envelope e-prefixed,
+    * video v-prefixed) precisely so this oracle composes them in one
+    * WITH; each modality's pair generation stays banded (never
+    * all-pairs), the union is a pair-set concat, the corpus is
+    * touched only for the per-doc quality column — the cost shape of
+    * the parts. The injection masks deliberately overlap: doc_id ≡ 65
+    * (mod 72) is an image (% 8 = 1) AND audio (% 9 = 2) copy of its
+    * predecessor, dedup2's text edges (d, d+1e6 for d % 7 = 0) chain
+    * clusters further, and many docs are copies in one modality
+    * only — so cross-modality merges are exercised, not
+    * hypothetical. */
   private val quadCanonicalQ = GQ(
     "pipe8_trimodal_canonical",
     (s, dir) => canonicalSelection(s, dir, SimilarityOps.components(

@@ -265,16 +265,6 @@ object MultimodalOps {
     (139, 101, 37, 149, 79, 23, 71, 13),
     (151, 103, 41, 157, 73, 19, 61, 17))
 
-  /** Shared deterministic noise-image fixture for the perceptual-hash
-    * gates (mm6/mm7): channel value = integer arithmetic on (source
-    * doc, x, y) with doc-dependent multiplicative coefficients, so
-    * distinct docs get uncorrelated spatial patterns. Injection masks:
-    * doc d is a PERTURBED COPY of d-1 iff d % pairMod == rem — a
-    * global +1 brightness shift when d % (2·pairMod) == rem, a
-    * single-pixel +60 pop when it's rem + pairMod (a negative `rem`
-    * disables injection entirely). mm6 uses masks (8, 1); mm7 seeds
-    * with (13, 5) and churns with (7, 2). Even docs encode as BMP,
-    * odd as PNG, so every injected pair spans the two codecs. */
   /** Channel k of the noise arithmetic at seed `sv` — the Scala twin
     * of [[chanSql]]; both read the SAME [[PhCoef]] row. */
   private def chVal(sv: Long, x: Int, y: Int, k: Int): Int = {
@@ -284,6 +274,17 @@ object MultimodalOps {
       x.toLong * y * (sv % nxy + axy)) % 256).toInt
   }
 
+  /** Shared deterministic noise-image fixture for the perceptual-hash
+    * gates (mm6/mm7): channel value = integer arithmetic on (source
+    * doc, x, y) with doc-dependent multiplicative coefficients
+    * ([[chVal]]), so distinct docs get uncorrelated spatial patterns.
+    * Injection masks: doc d is a PERTURBED COPY of d-1 iff
+    * d % pairMod == rem — a global +1 brightness shift when
+    * d % (2·pairMod) == rem, a single-pixel +60 pop when it's
+    * rem + pairMod (a negative `rem` disables injection entirely).
+    * mm6 uses masks (8, 1); mm7 seeds with (13, 5) and churns with
+    * (7, 2). Even docs encode as BMP, odd as PNG, so every injected
+    * pair spans the two codecs. */
   private def phashFixture(d: Long, pairMod: Int, rem: Int): Array[Byte] = {
     import graft.multimodal.MediaDecoder
     val inject = rem >= 0 && d % pairMod == rem
