@@ -751,14 +751,14 @@ object MediaDecoder {
       }
     }
 
-  /** [[envHash64]] over a frame of (id, payload) rows: same
-    * shuffle-free one-task-per-partition shape as [[decode]]; one row
-    * per decodable non-silent payload, hash as two unsigned 32-bit
-    * halves — the same (hash_hi, hash_lo) contract as [[aHash]], so
-    * the hamming-band blocking machinery is shared verbatim. */
-  def envHash(
-      df: DataFrame, idCol: String, binCol: String,
-      threshold: Int): DataFrame = {
+  /** The ONE (id, payload) → (id, hash_hi, hash_lo) signature frame —
+    * [[aHash]], [[envHash]], and [[videoHash]] all go through it, so
+    * the two-unsigned-32-bit-halves contract the shared hamming-band
+    * machinery relies on (and the null-payload guard, and the
+    * no-row-on-None drop-out semantics) is defined once. Same
+    * shuffle-free one-task-per-partition shape as [[decode]]. */
+  private def sigFrame(df: DataFrame, idCol: String, binCol: String)(
+      hash: Array[Byte] => Option[(Long, Long)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
@@ -766,28 +766,23 @@ object MediaDecoder {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           val payload = if (bytes == null) Array.emptyByteArray else bytes
-          envHash64(payload, threshold).map { case (hi, lo) => (id, hi, lo) }
+          hash(payload).map { case (hi, lo) => (id, hi, lo) }
         }
       }
       .toDF(idCol, "hash_hi", "hash_lo")
   }
 
-  /** [[aHash64]] over a frame of (id, payload) rows: same shuffle-free
-    * one-task-per-partition shape as [[decode]]; one row per decodable
-    * payload, hash as two unsigned 32-bit halves. */
-  def aHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
-          val payload = if (bytes == null) Array.emptyByteArray else bytes
-          aHash64(payload).map { case (hi, lo) => (id, hi, lo) }
-        }
-      }
-      .toDF(idCol, "hash_hi", "hash_lo")
-  }
+  /** [[envHash64]] over a frame of (id, payload) rows ([[sigFrame]]);
+    * one row per decodable non-silent payload. */
+  def envHash(
+      df: DataFrame, idCol: String, binCol: String,
+      threshold: Int): DataFrame =
+    sigFrame(df, idCol, binCol)(envHash64(_, threshold))
+
+  /** [[aHash64]] over a frame of (id, payload) rows ([[sigFrame]]);
+    * one row per decodable payload. */
+  def aHash(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    sigFrame(df, idCol, binCol)(aHash64)
 
   /** 64-bit perceptual hash of a VIDEO-like payload (fixed-size frame
     * windows, the [[sampleFrames]] container contract): sample
@@ -856,28 +851,12 @@ object MediaDecoder {
     }
   }
 
-  /** [[videoHash64]] over a frame of (id, payload) rows: same
-    * shuffle-free one-task-per-partition shape as [[decode]]; one row
-    * per hashable payload, hash as two unsigned 32-bit halves — the
-    * same (hash_hi, hash_lo) contract as [[aHash]]/[[envHash]], so
-    * the hamming-band blocking machinery is shared verbatim. */
+  /** [[videoHash64]] over a frame of (id, payload) rows
+    * ([[sigFrame]]); one row per hashable payload. */
   def videoHash(
       df: DataFrame, idCol: String, binCol: String,
-      frameBytes: Int, samples: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
-          val payload = if (bytes == null) Array.emptyByteArray else bytes
-          videoHash64(payload, frameBytes, samples).map {
-            case (hi, lo) => (id, hi, lo)
-          }
-        }
-      }
-      .toDF(idCol, "hash_hi", "hash_lo")
-  }
+      frameBytes: Int, samples: Int): DataFrame =
+    sigFrame(df, idCol, binCol)(videoHash64(_, frameBytes, samples))
 
   /** Frame-sampling shape for video-like payloads: treat a payload as
     * fixed-size frame windows and emit one row per SAMPLED frame with

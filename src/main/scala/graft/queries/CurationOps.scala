@@ -853,7 +853,7 @@ object CurationOps {
     * only — so cross-modality merges are exercised, not
     * hypothetical. */
   private val quadCanonicalQ = GQ(
-    "pipe8_trimodal_canonical",
+    "pipe8_joint_canonical",
     (s, dir) => canonicalSelection(s, dir, SimilarityOps.components(
       DedupOps.minhashPairs(s, dir).select("a", "b")
         .unionByName(MultimodalOps.phashPairs(s, dir).select("a", "b"))

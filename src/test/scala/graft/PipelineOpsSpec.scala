@@ -686,7 +686,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("pipe8: all four modality verdicts compose to one survivor per merged cluster") {
-    val dropped = SparkEntry.queries("pipe8_trimodal_canonical")(spark, sf)
+    val dropped = SparkEntry.queries("pipe8_joint_canonical")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     def kept(x: Long): Long = dropped.getOrElse(x, x)
     val byGate = Seq("dedup2_minhash_lsh", "mm6_phash_neardup",

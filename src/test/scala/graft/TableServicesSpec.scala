@@ -25,6 +25,32 @@ class TableServicesSpec extends AnyFunSuite {
   private def mkDf(rows: (Int, String, Long, String)*) =
     rows.toDF("id", "v", "ts", "dt")
 
+  /** Launch a second JVM running [[graft.tools.OccJvmWriter]] with
+    * stdout+stderr redirected to `out`. The `--add-opens` flags are
+    * DERIVED from this (forked) test JVM's own launch arguments —
+    * build.sbt's jdk17AddOpens list, whatever it currently is — so a
+    * JDK upgrade that grows the list cannot silently miss a
+    * hand-maintained copy here and fail only the cross-JVM tests. */
+  private def spawnOccJvm(
+      heap: String, out: java.io.File, args: Seq[String])
+      : Process = {
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val addOpens = (0 until jvmArgs.size()).flatMap { i =>
+      if (jvmArgs.get(i) == "--add-opens" && i + 1 < jvmArgs.size())
+        Seq("--add-opens", jvmArgs.get(i + 1))
+      else if (jvmArgs.get(i).startsWith("--add-opens="))
+        Seq(jvmArgs.get(i))
+      else Nil
+    }
+    val pb = new ProcessBuilder((Seq("java", s"-Xmx$heap", "-cp",
+      sys.props("java.class.path")) ++ addOpens ++
+      Seq("graft.tools.OccJvmWriter") ++ args): _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(out)
+    pb.start()
+  }
+
   test("inflight fence heartbeat outlives the stale window; expiry is only for dead writers") {
     val path = tmp()
     LakeTable.create(spark, path, props)
@@ -489,24 +515,9 @@ class TableServicesSpec extends AnyFunSuite {
     val syncDir = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "occsync_").toFile
     val nCommits = 8; val rowsPer = 5
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val out = new java.io.File(syncDir, "child.out")
-    val cmd = (Seq("java", "-Xmx3g", "-cp", sys.props("java.class.path")) ++
-      addOpens ++
-      Seq("graft.tools.OccJvmWriter", path, "2", nCommits.toString,
-        rowsPer.toString, "dB", syncDir.getPath)).toArray
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(true)
-    pb.redirectOutput(out)
-    val proc = pb.start()
+    val proc = spawnOccJvm("3g", out, Seq(path, "2", nCommits.toString,
+      rowsPer.toString, "dB", syncDir.getPath))
     try {
       // wait for the child's table handle, then drop the start gate
       val ready = new java.io.File(syncDir, "ready.2")
@@ -586,23 +597,9 @@ class TableServicesSpec extends AnyFunSuite {
     val syncDir = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "occmrk_").toFile
     val count = 400
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val out = new java.io.File(syncDir, "child.out")
-    val pb = new ProcessBuilder((Seq("java", "-Xmx512m", "-cp",
-      sys.props("java.class.path")) ++ addOpens ++
-      Seq("graft.tools.OccJvmWriter", "markers", path, "2",
-        count.toString, syncDir.getPath)): _*)
-    pb.redirectErrorStream(true)
-    pb.redirectOutput(out)
-    val proc = pb.start()
+    val proc = spawnOccJvm("512m", out, Seq("markers", path, "2",
+      count.toString, syncDir.getPath))
     try {
       val ready = new java.io.File(syncDir, "ready.2")
       val t0 = System.currentTimeMillis()
@@ -613,6 +610,7 @@ class TableServicesSpec extends AnyFunSuite {
         Thread.sleep(20)
       }
       val tl = new Timeline(spark.sessionState.newHadoopConf(), path)
+      tl.clearInflight(tl.beginWrite()) // warm-up, mirroring the child
       // rendezvous at a shared wall-clock instant (written INTO the go
       // file): a bare existence gate can serialize the loops when the
       // child's poll latency exceeds the host's whole claim run

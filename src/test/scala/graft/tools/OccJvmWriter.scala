@@ -91,6 +91,12 @@ object OccJvmWriter {
     val count = countS.toInt
     val tl = new graft.core.Timeline(
       new org.apache.hadoop.conf.Configuration(), path)
+    // warm-up claim BEFORE signaling ready: the first beginWrite pays
+    // Hadoop FileSystem class-loading (~400 ms — longer than the whole
+    // 400-claim loop), which would otherwise land AFTER the rendezvous
+    // instant and serialize the race. Not recorded; released here, so
+    // it can only ever be claimed by ONE recorded set later.
+    tl.clearInflight(tl.beginWrite())
     new java.io.File(syncDir, s"ready.$writerId").createNewFile()
     // the go file CARRIES the shared start instant (same machine =
     // same clock): a bare existence gate lets the creator's loop
