@@ -883,6 +883,52 @@ object CurationOps {
         UNION ALL SELECT a, b FROM vpairs
         UNION ALL SELECT b, a FROM vpairs""")}"""))
 
+  /** pipe9 — MAINTAINED joint multimodal canonical selection: the
+    * composition a 100 TB curation run executes at steady state.
+    * pipe8 computes the joint verdict from BATCH pair generation;
+    * here the pair evidence comes from three MAINTAINED signature
+    * stores (image aHash, audio envelope, video majority-fold — the
+    * mm7/mm10/mm12 machinery) fed by ONE tri-modal payload lake table
+    * through ONE incremental scan per increment
+    * ([[MultimodalOps.p9MaintainedPairs]]): per increment each store
+    * does O(churn) decode+hash and a band probe, never a corpus
+    * rescan; the canonical verdict is then re-derived from the
+    * maintained pairs union — O(pairs), and pairs ≪ corpus (recompute
+    * is the CORRECT scale design for the verdict itself: an edge
+    * DELETION can split a component, so any incremental components
+    * scheme degenerates to this recompute in the worst case, and the
+    * input is already tiny). The per-modality injection masks are
+    * deliberately distinct, so clusters merge ACROSS modalities —
+    * d ≡ 37 (mod 42) yields one cluster holding an audio pair, an
+    * image pair, and a video pair — and the keep-best policy is the
+    * ONE [[canonicalSelection]] shared with pipe2/pipe7/pipe8. Oracle
+    * = brute-force batch replay of the FINAL corpus through all three
+    * signature chains under the pipe9 masks + the same recursive
+    * components + ranking tail: the maintained stores must compose to
+    * exactly the batch answer. */
+  private val maintainedCanonicalQ = GQ(
+    "pipe9_maintained_canonical",
+    (s, dir) => canonicalSelection(s, dir, SimilarityOps.components(
+      MultimodalOps.p9MaintainedPairs(s, dir).select("a", "b"))),
+    Some(s"""WITH RECURSIVE ${DedupOps.corpusSql},
+      ${MultimodalOps.p9SigCtes},
+      ipairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7),
+      apairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM esig a JOIN esig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7),
+      vpairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM vsig a JOIN vsig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7),
+      ${canonicalOracleTail(
+        """SELECT a AS src, b AS dst FROM ipairs
+        UNION ALL SELECT b, a FROM ipairs
+        UNION ALL SELECT a, b FROM apairs
+        UNION ALL SELECT b, a FROM apairs
+        UNION ALL SELECT a, b FROM vpairs
+        UNION ALL SELECT b, a FROM vpairs""")}"""))
+
   /** pipe4 — incremental near-dup maintenance: dedup2's MinHash+LSH
     * pipeline as a continuously-maintained SERVICE instead of a batch
     * job, the shape a 100 TB corpus actually needs (re-running banded
@@ -1379,6 +1425,6 @@ object CurationOps {
 
   def qs: Seq[GQ] = Seq(deconQ, decon2Q, decon3Q, piiQ, repetitionQ, mixQ,
     mix2Q, mix3Q, pipeQ, canonicalQ, jointCanonicalQ, quadCanonicalQ,
-    incNearDupQ, incBm25Q, stSearchIndexQ,
+    maintainedCanonicalQ, incNearDupQ, incBm25Q, stSearchIndexQ,
     stServiceOccQ, entropyQ, leakSplitQ, stats1Q, samp1Q, samp2Q)
 }

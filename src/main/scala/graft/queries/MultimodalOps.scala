@@ -1049,8 +1049,187 @@ object MultimodalOps {
       "CASE WHEN d.doc_id % 8 = 3 THEN d.doc_id - 1 ELSE d.doc_id END",
       "d.doc_id % 16 = 3", "d.doc_id % 16 = 11", "")))
 
+  /** pipe9's per-modality (seedMod, seedRem, churnMod, churnRem)
+    * injection masks — deliberately DISTINCT per modality so the
+    * joint canonical gate's cross-modality merges are real, not an
+    * artifact of every modality flagging the same pairs. The video
+    * churn mask's residue is ≡ 2 (mod 7) so its injected docs are
+    * churn members via the % 7 leg (a residue forcing % 3 == 0 — the
+    * other membership leg — would pin every audio AND video churn
+    * pair end to ≡ 0 (mod 3), making the two modalities structurally
+    * un-chainable on consecutive docs); audio's (6, 0) rides the % 3
+    * leg. The composition yields tri-modal clusters: d ≡ 37 (mod 42)
+    * gives audio (d-2, d-1) (d-1 ≡ 0 mod 6, scaled), image (d-1, d)
+    * (d ≡ 2 mod 7, pixel-pop) AND video (d-1, d) (d ≡ 16 mod 21,
+    * rate-doubled) — one cluster, three modalities, every
+    * perturbation variant. */
+  private val P9ImgSeed = (13, 5)
+  private val P9ImgChurn = (7, 2)
+  private val P9AudSeed = (11, 4)
+  private val P9AudChurn = (6, 0)
+  private val P9VidSeed = (17, 8)
+  private val P9VidChurn = (21, 16)
+
+  /** A modality's pipe9 oracle mask expressions (sd, perturbationA,
+    * perturbationB) from its seed and churn injection masks. Unlike
+    * the mm7/mm10/mm12 oracles — whose churn residue (% 7 = 2)
+    * implies churn membership, so the gate is implicit — pipe9's
+    * masks are arbitrary, so the churn arm is explicitly gated by
+    * membership (% 3 = 0 OR % 7 = 2) and the seed arm by its
+    * complement [[mm7SeedKept]]: a doc matching a churn mask but
+    * never churned keeps its seed payload. */
+  private def p9MaskSql(seed: (Int, Int), churn: (Int, Int))
+      : (String, String, String) = {
+    val ((ps, rs), (pc, rc)) = (seed, churn)
+    val cm = "(d.doc_id % 3 = 0 OR d.doc_id % 7 = 2)"
+    val sd = s"CASE WHEN $cm AND d.doc_id % $pc = $rc THEN d.doc_id - 1 " +
+      s"WHEN $mm7SeedKept AND d.doc_id % $ps = $rs THEN d.doc_id - 1 " +
+      "ELSE d.doc_id END"
+    def p(off: Int) =
+      s"(($cm AND d.doc_id % ${2 * pc} = ${rc + off * pc}) OR " +
+        s"($mm7SeedKept AND d.doc_id % ${2 * ps} = ${rs + off * ps}))"
+    (sd, p(0), p(1))
+  }
+
+  /** The three pipe9 signature-CTE chains (image `sig`, audio `esig`,
+    * video `vsig`) composed under the pipe9 masks and the final-corpus
+    * alive filter — the oracle replay of what the three maintained
+    * stores hold after the churn reconcile. Name-disjoint by
+    * construction (the chains were prefixed for exactly this). */
+  private[queries] def p9SigCtes: String = {
+    val alive = "\n        WHERE NOT (" +
+      mm7DelSql.replace("doc_id", "d.doc_id") + ")"
+    val (isd, ibr, ipop) = p9MaskSql(P9ImgSeed, P9ImgChurn)
+    val (asd, ascl, _) = p9MaskSql(P9AudSeed, P9AudChurn)
+    val (vsd, vbr, vdbl) = p9MaskSql(P9VidSeed, P9VidChurn)
+    s"""${phashSigCtesFor(isd, ibr, ipop, alive)},
+      ${envSigCtes(asd, ascl, alive)},
+      ${videoSigCtesFor(vsd, vbr, vdbl, alive)}"""
+  }
+
+  /** (doc_id) frame → (doc_id, img, aud, vid) payload frame: ONE
+    * encode pass emitting all three modality fixtures per doc under
+    * the pipe9 masks — the ingest-table shape of a multimodal corpus
+    * (payloads land together; signatures fan out per modality). */
+  private def p9Frame(
+      df: org.apache.spark.sql.DataFrame, seed: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val (im, ia, iv) =
+      if (seed) (P9ImgSeed, P9AudSeed, P9VidSeed)
+      else (P9ImgChurn, P9AudChurn, P9VidChurn)
+    df.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(d =>
+        (d, phashFixture(d, im._1, im._2),
+          audioNearDupFixture(d, ia._1, ia._2),
+          videoFixture(d, iv._1, iv._2))))
+      .toDF("doc_id", "img", "aud", "vid")
+  }
+
+  /** pipe9's maintained-store lifecycle: ONE tri-modal payload lake
+    * table (img, aud, vid binary columns) seeded then churned with
+    * the [[incDedupScenario]] churn scheme (inserts % 3 == 0, updates
+    * % 7 == 2, the [[mm7DelSql]] delete slice), and THREE maintained
+    * signature/pairs store pairs — image aHash, audio envelope, video
+    * majority-fold — each reconciled by the SAME signature-generic
+    * [[phashReconcile]], all three driven by ONE incremental
+    * resolution of the payload table per round and run CONCURRENTLY
+    * (disjoint stores; parquet column pruning means each store's scan
+    * reads only its own modality's payload bytes — at 100 TB the
+    * audio store never pays for video bytes); O(churn) decode+hash
+    * each, no store ever rescans the corpus. Returns the union of
+    * the three maintained pairs tables as (a, b, modality) — the edge
+    * set pipe9's canonical selection resolves. */
+  private[graft] def p9MaintainedPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.core.{LakeTable, TableProps}
+    def scr(n: String) = QueryPack.scratchDir(s, dir, n)
+    val ids = t(s, dir, "documents").select("doc_id")
+    val seedIds = ids.filter(col("doc_id") % 3 =!= 0)
+    val churnIds = ids.filter(
+      col("doc_id") % 3 === 0 || col("doc_id") % 7 === 2)
+    val delIds = ids.filter(expr(mm7DelSql))
+    val payloads = LakeTable.create(s, scr("p9pay"),
+      TableProps("p9pay", Seq("doc_id"), Some("ts"), Seq.empty))
+    val mods: Seq[(String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        ("img", df => graft.multimodal.MediaDecoder
+          .aHash(df, "doc_id", "payload")),
+        ("aud", df => graft.multimodal.MediaDecoder
+          .envHash(df, "doc_id", "payload", 50)),
+        ("vid", df => graft.multimodal.MediaDecoder
+          .videoHash(df, "doc_id", "payload", VFrameBytes, VSamples)))
+    val stores = mods.map { case (m, _) =>
+      m -> ((
+        LakeTable.create(s, scr(s"p9${m}s"),
+          TableProps(s"p9${m}s", Seq("doc_id"), Some("ts"), Seq.empty,
+            tableType = "mor")),
+        LakeTable.create(s, scr(s"p9${m}p"),
+          TableProps(s"p9${m}p", Seq("a", "b"), Some("ts"), Seq.empty,
+            tableType = "mor"))))
+    }.toMap
+    // the three per-modality reconciles touch DISJOINT store tables
+    // and only read the shared payload frame — run each round
+    // concurrently (the pipe6 state-write shape): the fixed lake
+    // commit latency of three maintained stores overlaps instead of
+    // summing, which is also how a real ingest pipeline schedules them
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    def reconcileAll(
+        payload: org.apache.spark.sql.DataFrame,
+        dels: org.apache.spark.sql.DataFrame, ts: Long): Unit =
+      Await.result(Future.sequence(mods.map { case (m, hf) =>
+        Future {
+          val (sigs, prs) = stores(m)
+          phashReconcile(payload.select(col("doc_id"), col(m).as("payload")),
+            dels, sigs, prs, ts, hf)
+        }
+      }), Duration.Inf)
+    val c1 = payloads.upsert(
+      p9Frame(seedIds, seed = true).withColumn("ts", lit(1L)))
+    reconcileAll(payloads.snapshot(), delIds.limit(0), 1L)
+    payloads.upsertWithDeletes(
+      p9Frame(churnIds, seed = false).withColumn("ts", lit(2L)), delIds)
+    reconcileAll(payloads.incremental(c1), delIds, 2L)
+    mods.map { case (m, _) =>
+      stores(m)._2.snapshot()
+        .select(col("a"), col("b"), lit(m).as("modality"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** mm12 — INCREMENTAL perceptual video dedup: [[incDedupScenario]]
+    * with the video fixture and the majority-fold hash — the
+    * maintained form of mm11, completing the modality × lifecycle
+    * matrix (batch AND maintained for text, image, audio, video) on
+    * the SAME signature-store machinery; only the 64-bit hash fn
+    * differs. O(churn) per increment: only churned clips are sampled
+    * (O(samples) frame decodes each), hashed, and band-probed against
+    * the store; the pairs reconciliation is one mixed
+    * tombstone+upsert commit. Oracle = brute-force majority-fold
+    * replay of the FINAL corpus under the mm7 mask composition
+    * (churned docs follow the (7, 2) video masks, never-churned seed
+    * docs keep their (13, 5) clip, deletes filtered) — the maintained
+    * pairs table must equal a from-scratch batch rebuild. */
+  private val videoIncQ = GQ(
+    "mm12_video_incremental",
+    (s, dir) => incDedupScenario(s, dir, "mm12", videoFrame,
+      df => graft.multimodal.MediaDecoder.videoHash(
+        df, "doc_id", "payload", VFrameBytes, VSamples)),
+    Some(videoOracle(
+      s"CASE WHEN d.doc_id % 7 = 2 THEN d.doc_id - 1 " +
+        s"WHEN $mm7SeedKept AND d.doc_id % 13 = 5 THEN d.doc_id - 1 " +
+        "ELSE d.doc_id END",
+      s"(d.doc_id % 14 = 2) OR ($mm7SeedKept AND d.doc_id % 26 = 5)",
+      s"(d.doc_id % 14 = 9) OR ($mm7SeedKept AND d.doc_id % 26 = 18)",
+      "\n        WHERE NOT (" +
+        mm7DelSql.replace("doc_id", "d.doc_id") + ")")))
+
   def qs: Seq[GQ] =
     Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ,
       phashQ, phashIncQ, segmentQ, audioNearDupQ, audioIncQ,
-      videoNearDupQ)
+      videoNearDupQ, videoIncQ)
 }

@@ -731,6 +731,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe9: maintained stores compose to the joint verdict, tri-modal clusters merge") {
+    import graft.queries.MultimodalOps
+    val pairRows = MultimodalOps.p9MaintainedPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def deleted(d: Long) = d % 11 == 3 && d % 3 != 0 && d % 7 != 2
+    assert(pairRows.nonEmpty)
+    Seq("img", "aud", "vid").foreach { m =>
+      assert(pairRows.exists(_._3 == m), s"no maintained $m pairs")
+    }
+    val stale = pairRows.filter(p => deleted(p._1) || deleted(p._2))
+    assert(stale.isEmpty, s"maintained pairs reference departed docs: ${
+      stale.take(5).mkString(",")}")
+    val dropped = SparkEntry.queries("pipe9_maintained_canonical")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def kept(x: Long): Long = dropped.getOrElse(x, x)
+    // every maintained pair resolves into one cluster with exactly one
+    // survivor between its two members
+    pairRows.foreach { case (a, b, m) =>
+      assert(kept(a) == kept(b), s"$m pair ($a,$b) split across clusters")
+      assert(dropped.contains(a) || dropped.contains(b),
+        s"both members of $m pair ($a,$b) survived")
+    }
+    // the masks compose a TRI-modal cluster at d = 37 (mod 42 family):
+    // audio (35,36) (36 % 6 == 0, scaled), image (36,37) (37 % 7 == 2,
+    // pixel-pop), video (36,37) (37 % 21 == 16, rate-doubled) — the
+    // maintained stores must each hold their edge, and the verdict
+    // must merge all three members to one survivor
+    val c = Map("aud" -> (35L, 36L), "img" -> (36L, 37L),
+      "vid" -> (36L, 37L))
+    c.foreach { case (m, (a, b)) =>
+      assert(pairRows.contains((a, b, m)),
+        s"tri-modal cluster missing its $m edge ($a,$b)")
+    }
+    assert(kept(35L) == kept(36L) && kept(36L) == kept(37L),
+      s"tri-modal cluster {35,36,37} not merged: ${
+        Seq(35L, 36L, 37L).map(kept)}")
+    assert(Seq(35L, 36L, 37L).count(dropped.contains) == 2,
+      "tri-modal cluster must keep exactly one of its three members")
+  }
+
   test("mm10: maintained audio pairs exclude departed docs and span both commit paths") {
     val pairs = SparkEntry.queries("mm10_audio_incremental")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -751,6 +791,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.exists { case (a, b) =>
       b % 7 == 2 && b - a == 1 && !deleted(a) },
       "no incrementally-formed churn pair")
+  }
+
+  test("mm12: maintained video pairs exclude departed docs and survive rate-doubling") {
+    val pairs = SparkEntry.queries("mm12_video_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    def deleted(d: Long) = d % 11 == 3 && d % 3 != 0 && d % 7 != 2
+    val stale = pairs.filter(p => deleted(p._1) || deleted(p._2))
+    assert(stale.isEmpty, s"pairs reference departed docs: ${stale.take(5)}")
+    // both provenances are live (bootstrap-stored (13,5) seed pairs,
+    // incrementally-formed (7,2) churn pairs), and the churn side
+    // must include a FRAME-RATE-DOUBLED copy (d % 14 == 9): the
+    // time-fraction fold's invariance is exercised on the maintained
+    // path, not only in batch mm11
+    def seedKept(d: Long) = d % 3 != 0 && d % 7 != 2 && !deleted(d)
+    assert(pairs.exists { case (a, b) =>
+      b % 13 == 5 && b - a == 1 && seedKept(a) && seedKept(b) },
+      "no surviving bootstrap-stored pair")
+    assert(pairs.exists { case (a, b) =>
+      b % 14 == 9 && b - a == 1 && !deleted(a) },
+      "no rate-doubled incrementally-formed churn pair")
+    assert(pairs.exists { case (a, b) =>
+      b % 14 == 2 && b - a == 1 && !deleted(a) },
+      "no brightened incrementally-formed churn pair")
   }
 
   test("audio reconcile: an all-silent re-encode drops the doc's signature and pairs") {

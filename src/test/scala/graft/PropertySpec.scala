@@ -416,6 +416,118 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("majority-fold video index reconciliation tracks random clip DML sequences") {
+    // the video leg of the modality matrix, over the SAME shared
+    // reconcile machinery with the majority-fold hash plugged in:
+    // docs draw from 3 clip families × 5 tweaks (exact copy /
+    // brightened copy / frame-rate-doubled copy / unrelated clip /
+    // TRUNCATED payload shorter than one frame — no signature, the
+    // doc must drop out of the index); after EVERY batch the pairs
+    // table must equal a brute-force recompute (videoHash64 every
+    // current clip, all-pairs hamming ≤ 7), under any interleaving.
+    // COW and MOR.
+    import graft.multimodal.MediaDecoder
+    import graft.queries.MultimodalOps
+    val Side = 16
+    val FrameBytes = 54 + Side * ((Side * 3 + 3) / 4 * 4)
+    def noisePx(seed: Long)(x: Int, y: Int): Int = {
+      def ch(k: Int): Int = {
+        val v = (((seed * (131 + k)) + x) * (seed % 97 + 31 + 2 * k) +
+          ((seed * (137 + k)) + y) * (seed % 89 + 23 + 3 * k) +
+          x.toLong * y * (seed % 83 + 11 + k)) % 256
+        ((v + 256) % 256).toInt
+      }
+      (ch(0) << 16) | (ch(1) << 8) | ch(2)
+    }
+    def clip(id: Long, fam: Int, tweak: Int): Array[Byte] = tweak match {
+      case 4 => // shorter than one frame: no videoHash64 signature
+        Array.fill(FrameBytes / 3)(0x41.toByte)
+      case _ =>
+        val nf = 4 + fam
+        def frame(fi: Int, bright: Boolean, seedOvr: Long): Array[Byte] = {
+          val base = noisePx(seedOvr * 5 + fi * 3) _
+          val px: (Int, Int) => Int =
+            if (!bright) base
+            else (x, y) => {
+              val p = base(x, y)
+              def c(v: Int) = math.min(v + 1, 255)
+              (c(p >>> 16) << 16) | (c((p >>> 8) & 0xff) << 8) | c(p & 0xff)
+            }
+          MediaDecoder.encodeBmp24With(Side, Side)(px)
+        }
+        val seed = 100L * (fam + 1)
+        val frames = tweak match {
+          case 0 => (0 until nf).map(frame(_, bright = false, seed))
+          case 1 => (0 until nf).map(frame(_, bright = true, seed))
+          case 2 => // rate-doubled: every source frame emitted twice
+            (0 until 2 * nf).map(i => frame(i / 2, bright = false, seed))
+          case _ => (0 until nf).map(
+            frame(_, bright = false, 7919L * id + 13))
+        }
+        Array.concat(frames: _*)
+    }
+    val vidHashFn = (df: org.apache.spark.sql.DataFrame) =>
+      MediaDecoder.videoHash(df, "doc_id", "payload", FrameBytes, 5)
+    val docGen = for {
+      id <- Gen.choose(1L, 12L)
+      fam <- Gen.choose(0, 2)
+      tweak <- Gen.choose(0, 4)
+    } yield (id, fam, tweak)
+    val opGen = for {
+      isDelete <- Gen.frequency(4 -> false, 1 -> true)
+      docs <- Gen.listOfN(3, docGen)
+    } yield (isDelete, docs.distinctBy(_._1))
+
+    for (tableType <- Seq("cow", "mor")) {
+      val sigs = LakeTable.create(spark, tmp(), TableProps(
+        "pvsigs", Seq("doc_id"), Some("ts"), Seq.empty,
+        tableType = tableType))
+      val pairs = LakeTable.create(spark, tmp(), TableProps(
+        "pvpairs", Seq("a", "b"), Some("ts"), Seq.empty,
+        tableType = tableType))
+      val corpus = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+      def bruteForce(): Set[(Long, Long, Int)] = {
+        val hs = corpus.toSeq.flatMap { case (id, bytes) =>
+          MediaDecoder.videoHash64(bytes, FrameBytes, 5).map {
+            case (hi, lo) => (id, hi, lo) }
+        }
+        (for {
+          (a, ahi, alo) <- hs; (b, bhi, blo) <- hs if a < b
+          h = java.lang.Long.bitCount(ahi ^ bhi) +
+            java.lang.Long.bitCount(alo ^ blo)
+          if h <= 7
+        } yield (a, b, h)).toSet
+      }
+      samples(Gen.listOfN(6, opGen), 1).foreach { ops =>
+        ops.zipWithIndex.foreach { case ((isDelete, rows), i) =>
+          if (rows.nonEmpty) {
+            val ts = i + 1L
+            if (isDelete) {
+              rows.foreach { case (id, _, _) => corpus.remove(id) }
+              MultimodalOps.phashReconcile(
+                Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload"),
+                rows.map(_._1).toDF("doc_id"), sigs, pairs, ts, vidHashFn)
+            } else {
+              val clips = rows.map { case (id, fam, tweak) =>
+                val b = clip(id, fam, tweak); corpus(id) = b; (id, b)
+              }
+              MultimodalOps.phashReconcile(
+                clips.toDF("doc_id", "payload"),
+                Seq.empty[Long].toDF("doc_id"), sigs, pairs, ts, vidHashFn)
+            }
+            val got = LakeTable.load(spark, pairs.basePath).snapshot()
+              .select("a", "b", "hamming").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+            val want = bruteForce()
+            assert(got == want,
+              s"[$tableType] batch $i (delete=$isDelete, rows=$rows): " +
+                s"got $got want $want")
+          }
+        }
+      }
+    }
+  }
+
   test("search-index folds track random DML sequences") {
     // randomized insert/update/delete batches folded through
     // SearchIndex.maintain; after EVERY batch the three state tables

@@ -621,7 +621,9 @@ class TableServicesSpec extends AnyFunSuite {
       // rename = atomic publish: the child never sees a partial write
       assert(goTmp.renameTo(new java.io.File(syncDir, "go")))
       while (System.currentTimeMillis() < startAt) {}
+      val loopStart = System.currentTimeMillis()
       val mine = (1 to count).map(_ => tl.beginWrite())
+      val loopEnd = System.currentTimeMillis()
       assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
         "child JVM did not finish")
       assert(proc.exitValue() == 0, s"child JVM failed:\n" +
@@ -636,11 +638,27 @@ class TableServicesSpec extends AnyFunSuite {
       assert(shared.isEmpty,
         s"${shared.size} instants claimed by BOTH JVMs: " +
           shared.take(5).mkString(", "))
-      // the race was REAL: the claim windows overlapped (instants are
-      // wall-clock-ordered, so interleaved ranges prove concurrency —
-      // serialized loops would make disjointness vacuous)
-      assert(mine.min < theirs.max && theirs.min < mine.max,
-        "claim loops did not overlap; arbitration was never contested")
+      // the race was REAL: the claim LOOPS overlapped in wall-clock
+      // time (serialized loops would make disjointness vacuous).
+      // Deliberately NOT an interleaved-claim-ranges check: claims are
+      // clamped to the current millisecond, so a constant few-µs
+      // systematic edge (JIT state, FS object) lets one process win
+      // EVERY contested millisecond — the loser's claims then chase
+      // the winner's tail and land entirely past the winner's window
+      // (observed in CI: child range started 1 ms after host range
+      // ended) while the race was maximally contested the whole time.
+      // Window overlap is the honest criterion: both loops claim ~1
+      // instant/ms, so an overlap of W ms pins ~W same-millisecond
+      // contested arbitrations by pigeonhole.
+      val Array(childStart, childEnd) = scala.io.Source
+        .fromFile(new java.io.File(syncDir, "window.2"))
+        .mkString.trim.split(":").map(_.toLong)
+      val overlap =
+        math.min(loopEnd, childEnd) - math.max(loopStart, childStart)
+      assert(overlap >= 100L,
+        s"claim loops did not meaningfully overlap (overlap=${overlap}ms " +
+          s"host=[$loopStart,$loopEnd] child=[$childStart,$childEnd]); " +
+          "arbitration was never contested")
     } finally {
       if (proc.isAlive) proc.destroyForcibly()
     }

@@ -115,10 +115,21 @@ object OccJvmWriter {
       if (startAt < 0) Thread.sleep(5)
     }
     while (System.currentTimeMillis() < startAt) {}
+    val loopStart = System.currentTimeMillis()
     val claims = (1 to count).map(_ => tl.beginWrite())
+    val loopEnd = System.currentTimeMillis()
     val w = new java.io.PrintWriter(
       new java.io.File(syncDir, s"claims.$writerId"), "UTF-8")
     try claims.foreach(w.println) finally w.close()
+    // loop window (same machine = same clock): the spec proves the
+    // race was contested from WINDOW overlap, not claim-value ranges —
+    // claims are clamped to the current millisecond, so a fixed
+    // few-µs systematic edge lets one process win EVERY contested
+    // millisecond and push the loser's claim names entirely past its
+    // own window; the windows still overlap
+    val ww = new java.io.PrintWriter(
+      new java.io.File(syncDir, s"window.$writerId"), "UTF-8")
+    try ww.print(s"$loopStart:$loopEnd") finally ww.close()
     claims.foreach(tl.clearInflight)
     println(s"[occjvm] writer=$writerId claims=${claims.size} " +
       s"distinct=${claims.distinct.size}")
