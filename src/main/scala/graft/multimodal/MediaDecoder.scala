@@ -858,6 +858,84 @@ object MediaDecoder {
       frameBytes: Int, samples: Int): DataFrame =
     sigFrame(df, idCol, binCol)(videoHash64(_, frameBytes, samples))
 
+  /** Shot-boundary segmentation over a fixed-frame-window video-like
+    * payload — the video twin of [[segmentPcmRaw]]'s audio VAD shape,
+    * the clip-extraction primitive a video-curation pipeline runs
+    * before sampling training clips: one streaming pass over the
+    * frames, per-frame 64-bit aHash ([[aHash64]]), hamming distance
+    * to the previous decodable frame, a CUT wherever the distance
+    * exceeds `threshold`. Emits every maximal run of cut-free
+    * consecutive frames as (startFrame, nFrames, cutHamming — the
+    * distance that OPENED the run; 0 for the clip's first run). O(1)
+    * state per payload (previous hash + run accumulator — at 100 TB
+    * of video the operator never buffers a clip), integer-exact so a
+    * SQL oracle replays the per-frame hash, the deltas, and the
+    * run-grouping bit-for-bit. An UNDECODABLE frame closes the
+    * current run and belongs to no segment (the corrupt-GOP analog
+    * of silence in [[segmentPcmRaw]]); the next decodable frame
+    * opens a fresh run with cutHamming 0 (no cross-gap comparison).
+    * None for an empty/short payload or non-positive frameBytes. */
+  def sceneSegmentsRaw(b: Array[Byte], frameBytes: Int, threshold: Int)
+      : Option[(Int, Seq[(Int, Int, Int)])] = {
+    if (frameBytes <= 0 || threshold < 0 || b.length < frameBytes)
+      return None
+    val nFrames = b.length / frameBytes
+    val segs = Seq.newBuilder[(Int, Int, Int)]
+    var prevHi = 0L; var prevLo = 0L; var havePrev = false
+    var start = -1; var openHam = 0
+    var f = 0
+    while (f < nFrames) {
+      val frame = java.util.Arrays.copyOfRange(
+        b, f * frameBytes, (f + 1) * frameBytes)
+      aHash64(frame) match {
+        case Some((hi, lo)) =>
+          if (!havePrev) { start = f; openHam = 0 }
+          else {
+            val h = java.lang.Long.bitCount(hi ^ prevHi) +
+              java.lang.Long.bitCount(lo ^ prevLo)
+            if (h > threshold) {
+              segs += ((start, f - start, openHam))
+              start = f; openHam = h
+            }
+          }
+          prevHi = hi; prevLo = lo; havePrev = true
+        case None =>
+          if (start >= 0) { segs += ((start, f - start, openHam)) }
+          start = -1; havePrev = false; openHam = 0
+      }
+      f += 1
+    }
+    if (start >= 0) segs += ((start, nFrames - start, openHam))
+    Some((nFrames, segs.result()))
+  }
+
+  /** [[sceneSegmentsRaw]] over a frame of (id, payload) rows: one row
+    * per scene — (id, frames_in, scene_idx 1-based, start_frame,
+    * n_frames, cut_hamming). Same shuffle-free one-task-per-partition
+    * shape as [[segmentPcm]]; unhashable payloads emit no rows. */
+  def sceneSegments(
+      df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, threshold: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray else bytes
+          sceneSegmentsRaw(payload, frameBytes, threshold)
+            .iterator.flatMap { case (framesIn, segs) =>
+              segs.iterator.zipWithIndex.map {
+                case ((start, len, ham), i) =>
+                  (id, framesIn, i + 1, start, len, ham)
+              }
+            }
+        }
+      }
+      .toDF(idCol, "frames_in", "scene_idx", "start_frame", "n_frames",
+        "cut_hamming")
+  }
+
   /** Frame-sampling shape for video-like payloads: treat a payload as
     * fixed-size frame windows and emit one row per SAMPLED frame with
     * a real per-frame decode ([[decodeAny]] — frames carrying a BMP /

@@ -1228,8 +1228,116 @@ object MultimodalOps {
       "\n        WHERE NOT (" +
         mm7DelSql.replace("doc_id", "d.doc_id") + ")")))
 
+  /** Deterministic multi-scene video fixture for the shot-boundary
+    * gate (mm13): doc d has ns = d % 3 + 2 scenes of ls = d % 4 + 3
+    * frames each; frame f's scene is f / ls, its pixels the [[chVal]]
+    * noise at seed d·13 + scene·7 — constant per scene — with a +1
+    * global brightness shift on ODD frames (clamped), the intra-scene
+    * motion stand-in the per-frame mean-threshold hash must shrug off
+    * (hamming ≈ 0 within a scene, uncorrelated ≈ 32 across a cut). */
+  private def sceneFixture(d: Long): Array[Byte] = {
+    import graft.multimodal.MediaDecoder
+    val ns = (d % 3 + 2).toInt
+    val ls = (d % 4 + 3).toInt
+    val frames = (0 until ns * ls).map { f =>
+      val sv = d * 13 + (f / ls) * 7
+      val bright = f % 2 == 1
+      def px(x: Int, y: Int): Int = {
+        def c(k: Int) = {
+          val v = chVal(sv, x, y, k)
+          if (bright) math.min(v + 1, 255) else v
+        }
+        (c(0) << 16) | (c(1) << 8) | c(2)
+      }
+      MediaDecoder.encodeBmp24With(PhSide, PhSide)(px)
+    }
+    Array.concat(frames: _*)
+  }
+
+  private val sceneFrame =
+    payloadFrame((d: Long, _: Int, _: Int) => sceneFixture(d)) _
+
+  /** mm13's shot-boundary threshold (shared by the Spark pass and the
+    * oracle replay): intra-scene deltas are the clamp residue of the
+    * ±1 brightness jitter (a few bits at most), cross-scene deltas of
+    * uncorrelated noise patterns sit near 32. */
+  private val SceneCutThreshold = 10
+
+  /** mm13 — shot-boundary video segmentation, decode included: the
+    * clip-extraction primitive a video-curation pipeline runs before
+    * sampling training clips, and the video member of the
+    * segmentation family (audio mm8). Each doc gets a deterministic
+    * multi-scene clip ([[sceneFixture]]); [[graft.multimodal
+    * .MediaDecoder.sceneSegmentsRaw]] per-frame-aHashes it in ONE
+    * streaming pass (O(1) state — a clip is never buffered) and cuts
+    * where the consecutive-frame hamming exceeds the threshold. The
+    * DuckDB oracle replays the pixel arithmetic, the per-frame
+    * binning/threshold/packing, the consecutive-frame hamming, and
+    * the run grouping (lag → run-start flags → running sum, the mm8
+    * pattern) — an off-by-one at a scene edge, a dropped tail scene,
+    * or a hamming miscount hash-mismatches. */
+  private val sceneQ = GQ(
+    "mm13_video_scenes",
+    (s, dir) => graft.multimodal.MediaDecoder.sceneSegments(
+      sceneFrame(t(s, dir, "documents"), 1, -1), "doc_id", "payload",
+      VFrameBytes, SceneCutThreshold)
+      .orderBy("doc_id", "scene_idx"),
+    Some(s"""WITH scg(i) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+          (8),(9),(10),(11),(12),(13),(14),(15)),
+      scfs AS (SELECT f FROM range(0, 24) t(f)),
+      scd AS (SELECT doc_id, doc_id % 3 + 2 AS ns, doc_id % 4 + 3 AS ls
+        FROM documents),
+      scf AS (SELECT doc_id, ns * ls AS nf, f,
+          doc_id * 13 + (f // ls) * 7 AS sv, f % 2 = 1 AS bright
+        FROM scd CROSS JOIN scfs WHERE f < ns * ls),
+      scpx AS (SELECT doc_id, nf, f, bright, sv AS sd,
+          xs.i AS xi, ys.i AS yi
+        FROM scf CROSS JOIN scg xs CROSS JOIN scg ys),
+      scpv AS (SELECT doc_id, nf, f, bright, xi, yi,
+          ${chanSql(0)} AS r0,
+          ${chanSql(1)} AS g0,
+          ${chanSql(2)} AS b0
+        FROM scpx),
+      scpp AS (SELECT doc_id, nf, f, xi, yi,
+          CASE WHEN bright THEN LEAST(r0 + 1, 255) ELSE r0 END
+          + CASE WHEN bright THEN LEAST(g0 + 1, 255) ELSE g0 END
+          + CASE WHEN bright THEN LEAST(b0 + 1, 255) ELSE b0 END AS gray
+        FROM scpv),
+      sccells AS (SELECT doc_id, nf, f, xi // 2 AS cx, yi // 2 AS cy,
+          CAST(sum(gray) AS BIGINT) AS cg
+        FROM scpp GROUP BY doc_id, nf, f, xi // 2, yi // 2),
+      sctot AS (SELECT doc_id, f, CAST(sum(cg) AS BIGINT) AS tg
+        FROM sccells GROUP BY doc_id, f),
+      scbits AS (SELECT c.doc_id, c.nf, c.f, cy * 8 + cx AS i,
+          CASE WHEN cg * 64 >= tg THEN 1 ELSE 0 END AS bit
+        FROM sccells c JOIN sctot
+          ON sctot.doc_id = c.doc_id AND sctot.f = c.f),
+      scham AS (SELECT l.doc_id, l.f,
+          CAST(sum(CASE WHEN l.bit <> r.bit THEN 1 ELSE 0 END) AS INT) AS h
+        FROM scbits l JOIN scbits r
+          ON r.doc_id = l.doc_id AND r.f = l.f - 1 AND r.i = l.i
+        GROUP BY l.doc_id, l.f),
+      sccut AS (SELECT b.doc_id, b.nf, b.f,
+          COALESCE(scham.h, 0) AS h,
+          CASE WHEN b.f = 0 OR COALESCE(scham.h, 0) > $SceneCutThreshold
+            THEN 1 ELSE 0 END AS segstart
+        FROM (SELECT DISTINCT doc_id, nf, f FROM scbits) b
+        LEFT JOIN scham ON scham.doc_id = b.doc_id AND scham.f = b.f),
+      scrun AS (SELECT doc_id, nf, f, h, segstart,
+          SUM(segstart) OVER (PARTITION BY doc_id ORDER BY f) AS run
+        FROM sccut)
+      SELECT doc_id,
+        CAST(min(nf) AS INT) AS frames_in,
+        CAST(run AS INT) AS scene_idx,
+        CAST(min(f) AS INT) AS start_frame,
+        CAST(count(*) AS INT) AS n_frames,
+        CAST(max(CASE WHEN segstart = 1 AND f > 0 THEN h ELSE 0 END)
+          AS INT) AS cut_hamming
+      FROM scrun GROUP BY doc_id, run
+      ORDER BY doc_id, scene_idx"""))
+
   def qs: Seq[GQ] =
     Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ,
       phashQ, phashIncQ, segmentQ, audioNearDupQ, audioIncQ,
-      videoNearDupQ, videoIncQ)
+      videoNearDupQ, videoIncQ, sceneQ)
 }

@@ -817,6 +817,54 @@ class PipelineOpsSpec extends AnyFunSuite {
       "no brightened incrementally-formed churn pair")
   }
 
+  test("mm13: scene segmentation tiles every clip and finds exactly the injected cuts") {
+    val segs = SparkEntry.queries("mm13_video_scenes")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))
+    assert(segs.nonEmpty)
+    segs.groupBy(_._1).foreach { case (d, rows) =>
+      val ns = (d % 3 + 2).toInt
+      val ls = (d % 4 + 3).toInt
+      val ordered = rows.sortBy(_._3)
+      assert(ordered.map(_._3).toSeq == (1 to rows.length),
+        s"doc $d: scene_idx not dense")
+      // exactly the injected scene structure: ns scenes of ls frames,
+      // tiling the clip contiguously (no false cut from the ±1
+      // brightness jitter, no missed cut between noise patterns)
+      assert(rows.length == ns, s"doc $d: ${rows.length} scenes, want $ns")
+      assert(ordered.forall(_._2 == ns * ls), s"doc $d: frames_in wrong")
+      ordered.zipWithIndex.foreach { case ((_, _, _, start, n, ham), i) =>
+        assert(start == i * ls && n == ls,
+          s"doc $d scene ${i + 1}: [$start,+$n) want [${i * ls},+$ls)")
+        if (i == 0) assert(ham == 0, s"doc $d: first run cut_hamming $ham")
+        else assert(ham > 10, s"doc $d scene ${i + 1}: cut_hamming $ham")
+      }
+    }
+  }
+
+  test("sceneSegmentsRaw: an unhashable frame closes the run; short payload yields None") {
+    import graft.multimodal.MediaDecoder
+    val fb = 54 + 16 * 48
+    def frame(seed: Long): Array[Byte] =
+      MediaDecoder.encodeBmp24With(16, 16) { (x, y) =>
+        val v = (((seed * 131 + x) * (seed % 97 + 31) +
+          (seed * 137 + y) * (seed % 89 + 23)) % 256).toInt
+        (v << 16) | (v << 8) | v
+      }
+    val a = frame(3); val b = frame(9000)
+    assert(a.length == fb, s"fixture frame is ${a.length}B, want $fb")
+    val garbage = Array.fill(fb)(0.toByte)
+    val clip = Array.concat(a, a, a, garbage, b, b)
+    val Some((n, segs)) = MediaDecoder.sceneSegmentsRaw(clip, fb, 10)
+    assert(n == 6)
+    // the garbage frame belongs to NO segment and suppresses the
+    // cross-gap comparison: the post-gap run opens with cut_hamming 0
+    assert(segs == Seq((0, 3, 0), (4, 2, 0)), s"got $segs")
+    assert(MediaDecoder.sceneSegmentsRaw(Array[Byte](1, 2, 3), fb, 10).isEmpty)
+    assert(MediaDecoder.sceneSegmentsRaw(clip, 0, 10).isEmpty)
+  }
+
   test("audio reconcile: an all-silent re-encode drops the doc's signature and pairs") {
     // the envelope-specific leg of phashReconcile's no-signature
     // tombstone path: a churn clip that is all sub-threshold silence
