@@ -493,7 +493,12 @@ object MultimodalOps {
       // the audio envelope hash — everything downstream (banding,
       // store probe, mixed reconcile commit) is signature-generic.
       hashFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-        graft.multimodal.MediaDecoder.aHash(_, "doc_id", "payload")): Unit = {
+        graft.multimodal.MediaDecoder.aHash(_, "doc_id", "payload"),
+      // commit tag for the PAIRS reconciliation — the LAST write, so
+      // "tag present ⇒ whole batch (sigs included) committed" holds
+      // for a streaming ExactlyOnce guard (the NearDupIndex ordering
+      // invariant); None for the batch gates
+      tag: Option[String] = None): Unit = {
     val cached = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.sql.DataFrame]
     def cache(df: org.apache.spark.sql.DataFrame) = {
@@ -548,7 +553,8 @@ object MultimodalOps {
         .filter(col("hamming") <= 7))
       cand.count()
       if (pairsBootstrap)
-        pairs.upsert(cand.withColumn("ts", lit(ts)), combine = false)
+        pairs.upsert(cand.withColumn("ts", lit(ts)), tag = tag,
+          combine = false)
       else {
         // stored pairs touching a churned or departed doc are the
         // tombstone side; re-derived pairs the upsert side; a pair on
@@ -564,7 +570,7 @@ object MultimodalOps {
             "leftsemi"))
           .distinct()
         pairs.upsertWithDeletes(cand.withColumn("ts", lit(ts)), touched,
-          combine = false)
+          tag = tag, combine = false)
       }
     } finally cached.foreach(_.unpersist())
   }
@@ -1336,8 +1342,70 @@ object MultimodalOps {
       FROM scrun GROUP BY doc_id, run
       ORDER BY doc_id, scene_idx"""))
 
+  /** st7 — STREAMING perceptual-signature maintenance
+    * ([[graft.streaming.SignatureMaintenance]]): the mm7 maintained
+    * image index run as a CONTINUOUS CDC-fed service instead of
+    * explicit reconcile calls — completing the lifecycle symmetry
+    * with text (batch dedup2, maintained pipe4, streaming st5) for
+    * the perceptual modalities. The scenario exercises the three
+    * service phases a production stream hits: bootstrap (batch 0
+    * replays the seed corpus through the same reconcile path — the
+    * store and its seed-injected pairs appear with no backfill job),
+    * live churn (the % 7 == 2 re-image updates land while the query
+    * runs), and a DOWN-WINDOW restart (inserts + the delete slice
+    * commit while the service is stopped; a fresh `start` on the same
+    * checkpoint catches up exactly-once). Final corpus is mm7's mask
+    * composition, so the oracle is the same brute-force phash replay
+    * — the streaming path must land byte-identical state to the batch
+    * reconciles. */
+  private val streamMediaIndexQ = GQ(
+    "st7_stream_media_index",
+    (s, dir) => {
+      import graft.core.{LakeTable, TableProps}
+      def scr(n: String) = QueryPack.scratchDir(s, dir, n)
+      val ids = t(s, dir, "documents").select("doc_id")
+      val seedIds = ids.filter(col("doc_id") % 3 =!= 0)
+      val updIds = ids.filter(col("doc_id") % 7 === 2)
+      val insIds = ids.filter(
+        col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 2)
+      val delIds = ids.filter(expr(mm7DelSql))
+      val payloads = LakeTable.create(s, scr("st7pay"),
+        TableProps("st7pay", Seq("doc_id"), Some("ts"), Seq.empty))
+      val sigs = LakeTable.create(s, scr("st7sigs"),
+        TableProps("st7sigs", Seq("doc_id"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+      val pairsT = LakeTable.create(s, scr("st7pairs"),
+        TableProps("st7pairs", Seq("a", "b"), Some("ts"), Seq.empty,
+          tableType = "mor"))
+      val ckpt = scr("st7ckpt")
+      payloads.upsert(imgFrame(seedIds, 13, 5).withColumn("ts", lit(1L)))
+      val q = graft.streaming.SignatureMaintenance.start(
+        s, payloads.basePath, sigs.basePath, pairsT.basePath, ckpt)
+      try {
+        q.processAllAvailable() // bootstrap: store + seed pairs
+        payloads.upsert(imgFrame(updIds, 7, 2).withColumn("ts", lit(2L)))
+        q.processAllAvailable() // live churn folded
+      } finally q.stop()
+      // inserts + deletes land while the service is DOWN …
+      payloads.upsertWithDeletes(
+        imgFrame(insIds, 7, 2).withColumn("ts", lit(3L)), delIds)
+      // … and the restart catches up from the checkpoint
+      val q2 = graft.streaming.SignatureMaintenance.start(
+        s, payloads.basePath, sigs.basePath, pairsT.basePath, ckpt)
+      try q2.processAllAvailable() finally q2.stop()
+      pairsT.snapshot().select("a", "b", "hamming").orderBy("a", "b")
+    },
+    Some(phashOracle(
+      s"CASE WHEN d.doc_id % 7 = 2 THEN d.doc_id - 1 " +
+        s"WHEN $mm7SeedKept AND d.doc_id % 13 = 5 THEN d.doc_id - 1 " +
+        "ELSE d.doc_id END",
+      s"(d.doc_id % 14 = 2) OR ($mm7SeedKept AND d.doc_id % 26 = 5)",
+      s"(d.doc_id % 14 = 9) OR ($mm7SeedKept AND d.doc_id % 26 = 18)",
+      "\n        WHERE NOT (" +
+        mm7DelSql.replace("doc_id", "d.doc_id") + ")")))
+
   def qs: Seq[GQ] =
     Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ,
       phashQ, phashIncQ, segmentQ, audioNearDupQ, audioIncQ,
-      videoNearDupQ, videoIncQ, sceneQ)
+      videoNearDupQ, videoIncQ, sceneQ, streamMediaIndexQ)
 }

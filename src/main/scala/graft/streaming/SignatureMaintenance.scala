@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.core.LakeTable
+
+/** Streaming perceptual-signature maintenance: the CDC feed of a
+  * media payload lake table drives a checkpointed `foreachBatch`
+  * reconcile of a 64-bit signature store and a hamming-verified pairs
+  * table — the STREAMING form of the maintained perceptual dedup
+  * (batch gates mm7/mm10/mm12 run the same reconcile once per
+  * increment; this runs it continuously), and the multimodal sibling
+  * of [[NearDupMaintenance]] (text MinHash bands there; a 64-bit
+  * perceptual signature here, so candidates verify straight off the
+  * stored halves with no payload re-read).
+  *
+  * SIGNATURE-GENERIC like the reconcile it wraps: `hashFn` is the
+  * modality — image aHash by default; the audio envelope and video
+  * majority-fold hashes plug in unchanged, so ONE service
+  * implementation maintains any of the three stores.
+  *
+  * Per micro-batch (CDC rows: `_change_op` i/u/d, after images +
+  * `_before` struct): deleted docs' signatures leave the store and
+  * upserted payloads are re-hashed (O(churn) decodes — the only
+  * payload bytes ever read); candidates come from the churn's hamming
+  * bands probed against the store; the pairs table reconciles in one
+  * mixed tombstone+upsert commit carrying the batch id in its tag
+  * ([[ExactlyOnce]]). The reconcile is STATE-based (recomputes
+  * churn-adjacent pairs from current signatures), so a crash-window
+  * replay converges: the signature upsert is keyed and
+  * same-timestamped (idempotent), and "pairs tag present ⇒ sigs
+  * batch committed" holds because the signature write is durable
+  * BEFORE the tagged pairs commit
+  * ([[graft.queries.MultimodalOps.phashReconcile]]'s write order).
+  *
+  * Bootstrap: `startCommit="0"` replays every current payload as an
+  * insert, so batch 0 builds the store and pairs from the same code
+  * path — no separate backfill job (the [[MvMaintenance]] convention).
+  *
+  * PreCombine stamps are the batch's end-offset docs commit instant
+  * (pinned in the checkpoint offset log) — one version domain with
+  * batch-run reconciles, monotonic across checkpoint resets, the
+  * [[SearchIndexMaintenance]] convention. */
+object SignatureMaintenance {
+
+  def start(
+      spark: SparkSession,
+      payloadsPath: String,
+      sigPath: String,
+      pairsPath: String,
+      checkpoint: String,
+      payloadCol: String = "payload",
+      hashFn: DataFrame => DataFrame =
+        graft.multimodal.MediaDecoder.aHash(_, "doc_id", "payload"),
+      startCommit: String = "0"): StreamingQuery = {
+    require(LakeTable.exists(spark, sigPath),
+      s"create the signature store (doc_id as primaryKey) first: $sigPath")
+    require(LakeTable.exists(spark, pairsPath),
+      s"create the pairs table ((a, b) as primaryKey) first: $pairsPath")
+    // the CDC source fixes its schema at stream start; a payload table
+    // with no commits would bind a metadata-only feed (the
+    // NearDupMaintenance precondition)
+    require(LakeTable.load(spark, payloadsPath)
+        .schema.fieldNames.contains("doc_id"),
+      s"payloads table needs a first commit (schema with doc_id) " +
+        s"before attaching maintenance: $payloadsPath")
+    val once = new ExactlyOnce(spark, checkpoint)
+    spark.readStream.format("graft")
+      .option("queryType", "cdc")
+      .option("startCommit", startCommit)
+      .load(payloadsPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sigs = LakeTable.load(spark, sigPath)
+        val pairs = LakeTable.load(spark, pairsPath)
+        once.runOnce(pairs, batchId) { tag =>
+          // persist the CDC micro-batch once: the churn/deleted splits
+          // and the reconcile's candidate probe all consume it
+          val batchC = batch.persist()
+          try {
+            if (!batchC.isEmpty) {
+              val op = col(LakeTable.ChangeOpCol)
+              val bef = col(LakeTable.BeforeImageCol)
+              val upserted = batchC.filter(op =!= "d")
+                .select(col("doc_id"), col(payloadCol).as("payload"))
+              val deletedIds = batchC.filter(op === "d")
+                .select(coalesce(col("doc_id"), bef.getField("doc_id"))
+                  .as("doc_id"))
+              val ts = OffsetLog
+                .endOffsetInstant(spark, checkpoint, batchId).toLong
+              graft.queries.MultimodalOps.phashReconcile(
+                upserted, deletedIds, sigs, pairs, ts, hashFn, tag)
+            }
+          } finally batchC.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+}

@@ -865,6 +865,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(MediaDecoder.sceneSegmentsRaw(clip, 0, 10).isEmpty)
   }
 
+  test("st7: streaming media index lands the exact state the batch reconciles land") {
+    // the streaming service and the batch-reconcile gate (mm7) drive
+    // the SAME final corpus (seed (13,5), churn (7,2), the delete
+    // slice) through the same signature machinery — one via CDC
+    // micro-batches with a down-window restart, one via explicit
+    // incremental-scan reconciles. Their pairs tables must be
+    // identical: any divergence (a CDC row lost across the restart, a
+    // replayed batch applied twice, a tombstone missed while down)
+    // shows up as a set difference here before the oracle ever runs.
+    val streamed = SparkEntry.queries("st7_stream_media_index")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = SparkEntry.queries("mm7_phash_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streaming vs batch divergence: only-streamed=${
+        (streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+  }
+
   test("audio reconcile: an all-silent re-encode drops the doc's signature and pairs") {
     // the envelope-specific leg of phashReconcile's no-signature
     // tombstone path: a churn clip that is all sub-threshold silence

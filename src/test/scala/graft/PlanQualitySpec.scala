@@ -145,13 +145,33 @@ class PlanQualitySpec extends AnyFunSuite {
     // bytes themselves got shuffled, which at 100 TB of payloads is
     // the difference between a map job and a broken plan
     for (name <- Seq("mm2_real_decode", "mm3_resize_box",
-        "mm4_frame_sample", "mm5_audio_resample")) {
+        "mm4_frame_sample", "mm5_audio_resample", "mm13_video_scenes")) {
       val plan = executedPlan(SparkEntry.queries(name)(spark, sf))
       assert(!plan.contains("hashpartitioning"),
         s"$name must not hash-shuffle payloads:\n$plan")
       assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
         s"$name should be join/agg-free:\n$plan")
     }
+  }
+
+  test("tri-modal payload scan prunes to the requesting store's column") {
+    // pipe9's scale claim, pinned: three maintained signature stores
+    // fan out from ONE payload table, and parquet column pruning means
+    // the audio store's scan never reads image or video bytes — at
+    // 100 TB the three concurrent reconciles each pay only their own
+    // modality's I/O, not 3× the table
+    val dir = "target/graft_scratch/plan_trimodal"
+    LakeTable.drop(spark, dir)
+    val t = LakeTable.create(spark, dir,
+      TableProps("p9plan", Seq("doc_id"), Some("ts"), Seq.empty))
+    t.upsert(Seq((1L, Array[Byte](1), Array[Byte](2), Array[Byte](3), 1L))
+      .toDF("doc_id", "img", "aud", "vid", "ts"))
+    val plan = formattedPlan(t.snapshot().select(col("doc_id"), col("aud")))
+    val read = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in plan:\n$plan"))
+    assert(read.contains("aud:binary"), s"aud not read: $read")
+    assert(!read.contains("img") && !read.contains("vid"),
+      s"sibling modality columns not pruned from the scan: $read")
   }
 
   test("sim6 PQ: distance tables broadcast; ADC never goes cartesian") {
