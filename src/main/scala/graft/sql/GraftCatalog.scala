@@ -500,6 +500,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           guard = (t, f) => { once.runOnce(t, callId)(f); () })
         Array(InternalRow(post.snapshot().count()))
       }
+      case "maintain_media_index" => procedure(
+        "maintain_media_index", "reconcile a perceptual-signature store " +
+          "and hamming-verified pairs table with a media payload table's " +
+          "churn (the maintained image/audio/video dedup increment, " +
+          "SignatureMaintenance's batch form): modality picks the 64-bit " +
+          "hash — 'image' (aHash), 'audio[:threshold]' (envelope hash, " +
+          "silence threshold default 50), 'video:<frameBytes>[:samples]' " +
+          "(time-fraction majority fold, samples default 5); " +
+          "since_instant = '' bootstraps from the full snapshot, " +
+          "otherwise only the CDC churn after that instant is re-decoded",
+        Seq("payloads_table" -> StringT, "sigs_table" -> StringT,
+          "pairs_table" -> StringT, "modality" -> StringT,
+          "since_instant" -> StringT),
+        "pairs BIGINT") { input =>
+        import org.apache.spark.sql.functions.{coalesce, col}
+        import graft.multimodal.MediaDecoder
+        val payloads = lakeOf(input.getUTF8String(0).toString)
+        val sigs = lakeOf(input.getUTF8String(1).toString)
+        val pairs = lakeOf(input.getUTF8String(2).toString)
+        val modality = input.getUTF8String(3).toString
+        val since = input.getUTF8String(4).toString
+        val hashFn: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame =
+          modality.split(":").toSeq match {
+            case Seq("image") => MediaDecoder.aHash(_, "doc_id", "payload")
+            case Seq("audio") =>
+              MediaDecoder.envHash(_, "doc_id", "payload", 50)
+            case Seq("audio", thr) =>
+              MediaDecoder.envHash(_, "doc_id", "payload", thr.toInt)
+            case Seq("video", fb) =>
+              MediaDecoder.videoHash(_, "doc_id", "payload", fb.toInt, 5)
+            case Seq("video", fb, k) =>
+              MediaDecoder.videoHash(_, "doc_id", "payload", fb.toInt, k.toInt)
+            case _ => throw new IllegalArgumentException(
+              s"maintain_media_index: unknown modality '$modality' — " +
+                "expected image | audio[:threshold] | " +
+                "video:<frameBytes>[:samples]")
+          }
+        val snap = payloads.snapshot().select("doc_id", "payload")
+        val (churn, deleted) =
+          if (since.isEmpty) (snap, snap.select("doc_id").limit(0))
+          else {
+            val feed = payloads.cdc(since)
+            val op = col(LakeTable.ChangeOpCol)
+            val bef = col(LakeTable.BeforeImageCol)
+            (feed.filter(op =!= "d").select(col("doc_id"), col("payload")),
+              feed.filter(op === "d").select(
+                coalesce(col("doc_id"), bef.getField("doc_id")).as("doc_id")))
+          }
+        // ts = the payload table's newest instant: monotonic across
+        // calls and derived from table state, not the wall clock (the
+        // maintain_neardups convention; the reconcile is state-based,
+        // so a repeated call with the same arguments converges)
+        val commits = payloads.timeline.commits()
+        require(commits.nonEmpty,
+          s"maintain_media_index: payloads table " +
+            s"'${input.getUTF8String(0)}' has no commits yet - ingest at " +
+            "least one batch before maintaining the media index")
+        val ts = commits.last.instant.toLong
+        graft.queries.MultimodalOps.phashReconcile(
+          churn, deleted, sigs, pairs, ts, hashFn)
+        Array(InternalRow(pairs.snapshot().count()))
+      }
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure $other")
     }
@@ -509,6 +572,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       "run_clustering", "run_zorder", "rollback_to_instant",
       "create_savepoint", "delete_savepoint", "show_fsview",
       "show_savepoints", "clean_orphans", "sync_database",
-      "maintain_neardups", "maintain_search_index")
+      "maintain_neardups", "maintain_search_index", "maintain_media_index")
       .map(Identifier.of(Array("system"), _))
 }

@@ -302,6 +302,56 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(pairSet() == Set((3L, 4L)))
   }
 
+  test("CALL maintain_media_index drives the perceptual image index from SQL") {
+    import graft.multimodal.MediaDecoder
+    for (t <- Seq("mi_pay", "mi_sigs", "mi_pairs"))
+      sql(s"DROP TABLE IF EXISTS graft.db.$t")
+    sql("""CREATE TABLE graft.db.mi_pay (doc_id BIGINT, payload BINARY, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
+    sql("""CREATE TABLE graft.db.mi_sigs (doc_id BIGINT, hash_hi BIGINT,
+        hash_lo BIGINT, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
+    sql("""CREATE TABLE graft.db.mi_pairs (a BIGINT, b BIGINT, hamming INT, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'a,b', preCombineField = 'ts')""")
+    def img(seed: Long, bright: Boolean): Array[Byte] =
+      MediaDecoder.encodeBmp24With(16, 16) { (x, y) =>
+        def c(k: Int): Int = {
+          val v = ((((seed * (131 + k)) + x) * (seed % 97 + 31 + k) +
+            (seed * 137 + y) * (seed % 89 + 23)) % 256).toInt
+          val vi = (v + 256) % 256
+          if (bright) math.min(vi + 1, 255) else vi
+        }
+        (c(0) << 16) | (c(1) << 8) | c(2)
+      }
+    def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    // docs 1 and 2 share a noise pattern (2 is a brightness re-encode,
+    // aHash-invariant); doc 3 is unrelated
+    sql(s"""INSERT INTO graft.db.mi_pay VALUES
+      (1, X'${hex(img(5, bright = false))}', 1),
+      (2, X'${hex(img(5, bright = true))}', 1),
+      (3, X'${hex(img(900, bright = false))}', 1)""")
+    val n1 = sql("""CALL graft.system.maintain_media_index(
+      payloads_table => 'db.mi_pay', sigs_table => 'db.mi_sigs',
+      pairs_table => 'db.mi_pairs', modality => 'image',
+      since_instant => '')""").head().getLong(0)
+    assert(n1 == 1L)
+    def pairSet() = sql("SELECT a, b FROM graft.db.mi_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet() == Set((1L, 2L)))
+    // churn: doc 4 arrives as a copy of doc 3; doc 2 re-imaged away
+    val since = sql("CALL graft.system.show_commits(table => 'db.mi_pay')")
+      .collect().map(_.getString(0)).max
+    sql(s"""INSERT INTO graft.db.mi_pay VALUES
+      (4, X'${hex(img(900, bright = true))}', 2),
+      (2, X'${hex(img(7777, bright = false))}', 2)""")
+    val n2 = sql(s"""CALL graft.system.maintain_media_index(
+      payloads_table => 'db.mi_pay', sigs_table => 'db.mi_sigs',
+      pairs_table => 'db.mi_pairs', modality => 'image',
+      since_instant => '$since')""").head().getLong(0)
+    assert(n2 == 1L, s"pairs after increment: $n2")
+    assert(pairSet() == Set((3L, 4L)))
+  }
+
   test("CALL maintain_search_index drives the BM25 index from SQL") {
     for (t <- Seq("si_docs", "si_post", "si_stats", "si_tot"))
       sql(s"DROP TABLE IF EXISTS graft.db.$t")

@@ -614,7 +614,11 @@ class TableServicesSpec extends AnyFunSuite {
       // rendezvous at a shared wall-clock instant (written INTO the go
       // file): a bare existence gate can serialize the loops when the
       // child's poll latency exceeds the host's whole claim run
-      val startAt = System.currentTimeMillis() + 800L
+      // 1.5 s lead: under co-tenant CPU saturation the child's 5 ms
+      // go-file poll plus scheduling delay can approach a short lead,
+      // and a child that reaches the line late shrinks the measured
+      // loop overlap below the assertion floor
+      val startAt = System.currentTimeMillis() + 1500L
       val goTmp = new java.io.File(syncDir, "go.tmp")
       val goW = new java.io.PrintWriter(goTmp, "UTF-8")
       try goW.print(startAt.toString) finally goW.close()
