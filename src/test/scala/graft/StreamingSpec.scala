@@ -799,6 +799,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(once.lastBatchId(pairsTab) == lastId)
   }
 
+  test("streaming media-index maintenance: kill/restart converges; crash-window skips") {
+    import graft.streaming.{ExactlyOnce, SignatureMaintenance}
+    import graft.multimodal.MediaDecoder
+    val payPath = tmp("smi_pay_")
+    val sigPath = tmp("smi_sigs_")
+    val pairsPath = tmp("smi_pairs_")
+    val ckpt = tmp("smi_ckpt_")
+    val pay = LakeTable.create(spark, payPath, TableProps(
+      "smipay", Seq("doc_id"), Some("ts"), Seq.empty))
+    LakeTable.create(spark, sigPath, TableProps(
+      "smisigs", Seq("doc_id"), Some("ts"), Seq.empty, tableType = "mor"))
+    LakeTable.create(spark, pairsPath, TableProps(
+      "smipairs", Seq("a", "b"), Some("ts"), Seq.empty, tableType = "mor"))
+    def img(seed: Long, bright: Boolean): Array[Byte] =
+      MediaDecoder.encodeBmp24With(16, 16) { (x, y) =>
+        def c(k: Int): Int = {
+          val v = ((((seed * (131 + k)) + x) * (seed % 97 + 31 + k) +
+            (seed * 137 + y) * (seed % 89 + 23)) % 256).toInt
+          val vi = (v + 256) % 256
+          if (bright) math.min(vi + 1, 255) else vi
+        }
+        (c(0) << 16) | (c(1) << 8) | c(2)
+      }
+    pay.upsert(Seq(
+      (1L, img(5, bright = false), 1L),
+      (2L, img(5, bright = true), 1L),   // perceptual copy of 1
+      (3L, img(900, bright = false), 1L),
+      (4L, img(900, bright = true), 1L)) // perceptual copy of 3
+      .toDF("doc_id", "payload", "ts"))
+    def run() = SignatureMaintenance.start(
+      spark, payPath, sigPath, pairsPath, ckpt)
+    def pairSet(): Set[(Long, Long)] =
+      LakeTable.load(spark, pairsPath).snapshot()
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sigIds(): Set[Long] =
+      LakeTable.load(spark, sigPath).snapshot()
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // phase 1: bootstrap (batch 0 replays every current payload as 'i')
+    val q1 = run()
+    try {
+      q1.processAllAvailable()
+      assert(pairSet() == Set((1L, 2L), (3L, 4L)))
+    } finally q1.stop() // KILL mid-stream
+    // the corpus keeps moving while maintenance is down:
+    //  - doc 2 re-images to an unrelated pattern → pair (1,2) vanishes
+    //  - doc 5 arrives as a copy of doc 1 → pair (1,5) appears
+    //  - doc 4 is deleted → pair (3,4) vanishes
+    pay.upsert(Seq(
+      (2L, img(7777, bright = false), 2L),
+      (5L, img(5, bright = true), 2L)).toDF("doc_id", "payload", "ts"))
+    pay.delete(Seq(Tuple1(4L)).toDF("doc_id"))
+    // phase 2: restart from the checkpoint — missed commits reconcile
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      assert(pairSet() == Set((1L, 5L)), s"got ${pairSet()}")
+      assert(sigIds() == Set(1L, 2L, 3L, 5L))
+    } finally q2.stop()
+    // phase 3: doc 1 re-encodes as UNDECODABLE media — its stale
+    // signature and pairs must leave the index (the no-signature
+    // tombstone leg, store-currency invariant)
+    pay.upsert(Seq((1L, "not an image".getBytes("UTF-8"), 3L))
+      .toDF("doc_id", "payload", "ts"))
+    val q3 = run()
+    try {
+      q3.processAllAvailable()
+      assert(pairSet() == Set.empty, s"got ${pairSet()}")
+      assert(sigIds() == Set(2L, 3L, 5L))
+    } finally q3.stop()
+    // phase 4: crash-window replay — the tagged pairs commit landed
+    // but the sidecar marker write was lost; the commit-tag safety
+    // net (the tag phashReconcile now carries) skips the re-apply
+    val once = new ExactlyOnce(spark, ckpt)
+    val pairsTab = LakeTable.load(spark, pairsPath)
+    val lastId = once.committedBatchId(pairsTab)
+    assert(lastId >= 0, "no batch tag found on the pairs table")
+    assert(new java.io.File(pairsPath,
+      s"_streaming/${once.markerName}").delete())
+    assert(!once.runOnce(pairsTab, lastId) { _ =>
+      fail("crash-window replay must not re-reconcile the batch")
+    })
+    assert(once.lastBatchId(pairsTab) == lastId)
+  }
+
   test("commit tail emits bootstrap-adopted rows with the adopting instant") {
     // external (metadata-bootstrap) files carry no _commit_time column;
     // the stream must synthesize the adopting commit's instant — the
