@@ -2384,6 +2384,25 @@ object LakeTable {
   /** CDC read: begin-state image struct (null for inserts). */
   val BeforeImageCol = "_before"
   val MetaCols: Seq[String] = Seq(CommitTimeCol, RecordKeyCol, PartitionPathCol)
+
+  /** Split a CDC feed into (upserted rows projected to key+value
+    * columns, deleted keys): upserts are the non-'d' rows' after
+    * images; a delete row's key reads from the after image when
+    * present and falls back to the `_before` struct. ONE definition
+    * of the delete-key rule — every CDC-driven maintenance consumer
+    * (streaming services and CALL procedures) shares it, so a CDC
+    * schema change cannot silently drop tombstones in one of them. */
+  def cdcUpsertsAndDeletes(
+      feed: DataFrame, keyCol: String, valueCols: Seq[String])
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val op = col(ChangeOpCol)
+    val bef = col(BeforeImageCol)
+    (feed.filter(op =!= "d").select((keyCol +: valueCols).map(col): _*),
+      feed.filter(op === "d").select(
+        coalesce(col(keyCol), bef.getField(keyCol)).as(keyCol)))
+  }
+
   private[core] val IncomingFlag = "__incoming"
   private[core] val StagePartCol = "__pp__"
   private[core] val StageBucketCol = "__bk__"

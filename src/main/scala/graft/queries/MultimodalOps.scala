@@ -468,6 +468,22 @@ object MultimodalOps {
     * (% 3 ≠ 0) and not an update target (% 7 ≠ 2). */
   private val mm7SeedKept = "d.doc_id % 3 <> 0 AND d.doc_id % 7 <> 2"
 
+  /** The mm7 mask-composition oracle expressions, shared verbatim by
+    * every gate that replays the [[incDedupScenario]] final corpus
+    * (mm7, mm10, mm12, st7): source doc, the two perturbation
+    * booleans, and the alive filter. ONE definition, so a mask tweak
+    * moves all four gates together instead of desyncing them. */
+  private val Mm7OracleSd =
+    s"CASE WHEN d.doc_id % 7 = 2 THEN d.doc_id - 1 " +
+      s"WHEN $mm7SeedKept AND d.doc_id % 13 = 5 THEN d.doc_id - 1 " +
+      "ELSE d.doc_id END"
+  private val Mm7OraclePerturbA =
+    s"(d.doc_id % 14 = 2) OR ($mm7SeedKept AND d.doc_id % 26 = 5)"
+  private val Mm7OraclePerturbB =
+    s"(d.doc_id % 14 = 9) OR ($mm7SeedKept AND d.doc_id % 26 = 18)"
+  private val Mm7OracleAlive =
+    "\n        WHERE NOT (" + mm7DelSql.replace("doc_id", "d.doc_id") + ")"
+
   /** Apply one churn batch of images to the maintained perceptual-hash
     * index — the ingest-time image-dedup shape of a 100 TB multimodal
     * corpus (the mm analog of [[NearDupIndex.reconcile]], simpler
@@ -649,13 +665,10 @@ object MultimodalOps {
     (s, dir) => incDedupScenario(s, dir, "mm7", imgFrame,
       df => graft.multimodal.MediaDecoder.aHash(df, "doc_id", "payload")),
     Some(phashOracle(
-      s"CASE WHEN d.doc_id % 7 = 2 THEN d.doc_id - 1 " +
-        s"WHEN $mm7SeedKept AND d.doc_id % 13 = 5 THEN d.doc_id - 1 " +
-        "ELSE d.doc_id END",
-      s"(d.doc_id % 14 = 2) OR ($mm7SeedKept AND d.doc_id % 26 = 5)",
-      s"(d.doc_id % 14 = 9) OR ($mm7SeedKept AND d.doc_id % 26 = 18)",
-      "\n        WHERE NOT (" +
-        mm7DelSql.replace("doc_id", "d.doc_id") + ")")))
+      Mm7OracleSd,
+      Mm7OraclePerturbA,
+      Mm7OraclePerturbB,
+      Mm7OracleAlive)))
 
   /** mm8 — energy-gated audio segmentation, decode included: the
     * silence-trim / VAD-shape primitive a speech-curation pipeline
@@ -883,12 +896,9 @@ object MultimodalOps {
       df => graft.multimodal.MediaDecoder
         .envHash(df, "doc_id", "payload", 50)),
     Some(envOracle(
-      s"CASE WHEN d.doc_id % 7 = 2 THEN d.doc_id - 1 " +
-        s"WHEN $mm7SeedKept AND d.doc_id % 13 = 5 THEN d.doc_id - 1 " +
-        "ELSE d.doc_id END",
-      s"(d.doc_id % 14 = 2) OR ($mm7SeedKept AND d.doc_id % 26 = 5)",
-      "\n        WHERE NOT (" +
-        mm7DelSql.replace("doc_id", "d.doc_id") + ")")))
+      Mm7OracleSd,
+      Mm7OraclePerturbA,
+      Mm7OracleAlive)))
 
   /** Time-fraction sample slots per video signature (shared by the
     * Spark fold and its oracle replay). */
@@ -1226,13 +1236,10 @@ object MultimodalOps {
       df => graft.multimodal.MediaDecoder.videoHash(
         df, "doc_id", "payload", VFrameBytes, VSamples)),
     Some(videoOracle(
-      s"CASE WHEN d.doc_id % 7 = 2 THEN d.doc_id - 1 " +
-        s"WHEN $mm7SeedKept AND d.doc_id % 13 = 5 THEN d.doc_id - 1 " +
-        "ELSE d.doc_id END",
-      s"(d.doc_id % 14 = 2) OR ($mm7SeedKept AND d.doc_id % 26 = 5)",
-      s"(d.doc_id % 14 = 9) OR ($mm7SeedKept AND d.doc_id % 26 = 18)",
-      "\n        WHERE NOT (" +
-        mm7DelSql.replace("doc_id", "d.doc_id") + ")")))
+      Mm7OracleSd,
+      Mm7OraclePerturbA,
+      Mm7OraclePerturbB,
+      Mm7OracleAlive)))
 
   /** Deterministic multi-scene video fixture for the shot-boundary
     * gate (mm13): doc d has ns = d % 3 + 2 scenes of ls = d % 4 + 3
@@ -1396,13 +1403,10 @@ object MultimodalOps {
       pairsT.snapshot().select("a", "b", "hamming").orderBy("a", "b")
     },
     Some(phashOracle(
-      s"CASE WHEN d.doc_id % 7 = 2 THEN d.doc_id - 1 " +
-        s"WHEN $mm7SeedKept AND d.doc_id % 13 = 5 THEN d.doc_id - 1 " +
-        "ELSE d.doc_id END",
-      s"(d.doc_id % 14 = 2) OR ($mm7SeedKept AND d.doc_id % 26 = 5)",
-      s"(d.doc_id % 14 = 9) OR ($mm7SeedKept AND d.doc_id % 26 = 18)",
-      "\n        WHERE NOT (" +
-        mm7DelSql.replace("doc_id", "d.doc_id") + ")")))
+      Mm7OracleSd,
+      Mm7OraclePerturbA,
+      Mm7OraclePerturbB,
+      Mm7OracleAlive)))
 
   def qs: Seq[GQ] =
     Seq(binaryMetaQ, realDecodeQ, resizeQ, frameSampleQ, resampleQ,

@@ -250,6 +250,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     LakeTable.load(spark, tablePath(Identifier.of(parts.dropRight(1), parts.last)))
   }
 
+  /** Delete set for a maintenance BOOTSTRAP (since_instant = ''): the
+    * signature store's doc_ids absent from the current corpus
+    * snapshot. A RE-bootstrap after payload deletes must tombstone
+    * those stored rows — deriving an empty delete set would leave a
+    * departed doc's signature in the store permanently, and a later
+    * incremental call could pair new churn against it. A never-written
+    * store (schema-only snapshot) has nothing stale. */
+  private def staleStoreIds(
+      sigs: LakeTable,
+      snap: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sigSnap = sigs.snapshot()
+    if (!sigSnap.columns.contains("doc_id"))
+      snap.select("doc_id").limit(0)
+    else sigSnap.select("doc_id")
+      .join(snap.select("doc_id"), Seq("doc_id"), "left_anti")
+  }
+
   /** Boilerplate for a procedure returning a small local result set. */
   private def procedure(
       pname: String, desc: String,
@@ -417,22 +435,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         Seq("docs_table" -> StringT, "sigs_table" -> StringT,
           "pairs_table" -> StringT, "since_instant" -> StringT),
         "pairs BIGINT") { input =>
-        import org.apache.spark.sql.functions.{coalesce, col}
         val docs = lakeOf(input.getUTF8String(0).toString)
         val sigs = lakeOf(input.getUTF8String(1).toString)
         val pairs = lakeOf(input.getUTF8String(2).toString)
         val since = input.getUTF8String(3).toString
         val snap = docs.snapshot().select("doc_id", "text")
         val (churn, deleted) =
-          if (since.isEmpty) (snap, snap.select("doc_id").limit(0))
-          else {
-            val feed = docs.cdc(since)
-            val op = col(LakeTable.ChangeOpCol)
-            val bef = col(LakeTable.BeforeImageCol)
-            (feed.filter(op =!= "d").select(col("doc_id"), col("text")),
-              feed.filter(op === "d").select(
-                coalesce(col("doc_id"), bef.getField("doc_id")).as("doc_id")))
-          }
+          if (since.isEmpty) (snap, staleStoreIds(sigs, snap))
+          else LakeTable.cdcUpsertsAndDeletes(
+            docs.cdc(since), "doc_id", Seq("text"))
         // ts = the docs table's newest instant: monotonic across calls
         // and derived from table state, not the wall clock
         val commits = docs.timeline.commits()
@@ -514,41 +525,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "pairs_table" -> StringT, "modality" -> StringT,
           "since_instant" -> StringT),
         "pairs BIGINT") { input =>
-        import org.apache.spark.sql.functions.{coalesce, col}
         import graft.multimodal.MediaDecoder
         val payloads = lakeOf(input.getUTF8String(0).toString)
         val sigs = lakeOf(input.getUTF8String(1).toString)
         val pairs = lakeOf(input.getUTF8String(2).toString)
         val modality = input.getUTF8String(3).toString
         val since = input.getUTF8String(4).toString
+        def badModality(detail: String): Nothing =
+          throw new IllegalArgumentException(
+            s"maintain_media_index: $detail in modality '$modality' — " +
+              "expected image | audio[:threshold] | " +
+              "video:<frameBytes>[:samples]")
+        def intArg(s: String, what: String): Int =
+          try s.toInt
+          catch { case _: NumberFormatException =>
+            badModality(s"$what '$s' is not an integer") }
         val hashFn: org.apache.spark.sql.DataFrame =>
             org.apache.spark.sql.DataFrame =
-          modality.split(":").toSeq match {
+          // split with limit -1 keeps trailing empty tokens, so
+          // 'audio:' errors instead of silently taking the default
+          modality.split(":", -1).toSeq match {
             case Seq("image") => MediaDecoder.aHash(_, "doc_id", "payload")
             case Seq("audio") =>
               MediaDecoder.envHash(_, "doc_id", "payload", 50)
             case Seq("audio", thr) =>
-              MediaDecoder.envHash(_, "doc_id", "payload", thr.toInt)
+              MediaDecoder.envHash(_, "doc_id", "payload",
+                intArg(thr, "threshold"))
             case Seq("video", fb) =>
-              MediaDecoder.videoHash(_, "doc_id", "payload", fb.toInt, 5)
+              MediaDecoder.videoHash(_, "doc_id", "payload",
+                intArg(fb, "frameBytes"), 5)
             case Seq("video", fb, k) =>
-              MediaDecoder.videoHash(_, "doc_id", "payload", fb.toInt, k.toInt)
-            case _ => throw new IllegalArgumentException(
-              s"maintain_media_index: unknown modality '$modality' — " +
-                "expected image | audio[:threshold] | " +
-                "video:<frameBytes>[:samples]")
+              MediaDecoder.videoHash(_, "doc_id", "payload",
+                intArg(fb, "frameBytes"), intArg(k, "samples"))
+            case _ => badModality("unknown modality")
           }
         val snap = payloads.snapshot().select("doc_id", "payload")
         val (churn, deleted) =
-          if (since.isEmpty) (snap, snap.select("doc_id").limit(0))
-          else {
-            val feed = payloads.cdc(since)
-            val op = col(LakeTable.ChangeOpCol)
-            val bef = col(LakeTable.BeforeImageCol)
-            (feed.filter(op =!= "d").select(col("doc_id"), col("payload")),
-              feed.filter(op === "d").select(
-                coalesce(col("doc_id"), bef.getField("doc_id")).as("doc_id")))
-          }
+          if (since.isEmpty) (snap, staleStoreIds(sigs, snap))
+          else LakeTable.cdcUpsertsAndDeletes(
+            payloads.cdc(since), "doc_id", Seq("payload"))
         // ts = the payload table's newest instant: monotonic across
         // calls and derived from table state, not the wall clock (the
         // maintain_neardups convention; the reconcile is state-based,

@@ -96,11 +96,8 @@ object NearDupMaintenance {
     val batchC = batch.persist()
     try {
       if (batchC.isEmpty) return // empty micro-batch: no state to change
-      val op = col(LakeTable.ChangeOpCol)
-      val bef = col(LakeTable.BeforeImageCol)
-      val upserted = batchC.filter(op =!= "d").select(col("doc_id"), col("text"))
-      val deletedIds = batchC.filter(op === "d")
-        .select(coalesce(col("doc_id"), bef.getField("doc_id")).as("doc_id"))
+      val (upserted, deletedIds) = LakeTable.cdcUpsertsAndDeletes(
+        batchC, "doc_id", Seq("text"))
       val docsSnap = LakeTable.load(spark, docsPath).snapshot()
         .select("doc_id", "text")
       // preCombine stamp = this batch's END-OFFSET docs commit instant

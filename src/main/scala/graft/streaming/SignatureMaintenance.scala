@@ -82,13 +82,9 @@ object SignatureMaintenance {
           val batchC = batch.persist()
           try {
             if (!batchC.isEmpty) {
-              val op = col(LakeTable.ChangeOpCol)
-              val bef = col(LakeTable.BeforeImageCol)
-              val upserted = batchC.filter(op =!= "d")
-                .select(col("doc_id"), col(payloadCol).as("payload"))
-              val deletedIds = batchC.filter(op === "d")
-                .select(coalesce(col("doc_id"), bef.getField("doc_id"))
-                  .as("doc_id"))
+              val (ups, deletedIds) = LakeTable.cdcUpsertsAndDeletes(
+                batchC, "doc_id", Seq(payloadCol))
+              val upserted = ups.withColumnRenamed(payloadCol, "payload")
               val ts = OffsetLog
                 .endOffsetInstant(spark, checkpoint, batchId).toLong
               graft.queries.MultimodalOps.phashReconcile(

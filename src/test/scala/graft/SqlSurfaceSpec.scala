@@ -350,6 +350,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
       since_instant => '$since')""").head().getLong(0)
     assert(n2 == 1L, s"pairs after increment: $n2")
     assert(pairSet() == Set((3L, 4L)))
+    // RE-bootstrap after a payload delete: the stored signature of the
+    // departed doc must be tombstoned (delete set = store ∖ snapshot),
+    // not silently kept — a kept one could pair against future churn
+    sql("DELETE FROM graft.db.mi_pay WHERE doc_id = 3")
+    val n3 = sql("""CALL graft.system.maintain_media_index(
+      payloads_table => 'db.mi_pay', sigs_table => 'db.mi_sigs',
+      pairs_table => 'db.mi_pairs', modality => 'image',
+      since_instant => '')""").head().getLong(0)
+    assert(n3 == 0L, s"pairs after re-bootstrap: $n3")
+    val sigIds = sql("SELECT doc_id FROM graft.db.mi_sigs")
+      .collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 2L, 4L), s"stale signature survived: $sigIds")
+    // malformed modality arguments fail with the crafted syntax error
+    for (bad <- Seq("audio:", "audio:abc", "video", "scent"))
+      assert(intercept[Exception](sql(s"""CALL graft.system.maintain_media_index(
+        payloads_table => 'db.mi_pay', sigs_table => 'db.mi_sigs',
+        pairs_table => 'db.mi_pairs', modality => '$bad',
+        since_instant => '')""").collect())
+        .getMessage.contains("maintain_media_index"), s"modality '$bad'")
   }
 
   test("CALL maintain_search_index drives the BM25 index from SQL") {

@@ -632,9 +632,9 @@ class TableServicesSpec extends AnyFunSuite {
         "child JVM did not finish")
       assert(proc.exitValue() == 0, s"child JVM failed:\n" +
         scala.io.Source.fromFile(out).mkString)
-      val theirs = scala.io.Source
-        .fromFile(new java.io.File(syncDir, "claims.2"))
-        .getLines().toSeq
+      val theirs = scala.util.Using.resource(scala.io.Source
+          .fromFile(new java.io.File(syncDir, "claims.2")))(
+        _.getLines().toSeq)
       mine.foreach(tl.clearInflight)
       assert(mine.size == count && mine.distinct.size == count)
       assert(theirs.size == count && theirs.distinct.size == count)
@@ -654,9 +654,9 @@ class TableServicesSpec extends AnyFunSuite {
       // Window overlap is the honest criterion: both loops claim ~1
       // instant/ms, so an overlap of W ms pins ~W same-millisecond
       // contested arbitrations by pigeonhole.
-      val Array(childStart, childEnd) = scala.io.Source
-        .fromFile(new java.io.File(syncDir, "window.2"))
-        .mkString.trim.split(":").map(_.toLong)
+      val Array(childStart, childEnd) = scala.util.Using.resource(
+        scala.io.Source.fromFile(new java.io.File(syncDir, "window.2")))(
+        _.mkString.trim.split(":").map(_.toLong))
       val overlap =
         math.min(loopEnd, childEnd) - math.max(loopStart, childStart)
       assert(overlap >= 100L,
