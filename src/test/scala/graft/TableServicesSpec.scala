@@ -594,78 +594,88 @@ class TableServicesSpec extends AnyFunSuite {
     // processes "win" the same name and the sets intersect.
     val path = tmp()
     LakeTable.create(spark, path, props)
-    val syncDir = Files.createTempDirectory(
-      java.nio.file.Paths.get("target"), "occmrk_").toFile
     val count = 400
-    val out = new java.io.File(syncDir, "child.out")
-    val proc = spawnOccJvm("512m", out, Seq("markers", path, "2",
-      count.toString, syncDir.getPath))
-    try {
-      val ready = new java.io.File(syncDir, "ready.2")
-      val t0 = System.currentTimeMillis()
-      while (!ready.exists()) {
-        assert(proc.isAlive, s"child JVM died during startup:\n" +
+    // One race attempt: spawn a fresh child, rendezvous at a shared
+    // wall-clock instant, flood claims from both sides. EXCLUSIVITY
+    // (disjoint claim sets) is the property and is asserted on every
+    // attempt unconditionally. The returned window overlap is the
+    // CONTESTEDNESS precondition — both loops claim ~1 instant/ms, so
+    // an overlap of W ms pins ~W same-millisecond contested
+    // arbitrations by pigeonhole. Deliberately NOT an
+    // interleaved-claim-ranges check: claims are clamped to the
+    // current millisecond, so a constant few-µs systematic edge (JIT
+    // state, FS object) lets one process win EVERY contested
+    // millisecond — the loser's claims then chase the winner's tail
+    // and land entirely past the winner's window (observed in CI)
+    // while the race was maximally contested the whole time.
+    def race(attempt: Int): Long = {
+      val syncDir = Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), s"occmrk${attempt}_").toFile
+      val out = new java.io.File(syncDir, "child.out")
+      val proc = spawnOccJvm("512m", out, Seq("markers", path, "2",
+        count.toString, syncDir.getPath))
+      try {
+        val ready = new java.io.File(syncDir, "ready.2")
+        val t0 = System.currentTimeMillis()
+        while (!ready.exists()) {
+          assert(proc.isAlive, s"child JVM died during startup:\n" +
+            scala.io.Source.fromFile(out).mkString)
+          assert(System.currentTimeMillis() - t0 < 120000L,
+            "child never ready")
+          Thread.sleep(20)
+        }
+        val tl = new Timeline(spark.sessionState.newHadoopConf(), path)
+        tl.clearInflight(tl.beginWrite()) // warm-up, mirroring the child
+        // rendezvous at a shared wall-clock instant (written INTO the
+        // go file): a bare existence gate can serialize the loops when
+        // the child's poll latency exceeds the host's whole claim run
+        val startAt = System.currentTimeMillis() + 1500L
+        val goTmp = new java.io.File(syncDir, "go.tmp")
+        val goW = new java.io.PrintWriter(goTmp, "UTF-8")
+        try goW.print(startAt.toString) finally goW.close()
+        // rename = atomic publish: the child never sees a partial write
+        assert(goTmp.renameTo(new java.io.File(syncDir, "go")))
+        while (System.currentTimeMillis() < startAt) {}
+        val loopStart = System.currentTimeMillis()
+        val mine = (1 to count).map(_ => tl.beginWrite())
+        val loopEnd = System.currentTimeMillis()
+        assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+          "child JVM did not finish")
+        assert(proc.exitValue() == 0, s"child JVM failed:\n" +
           scala.io.Source.fromFile(out).mkString)
-        assert(System.currentTimeMillis() - t0 < 120000L, "child never ready")
-        Thread.sleep(20)
-      }
-      val tl = new Timeline(spark.sessionState.newHadoopConf(), path)
-      tl.clearInflight(tl.beginWrite()) // warm-up, mirroring the child
-      // rendezvous at a shared wall-clock instant (written INTO the go
-      // file): a bare existence gate can serialize the loops when the
-      // child's poll latency exceeds the host's whole claim run
-      // 1.5 s lead: under co-tenant CPU saturation the child's 5 ms
-      // go-file poll plus scheduling delay can approach a short lead,
-      // and a child that reaches the line late shrinks the measured
-      // loop overlap below the assertion floor
-      val startAt = System.currentTimeMillis() + 1500L
-      val goTmp = new java.io.File(syncDir, "go.tmp")
-      val goW = new java.io.PrintWriter(goTmp, "UTF-8")
-      try goW.print(startAt.toString) finally goW.close()
-      // rename = atomic publish: the child never sees a partial write
-      assert(goTmp.renameTo(new java.io.File(syncDir, "go")))
-      while (System.currentTimeMillis() < startAt) {}
-      val loopStart = System.currentTimeMillis()
-      val mine = (1 to count).map(_ => tl.beginWrite())
-      val loopEnd = System.currentTimeMillis()
-      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
-        "child JVM did not finish")
-      assert(proc.exitValue() == 0, s"child JVM failed:\n" +
-        scala.io.Source.fromFile(out).mkString)
-      val theirs = scala.util.Using.resource(scala.io.Source
-          .fromFile(new java.io.File(syncDir, "claims.2")))(
-        _.getLines().toSeq)
-      mine.foreach(tl.clearInflight)
-      assert(mine.size == count && mine.distinct.size == count)
-      assert(theirs.size == count && theirs.distinct.size == count)
-      val shared = mine.toSet.intersect(theirs.toSet)
-      assert(shared.isEmpty,
-        s"${shared.size} instants claimed by BOTH JVMs: " +
-          shared.take(5).mkString(", "))
-      // the race was REAL: the claim LOOPS overlapped in wall-clock
-      // time (serialized loops would make disjointness vacuous).
-      // Deliberately NOT an interleaved-claim-ranges check: claims are
-      // clamped to the current millisecond, so a constant few-µs
-      // systematic edge (JIT state, FS object) lets one process win
-      // EVERY contested millisecond — the loser's claims then chase
-      // the winner's tail and land entirely past the winner's window
-      // (observed in CI: child range started 1 ms after host range
-      // ended) while the race was maximally contested the whole time.
-      // Window overlap is the honest criterion: both loops claim ~1
-      // instant/ms, so an overlap of W ms pins ~W same-millisecond
-      // contested arbitrations by pigeonhole.
-      val Array(childStart, childEnd) = scala.util.Using.resource(
-        scala.io.Source.fromFile(new java.io.File(syncDir, "window.2")))(
-        _.mkString.trim.split(":").map(_.toLong))
-      val overlap =
+        val theirs = scala.util.Using.resource(scala.io.Source
+            .fromFile(new java.io.File(syncDir, "claims.2")))(
+          _.getLines().toSeq)
+        mine.foreach(tl.clearInflight)
+        assert(mine.size == count && mine.distinct.size == count)
+        assert(theirs.size == count && theirs.distinct.size == count)
+        val shared = mine.toSet.intersect(theirs.toSet)
+        assert(shared.isEmpty,
+          s"${shared.size} instants claimed by BOTH JVMs: " +
+            shared.take(5).mkString(", "))
+        val Array(childStart, childEnd) = scala.util.Using.resource(
+          scala.io.Source.fromFile(new java.io.File(syncDir, "window.2")))(
+          _.mkString.trim.split(":").map(_.toLong))
         math.min(loopEnd, childEnd) - math.max(loopStart, childStart)
-      assert(overlap >= 100L,
-        s"claim loops did not meaningfully overlap (overlap=${overlap}ms " +
-          s"host=[$loopStart,$loopEnd] child=[$childStart,$childEnd]); " +
-          "arbitration was never contested")
-    } finally {
-      if (proc.isAlive) proc.destroyForcibly()
+      } finally {
+        if (proc.isAlive) proc.destroyForcibly()
+      }
     }
+    // Contestedness is SCHEDULER-dependent (a loaded host can deliver
+    // the child to the start line late enough that the windows barely
+    // touch), so it gets retries; exclusivity never does. Failing the
+    // test on one quiet-precondition miss would report a concurrency
+    // bug that is actually CI load.
+    val overlaps = scala.collection.mutable.ListBuffer.empty[Long]
+    var attempt = 1
+    while (overlaps.lastOption.forall(_ < 100L) && attempt <= 3) {
+      overlaps += race(attempt)
+      attempt += 1
+    }
+    assert(overlaps.last >= 100L,
+      s"claim loops never meaningfully overlapped in ${overlaps.size} " +
+        s"attempts (overlaps=${overlaps.mkString(",")}ms); " +
+        "arbitration was never contested")
   }
 
   test("maintained signature index survives archive, clean, and compaction between reconciles") {
