@@ -126,12 +126,13 @@ object DedupOps {
       WHERE group_size > 1 ORDER BY doc_id"""))
 
   /** MinHash signatures of a (doc_id, text) relation, PACKED as one
-    * row per doc with the 16 LSH band keys in an array column — the
-    * storable shape: a signature store keyed by doc_id makes doc
+    * row per doc with the 16 LSH band keys in an array column plus
+    * the shingle-set fingerprint `fp` (the skew-collapse group key) —
+    * the storable shape: a signature store keyed by doc_id makes doc
     * updates plain upserts (no stale-band bookkeeping), and candidate
-    * generation is just an explode + band-key equi-join. One
-    * scan→split→explode→groupBy per call; no shuffle before the
-    * signature aggregation.
+    * generation is just an explode + band-key equi-join over group
+    * representatives. One scan→split→explode→groupBy per call; no
+    * shuffle before the signature aggregation.
     *
     * EVERY input doc gets an output row: a text too short to shingle
     * yields an EMPTY band array (explode_outer keeps the doc through
@@ -152,15 +153,32 @@ object DedupOps {
     val sh = shingles(docs, 3, outer = true)
     val hashed = sh.withColumn("x",
       conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long") % P)
-    val sigAggs = (0 until NumHashes).map(i =>
-      min((lit(hashA(i)) * col("x") + lit(hashB(i))) % P).as(s"h$i"))
-    val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    // fp: order-independent fingerprint of the doc's distinct shingle
+    // HASH set (sorted, comma-joined, md5) — the exact-duplicate
+    // group key the skew collapse groups on: equal shingle sets ⟹
+    // equal fp ⟹ jaccard exactly 1 against each other and equal
+    // jaccard against any third doc, so one representative can stand
+    // for the whole group in every band join. Computed on the hashes
+    // (LONGs) rather than the shingle strings so the sort order is
+    // engine-portable (integer sort, no collation).
+    val fpAgg = md5(array_join(
+      transform(array_sort(collect_set(col("x"))), _.cast("string")),
+      ",")).as("fp0")
+    val sigs = hashed.groupBy("doc_id")
+      .agg(sigAggs(0), sigAggs.drop(1) :+ fpAgg: _*)
     val bandKeys = (0 until Bands).map(b =>
       concat_ws(":", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
     sigs.select(col("doc_id"),
       when(col("h0").isNotNull, array(bandKeys: _*))
-        .otherwise(array().cast("array<string>")).as("bands"))
+        .otherwise(array().cast("array<string>")).as("bands"),
+      // a doc too short to shingle fingerprints NULL: it can never
+      // star-group (two shingle-less docs are NOT jaccard-1 pairs)
+      when(col("h0").isNotNull, col("fp0"))
+        .otherwise(lit(null).cast("string")).as("fp"))
   }
+
+  private def sigAggs: Seq[Column] = (0 until NumHashes).map(i =>
+    min((lit(hashA(i)) * col("x") + lit(hashB(i))) % P).as(s"h$i"))
 
   /** Exact-Jaccard (word 3-gram, ≥ 0.5) verification of candidate
     * (a, b) pairs against the doc texts in `docs` — the caller decides
@@ -216,37 +234,76 @@ object DedupOps {
   /** MinHash (32 perms) + LSH (16 bands × 2 rows) candidate
     * generation, exact-Jaccard (word 3-gram) post-filter at 0.5 —
     * the body of dedup2, shared with pipe2's canonical selection.
-    * Returns verified (a, b, jaccard) pairs, unordered. */
+    * SKEW-COLLAPSED like [[graft.queries.MultimodalOps.pairsFromSigs]]:
+    * docs with byte-equal shingle sets (fp) group to a min-doc_id
+    * representative; a cluster of k exact copies — the boilerplate
+    * shape a 100 TB corpus carries at k = 10⁵⁺ — emits k-1 STAR
+    * edges (rep, member, jaccard 1.0) instead of O(k²) band-join
+    * candidates, verify joins, and output rows. Cross-group
+    * candidates band-join representatives only and verify once per
+    * group pair; equal-set members share every jaccard, so component
+    * structure and canonical selection downstream are provably
+    * unchanged. Returns (a, b, jaccard) pairs, unordered; jaccard =
+    * 1.0 rows are exactly the star edges (jaccard 1 ⟺ equal sets). */
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
       // the shingle relation feeds both the signature and verification
       // branches; it is a narrow scan→split→explode pipeline (per-doc
       // array_distinct, no shuffle), so re-deriving it per consumer is
       // cheaper than a cache round-trip
       val c = corpus(s, dir)
-      val bands = minhashBands(c)
+      val byFp = Window.partitionBy("fp")
+      val withRep = minhashBands(c).filter(col("fp").isNotNull)
+        .select(col("doc_id"), col("bands"),
+          min("doc_id").over(byFp).as("rep"))
+      val star = withRep.filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("doc_id").as("b"),
+          lit(1.0).as("jaccard"))
+      val bands = withRep.filter(col("doc_id") === col("rep"))
         .select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = bands.as("l").join(bands.as("r"),
           col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
-      verifyJaccard(cand, c)
+      star.unionByName(verifyJaccard(cand, c))
   }
 
-  /** Brute-force verified-pair CTEs (`pairs` = (a, b, jaccard) at
-    * jaccard ≥ 0.5) — the ONE definition both dedup2's oracle and
-    * pipe2's build on, so a threshold or shingle-width change cannot
-    * split the two gates. Callers prepend `corpusSql`. */
+  /** Skew-collapsed verified-pair CTEs (`pairs` = (a, b, jaccard)) —
+    * the ONE definition dedup2's, pipe4's, and the canonical gates'
+    * oracles build on, so a threshold, shingle-width, or collapse
+    * change cannot split them. The DuckDB replay of
+    * [[minhashPairs]]'s contract: group byte-equal shingle sets (fp
+    * over the portable 48-bit shingle hashes — integer sort, no
+    * collation dependence) to a min-doc_id representative, emit star
+    * edges (rep, member, 1.0) inside each group, and brute-force
+    * exact Jaccard ≥ 0.5 over REPRESENTATIVES for the cross pairs —
+    * a banding recall loss on the Spark side still hash-mismatches.
+    * Callers prepend `corpusSql`. */
   private[queries] def pairsCteSql: String =
     s"""${shinglesSql(3)},
       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      pfp AS (SELECT doc_id,
+          md5(array_to_string(list_sort(list(DISTINCT
+            CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) % $P)), ','))
+            AS fp
+        FROM sh GROUP BY doc_id),
+      prep AS (SELECT fp, MIN(doc_id) AS rep FROM pfp GROUP BY fp),
+      shr AS (SELECT s.doc_id, s.sh
+        FROM sh s JOIN prep p ON s.doc_id = p.rep),
       inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
-      pairs AS (SELECT a, b,
-          CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) AS jaccard
+      pairs AS (
+        SELECT p.rep AS a, f.doc_id AS b, CAST(1 AS DOUBLE) AS jaccard
+        FROM pfp f JOIN prep p USING (fp) WHERE f.doc_id <> p.rep
+        UNION ALL
+        SELECT a, b,
+          CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE)
+            AS jaccard
         FROM inter
         JOIN sz za ON a = za.doc_id
         JOIN sz zb ON b = zb.doc_id
-        WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.5)"""
+        WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE)
+          >= 0.5)"""
 
   /** dedup2 — MinHash (32 perms) + LSH (16 bands × 2 rows) candidate
     * generation, exact-Jaccard (word 3-gram) post-filter at 0.5. */

@@ -341,21 +341,71 @@ object MultimodalOps {
     * (doc_id, hash_hi, hash_lo) — the ONE hamming pair generator
     * every hash-bearing modality shares (image aHash mm6, audio
     * envelope mm9, video majority-fold mm11, and pipe7/pipe8's
-    * unions): explode into 8 hamming bands ([[banded]]), band-bucket
-    * equi-join, exact hamming ≤ 7, emitted as (a, b, hamming) with
-    * a < b, unordered. Defining the threshold and band fan-out HERE
-    * means a change moves every modality together instead of
-    * desyncing them. */
+    * unions), SKEW-COLLAPSED: docs with byte-equal signatures group
+    * to a representative (min doc_id) first, so a cluster of k
+    * exact-signature duplicates — boilerplate frames, re-uploaded
+    * clips, the k = 10⁵⁺ shape real pretraining corpora carry —
+    * costs k-1 STAR edges (rep → member, hamming 0) instead of
+    * O(k²) pairs in the band join, the distinct, and every persisted
+    * pairs table downstream. Cross-group candidates band-join
+    * REPRESENTATIVES only (8 hamming bands; pigeonhole gives full
+    * recall at hamming ≤ 7, never all-pairs) and each group pair is
+    * emitted once: byte-equal members share every hamming distance,
+    * so connectivity — and therefore component structure and
+    * canonical selection — is provably identical to the full pair
+    * set (any full pair (x, y) is implied by x–rep_x star 0,
+    * rep_x–rep_y cross at hamming(x, y), rep_y–y star 0). Output
+    * (a, b, hamming), a < b, unordered; hamming = 0 rows are exactly
+    * the star edges (hamming 0 ⟺ byte-equal signatures). Defining
+    * the threshold, banding, and collapse HERE moves every modality
+    * together instead of desyncing them. */
   private[queries] def pairsFromSigs(sig: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val blocks = banded(sig)
-    blocks.as("l").join(blocks.as("r"),
+    import org.apache.spark.sql.expressions.Window
+    // one hash shuffle on the 16-byte signature; a k-member group is
+    // k 24-byte rows in one partition (rows, not pairs — the point)
+    val byGroup = Window.partitionBy("hash_hi", "hash_lo")
+    val withRep = sig.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+      min("doc_id").over(byGroup).as("rep"))
+    val star = withRep.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"),
+        lit(0).as("hamming"))
+    val blocks = banded(withRep.filter(col("doc_id") === col("rep"))
+      .select("doc_id", "hash_hi", "hash_lo"))
+    val cross = blocks.as("l").join(blocks.as("r"),
         col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         hammingCol.as("hamming"))
       .distinct()
       .filter(col("hamming") <= 7)
+    star.unionByName(cross)
   }
+
+  /** The collapsed-pair oracle tail every signature oracle shares:
+    * given a signature CTE `(doc_id, hi, lo)`, group byte-equal
+    * signatures to a min-doc_id representative, emit star edges
+    * inside each group (hamming 0) plus BRUTE-FORCE cross pairs over
+    * representatives at hamming ≤ 7 — the DuckDB replay of
+    * [[pairsFromSigs]]'s contract (cross hamming is ≥ 1 by
+    * construction: distinct groups have distinct signatures). `p`
+    * prefixes the helper CTE names so a joint gate composing several
+    * modality chains stays name-disjoint; the pair set lands in
+    * `${p}cpairs`. */
+  private[queries] def collapsedPairCtes(sig: String, p: String): String =
+    s"""${p}grp AS (SELECT doc_id, hi, lo,
+          MIN(doc_id) OVER (PARTITION BY hi, lo) AS rep FROM $sig),
+      ${p}reps AS (SELECT hi, lo, MIN(doc_id) AS rep FROM $sig
+        GROUP BY hi, lo),
+      ${p}cpairs AS (
+        SELECT rep AS a, doc_id AS b, CAST(0 AS INT) AS hamming
+        FROM ${p}grp WHERE doc_id <> rep
+        UNION ALL
+        SELECT x.rep AS a, y.rep AS b,
+          CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+            AS INT) AS hamming
+        FROM ${p}reps x JOIN ${p}reps y ON x.rep < y.rep
+        WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+          <= 7)"""
 
   /** Shared DuckDB oracle body for the perceptual-hash gates: replay
     * the fixture arithmetic, 16×16 → 8×8 binning, mean threshold, bit
@@ -379,13 +429,9 @@ object MultimodalOps {
   private def phashOracle(
       sdSql: String, brightSql: String, popSql: String,
       alive: String): String =
-    s"""WITH ${phashSigCtesFor(sdSql, brightSql, popSql, alive)}
-      SELECT a.doc_id AS a, b.doc_id AS b,
-        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
-          AS hamming
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
-      ORDER BY a, b"""
+    s"""WITH ${phashSigCtesFor(sdSql, brightSql, popSql, alive)},
+      ${collapsedPairCtes("sig", "c")}
+      SELECT a, b, hamming FROM ccpairs ORDER BY a, b"""
 
   private def phashSigCtesFor(
       sdSql: String, brightSql: String, popSql: String,
@@ -493,11 +539,15 @@ object MultimodalOps {
     *
     * State = a SIGNATURE STORE keyed by doc_id (hash halves; updates
     * are plain upserts, preCombine keeps the newest) and a PAIRS
-    * table keyed (a, b). Cost is O(churn) per call: only churn
-    * payloads are decoded/hashed; candidates come from churn bands
-    * equi-joined against the store; the pairs reconciliation is ONE
-    * mixed upsert+tombstone commit. No full-corpus stage after
-    * bootstrap. */
+    * table keyed (a, b) holding the SKEW-COLLAPSED pair set — the
+    * [[pairsFromSigs]] contract (star edges inside byte-equal
+    * signature groups, one cross pair per group pair), so a cluster
+    * of k identical payloads persists k-1 rows, never O(k²). Cost is
+    * O(churn + affected-group size) per call: only churn payloads are
+    * decoded/hashed; candidates come from affected-group reps
+    * band-probed against the store's group reps; the pairs
+    * reconciliation is ONE mixed upsert+tombstone commit. No
+    * full-corpus decode stage after bootstrap. */
   private[graft] def phashReconcile(
       churnImgs: org.apache.spark.sql.DataFrame,
       deletedIds: org.apache.spark.sql.DataFrame,
@@ -556,33 +606,75 @@ object MultimodalOps {
           preStore.select("doc_id", "hash_hi", "hash_lo")
             .join(newSigs.select("doc_id").unionByName(delC),
               Seq("doc_id"), "left_anti"))
-      // candidates: churn bands × store bands (store includes the
-      // churn, so pairs wholly inside the batch are found too);
-      // least/greatest-normalized so each pair lands once
-      val cand = cache(banded(newSigs).as("l").join(banded(store).as("r"),
+      // SKEW-COLLAPSED incremental reconcile — maintains exactly the
+      // [[pairsFromSigs]] contract (star edges inside byte-equal
+      // signature groups, one cross pair per group pair): a cluster
+      // of k identical signatures holds k-1 persisted pairs, not
+      // O(k²), and a churned cluster member re-derives O(k) pairs,
+      // not O(k²). AFFECTED groups are the signatures that gained,
+      // lost, or re-hashed a member this batch: the churn's NEW
+      // signatures plus the PRE-store signatures of churned/departed
+      // docs (a delete can promote a new representative; an insert
+      // with a smaller id can demote one — either rewrites the
+      // group's star edges and cross endpoints, which is why the
+      // tombstone scope below is group members, not just churn ids).
+      val churnIds = cache(newSigs.select("doc_id").unionByName(delC)
+        .distinct())
+      val oldSigsOfTouched =
+        if (storeWasEmpty) newSigs.limit(0)
+        else preStore.select("doc_id", "hash_hi", "hash_lo")
+          .join(churnIds, Seq("doc_id"), "leftsemi")
+      val affectedSigs = cache(newSigs.select("hash_hi", "hash_lo")
+        .unionByName(oldSigsOfTouched.select("hash_hi", "hash_lo"))
+        .distinct())
+      // post-store members of affected groups, and their min-id reps
+      val affectedMembers = cache(store.join(affectedSigs,
+        Seq("hash_hi", "hash_lo"), "leftsemi"))
+      val affectedReps = cache(affectedMembers
+        .groupBy("hash_hi", "hash_lo").agg(min("doc_id").as("doc_id")))
+      val star = affectedMembers.as("m").join(affectedReps.as("g"),
+          col("m.hash_hi") === col("g.hash_hi") &&
+            col("m.hash_lo") === col("g.hash_lo") &&
+            col("m.doc_id") =!= col("g.doc_id"))
+        .select(col("g.doc_id").as("a"), col("m.doc_id").as("b"),
+          lit(0).as("hamming"))
+      // cross candidates: affected-group reps band-probed against ALL
+      // group reps (one partial-agg pass over the store — the same
+      // store scan the pre-collapse band probe paid, minus the 8×
+      // explode of every member); pairs wholly inside the batch are
+      // found because affected reps are themselves store reps
+      val allReps = store.groupBy("hash_hi", "hash_lo")
+        .agg(min("doc_id").as("doc_id"))
+      val cross = banded(affectedReps).as("l")
+        .join(banded(allReps).as("r"),
           col("l.blk") === col("r.blk") &&
             col("l.doc_id") =!= col("r.doc_id"))
         .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
           greatest(col("l.doc_id"), col("r.doc_id")).as("b"),
           hammingCol.as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 7))
+        .filter(col("hamming") <= 7)
+      val cand = cache(star.unionByName(cross))
       cand.count()
       if (pairsBootstrap)
         pairs.upsert(cand.withColumn("ts", lit(ts)), tag = tag,
           combine = false)
       else {
-        // stored pairs touching a churned or departed doc are the
-        // tombstone side; re-derived pairs the upsert side; a pair on
-        // both is an update. OR-of-keys as two hash semi-joins.
-        val churnIds = cache(newSigs.select("doc_id").unionByName(delC)
-          .distinct())
+        // tombstone side: stored pairs touching any CURRENT member of
+        // an affected group (their star/cross edges were re-derived
+        // above — an unchanged edge is an update) or any churned/
+        // departed id (their edges must die or re-home). A pair
+        // between two unaffected groups touches neither — reps can't
+        // have changed, so it is untouched. OR-of-keys as two hash
+        // semi-joins.
+        val staleIds = cache(affectedMembers.select("doc_id")
+          .unionByName(churnIds).distinct())
         val cur = pairsSnap.select("a", "b")
         val touched = cur
-          .join(churnIds.withColumnRenamed("doc_id", "a"), Seq("a"),
+          .join(staleIds.withColumnRenamed("doc_id", "a"), Seq("a"),
             "leftsemi")
           .unionByName(cur.join(
-            churnIds.withColumnRenamed("doc_id", "b"), Seq("b"),
+            staleIds.withColumnRenamed("doc_id", "b"), Seq("b"),
             "leftsemi"))
           .distinct()
         pairs.upsertWithDeletes(cand.withColumn("ts", lit(ts)), touched,
@@ -838,13 +930,9 @@ object MultimodalOps {
     * side hash-mismatches. */
   private def envOracle(
       sdSql: String, sclSql: String, alive: String): String =
-    s"""WITH ${envSigCtes(sdSql, sclSql, alive)}
-      SELECT a.doc_id AS a, b.doc_id AS b,
-        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
-          AS hamming
-      FROM esig a JOIN esig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
-      ORDER BY a, b"""
+    s"""WITH ${envSigCtes(sdSql, sclSql, alive)},
+      ${collapsedPairCtes("esig", "ce")}
+      SELECT a, b, hamming FROM cecpairs ORDER BY a, b"""
 
   /** mm9 — PERCEPTUAL audio near-dup, the last dedup modality (text:
     * dedup2–6, image: mm6/mm7): every doc gets a deterministic mono
@@ -1026,13 +1114,9 @@ object MultimodalOps {
   private def videoOracle(
       sdSql: String, brightSql: String, dblSql: String,
       alive: String): String =
-    s"""WITH ${videoSigCtesFor(sdSql, brightSql, dblSql, alive)}
-      SELECT a.doc_id AS a, b.doc_id AS b,
-        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
-          AS hamming
-      FROM vsig a JOIN vsig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
-      ORDER BY a, b"""
+    s"""WITH ${videoSigCtesFor(sdSql, brightSql, dblSql, alive)},
+      ${collapsedPairCtes("vsig", "cv")}
+      SELECT a, b, hamming FROM cvcpairs ORDER BY a, b"""
 
   /** mm11's Spark pipeline as a reusable pair source (the video twin
     * of [[phashPairs]]): encode the (8, 3)-masked multi-frame

@@ -17,17 +17,21 @@ import graft.core.LakeTable
   * exercise the same code.
   *
   * State = two lake tables: a SIGNATURE STORE keyed by doc_id holding
-  * the LSH band keys packed as one array column (doc updates are plain
-  * upserts — preCombine picks the newest signature) and a verified-
-  * PAIRS table keyed (a, b).
+  * the LSH band keys packed as one array column plus the shingle-set
+  * fingerprint `fp` (doc updates are plain upserts — preCombine picks
+  * the newest signature) and a PAIRS table keyed (a, b) holding the
+  * SKEW-COLLAPSED pair set ([[graft.queries.DedupOps.minhashPairs]]'s
+  * contract): star edges (min-id rep → member, jaccard 1.0) inside
+  * byte-equal shingle-set groups, one verified cross pair per group
+  * pair — a cluster of k exact copies persists k-1 rows, never O(k²).
   *
-  * Scale: O(churn) per call — only the churn is re-shingled/re-hashed;
-  * candidates come from the churn's exploded bands equi-joined against
-  * the store; verification re-shingles only candidate docs; the pairs
-  * semi-joins split the OR-of-keys into two hash semi-joins; the
-  * reconciliation is ONE upsert+delete commit (a mixed tombstone+data
-  * delta append on MOR state tables). No full-corpus stage after
-  * bootstrap. */
+  * Scale: O(churn + affected-group size) per call — only the churn is
+  * re-shingled/re-hashed; candidates come from affected-group reps
+  * band-probed against the store's group reps; verification
+  * re-shingles only candidate docs; the pairs semi-joins split the
+  * OR-of-keys into two hash semi-joins; the reconciliation is ONE
+  * upsert+delete commit (a mixed tombstone+data delta append on MOR
+  * state tables). No full-corpus stage after bootstrap. */
 private[graft] object NearDupIndex {
 
   /** Apply one churn batch to the index.
@@ -104,53 +108,98 @@ private[graft] object NearDupIndex {
         sigs.upsertWithDeletes(newSigs.withColumn("ts", lit(ts)),
           deletedC, combine = false)
       }
-      // the PAIRS tombstone side (stored pairs touching a churned or
-      // departed doc) depends only on the pairs snapshot and the churn
-      // ids — both known NOW. Pin the snapshot and materialize the
-      // frame on a background thread so it rides the candidate/verify
-      // chain's shadow instead of serializing inside the final write's
+      // SKEW-COLLAPSED reconcile — maintains exactly the
+      // [[DedupOps.minhashPairs]] contract (star edges inside
+      // byte-equal shingle-set groups, one verified cross pair per
+      // group pair): a cluster of k exact copies holds k-1 persisted
+      // pairs and pays O(k) reconcile work, never O(k²) band-join
+      // candidates or verify joins. A store written before the
+      // collapse carries no fp column and cannot be reconciled
+      // incrementally — rebuild it with one bootstrap pass.
+      require(storeWasEmpty || preStore.columns.contains("fp"),
+        "signature store predates the skew-collapsed contract (no fp " +
+          s"column) - rebuild it with a bootstrap reconcile: ${sigs.basePath}")
+      val pairsSnap = pairs.snapshot()
+      val pairsBootstrap = !pairsSnap.columns.contains("a")
+      val churnIds = cache(churnC.select("doc_id")
+        .unionByName(deletedC).distinct())
+      // AFFECTED groups: shingle-set fingerprints that gained, lost,
+      // or re-hashed a member this batch — the churn's NEW fps plus
+      // the PRE-store fps of churned/departed docs (a delete can
+      // promote a new representative, an insert with a smaller id can
+      // demote one; either rewrites the group's star edges and cross
+      // endpoints, which is why the tombstone scope below is group
+      // members, not just churn ids)
+      val oldFps =
+        if (storeWasEmpty) newSigs.limit(0).select("fp")
+        else preStore.select("doc_id", "fp")
+          .join(churnIds, Seq("doc_id"), "leftsemi").select("fp")
+      val affectedFps = cache(newSigs.select("fp").unionByName(oldFps)
+        .filter(col("fp").isNotNull).distinct())
+      // post-write store content, derived as newSigs ∪ (pre-write
+      // store minus churn minus departed keys) instead of re-reading
+      // and merge-windowing the files just written: every churn doc
+      // has a row in newSigs, so the anti-join reproduces exactly
+      // what the read-side merge would pick. The departed ids join
+      // the anti side because their tombstones land in the background
+      // commit (preStore still has them).
+      val store =
+        if (storeWasEmpty) newSigs.select("doc_id", "bands", "fp")
+        else newSigs.select("doc_id", "bands", "fp").unionByName(
+          preStore.select("doc_id", "bands", "fp")
+            .join(newSigs.select("doc_id").unionByName(deletedC),
+              Seq("doc_id"), "left_anti"))
+      val affectedMembers = cache(store.join(affectedFps,
+        Seq("fp"), "leftsemi"))
+      // one group's bands are identical across members (equal sets ⟹
+      // equal minhashes), so any member's array represents the group
+      val affectedReps = cache(affectedMembers.groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), first("bands").as("bands")))
+      // PAIRS tombstone side: stored pairs touching any current
+      // member of an affected group (their edges are re-derived
+      // below — an unchanged edge is an update) or any churned/
+      // departed id. Dependencies are all pinned now; materialize on
+      // a background thread so it rides the candidate/verify chain's
+      // shadow instead of serializing inside the final write's
       // critical path. Persist registration stays on this thread (the
       // cache list is not thread-safe); only the count() runs behind.
       // Safe: nothing commits to PAIRS between this pin and the final
-      // write, and the future reads tables (pairs, churn cache) the
-      // sigs write never touches.
-      val pairsSnap = pairs.snapshot()
-      val pairsBootstrap = !pairsSnap.columns.contains("a")
+      // write, and the future reads tables the sigs write never
+      // touches.
       val touchedPre: Option[DataFrame] =
         if (pairsBootstrap) None
         else {
-          val churnIds = cache(churnC.select("doc_id")
-            .unionByName(deletedC).distinct())
+          val staleIds = cache(affectedMembers.select("doc_id")
+            .unionByName(churnIds).distinct())
           val cur = pairsSnap.select("a", "b")
           // OR-of-keys as two hash semi-joins, not one OR-join
           val touched = cache(
-            cur.join(churnIds.withColumnRenamed("doc_id", "a"),
+            cur.join(staleIds.withColumnRenamed("doc_id", "a"),
                 Seq("a"), "leftsemi")
               .unionByName(cur.join(
-                churnIds.withColumnRenamed("doc_id", "b"),
+                staleIds.withColumnRenamed("doc_id", "b"),
                 Seq("b"), "leftsemi"))
               .distinct())
           touchedJob = Future { touched.count() }
           Some(touched)
         }
-      // candidates: churn bands × the store (which now holds CURRENT
-      // signatures of the whole corpus — pairs wholly inside the
-      // churn are found the same way). The post-write store content
-      // is derived as newSigs ∪ (pre-write store minus churn minus
-      // departed keys) instead of re-reading and merge-windowing the
-      // files just written: every churn doc has a row in newSigs, so
-      // the anti-join reproduces exactly what the read-side merge
-      // would pick, one hash join cheaper than the merge window. The
-      // departed ids join the anti side because their tombstones now
-      // land in the same background commit (preStore still has them).
-      val lb = newSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
-      val store =
-        if (storeWasEmpty) newSigs
-        else newSigs.select("doc_id", "bands").unionByName(
-          preStore.select("doc_id", "bands")
-            .join(newSigs.select("doc_id").unionByName(deletedC),
-              Seq("doc_id"), "left_anti"))
-      val rb = store.select(col("doc_id"), explode(col("bands")).as("bk"))
+      // star edges for affected groups
+      val star = affectedMembers.as("m").join(affectedReps.as("g"),
+          col("m.fp") === col("g.fp") &&
+            col("m.doc_id") =!= col("g.doc_id"))
+        .select(col("g.doc_id").as("a"), col("m.doc_id").as("b"),
+          lit(1.0).as("jaccard"))
+      // cross candidates: affected-group reps band-probed against ALL
+      // group reps (one partial-agg pass over the store — the same
+      // store scan the pre-collapse probe paid, minus the band
+      // explode of every duplicate member); pairs wholly inside the
+      // batch are found because affected reps are themselves store
+      // reps
+      val allReps = store.filter(col("fp").isNotNull).groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), first("bands").as("bands"))
+      val lb = affectedReps
+        .select(col("doc_id"), explode(col("bands")).as("bk"))
+      val rb = allReps.select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = cache(lb.as("l").join(rb.as("r"),
           col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
         .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
@@ -158,8 +207,8 @@ private[graft] object NearDupIndex {
       val candIds = cand.select(col("a").as("doc_id"))
         .unionByName(cand.select(col("b").as("doc_id"))).distinct()
       // verification re-shingles only docs that appear in a candidate
-      val newPairs = cache(DedupOps.verifyJaccard(
-        cand, docsSnap.join(candIds, "doc_id"), Some(cache)))
+      val newPairs = cache(star.unionByName(DedupOps.verifyJaccard(
+        cand, docsSnap.join(candIds, "doc_id"), Some(cache))))
       // materialized for the same write-sizing reason as newSigs
       newPairs.count()
 

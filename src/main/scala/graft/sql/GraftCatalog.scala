@@ -536,10 +536,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             s"maintain_media_index: $detail in modality '$modality' — " +
               "expected image | audio[:threshold] | " +
               "video:<frameBytes>[:samples]")
-        def intArg(s: String, what: String): Int =
-          try s.toInt
-          catch { case _: NumberFormatException =>
-            badModality(s"$what '$s' is not an integer") }
+        def intArg(s: String, what: String, min: Int): Int = {
+          val v =
+            try s.toInt
+            catch { case _: NumberFormatException =>
+              badModality(s"$what '$s' is not an integer") }
+          // a non-positive frameBytes/samples (or negative threshold)
+          // would make the hash fn return None for EVERY payload —
+          // phashReconcile would then tombstone every churned doc as
+          // undecodable, silently emptying the store on a bootstrap
+          if (v < min) badModality(s"$what '$s' must be >= $min")
+          v
+        }
         val hashFn: org.apache.spark.sql.DataFrame =>
             org.apache.spark.sql.DataFrame =
           // split with limit -1 keeps trailing empty tokens, so
@@ -550,13 +558,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               MediaDecoder.envHash(_, "doc_id", "payload", 50)
             case Seq("audio", thr) =>
               MediaDecoder.envHash(_, "doc_id", "payload",
-                intArg(thr, "threshold"))
+                intArg(thr, "threshold", 0))
             case Seq("video", fb) =>
               MediaDecoder.videoHash(_, "doc_id", "payload",
-                intArg(fb, "frameBytes"), 5)
+                intArg(fb, "frameBytes", 1), 5)
             case Seq("video", fb, k) =>
               MediaDecoder.videoHash(_, "doc_id", "payload",
-                intArg(fb, "frameBytes"), intArg(k, "samples"))
+                intArg(fb, "frameBytes", 1), intArg(k, "samples", 1))
             case _ => badModality("unknown modality")
           }
         val snap = payloads.snapshot().select("doc_id", "payload")

@@ -61,11 +61,14 @@ object SignatureMaintenance {
       s"create the pairs table ((a, b) as primaryKey) first: $pairsPath")
     // the CDC source fixes its schema at stream start; a payload table
     // with no commits would bind a metadata-only feed (the
-    // NearDupMaintenance precondition)
-    require(LakeTable.load(spark, payloadsPath)
-        .schema.fieldNames.contains("doc_id"),
-      s"payloads table needs a first commit (schema with doc_id) " +
-        s"before attaching maintenance: $payloadsPath")
+    // NearDupMaintenance precondition). payloadCol checked here too:
+    // a misnamed payload column must fail fast with the service's own
+    // message, not as an opaque streaming analysis error after start
+    val payloadFields = LakeTable.load(spark, payloadsPath)
+      .schema.fieldNames.toSet
+    require(Seq("doc_id", payloadCol).forall(payloadFields.contains),
+      s"payloads table needs a first commit (schema with doc_id and " +
+        s"'$payloadCol') before attaching maintenance: $payloadsPath")
     val once = new ExactlyOnce(spark, checkpoint)
     spark.readStream.format("graft")
       .option("queryType", "cdc")

@@ -927,6 +927,61 @@ class PipelineOpsSpec extends AnyFunSuite {
       "silent doc kept a stale signature")
   }
 
+  test("duplicate-cluster skew: k equal signatures persist k-1 star edges, never O(k²)") {
+    // the 100-TB boilerplate-cluster defense: a cluster of k
+    // byte-identical payloads must land k-1 (rep → member, hamming 0)
+    // star edges in the maintained pairs table — with the rep's cross
+    // edges the ONLY link to other clusters — and a later insert with
+    // a SMALLER id must demote the rep: every star edge re-homes and
+    // the cross edge re-keys, still O(k) rows total
+    import graft.core.{LakeTable, TableProps}
+    import graft.queries.MultimodalOps
+    import spark.implicits._
+    def scratch(n: String) = {
+      val p = s"target/graft_scratch/skewstar_$n"
+      LakeTable.drop(spark, p); p
+    }
+    val sigs = LakeTable.create(spark, scratch("sigs"),
+      TableProps("sksigs", Seq("doc_id"), Some("ts"), Seq.empty,
+        tableType = "mor"))
+    val pairsT = LakeTable.create(spark, scratch("pairs"),
+      TableProps("skpairs", Seq("a", "b"), Some("ts"), Seq.empty,
+        tableType = "mor"))
+    def img(bump: Boolean): Array[Byte] =
+      MediaDecoder.encodeBmp24With(16, 16) { (x, y) =>
+        // bump whites out one whole 2×2 aHash cell: exactly that
+        // cell's mean-threshold bit flips → hamming 1, a near-dup
+        val v = if (bump && x < 2 && y < 2) 255 else (x * 37 + y * 53) % 256
+        (v << 16) | (v << 8) | v
+      }
+    val k = 40
+    // bootstrap: ids 10..10+k-1 all carry THE SAME image; id 5000 a
+    // single-pixel near-dup (cross partner)
+    val boot = ((10L until (10L + k)).map(id => (id, img(bump = false))) :+
+      (5000L, img(bump = true))).toDF("doc_id", "payload")
+    MultimodalOps.phashReconcile(boot,
+      Seq.empty[Long].toDF("doc_id"), sigs, pairsT, 1L)
+    val got1 = pairsT.snapshot().select("a", "b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val star1 = (11L until (10L + k)).map(m => (10L, m, 0)).toSet
+    assert(got1.filterNot(_._3 == 0).map(p => (p._1, p._2)) ==
+      Set((10L, 5000L)), s"cross edges wrong: $got1")
+    assert(got1.filter(_._3 == 0) == star1,
+      s"star edges not O(k): ${got1.size} rows for k=$k")
+    // churn: id 3 joins the cluster — rep demotes from 10 to 3, every
+    // star edge re-homes, the cross edge re-keys to (3, 5000)
+    MultimodalOps.phashReconcile(
+      Seq((3L, img(bump = false))).toDF("doc_id", "payload"),
+      Seq.empty[Long].toDF("doc_id"), sigs, pairsT, 2L)
+    val got2 = pairsT.snapshot().select("a", "b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val star2 = (10L until (10L + k)).map(m => (3L, m, 0)).toSet
+    assert(got2.filter(_._3 == 0) == star2, "rep demotion lost star edges")
+    assert(got2.filterNot(_._3 == 0).map(p => (p._1, p._2)) ==
+      Set((3L, 5000L)), "cross edge did not re-key to the new rep")
+    assert(got2.size == k + 1, s"pair table not O(k): ${got2.size}")
+  }
+
   test("envHash64: invariant to amplitude scale, silence padding, and sign; guards hold") {
     import MediaDecoder.{encodeWavPcm16, envHash64}
     def hamming(a: (Long, Long), b: (Long, Long)): Int =

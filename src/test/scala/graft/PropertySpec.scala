@@ -190,13 +190,33 @@ class PropertySpec extends AnyFunSuite {
       // require in NearDupMaintenance) — seed one doc before attaching
       docs.upsert(Seq((1L, fams.head)).toDF("doc_id", "text")
         .withColumn("ts", lit(0L)))
+      // pure-Scala model of the skew-collapsed contract: group
+      // byte-equal shingle SETS (the generator emits exact copies on
+      // different ids constantly, so rep promotion/demotion is
+      // exercised), star edges rep → member, exact Jaccard ≥ 0.5
+      // over representatives for the cross pairs
+      def shSet(t: String): Set[String] = {
+        val w = t.toLowerCase.trim.split("\\s+").toSeq
+        if (w.size >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+        else Set.empty
+      }
       def bruteForce(): Set[(Long, Long)] = {
-        val snap = docs.snapshot().select("doc_id", "text")
-        val allPairs = snap.select(col("doc_id").as("a"))
-          .crossJoin(snap.select(col("doc_id").as("b")))
-          .filter(col("a") < col("b"))
-        DedupOps.verifyJaccard(allPairs, snap)
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val cur = docs.snapshot().select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), shSet(r.getString(1))))
+          .filter(_._2.nonEmpty)
+        val grouped = cur.groupBy(_._2)
+        val star = grouped.values.flatMap { g =>
+          val ids = g.map(_._1); val rep = ids.min
+          ids.filter(_ != rep).map(m => (rep, m))
+        }
+        val reps = grouped.map { case (set, g) => (g.map(_._1).min, set) }
+          .toSeq
+        val cross = for {
+          (a, sa) <- reps; (b, sb) <- reps if a < b
+          inter = (sa & sb).size
+          if inter.toDouble / (sa.size + sb.size - inter) >= 0.5
+        } yield (a, b)
+        (star ++ cross).toSet
       }
       val q = NearDupMaintenance.start(spark, docsPath, sigPath, pairsPath, ckpt)
       try {
@@ -283,17 +303,11 @@ class PropertySpec extends AnyFunSuite {
         tableType = tableType))
       // in-memory corpus model: id → current image bytes
       val corpus = scala.collection.mutable.Map.empty[Long, Array[Byte]]
-      def bruteForce(): Set[(Long, Long, Int)] = {
-        val hs = corpus.toSeq.flatMap { case (id, bytes) =>
-          MediaDecoder.aHash64(bytes).map { case (hi, lo) => (id, hi, lo) }
-        }
-        (for {
-          (a, ahi, alo) <- hs; (b, bhi, blo) <- hs if a < b
-          h = java.lang.Long.bitCount(ahi ^ bhi) +
-            java.lang.Long.bitCount(alo ^ blo)
-          if h <= 7
-        } yield (a, b, h)).toSet
-      }
+      def bruteForce(): Set[(Long, Long, Int)] =
+        TestPairModel.collapsedPairs(
+          corpus.toSeq.flatMap { case (id, bytes) =>
+            MediaDecoder.aHash64(bytes).map { case (hi, lo) => (id, hi, lo) }
+          })
       samples(Gen.listOfN(6, opGen), 1).foreach { ops =>
         ops.zipWithIndex.foreach { case ((isDelete, rows), i) =>
           if (rows.nonEmpty) {
@@ -374,18 +388,12 @@ class PropertySpec extends AnyFunSuite {
         "papairs", Seq("a", "b"), Some("ts"), Seq.empty,
         tableType = tableType))
       val corpus = scala.collection.mutable.Map.empty[Long, Array[Byte]]
-      def bruteForce(): Set[(Long, Long, Int)] = {
-        val hs = corpus.toSeq.flatMap { case (id, bytes) =>
-          MediaDecoder.envHash64(bytes, 50).map { case (hi, lo) =>
-            (id, hi, lo) }
-        }
-        (for {
-          (a, ahi, alo) <- hs; (b, bhi, blo) <- hs if a < b
-          h = java.lang.Long.bitCount(ahi ^ bhi) +
-            java.lang.Long.bitCount(alo ^ blo)
-          if h <= 7
-        } yield (a, b, h)).toSet
-      }
+      def bruteForce(): Set[(Long, Long, Int)] =
+        TestPairModel.collapsedPairs(
+          corpus.toSeq.flatMap { case (id, bytes) =>
+            MediaDecoder.envHash64(bytes, 50).map { case (hi, lo) =>
+              (id, hi, lo) }
+          })
       samples(Gen.listOfN(6, opGen), 1).foreach { ops =>
         ops.zipWithIndex.foreach { case ((isDelete, rows), i) =>
           if (rows.nonEmpty) {
@@ -486,18 +494,12 @@ class PropertySpec extends AnyFunSuite {
         "pvpairs", Seq("a", "b"), Some("ts"), Seq.empty,
         tableType = tableType))
       val corpus = scala.collection.mutable.Map.empty[Long, Array[Byte]]
-      def bruteForce(): Set[(Long, Long, Int)] = {
-        val hs = corpus.toSeq.flatMap { case (id, bytes) =>
-          MediaDecoder.videoHash64(bytes, FrameBytes, 5).map {
-            case (hi, lo) => (id, hi, lo) }
-        }
-        (for {
-          (a, ahi, alo) <- hs; (b, bhi, blo) <- hs if a < b
-          h = java.lang.Long.bitCount(ahi ^ bhi) +
-            java.lang.Long.bitCount(alo ^ blo)
-          if h <= 7
-        } yield (a, b, h)).toSet
-      }
+      def bruteForce(): Set[(Long, Long, Int)] =
+        TestPairModel.collapsedPairs(
+          corpus.toSeq.flatMap { case (id, bytes) =>
+            MediaDecoder.videoHash64(bytes, FrameBytes, 5).map {
+              case (hi, lo) => (id, hi, lo) }
+          })
       samples(Gen.listOfN(6, opGen), 1).foreach { ops =>
         ops.zipWithIndex.foreach { case ((isDelete, rows), i) =>
           if (rows.nonEmpty) {

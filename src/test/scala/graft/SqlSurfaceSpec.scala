@@ -362,8 +362,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val sigIds = sql("SELECT doc_id FROM graft.db.mi_sigs")
       .collect().map(_.getLong(0)).toSet
     assert(sigIds == Set(1L, 2L, 4L), s"stale signature survived: $sigIds")
-    // malformed modality arguments fail with the crafted syntax error
-    for (bad <- Seq("audio:", "audio:abc", "video", "scent"))
+    // malformed modality arguments fail with the crafted syntax error —
+    // including NON-POSITIVE numerics ('video:0' would hash every
+    // payload to None and a bootstrap would silently EMPTY the store)
+    for (bad <- Seq("audio:", "audio:abc", "video", "scent",
+        "video:0", "video:-8", "video:54:0", "audio:-1"))
       assert(intercept[Exception](sql(s"""CALL graft.system.maintain_media_index(
         payloads_table => 'db.mi_pay', sigs_table => 'db.mi_sigs',
         pairs_table => 'db.mi_pairs', modality => '$bad',

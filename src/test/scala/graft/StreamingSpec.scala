@@ -882,6 +882,13 @@ class StreamingSpec extends AnyFunSuite {
       fail("crash-window replay must not re-reconcile the batch")
     })
     assert(once.lastBatchId(pairsTab) == lastId)
+    // misconfiguration fails fast at start() with the service's own
+    // message — a misnamed payload column must not surface later as
+    // an opaque streaming analysis error inside foreachBatch
+    val e = intercept[IllegalArgumentException](SignatureMaintenance.start(
+      spark, payPath, sigPath, pairsPath, tmp("smi_ckpt2_"),
+      payloadCol = "no_such_col"))
+    assert(e.getMessage.contains("no_such_col"), e.getMessage)
   }
 
   test("commit tail emits bootstrap-adopted rows with the adopting instant") {

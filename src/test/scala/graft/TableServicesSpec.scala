@@ -727,15 +727,10 @@ class TableServicesSpec extends AnyFunSuite {
         "svcpairs", Seq("a", "b"), Some("ts"), Seq.empty, tableType = "mor"))
       val corpus = scala.collection.mutable.Map.empty[Long, Array[Byte]]
       def check(label: String): Unit = {
-        val hs = corpus.toSeq.flatMap { case (id, b) =>
-          MediaDecoder.aHash64(b).map { case (hi, lo) => (id, hi, lo) }
-        }
-        val want = (for {
-          (a, ahi, alo) <- hs; (b, bhi, blo) <- hs if a < b
-          h = java.lang.Long.bitCount(ahi ^ bhi) +
-            java.lang.Long.bitCount(alo ^ blo)
-          if h <= 7
-        } yield (a, b)).toSet
+        val want = TestPairModel.collapsedPairs(
+          corpus.toSeq.flatMap { case (id, b) =>
+            MediaDecoder.aHash64(b).map { case (hi, lo) => (id, hi, lo) }
+          }).map { case (a, b, _) => (a, b) }
         val got = LakeTable.load(spark, pairs.basePath).snapshot()
           .select("a", "b").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
