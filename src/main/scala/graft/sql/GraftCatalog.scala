@@ -520,11 +520,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "silence threshold default 50), 'video:<frameBytes>[:samples]' " +
           "(time-fraction majority fold, samples default 5); " +
           "since_instant = '' bootstraps from the full snapshot, " +
-          "otherwise only the CDC churn after that instant is re-decoded",
+          "otherwise only the CDC churn after that instant is re-decoded. " +
+          "Returns the pairs-table cardinality plus this call's decode " +
+          "census (hashed/dropped churn payloads — monitor the drop " +
+          "rate: a codec regression looks like unique docs otherwise)",
         Seq("payloads_table" -> StringT, "sigs_table" -> StringT,
           "pairs_table" -> StringT, "modality" -> StringT,
           "since_instant" -> StringT),
-        "pairs BIGINT") { input =>
+        "pairs BIGINT, hashed BIGINT, dropped BIGINT") { input =>
         import graft.multimodal.MediaDecoder
         val payloads = lakeOf(input.getUTF8String(0).toString)
         val sigs = lakeOf(input.getUTF8String(1).toString)
@@ -582,9 +585,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             s"'${input.getUTF8String(0)}' has no commits yet - ingest at " +
             "least one batch before maintaining the media index")
         val ts = commits.last.instant.toLong
-        graft.queries.MultimodalOps.phashReconcile(
+        val stats = graft.queries.MultimodalOps.phashReconcile(
           churn, deleted, sigs, pairs, ts, hashFn)
-        Array(InternalRow(pairs.snapshot().count()))
+        Array(InternalRow(pairs.snapshot().count(), stats.hashed,
+          stats.dropped))
       }
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure $other")

@@ -45,6 +45,11 @@ import graft.core.LakeTable
   * [[SearchIndexMaintenance]] convention. */
 object SignatureMaintenance {
 
+  /** JSONL decode census sidecar inside the checkpoint dir: one
+    * `{"batch":…,"instant":…,"hashed":…,"dropped":…}` line per
+    * non-empty micro-batch. */
+  val DecodeStatsFile = "_decode_stats.jsonl"
+
   def start(
       spark: SparkSession,
       payloadsPath: String,
@@ -90,8 +95,24 @@ object SignatureMaintenance {
               val upserted = ups.withColumnRenamed(payloadCol, "payload")
               val ts = OffsetLog
                 .endOffsetInstant(spark, checkpoint, batchId).toLong
-              graft.queries.MultimodalOps.phashReconcile(
-                upserted, deletedIds, sigs, pairs, ts, hashFn, tag)
+              val stats = graft.queries.MultimodalOps.phashReconcile(
+                upserted, deletedIds, sigs, pairs, ts, tag = tag,
+                hashFn = hashFn)
+              // per-batch decode census, appended to a checkpoint
+              // sidecar: the service's drop-rate is a monitored
+              // number, not an invisible one. Written AFTER the
+              // tagged pairs commit — a crash loses at most the last
+              // line, never records a batch that didn't land; a
+              // replayed batch (marker lost) appends a duplicate
+              // line, which an aggregation by batch id collapses.
+              val line = s"""{"batch":$batchId,"instant":$ts,""" +
+                s""""hashed":${stats.hashed},"dropped":${stats.dropped}}"""
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(checkpoint, DecodeStatsFile),
+                java.util.Collections.singletonList(line),
+                java.nio.charset.StandardCharsets.UTF_8,
+                java.nio.file.StandardOpenOption.CREATE,
+                java.nio.file.StandardOpenOption.APPEND)
             }
           } finally batchC.unpersist()
         }

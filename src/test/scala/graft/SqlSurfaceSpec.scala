@@ -330,11 +330,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
       (1, X'${hex(img(5, bright = false))}', 1),
       (2, X'${hex(img(5, bright = true))}', 1),
       (3, X'${hex(img(900, bright = false))}', 1)""")
-    val n1 = sql("""CALL graft.system.maintain_media_index(
+    val r1 = sql("""CALL graft.system.maintain_media_index(
       payloads_table => 'db.mi_pay', sigs_table => 'db.mi_sigs',
       pairs_table => 'db.mi_pairs', modality => 'image',
-      since_instant => '')""").head().getLong(0)
+      since_instant => '')""").head()
+    val n1 = r1.getLong(0)
     assert(n1 == 1L)
+    // decode census rides the procedure output: 3 churn payloads, all
+    // decodable this call
+    assert((r1.getLong(1), r1.getLong(2)) == ((3L, 0L)),
+      s"census: $r1")
     def pairSet() = sql("SELECT a, b FROM graft.db.mi_pairs")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairSet() == Set((1L, 2L)))
@@ -343,22 +348,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).max
     sql(s"""INSERT INTO graft.db.mi_pay VALUES
       (4, X'${hex(img(900, bright = true))}', 2),
-      (2, X'${hex(img(7777, bright = false))}', 2)""")
-    val n2 = sql(s"""CALL graft.system.maintain_media_index(
+      (2, X'${hex(img(7777, bright = false))}', 2),
+      (5, X'00FF00', 2)""")
+    val r2 = sql(s"""CALL graft.system.maintain_media_index(
       payloads_table => 'db.mi_pay', sigs_table => 'db.mi_sigs',
       pairs_table => 'db.mi_pairs', modality => 'image',
-      since_instant => '$since')""").head().getLong(0)
+      since_instant => '$since')""").head()
+    val n2 = r2.getLong(0)
     assert(n2 == 1L, s"pairs after increment: $n2")
     assert(pairSet() == Set((3L, 4L)))
+    // doc 5's payload is undecodable: the census reports the drop
+    // instead of it vanishing silently
+    assert((r2.getLong(1), r2.getLong(2)) == ((2L, 1L)),
+      s"census: $r2")
     // RE-bootstrap after a payload delete: the stored signature of the
     // departed doc must be tombstoned (delete set = store ∖ snapshot),
     // not silently kept — a kept one could pair against future churn
     sql("DELETE FROM graft.db.mi_pay WHERE doc_id = 3")
-    val n3 = sql("""CALL graft.system.maintain_media_index(
+    val r3 = sql("""CALL graft.system.maintain_media_index(
       payloads_table => 'db.mi_pay', sigs_table => 'db.mi_sigs',
       pairs_table => 'db.mi_pairs', modality => 'image',
-      since_instant => '')""").head().getLong(0)
+      since_instant => '')""").head()
+    val n3 = r3.getLong(0)
     assert(n3 == 0L, s"pairs after re-bootstrap: $n3")
+    assert((r3.getLong(1), r3.getLong(2)) == ((3L, 1L)),
+      s"census: $r3")
     val sigIds = sql("SELECT doc_id FROM graft.db.mi_sigs")
       .collect().map(_.getLong(0)).toSet
     assert(sigIds == Set(1L, 2L, 4L), s"stale signature survived: $sigIds")

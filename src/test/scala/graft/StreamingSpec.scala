@@ -869,6 +869,16 @@ class StreamingSpec extends AnyFunSuite {
       assert(pairSet() == Set.empty, s"got ${pairSet()}")
       assert(sigIds() == Set(2L, 3L, 5L))
     } finally q3.stop()
+    // the decode census sidecar journals every non-empty batch; the
+    // undecodable re-encode of doc 1 must be a RECORDED drop, not an
+    // invisible one
+    val statsLines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(ckpt,
+        SignatureMaintenance.DecodeStatsFile)).toArray.map(_.toString)
+    assert(statsLines.length >= 3, statsLines.mkString("\n"))
+    assert(statsLines.last.contains("\"hashed\":0") &&
+      statsLines.last.contains("\"dropped\":1"),
+      s"last census line: ${statsLines.last}")
     // phase 4: crash-window replay — the tagged pairs commit landed
     // but the sidecar marker write was lost; the commit-tag safety
     // net (the tag phashReconcile now carries) skips the re-apply
