@@ -886,9 +886,10 @@ object CurationOps {
   /** pipe9 — MAINTAINED joint multimodal canonical selection: the
     * composition a 100 TB curation run executes at steady state.
     * pipe8 computes the joint verdict from BATCH pair generation;
-    * here the pair evidence comes from three MAINTAINED signature
-    * stores (image aHash, audio envelope, video majority-fold — the
-    * mm7/mm10/mm12 machinery) fed by ONE tri-modal payload lake table
+    * here the pair evidence comes from all FOUR maintained stores —
+    * image aHash, audio envelope, video majority-fold (the
+    * mm7/mm10/mm12 machinery) and text MinHash/LSH (pipe4's
+    * [[NearDupIndex]]) — fed by ONE quad-modal payload lake table
     * through ONE incremental scan per increment
     * ([[MultimodalOps.p9MaintainedPairs]]): per increment each store
     * does O(churn) decode+hash and a band probe, never a corpus
@@ -900,12 +901,13 @@ object CurationOps {
     * input is already tiny). The per-modality injection masks are
     * deliberately distinct, so clusters merge ACROSS modalities —
     * d ≡ 37 (mod 42) yields one cluster holding an audio pair, an
-    * image pair, and a video pair — and the keep-best policy is the
-    * ONE [[canonicalSelection]] shared with pipe2/pipe7/pipe8. Oracle
-    * = brute-force batch replay of the FINAL corpus through all three
-    * signature chains under the pipe9 masks + the same recursive
-    * components + ranking tail: the maintained stores must compose to
-    * exactly the batch answer. */
+    * image pair, and a video pair; d ≡ 15 (mod 42) chains a TEXT edge
+    * (d-1, d) to a VIDEO edge (d, d+1) — and the keep-best policy is
+    * the ONE [[canonicalSelection]] shared with pipe2/pipe7/pipe8.
+    * Oracle = brute-force batch replay of the FINAL corpus through
+    * all four modality chains under the pipe9 masks + the same
+    * recursive components + ranking tail: the maintained stores must
+    * compose to exactly the batch answer. */
   private val maintainedCanonicalQ = GQ(
     "pipe9_maintained_canonical",
     (s, dir) => canonicalSelection(s, dir, SimilarityOps.components(
@@ -927,7 +929,9 @@ object CurationOps {
         UNION ALL SELECT a, b FROM apairs
         UNION ALL SELECT b, a FROM apairs
         UNION ALL SELECT a, b FROM vpairs
-        UNION ALL SELECT b, a FROM vpairs""")}"""))
+        UNION ALL SELECT b, a FROM vpairs
+        UNION ALL SELECT a, b FROM t9pairs
+        UNION ALL SELECT b, a FROM t9pairs""")}"""))
 
   /** pipe4 — incremental near-dup maintenance: dedup2's MinHash+LSH
     * pipeline as a continuously-maintained SERVICE instead of a batch

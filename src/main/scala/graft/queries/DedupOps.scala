@@ -88,12 +88,14 @@ object DedupOps {
       .select(col("doc_id"), col("sh"))
   }
 
-  /** Same shingling in DuckDB ("sh" relation over corpus). */
-  private[queries] def shinglesSql(n: Int): String =
-    s"""sh AS (
+  /** Same shingling in DuckDB (a `${name}` relation over `$rel` —
+    * defaults give the historical "sh over corpus"). */
+  private[queries] def shinglesSql(
+      n: Int, rel: String = "corpus", name: String = "sh"): String =
+    s"""$name AS (
       SELECT doc_id, unnest(list_distinct(${shingleArrSql(n)})) AS sh
       FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-            FROM corpus))"""
+            FROM $rel))"""
 
   /** Exact Jaccard over the distinct-shingle relation for given pairs.
     * jaccard = |∩| / (|A| + |B| - |∩|): one double division of exact
@@ -278,30 +280,43 @@ object DedupOps {
     * exact Jaccard ≥ 0.5 over REPRESENTATIVES for the cross pairs —
     * a banding recall loss on the Spark side still hash-mismatches.
     * Callers prepend `corpusSql`. */
-  private[queries] def pairsCteSql: String =
-    s"""${shinglesSql(3)},
-      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-      pfp AS (SELECT doc_id,
+  private[queries] def pairsCteSql: String = collapsedTextPairCtes()
+
+  /** The same collapsed text-pair chain over an arbitrary
+    * (doc_id, text) CTE `$rel`, CTE names prefixed with `$p` — so a
+    * joint gate (pipe9's maintained text arm) can replay the contract
+    * over its own masked corpus in the same WITH as the media chains.
+    * The verified pair set lands in `${p}pairs`. */
+  private[queries] def collapsedTextPairCtes(
+      rel: String = "corpus", p: String = ""): String =
+    s"""${shinglesSql(3, rel, s"${p}sh")},
+      ${p}sz AS (SELECT doc_id, count(*) AS sz FROM ${p}sh
+        GROUP BY doc_id),
+      ${p}pfp AS (SELECT doc_id,
           md5(array_to_string(list_sort(list(DISTINCT
             CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) % $P)), ','))
             AS fp
-        FROM sh GROUP BY doc_id),
-      prep AS (SELECT fp, MIN(doc_id) AS rep FROM pfp GROUP BY fp),
-      shr AS (SELECT s.doc_id, s.sh
-        FROM sh s JOIN prep p ON s.doc_id = p.rep),
-      inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-        FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM ${p}sh GROUP BY doc_id),
+      ${p}prep AS (SELECT fp, MIN(doc_id) AS rep FROM ${p}pfp
+        GROUP BY fp),
+      ${p}shr AS (SELECT s.doc_id, s.sh
+        FROM ${p}sh s JOIN ${p}prep pr ON s.doc_id = pr.rep),
+      ${p}inter AS (SELECT a.doc_id AS a, b.doc_id AS b,
+          count(*) AS inter
+        FROM ${p}shr a JOIN ${p}shr b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
-      pairs AS (
-        SELECT p.rep AS a, f.doc_id AS b, CAST(1 AS DOUBLE) AS jaccard
-        FROM pfp f JOIN prep p USING (fp) WHERE f.doc_id <> p.rep
+      ${p}pairs AS (
+        SELECT pr.rep AS a, f.doc_id AS b, CAST(1 AS DOUBLE) AS jaccard
+        FROM ${p}pfp f JOIN ${p}prep pr USING (fp)
+        WHERE f.doc_id <> pr.rep
         UNION ALL
         SELECT a, b,
           CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE)
             AS jaccard
-        FROM inter
-        JOIN sz za ON a = za.doc_id
-        JOIN sz zb ON b = zb.doc_id
+        FROM ${p}inter
+        JOIN ${p}sz za ON a = za.doc_id
+        JOIN ${p}sz zb ON b = zb.doc_id
         WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE)
           >= 0.5)"""
 

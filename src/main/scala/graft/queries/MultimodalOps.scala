@@ -1184,6 +1184,18 @@ object MultimodalOps {
   private val P9AudChurn = (6, 0)
   private val P9VidSeed = (17, 8)
   private val P9VidChurn = (21, 16)
+  /** Text (4th maintained arm, round 14): doc d's payload text is the
+    * PREDECESSOR's original documents.text plus a 3-token suffix
+    * (3-gram jaccard G/(G+3) ≥ 0.5 on this corpus) when masked. The
+    * churn residue rides the % 3 membership leg (d % 6 == 3 ⟹
+    * d % 3 == 0) and composes a TEXT×VIDEO chained cluster with the
+    * video churn mask at d ≡ 15 (mod 42): text edge (d-1, d)
+    * (d % 6 == 3) and video edge (d, d+1) (d+1 ≡ 16 (mod 21),
+    * rate-family copy of d) — one cluster bridged across the two
+    * modalities, e.g. {56, 57, 58}. */
+  private val P9TxtSeed = (23, 7)
+  private val P9TxtChurn = (6, 3)
+  private val P9TxtSuffix = " extra token appended"
 
   /** A modality's pipe9 oracle mask expressions (sd, perturbationA,
     * perturbationB) from its seed and churn injection masks. Unlike
@@ -1206,40 +1218,72 @@ object MultimodalOps {
     (sd, p(0), p(1))
   }
 
-  /** The three pipe9 signature-CTE chains (image `sig`, audio `esig`,
-    * video `vsig`) composed under the pipe9 masks and the final-corpus
-    * alive filter — the oracle replay of what the three maintained
-    * stores hold after the churn reconcile. Name-disjoint by
-    * construction (the chains were prefixed for exactly this). */
+  /** The four pipe9 modality CTE chains — image `sig`, audio `esig`,
+    * video `vsig` signature chains plus the text final-corpus CTE
+    * `p9txt` and its collapsed verified pairs `t9pairs` — composed
+    * under the pipe9 masks and the final-corpus alive filter: the
+    * oracle replay of what the four maintained stores hold after the
+    * churn reconcile. Name-disjoint by construction (every chain is
+    * prefixed for exactly this). The text rule mirrors [[p9Frame]]:
+    * a churn member (% 3 == 0 or % 7 == 2) holds its CHURN payload
+    * (predecessor text + suffix iff % 6 == 3), every other alive doc
+    * its SEED payload (predecessor text + suffix iff % 23 == 7). */
   private[queries] def p9SigCtes: String = {
     val alive = "\n        WHERE NOT (" +
       mm7DelSql.replace("doc_id", "d.doc_id") + ")"
     val (isd, ibr, ipop) = p9MaskSql(P9ImgSeed, P9ImgChurn)
     val (asd, ascl, _) = p9MaskSql(P9AudSeed, P9AudChurn)
     val (vsd, vbr, vdbl) = p9MaskSql(P9VidSeed, P9VidChurn)
+    val txtCopy = s"p.text || '$P9TxtSuffix'"
     s"""${phashSigCtesFor(isd, ibr, ipop, alive)},
       ${envSigCtes(asd, ascl, alive)},
-      ${videoSigCtesFor(vsd, vbr, vdbl, alive)}"""
+      ${videoSigCtesFor(vsd, vbr, vdbl, alive)},
+      p9txt AS (SELECT d.doc_id,
+          CASE WHEN (d.doc_id % 3 = 0 OR d.doc_id % 7 = 2) THEN
+              CASE WHEN d.doc_id % ${P9TxtChurn._1} = ${P9TxtChurn._2}
+                  AND p.text IS NOT NULL
+                THEN $txtCopy ELSE d.text END
+            WHEN d.doc_id % ${P9TxtSeed._1} = ${P9TxtSeed._2}
+                AND p.text IS NOT NULL
+              THEN $txtCopy
+            ELSE d.text END AS text
+        FROM documents d
+        LEFT JOIN documents p ON p.doc_id = d.doc_id - 1$alive),
+      ${DedupOps.collapsedTextPairCtes("p9txt", "t9")}"""
   }
 
-  /** (doc_id) frame → (doc_id, img, aud, vid) payload frame: ONE
-    * encode pass emitting all three modality fixtures per doc under
+  /** (doc_id) frame → (doc_id, img, aud, vid, txt) payload frame: ONE
+    * encode pass emitting all four modality payloads per doc under
     * the pipe9 masks — the ingest-table shape of a multimodal corpus
-    * (payloads land together; signatures fan out per modality). */
+    * (payloads land together; signatures fan out per modality). The
+    * text payload derives from the REAL documents table (own text, or
+    * the predecessor's text + suffix when masked), so the oracle can
+    * replay it with one self-join. */
   private def p9Frame(
+      docsTexts: org.apache.spark.sql.DataFrame,
       df: org.apache.spark.sql.DataFrame, seed: Boolean)
       : org.apache.spark.sql.DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val (im, ia, iv) =
-      if (seed) (P9ImgSeed, P9AudSeed, P9VidSeed)
-      else (P9ImgChurn, P9AudChurn, P9VidChurn)
-    df.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(d =>
+    val (im, ia, iv, it) =
+      if (seed) (P9ImgSeed, P9AudSeed, P9VidSeed, P9TxtSeed)
+      else (P9ImgChurn, P9AudChurn, P9VidChurn, P9TxtChurn)
+    val prev = docsTexts.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("prev_text"))
+    val withTxt = df.select(col("doc_id"))
+      .join(docsTexts, Seq("doc_id"))
+      .join(prev, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % it._1 === it._2 && col("prev_text").isNotNull,
+          concat(col("prev_text"), lit(P9TxtSuffix)))
+          .otherwise(col("text")).as("txt"))
+    withTxt.as[(Long, String)]
+      .mapPartitions(_.map { case (d, txt) =>
         (d, phashFixture(d, im._1, im._2),
           audioNearDupFixture(d, ia._1, ia._2),
-          videoFixture(d, iv._1, iv._2))))
-      .toDF("doc_id", "img", "aud", "vid")
+          videoFixture(d, iv._1, iv._2), txt)
+      })
+      .toDF("doc_id", "img", "aud", "vid", "txt")
   }
 
   /** pipe9's maintained-store lifecycle: ONE tri-modal payload lake
@@ -1261,7 +1305,8 @@ object MultimodalOps {
       : org.apache.spark.sql.DataFrame = {
     import graft.core.{LakeTable, TableProps}
     def scr(n: String) = QueryPack.scratchDir(s, dir, n)
-    val ids = t(s, dir, "documents").select("doc_id")
+    val docsTexts = t(s, dir, "documents").select("doc_id", "text")
+    val ids = docsTexts.select("doc_id")
     val seedIds = ids.filter(col("doc_id") % 3 =!= 0)
     val churnIds = ids.filter(
       col("doc_id") % 3 === 0 || col("doc_id") % 7 === 2)
@@ -1286,34 +1331,60 @@ object MultimodalOps {
           TableProps(s"p9${m}p", Seq("a", "b"), Some("ts"), Seq.empty,
             tableType = "mor"))))
     }.toMap
-    // the three per-modality reconciles touch DISJOINT store tables
-    // and only read the shared payload frame — run each round
-    // concurrently (the pipe6 state-write shape): the fixed lake
-    // commit latency of three maintained stores overlaps instead of
-    // summing, which is also how a real ingest pipeline schedules them
+    // the 4th arm: the text MinHash/LSH maintained store — pipe4's
+    // NearDupIndex machinery over the same payload table's txt column,
+    // completing the batch/maintained symmetry with pipe8 (which
+    // unions all FOUR batch pair sources)
+    val txtSigs = LakeTable.create(s, scr("p9txts"),
+      TableProps("p9txts", Seq("doc_id"), Some("ts"), Seq.empty,
+        tableType = "mor"))
+    val txtPairs = LakeTable.create(s, scr("p9txtp"),
+      TableProps("p9txtp", Seq("a", "b"), Some("ts"), Seq.empty,
+        tableType = "mor"))
+    // the four per-modality reconciles touch DISJOINT store tables
+    // and only read the shared payload frame (parquet column pruning:
+    // each store pays only its own modality's payload bytes) — run
+    // each round concurrently (the pipe6 state-write shape): the
+    // fixed lake commit latency of four maintained stores overlaps
+    // instead of summing, which is also how a real ingest pipeline
+    // schedules them
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     def reconcileAll(
         payload: org.apache.spark.sql.DataFrame,
-        dels: org.apache.spark.sql.DataFrame, ts: Long): Unit =
-      Await.result(Future.sequence(mods.map { case (m, hf) =>
+        dels: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
+      val media = mods.map { case (m, hf) =>
         Future {
           val (sigs, prs) = stores(m)
           phashReconcile(payload.select(col("doc_id"), col(m).as("payload")),
             dels, sigs, prs, ts, hf)
+          ()
         }
-      }), Duration.Inf)
+      }
+      val text = Future {
+        graft.queries.NearDupIndex.reconcile(
+          payload.select(col("doc_id"), col("txt").as("text")),
+          dels,
+          payloads.snapshot().select(col("doc_id"), col("txt").as("text")),
+          txtSigs, txtPairs, ts)
+      }
+      Await.result(Future.sequence(media :+ text), Duration.Inf)
+      ()
+    }
     val c1 = payloads.upsert(
-      p9Frame(seedIds, seed = true).withColumn("ts", lit(1L)))
+      p9Frame(docsTexts, seedIds, seed = true).withColumn("ts", lit(1L)))
     reconcileAll(payloads.snapshot(), delIds.limit(0), 1L)
     payloads.upsertWithDeletes(
-      p9Frame(churnIds, seed = false).withColumn("ts", lit(2L)), delIds)
+      p9Frame(docsTexts, churnIds, seed = false).withColumn("ts", lit(2L)),
+      delIds)
     reconcileAll(payloads.incremental(c1), delIds, 2L)
     mods.map { case (m, _) =>
       stores(m)._2.snapshot()
         .select(col("a"), col("b"), lit(m).as("modality"))
     }.reduce(_ unionByName _)
+      .unionByName(txtPairs.snapshot()
+        .select(col("a"), col("b"), lit("txt").as("modality")))
   }
 
   /** mm12 — INCREMENTAL perceptual video dedup: [[incDedupScenario]]

@@ -737,7 +737,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     def deleted(d: Long) = d % 11 == 3 && d % 3 != 0 && d % 7 != 2
     assert(pairRows.nonEmpty)
-    Seq("img", "aud", "vid").foreach { m =>
+    Seq("img", "aud", "vid", "txt").foreach { m =>
       assert(pairRows.exists(_._3 == m), s"no maintained $m pairs")
     }
     val stale = pairRows.filter(p => deleted(p._1) || deleted(p._2))
@@ -769,6 +769,24 @@ class PipelineOpsSpec extends AnyFunSuite {
         Seq(35L, 36L, 37L).map(kept)}")
     assert(Seq(35L, 36L, 37L).count(dropped.contains) == 2,
       "tri-modal cluster must keep exactly one of its three members")
+    // the 4th (text) arm chains ACROSS modalities at d ≡ 15 (mod 42):
+    // text edge (56, 57) (57 % 6 == 3: churn re-texts 57 as 56's text
+    // + suffix) and video edge (57, 58) (58 ≡ 16 (mod 21): a
+    // brightness re-encode of 57's clip) — a TEXT×VIDEO chained
+    // cluster {56, 57, 58} the maintained stores must bridge to one
+    // survivor
+    assert(pairRows.contains((56L, 57L, "txt")),
+      "text×video chain missing its txt edge (56,57)")
+    assert(pairRows.contains((57L, 58L, "vid")),
+      "text×video chain missing its vid edge (57,58)")
+    assert(kept(56L) == kept(57L) && kept(57L) == kept(58L),
+      s"text×video cluster {56,57,58} not merged: ${
+        Seq(56L, 57L, 58L).map(kept)}")
+    // the cluster may extend beyond the injected trio (REAL document
+    // texts can be natural near-dups), so pin "at most one of the
+    // trio survives", not exact membership
+    assert(Seq(56L, 57L, 58L).count(dropped.contains) >= 2,
+      "text×video cluster kept more than one of its three members")
   }
 
   test("mm10: maintained audio pairs exclude departed docs and span both commit paths") {
