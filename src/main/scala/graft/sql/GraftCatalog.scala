@@ -268,6 +268,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       .join(snap.select("doc_id"), Seq("doc_id"), "left_anti")
   }
 
+  /** The ONE modality grammar shared by maintain_media_index and
+    * start_maintenance(family = 'media'): modality picks the 64-bit
+    * hash — image | audio[:threshold] | video:<frameBytes>[:samples].
+    * Numeric args are validated POSITIVE (threshold ≥ 0): a
+    * non-positive frameBytes/samples (or negative threshold) would
+    * make the hash fn return None for EVERY payload — the reconcile
+    * would then tombstone every churned doc as undecodable, silently
+    * emptying the store on a bootstrap. */
+  private def mediaHashFn(modality: String)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    import graft.multimodal.MediaDecoder
+    def badModality(detail: String): Nothing =
+      throw new IllegalArgumentException(
+        s"maintain_media_index: $detail in modality '$modality' — " +
+          "expected image | audio[:threshold] | " +
+          "video:<frameBytes>[:samples]")
+    def intArg(s: String, what: String, min: Int): Int = {
+      val v =
+        try s.toInt
+        catch { case _: NumberFormatException =>
+          badModality(s"$what '$s' is not an integer") }
+      if (v < min) badModality(s"$what '$s' must be >= $min")
+      v
+    }
+    // split with limit -1 keeps trailing empty tokens, so 'audio:'
+    // errors instead of silently taking the default
+    modality.split(":", -1).toSeq match {
+      case Seq("image") => MediaDecoder.aHash(_, "doc_id", "payload")
+      case Seq("audio") =>
+        MediaDecoder.envHash(_, "doc_id", "payload", 50)
+      case Seq("audio", thr) =>
+        MediaDecoder.envHash(_, "doc_id", "payload",
+          intArg(thr, "threshold", 0))
+      case Seq("video", fb) =>
+        MediaDecoder.videoHash(_, "doc_id", "payload",
+          intArg(fb, "frameBytes", 1), 5)
+      case Seq("video", fb, k) =>
+        MediaDecoder.videoHash(_, "doc_id", "payload",
+          intArg(fb, "frameBytes", 1), intArg(k, "samples", 1))
+      case _ => badModality("unknown modality")
+    }
+  }
+
   /** Boilerplate for a procedure returning a small local result set. */
   private def procedure(
       pname: String, desc: String,
@@ -427,11 +470,85 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             UTF8String.fromString(r.detail))
         }.toArray
       }
+      case "start_maintenance" => procedure(
+        "start_maintenance", "start one of the CONTINUOUS maintenance " +
+          "services (the CDC-fed streaming form of the maintain_* " +
+          "procedures) from SQL: family = 'neardup' " +
+          "(tables => 'docs,sigs,pairs'), 'media' " +
+          "(tables => 'payloads,sigs,pairs', modality as in " +
+          "maintain_media_index), or 'search' " +
+          "(tables => 'docs,postings,stats,totals'); modality = '' for " +
+          "the text families. The returned handle (= the checkpoint) " +
+          "stops it via stop_maintenance. The service is a Spark " +
+          "streaming query owned by THIS session — it dies with the " +
+          "session; re-CALL with the same checkpoint to resume " +
+          "exactly-once. Run ONE driver per index (this service OR the " +
+          "batch maintain_* procedure, never both over the same churn)",
+        Seq("family" -> StringT, "tables" -> StringT,
+          "modality" -> StringT, "checkpoint" -> StringT),
+        "handle STRING") { input =>
+        val family = input.getUTF8String(0).toString
+        val refs = input.getUTF8String(1).toString.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        val modality = input.getUTF8String(2).toString
+        val checkpoint = input.getUTF8String(3).toString
+        require(checkpoint.nonEmpty, "start_maintenance: empty checkpoint")
+        def paths(n: Int): Seq[String] = {
+          require(refs.length == n,
+            s"start_maintenance: family '$family' needs $n tables " +
+              s"(got ${refs.length}: ${refs.mkString(",")})")
+          refs.map(r => lakeOf(r).basePath)
+        }
+        val prior = GraftCatalog.maintenanceQueries.get(checkpoint)
+        require(prior == null || !prior.isActive,
+          s"start_maintenance: a service is already running on " +
+            s"checkpoint '$checkpoint' - stop_maintenance it first")
+        val q = family match {
+          case "neardup" =>
+            require(modality.isEmpty,
+              "start_maintenance: modality applies to family 'media' only")
+            val Seq(d, sg, pr) = paths(3)
+            graft.streaming.NearDupMaintenance.start(spark, d, sg, pr,
+              checkpoint)
+          case "media" =>
+            val Seq(p, sg, pr) = paths(3)
+            // reuse maintain_media_index's modality grammar by CALLING
+            // through the shared parser below
+            graft.streaming.SignatureMaintenance.start(spark, p, sg, pr,
+              checkpoint, hashFn = mediaHashFn(modality))
+          case "search" =>
+            require(modality.isEmpty,
+              "start_maintenance: modality applies to family 'media' only")
+            val Seq(d, po, st, to) = paths(4)
+            graft.streaming.SearchIndexMaintenance.start(spark, d, po, st,
+              to, checkpoint)
+          case other => throw new IllegalArgumentException(
+            s"start_maintenance: unknown family '$other' - expected " +
+              "neardup | media | search")
+        }
+        GraftCatalog.maintenanceQueries.put(checkpoint, q)
+        Array(InternalRow(UTF8String.fromString(checkpoint)))
+      }
+      case "stop_maintenance" => procedure(
+        "stop_maintenance", "stop a maintenance service started by " +
+          "start_maintenance in THIS session, by its handle (the " +
+          "checkpoint). Returns whether a running service was stopped; " +
+          "state is durable in the lake tables + checkpoint, so a later " +
+          "start_maintenance on the same checkpoint resumes exactly-once",
+        Seq("handle" -> StringT),
+        "stopped BOOLEAN") { input =>
+        val handle = input.getUTF8String(0).toString
+        val q = GraftCatalog.maintenanceQueries.remove(handle)
+        val live = q != null && q.isActive
+        if (live) q.stop()
+        Array(InternalRow(live))
+      }
       case "maintain_neardups" => procedure(
-        "maintain_neardups", "reconcile a near-dup signature store and " +
-          "verified-pairs table with a docs table's churn (the NearDupIndex " +
-          "increment): since_instant = '' bootstraps from the full snapshot; " +
-          "otherwise only the CDC churn after that instant is re-hashed",
+        "maintain_neardups", "reconcile a near-dup signature store " +
+          "(doc_id, bands ARRAY<STRING>, fp STRING, ts) and verified-pairs " +
+          "table with a docs table's churn (the NearDupIndex increment): " +
+          "since_instant = '' bootstraps from the full snapshot; otherwise " +
+          "only the CDC churn after that instant is re-hashed",
         Seq("docs_table" -> StringT, "sigs_table" -> StringT,
           "pairs_table" -> StringT, "since_instant" -> StringT),
         "pairs BIGINT") { input =>
@@ -528,48 +645,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "pairs_table" -> StringT, "modality" -> StringT,
           "since_instant" -> StringT),
         "pairs BIGINT, hashed BIGINT, dropped BIGINT") { input =>
-        import graft.multimodal.MediaDecoder
         val payloads = lakeOf(input.getUTF8String(0).toString)
         val sigs = lakeOf(input.getUTF8String(1).toString)
         val pairs = lakeOf(input.getUTF8String(2).toString)
         val modality = input.getUTF8String(3).toString
         val since = input.getUTF8String(4).toString
-        def badModality(detail: String): Nothing =
-          throw new IllegalArgumentException(
-            s"maintain_media_index: $detail in modality '$modality' — " +
-              "expected image | audio[:threshold] | " +
-              "video:<frameBytes>[:samples]")
-        def intArg(s: String, what: String, min: Int): Int = {
-          val v =
-            try s.toInt
-            catch { case _: NumberFormatException =>
-              badModality(s"$what '$s' is not an integer") }
-          // a non-positive frameBytes/samples (or negative threshold)
-          // would make the hash fn return None for EVERY payload —
-          // phashReconcile would then tombstone every churned doc as
-          // undecodable, silently emptying the store on a bootstrap
-          if (v < min) badModality(s"$what '$s' must be >= $min")
-          v
-        }
-        val hashFn: org.apache.spark.sql.DataFrame =>
-            org.apache.spark.sql.DataFrame =
-          // split with limit -1 keeps trailing empty tokens, so
-          // 'audio:' errors instead of silently taking the default
-          modality.split(":", -1).toSeq match {
-            case Seq("image") => MediaDecoder.aHash(_, "doc_id", "payload")
-            case Seq("audio") =>
-              MediaDecoder.envHash(_, "doc_id", "payload", 50)
-            case Seq("audio", thr) =>
-              MediaDecoder.envHash(_, "doc_id", "payload",
-                intArg(thr, "threshold", 0))
-            case Seq("video", fb) =>
-              MediaDecoder.videoHash(_, "doc_id", "payload",
-                intArg(fb, "frameBytes", 1), 5)
-            case Seq("video", fb, k) =>
-              MediaDecoder.videoHash(_, "doc_id", "payload",
-                intArg(fb, "frameBytes", 1), intArg(k, "samples", 1))
-            case _ => badModality("unknown modality")
-          }
+        val hashFn = mediaHashFn(modality)
         val snap = payloads.snapshot().select("doc_id", "payload")
         val (churn, deleted) =
           if (since.isEmpty) (snap, staleStoreIds(sigs, snap))
@@ -599,6 +680,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       "run_clustering", "run_zorder", "rollback_to_instant",
       "create_savepoint", "delete_savepoint", "show_fsview",
       "show_savepoints", "clean_orphans", "sync_database",
-      "maintain_neardups", "maintain_search_index", "maintain_media_index")
+      "maintain_neardups", "maintain_search_index", "maintain_media_index",
+      "start_maintenance", "stop_maintenance")
       .map(Identifier.of(Array("system"), _))
+}
+
+object GraftCatalog {
+  /** Live maintenance services started by `CALL start_maintenance`,
+    * keyed by checkpoint (the handle). Session-scoped by nature — a
+    * streaming query lives in the SparkSession that started it; the
+    * durable state is the lake tables + checkpoint, so a later
+    * start_maintenance on the same checkpoint resumes exactly-once. */
+  private[sql] val maintenanceQueries =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.streaming.StreamingQuery]()
 }

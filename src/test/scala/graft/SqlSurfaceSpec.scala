@@ -274,7 +274,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       sql(s"DROP TABLE IF EXISTS graft.db.$t")
     sql("""CREATE TABLE graft.db.nd_docs (doc_id BIGINT, text STRING, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
-    sql("""CREATE TABLE graft.db.nd_sigs (doc_id BIGINT, bands ARRAY<STRING>, ts BIGINT)
+    sql("""CREATE TABLE graft.db.nd_sigs (doc_id BIGINT, bands ARRAY<STRING>,
+        fp STRING, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
     sql("""CREATE TABLE graft.db.nd_pairs (a BIGINT, b BIGINT, jaccard DOUBLE, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'a,b', preCombineField = 'ts')""")
@@ -386,6 +387,92 @@ class SqlSurfaceSpec extends AnyFunSuite {
         pairs_table => 'db.mi_pairs', modality => '$bad',
         since_instant => '')""").collect())
         .getMessage.contains("maintain_media_index"), s"modality '$bad'")
+  }
+
+  test("CALL start_maintenance/stop_maintenance drive the streaming services from SQL") {
+    import graft.multimodal.MediaDecoder
+    for (t <- Seq("sm_pay", "sm_sigs", "sm_pairs", "sm_docs", "sm_tsigs",
+        "sm_tpairs"))
+      sql(s"DROP TABLE IF EXISTS graft.db.$t")
+    sql("""CREATE TABLE graft.db.sm_pay (doc_id BIGINT, payload BINARY, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
+    sql("""CREATE TABLE graft.db.sm_sigs (doc_id BIGINT, hash_hi BIGINT,
+        hash_lo BIGINT, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
+    sql("""CREATE TABLE graft.db.sm_pairs (a BIGINT, b BIGINT, hamming INT, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'a,b', preCombineField = 'ts')""")
+    def img(bright: Boolean): Array[Byte] =
+      MediaDecoder.encodeBmp24With(16, 16) { (x, y) =>
+        def c(v: Int) = if (bright) math.min(v + 1, 255) else v
+        val v = c((x * 41 + y * 59) % 256)
+        (v << 16) | (v << 8) | v
+      }
+    def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    sql(s"""INSERT INTO graft.db.sm_pay VALUES
+      (1, X'${hex(img(bright = false))}', 1),
+      (2, X'${hex(img(bright = true))}', 1)""")
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sm_ckpt_").toString
+    val handle = sql(s"""CALL graft.system.start_maintenance(
+      family => 'media', tables => 'db.sm_pay,db.sm_sigs,db.sm_pairs',
+      modality => 'image', checkpoint => '$ckpt')""").head().getString(0)
+    assert(handle == ckpt)
+    try {
+      // a second start on a live checkpoint must refuse
+      assert(intercept[Exception](sql(s"""CALL graft.system.start_maintenance(
+        family => 'media', tables => 'db.sm_pay,db.sm_sigs,db.sm_pairs',
+        modality => 'image', checkpoint => '$ckpt')""").collect())
+        .getMessage.contains("already running"))
+      spark.streams.active.foreach(_.processAllAvailable())
+      def pairSet() = sql("SELECT a, b FROM graft.db.sm_pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairSet() == Set((1L, 2L)))
+      // live churn lands through the running service
+      sql(s"INSERT INTO graft.db.sm_pay VALUES (3, X'${
+        hex(img(bright = true))}', 2)")
+      spark.streams.active.foreach(_.processAllAvailable())
+      // byte-equal aHash ⟹ the skew-collapsed star (1,2), (1,3)
+      assert(pairSet() == Set((1L, 2L), (1L, 3L)), pairSet().toString)
+    } finally {
+      val stopped = sql(s"""CALL graft.system.stop_maintenance(
+        handle => '$ckpt')""").head().getBoolean(0)
+      assert(stopped, "stop_maintenance did not stop a live service")
+    }
+    // idempotent: a second stop reports nothing was running
+    assert(!sql(s"""CALL graft.system.stop_maintenance(
+      handle => '$ckpt')""").head().getBoolean(0))
+    // unknown family / wrong table count fail with the crafted message
+    assert(intercept[Exception](sql(s"""CALL graft.system.start_maintenance(
+      family => 'scent', tables => 'db.sm_pay', modality => '',
+      checkpoint => '${ckpt}2')""").collect())
+      .getMessage.contains("unknown family"))
+    assert(intercept[Exception](sql(s"""CALL graft.system.start_maintenance(
+      family => 'neardup', tables => 'db.sm_pay', modality => '',
+      checkpoint => '${ckpt}3')""").collect())
+      .getMessage.contains("needs 3 tables"))
+    // the text family drives NearDupMaintenance end to end
+    sql("""CREATE TABLE graft.db.sm_docs (doc_id BIGINT, text STRING, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
+    sql("""CREATE TABLE graft.db.sm_tsigs (doc_id BIGINT, bands ARRAY<STRING>,
+        fp STRING, ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
+    sql("""CREATE TABLE graft.db.sm_tpairs (a BIGINT, b BIGINT, jaccard DOUBLE,
+        ts BIGINT)
+      USING graft TBLPROPERTIES (primaryKey = 'a,b', preCombineField = 'ts')""")
+    sql("""INSERT INTO graft.db.sm_docs VALUES
+      (1, 'alpha bravo charlie delta echo foxtrot golf hotel india juliet', 1),
+      (2, 'alpha bravo charlie delta echo foxtrot golf hotel india juliet extra', 1)""")
+    val ckptT = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sm_ckpt_t_").toString
+    sql(s"""CALL graft.system.start_maintenance(
+      family => 'neardup', tables => 'db.sm_docs,db.sm_tsigs,db.sm_tpairs',
+      modality => '', checkpoint => '$ckptT')""").collect()
+    try {
+      spark.streams.active.foreach(_.processAllAvailable())
+      assert(sql("SELECT a, b FROM graft.db.sm_tpairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    } finally sql(s"""CALL graft.system.stop_maintenance(
+      handle => '$ckptT')""").collect()
   }
 
   test("CALL maintain_search_index drives the BM25 index from SQL") {
