@@ -319,19 +319,47 @@ object MultimodalOps {
 
   private val imgFrame = payloadFrame(phashFixture) _
 
-  /** Explode a signature frame into its 8 hamming bands of 8 bits:
-    * pigeonhole gives hamming ≤ 7 ⇒ ≥ 1 equal band, so a band
-    * equi-join has FULL recall at the threshold and is never
-    * all-pairs — at 100 TB the band buckets bound candidates exactly
-    * like dedup3's SimHash blocks. */
+  /** Explode a signature frame into its TWO-LEVEL hamming band keys.
+    * Level 1: 8 bands of 8 bits — pigeonhole gives hamming ≤ 7 ⇒ ≥ 1
+    * equal band. But 8 bands × 256 values is only 2,048 distinct
+    * keys: at N = 5·10⁵ signatures an average bucket holds ~2k docs
+    * and the band equi-join degenerates toward per-bucket all-pairs —
+    * measured as a 22× step for 10× data on the round-14 scaling
+    * curve. Level 2 restores sub-quadratic candidates WITH full
+    * recall: given an equal band k, the complement 56 bits still
+    * carry all ≤ 7 errors, so of their 8 sub-bands of 7 bits ≥ 1 is
+    * also equal (pigeonhole again). Keying on (k, band, j, sub-band)
+    * multiplies the key space to 8·256·8·128 ≈ 2·10⁶ — bucket
+    * density (and the join's quadratic term) drops ~1000× while any
+    * true pair still shares ≥ 1 key. 64 key rows per doc instead of
+    * 8 — a constant-factor explode the join savings dwarf beyond
+    * ~10⁴ signatures. A third level (6-bit sub-sub-bands of the
+    * remaining 49 bits) composes the same way if 10⁹⁺-signature
+    * buckets ever need it. */
   private def banded(sig: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    // the full 64-bit signature as one long (halves are unsigned
+    // 32-bit by the sigFrame contract, so this is exact)
+    val v = shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
+    val keys = for (k <- 0 until 8; j <- 0 until 8) yield {
+      val band = shiftrightunsigned(v, 8 * k).bitwiseAND(lit(255L))
+      // complement: the 56 bits outside band k, packed contiguously
+      // (low bits below the band stay; bits above shift down 8).
+      // k = 0 has no low part, k = 7 no high part — a >>> 64 would
+      // be a JVM shift-count no-op, so both edges are literal zero
+      val low =
+        if (k == 0) lit(0L)
+        else v.bitwiseAND(lit((1L << (8 * k)) - 1))
+      val high =
+        if (k == 7) lit(0L)
+        else shiftleft(shiftrightunsigned(v, 8 * (k + 1)), 8 * k)
+      val compl = low.bitwiseOR(high)
+      val sub = shiftrightunsigned(compl, 7 * j).bitwiseAND(lit(127L))
+      concat_ws(":", lit(k), band, lit(j), sub)
+    }
     sig.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
-      explode(array((0 until 8).map { k =>
-        val half = if (k < 4) col("hash_lo") else col("hash_hi")
-        concat_ws(":", lit(k),
-          shiftright(half, 8 * (k % 4)).bitwiseAND(lit(255L)))
-      }: _*)).as("blk"))
+      explode(array(keys: _*)).as("blk"))
+  }
 
   private def hammingCol: org.apache.spark.sql.Column =
     (expr("bit_count(l.hash_hi ^ r.hash_hi)") +

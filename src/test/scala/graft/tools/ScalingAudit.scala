@@ -35,10 +35,16 @@ object ScalingAudit {
 
   private val OutDir = "target/sfscale10"
 
-  def generate(s: SparkSession, src: String): Unit = {
-    val done = new java.io.File(s"$OutDir/_DONE")
+  def generate(s: SparkSession, src: String): Unit =
+    generateN(s, src, OutDir, 10)
+
+  /** The same TPC-H-faithful disjoint-key replication at an arbitrary
+    * factor — `copies` = 100 gives the sf10 third scaling point
+    * ([[ScalingCurve]]). */
+  def generateN(
+      s: SparkSession, src: String, outDir: String, copies: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_DONE")
     if (done.exists()) return
-    val copies = 10
     // key spacing comfortably above every sf0.1 max key
     val C = 10000000L   // custkey
     val O = 100000000L  // orderkey
@@ -51,7 +57,7 @@ object ScalingAudit {
     def rep(t: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = s.read.parquet(s"$src/$t.parquet")
       (0 until copies).map(i => shift(base, i)).reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$OutDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
     rep("customer")((df, i) => df
       .withColumn("c_custkey", col("c_custkey") + lit(i * C)))
@@ -81,8 +87,15 @@ object ScalingAudit {
       df.withColumn("vec_id", col("vec_id") + lit(i * V))
         .withColumn("embedding",
           if (i == 0) col("embedding")
-          else expr(s"concat(slice(embedding, ${i * 5 + 1}, " +
-            s"size(embedding) - ${i * 5}), slice(embedding, 1, ${i * 5}))"))
+          else {
+            // rotation mod the vector size: copies beyond dim/5 wrap
+            // instead of producing empty slices (intra-copy cosines
+            // still exactly preserved; identical to the old arithmetic
+            // for i*5 < dim)
+            val r = s"(${i * 5} % size(embedding))"
+            expr(s"concat(slice(embedding, $r + 1, " +
+              s"size(embedding) - $r), slice(embedding, 1, $r))")
+          })
     }
     rep("events")((df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * E))
@@ -90,7 +103,7 @@ object ScalingAudit {
     // fixed dims: single copy, like TPC-H
     Seq("nation", "region").foreach { t =>
       s.read.parquet(s"$src/$t.parquet")
-        .write.mode("overwrite").parquet(s"$OutDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
     done.createNewFile()
     ()
