@@ -300,7 +300,10 @@ object Bench {
       s"""{"calib_ms":$calibs,"total":$total,"extra_rounds":$extraRounds,"min_pass":$minPassArr}"""
     // Emit robustly: a contended driver run once truncated this line
     // mid-JSON. Print + hard flush BEFORE spark.stop() (whose shutdown
-    // logging can interleave), and leave a recovery copy on disk.
+    // logging can interleave), and leave a recovery copy on disk. The
+    // compact line brackets the main line — a head OR tail truncation
+    // of the archived window still keeps one complete copy.
+    println(tail)
     println(line)
     println(tail)
     System.out.flush()
