@@ -329,9 +329,18 @@ object DedupOps {
       $pairsCteSql
       SELECT a, b, jaccard FROM pairs ORDER BY a, b"""))
 
-  /** dedup3 — 32-bit SimHash over word bigrams; candidates via 4
-    * 8-bit block keys (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 equal block),
-    * verified by exact hamming distance. */
+  /** dedup3 — 32-bit SimHash over word bigrams, SKEW-COLLAPSED like
+    * every other near-dup generator (equal simhash values — exactly
+    * the hamming-0 pairs — group to a min-id rep with k-1 star
+    * edges); cross candidates come from TWO-LEVEL block keys over
+    * representatives: an equal 8-bit block (pigeonhole: hamming ≤ 3 ⇒
+    * ≥ 1 of 4 equal) implies the complement 24 bits still carry all
+    * ≤ 3 errors, so ≥ 1 of their four 6-bit sub-blocks is also equal
+    * — 4·256·4·64 ≈ 262k distinct keys instead of 1,024, the same
+    * bucket-density fix the 64-bit perceptual banding got when the
+    * sf10 scaling curve exposed quadratic candidate growth. Verified
+    * by exact hamming distance; the brute-force oracle replays the
+    * collapsed contract. */
   private val simhashBits = 32
   private val simhashQ = {
     val bitSumsSpark = (0 until simhashBits).map(j =>
@@ -349,21 +358,41 @@ object DedupOps {
     GQ(
       "dedup3_simhash",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val sh = shingles(corpus(s, dir), 2)
           .withColumn("h", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
         val sums = sh.groupBy("doc_id").agg(bitSumsSpark.head, bitSumsSpark.tail: _*)
         val sig = sums.select(col("doc_id"), simhashSpark.as("simhash"))
-        val blocks = sig.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(k =>
-            concat_ws(":", lit(k),
-              shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)))): _*)).as("blk"))
-        blocks.as("l").join(blocks.as("r"),
+        val byGroup = Window.partitionBy("simhash")
+        val withRep = sig.select(col("doc_id"), col("simhash"),
+          min("doc_id").over(byGroup).as("rep"))
+        val star = withRep.filter(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("a"), col("doc_id").as("b"),
+            lit(0).as("hamming"))
+        val reps = withRep.filter(col("doc_id") === col("rep"))
+        val keys = for (k <- 0 until 4; j <- 0 until 4) yield {
+          val block = shiftright(col("simhash"), 8 * k)
+            .bitwiseAND(lit(255L))
+          val low =
+            if (k == 0) lit(0L)
+            else col("simhash").bitwiseAND(lit((1L << (8 * k)) - 1))
+          val high =
+            if (k == 3) lit(0L)
+            else shiftleft(shiftright(col("simhash"), 8 * (k + 1)), 8 * k)
+          val sub = shiftright(low.bitwiseOR(high), 6 * j)
+            .bitwiseAND(lit(63L))
+          concat_ws(":", lit(k), block, lit(j), sub)
+        }
+        val blocks = reps.select(col("doc_id"), col("simhash"),
+          explode(array(keys: _*)).as("blk"))
+        val cross = blocks.as("l").join(blocks.as("r"),
             col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-            expr("bit_count(l.simhash ^ r.simhash)").as("hamming"))
+            expr("bit_count(l.simhash ^ r.simhash)").cast("int")
+              .as("hamming"))
           .distinct()
           .filter(col("hamming") <= 3)
-          .orderBy("a", "b")
+        star.unionByName(cross).orderBy("a", "b")
       },
       Some(s"""WITH $corpusSql,
         ${shinglesSql(2)},
@@ -371,11 +400,19 @@ object DedupOps {
         sums AS (SELECT doc_id,
           $bitSumsSql
           FROM hh GROUP BY doc_id),
-        sig AS (SELECT doc_id, $simhashSql AS simhash FROM sums)
-        SELECT a.doc_id AS a, b.doc_id AS b,
-          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        sig AS (SELECT doc_id, $simhashSql AS simhash FROM sums),
+        dgrp AS (SELECT doc_id, simhash,
+            MIN(doc_id) OVER (PARTITION BY simhash) AS rep FROM sig),
+        dreps AS (SELECT simhash, MIN(doc_id) AS rep FROM sig
+          GROUP BY simhash)
+        SELECT a, b, hamming FROM (
+          SELECT rep AS a, doc_id AS b, CAST(0 AS INT) AS hamming
+          FROM dgrp WHERE doc_id <> rep
+          UNION ALL
+          SELECT x.rep AS a, y.rep AS b,
+            CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+          FROM dreps x JOIN dreps y ON x.rep < y.rep
+          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)
         ORDER BY a, b"""))
   }
 
