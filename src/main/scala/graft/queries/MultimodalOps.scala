@@ -630,15 +630,25 @@ object MultimodalOps {
       // payloads) by contract
       sigs.upsertWithDeletes(newSigs.withColumn("ts", lit(ts)), delC,
         combine = false)
+      // the pre-write store projection, materialized ONCE: it feeds
+      // the post-write store derivation AND the old-signature side of
+      // the affected-group set — uncached, each consumer re-plans and
+      // re-runs the MOR merge-read subtree, which dominates per-batch
+      // cost in the streaming service. Evaluation happens after the
+      // sig write, but the plan was pinned pre-write (snapshot()
+      // resolves its file list eagerly), so it still reads the
+      // PRE-write state.
+      val preSigs =
+        if (storeWasEmpty) newSigs.limit(0)
+        else cache(preStore.select("doc_id", "hash_hi", "hash_lo"))
       // post-write store content derived WITHOUT re-reading the files
       // just written: every churn doc has a row in newSigs, so the
       // anti-join reproduces what the read-side merge would pick
       val store =
         if (storeWasEmpty) newSigs
         else newSigs.unionByName(
-          preStore.select("doc_id", "hash_hi", "hash_lo")
-            .join(newSigs.select("doc_id").unionByName(delC),
-              Seq("doc_id"), "left_anti"))
+          preSigs.join(newSigs.select("doc_id").unionByName(delC),
+            Seq("doc_id"), "left_anti"))
       // SKEW-COLLAPSED incremental reconcile — maintains exactly the
       // [[pairsFromSigs]] contract (star edges inside byte-equal
       // signature groups, one cross pair per group pair): a cluster
@@ -655,29 +665,38 @@ object MultimodalOps {
         .distinct())
       val oldSigsOfTouched =
         if (storeWasEmpty) newSigs.limit(0)
-        else preStore.select("doc_id", "hash_hi", "hash_lo")
-          .join(churnIds, Seq("doc_id"), "leftsemi")
+        else preSigs.join(churnIds, Seq("doc_id"), "leftsemi")
       val affectedSigs = cache(newSigs.select("hash_hi", "hash_lo")
         .unionByName(oldSigsOfTouched.select("hash_hi", "hash_lo"))
         .distinct())
-      // post-store members of affected groups, and their min-id reps
-      val affectedMembers = cache(store.join(affectedSigs,
+      // ONE window shuffle on the signature attaches each store row's
+      // group rep; members, reps, and star edges all derive from it
+      // filter-only (the pre-restructure shape — two groupBys + a
+      // semi-join + a rep join — paid 3 extra shuffle stages per
+      // micro-batch, which dominates the streaming service at small
+      // batch sizes)
+      import org.apache.spark.sql.expressions.Window
+      val byGroup = Window.partitionBy("hash_hi", "hash_lo")
+      val withRep = cache(store.select(col("doc_id"), col("hash_hi"),
+        col("hash_lo"), min("doc_id").over(byGroup).as("rep")))
+      // post-store members of affected groups (a group's rep is
+      // itself a member, so affected reps come from the same frame)
+      val affectedMembers = cache(withRep.join(affectedSigs,
         Seq("hash_hi", "hash_lo"), "leftsemi"))
-      val affectedReps = cache(affectedMembers
-        .groupBy("hash_hi", "hash_lo").agg(min("doc_id").as("doc_id")))
-      val star = affectedMembers.as("m").join(affectedReps.as("g"),
-          col("m.hash_hi") === col("g.hash_hi") &&
-            col("m.hash_lo") === col("g.hash_lo") &&
-            col("m.doc_id") =!= col("g.doc_id"))
-        .select(col("g.doc_id").as("a"), col("m.doc_id").as("b"),
+      val star = affectedMembers.filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("doc_id").as("b"),
           lit(0).as("hamming"))
+      val affectedReps = affectedMembers
+        .filter(col("doc_id") === col("rep"))
+        .select("doc_id", "hash_hi", "hash_lo")
       // cross candidates: affected-group reps band-probed against ALL
-      // group reps (one partial-agg pass over the store — the same
-      // store scan the pre-collapse band probe paid, minus the 8×
-      // explode of every member); pairs wholly inside the batch are
-      // found because affected reps are themselves store reps
-      val allReps = store.groupBy("hash_hi", "hash_lo")
-        .agg(min("doc_id").as("doc_id"))
+      // group reps (filter over the same windowed frame — the same
+      // store scan the pre-collapse band probe paid, minus the band
+      // explode of every duplicate member); pairs wholly inside the
+      // batch are found because affected reps are themselves store
+      // reps
+      val allReps = withRep.filter(col("doc_id") === col("rep"))
+        .select("doc_id", "hash_hi", "hash_lo")
       val cross = banded(affectedReps).as("l")
         .join(banded(allReps).as("r"),
           col("l.blk") === col("r.blk") &&

@@ -130,10 +130,19 @@ private[graft] object NearDupIndex {
       // demote one; either rewrites the group's star edges and cross
       // endpoints, which is why the tombstone scope below is group
       // members, not just churn ids)
+      // the pre-write store projection, materialized ONCE: it feeds
+      // the post-write store derivation AND the old-fingerprint side
+      // of the affected-group set — uncached, each consumer re-plans
+      // and re-runs the MOR merge-read subtree. The plan was pinned
+      // pre-write (snapshot() is eager on its file list), so lazy
+      // evaluation after the background sig write still reads the
+      // PRE-write state.
+      val preSigs =
+        if (storeWasEmpty) newSigs.limit(0).select("doc_id", "bands", "fp")
+        else cache(preStore.select("doc_id", "bands", "fp"))
       val oldFps =
         if (storeWasEmpty) newSigs.limit(0).select("fp")
-        else preStore.select("doc_id", "fp")
-          .join(churnIds, Seq("doc_id"), "leftsemi").select("fp")
+        else preSigs.join(churnIds, Seq("doc_id"), "leftsemi").select("fp")
       val affectedFps = cache(newSigs.select("fp").unionByName(oldFps)
         .filter(col("fp").isNotNull).distinct())
       // post-write store content, derived as newSigs ∪ (pre-write
@@ -146,15 +155,23 @@ private[graft] object NearDupIndex {
       val store =
         if (storeWasEmpty) newSigs.select("doc_id", "bands", "fp")
         else newSigs.select("doc_id", "bands", "fp").unionByName(
-          preStore.select("doc_id", "bands", "fp")
-            .join(newSigs.select("doc_id").unionByName(deletedC),
-              Seq("doc_id"), "left_anti"))
-      val affectedMembers = cache(store.join(affectedFps,
+          preSigs.join(newSigs.select("doc_id").unionByName(deletedC),
+            Seq("doc_id"), "left_anti"))
+      // ONE window shuffle on the fingerprint attaches each store
+      // row's group rep; members, reps, and star edges all derive
+      // from it filter-only (two groupBys + a semi-join + a rep join
+      // would pay 3 extra shuffle stages per micro-batch — the
+      // dominant cost at streaming batch sizes)
+      val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val withRep = cache(store.select(col("doc_id"), col("bands"),
+        col("fp"), min("doc_id").over(byFp).as("rep")))
+      val affectedMembers = cache(withRep.join(affectedFps,
         Seq("fp"), "leftsemi"))
       // one group's bands are identical across members (equal sets ⟹
-      // equal minhashes), so any member's array represents the group
-      val affectedReps = cache(affectedMembers.groupBy("fp")
-        .agg(min("doc_id").as("doc_id"), first("bands").as("bands")))
+      // equal minhashes), so the rep's own row represents the group
+      val affectedReps = affectedMembers
+        .filter(col("doc_id") === col("rep"))
+        .select("doc_id", "bands")
       // PAIRS tombstone side: stored pairs touching any current
       // member of an affected group (their edges are re-derived
       // below — an unchanged edge is an update) or any churned/
@@ -183,20 +200,20 @@ private[graft] object NearDupIndex {
           touchedJob = Future { touched.count() }
           Some(touched)
         }
-      // star edges for affected groups
-      val star = affectedMembers.as("m").join(affectedReps.as("g"),
-          col("m.fp") === col("g.fp") &&
-            col("m.doc_id") =!= col("g.doc_id"))
-        .select(col("g.doc_id").as("a"), col("m.doc_id").as("b"),
+      // star edges for affected groups — filter-only off the windowed
+      // frame (equal sets ⟹ jaccard exactly 1)
+      val star = affectedMembers.filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("doc_id").as("b"),
           lit(1.0).as("jaccard"))
       // cross candidates: affected-group reps band-probed against ALL
-      // group reps (one partial-agg pass over the store — the same
+      // group reps (filter over the same windowed frame — the same
       // store scan the pre-collapse probe paid, minus the band
       // explode of every duplicate member); pairs wholly inside the
       // batch are found because affected reps are themselves store
       // reps
-      val allReps = store.filter(col("fp").isNotNull).groupBy("fp")
-        .agg(min("doc_id").as("doc_id"), first("bands").as("bands"))
+      val allReps = withRep.filter(
+          col("fp").isNotNull && col("doc_id") === col("rep"))
+        .select("doc_id", "bands")
       val lb = affectedReps
         .select(col("doc_id"), explode(col("bands")).as("bk"))
       val rb = allReps.select(col("doc_id"), explode(col("bands")).as("bk"))
