@@ -248,21 +248,24 @@ object DedupOps {
     * unchanged. Returns (a, b, jaccard) pairs, unordered; jaccard =
     * 1.0 rows are exactly the star edges (jaccard 1 ⟺ equal sets). */
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
       // the shingle relation feeds both the signature and verification
       // branches; it is a narrow scan→split→explode pipeline (per-doc
       // array_distinct, no shuffle), so re-deriving it per consumer is
-      // cheaper than a cache round-trip
+      // cheaper than a cache round-trip. The collapse groups in ONE
+      // partial-aggregated pass (one row per distinct shingle set; a
+      // k-member cluster is one k-element id array — rows, never
+      // pairs) so the heavy shingle+minhash lineage sits under a
+      // single reused exchange, not one per consumer.
       val c = corpus(s, dir)
-      val byFp = Window.partitionBy("fp")
-      val withRep = minhashBands(c).filter(col("fp").isNotNull)
-        .select(col("doc_id"), col("bands"),
-          min("doc_id").over(byFp).as("rep"))
-      val star = withRep.filter(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("a"), col("doc_id").as("b"),
-          lit(1.0).as("jaccard"))
-      val bands = withRep.filter(col("doc_id") === col("rep"))
-        .select(col("doc_id"), explode(col("bands")).as("bk"))
+      val groups = minhashBands(c).filter(col("fp").isNotNull)
+        .groupBy("fp").agg(min("doc_id").as("doc_id"),
+          collect_list("doc_id").as("members"),
+          first("bands").as("bands"))
+      val star = groups
+        .select(col("doc_id").as("a"), explode(col("members")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"), lit(1.0).as("jaccard"))
+      val bands = groups.select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = bands.as("l").join(bands.as("r"),
           col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
@@ -358,18 +361,21 @@ object DedupOps {
     GQ(
       "dedup3_simhash",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val sh = shingles(corpus(s, dir), 2)
           .withColumn("h", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
         val sums = sh.groupBy("doc_id").agg(bitSumsSpark.head, bitSumsSpark.tail: _*)
         val sig = sums.select(col("doc_id"), simhashSpark.as("simhash"))
-        val byGroup = Window.partitionBy("simhash")
-        val withRep = sig.select(col("doc_id"), col("simhash"),
-          min("doc_id").over(byGroup).as("rep"))
-        val star = withRep.filter(col("doc_id") =!= col("rep"))
-          .select(col("rep").as("a"), col("doc_id").as("b"),
-            lit(0).as("hamming"))
-        val reps = withRep.filter(col("doc_id") === col("rep"))
+        // ONE partial-aggregated collapse pass (see pairsFromSigs):
+        // the shingle+simhash lineage sits under a single reused
+        // exchange instead of one per consumer
+        val groups = sig.groupBy("simhash")
+          .agg(min("doc_id").as("doc_id"),
+            collect_list("doc_id").as("members"))
+        val star = groups
+          .select(col("doc_id").as("a"), explode(col("members")).as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(col("a"), col("b"), lit(0).as("hamming"))
+        val reps = groups
         val keys = for (k <- 0 until 4; j <- 0 until 4) yield {
           val block = shiftright(col("simhash"), 8 * k)
             .bitwiseAND(lit(255L))
@@ -381,7 +387,9 @@ object DedupOps {
             else shiftleft(shiftright(col("simhash"), 8 * (k + 1)), 8 * k)
           val sub = shiftright(low.bitwiseOR(high), 6 * j)
             .bitwiseAND(lit(63L))
-          concat_ws(":", lit(k), block, lit(j), sub)
+          // one packed long per key (see MultimodalOps.banded): no
+          // per-key string allocation in the explode or the shuffle
+          (lit((k * 4 + j).toLong * 256L) + block) * lit(64L) + sub
         }
         val blocks = reps.select(col("doc_id"), col("simhash"),
           explode(array(keys: _*)).as("blk"))
@@ -390,8 +398,8 @@ object DedupOps {
           .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
             expr("bit_count(l.simhash ^ r.simhash)").cast("int")
               .as("hamming"))
+          .filter(col("hamming") <= 3) // before distinct: multi-key dups
           .distinct()
-          .filter(col("hamming") <= 3)
         star.unionByName(cross).orderBy("a", "b")
       },
       Some(s"""WITH $corpusSql,

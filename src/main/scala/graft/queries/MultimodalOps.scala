@@ -319,6 +319,14 @@ object MultimodalOps {
 
   private val imgFrame = payloadFrame(phashFixture) _
 
+  /** Diagnostic hooks for graft.tools.BandProbe (test scope). */
+  private[graft] def mm6Frame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = imgFrame(df, 8, 1)
+  private[graft] def bandedProbe(sig: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = banded(sig)
+  private[graft] def mm9Frame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = audioFrame(df, 9, 2)
+
   /** Explode a signature frame into its TWO-LEVEL hamming band keys.
     * Level 1: 8 bands of 8 bits — pigeonhole gives hamming ≤ 7 ⇒ ≥ 1
     * equal band. But 8 bands × 256 values is only 2,048 distinct
@@ -336,29 +344,51 @@ object MultimodalOps {
     * ~10⁴ signatures. A third level (6-bit sub-sub-bands of the
     * remaining 49 bits) composes the same way if 10⁹⁺-signature
     * buckets ever need it. */
+  /** The 64 two-level keys of one signature as packed longs —
+    * ((k·8+j)·256 + band)·128 + sub, max 2²¹. Sub-band j gathers the
+    * STRIDED complement bits {j, j+8, …, j+48} (any partition into 8
+    * disjoint 7-bit groups keeps the pigeonhole exact): adjacent
+    * signature bits correlate — neighboring envelope windows,
+    * neighboring image cells — so contiguous 7-bit slices produced
+    * hot buckets (measured 115 docs/bucket on audio at sf1 vs 24
+    * strided). Plain JVM bit ops: the same arithmetic as a Catalyst
+    * expression tree was 64 keys × 7 gathered bits of codegen —
+    * multi-MiB task binaries and a 6× slowdown. */
+  private[graft] def bandKeys(hi: Long, lo: Long): Array[Long] = {
+    val v = (hi << 32) | lo
+    val out = new Array[Long](64)
+    var k = 0
+    while (k < 8) {
+      val band = (v >>> (8 * k)) & 255L
+      val low = if (k == 0) 0L else v & ((1L << (8 * k)) - 1)
+      val high = if (k == 7) 0L else (v >>> (8 * (k + 1))) << (8 * k)
+      val compl = low | high
+      var j = 0
+      while (j < 8) {
+        var sub = 0L
+        var i = 0
+        while (i < 7) {
+          sub |= ((compl >>> (j + 8 * i)) & 1L) << i
+          i += 1
+        }
+        out(k * 8 + j) = ((k * 8 + j).toLong * 256L + band) * 128L + sub
+        j += 1
+      }
+      k += 1
+    }
+    out
+  }
+
   private def banded(sig: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // the full 64-bit signature as one long (halves are unsigned
-    // 32-bit by the sigFrame contract, so this is exact)
-    val v = shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))
-    val keys = for (k <- 0 until 8; j <- 0 until 8) yield {
-      val band = shiftrightunsigned(v, 8 * k).bitwiseAND(lit(255L))
-      // complement: the 56 bits outside band k, packed contiguously
-      // (low bits below the band stay; bits above shift down 8).
-      // k = 0 has no low part, k = 7 no high part — a >>> 64 would
-      // be a JVM shift-count no-op, so both edges are literal zero
-      val low =
-        if (k == 0) lit(0L)
-        else v.bitwiseAND(lit((1L << (8 * k)) - 1))
-      val high =
-        if (k == 7) lit(0L)
-        else shiftleft(shiftrightunsigned(v, 8 * (k + 1)), 8 * k)
-      val compl = low.bitwiseOR(high)
-      val sub = shiftrightunsigned(compl, 7 * j).bitwiseAND(lit(127L))
-      concat_ws(":", lit(k), band, lit(j), sub)
-    }
-    sig.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
-      explode(array(keys: _*)).as("blk"))
+    val s = sig.sparkSession
+    import s.implicits._
+    sig.select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+      .as[(Long, Long, Long)]
+      .flatMap { case (d, hi, lo) =>
+        bandKeys(hi, lo).map(b => (d, hi, lo, b))
+      }
+      .toDF("doc_id", "hash_hi", "hash_lo", "blk")
   }
 
   private def hammingCol: org.apache.spark.sql.Column =
@@ -389,23 +419,31 @@ object MultimodalOps {
     * together instead of desyncing them. */
   private[queries] def pairsFromSigs(sig: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // one hash shuffle on the 16-byte signature; a k-member group is
-    // k 24-byte rows in one partition (rows, not pairs — the point)
-    val byGroup = Window.partitionBy("hash_hi", "hash_lo")
-    val withRep = sig.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
-      min("doc_id").over(byGroup).as("rep"))
-    val star = withRep.filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("a"), col("doc_id").as("b"),
-        lit(0).as("hamming"))
-    val blocks = banded(withRep.filter(col("doc_id") === col("rep"))
-      .select("doc_id", "hash_hi", "hash_lo"))
+    // ONE partial-aggregated pass over the signature frame (a
+    // window-over-sig formulation puts the expensive decode+hash
+    // lineage under THREE consumers and measured 4-7× slower at sf1
+    // when exchange reuse missed); the group frame is tiny — one row
+    // per distinct signature, a k-member cluster is one k-element id
+    // array (rows and array cells, never pairs) — and every
+    // downstream branch derives from its reused exchange
+    val groups = sig.groupBy("hash_hi", "hash_lo")
+      .agg(min("doc_id").as("doc_id"),
+        collect_list("doc_id").as("members"))
+    val star = groups
+      .select(col("doc_id").as("a"), explode(col("members")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), lit(0).as("hamming"))
+    val blocks = banded(groups.select("doc_id", "hash_hi", "hash_lo"))
     val cross = blocks.as("l").join(blocks.as("r"),
         col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         hammingCol.as("hamming"))
-      .distinct()
+      // threshold BEFORE distinct: hamming is functionally determined
+      // by (a, b), and a true near pair matches ~dozens of the 64
+      // two-level keys — filtering first shrinks the distinct's
+      // shuffle by the same factor
       .filter(col("hamming") <= 7)
+      .distinct()
     star.unionByName(cross)
   }
 
@@ -704,8 +742,8 @@ object MultimodalOps {
         .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
           greatest(col("l.doc_id"), col("r.doc_id")).as("b"),
           hammingCol.as("hamming"))
+        .filter(col("hamming") <= 7) // before distinct: see pairsFromSigs
         .distinct()
-        .filter(col("hamming") <= 7)
       val cand = cache(star.unionByName(cross))
       cand.count()
       if (pairsBootstrap)
