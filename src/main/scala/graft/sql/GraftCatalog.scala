@@ -311,6 +311,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
   }
 
+  /** The ONE churn/delete/version derivation the sig-store
+    * maintenance procedures share (maintain_neardups,
+    * maintain_media_index — a further maintained family must ride it
+    * too, so the bootstrap-tombstone and instant conventions cannot
+    * drift): since = '' bootstraps from the full snapshot with the
+    * store's stale ids as the delete set ([[staleStoreIds]]);
+    * otherwise only the CDC churn after `since`. ts = the source
+    * table's newest instant — monotonic across calls and derived from
+    * table state, never the wall clock (the reconciles are
+    * state-based, so a repeated call converges). */
+  private def maintenanceChurn(
+      proc: String, source: LakeTable, sourceName: String,
+      sigs: LakeTable, since: String, valueCol: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, Long) = {
+    val snap = source.snapshot().select("doc_id", valueCol)
+    val (churn, deleted) =
+      if (since.isEmpty) (snap, staleStoreIds(sigs, snap))
+      else LakeTable.cdcUpsertsAndDeletes(
+        source.cdc(since), "doc_id", Seq(valueCol))
+    val commits = source.timeline.commits()
+    require(commits.nonEmpty,
+      s"$proc: table '$sourceName' has no commits yet - ingest at " +
+        "least one batch before maintaining the index")
+    (churn, deleted, snap, commits.last.instant.toLong)
+  }
+
   /** Boilerplate for a procedure returning a small local result set. */
   private def procedure(
       pname: String, desc: String,
@@ -556,19 +583,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         val sigs = lakeOf(input.getUTF8String(1).toString)
         val pairs = lakeOf(input.getUTF8String(2).toString)
         val since = input.getUTF8String(3).toString
-        val snap = docs.snapshot().select("doc_id", "text")
-        val (churn, deleted) =
-          if (since.isEmpty) (snap, staleStoreIds(sigs, snap))
-          else LakeTable.cdcUpsertsAndDeletes(
-            docs.cdc(since), "doc_id", Seq("text"))
-        // ts = the docs table's newest instant: monotonic across calls
-        // and derived from table state, not the wall clock
-        val commits = docs.timeline.commits()
-        require(commits.nonEmpty,
-          s"maintain_neardups: docs table '${input.getUTF8String(0)}' has " +
-            "no commits yet - ingest at least one batch before maintaining " +
-            "the near-dup index")
-        val ts = commits.last.instant.toLong
+        val (churn, deleted, snap, ts) = maintenanceChurn(
+          "maintain_neardups", docs, input.getUTF8String(0).toString,
+          sigs, since, "text")
         graft.queries.NearDupIndex.reconcile(
           churn, deleted, snap, sigs, pairs, ts)
         Array(InternalRow(pairs.snapshot().count()))
@@ -651,21 +668,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         val modality = input.getUTF8String(3).toString
         val since = input.getUTF8String(4).toString
         val hashFn = mediaHashFn(modality)
-        val snap = payloads.snapshot().select("doc_id", "payload")
-        val (churn, deleted) =
-          if (since.isEmpty) (snap, staleStoreIds(sigs, snap))
-          else LakeTable.cdcUpsertsAndDeletes(
-            payloads.cdc(since), "doc_id", Seq("payload"))
-        // ts = the payload table's newest instant: monotonic across
-        // calls and derived from table state, not the wall clock (the
-        // maintain_neardups convention; the reconcile is state-based,
-        // so a repeated call with the same arguments converges)
-        val commits = payloads.timeline.commits()
-        require(commits.nonEmpty,
-          s"maintain_media_index: payloads table " +
-            s"'${input.getUTF8String(0)}' has no commits yet - ingest at " +
-            "least one batch before maintaining the media index")
-        val ts = commits.last.instant.toLong
+        val (churn, deleted, _, ts) = maintenanceChurn(
+          "maintain_media_index", payloads, input.getUTF8String(0).toString,
+          sigs, since, "payload")
         val stats = graft.queries.MultimodalOps.phashReconcile(
           churn, deleted, sigs, pairs, ts, hashFn)
         Array(InternalRow(pairs.snapshot().count(), stats.hashed,
