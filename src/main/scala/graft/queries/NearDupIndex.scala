@@ -80,6 +80,18 @@ private[graft] object NearDupIndex {
       // must take the bootstrap branch, not select a missing bands
       // column from the pre-upsert snapshot
       val storeWasEmpty = !preStore.columns.contains("bands")
+      // contract guard BEFORE any write is scheduled: a store written
+      // before the skew collapse carries no fp column and cannot be
+      // reconciled incrementally. Checked here — not after the
+      // background sig write launches — so a legacy store can never
+      // have fp-bearing churn rows committed into it first (a retry
+      // would then find fp present, pass the guard, and silently
+      // treat every legacy row's NULL fp as shingle-less, dropping it
+      // from grouping and candidate generation).
+      require(storeWasEmpty || preStore.columns.contains("fp"),
+        "signature store predates the skew-collapsed contract (no fp " +
+          "column) - drop/recreate the sigs AND pairs tables and " +
+          s"rebuild with a bootstrap reconcile: ${sigs.basePath}")
       val newSigs = cache(DedupOps.minhashBands(churnC))
       // materialize BEFORE the background write starts: the write's
       // small-file sizing reads Catalyst stats, which are exact only
@@ -113,12 +125,7 @@ private[graft] object NearDupIndex {
       // byte-equal shingle-set groups, one verified cross pair per
       // group pair): a cluster of k exact copies holds k-1 persisted
       // pairs and pays O(k) reconcile work, never O(k²) band-join
-      // candidates or verify joins. A store written before the
-      // collapse carries no fp column and cannot be reconciled
-      // incrementally — rebuild it with one bootstrap pass.
-      require(storeWasEmpty || preStore.columns.contains("fp"),
-        "signature store predates the skew-collapsed contract (no fp " +
-          s"column) - rebuild it with a bootstrap reconcile: ${sigs.basePath}")
+      // candidates or verify joins.
       val pairsSnap = pairs.snapshot()
       val pairsBootstrap = !pairsSnap.columns.contains("a")
       val churnIds = cache(churnC.select("doc_id")
@@ -161,10 +168,16 @@ private[graft] object NearDupIndex {
       // row's group rep; members, reps, and star edges all derive
       // from it filter-only (two groupBys + a semi-join + a rep join
       // would pay 3 extra shuffle stages per micro-batch — the
-      // dominant cost at streaming batch sizes)
+      // dominant cost at streaming batch sizes). NULL-fp rows
+      // (shingle-less docs) are filtered BEFORE the window: they
+      // contribute nothing downstream (the semi-join never matches
+      // NULL; allReps filters them), and partitionBy would otherwise
+      // funnel every one of them into a single window partition — a
+      // deliberate skew hotspot in the machinery that removes skew.
       val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-      val withRep = cache(store.select(col("doc_id"), col("bands"),
-        col("fp"), min("doc_id").over(byFp).as("rep")))
+      val withRep = cache(store.filter(col("fp").isNotNull)
+        .select(col("doc_id"), col("bands"),
+          col("fp"), min("doc_id").over(byFp).as("rep")))
       val affectedMembers = cache(withRep.join(affectedFps,
         Seq("fp"), "leftsemi"))
       // one group's bands are identical across members (equal sets ⟹
@@ -211,8 +224,7 @@ private[graft] object NearDupIndex {
       // explode of every duplicate member); pairs wholly inside the
       // batch are found because affected reps are themselves store
       // reps
-      val allReps = withRep.filter(
-          col("fp").isNotNull && col("doc_id") === col("rep"))
+      val allReps = withRep.filter(col("doc_id") === col("rep"))
         .select("doc_id", "bands")
       val lb = affectedReps
         .select(col("doc_id"), explode(col("bands")).as("bk"))

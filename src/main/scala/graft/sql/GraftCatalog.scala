@@ -526,34 +526,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               s"(got ${refs.length}: ${refs.mkString(",")})")
           refs.map(r => lakeOf(r).basePath)
         }
-        val prior = GraftCatalog.maintenanceQueries.get(checkpoint)
-        require(prior == null || !prior.isActive,
-          s"start_maintenance: a service is already running on " +
-            s"checkpoint '$checkpoint' - stop_maintenance it first")
-        val q = family match {
-          case "neardup" =>
-            require(modality.isEmpty,
-              "start_maintenance: modality applies to family 'media' only")
-            val Seq(d, sg, pr) = paths(3)
-            graft.streaming.NearDupMaintenance.start(spark, d, sg, pr,
-              checkpoint)
-          case "media" =>
-            val Seq(p, sg, pr) = paths(3)
-            // reuse maintain_media_index's modality grammar by CALLING
-            // through the shared parser below
-            graft.streaming.SignatureMaintenance.start(spark, p, sg, pr,
-              checkpoint, hashFn = mediaHashFn(modality))
-          case "search" =>
-            require(modality.isEmpty,
-              "start_maintenance: modality applies to family 'media' only")
-            val Seq(d, po, st, to) = paths(4)
-            graft.streaming.SearchIndexMaintenance.start(spark, d, po, st,
-              to, checkpoint)
-          case other => throw new IllegalArgumentException(
-            s"start_maintenance: unknown family '$other' - expected " +
-              "neardup | media | search")
-        }
-        GraftCatalog.maintenanceQueries.put(checkpoint, q)
+        // the is-active check and the insertion are ONE atomic compute
+        // on the concurrent map: two concurrent CALLs with the same
+        // checkpoint would otherwise both pass a check-then-put and
+        // start two streaming queries against one checkpoint directory,
+        // leaking whichever the second put overwrote. compute holds the
+        // key's bin while the query starts; a thrown require leaves the
+        // prior mapping untouched.
+        GraftCatalog.maintenanceQueries.compute(checkpoint, (_, prior) => {
+          require(prior == null || !prior.isActive,
+            s"start_maintenance: a service is already running on " +
+              s"checkpoint '$checkpoint' - stop_maintenance it first")
+          family match {
+            case "neardup" =>
+              require(modality.isEmpty,
+                "start_maintenance: modality applies to family 'media' only")
+              val Seq(d, sg, pr) = paths(3)
+              graft.streaming.NearDupMaintenance.start(spark, d, sg, pr,
+                checkpoint)
+            case "media" =>
+              val Seq(p, sg, pr) = paths(3)
+              // reuse maintain_media_index's modality grammar by CALLING
+              // through the shared parser below
+              graft.streaming.SignatureMaintenance.start(spark, p, sg, pr,
+                checkpoint, hashFn = mediaHashFn(modality))
+            case "search" =>
+              require(modality.isEmpty,
+                "start_maintenance: modality applies to family 'media' only")
+              val Seq(d, po, st, to) = paths(4)
+              graft.streaming.SearchIndexMaintenance.start(spark, d, po, st,
+                to, checkpoint)
+            case other => throw new IllegalArgumentException(
+              s"start_maintenance: unknown family '$other' - expected " +
+                "neardup | media | search")
+          }
+        })
         Array(InternalRow(UTF8String.fromString(checkpoint)))
       }
       case "stop_maintenance" => procedure(
@@ -676,6 +683,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         Array(InternalRow(pairs.snapshot().count(), stats.hashed,
           stats.dropped))
       }
+      case "decode_stats" => procedure(
+        "decode_stats", "per-micro-batch decode census of a media " +
+          "maintenance service (start_maintenance family 'media' / " +
+          "SignatureMaintenance), read from the checkpoint's census " +
+          "sidecar: hashed churn payloads produced a signature, dropped " +
+          "did not and were tombstoned out of the index. Monitor the " +
+          "drop rate — a codec regression looks like unique docs " +
+          "otherwise. A replayed batch (crash before its marker) " +
+          "appends a duplicate line; rows are as-written, so aggregate " +
+          "by batch if exact-once counts matter",
+        Seq("checkpoint" -> StringT),
+        "batch BIGINT, instant BIGINT, hashed BIGINT, dropped BIGINT") {
+        input =>
+        graft.streaming.SignatureMaintenance.readStats(
+          spark, input.getUTF8String(0).toString)
+          .map { case (b, i, h, d) => InternalRow(b, i, h, d) }.toArray
+      }
       case other =>
         throw new UnsupportedOperationException(s"unknown procedure $other")
     }
@@ -686,7 +710,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       "create_savepoint", "delete_savepoint", "show_fsview",
       "show_savepoints", "clean_orphans", "sync_database",
       "maintain_neardups", "maintain_search_index", "maintain_media_index",
-      "start_maintenance", "stop_maintenance")
+      "start_maintenance", "stop_maintenance", "decode_stats")
       .map(Identifier.of(Array("system"), _))
 }
 

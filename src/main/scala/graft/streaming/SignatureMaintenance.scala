@@ -50,6 +50,59 @@ object SignatureMaintenance {
     * non-empty micro-batch. */
   val DecodeStatsFile = "_decode_stats.jsonl"
 
+  /** Append one census line through the checkpoint's Hadoop
+    * FileSystem — NOT java.nio (local paths only; an hdfs://, s3a://,
+    * or even file:/ checkpoint would throw inside foreachBatch AFTER
+    * the tagged pairs commit and kill every micro-batch). Checksum
+    * filesystems reject append(), so this is read + rewrite-through-
+    * temp + rename (the [[ExactlyOnce]] marker pattern): the sidecar
+    * is never observable half-written, and a crash mid-rewrite keeps
+    * the previous file. One writer per checkpoint by construction, so
+    * the fixed temp name cannot race. O(lines so far) per batch —
+    * tens of bytes per line, noise next to the micro-batch itself. */
+  private def appendStatsLine(
+      spark: SparkSession, checkpoint: String, line: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, DecodeStatsFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior =
+      if (!fs.exists(p)) ""
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".$DecodeStatsFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((prior + line + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"decode-stats rename failed: $p")
+    }
+  }
+
+  /** Parse the sidecar back (for `CALL graft.system.decode_stats`):
+    * (batch, instant, hashed, dropped) rows in file order; a torn
+    * final line (pre-rename crash window is empty, but be lenient) is
+    * skipped. Empty/missing file → no rows. */
+  private[graft] def readStats(
+      spark: SparkSession, checkpoint: String): Seq[(Long, Long, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, DecodeStatsFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val Line =
+        """\{"batch":(-?\d+),"instant":(-?\d+),"hashed":(-?\d+),"dropped":(-?\d+)\}""".r
+      txt.split("\n").toSeq.flatMap {
+        case Line(b, i, h, d) => Some((b.toLong, i.toLong, h.toLong, d.toLong))
+        case _ => None
+      }
+    }
+  }
+
   def start(
       spark: SparkSession,
       payloadsPath: String,
@@ -107,12 +160,7 @@ object SignatureMaintenance {
               // line, which an aggregation by batch id collapses.
               val line = s"""{"batch":$batchId,"instant":$ts,""" +
                 s""""hashed":${stats.hashed},"dropped":${stats.dropped}}"""
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(checkpoint, DecodeStatsFile),
-                java.util.Collections.singletonList(line),
-                java.nio.charset.StandardCharsets.UTF_8,
-                java.nio.file.StandardOpenOption.CREATE,
-                java.nio.file.StandardOpenOption.APPEND)
+              appendStatsLine(spark, checkpoint, line)
             }
           } finally batchC.unpersist()
         }

@@ -879,6 +879,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(statsLines.last.contains("\"hashed\":0") &&
       statsLines.last.contains("\"dropped\":1"),
       s"last census line: ${statsLines.last}")
+    // the same census is queryable from SQL (CALL decode_stats) —
+    // drop-rate monitoring without touching the sidecar file
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse",
+      "target/graft_warehouse_test")
+    val statRows = spark.sql(
+      s"CALL graft.system.decode_stats(checkpoint => '$ckpt')")
+      .orderBy("batch").collect()
+    assert(statRows.length == statsLines.length,
+      s"decode_stats rows ${statRows.length} != lines ${statsLines.length}")
+    val last = statRows.last
+    assert(last.getLong(2) == 0L && last.getLong(3) == 1L,
+      s"decode_stats last row: $last")
+    // empty/missing sidecar → zero rows, not an error
+    assert(spark.sql(
+      s"CALL graft.system.decode_stats(checkpoint => '${tmp("smi_nock_")}')")
+      .isEmpty)
     // phase 4: crash-window replay — the tagged pairs commit landed
     // but the sidecar marker write was lost; the commit-tag safety
     // net (the tag phashReconcile now carries) skips the re-apply
