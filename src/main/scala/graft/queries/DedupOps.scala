@@ -424,6 +424,67 @@ object DedupOps {
         ORDER BY a, b"""))
   }
 
+  /** Per-doc frame of a blocked shingle relation `(doc_id, sh,
+    * source, blk)`: size, the byte-equal-set fingerprint `fp` (md5 of
+    * the SORTED md5-per-shingle list — per-element hashing keeps the
+    * join unambiguous under any separator; hex sorts identically
+    * everywhere), and the group representative `rep` = min doc_id
+    * over (source, blk, fp). The window runs on the per-doc frame —
+    * one row per doc, never a per-group member array, so a k = 10⁶⁺
+    * boilerplate cluster costs k window rows instead of one k-element
+    * aggregation buffer. Shared by dedup4 and dedup5 so their
+    * collapse groups cannot drift (they share one oracle). */
+  private def blockedDocFrame(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sh.groupBy("doc_id", "source", "blk")
+      .agg(count(lit(1)).as("sz"),
+        md5(array_join(array_sort(collect_list(md5(col("sh")))), ","))
+          .as("fp"))
+      .withColumn("rep", min("doc_id").over(
+        Window.partitionBy("source", "blk", "fp")))
+  }
+
+  /** The collapsed blocked-pair oracle dedup4 AND dedup5 share: the
+    * DuckDB replay of the (source, blk, fp) group contract — star
+    * edges (rep, member, 1.0) inside byte-equal shingle-set groups,
+    * the |Δblk| ≤ 1 probe join over REPRESENTATIVES only, exact
+    * Jaccard ≥ 0.3 on the cross pairs. */
+  private def blockedPairSql: String =
+    s"""WITH $corpusSql,
+      ${shinglesSql(2)},
+      shs AS (SELECT sh.doc_id, sh.sh, c.source,
+          CAST(floor(length(c.text) / $ngramBlock) AS BIGINT) AS blk
+        FROM sh JOIN corpus c ON sh.doc_id = c.doc_id),
+      dfp AS (SELECT doc_id, source, blk, count(*) AS sz,
+          md5(array_to_string(list_sort(list(md5(sh))), ',')) AS fp
+        FROM shs GROUP BY doc_id, source, blk),
+      grp AS (SELECT doc_id, source, blk, sz, fp,
+          MIN(doc_id) OVER (PARTITION BY source, blk, fp) AS rep
+        FROM dfp),
+      shr AS (SELECT s.doc_id, s.sh, s.source, s.blk
+        FROM shs s JOIN grp g ON s.doc_id = g.doc_id AND g.doc_id = g.rep),
+      probes AS (SELECT doc_id, sh, source, blk,
+          unnest([blk, blk + 1]) AS probe FROM shr),
+      inter AS (SELECT least(a.doc_id, b.doc_id) AS a,
+          greatest(a.doc_id, b.doc_id) AS b, count(*) AS inter
+        FROM probes a JOIN shr b
+          ON a.sh = b.sh AND a.source = b.source AND a.probe = b.blk
+          AND (a.blk < b.blk OR (a.blk = b.blk AND a.doc_id < b.doc_id))
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT a, b, jaccard FROM (
+        SELECT rep AS a, doc_id AS b, CAST(1 AS DOUBLE) AS jaccard
+        FROM grp WHERE doc_id <> rep
+        UNION ALL
+        SELECT a, b,
+          CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE)
+            AS jaccard
+        FROM inter
+        JOIN grp za ON a = za.doc_id
+        JOIN grp zb ON b = zb.doc_id
+        WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE)
+          >= 0.3)
+      ORDER BY a, b"""
+
   /** dedup4 — exact word-bigram Jaccard with blocking (the "compare
     * only within a blocking key" pattern of entity resolution): block
     * key = (source, ⌊n_chars/64⌋), with pairs in adjacent length
@@ -431,7 +492,17 @@ object DedupOps {
     * lower-bucket doc probes its own and the next bucket, so every
     * |Δbucket| ≤ 1 pair is generated exactly once and the shingle
     * join never crosses block boundaries. At scale this bounds the
-    * self-join to block-local work instead of all same-source pairs. */
+    * self-join to block-local work instead of all same-source pairs.
+    * SKEW-COLLAPSED like every other pair generator: docs with
+    * byte-equal shingle sets WITHIN a (source, blk) block group to a
+    * min-id representative — k literal copies of a boilerplate page
+    * land in ONE block by construction, so the block-local self-join
+    * was the last O(k²) shape in the repo — emitting k-1 star edges
+    * (rep, member, jaccard 1.0); the probe join and verification run
+    * over representatives only. Recall is preserved: members share
+    * their rep's (source, blk), so every |Δblk| ≤ 1 member pair is
+    * represented by the same-key rep pair, and equal sets share every
+    * jaccard. */
   private val ngramBlock = 64
   private val ngramQ = GQ(
     "dedup4_ngram_jaccard",
@@ -440,9 +511,18 @@ object DedupOps {
         .withColumn("blk", floor(length(col("text")) / ngramBlock))
       val sh = shingles(c, 2)
         .join(c.select(col("doc_id"), col("source"), col("blk")), Seq("doc_id"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val probes = sh.withColumn("probe", explode(array(col("blk"), col("blk") + 1)))
-      val inter = probes.as("sa").join(sh.as("sb"),
+      val docs = blockedDocFrame(sh)
+      val star = docs.filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("doc_id").as("b"),
+          lit(1.0).as("jaccard"))
+      val reps = docs.filter(col("doc_id") === col("rep"))
+      // the shingle relation re-restricted to representatives: the
+      // probe self-join and the verify sizes never see a duplicate
+      // member's shingles
+      val shr = sh.join(reps.select("doc_id"), Seq("doc_id"), "leftsemi")
+      val probes = shr.withColumn("probe",
+        explode(array(col("blk"), col("blk") + 1)))
+      val inter = probes.as("sa").join(shr.as("sb"),
           col("sa.sh") === col("sb.sh") && col("sa.source") === col("sb.source") &&
             col("sa.probe") === col("sb.blk") &&
             (col("sa.blk") < col("sb.blk") ||
@@ -451,36 +531,18 @@ object DedupOps {
         .agg(count(lit(1)).as("inter"))
         .select(least(col("x"), col("y")).as("a"),
           greatest(col("x"), col("y")).as("b"), col("inter"))
-      inter
-        .join(sizes.as("za"), col("a") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+      val cross = inter
+        .join(reps.select(col("doc_id"), col("sz")).as("za"),
+          col("a") === col("za.doc_id"))
+        .join(reps.select(col("doc_id"), col("sz")).as("zb"),
+          col("b") === col("zb.doc_id"))
         .withColumn("jaccard", col("inter").cast("double") /
           (col("za.sz") + col("zb.sz") - col("inter")).cast("double"))
         .filter(col("jaccard") >= 0.3)
         .select("a", "b", "jaccard")
-        .orderBy("a", "b")
+      star.unionByName(cross).orderBy("a", "b")
     },
-    Some(s"""WITH $corpusSql,
-      ${shinglesSql(2)},
-      shs AS (SELECT sh.doc_id, sh.sh, c.source,
-          CAST(floor(length(c.text) / $ngramBlock) AS BIGINT) AS blk
-        FROM sh JOIN corpus c ON sh.doc_id = c.doc_id),
-      sz AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
-      probes AS (SELECT doc_id, sh, source, blk,
-          unnest([blk, blk + 1]) AS probe FROM shs),
-      inter AS (SELECT least(a.doc_id, b.doc_id) AS a,
-          greatest(a.doc_id, b.doc_id) AS b, count(*) AS inter
-        FROM probes a JOIN shs b
-          ON a.sh = b.sh AND a.source = b.source AND a.probe = b.blk
-          AND (a.blk < b.blk OR (a.blk = b.blk AND a.doc_id < b.doc_id))
-        GROUP BY a.doc_id, b.doc_id)
-      SELECT a, b,
-        CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) AS jaccard
-      FROM inter
-      JOIN sz za ON a = za.doc_id
-      JOIN sz zb ON b = zb.doc_id
-      WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.3
-      ORDER BY a, b"""))
+    Some(blockedPairSql))
 
   /** dedup5 — the same blocked exact-Jaccard as dedup4, but candidate
     * pairs are generated with PPJoin-style PREFIX FILTERING: order every
@@ -493,7 +555,12 @@ object DedupOps {
     * candidate generation by the prefix index size instead of the full
     * inverted index. Exact verification then runs on full shingle sets
     * for candidates only. Same oracle as dedup4: the filter is
-    * lossless, so the result set is identical. */
+    * lossless, so the result set is identical — including the skew
+    * collapse, which both run over the SAME [[blockedDocFrame]]
+    * groups (star edges inside byte-equal sets; prefix indexing,
+    * candidate generation, and verification over representatives
+    * only — df over reps is still one consistent total order, so the
+    * All-Pairs lemma holds unchanged). */
   private val Threshold = 3 // t = 0.3 as the fraction 3/10, kept integral
   private val prefixQ = GQ(
     "dedup5_prefix_jaccard",
@@ -535,7 +602,19 @@ object DedupOps {
       // (df, h) is needed: rows tied on (df, h) carry the SAME h, so
       // the set of h's in any prefix is invariant under tie order, and
       // candidates key on h — losslessness does not depend on tie order.
+      val docs = blockedDocFrame(sh)
+      val star = docs.filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("doc_id").as("b"),
+          lit(1.0).as("jaccard"))
+      val repIds = docs.filter(col("doc_id") === col("rep"))
+        .select("doc_id")
+      // everything below — df, ranking, candidates, verification —
+      // runs over REPRESENTATIVES only (the cached sh restricted by
+      // one semi-join): duplicate members never enter the prefix
+      // index, so a k-identical cluster costs k-1 star rows here
+      // instead of O(k²) candidate and verify pairs
       val lean = sh.select("doc_id", "h", "source", "blk")
+        .join(repIds, Seq("doc_id"), "leftsemi")
       val dfreq = lean.groupBy("h").agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy(col("doc_id"))
       val ranked = lean.join(dfreq, Seq("h"))
@@ -565,11 +644,12 @@ object DedupOps {
       // for AQE to broadcast (at corpus scale it degrades to a
       // doc_id-keyed shuffle join, still O(candidates), never
       // O(corpus²))
-      val docSets = sh.groupBy("doc_id").agg(
-        collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
+      val docSets = sh.join(repIds, Seq("doc_id"), "leftsemi")
+        .groupBy("doc_id").agg(
+          collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
       // exact verification on the STRING shingle sets: both arrays are
       // per-doc distinct, so |∩| = size(array_intersect) exactly
-      cand
+      val cross = cand
         .join(docSets.as("za"), col("a") === col("za.doc_id"))
         .join(docSets.as("zb"), col("b") === col("zb.doc_id"))
         .withColumn("inter",
@@ -578,7 +658,7 @@ object DedupOps {
           (col("za.sz") + col("zb.sz") - col("inter")).cast("double"))
         .filter(col("jaccard") >= 0.3)
         .select("a", "b", "jaccard")
-        .orderBy("a", "b")
+      star.unionByName(cross).orderBy("a", "b")
     },
     ngramQ.oracle) // identical result set: prefix filtering is lossless
 
@@ -594,7 +674,16 @@ object DedupOps {
     * doc_id % 17 == 0 doc gets the first 16 words of doc_id + 1
     * appended, so (d, d+1) pairs with ≥ 4 shared spans are expected
     * (plus any natural repeats, which both engines count
-    * identically). */
+    * identically).
+    *
+    * SKEW-COLLAPSED like every other pair generator: docs with
+    * byte-equal 13-gram SETS group to a min-id representative (fp =
+    * md5 of the sorted gram list — grams are md5 hex, so the
+    * comma-join is unambiguous) with k-1 star edges carrying
+    * shared_spans = the set size (equal sets share every gram);
+    * the inverted-index self-join runs over representatives only.
+    * Cross counts are group-invariant (|A ∩ B| depends only on the
+    * sets), so connectivity is provably unchanged. */
   private val SpanN = 13
   private def spanGramsExpr(toks: String) =
     s"case when size($toks) >= $SpanN then array_distinct(transform(" +
@@ -620,14 +709,30 @@ object DedupOps {
               expr("concat_ws(' ', slice(split(lower(trim(r.text)), '\\\\s+'), 1, 16))")))
             .as("text"))
       val c = d.filter(col("doc_id") % 17 =!= 0).unionByName(injected)
-      val grams = c
+      // per-doc gram ARRAY in-row (already distinct), then the
+      // per-doc frame: size, set fingerprint, window-min rep — one
+      // row per doc, no member array, no blocking key (dedup6 joins
+      // on the gram alone)
+      val ga = c
         .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
-        .select(col("doc_id"), explode(expr(spanGramsExpr("w"))).as("g"))
-      grams.as("a").join(grams.as("b"),
+        .select(col("doc_id"), expr(spanGramsExpr("w")).as("ga"))
+      val docs = ga.filter(size(col("ga")) > 0)
+        .select(col("doc_id"), size(col("ga")).cast("long").as("sz"),
+          md5(array_join(array_sort(col("ga")), ",")).as("fp"))
+        .withColumn("rep", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      val star = docs.filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("doc_id").as("b"),
+          col("sz").as("shared_spans"))
+      val grams = ga
+        .join(docs.filter(col("doc_id") === col("rep")).select("doc_id"),
+          Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"), explode(col("ga")).as("g"))
+      val cross = grams.as("a").join(grams.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
         .agg(count(lit(1)).as("shared_spans"))
-        .orderBy("a", "b")
+      star.unionByName(cross).orderBy("a", "b")
     },
     Some(s"""WITH inj AS (
         SELECT l.doc_id,
@@ -640,12 +745,24 @@ object DedupOps {
       corpus6 AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
         UNION ALL SELECT doc_id, text FROM inj),
-      g AS (SELECT doc_id, unnest(${spanGramsSql("w")}) AS g FROM (
+      gar AS (SELECT doc_id, ${spanGramsSql("w")} AS ga FROM (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-          FROM corpus6))
-      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared_spans
-      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 ORDER BY a, b"""))
+          FROM corpus6)),
+      grp AS (SELECT doc_id, CAST(len(ga) AS BIGINT) AS sz,
+          MIN(doc_id) OVER (PARTITION BY
+            md5(array_to_string(list_sort(ga), ','))) AS rep
+        FROM gar WHERE len(ga) > 0),
+      g AS (SELECT gar.doc_id, unnest(ga) AS g
+        FROM gar JOIN grp ON gar.doc_id = grp.doc_id
+        WHERE grp.doc_id = grp.rep)
+      SELECT a, b, shared_spans FROM (
+        SELECT rep AS a, doc_id AS b, sz AS shared_spans
+        FROM grp WHERE doc_id <> rep
+        UNION ALL
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared_spans
+        FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      ORDER BY a, b"""))
 
   def qs: Seq[GQ] = Seq(exactQ, minhashQ, simhashQ, ngramQ, prefixQ,
     substringQ)
