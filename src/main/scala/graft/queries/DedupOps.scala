@@ -251,21 +251,23 @@ object DedupOps {
       // the shingle relation feeds both the signature and verification
       // branches; it is a narrow scan→split→explode pipeline (per-doc
       // array_distinct, no shuffle), so re-deriving it per consumer is
-      // cheaper than a cache round-trip. The collapse groups in ONE
-      // partial-aggregated pass (one row per distinct shingle set; a
-      // k-member cluster is one k-element id array — rows, never
-      // pairs) so the heavy shingle+minhash lineage sits under a
-      // single reused exchange, not one per consumer.
+      // cheaper than a cache round-trip. The collapse attaches each
+      // doc's group rep with ONE window shuffle on fp; star edges and
+      // the rep frame derive from it FILTER-ONLY, so both consumers
+      // share the identical exchange subtree and the heavy
+      // shingle+minhash lineage under it runs once (ReusedExchange).
+      // No collect_list member array: a k-member cluster is k window
+      // rows — sorted, spillable — never one k-element aggregation
+      // buffer cell (the k = 10⁶⁺ boilerplate ceiling).
       val c = corpus(s, dir)
-      val groups = minhashBands(c).filter(col("fp").isNotNull)
-        .groupBy("fp").agg(min("doc_id").as("doc_id"),
-          collect_list("doc_id").as("members"),
-          first("bands").as("bands"))
-      val star = groups
-        .select(col("doc_id").as("a"), explode(col("members")).as("b"))
-        .filter(col("a") =!= col("b"))
-        .select(col("a"), col("b"), lit(1.0).as("jaccard"))
-      val bands = groups.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val withRep = minhashBands(c).filter(col("fp").isNotNull)
+        .withColumn("rep", min("doc_id").over(byFp))
+      val star = withRep.filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("doc_id").as("b"),
+          lit(1.0).as("jaccard"))
+      val bands = withRep.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = bands.as("l").join(bands.as("r"),
           col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
@@ -365,17 +367,18 @@ object DedupOps {
           .withColumn("h", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
         val sums = sh.groupBy("doc_id").agg(bitSumsSpark.head, bitSumsSpark.tail: _*)
         val sig = sums.select(col("doc_id"), simhashSpark.as("simhash"))
-        // ONE partial-aggregated collapse pass (see pairsFromSigs):
-        // the shingle+simhash lineage sits under a single reused
-        // exchange instead of one per consumer
-        val groups = sig.groupBy("simhash")
-          .agg(min("doc_id").as("doc_id"),
-            collect_list("doc_id").as("members"))
-        val star = groups
-          .select(col("doc_id").as("a"), explode(col("members")).as("b"))
-          .filter(col("a") =!= col("b"))
-          .select(col("a"), col("b"), lit(0).as("hamming"))
-        val reps = groups
+        // ONE window shuffle attaches each doc's group rep; star and
+        // the rep frame are filter-only consumers of the identical
+        // exchange subtree (see pairsFromSigs), so the shingle+simhash
+        // lineage runs once and no aggregation buffer ever holds a
+        // whole group's member array
+        val withRep = sig.withColumn("rep", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("simhash")))
+        val star = withRep.filter(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("a"), col("doc_id").as("b"),
+            lit(0).as("hamming"))
+        val reps = withRep.filter(col("doc_id") === col("rep"))
+          .select("doc_id", "simhash")
         val keys = for (k <- 0 until 4; j <- 0 until 4) yield {
           val block = shiftright(col("simhash"), 8 * k)
             .bitwiseAND(lit(255L))

@@ -419,21 +419,27 @@ object MultimodalOps {
     * together instead of desyncing them. */
   private[queries] def pairsFromSigs(sig: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // ONE partial-aggregated pass over the signature frame (a
-    // window-over-sig formulation puts the expensive decode+hash
-    // lineage under THREE consumers and measured 4-7× slower at sf1
-    // when exchange reuse missed); the group frame is tiny — one row
-    // per distinct signature, a k-member cluster is one k-element id
-    // array (rows and array cells, never pairs) — and every
-    // downstream branch derives from its reused exchange
-    val groups = sig.groupBy("hash_hi", "hash_lo")
-      .agg(min("doc_id").as("doc_id"),
-        collect_list("doc_id").as("members"))
-    val star = groups
-      .select(col("doc_id").as("a"), explode(col("members")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(col("a"), col("b"), lit(0).as("hamming"))
-    val blocks = banded(groups.select("doc_id", "hash_hi", "hash_lo"))
+    // ONE window shuffle over the signature frame attaches each row's
+    // group rep; star edges and the rep frame derive from it
+    // FILTER-ONLY, so both consumers share the identical
+    // Exchange(hash_hi, hash_lo) subtree and the expensive decode+hash
+    // lineage below it runs once (ReusedExchange — the same shape
+    // NearDupIndex/phashReconcile pinned; the round-14 regression was
+    // a formulation whose consumers had DIFFERENT exchange subtrees).
+    // Unlike the previous groupBy + collect_list(members) pass, no
+    // aggregation buffer ever holds a whole group: a k = 10⁶–10⁸
+    // boilerplate cluster — the shape the docs themselves cite — is k
+    // window ROWS (sorted, spillable), not one 8 MB–800 MB array cell
+    // exploded in a single task.
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy("hash_hi", "hash_lo")
+    val withRep = sig.select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+      .withColumn("rep", min("doc_id").over(byGroup))
+    val star = withRep.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"),
+        lit(0).as("hamming"))
+    val blocks = banded(withRep.filter(col("doc_id") === col("rep"))
+      .select("doc_id", "hash_hi", "hash_lo"))
     val cross = blocks.as("l").join(blocks.as("r"),
         col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),

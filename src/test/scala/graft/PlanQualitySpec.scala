@@ -207,6 +207,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"cdc candidate exchange not reused:\n$plan")
   }
 
+  test("skew-collapse generators reuse the group-window exchange") {
+    // the star and rep branches of every collapsed pair generator are
+    // filter-only consumers of ONE Window(min over group) frame — the
+    // expensive signature lineage (decode+hash / shingle+minhash) must
+    // sit under a single reused exchange, or every gate pays it twice
+    // (the round-14 measured 4-7× hazard). Pinned here so a Spark
+    // upgrade or a refactor that splits the subtrees fails loudly.
+    for (name <- Seq("dedup2_minhash_lsh", "dedup3_simhash",
+        "mm6_phash_neardup", "mm9_audio_neardup")) {
+      val plan = executedPlan(SparkEntry.queries(name)(spark, sf))
+      assert(plan.contains("ReusedExchange"),
+        s"$name: group-window exchange not reused:\n$plan")
+    }
+  }
+
   test("global hygiene: every gate query plans 100TB-safe") {
     // Three structural rules a plan must satisfy to survive a 100×
     // scale-up, asserted over EVERY gate query at sf0.001:
