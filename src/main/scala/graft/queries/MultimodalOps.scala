@@ -637,23 +637,55 @@ object MultimodalOps {
       // for a streaming ExactlyOnce guard (the NearDupIndex ordering
       // invariant); None for the batch gates
       tag: Option[String] = None): ReconcileStats = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val cached = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.sql.DataFrame]
     def cache(df: org.apache.spark.sql.DataFrame) = {
       cached += df.persist(); df
     }
+    var sigWrite: Future[Any] = Future.successful(())
     try {
       // plans pinned BEFORE the writes below (snapshot() resolves its
       // file list eagerly); a never-written store/pairs table has a
       // schema-only snapshot — the bootstrap branches
       val preStore = sigs.snapshot()
       val storeWasEmpty = !preStore.columns.contains("hash_lo")
+      // the store PERSISTS each row's group representative (rep =
+      // min doc_id over byte-equal signatures, maintained by this
+      // reconcile): unaffected groups' reps read back filter-only, so
+      // no per-batch window pass over the whole store — the full-store
+      // sort was the streaming service's dominant fixed cost. A store
+      // written before the rep column cannot be reconciled
+      // incrementally — drop/recreate sigs AND pairs and rebuild with
+      // a bootstrap reconcile.
+      require(storeWasEmpty || preStore.columns.contains("rep"),
+        "signature store predates the persisted-rep contract (no rep " +
+          "column) - drop/recreate the sigs AND pairs tables and " +
+          s"rebuild with a bootstrap reconcile: ${sigs.basePath}")
       val pairsSnap = pairs.snapshot()
       val pairsBootstrap = !pairsSnap.columns.contains("a")
       val newSigs = cache(hashFn(churnImgs))
+      // the store PERSISTS each row's group representative, so the sig
+      // write depends on the pre-store read — warm that cache on a
+      // background thread WHILE the heavy churn decode+hash
+      // materializes on this one (the two dominate the pre-write
+      // serial prefix; overlapped they cost ~max, not sum)
+      val preSigs =
+        if (storeWasEmpty)
+          newSigs.limit(0).withColumn("rep", lit(null).cast("long"))
+        else cache(preStore.select("doc_id", "hash_hi", "hash_lo", "rep"))
+      val preRead: Future[Any] =
+        if (storeWasEmpty) Future.successful(())
+        else Future { preSigs.count() }
       // materialize before the write: small-file sizing reads Catalyst
       // stats, exact only for a computed cache
-      val hashedN = newSigs.count()
+      val hashedN =
+        try newSigs.count()
+        finally Await.ready(preRead, Duration.Inf)
+      // surface a store-read failure here, not inside a later consumer
+      Await.result(preRead, Duration.Inf)
       // a churn doc whose NEW payload yields no signature (undecodable
       // media; an all-silent clip under the envelope hash) must DROP
       // OUT of the index — its old signature describes a superseded
@@ -668,31 +700,6 @@ object MultimodalOps {
         .join(newSigs.select("doc_id"), Seq("doc_id"), "left_anti"))
       val droppedN = undecodable.count()
       val delC = cache(deletedIds.unionByName(undecodable).distinct())
-      // one commit: churn signatures + departed/undecodable-doc
-      // tombstones. combine=false — the hash fn emits at most one row
-      // per payload and the churn is one row per doc (post-merge
-      // payloads) by contract
-      sigs.upsertWithDeletes(newSigs.withColumn("ts", lit(ts)), delC,
-        combine = false)
-      // the pre-write store projection, materialized ONCE: it feeds
-      // the post-write store derivation AND the old-signature side of
-      // the affected-group set — uncached, each consumer re-plans and
-      // re-runs the MOR merge-read subtree, which dominates per-batch
-      // cost in the streaming service. Evaluation happens after the
-      // sig write, but the plan was pinned pre-write (snapshot()
-      // resolves its file list eagerly), so it still reads the
-      // PRE-write state.
-      val preSigs =
-        if (storeWasEmpty) newSigs.limit(0)
-        else cache(preStore.select("doc_id", "hash_hi", "hash_lo"))
-      // post-write store content derived WITHOUT re-reading the files
-      // just written: every churn doc has a row in newSigs, so the
-      // anti-join reproduces what the read-side merge would pick
-      val store =
-        if (storeWasEmpty) newSigs
-        else newSigs.unionByName(
-          preSigs.join(newSigs.select("doc_id").unionByName(delC),
-            Seq("doc_id"), "left_anti"))
       // SKEW-COLLAPSED incremental reconcile — maintains exactly the
       // [[pairsFromSigs]] contract (star edges inside byte-equal
       // signature groups, one cross pair per group pair): a cluster
@@ -701,7 +708,7 @@ object MultimodalOps {
       // not O(k²). AFFECTED groups are the signatures that gained,
       // lost, or re-hashed a member this batch: the churn's NEW
       // signatures plus the PRE-store signatures of churned/departed
-      // docs (a delete can promote a new representative; an insert
+      // docs (a delete can promote a new representative, an insert
       // with a smaller id can demote one — either rewrites the
       // group's star edges and cross endpoints, which is why the
       // tombstone scope below is group members, not just churn ids).
@@ -710,37 +717,89 @@ object MultimodalOps {
       val oldSigsOfTouched =
         if (storeWasEmpty) newSigs.limit(0)
         else preSigs.join(churnIds, Seq("doc_id"), "leftsemi")
+          .select("doc_id", "hash_hi", "hash_lo")
       val affectedSigs = cache(newSigs.select("hash_hi", "hash_lo")
         .unionByName(oldSigsOfTouched.select("hash_hi", "hash_lo"))
         .distinct())
-      // ONE window shuffle on the signature attaches each store row's
-      // group rep; members, reps, and star edges all derive from it
-      // filter-only (the pre-restructure shape — two groupBys + a
-      // semi-join + a rep join — paid 3 extra shuffle stages per
-      // micro-batch, which dominates the streaming service at small
-      // batch sizes)
+      // post-churn store content derived WITHOUT re-reading files:
+      // every churn doc has a row in newSigs, so the anti-join
+      // reproduces what the read-side merge would pick
+      val store =
+        if (storeWasEmpty) newSigs
+        else newSigs.unionByName(
+          preSigs.join(churnIds, Seq("doc_id"), "left_anti")
+            .select("doc_id", "hash_hi", "hash_lo"))
+      // members of AFFECTED groups only (affectedSigs is O(churn
+      // groups) — AQE broadcasts the semi-join, so the store is
+      // scanned but never shuffled); the rep window then runs over
+      // this slice, not the whole store
       import org.apache.spark.sql.expressions.Window
       val byGroup = Window.partitionBy("hash_hi", "hash_lo")
-      val withRep = cache(store.select(col("doc_id"), col("hash_hi"),
-        col("hash_lo"), min("doc_id").over(byGroup).as("rep")))
-      // post-store members of affected groups (a group's rep is
-      // itself a member, so affected reps come from the same frame)
-      val affectedMembers = cache(withRep.join(affectedSigs,
-        Seq("hash_hi", "hash_lo"), "leftsemi"))
+      val affectedMembers = cache((
+        if (storeWasEmpty)
+          // bootstrap: every group is affected — skip the corpus-sized
+          // signature distinct + semi-join entirely (affectedSigs then
+          // never evaluates: its only other consumer anti-joins an
+          // empty preSigs side, which the optimizer eliminates)
+          store
+        else store.join(affectedSigs, Seq("hash_hi", "hash_lo"), "leftsemi"))
+        .withColumn("rep", min("doc_id").over(byGroup)))
+      // materialize the shared cache (and the store MOR read under
+      // it) ONCE on this thread before the background write launches:
+      // racing the write future and the pairs chain into a cold cache
+      // duplicates the store read — measured slower than the serial
+      // read + overlapped write
+      affectedMembers.count()
       val star = affectedMembers.filter(col("doc_id") =!= col("rep"))
         .select(col("rep").as("a"), col("doc_id").as("b"),
           lit(0).as("hamming"))
       val affectedReps = affectedMembers
         .filter(col("doc_id") === col("rep"))
         .select("doc_id", "hash_hi", "hash_lo")
+      // the signature-store write set: every churn row plus every
+      // affected-group member whose rep CHANGED (a delete promoting a
+      // new rep, a smaller-id insert demoting one) — in steady state a
+      // one-doc churn into a k-member group writes O(1) rows, not
+      // O(k). oldReps is preSigs pre-restricted to affected groups
+      // (broadcast semi) so the rep diff join never shuffles the
+      // full store by doc_id.
+      // the write set is the whole (cached) affected frame: every
+      // churn row plus every member of a group the churn touched,
+      // each carrying its CURRENT rep — a superset of the minimal
+      // rep-diff, chosen deliberately: a semi/anti/diff-join
+      // derivation of "only rows whose rep changed" costs 3 extra
+      // per-batch join jobs, which at streaming batch sizes outweighs
+      // re-upserting the (already small) affected slice. O(churn +
+      // affected-group size) per batch — the reconcile's documented
+      // cost envelope.
+      val writeRows = affectedMembers
+        .select("doc_id", "hash_hi", "hash_lo", "rep")
+      // one commit: churn signatures + rep updates + departed/
+      // undecodable-doc tombstones, run on a BACKGROUND thread so it
+      // overlaps the candidate/verify/pairs chain (the NearDupIndex
+      // pattern — the two writes touch different tables, every
+      // relation derives post-churn content from pinned pre-write
+      // plans, the pairs snapshot is already pinned, and the shared
+      // affectedMembers cache is already materialized above — exact
+      // Catalyst stats for the write's small-file sizing, no cold-
+      // cache race). combine=false — one row per doc by construction
+      // (affectedMembers is the post-churn store slice). The
+      // signature write is awaited BEFORE the tagged pairs commit
+      // ("pairs tag present ⇒ sigs batch committed" is the
+      // crash-safety invariant the streaming service relies on).
+      sigWrite = Future {
+        sigs.upsertWithDeletes(writeRows.withColumn("ts", lit(ts)), delC,
+          combine = false)
+      }
       // cross candidates: affected-group reps band-probed against ALL
-      // group reps (filter over the same windowed frame — the same
-      // store scan the pre-collapse band probe paid, minus the band
-      // explode of every duplicate member); pairs wholly inside the
-      // batch are found because affected reps are themselves store
-      // reps
-      val allReps = withRep.filter(col("doc_id") === col("rep"))
-        .select("doc_id", "hash_hi", "hash_lo")
+      // group reps = the recomputed affected reps plus the STORED reps
+      // of unaffected groups (filter + broadcast anti-join off the
+      // pre-store scan — no window, no shuffle); pairs wholly inside
+      // the batch are found because affected reps are themselves reps
+      val allReps = affectedReps.unionByName(
+        preSigs.filter(col("doc_id") === col("rep"))
+          .join(affectedSigs, Seq("hash_hi", "hash_lo"), "left_anti")
+          .select("doc_id", "hash_hi", "hash_lo"))
       val cross = banded(affectedReps).as("l")
         .join(banded(allReps).as("r"),
           col("l.blk") === col("r.blk") &&
@@ -752,6 +811,10 @@ object MultimodalOps {
         .distinct()
       val cand = cache(star.unionByName(cross))
       cand.count()
+      // the store write must be durable before the tagged pairs commit
+      // (result, not ready: a store-write failure must surface before
+      // the tag is written)
+      Await.result(sigWrite, Duration.Inf)
       if (pairsBootstrap)
         pairs.upsert(cand.withColumn("ts", lit(ts)), tag = tag,
           combine = false)
@@ -777,7 +840,12 @@ object MultimodalOps {
           tag = tag, combine = false)
       }
       ReconcileStats(hashedN, droppedN)
-    } finally cached.foreach(_.unpersist())
+    } finally {
+      // on a pairs-chain failure the store write may still be in
+      // flight — never unpersist its inputs from under it
+      Await.ready(sigWrite, Duration.Inf)
+      cached.foreach(_.unpersist())
+    }
   }
 
   /** Per-reconcile decode observability: `hashed` churn payloads

@@ -17,9 +17,13 @@ import graft.core.LakeTable
   * exercise the same code.
   *
   * State = two lake tables: a SIGNATURE STORE keyed by doc_id holding
-  * the LSH band keys packed as one array column plus the shingle-set
-  * fingerprint `fp` (doc updates are plain upserts — preCombine picks
-  * the newest signature) and a PAIRS table keyed (a, b) holding the
+  * the LSH band keys packed as one array column, the shingle-set
+  * fingerprint `fp`, and the PERSISTED group representative `rep` =
+  * min doc_id over byte-equal shingle sets (doc updates are plain
+  * upserts — preCombine picks the newest signature; the reconcile
+  * maintains rep, so unaffected groups' reps read back filter-only
+  * with no per-batch window over the store) and a PAIRS table keyed
+  * (a, b) holding the
   * SKEW-COLLAPSED pair set ([[graft.queries.DedupOps.minhashPairs]]'s
   * contract): star edges (min-id rep → member, jaccard 1.0) inside
   * byte-equal shingle-set groups, one verified cross pair per group
@@ -88,38 +92,36 @@ private[graft] object NearDupIndex {
       // would then find fp present, pass the guard, and silently
       // treat every legacy row's NULL fp as shingle-less, dropping it
       // from grouping and candidate generation).
-      require(storeWasEmpty || preStore.columns.contains("fp"),
-        "signature store predates the skew-collapsed contract (no fp " +
-          "column) - drop/recreate the sigs AND pairs tables and " +
-          s"rebuild with a bootstrap reconcile: ${sigs.basePath}")
+      require(storeWasEmpty || (preStore.columns.contains("fp") &&
+          preStore.columns.contains("rep")),
+        "signature store predates the skew-collapsed persisted-rep " +
+          "contract (missing fp/rep column) - drop/recreate the sigs " +
+          "AND pairs tables and rebuild with a bootstrap reconcile: " +
+          sigs.basePath)
       val newSigs = cache(DedupOps.minhashBands(churnC))
+      // the store PERSISTS each row's group representative (see the
+      // class doc), so the sig write depends on the pre-store read —
+      // warm that cache on a background thread WHILE the heavy churn
+      // shingle+minhash materializes on this one (the two dominate the
+      // pre-write serial prefix; overlapped they cost ~max, not sum)
+      val preSigs =
+        if (storeWasEmpty) newSigs.limit(0)
+          .select("doc_id", "bands", "fp")
+          .withColumn("rep", lit(null).cast("long"))
+        else cache(preStore.select("doc_id", "bands", "fp", "rep"))
+      val preRead: Future[Any] =
+        if (storeWasEmpty) Future.successful(())
+        else Future { preSigs.count() }
       // materialize BEFORE the background write starts: the write's
       // small-file sizing reads Catalyst stats, which are exact only
       // for a computed cache (an unmaterialized one falls back to the
       // corpus-scan estimate and writes one file per partition), and
       // the write and the candidate join below would otherwise race
       // to compute the same blocks
-      newSigs.count()
-      // the signature-store write and the pairs reconciliation below
-      // write DIFFERENT tables from the same cached inputs — run the
-      // store write on a background thread and overlap it with the
-      // candidate/verify/pairs chain (the two dominate reconcile cost
-      // back-to-back; concurrent they cost ~max instead of sum). Safe
-      // because the only table this future writes is SIGS: preStore
-      // pinned its live-file list BEFORE this point (snapshot() is
-      // eager), the store derivation below reconstructs the
-      // post-write content from newSigs ∪ preStore without reading
-      // written files, and the pairs snapshot taken later reads a
-      // table this future never touches. Backgrounding a PAIRS write
-      // here would NOT be safe — its snapshot is taken after this
-      // point. The departed-doc tombstones ride the SAME commit
-      // (upsertWithDeletes — deleted ids are disjoint from churn ids
-      // by contract), one commit instead of delete-then-upsert two;
-      // combine=false: minhashBands is one row per doc by construction.
-      sigWrite = Future {
-        sigs.upsertWithDeletes(newSigs.withColumn("ts", lit(ts)),
-          deletedC, combine = false)
-      }
+      try newSigs.count()
+      finally Await.ready(preRead, Duration.Inf)
+      // surface a store-read failure here, not inside a later consumer
+      Await.result(preRead, Duration.Inf)
       // SKEW-COLLAPSED reconcile — maintains exactly the
       // [[DedupOps.minhashPairs]] contract (star edges inside
       // byte-equal shingle-set groups, one verified cross pair per
@@ -144,42 +146,83 @@ private[graft] object NearDupIndex {
       // pre-write (snapshot() is eager on its file list), so lazy
       // evaluation after the background sig write still reads the
       // PRE-write state.
-      val preSigs =
-        if (storeWasEmpty) newSigs.limit(0).select("doc_id", "bands", "fp")
-        else cache(preStore.select("doc_id", "bands", "fp"))
       val oldFps =
         if (storeWasEmpty) newSigs.limit(0).select("fp")
         else preSigs.join(churnIds, Seq("doc_id"), "leftsemi").select("fp")
       val affectedFps = cache(newSigs.select("fp").unionByName(oldFps)
         .filter(col("fp").isNotNull).distinct())
-      // post-write store content, derived as newSigs ∪ (pre-write
-      // store minus churn minus departed keys) instead of re-reading
-      // and merge-windowing the files just written: every churn doc
-      // has a row in newSigs, so the anti-join reproduces exactly
-      // what the read-side merge would pick. The departed ids join
-      // the anti side because their tombstones land in the background
-      // commit (preStore still has them).
+      // post-churn store content, derived as newSigs ∪ (pre-write
+      // store minus churn minus departed keys): every churn doc has a
+      // row in newSigs, so the anti-join reproduces exactly what the
+      // read-side merge would pick after this batch's commit.
       val store =
         if (storeWasEmpty) newSigs.select("doc_id", "bands", "fp")
         else newSigs.select("doc_id", "bands", "fp").unionByName(
           preSigs.join(newSigs.select("doc_id").unionByName(deletedC),
-            Seq("doc_id"), "left_anti"))
-      // ONE window shuffle on the fingerprint attaches each store
-      // row's group rep; members, reps, and star edges all derive
-      // from it filter-only (two groupBys + a semi-join + a rep join
-      // would pay 3 extra shuffle stages per micro-batch — the
-      // dominant cost at streaming batch sizes). NULL-fp rows
-      // (shingle-less docs) are filtered BEFORE the window: they
-      // contribute nothing downstream (the semi-join never matches
-      // NULL; allReps filters them), and partitionBy would otherwise
-      // funnel every one of them into a single window partition — a
-      // deliberate skew hotspot in the machinery that removes skew.
+            Seq("doc_id"), "left_anti").select("doc_id", "bands", "fp"))
+      // members of AFFECTED groups only (affectedFps is O(churn
+      // groups) — AQE broadcasts the semi-join, so the store is
+      // scanned but never shuffled or sorted whole); the rep window
+      // runs over this slice. NULL-fp rows never match the semi-join,
+      // so the shingle-less skew hotspot cannot form.
       val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-      val withRep = cache(store.filter(col("fp").isNotNull)
-        .select(col("doc_id"), col("bands"),
-          col("fp"), min("doc_id").over(byFp).as("rep")))
-      val affectedMembers = cache(withRep.join(affectedFps,
-        Seq("fp"), "leftsemi"))
+      val affectedMembers = cache((
+        if (storeWasEmpty)
+          // bootstrap: every group is affected — skip the corpus-sized
+          // fp distinct + semi-join (the NULL-fp filter the semi gave
+          // implicitly is applied directly; affectedFps then never
+          // evaluates: its only other consumer anti-joins an empty
+          // preSigs side, which the optimizer eliminates)
+          store.filter(col("fp").isNotNull)
+        else store.join(affectedFps, Seq("fp"), "leftsemi"))
+        .withColumn("rep", min("doc_id").over(byFp)))
+      // materialize the shared cache (and the store MOR read under
+      // it) ONCE on this thread before the background write launches:
+      // racing the write future and the pairs chain into a cold cache
+      // duplicates the store read — measured slower than the serial
+      // read + overlapped write
+      affectedMembers.count()
+      // the signature-store write set: every churn row (newest
+      // preCombine version) plus every affected-group member whose rep
+      // CHANGED (a delete promoting a new rep, a smaller-id insert
+      // demoting one) — steady-state O(churn), not O(affected group);
+      // shingle-less churn rows carry rep = doc_id. oldReps is preSigs
+      // pre-restricted to affected groups (broadcast semi), so the rep
+      // diff never shuffles the full store by doc_id.
+      // the write set is the whole (cached) affected frame plus the
+      // shingle-less churn rows (rep = doc_id): every churn row and
+      // every member of a group the churn touched, each carrying its
+      // CURRENT rep — a superset of the minimal rep-diff, chosen
+      // deliberately: a semi/anti/diff-join derivation of "only rows
+      // whose rep changed" costs 3 extra per-batch join jobs, which at
+      // streaming batch sizes outweighs re-upserting the (already
+      // small) affected slice. O(churn + affected-group size) per
+      // batch — the reconcile's documented cost envelope.
+      val writeRows = affectedMembers
+        .select("doc_id", "bands", "fp", "rep")
+        .unionByName(newSigs.filter(col("fp").isNull)
+          .select(col("doc_id"), col("bands"), col("fp"),
+            col("doc_id").as("rep")))
+      // the signature-store write and the pairs reconciliation below
+      // write DIFFERENT tables from the same cached inputs — run the
+      // store write on a background thread and overlap it with the
+      // candidate/verify/pairs chain (the two dominate reconcile cost
+      // back-to-back; concurrent they cost ~max instead of sum). Safe
+      // because the only table this future writes is SIGS: preStore
+      // pinned its live-file list BEFORE this point (snapshot() is
+      // eager), every relation here derives post-churn content from
+      // newSigs ∪ preStore without reading written files, and the
+      // pairs snapshot was pinned above. The departed-doc tombstones
+      // ride the SAME commit (deleted ids are disjoint from churn ids
+      // by contract); combine=false: one row per doc by construction
+      // (affectedMembers is the post-churn store slice; the NULL-fp
+      // arm is disjoint from it; the shared cache is materialized
+      // above, so the write's small-file sizing reads exact stats and
+      // nothing races into a cold cache).
+      sigWrite = Future {
+        sigs.upsertWithDeletes(writeRows.withColumn("ts", lit(ts)),
+          deletedC, combine = false)
+      }
       // one group's bands are identical across members (equal sets ⟹
       // equal minhashes), so the rep's own row represents the group
       val affectedReps = affectedMembers
@@ -219,13 +262,15 @@ private[graft] object NearDupIndex {
         .select(col("rep").as("a"), col("doc_id").as("b"),
           lit(1.0).as("jaccard"))
       // cross candidates: affected-group reps band-probed against ALL
-      // group reps (filter over the same windowed frame — the same
-      // store scan the pre-collapse probe paid, minus the band
-      // explode of every duplicate member); pairs wholly inside the
-      // batch are found because affected reps are themselves store
-      // reps
-      val allReps = withRep.filter(col("doc_id") === col("rep"))
-        .select("doc_id", "bands")
+      // group reps = the recomputed affected reps plus the STORED reps
+      // of unaffected groups (filter + broadcast anti-join off the
+      // pre-store scan — no window, no shuffle); pairs wholly inside
+      // the batch are found because affected reps are themselves reps
+      val allReps = affectedReps.unionByName(
+        preSigs.filter(col("fp").isNotNull &&
+            col("doc_id") === col("rep"))
+          .join(affectedFps, Seq("fp"), "left_anti")
+          .select("doc_id", "bands"))
       val lb = affectedReps
         .select(col("doc_id"), explode(col("bands")).as("bk"))
       val rb = allReps.select(col("doc_id"), explode(col("bands")).as("bk"))

@@ -579,7 +579,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       }
       case "maintain_neardups" => procedure(
         "maintain_neardups", "reconcile a near-dup signature store " +
-          "(doc_id, bands ARRAY<STRING>, fp STRING, ts) and verified-pairs " +
+          "(doc_id, bands ARRAY<STRING>, fp STRING, rep BIGINT, ts) and " +
+          "verified-pairs " +
           "table with a docs table's churn (the NearDupIndex increment): " +
           "since_instant = '' bootstraps from the full snapshot; otherwise " +
           "only the CDC churn after that instant is re-hashed",
