@@ -298,11 +298,21 @@ object Bench {
     val minPassArr = minPassByName.map(_._2).mkString("[", ",", "]")
     val tail =
       s"""{"calib_ms":$calibs,"total":$total,"extra_rounds":$extraRounds,"min_pass":$minPassArr}"""
+    // compact per-query times (3 decimals — the full-precision map in
+    // the main line runs ~4.5 kB and the driver archives only a 2 kB
+    // output window, so the head of the query map was lost to
+    // truncation for 14 rounds; this line, printed FIRST, keeps a
+    // self-contained copy adjacent to whichever window edge survives,
+    // and target/bench_last.json remains the complete record)
+    val qCompact = ordered.map { case (name, _) =>
+      f""""$name":${samples(name).map(_._1).min}%.3f""" }
+      .mkString("""{"queries":{""", ",", "}}")
     // Emit robustly: a contended driver run once truncated this line
     // mid-JSON. Print + hard flush BEFORE spark.stop() (whose shutdown
     // logging can interleave), and leave a recovery copy on disk. The
     // compact line brackets the main line — a head OR tail truncation
     // of the archived window still keeps one complete copy.
+    println(qCompact)
     println(tail)
     println(line)
     println(tail)
@@ -311,7 +321,7 @@ object Bench {
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
-        (line + "\n" + tail + "\n").getBytes("UTF-8"))
+        (line + "\n" + tail + "\n" + qCompact + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
   }
