@@ -756,13 +756,6 @@ object MultimodalOps {
       val affectedReps = affectedMembers
         .filter(col("doc_id") === col("rep"))
         .select("doc_id", "hash_hi", "hash_lo")
-      // the signature-store write set: every churn row plus every
-      // affected-group member whose rep CHANGED (a delete promoting a
-      // new rep, a smaller-id insert demoting one) — in steady state a
-      // one-doc churn into a k-member group writes O(1) rows, not
-      // O(k). oldReps is preSigs pre-restricted to affected groups
-      // (broadcast semi) so the rep diff join never shuffles the
-      // full store by doc_id.
       // the write set is the whole (cached) affected frame: every
       // churn row plus every member of a group the churn touched,
       // each carrying its CURRENT rep — a superset of the minimal

@@ -138,11 +138,7 @@ private[graft] object NearDupIndex {
       // promote a new representative, an insert with a smaller id can
       // demote one; either rewrites the group's star edges and cross
       // endpoints, which is why the tombstone scope below is group
-      // members, not just churn ids)
-      // the pre-write store projection, materialized ONCE: it feeds
-      // the post-write store derivation AND the old-fingerprint side
-      // of the affected-group set — uncached, each consumer re-plans
-      // and re-runs the MOR merge-read subtree. The plan was pinned
+      // members, not just churn ids). preSigs plans were pinned
       // pre-write (snapshot() is eager on its file list), so lazy
       // evaluation after the background sig write still reads the
       // PRE-write state.
@@ -182,13 +178,6 @@ private[graft] object NearDupIndex {
       // duplicates the store read — measured slower than the serial
       // read + overlapped write
       affectedMembers.count()
-      // the signature-store write set: every churn row (newest
-      // preCombine version) plus every affected-group member whose rep
-      // CHANGED (a delete promoting a new rep, a smaller-id insert
-      // demoting one) — steady-state O(churn), not O(affected group);
-      // shingle-less churn rows carry rep = doc_id. oldReps is preSigs
-      // pre-restricted to affected groups (broadcast semi), so the rep
-      // diff never shuffles the full store by doc_id.
       // the write set is the whole (cached) affected frame plus the
       // shingle-less churn rows (rep = doc_id): every churn row and
       // every member of a group the churn touched, each carrying its

@@ -275,7 +275,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     sql("""CREATE TABLE graft.db.nd_docs (doc_id BIGINT, text STRING, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
     sql("""CREATE TABLE graft.db.nd_sigs (doc_id BIGINT, bands ARRAY<STRING>,
-        fp STRING, ts BIGINT)
+        fp STRING, rep BIGINT, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
     sql("""CREATE TABLE graft.db.nd_pairs (a BIGINT, b BIGINT, jaccard DOUBLE, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'a,b', preCombineField = 'ts')""")
@@ -310,7 +310,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     sql("""CREATE TABLE graft.db.mi_pay (doc_id BIGINT, payload BINARY, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
     sql("""CREATE TABLE graft.db.mi_sigs (doc_id BIGINT, hash_hi BIGINT,
-        hash_lo BIGINT, ts BIGINT)
+        hash_lo BIGINT, rep BIGINT, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
     sql("""CREATE TABLE graft.db.mi_pairs (a BIGINT, b BIGINT, hamming INT, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'a,b', preCombineField = 'ts')""")
@@ -397,7 +397,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     sql("""CREATE TABLE graft.db.sm_pay (doc_id BIGINT, payload BINARY, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
     sql("""CREATE TABLE graft.db.sm_sigs (doc_id BIGINT, hash_hi BIGINT,
-        hash_lo BIGINT, ts BIGINT)
+        hash_lo BIGINT, rep BIGINT, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
     sql("""CREATE TABLE graft.db.sm_pairs (a BIGINT, b BIGINT, hamming INT, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'a,b', preCombineField = 'ts')""")
@@ -454,7 +454,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     sql("""CREATE TABLE graft.db.sm_docs (doc_id BIGINT, text STRING, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
     sql("""CREATE TABLE graft.db.sm_tsigs (doc_id BIGINT, bands ARRAY<STRING>,
-        fp STRING, ts BIGINT)
+        fp STRING, rep BIGINT, ts BIGINT)
       USING graft TBLPROPERTIES (primaryKey = 'doc_id', preCombineField = 'ts')""")
     sql("""CREATE TABLE graft.db.sm_tpairs (a BIGINT, b BIGINT, jaccard DOUBLE,
         ts BIGINT)
