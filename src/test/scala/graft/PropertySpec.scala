@@ -235,6 +235,25 @@ class PropertySpec extends AnyFunSuite {
             assert(got == want,
               s"[$tableType] batch $i (delete=$isDelete, rows=$rows): " +
                 s"got $got want $want")
+            // the PERSISTED rep invariant: after every batch, each
+            // store row's rep must equal min(doc_id) over its current
+            // byte-equal shingle-set group (rep = doc_id for
+            // shingle-less rows) — a drifted rep wouldn't corrupt the
+            // pairs gate until a LATER batch probes the stale rep, so
+            // pin it at the store directly
+            val storeRows = LakeTable.load(spark, sigPath).snapshot()
+              .select("doc_id", "fp", "rep").collect()
+              .map(r => (r.getLong(0),
+                if (r.isNullAt(1)) null else r.getString(1),
+                r.getLong(2)))
+            val repOf = storeRows.filter(_._2 != null)
+              .groupBy(_._2).map { case (fp, g) => fp -> g.map(_._1).min }
+            storeRows.foreach { case (id, fp, rep) =>
+              val wantRep = if (fp == null) id else repOf(fp)
+              assert(rep == wantRep,
+                s"[$tableType] batch $i: store rep drift for doc $id " +
+                  s"(fp=$fp): rep=$rep want=$wantRep")
+            }
           }
         }
       } finally q.stop()
