@@ -660,13 +660,22 @@ object MultimodalOps {
       // written before the rep column cannot be reconciled
       // incrementally — drop/recreate sigs AND pairs and rebuild with
       // a bootstrap reconcile.
-      require(storeWasEmpty || preStore.columns.contains("rep"),
-        "signature store predates the persisted-rep contract (no rep " +
-          "column) - drop/recreate the sigs AND pairs tables and " +
+      require(storeWasEmpty || (preStore.columns.contains("rep") &&
+          preStore.columns.contains("ts")),
+        "signature store predates the persisted-rep contract (no rep/" +
+          "ts column) - drop/recreate the sigs AND pairs tables and " +
           s"rebuild with a bootstrap reconcile: ${sigs.basePath}")
       val pairsSnap = pairs.snapshot()
       val pairsBootstrap = !pairsSnap.columns.contains("a")
-      val newSigs = cache(hashFn(churnImgs))
+      // NULL-hash guard: hashFn's contract is "no row for a payload
+      // with no signature", but a variant that emits NULL halves
+      // instead would otherwise collapse every such doc into ONE
+      // group under the rep window (shared rep, bogus hamming-0 star
+      // edges). Filtering here makes a NULL-hash row mean the same
+      // thing as an absent row — the doc joins the undecodable
+      // tombstone side below and drops out of the index.
+      val newSigs = cache(hashFn(churnImgs)
+        .filter(col("hash_hi").isNotNull && col("hash_lo").isNotNull))
       // the store PERSISTS each row's group representative, so the sig
       // write depends on the pre-store read — warm that cache on a
       // background thread WHILE the heavy churn decode+hash
@@ -675,7 +684,9 @@ object MultimodalOps {
       val preSigs =
         if (storeWasEmpty)
           newSigs.limit(0).withColumn("rep", lit(null).cast("long"))
-        else cache(preStore.select("doc_id", "hash_hi", "hash_lo", "rep"))
+            .withColumn("ts", lit(ts))
+        else cache(preStore.select(
+          "doc_id", "hash_hi", "hash_lo", "rep", "ts"))
       val preRead: Future[Any] =
         if (storeWasEmpty) Future.successful(())
         else Future { preSigs.count() }
@@ -718,8 +729,23 @@ object MultimodalOps {
         if (storeWasEmpty) newSigs.limit(0)
         else preSigs.join(churnIds, Seq("doc_id"), "leftsemi")
           .select("doc_id", "hash_hi", "hash_lo")
+      // CRASH-REPLAY widening (the [[NearDupIndex.reconcile]]
+      // invariant, same reasoning): if attempt 1 at THIS batch
+      // committed the signature write and died before the tagged
+      // pairs commit, preSigs already reflects attempt 1 — a departed
+      // doc has no row and a re-hashed doc carries its NEW signature,
+      // so churn-derived oldSigsOfTouched misses its OLD group.
+      // Attempt 1 stamped every member of every affected group with
+      // THIS ts, so "store signatures written at ts" recovers exactly
+      // its affected-group set; on a clean first run the store holds
+      // only older stamps and this arm is empty.
+      val replaySigs =
+        if (storeWasEmpty) newSigs.limit(0).select("hash_hi", "hash_lo")
+        else preSigs.filter(col("ts") === lit(ts))
+          .select("hash_hi", "hash_lo")
       val affectedSigs = cache(newSigs.select("hash_hi", "hash_lo")
         .unionByName(oldSigsOfTouched.select("hash_hi", "hash_lo"))
+        .unionByName(replaySigs)
         .distinct())
       // post-churn store content derived WITHOUT re-reading files:
       // every churn doc has a row in newSigs, so the anti-join

@@ -93,9 +93,10 @@ private[graft] object NearDupIndex {
       // treat every legacy row's NULL fp as shingle-less, dropping it
       // from grouping and candidate generation).
       require(storeWasEmpty || (preStore.columns.contains("fp") &&
-          preStore.columns.contains("rep")),
+          preStore.columns.contains("rep") &&
+          preStore.columns.contains("ts")),
         "signature store predates the skew-collapsed persisted-rep " +
-          "contract (missing fp/rep column) - drop/recreate the sigs " +
+          "contract (missing fp/rep/ts column) - drop/recreate the sigs " +
           "AND pairs tables and rebuild with a bootstrap reconcile: " +
           sigs.basePath)
       val newSigs = cache(DedupOps.minhashBands(churnC))
@@ -108,7 +109,8 @@ private[graft] object NearDupIndex {
         if (storeWasEmpty) newSigs.limit(0)
           .select("doc_id", "bands", "fp")
           .withColumn("rep", lit(null).cast("long"))
-        else cache(preStore.select("doc_id", "bands", "fp", "rep"))
+          .withColumn("ts", lit(ts))
+        else cache(preStore.select("doc_id", "bands", "fp", "rep", "ts"))
       val preRead: Future[Any] =
         if (storeWasEmpty) Future.successful(())
         else Future { preSigs.count() }
@@ -145,7 +147,25 @@ private[graft] object NearDupIndex {
       val oldFps =
         if (storeWasEmpty) newSigs.limit(0).select("fp")
         else preSigs.join(churnIds, Seq("doc_id"), "leftsemi").select("fp")
+      // CRASH-REPLAY widening: if the previous attempt at THIS batch
+      // committed the signature write and died before the tagged pairs
+      // commit, preSigs already reflects attempt 1 — a departed doc
+      // has no row and a re-hashed doc carries its NEW fp, so the
+      // churn-derived oldFps above misses its OLD group and the
+      // re-homed star/cross edges would never re-derive. Attempt 1
+      // stamped every member of every affected group with THIS ts
+      // (writeRows = the whole affected frame), so "store fps written
+      // at ts" recovers exactly attempt 1's affected-group set (a
+      // group that lost its last member has no edges left to derive).
+      // On a clean first run the store holds only strictly older
+      // stamps and this arm is empty — no detection branch needed,
+      // and a spurious widening only re-derives already-correct edges
+      // (the reconcile is state-based), never corrupts.
+      val replayFps =
+        if (storeWasEmpty) newSigs.limit(0).select("fp")
+        else preSigs.filter(col("ts") === lit(ts)).select("fp")
       val affectedFps = cache(newSigs.select("fp").unionByName(oldFps)
+        .unionByName(replayFps)
         .filter(col("fp").isNotNull).distinct())
       // post-churn store content, derived as newSigs ∪ (pre-write
       // store minus churn minus departed keys): every churn doc has a

@@ -963,4 +963,116 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_._3 == boot),
       s"synthesized _commit_time must be the adopting instant $boot: $rows")
   }
+
+  // --- sigs-committed / pairs-uncommitted crash window ---------------
+  // The reconcile invariant "pairs tag present ⇒ sigs committed" has a
+  // lossy converse: a crash AFTER the signature commit but BEFORE the
+  // tagged pairs commit replays the batch against a store that already
+  // reflects attempt 1 — a departed doc has no row, a re-hashed doc
+  // carries its NEW signature — so churn-derived affected groups miss
+  // the OLD groups and their re-homed star edges would never re-derive.
+  // The replay widening (store rows stamped with THIS batch's ts) must
+  // recover them. Simulated with real machinery: run the batch fully,
+  // then restoreTo the PAIRS table to its pre-batch instant (sigs keep
+  // attempt 1's commit; pairs content is exactly the uncommitted case).
+
+  test("near-dup reconcile: sigs-committed/pairs-uncommitted replay converges") {
+    import graft.queries.NearDupIndex
+    val sigs = LakeTable.create(spark, tmp("cw_sigs_"), TableProps(
+      "sigs", Seq("doc_id"), Some("ts"), Seq.empty, tableType = "mor"))
+    val pairs = LakeTable.create(spark, tmp("cw_pairs_"), TableProps(
+      "pairs", Seq("a", "b"), Some("ts"), Seq.empty, tableType = "mor"))
+    val g = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val h = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val u = "uniform victor whiskey xray yankee zulu nectar quartz vivid lore"
+    val v = "amber basalt cobalt dune ember flint garnet heath iris jasper"
+    // group G = {1,2,3} byte-equal; group H = {5,6,7} byte-equal
+    val seed = Seq((1L, g), (2L, g), (3L, g), (5L, h), (6L, h), (7L, h),
+      (10L, u)).toDF("doc_id", "text")
+    NearDupIndex.reconcile(seed, Seq.empty[Long].toDF("doc_id"), seed,
+      sigs, pairs, 1L)
+    val preBatch = pairs.timeline.commits().last.instant
+    // batch 2 hits BOTH lossy shapes: G's rep departs (doc 1 deleted →
+    // star (2,3) must re-home) and H's rep re-hashes away (doc 5's text
+    // becomes unrelated → star (6,7) must re-home)
+    val churn = Seq((5L, v)).toDF("doc_id", "text")
+    val deleted = Seq(1L).toDF("doc_id")
+    val snap2 = Seq((2L, g), (3L, g), (5L, v), (6L, h), (7L, h), (10L, u))
+      .toDF("doc_id", "text")
+    def pairsNow() = pairs.snapshot().select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    NearDupIndex.reconcile(churn, deleted, snap2, sigs, pairs, 2L)
+    val converged = pairsNow()
+    assert(Set((2L, 3L), (6L, 7L)).subsetOf(converged), s"got $converged")
+    assert(!converged.exists { case (a, b) => a == 1L || b == 1L },
+      s"departed doc 1 must leave the pairs table: $converged")
+    // crash window: pairs back to pre-batch, sigs keep attempt 1
+    pairs.restoreTo(preBatch)
+    NearDupIndex.reconcile(churn, deleted, snap2, sigs, pairs, 2L)
+    assert(pairsNow() == converged,
+      s"replay after the sigs-committed window must converge: " +
+        s"${pairsNow()} vs $converged")
+  }
+
+  test("phash reconcile: sigs-committed/pairs-uncommitted replay converges") {
+    import graft.queries.MultimodalOps
+    val sigs = LakeTable.create(spark, tmp("cwm_sigs_"), TableProps(
+      "sigs", Seq("doc_id"), Some("ts"), Seq.empty, tableType = "mor"))
+    val pairs = LakeTable.create(spark, tmp("cwm_pairs_"), TableProps(
+      "pairs", Seq("a", "b"), Some("ts"), Seq.empty, tableType = "mor"))
+    // byte-equal payloads ⇒ identical signatures; distinct payloads get
+    // (near-surely) far-apart 64-bit hashes, so only star edges form
+    val byteHash = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("doc_id"), xxhash64(col("payload")).as("hash_hi"),
+      xxhash64(col("payload"), lit(1)).as("hash_lo"))
+    def pay(s: String) = s.getBytes("UTF-8")
+    val seed = Seq((1L, pay("m")), (2L, pay("m")), (3L, pay("m")),
+      (5L, pay("n")), (6L, pay("n")), (7L, pay("n")), (10L, pay("u")))
+      .toDF("doc_id", "payload")
+    MultimodalOps.phashReconcile(seed, Seq.empty[Long].toDF("doc_id"),
+      sigs, pairs, 1L, byteHash)
+    val preBatch = pairs.timeline.commits().last.instant
+    val churn = Seq((5L, pay("z"))).toDF("doc_id", "payload")
+    val deleted = Seq(1L).toDF("doc_id")
+    def pairsNow() = pairs.snapshot().select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    MultimodalOps.phashReconcile(churn, deleted, sigs, pairs, 2L, byteHash)
+    val converged = pairsNow()
+    assert(Set((2L, 3L), (6L, 7L)).subsetOf(converged), s"got $converged")
+    pairs.restoreTo(preBatch)
+    MultimodalOps.phashReconcile(churn, deleted, sigs, pairs, 2L, byteHash)
+    assert(pairsNow() == converged,
+      s"replay after the sigs-committed window must converge: " +
+        s"${pairsNow()} vs $converged")
+  }
+
+  test("phash reconcile: NULL-hash rows drop out instead of collapsing into one group") {
+    import graft.queries.MultimodalOps
+    val sigs = LakeTable.create(spark, tmp("nh_sigs_"), TableProps(
+      "sigs", Seq("doc_id"), Some("ts"), Seq.empty, tableType = "mor"))
+    val pairs = LakeTable.create(spark, tmp("nh_pairs_"), TableProps(
+      "pairs", Seq("a", "b"), Some("ts"), Seq.empty, tableType = "mor"))
+    // a hashFn variant that EMITS a row with NULL halves for tiny
+    // payloads (instead of the documented emit-no-row contract): the
+    // guard must treat it as signature-less, not form a NULL group
+    val nullish = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("doc_id"),
+      when(length(col("payload")) > 1, xxhash64(col("payload")))
+        .as("hash_hi"),
+      when(length(col("payload")) > 1, xxhash64(col("payload"), lit(1)))
+        .as("hash_lo"))
+    def pay(s: String) = s.getBytes("UTF-8")
+    val seed = Seq((1L, pay("mm")), (2L, pay("mm")), (8L, pay("x")),
+      (9L, pay("y"))).toDF("doc_id", "payload")
+    val st = MultimodalOps.phashReconcile(seed,
+      Seq.empty[Long].toDF("doc_id"), sigs, pairs, 1L, nullish)
+    assert(st.dropped == 2, s"both tiny payloads must count dropped: $st")
+    val sigIds = sigs.snapshot().select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 2L), s"NULL-hash docs must leave the store: $sigIds")
+    val got = pairs.snapshot().select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)),
+      s"NULL-hash docs 8/9 must never pair (shared-NULL group): $got")
+  }
 }
