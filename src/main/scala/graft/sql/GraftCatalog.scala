@@ -526,18 +526,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               s"(got ${refs.length}: ${refs.mkString(",")})")
           refs.map(r => lakeOf(r).basePath)
         }
-        // the is-active check and the insertion are ONE atomic compute
-        // on the concurrent map: two concurrent CALLs with the same
-        // checkpoint would otherwise both pass a check-then-put and
-        // start two streaming queries against one checkpoint directory,
-        // leaking whichever the second put overwrote. compute holds the
-        // key's bin while the query starts; a thrown require leaves the
-        // prior mapping untouched.
-        GraftCatalog.maintenanceQueries.compute(checkpoint, (_, prior) => {
+        // two concurrent CALLs with the same checkpoint must not both
+        // pass a check-then-put and start two streaming queries against
+        // one checkpoint directory. The reservation is a CHEAP atomic
+        // add on a side key-set — NOT a compute() that starts the query
+        // under the map's bin lock: query startup takes seconds and
+        // anything it reaches that touches the map (or a concurrent
+        // stop_maintenance hashing to the same bin) would block or die
+        // with a recursive-update error. A thrown require leaves the
+        // prior mapping untouched (the finally only clears the
+        // reservation).
+        require(GraftCatalog.maintenanceStarting.add(checkpoint),
+          s"start_maintenance: a service is already starting on " +
+            s"checkpoint '$checkpoint'")
+        try {
+          val prior = GraftCatalog.maintenanceQueries.get(checkpoint)
           require(prior == null || !prior.isActive,
             s"start_maintenance: a service is already running on " +
               s"checkpoint '$checkpoint' - stop_maintenance it first")
-          family match {
+          val q = family match {
             case "neardup" =>
               require(modality.isEmpty,
                 "start_maintenance: modality applies to family 'media' only")
@@ -560,7 +567,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               s"start_maintenance: unknown family '$other' - expected " +
                 "neardup | media | search")
           }
-        })
+          GraftCatalog.maintenanceQueries.put(checkpoint, q)
+          ()
+        } finally GraftCatalog.maintenanceStarting.remove(checkpoint)
         Array(InternalRow(UTF8String.fromString(checkpoint)))
       }
       case "stop_maintenance" => procedure(
@@ -572,6 +581,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         Seq("handle" -> StringT),
         "stopped BOOLEAN") { input =>
         val handle = input.getUTF8String(0).toString
+        // fail fast instead of racing a concurrent start_maintenance:
+        // removing null here while the start is in flight would report
+        // "nothing stopped" and then leave the new query running —
+        // neither linearization the caller expects
+        require(!GraftCatalog.maintenanceStarting.contains(handle),
+          s"stop_maintenance: a service is still starting on " +
+            s"checkpoint '$handle' - retry once it is up")
         val q = GraftCatalog.maintenanceQueries.remove(handle)
         val live = q != null && q.isActive
         if (live) q.stop()
@@ -724,4 +740,11 @@ object GraftCatalog {
   private[sql] val maintenanceQueries =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.streaming.StreamingQuery]()
+
+  /** Checkpoints whose start_maintenance is in flight: the atomic
+    * reservation that makes the is-active check + insert race-free
+    * WITHOUT holding the map's bin lock for the multi-second query
+    * start (see the start_maintenance procedure). */
+  private[sql] val maintenanceStarting =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

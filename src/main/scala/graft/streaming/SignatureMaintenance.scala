@@ -47,31 +47,86 @@ object SignatureMaintenance {
 
   /** JSONL decode census sidecar inside the checkpoint dir: one
     * `{"batch":…,"instant":…,"hashed":…,"dropped":…}` line per
-    * non-empty micro-batch. */
+    * non-empty micro-batch. The ACTIVE segment; once it reaches
+    * [[MaxSegmentLines]] it rolls to `_decode_stats.<k>.jsonl`
+    * (k = 1, 2, …) and a fresh active segment starts, so the
+    * per-batch rewrite is bounded at [[MaxSegmentLines]] lines
+    * forever — a months-long 10 s-cadence service never pays
+    * cumulatively quadratic IO on an ever-growing file. */
   val DecodeStatsFile = "_decode_stats.jsonl"
+
+  /** Lines per sidecar segment before it rolls. Tens of bytes per
+    * line, so a full segment is ~50 KiB — the per-batch rewrite cost
+    * ceiling. */
+  private[graft] val MaxSegmentLines = 512
+
+  private def sealedSegment(checkpoint: String, k: Int) =
+    new org.apache.hadoop.fs.Path(checkpoint, s"_decode_stats.$k.jsonl")
+
+  /** Sealed segment indices present, ascending. */
+  private def sealedIndices(
+      fs: org.apache.hadoop.fs.FileSystem,
+      checkpoint: String): Seq[Int] = {
+    val dir = new org.apache.hadoop.fs.Path(checkpoint)
+    val Seg = """_decode_stats\.(\d+)\.jsonl""".r
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case Seg(k) => k.toInt
+    }.sorted
+  }
+
+  /** Crash recovery for the active segment's rewrite-through-temp: the
+    * swap is delete(p) then rename(tmp → p), so a crash BETWEEN the
+    * two leaves only the temp — the complete intended content. Adopt
+    * it as the current file before any read or overwrite; otherwise
+    * the next batch would read prior = "" and its create(tmp,
+    * overwrite) would destroy the orphan, silently losing the whole
+    * active segment. One writer per checkpoint by construction, so
+    * observing (no p, tmp present) can only be that crash window. */
+  private def recoverOrphanTmp(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(p) && fs.exists(tmp) && !fs.rename(tmp, p))
+      throw new IllegalStateException(s"decode-stats tmp recovery failed: $p")
 
   /** Append one census line through the checkpoint's Hadoop
     * FileSystem — NOT java.nio (local paths only; an hdfs://, s3a://,
     * or even file:/ checkpoint would throw inside foreachBatch AFTER
     * the tagged pairs commit and kill every micro-batch). Checksum
     * filesystems reject append(), so this is read + rewrite-through-
-    * temp + rename (the [[ExactlyOnce]] marker pattern): the sidecar
-    * is never observable half-written, and a crash mid-rewrite keeps
-    * the previous file. One writer per checkpoint by construction, so
-    * the fixed temp name cannot race. O(lines so far) per batch —
-    * tens of bytes per line, noise next to the micro-batch itself. */
-  private def appendStatsLine(
+    * temp + rename (the [[ExactlyOnce]] marker pattern) with orphaned-
+    * temp adoption ([[recoverOrphanTmp]]): the sidecar is never
+    * observable half-written and no crash window loses committed
+    * lines. A full active segment ([[MaxSegmentLines]]) is first
+    * SEALED by an atomic rename to the next `_decode_stats.<k>.jsonl`,
+    * so the rewrite is O(MaxSegmentLines) per batch, not O(lines so
+    * far). One writer per checkpoint by construction, so the fixed
+    * temp name cannot race. Exposed private[graft] for the rotation
+    * spec, which drives > MaxSegmentLines appends directly. */
+  private[graft] def appendStatsLine(
       spark: SparkSession, checkpoint: String, line: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(checkpoint, DecodeStatsFile)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val prior =
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".$DecodeStatsFile.tmp")
+    recoverOrphanTmp(fs, p, tmp)
+    var prior =
       if (!fs.exists(p)) ""
       else {
         val in = fs.open(p)
         try new String(in.readAllBytes(), "UTF-8") finally in.close()
       }
-    val tmp = new org.apache.hadoop.fs.Path(
-      p.getParent, s".$DecodeStatsFile.tmp")
+    // roll a full active segment: one atomic rename seals it under the
+    // next sealed index (a crash right after the rename just leaves an
+    // empty-prior active segment — nothing is lost or duplicated)
+    if (prior.count(_ == '\n') >= MaxSegmentLines) {
+      val next = sealedIndices(fs, checkpoint).lastOption.getOrElse(0) + 1
+      if (!fs.rename(p, sealedSegment(checkpoint, next)))
+        throw new IllegalStateException(
+          s"decode-stats segment roll failed: $p -> $next")
+      prior = ""
+    }
     val out = fs.create(tmp, true)
     try out.write((prior + line + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -83,19 +138,25 @@ object SignatureMaintenance {
   }
 
   /** Parse the sidecar back (for `CALL graft.system.decode_stats`):
-    * (batch, instant, hashed, dropped) rows in file order; a torn
-    * final line (pre-rename crash window is empty, but be lenient) is
-    * skipped. Empty/missing file → no rows. */
+    * (batch, instant, hashed, dropped) rows in write order — sealed
+    * segments ascending, then the active segment (adopting an orphaned
+    * temp first, so a read in the crash window still sees every
+    * committed line). A torn line is skipped (lenient). Empty/missing
+    * sidecar → no rows. */
   private[graft] def readStats(
       spark: SparkSession, checkpoint: String): Seq[(Long, Long, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(checkpoint, DecodeStatsFile)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val in = fs.open(p)
+    recoverOrphanTmp(fs, p,
+      new org.apache.hadoop.fs.Path(p.getParent, s".$DecodeStatsFile.tmp"))
+    val files = sealedIndices(fs, checkpoint)
+      .map(sealedSegment(checkpoint, _)) ++
+      (if (fs.exists(p)) Seq(p) else Seq.empty)
+    val Line =
+      """\{"batch":(-?\d+),"instant":(-?\d+),"hashed":(-?\d+),"dropped":(-?\d+)\}""".r
+    files.flatMap { f =>
+      val in = fs.open(f)
       val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val Line =
-        """\{"batch":(-?\d+),"instant":(-?\d+),"hashed":(-?\d+),"dropped":(-?\d+)\}""".r
       txt.split("\n").toSeq.flatMap {
         case Line(b, i, h, d) => Some((b.toLong, i.toLong, h.toLong, d.toLong))
         case _ => None

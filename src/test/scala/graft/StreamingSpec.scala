@@ -1046,6 +1046,53 @@ class StreamingSpec extends AnyFunSuite {
         s"${pairsNow()} vs $converged")
   }
 
+  test("decode-census sidecar: rotation bounds the active segment; crash windows lose nothing") {
+    import graft.streaming.SignatureMaintenance
+    val ckpt = tmp("census_rot_")
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ckpt))
+    val n = SignatureMaintenance.MaxSegmentLines * 2 + 37
+    def line(i: Int) =
+      s"""{"batch":$i,"instant":${i + 1000},"hashed":${i * 2},"dropped":1}"""
+    val active = new org.apache.hadoop.fs.Path(
+      ckpt, SignatureMaintenance.DecodeStatsFile)
+    val tmpF = new org.apache.hadoop.fs.Path(
+      ckpt, s".${SignatureMaintenance.DecodeStatsFile}.tmp")
+    (0 until n).foreach { i =>
+      // every 700th append happens right after a simulated crash
+      // between delete(p) and rename(tmp → p): only the temp exists,
+      // holding the complete intended content — it must be adopted,
+      // never destroyed by the next create(tmp, overwrite)
+      if (i > 0 && i % 700 == 0) {
+        assert(fs.rename(active, tmpF), "crash simulation rename")
+        // a read inside the window still sees every committed line
+        assert(SignatureMaintenance.readStats(spark, ckpt).length == i,
+          s"readStats in the crash window lost lines at $i")
+        // readStats adopts the temp; re-create the window for append
+        assert(fs.rename(active, tmpF), "crash simulation re-rename")
+      }
+      SignatureMaintenance.appendStatsLine(spark, ckpt, line(i))
+      ()
+    }
+    val got = SignatureMaintenance.readStats(spark, ckpt)
+    assert(got.map(_._1) == (0 until n).map(_.toLong),
+      "census must be complete and in write order across segments")
+    assert(got.forall { case (b, i, h, d) =>
+      i == b + 1000 && h == b * 2 && d == 1 })
+    // the active segment is bounded: per-batch rewrite is O(1), and
+    // sealed segments carry the history
+    val activeLines = {
+      val in = fs.open(active)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }.count(_ == '\n')
+    assert(activeLines <= SignatureMaintenance.MaxSegmentLines,
+      s"active segment must stay bounded: $activeLines")
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(ckpt))
+      .map(_.getPath.getName).filter(_.matches("_decode_stats\\.\\d+\\.jsonl"))
+    assert(segs.length == 2, s"two sealed segments expected: ${segs.toSeq}")
+  }
+
   test("phash reconcile: NULL-hash rows drop out instead of collapsing into one group") {
     import graft.queries.MultimodalOps
     val sigs = LakeTable.create(spark, tmp("nh_sigs_"), TableProps(
