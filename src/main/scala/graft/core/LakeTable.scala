@@ -296,6 +296,49 @@ final class LakeTable private[core] (
     if (isMor) morMerged(raw, live) else raw
   }
 
+  /** Col-stats file-skipping snapshot for reconcile-style slice reads
+    * (the read-side use of the lake13/lake23 clustering + footer-stats
+    * machinery): plans only the files whose stored column min/max may
+    * satisfy every predicate in `preds`, and returns how many files
+    * were skipped so callers can LOG the pruning they got.
+    *
+    * MOR soundness: delta files are ALWAYS read (pruning a delta could
+    * drop a tombstone or a newer version and flip a merge winner);
+    * only BASE files (non-delta: the last clustering/restore replace
+    * era) are pruned. The result is then exact for every key whose
+    * merge winner satisfies `preds`, under the keyed-store write
+    * discipline both signature stores follow: (a) base files hold at
+    * most one version per key, with every newer version in delta
+    * files — true after any [[cluster]]/[[restoreTo]], whose replace
+    * removes all prior files — and (b) preCombine stamps never
+    * decrease across commits for a key (commit-instant / batch-seq
+    * stamps), so a read delta row can never lose to a pruned base row.
+    * A key whose winner is in a pruned base file simply does not
+    * appear — correct, because that winner cannot satisfy `preds`.
+    * On COW every live file holds only current winners, so all files
+    * prune. An unclustered MOR table (all delta) degrades to a full
+    * scan with zero skips — same rows, no pruning, never wrong.
+    *
+    * `preds` cost is O(values × files) driver-side string/long
+    * compares — fine for reconcile-sized IN-lists (10³-10⁵ values);
+    * callers with larger sets should skip pruning (empty preds = full
+    * snapshot). */
+  def snapshotSkipping(preds: Seq[ColPred]): (DataFrame, SkipStats) = {
+    val live = timeline.liveFiles(None)
+    val (alwaysRead, prunable) =
+      if (isMor) live.partition(_.delta)
+      else (Seq.empty[FileEntry], live)
+    val kept = prunable.filter(f => mayMatchColStats(f, preds))
+    val entries = alwaysRead ++ kept
+    val s = withMetaSchema(schema)
+    val stats = SkipStats(
+      kept = kept.size, skipped = prunable.size - kept.size,
+      deltaRead = alwaysRead.size)
+    if (entries.isEmpty) return (emptyDf(s), stats)
+    val raw = readLive(entries, s)
+    (if (isMor) morMerged(raw, entries) else raw, stats)
+  }
+
   /** Containment test for read-side file skipping: a file can hold
     * key k only if its stored utf8 key bounds cover k AND (for
     * bucket-indexed tables) k hashes to the file's bucket.

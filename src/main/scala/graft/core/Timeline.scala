@@ -101,6 +101,14 @@ final case class FileEntry(
 final case class ColPred(
     column: String, op: String, values: Seq[String], isLong: Boolean)
 
+/** File-skip accounting returned by stats-pruned reads: `kept` base
+  * files matched the predicates, `skipped` were pruned without any
+  * IO, `deltaRead` MOR delta files were read unconditionally (see
+  * LakeTable.snapshotSkipping's soundness note). */
+final case class SkipStats(kept: Int, skipped: Int, deltaRead: Int) {
+  def planned: Int = kept + deltaRead
+}
+
 /** Net live file set as of `asOf`, produced when old commits are
   * archived; file entries keep their original commit instants so
   * incremental reads spanning the archive boundary stay correct. */

@@ -329,4 +329,59 @@ class LakeTableSpec extends AnyFunSuite {
         s"$tt: expected one consolidated row, got $got")
     }
   }
+
+  test("snapshotSkipping: stats-pruned reads stay MOR-exact across delta overlays") {
+    import graft.core.ColPred
+    val t = LakeTable.create(spark, tmp(), TableProps(
+      "skip", Seq("id"), Some("ts"), Seq.empty, tableType = "mor",
+      statsColumns = Seq("fp", "ts")))
+    // 100 keys in 10 fp-groups g0..g9
+    val rows = (0 until 100).map(i => (i.toLong, s"g${i / 10}", s"v$i", 1L))
+    t.upsert(rows.toDF("id", "fp", "v", "ts"))
+    // before clustering everything is delta: zero skips, full answer
+    val (d0, s0) = t.snapshotSkipping(
+      Seq(ColPred("fp", "eq", Seq("g3"), isLong = false)))
+    assert(s0.skipped == 0 && s0.kept == 0 && s0.deltaRead > 0)
+    assert(d0.filter(col("fp") === "g3").select("id").collect()
+      .map(_.getLong(0)).toSet == (30L until 40L).toSet)
+    // cluster by fp into many files -> tight per-file fp bounds
+    t.cluster(Seq("fp"), targetFiles = 10)
+    val (d1, s1) = t.snapshotSkipping(
+      Seq(ColPred("fp", "eq", Seq("g3"), isLong = false)))
+    assert(s1.skipped > 0, s"clustered base must prune: $s1")
+    assert(d1.filter(col("fp") === "g3").select("id").collect()
+      .map(_.getLong(0)).toSet == (30L until 40L).toSet)
+    // delta overlay: id 35 re-homes g3 -> g9, id 31 departs. The kept
+    // g3 base file still PHYSICALLY holds both stale rows - the merge
+    // over always-read deltas must hide them; and the g9 read must
+    // surface 35's new version even though 35's base row sits in a
+    // pruned g3 file.
+    t.upsert(Seq((35L, "g9", "v35b", 2L)).toDF("id", "fp", "v", "ts"))
+    t.delete(Seq(31L).toDF("id"))
+    val (d2, s2) = t.snapshotSkipping(
+      Seq(ColPred("fp", "eq", Seq("g3"), isLong = false)))
+    assert(s2.skipped > 0 && s2.deltaRead > 0)
+    assert(d2.filter(col("fp") === "g3").select("id").collect()
+      .map(_.getLong(0)).toSet ==
+      Set(30L, 32L, 33L, 34L, 36L, 37L, 38L, 39L),
+      "stale base versions of re-homed/deleted keys must not resurface")
+    val (d3, _) = t.snapshotSkipping(
+      Seq(ColPred("fp", "eq", Seq("g9"), isLong = false)))
+    assert(d3.filter(col("fp") === "g9").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      ((90L until 100L).map(i => (i, s"v$i")) :+ (35L, "v35b")).toSet)
+    // ts-eq pruning reads only the delta tail (replay-widening's read)
+    val (d4, s4) = t.snapshotSkipping(
+      Seq(ColPred("ts", "eq", Seq("2"), isLong = true)))
+    assert(s4.kept == 0 && s4.skipped > 0,
+      s"all base files predate ts=2 and must prune: $s4")
+    assert(d4.filter(col("ts") === 2).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(35L))
+    // IN-list predicate keeps the union of matching groups
+    val (d5, _) = t.snapshotSkipping(
+      Seq(ColPred("fp", "eq", Seq("g1", "g7"), isLong = false)))
+    assert(d5.filter(col("fp").isin("g1", "g7")).select("id").collect()
+      .map(_.getLong(0)).toSet ==
+      ((10L until 20L) ++ (70L until 80L)).toSet)
+  }
 }
