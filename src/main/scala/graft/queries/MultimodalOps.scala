@@ -676,27 +676,59 @@ object MultimodalOps {
       // tombstone side below and drops out of the index.
       val newSigs = cache(hashFn(churnImgs)
         .filter(col("hash_hi").isNotNull && col("hash_lo").isNotNull))
-      // the store PERSISTS each row's group representative, so the sig
-      // write depends on the pre-store read — warm that cache on a
-      // background thread WHILE the heavy churn decode+hash
+      // ids whose stored signature this batch may retire: every churn
+      // payload (hashed or not — an undecodable churn doc leaves the
+      // index, see delC below) plus explicit deletes. Derivable from
+      // the INPUTS alone, so the old-signature lookup — a narrow
+      // 3-column store scan, never the heavy full-row read — can run
+      // on a background thread WHILE the churn decode+hash
       // materializes on this one (the two dominate the pre-write
-      // serial prefix; overlapped they cost ~max, not sum)
-      val preSigs =
-        if (storeWasEmpty)
-          newSigs.limit(0).withColumn("rep", lit(null).cast("long"))
-            .withColumn("ts", lit(ts))
-        else cache(preStore.select(
-          "doc_id", "hash_hi", "hash_lo", "rep", "ts"))
-      val preRead: Future[Any] =
-        if (storeWasEmpty) Future.successful(())
-        else Future { preSigs.count() }
+      // serial prefix; overlapped they cost ~max, not sum).
+      val churnIds = cache(churnImgs.select("doc_id")
+        .unionByName(deletedIds).distinct())
+      val oldSigsOfTouched =
+        if (storeWasEmpty) newSigs.limit(0).select("hash_hi", "hash_lo")
+        else preStore.select("doc_id", "hash_hi", "hash_lo")
+          .join(churnIds, Seq("doc_id"), "leftsemi")
+          .select("hash_hi", "hash_lo")
+      // CRASH-REPLAY widening (the [[NearDupIndex.reconcile]]
+      // invariant, same reasoning): if attempt 1 at THIS batch
+      // committed the signature write and died before the tagged
+      // pairs commit, the store already reflects attempt 1 — a
+      // departed doc has no row and a re-hashed doc carries its NEW
+      // signature, so churn-derived oldSigsOfTouched misses its OLD
+      // group. Attempt 1 stamped every member of every affected group
+      // with THIS ts, so "store signatures written at ts" recovers
+      // exactly its affected-group set; on a clean first run the
+      // store holds only older stamps and this arm is empty. Read
+      // through the ts-pruned snapshotSkipping path: every clustered
+      // base file predates this batch and skips, only the delta tail
+      // is read. Plans pinned NOW, before the background write.
+      val replaySigs =
+        if (storeWasEmpty) newSigs.limit(0).select("hash_hi", "hash_lo")
+        else sigs.snapshotSkipping(Seq(graft.core.ColPred(
+            "ts", "eq", Seq(ts.toString), isLong = true)))._1
+          .filter(col("ts") === lit(ts)).select("hash_hi", "hash_lo")
+      // collect the affected-signature set DRIVER-SIDE (bounded probe,
+      // overlapped with the churn decode+hash): holding it on the
+      // driver lets the store read below prune FILES via col-stats
+      // instead of scanning the whole store per batch; beyond
+      // PruneSigLimit (a rebuild, not churn) fall back to the lazy
+      // full-scan semi-join — same rows, no pruning.
+      val sigProbe: Future[Array[(Long, Long)]] =
+        if (storeWasEmpty) Future.successful(Array.empty)
+        else Future {
+          oldSigsOfTouched.unionByName(replaySigs)
+            .distinct().limit(PruneSigLimit + 1)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
       // materialize before the write: small-file sizing reads Catalyst
       // stats, exact only for a computed cache
       val hashedN =
         try newSigs.count()
-        finally Await.ready(preRead, Duration.Inf)
+        finally Await.ready(sigProbe, Duration.Inf)
       // surface a store-read failure here, not inside a later consumer
-      Await.result(preRead, Duration.Inf)
+      val storeSigVals = Await.result(sigProbe, Duration.Inf)
       // a churn doc whose NEW payload yields no signature (undecodable
       // media; an all-silent clip under the envelope hash) must DROP
       // OUT of the index — its old signature describes a superseded
@@ -722,42 +754,62 @@ object MultimodalOps {
       // docs (a delete can promote a new representative, an insert
       // with a smaller id can demote one — either rewrites the
       // group's star edges and cross endpoints, which is why the
-      // tombstone scope below is group members, not just churn ids).
-      val churnIds = cache(newSigs.select("doc_id").unionByName(delC)
-        .distinct())
-      val oldSigsOfTouched =
-        if (storeWasEmpty) newSigs.limit(0)
-        else preSigs.join(churnIds, Seq("doc_id"), "leftsemi")
-          .select("doc_id", "hash_hi", "hash_lo")
-      // CRASH-REPLAY widening (the [[NearDupIndex.reconcile]]
-      // invariant, same reasoning): if attempt 1 at THIS batch
-      // committed the signature write and died before the tagged
-      // pairs commit, preSigs already reflects attempt 1 — a departed
-      // doc has no row and a re-hashed doc carries its NEW signature,
-      // so churn-derived oldSigsOfTouched misses its OLD group.
-      // Attempt 1 stamped every member of every affected group with
-      // THIS ts, so "store signatures written at ts" recovers exactly
-      // its affected-group set; on a clean first run the store holds
-      // only older stamps and this arm is empty.
-      val replaySigs =
-        if (storeWasEmpty) newSigs.limit(0).select("hash_hi", "hash_lo")
-        else preSigs.filter(col("ts") === lit(ts))
-          .select("hash_hi", "hash_lo")
-      val affectedSigs = cache(newSigs.select("hash_hi", "hash_lo")
-        .unionByName(oldSigsOfTouched.select("hash_hi", "hash_lo"))
-        .unionByName(replaySigs)
-        .distinct())
-      // post-churn store content derived WITHOUT re-reading files:
-      // every churn doc has a row in newSigs, so the anti-join
-      // reproduces what the read-side merge would pick
+      // tombstone scope below is group members, not just churn ids),
+      // plus the crash-replay widening collected above.
+      val spark0 = churnImgs.sparkSession
+      val newSigVals =
+        if (storeWasEmpty || storeSigVals.length > PruneSigLimit)
+          Array.empty[(Long, Long)]
+        else newSigs.select("hash_hi", "hash_lo").distinct()
+          .limit(PruneSigLimit + 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sigVals = (storeSigVals ++ newSigVals).distinct
+      val pruneOn = !storeWasEmpty && sigVals.length <= PruneSigLimit
+      val affectedSigs = cache(
+        if (pruneOn) {
+          import spark0.implicits._
+          sigVals.toSeq.toDF("hash_hi", "hash_lo")
+        } else newSigs.select("hash_hi", "hash_lo")
+          .unionByName(oldSigsOfTouched)
+          .unionByName(replaySigs)
+          .distinct())
+      // pre-write store slice the reconcile works from: FILE-PRUNED by
+      // the affected signatures when the set is bounded (after the
+      // store has been clustered by (hash_hi, hash_lo), a churn batch
+      // plans only files whose hash range intersects an affected group
+      // — O(affected files), the round-16 scaling fix; the hash_lo
+      // IN-list is loose across hash_hi runs, which only keeps extra
+      // files), the plain full snapshot otherwise. Exact under MOR
+      // pruning per snapshotSkipping's contract: every key whose
+      // current signature is affected is present and current; missing
+      // keys have unaffected signatures, dropped by the semi-join
+      // anyway. Plan pinned NOW, before the background write.
+      val (preSlice0, skipStats) =
+        if (storeWasEmpty)
+          (newSigs.limit(0).withColumn("rep", lit(null).cast("long")),
+            graft.core.SkipStats(0, 0, 0))
+        else if (pruneOn) {
+          val (df, st) = sigs.snapshotSkipping(Seq(
+            graft.core.ColPred("hash_hi", "eq",
+              sigVals.map(_._1.toString).distinct.toSeq, isLong = true),
+            graft.core.ColPred("hash_lo", "eq",
+              sigVals.map(_._2.toString).distinct.toSeq, isLong = true)))
+          (df.select("doc_id", "hash_hi", "hash_lo", "rep"), st)
+        } else
+          (preStore.select("doc_id", "hash_hi", "hash_lo", "rep"),
+            graft.core.SkipStats(0, 0, 0))
+      val preSlice = cache(preSlice0)
+      // post-churn content of the affected slice, derived WITHOUT
+      // re-reading files: every churn doc has a row in newSigs, so the
+      // anti-join reproduces what the read-side merge would pick
       val store =
         if (storeWasEmpty) newSigs
         else newSigs.unionByName(
-          preSigs.join(churnIds, Seq("doc_id"), "left_anti")
+          preSlice.join(churnIds, Seq("doc_id"), "left_anti")
             .select("doc_id", "hash_hi", "hash_lo"))
       // members of AFFECTED groups only (affectedSigs is O(churn
-      // groups) — AQE broadcasts the semi-join, so the store is
-      // scanned but never shuffled); the rep window then runs over
+      // groups) — AQE broadcasts the semi-join, so the planned slice
+      // is scanned but never shuffled); the rep window then runs over
       // this slice, not the whole store
       import org.apache.spark.sql.expressions.Window
       val byGroup = Window.partitionBy("hash_hi", "hash_lo")
@@ -766,7 +818,7 @@ object MultimodalOps {
           // bootstrap: every group is affected — skip the corpus-sized
           // signature distinct + semi-join entirely (affectedSigs then
           // never evaluates: its only other consumer anti-joins an
-          // empty preSigs side, which the optimizer eliminates)
+          // empty pre-store side, which the optimizer eliminates)
           store
         else store.join(affectedSigs, Seq("hash_hi", "hash_lo"), "leftsemi"))
         .withColumn("rep", min("doc_id").over(byGroup)))
@@ -815,8 +867,11 @@ object MultimodalOps {
       // of unaffected groups (filter + broadcast anti-join off the
       // pre-store scan — no window, no shuffle); pairs wholly inside
       // the batch are found because affected reps are themselves reps
+      val storedReps =
+        if (storeWasEmpty) preSlice.limit(0)
+        else preStore.select("doc_id", "hash_hi", "hash_lo", "rep")
       val allReps = affectedReps.unionByName(
-        preSigs.filter(col("doc_id") === col("rep"))
+        storedReps.filter(col("doc_id") === col("rep"))
           .join(affectedSigs, Seq("hash_hi", "hash_lo"), "left_anti")
           .select("doc_id", "hash_hi", "hash_lo"))
       val cross = banded(affectedReps).as("l")
@@ -858,7 +913,8 @@ object MultimodalOps {
         pairs.upsertWithDeletes(cand.withColumn("ts", lit(ts)), touched,
           tag = tag, combine = false)
       }
-      ReconcileStats(hashedN, droppedN)
+      ReconcileStats(hashedN, droppedN,
+        skipStats.kept, skipStats.skipped, skipStats.deltaRead)
     } finally {
       // on a pairs-chain failure the store write may still be in
       // flight — never unpersist its inputs from under it
@@ -874,7 +930,15 @@ object MultimodalOps {
     * 100 TB curation run monitors: "unique doc" and "codec regression
     * silently dropped a third of the corpus" are indistinguishable
     * from the pairs table alone. */
-  final case class ReconcileStats(hashed: Long, dropped: Long)
+  /** Affected-signature sets up to this size prune the store read
+    * FILE-wise through the col-stats index (collected driver-side);
+    * larger batches — a rebuild, not churn — fall back to the lazy
+    * full-scan semi-join (the [[NearDupIndex.PruneFpLimit]] analog). */
+  private[graft] val PruneSigLimit = 20000
+
+  final case class ReconcileStats(hashed: Long, dropped: Long,
+      storeFilesKept: Int = 0, storeFilesSkipped: Int = 0,
+      storeFilesDelta: Int = 0)
 
   /** mm7 — INCREMENTAL perceptual image dedup: the maintained-index
     * version of mm6, the shape a 100 TB multimodal corpus actually

@@ -38,6 +38,12 @@ import graft.core.LakeTable
   * state tables). No full-corpus stage after bootstrap. */
 private[graft] object NearDupIndex {
 
+  /** Affected-fp sets up to this size prune the store read FILE-wise
+    * through the col-stats index (collected driver-side, O(values ×
+    * files) driver compares); larger batches — a rebuild, not churn —
+    * fall back to the lazy full-scan semi-join. */
+  private[graft] val PruneFpLimit = 20000
+
   /** Apply one churn batch to the index.
     *
     * @param churn      (doc_id, text) of upserted docs — post-merge
@@ -49,6 +55,9 @@ private[graft] object NearDupIndex {
     *                   (commit sequence or streaming batch id)
     * @param tag        commit tag for the pairs reconciliation (the
     *                   [[graft.streaming.ExactlyOnce]] batch marker)
+    * @return file-skip accounting for the store slice read (zero when
+    *         the store is unclustered or the batch took the bootstrap
+    *         or over-limit full-scan path) — callers log it
     */
   def reconcile(
       churn: DataFrame,
@@ -57,7 +66,7 @@ private[graft] object NearDupIndex {
       sigs: LakeTable,
       pairs: LakeTable,
       ts: Long,
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None): graft.core.SkipStats = {
     // every relation here feeds 2+ consumers (a store upsert AND a
     // band explode; the write path itself reads its input twice:
     // probe + write) — persist each once instead of re-running the
@@ -100,36 +109,6 @@ private[graft] object NearDupIndex {
           "AND pairs tables and rebuild with a bootstrap reconcile: " +
           sigs.basePath)
       val newSigs = cache(DedupOps.minhashBands(churnC))
-      // the store PERSISTS each row's group representative (see the
-      // class doc), so the sig write depends on the pre-store read —
-      // warm that cache on a background thread WHILE the heavy churn
-      // shingle+minhash materializes on this one (the two dominate the
-      // pre-write serial prefix; overlapped they cost ~max, not sum)
-      val preSigs =
-        if (storeWasEmpty) newSigs.limit(0)
-          .select("doc_id", "bands", "fp")
-          .withColumn("rep", lit(null).cast("long"))
-          .withColumn("ts", lit(ts))
-        else cache(preStore.select("doc_id", "bands", "fp", "rep", "ts"))
-      val preRead: Future[Any] =
-        if (storeWasEmpty) Future.successful(())
-        else Future { preSigs.count() }
-      // materialize BEFORE the background write starts: the write's
-      // small-file sizing reads Catalyst stats, which are exact only
-      // for a computed cache (an unmaterialized one falls back to the
-      // corpus-scan estimate and writes one file per partition), and
-      // the write and the candidate join below would otherwise race
-      // to compute the same blocks
-      try newSigs.count()
-      finally Await.ready(preRead, Duration.Inf)
-      // surface a store-read failure here, not inside a later consumer
-      Await.result(preRead, Duration.Inf)
-      // SKEW-COLLAPSED reconcile — maintains exactly the
-      // [[DedupOps.minhashPairs]] contract (star edges inside
-      // byte-equal shingle-set groups, one verified cross pair per
-      // group pair): a cluster of k exact copies holds k-1 persisted
-      // pairs and pays O(k) reconcile work, never O(k²) band-join
-      // candidates or verify joins.
       val pairsSnap = pairs.snapshot()
       val pairsBootstrap = !pairsSnap.columns.contains("a")
       val churnIds = cache(churnC.select("doc_id")
@@ -140,45 +119,111 @@ private[graft] object NearDupIndex {
       // promote a new representative, an insert with a smaller id can
       // demote one; either rewrites the group's star edges and cross
       // endpoints, which is why the tombstone scope below is group
-      // members, not just churn ids). preSigs plans were pinned
-      // pre-write (snapshot() is eager on its file list), so lazy
-      // evaluation after the background sig write still reads the
-      // PRE-write state.
+      // members, not just churn ids), plus the CRASH-REPLAY widening:
+      // if the previous attempt at THIS batch committed the signature
+      // write and died before the tagged pairs commit, the store
+      // already reflects attempt 1 — a departed doc has no row and a
+      // re-hashed doc carries its NEW fp, so the churn-derived fps
+      // miss its OLD group and the re-homed star/cross edges would
+      // never re-derive. Attempt 1 stamped every member of every
+      // affected group with THIS ts, so "store fps written at ts"
+      // recovers exactly attempt 1's affected-group set. On a clean
+      // first run the store holds only strictly older stamps and the
+      // arm is empty; a spurious widening only re-derives already-
+      // correct edges (the reconcile is state-based), never corrupts.
+      //
+      // The old-fp lookup is a COLUMN-PRUNED store scan (doc_id, fp —
+      // the narrow residual corpus term; the heavy bands column is
+      // never read here); the replay arm reads through the ts-pruned
+      // [[graft.core.LakeTable.snapshotSkipping]] path, which skips
+      // every clustered base file (their stamps predate this batch)
+      // and reads only the delta tail. Both plans pin their file
+      // lists NOW, before the background sig write.
       val oldFps =
         if (storeWasEmpty) newSigs.limit(0).select("fp")
-        else preSigs.join(churnIds, Seq("doc_id"), "leftsemi").select("fp")
-      // CRASH-REPLAY widening: if the previous attempt at THIS batch
-      // committed the signature write and died before the tagged pairs
-      // commit, preSigs already reflects attempt 1 — a departed doc
-      // has no row and a re-hashed doc carries its NEW fp, so the
-      // churn-derived oldFps above misses its OLD group and the
-      // re-homed star/cross edges would never re-derive. Attempt 1
-      // stamped every member of every affected group with THIS ts
-      // (writeRows = the whole affected frame), so "store fps written
-      // at ts" recovers exactly attempt 1's affected-group set (a
-      // group that lost its last member has no edges left to derive).
-      // On a clean first run the store holds only strictly older
-      // stamps and this arm is empty — no detection branch needed,
-      // and a spurious widening only re-derives already-correct edges
-      // (the reconcile is state-based), never corrupts.
+        else preStore.select("doc_id", "fp")
+          .join(churnIds, Seq("doc_id"), "leftsemi").select("fp")
       val replayFps =
         if (storeWasEmpty) newSigs.limit(0).select("fp")
-        else preSigs.filter(col("ts") === lit(ts)).select("fp")
-      val affectedFps = cache(newSigs.select("fp").unionByName(oldFps)
-        .unionByName(replayFps)
-        .filter(col("fp").isNotNull).distinct())
-      // post-churn store content, derived as newSigs ∪ (pre-write
-      // store minus churn minus departed keys): every churn doc has a
-      // row in newSigs, so the anti-join reproduces exactly what the
-      // read-side merge would pick after this batch's commit.
+        else sigs.snapshotSkipping(Seq(graft.core.ColPred(
+            "ts", "eq", Seq(ts.toString), isLong = true)))._1
+          .filter(col("ts") === lit(ts)).select("fp")
+      // collect the affected-fp set DRIVER-SIDE (overlapped with the
+      // heavy churn shingle+minhash materializing on this thread): the
+      // set is O(churn groups), and holding it on the driver is what
+      // lets the store read below prune FILES through the col-stats
+      // index instead of scanning the whole store per batch. Bounded
+      // probe: beyond PruneFpLimit (a batch touching that many groups
+      // is a rebuild, not churn) fall back to the lazy full-scan
+      // semi-join — same rows, no pruning.
+      val spark0 = churn.sparkSession
+      val fpProbe: Future[Array[String]] =
+        if (storeWasEmpty) Future.successful(Array.empty)
+        else Future {
+          oldFps.unionByName(replayFps).filter(col("fp").isNotNull)
+            .distinct().limit(PruneFpLimit + 1)
+            .collect().map(_.getString(0))
+        }
+      // materialize BEFORE the background write starts: the write's
+      // small-file sizing reads Catalyst stats, which are exact only
+      // for a computed cache (an unmaterialized one falls back to the
+      // corpus-scan estimate and writes one file per partition), and
+      // the write and the candidate join below would otherwise race
+      // to compute the same blocks
+      try newSigs.count()
+      finally Await.ready(fpProbe, Duration.Inf)
+      // surface a store-read failure here, not inside a later consumer
+      val storeFps = Await.result(fpProbe, Duration.Inf)
+      val newFpVals =
+        if (storeWasEmpty || storeFps.length > PruneFpLimit) Array.empty[String]
+        else newSigs.select("fp").filter(col("fp").isNotNull)
+          .distinct().limit(PruneFpLimit + 1).collect().map(_.getString(0))
+      val fpVals = (storeFps ++ newFpVals).distinct
+      val pruneOn = !storeWasEmpty && fpVals.length <= PruneFpLimit
+      // the affected-fp relation the semi-joins broadcast: the
+      // collected set when pruning, the lazy union otherwise
+      val affectedFps = cache(
+        if (pruneOn) {
+          import spark0.implicits._
+          fpVals.toSeq.toDF("fp")
+        } else newSigs.select("fp").unionByName(oldFps)
+          .unionByName(replayFps)
+          .filter(col("fp").isNotNull).distinct())
+      // pre-write store slice the reconcile works from: FILE-PRUNED by
+      // the affected fps when the set is bounded (after the store has
+      // been clustered by fp, a churn batch plans only the files whose
+      // fp range intersects an affected group — O(affected files), the
+      // round-16 scaling fix), the plain full snapshot otherwise.
+      // Exactness under MOR pruning per snapshotSkipping's contract:
+      // every key whose current fp is affected is present and current;
+      // missing keys have unaffected fps, which the semi-join below
+      // drops anyway. Plan pinned NOW, before the background write.
+      val (preSlice0, skipStats) =
+        if (storeWasEmpty)
+          (newSigs.limit(0)
+            .select("doc_id", "bands", "fp")
+            .withColumn("rep", lit(null).cast("long")),
+            graft.core.SkipStats(0, 0, 0))
+        else if (pruneOn) {
+          val (df, st) = sigs.snapshotSkipping(Seq(graft.core.ColPred(
+            "fp", "eq", fpVals.toSeq, isLong = false)))
+          (df.select("doc_id", "bands", "fp", "rep"), st)
+        } else
+          (preStore.select("doc_id", "bands", "fp", "rep"),
+            graft.core.SkipStats(0, 0, 0))
+      val preSlice = cache(preSlice0)
+      // post-churn content of the affected slice, derived as newSigs ∪
+      // (pre-write slice minus churn minus departed keys): every churn
+      // doc has a row in newSigs, so the anti-join reproduces exactly
+      // what the read-side merge would pick after this batch's commit.
       val store =
         if (storeWasEmpty) newSigs.select("doc_id", "bands", "fp")
         else newSigs.select("doc_id", "bands", "fp").unionByName(
-          preSigs.join(newSigs.select("doc_id").unionByName(deletedC),
+          preSlice.join(newSigs.select("doc_id").unionByName(deletedC),
             Seq("doc_id"), "left_anti").select("doc_id", "bands", "fp"))
       // members of AFFECTED groups only (affectedFps is O(churn
-      // groups) — AQE broadcasts the semi-join, so the store is
-      // scanned but never shuffled or sorted whole); the rep window
+      // groups) — AQE broadcasts the semi-join, so the planned slice
+      // is scanned but never shuffled or sorted whole); the rep window
       // runs over this slice. NULL-fp rows never match the semi-join,
       // so the shingle-less skew hotspot cannot form.
       val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
@@ -188,7 +233,7 @@ private[graft] object NearDupIndex {
           // fp distinct + semi-join (the NULL-fp filter the semi gave
           // implicitly is applied directly; affectedFps then never
           // evaluates: its only other consumer anti-joins an empty
-          // preSigs side, which the optimizer eliminates)
+          // pre-store side, which the optimizer eliminates)
           store.filter(col("fp").isNotNull)
         else store.join(affectedFps, Seq("fp"), "leftsemi"))
         .withColumn("rep", min("doc_id").over(byFp)))
@@ -275,8 +320,11 @@ private[graft] object NearDupIndex {
       // of unaffected groups (filter + broadcast anti-join off the
       // pre-store scan — no window, no shuffle); pairs wholly inside
       // the batch are found because affected reps are themselves reps
+      val storedReps =
+        if (storeWasEmpty) preSlice.limit(0)
+        else preStore.select("doc_id", "bands", "fp", "rep")
       val allReps = affectedReps.unionByName(
-        preSigs.filter(col("fp").isNotNull &&
+        storedReps.filter(col("fp").isNotNull &&
             col("doc_id") === col("rep"))
           .join(affectedFps, Seq("fp"), "left_anti")
           .select("doc_id", "bands"))
@@ -330,7 +378,7 @@ private[graft] object NearDupIndex {
             newPairs.withColumn("ts", lit(ts)), touched, tag = tag,
             combine = false)
       }
-      ()
+      skipStats
     } finally {
       // on a pairs-chain failure the store write or the touched
       // prefetch may still be in flight — never unpersist their

@@ -1046,6 +1046,65 @@ class StreamingSpec extends AnyFunSuite {
         s"${pairsNow()} vs $converged")
   }
 
+  test("clustered signature stores: churn batches skip files and stay exact") {
+    import graft.queries.{MultimodalOps, NearDupIndex}
+    // ---- text: store clustered by fp, churn touches 2 of 10 groups
+    val sigsT = LakeTable.create(spark, tmp("fsk_tsigs_"), TableProps(
+      "sigs", Seq("doc_id"), Some("ts"), Seq.empty, tableType = "mor",
+      statsColumns = Seq("fp", "ts")))
+    val pairsT = LakeTable.create(spark, tmp("fsk_tpairs_"), TableProps(
+      "pairs", Seq("a", "b"), Some("ts"), Seq.empty, tableType = "mor"))
+    def gText(g: Int) = (0 until 10)
+      .map(j => s"w${g}word$j token$j alpha$g").mkString(" ")
+    // 10 groups × 3 byte-equal docs: ids g*10+{1,2,3}
+    val seedT = (0 until 10).flatMap(g =>
+      Seq(1, 2, 3).map(i => (g * 10L + i, gText(g))))
+      .toDF("doc_id", "text")
+    NearDupIndex.reconcile(seedT, Seq.empty[Long].toDF("doc_id"), seedT,
+      sigsT, pairsT, 1L)
+    sigsT.cluster(Seq("fp"), targetFiles = 8)
+    // churn: delete group 0's rep (id 1) and re-text 51 out of group 5
+    val churnT = Seq((51L, "zz unique text for fifty one qq")).toDF("doc_id", "text")
+    val delT = Seq(1L).toDF("doc_id")
+    val snapT = seedT.filter(!col("doc_id").isin(1L, 51L)).unionByName(churnT)
+    val stT = NearDupIndex.reconcile(churnT, delT, snapT, sigsT, pairsT, 2L)
+    assert(stT.skipped > 0,
+      s"clustered text store must skip files on a churn batch: $stT")
+    val gotT = pairsT.snapshot().select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantT = (0 until 10).flatMap { g =>
+      val ids = Seq(1, 2, 3).map(g * 10L + _)
+        .filterNot(i => i == 1L || i == 51L)
+      ids.tail.map(b => (ids.head, b))
+    }.toSet
+    assert(gotT == wantT, s"pruned churn must stay exact: $gotT vs $wantT")
+
+    // ---- media: store clustered by (hash_hi, hash_lo)
+    val sigsM = LakeTable.create(spark, tmp("fsk_msigs_"), TableProps(
+      "sigs", Seq("doc_id"), Some("ts"), Seq.empty, tableType = "mor",
+      statsColumns = Seq("hash_hi", "hash_lo", "ts")))
+    val pairsM = LakeTable.create(spark, tmp("fsk_mpairs_"), TableProps(
+      "pairs", Seq("a", "b"), Some("ts"), Seq.empty, tableType = "mor"))
+    val byteHash = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("doc_id"), xxhash64(col("payload")).as("hash_hi"),
+      xxhash64(col("payload"), lit(1)).as("hash_lo"))
+    val seedM = (0 until 10).flatMap(g =>
+      Seq(1, 2, 3).map(i => (g * 10L + i, s"payload$g".getBytes("UTF-8"))))
+      .toDF("doc_id", "payload")
+    MultimodalOps.phashReconcile(seedM, Seq.empty[Long].toDF("doc_id"),
+      sigsM, pairsM, 1L, byteHash)
+    sigsM.cluster(Seq("hash_hi", "hash_lo"), targetFiles = 8)
+    val churnM = Seq((51L, "unique51".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val stM = MultimodalOps.phashReconcile(churnM, Seq(1L).toDF("doc_id"),
+      sigsM, pairsM, 2L, byteHash)
+    assert(stM.storeFilesSkipped > 0,
+      s"clustered media store must skip files on a churn batch: $stM")
+    val gotM = pairsM.snapshot().select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotM == wantT, s"pruned media churn must stay exact: $gotM")
+  }
+
   test("decode-census sidecar: rotation bounds the active segment; crash windows lose nothing") {
     import graft.streaming.SignatureMaintenance
     val ckpt = tmp("census_rot_")
