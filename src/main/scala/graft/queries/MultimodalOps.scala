@@ -636,7 +636,14 @@ object MultimodalOps {
       // "tag present ⇒ whole batch (sigs included) committed" holds
       // for a streaming ExactlyOnce guard (the NearDupIndex ordering
       // invariant); None for the batch gates
-      tag: Option[String] = None): ReconcileStats = {
+      tag: Option[String] = None,
+      // optional band-posting index (blk, doc_id, hash_hi, hash_lo,
+      // ts) keyed (blk, doc_id) with statsColumns (blk, ts) — the
+      // [[NearDupIndex.reconcile]] postings contract: maintained in
+      // lockstep, it replaces the per-batch store-wide rep scan +
+      // 64-key explode with a file-pruned posting read. Attach from
+      // the store's bootstrap batch or drop/recreate all three.
+      postings: Option[graft.core.LakeTable] = None): ReconcileStats = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -646,6 +653,7 @@ object MultimodalOps {
       cached += df.persist(); df
     }
     var sigWrite: Future[Any] = Future.successful(())
+    var postWrite: Future[Any] = Future.successful(())
     try {
       // plans pinned BEFORE the writes below (snapshot() resolves its
       // file list eagerly); a never-written store/pairs table has a
@@ -845,37 +853,101 @@ object MultimodalOps {
       // cost envelope.
       val writeRows = affectedMembers
         .select("doc_id", "hash_hi", "hash_lo", "rep")
-      // one commit: churn signatures + rep updates + departed/
+      // BAND-POSTING INDEX (the [[NearDupIndex.reconcile]] postings
+      // contract, media form: entries DENORMALIZE the rep's hash
+      // halves so candidates verify hamming straight off the posting
+      // rows, no store join-back): derive this batch's posting delta
+      // and the pruned probe slice BEFORE any write launches, so
+      // every plan is pinned on pre-batch state.
+      val postingsPlan: Option[(org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
+        postings.map { p =>
+          val pSnap = p.snapshot()
+          val pBootstrap = !pSnap.columns.contains("blk")
+          require(storeWasEmpty || !pBootstrap,
+            "posting index attached to an already-populated signature " +
+              "store - drop/recreate the sigs, pairs AND postings " +
+              s"tables and rebuild with a bootstrap reconcile: ${p.basePath}")
+          val oldRepRows =
+            if (storeWasEmpty) preSlice.limit(0)
+            else preSlice
+              .join(affectedSigs, Seq("hash_hi", "hash_lo"), "leftsemi")
+              .filter(col("doc_id") === col("rep"))
+          val postDeletes = banded(oldRepRows).select("blk", "doc_id")
+          val postUpserts = banded(affectedReps)
+            .select("blk", "doc_id", "hash_hi", "hash_lo")
+          val rbStored =
+            if (pBootstrap) postUpserts.limit(0)
+            else {
+              val blks = banded(affectedReps).select("blk").distinct()
+                .limit(NearDupIndex.PruneBkLimit + 1).collect().map(_.getLong(0))
+              val postDf =
+                if (blks.length <= NearDupIndex.PruneBkLimit)
+                  p.snapshotSkipping(Seq(graft.core.ColPred(
+                    "blk", "eq", blks.map(_.toString).toSeq,
+                    isLong = true)))._1
+                else p.snapshot()
+              postDf.select("blk", "doc_id", "hash_hi", "hash_lo").join(
+                oldRepRows.select("doc_id"), Seq("doc_id"), "left_anti")
+            }
+          (postDeletes, postUpserts, rbStored)
+        }
+      // one sigs commit: churn signatures + rep updates + departed/
       // undecodable-doc tombstones, run on a BACKGROUND thread so it
       // overlaps the candidate/verify/pairs chain (the NearDupIndex
-      // pattern — the two writes touch different tables, every
-      // relation derives post-churn content from pinned pre-write
-      // plans, the pairs snapshot is already pinned, and the shared
+      // pattern — the writes touch different tables, every relation
+      // derives post-churn content from pinned pre-write plans, the
+      // pairs snapshot is already pinned, and the shared
       // affectedMembers cache is already materialized above — exact
-      // Catalyst stats for the write's small-file sizing, no cold-
-      // cache race). combine=false — one row per doc by construction
-      // (affectedMembers is the post-churn store slice). The
-      // signature write is awaited BEFORE the tagged pairs commit
-      // ("pairs tag present ⇒ sigs batch committed" is the
-      // crash-safety invariant the streaming service relies on).
+      // Catalyst stats for the writes' small-file sizing, no cold-
+      // cache race). combine=false — one row per doc (and per
+      // (blk, doc_id): band keys are index-prefixed, thus distinct
+      // within a rep) by construction. WRITE ORDER is load-bearing:
+      // postings commit BEFORE sigs (awaited inside the sigs future) —
+      // a replay after a sigs-committed/postings-uncommitted crash
+      // would derive posting delete keys from NEW hashes and could
+      // never retire a re-hashed rep's old-band entries; and the sigs
+      // write is awaited BEFORE the tagged pairs commit ("pairs tag
+      // present ⇒ whole batch committed" is the crash-safety
+      // invariant the streaming service relies on).
+      postWrite = postingsPlan match {
+        case Some((postDeletes, postUpserts, _)) => Future {
+          postings.get.upsertWithDeletes(
+            postUpserts.withColumn("ts", lit(ts)), postDeletes,
+            combine = false)
+        }
+        case None => Future.successful(())
+      }
       sigWrite = Future {
+        Await.result(postWrite, Duration.Inf)
         sigs.upsertWithDeletes(writeRows.withColumn("ts", lit(ts)), delC,
           combine = false)
       }
       // cross candidates: affected-group reps band-probed against ALL
       // group reps = the recomputed affected reps plus the STORED reps
-      // of unaffected groups (filter + broadcast anti-join off the
-      // pre-store scan — no window, no shuffle); pairs wholly inside
-      // the batch are found because affected reps are themselves reps
-      val storedReps =
-        if (storeWasEmpty) preSlice.limit(0)
-        else preStore.select("doc_id", "hash_hi", "hash_lo", "rep")
-      val allReps = affectedReps.unionByName(
-        storedReps.filter(col("doc_id") === col("rep"))
-          .join(affectedSigs, Seq("hash_hi", "hash_lo"), "left_anti")
-          .select("doc_id", "hash_hi", "hash_lo"))
+      // of unaffected groups — from the PRE-MATERIALIZED, file-pruned
+      // posting slice when an index is attached (never the store-wide
+      // rep scan + 64-key explode), else the filter + broadcast
+      // anti-join off the pre-store scan (no window, no shuffle);
+      // pairs wholly inside the batch are found because affected reps
+      // are themselves reps
+      val rbFrame = postingsPlan match {
+        case Some((_, _, rbStored)) => banded(affectedReps)
+          .select("doc_id", "hash_hi", "hash_lo", "blk")
+          .unionByName(rbStored
+            .select("doc_id", "hash_hi", "hash_lo", "blk"))
+        case None =>
+          val storedReps =
+            if (storeWasEmpty) preSlice.limit(0)
+            else preStore.select("doc_id", "hash_hi", "hash_lo", "rep")
+          val allReps = affectedReps.unionByName(
+            storedReps.filter(col("doc_id") === col("rep"))
+              .join(affectedSigs, Seq("hash_hi", "hash_lo"), "left_anti")
+              .select("doc_id", "hash_hi", "hash_lo"))
+          banded(allReps)
+      }
       val cross = banded(affectedReps).as("l")
-        .join(banded(allReps).as("r"),
+        .join(rbFrame.as("r"),
           col("l.blk") === col("r.blk") &&
             col("l.doc_id") =!= col("r.doc_id"))
         .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
@@ -916,8 +988,9 @@ object MultimodalOps {
       ReconcileStats(hashedN, droppedN,
         skipStats.kept, skipStats.skipped, skipStats.deltaRead)
     } finally {
-      // on a pairs-chain failure the store write may still be in
-      // flight — never unpersist its inputs from under it
+      // on a pairs-chain failure the index writes may still be in
+      // flight — never unpersist their inputs from under them
+      Await.ready(postWrite, Duration.Inf)
       Await.ready(sigWrite, Duration.Inf)
       cached.foreach(_.unpersist())
     }

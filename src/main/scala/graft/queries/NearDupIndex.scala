@@ -44,6 +44,11 @@ private[graft] object NearDupIndex {
     * fall back to the lazy full-scan semi-join. */
   private[graft] val PruneFpLimit = 20000
 
+  /** Churn band-key sets up to this size prune the posting-index read
+    * FILE-wise; larger batches fall back to an unpruned posting scan
+    * (still narrow materialized rows, never the store-wide explode). */
+  private[graft] val PruneBkLimit = 100000
+
   /** Apply one churn batch to the index.
     *
     * @param churn      (doc_id, text) of upserted docs — post-merge
@@ -55,6 +60,20 @@ private[graft] object NearDupIndex {
     *                   (commit sequence or streaming batch id)
     * @param tag        commit tag for the pairs reconciliation (the
     *                   [[graft.streaming.ExactlyOnce]] batch marker)
+    * @param postings   optional BAND-POSTING INDEX: one (bk, doc_id)
+    *                   row per band key of every CURRENT group rep,
+    *                   keyed (bk, doc_id), maintained by this
+    *                   reconcile in lockstep with the store. With it,
+    *                   the cross-candidate probe reads the posting
+    *                   table file-pruned by the churn's band keys
+    *                   instead of scanning + exploding EVERY stored
+    *                   rep's bands per batch — the last corpus-order
+    *                   term in a steady-state churn batch. Create it
+    *                   with primaryKey (bk, doc_id) and statsColumns
+    *                   (bk, ts), cluster it by bk periodically, and
+    *                   either attach it from the store's first
+    *                   (bootstrap) batch or drop/recreate BOTH — a
+    *                   posting table that missed batches is refused.
     * @return file-skip accounting for the store slice read (zero when
     *         the store is unclustered or the batch took the bootstrap
     *         or over-limit full-scan path) — callers log it
@@ -66,7 +85,8 @@ private[graft] object NearDupIndex {
       sigs: LakeTable,
       pairs: LakeTable,
       ts: Long,
-      tag: Option[String] = None): graft.core.SkipStats = {
+      tag: Option[String] = None,
+      postings: Option[LakeTable] = None): graft.core.SkipStats = {
     // every relation here feeds 2+ consumers (a store upsert AND a
     // band explode; the write path itself reads its input twice:
     // probe + write) — persist each once instead of re-running the
@@ -74,6 +94,7 @@ private[graft] object NearDupIndex {
     val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
     var sigWrite: Future[Any] = Future.successful(())
+    var postWrite: Future[Any] = Future.successful(())
     var touchedJob: Future[Any] = Future.successful(())
     try {
       val churnC = cache(churn)
@@ -257,31 +278,102 @@ private[graft] object NearDupIndex {
         .unionByName(newSigs.filter(col("fp").isNull)
           .select(col("doc_id"), col("bands"), col("fp"),
             col("doc_id").as("rep")))
-      // the signature-store write and the pairs reconciliation below
-      // write DIFFERENT tables from the same cached inputs — run the
-      // store write on a background thread and overlap it with the
-      // candidate/verify/pairs chain (the two dominate reconcile cost
-      // back-to-back; concurrent they cost ~max instead of sum). Safe
-      // because the only table this future writes is SIGS: preStore
-      // pinned its live-file list BEFORE this point (snapshot() is
-      // eager), every relation here derives post-churn content from
-      // newSigs ∪ preStore without reading written files, and the
-      // pairs snapshot was pinned above. The departed-doc tombstones
-      // ride the SAME commit (deleted ids are disjoint from churn ids
-      // by contract); combine=false: one row per doc by construction
-      // (affectedMembers is the post-churn store slice; the NULL-fp
-      // arm is disjoint from it; the shared cache is materialized
-      // above, so the write's small-file sizing reads exact stats and
-      // nothing races into a cold cache).
-      sigWrite = Future {
-        sigs.upsertWithDeletes(writeRows.withColumn("ts", lit(ts)),
-          deletedC, combine = false)
-      }
       // one group's bands are identical across members (equal sets ⟹
       // equal minhashes), so the rep's own row represents the group
       val affectedReps = affectedMembers
         .filter(col("doc_id") === col("rep"))
         .select("doc_id", "bands")
+      // BAND-POSTING INDEX (see the parameter doc): derive this
+      // batch's posting delta and the pruned probe slice BEFORE any
+      // write launches, so every plan is pinned on pre-batch state.
+      // Stored reps of affected groups (their posting entries retire
+      // this batch) come from the cached pruned slice — their fps are
+      // affected by definition, so the slice contains them.
+      val postingsPlan: Option[(DataFrame, DataFrame, DataFrame)] =
+        postings.map { p =>
+          val pSnap = p.snapshot()
+          val pBootstrap = !pSnap.columns.contains("bk")
+          // lockstep guard: a posting table can only attach at the
+          // store's own bootstrap — attaching one to an already-
+          // populated store would silently miss every pre-existing rep
+          require(storeWasEmpty || !pBootstrap,
+            "posting index attached to an already-populated signature " +
+              "store - drop/recreate the sigs, pairs AND postings " +
+              s"tables and rebuild with a bootstrap reconcile: ${p.basePath}")
+          val oldRepRows =
+            if (storeWasEmpty) preSlice.limit(0)
+            else preSlice.join(affectedFps, Seq("fp"), "leftsemi")
+              .filter(col("doc_id") === col("rep"))
+          val postDeletes = oldRepRows
+            .select(explode(col("bands")).as("bk"), col("doc_id"))
+          val postUpserts = affectedReps
+            .select(explode(col("bands")).as("bk"), col("doc_id"))
+          // probe slice: posting entries under the churn's own band
+          // keys — collected bounded (the affected reps are already
+          // cached and small) so the read FILE-prunes through the
+          // bk col-stats once the posting table is clustered by bk;
+          // over the limit, an unpruned posting scan (still narrow
+          // materialized rows, never the store-wide bands explode)
+          val rbStored =
+            if (pBootstrap) postUpserts.limit(0)
+            else {
+              val bks = affectedReps
+                .select(explode(col("bands")).as("bk")).distinct()
+                .limit(PruneBkLimit + 1).collect().map(_.getString(0))
+              val postDf =
+                if (bks.length <= PruneBkLimit)
+                  p.snapshotSkipping(Seq(graft.core.ColPred(
+                    "bk", "eq", bks.toSeq, isLong = false)))._1
+                else p.snapshot()
+              // entries of affected groups' RETIRING reps are stale
+              // this batch (re-derived through affectedReps) — drop
+              // them; unaffected reps' entries are current by the
+              // lockstep invariant
+              postDf.select("bk", "doc_id").join(
+                oldRepRows.select("doc_id"), Seq("doc_id"), "left_anti")
+            }
+          (postDeletes, postUpserts, rbStored)
+        }
+      // the signature-store write, the posting-index write, and the
+      // pairs reconciliation below write DIFFERENT tables from the
+      // same cached inputs — run the two index writes on a background
+      // thread and overlap them with the candidate/verify/pairs chain
+      // (back-to-back they dominate reconcile cost; concurrent they
+      // cost ~max instead of sum). Safe because those futures write
+      // only POSTINGS then SIGS: preStore/preSlice/postings pinned
+      // their live-file lists BEFORE this point (snapshot()/
+      // snapshotSkipping are eager), every relation here derives
+      // post-churn content from newSigs ∪ pinned plans without
+      // reading written files, and the pairs snapshot was pinned
+      // above. WRITE ORDER is load-bearing: postings commit BEFORE
+      // sigs (awaited inside the sigs future), because a replay after
+      // a sigs-committed/postings-uncommitted crash would derive the
+      // posting delete keys from the store's NEW bands and could
+      // never retire a re-hashed rep's OLD-band entries; with
+      // postings-first, every reachable crash state replays to
+      // convergence (pre-batch plans → same delta; post-batch plans →
+      // the delta is an idempotent self-update). The departed-doc
+      // tombstones ride the SAME sigs commit (deleted ids are
+      // disjoint from churn ids by contract); combine=false: one row
+      // per doc — and one per (bk, doc_id) — by construction
+      // (affectedMembers is the post-churn store slice; the NULL-fp
+      // arm is disjoint from it; a rep's band keys are index-prefixed
+      // and thus distinct; the shared cache is materialized above, so
+      // the writes' small-file sizing reads exact stats and nothing
+      // races into a cold cache).
+      postWrite = postingsPlan match {
+        case Some((postDeletes, postUpserts, _)) => Future {
+          postings.get.upsertWithDeletes(
+            postUpserts.withColumn("ts", lit(ts)), postDeletes,
+            combine = false)
+        }
+        case None => Future.successful(())
+      }
+      sigWrite = Future {
+        Await.result(postWrite, Duration.Inf)
+        sigs.upsertWithDeletes(writeRows.withColumn("ts", lit(ts)),
+          deletedC, combine = false)
+      }
       // PAIRS tombstone side: stored pairs touching any current
       // member of an affected group (their edges are re-derived
       // below — an unchanged edge is an update) or any churned/
@@ -330,7 +422,16 @@ private[graft] object NearDupIndex {
           .select("doc_id", "bands"))
       val lb = affectedReps
         .select(col("doc_id"), explode(col("bands")).as("bk"))
-      val rb = allReps.select(col("doc_id"), explode(col("bands")).as("bk"))
+      // probe right side: with a posting index, the affected reps'
+      // own keys (in-batch pairs) plus the PRE-MATERIALIZED, file-
+      // pruned posting slice — never the store-wide rep scan +
+      // explode; without one, the full rep explode as before
+      val rb = postingsPlan match {
+        case Some((_, _, rbStored)) => lb.unionByName(
+          rbStored.select(col("doc_id"), col("bk")))
+        case None =>
+          allReps.select(col("doc_id"), explode(col("bands")).as("bk"))
+      }
       val cand = cache(lb.as("l").join(rb.as("r"),
           col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
         .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
@@ -380,9 +481,10 @@ private[graft] object NearDupIndex {
       }
       skipStats
     } finally {
-      // on a pairs-chain failure the store write or the touched
+      // on a pairs-chain failure the index writes or the touched
       // prefetch may still be in flight — never unpersist their
       // inputs from under them
+      Await.ready(postWrite, Duration.Inf)
       Await.ready(sigWrite, Duration.Inf)
       Await.ready(touchedJob, Duration.Inf)
       cached.foreach(_.unpersist())

@@ -1105,6 +1105,124 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotM == wantT, s"pruned media churn must stay exact: $gotM")
   }
 
+  test("text posting index: probe-from-postings pairs equal the full rep-scan pairs") {
+    import graft.queries.NearDupIndex
+    def mk(prefix: String, pk: Seq[String], stats: Seq[String]) =
+      LakeTable.create(spark, tmp(prefix), TableProps(
+        prefix, pk, Some("ts"), Seq.empty, tableType = "mor",
+        statsColumns = stats))
+    val sigsA = mk("peq_sa_", Seq("doc_id"), Seq("fp", "ts"))
+    val pairsA = mk("peq_pa_", Seq("a", "b"), Seq.empty)
+    val sigsB = mk("peq_sb_", Seq("doc_id"), Seq("fp", "ts"))
+    val pairsB = mk("peq_pb_", Seq("a", "b"), Seq.empty)
+    val postB = mk("peq_ix_", Seq("bk", "doc_id"), Seq("bk", "ts"))
+    def text(g: Int, variant: Int) = ((0 until 12).map(j =>
+      s"g${g}token$j word$j") ++ (0 until variant).map(j => s"extra$j"))
+      .mkString(" ")
+    // corpus: 8 groups; groups 0/1 have a near-dup variant doc (cross
+    // pairs through the band probe + exact-Jaccard verify)
+    val state = scala.collection.mutable.Map[Long, String]()
+    def runBoth(churn: Seq[(Long, String)], dels: Seq[Long], ts: Long) = {
+      dels.foreach(state.remove)
+      churn.foreach { case (d, t) => state(d) = t }
+      val churnDf = churn.toDF("doc_id", "text")
+      val delDf = dels.toDF("doc_id")
+      val snap = state.toSeq.toDF("doc_id", "text")
+      NearDupIndex.reconcile(churnDf, delDf, snap, sigsA, pairsA, ts)
+      NearDupIndex.reconcile(churnDf, delDf, snap, sigsB, pairsB, ts,
+        postings = Some(postB))
+      def pset(p: LakeTable) = p.snapshot().select("a", "b", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val (ga, gb) = (pset(pairsA), pset(pairsB))
+      assert(ga == gb, s"ts=$ts: postings pairs diverge: " +
+        s"only-A=${ga -- gb} only-B=${gb -- ga}")
+      ga
+    }
+    // batch 1: bootstrap — 8 groups × {3,2,2,1,1,1,1,1} members + two
+    // near-dup variant docs (900 ~ group0, 901 ~ group1)
+    val boot = (0 until 8).flatMap { g =>
+      val n = Seq(3, 2, 2, 1, 1, 1, 1, 1)(g)
+      (0 until n).map(i => (g * 10L + i, text(g, 0)))
+    } ++ Seq((900L, text(0, 1)), (901L, text(1, 1)))
+    val p1 = runBoth(boot, Seq.empty, 1L)
+    assert(p1.exists { case (a, b, j) => Set(a, b).contains(900L) && j < 1.0 },
+      s"fixture must produce a cross pair: $p1")
+    // cluster B's posting index and both stores mid-stream: later
+    // batches exercise the pruned read paths
+    sigsA.cluster(Seq("fp")); sigsB.cluster(Seq("fp"))
+    postB.cluster(Seq("bk"))
+    // batch 2: delete group0's rep; re-hash group1's rep away; add a
+    // smaller-id doc demoting group2's rep
+    runBoth(Seq((10L, text(9, 0)), (5L, text(2, 0))), Seq(0L), 2L)
+    // batch 3: delete the near-dup variant; re-add a deleted id as a
+    // new group member; churn a doc in place (same text = same fp)
+    runBoth(Seq((0L, text(3, 0)), (21L, text(2, 0))), Seq(901L), 3L)
+    // batch 4: drain a whole group
+    runBoth(Seq.empty, Seq(20L, 21L, 5L), 4L)
+  }
+
+  test("media posting index: probe-from-postings pairs equal the full rep-scan pairs") {
+    import graft.queries.MultimodalOps
+    def mk(prefix: String, pk: Seq[String], stats: Seq[String]) =
+      LakeTable.create(spark, tmp(prefix), TableProps(
+        prefix, pk, Some("ts"), Seq.empty, tableType = "mor",
+        statsColumns = stats))
+    val sigsA = mk("meq_sa_", Seq("doc_id"), Seq("hash_hi", "hash_lo", "ts"))
+    val pairsA = mk("meq_pa_", Seq("a", "b"), Seq.empty)
+    val sigsB = mk("meq_sb_", Seq("doc_id"), Seq("hash_hi", "hash_lo", "ts"))
+    val pairsB = mk("meq_pb_", Seq("a", "b"), Seq.empty)
+    val postB = mk("meq_ix_", Seq("blk", "doc_id"), Seq("blk", "ts"))
+    // payloads ENCODE their hash "hi:lo" — deterministic control over
+    // groups (equal hashes) and cross pairs (hamming ≤ 7)
+    val hashOf = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("doc_id"),
+      expr("try_cast(get(split(decode(payload, 'UTF-8'), ':'), 0) as long)")
+        .as("hash_hi"),
+      expr("try_cast(get(split(decode(payload, 'UTF-8'), ':'), 1) as long)")
+        .as("hash_lo"))
+    def pay(hi: Long, lo: Long) = s"$hi:$lo".getBytes("UTF-8")
+    def gpay(g: Int) = pay(g * 1000001L + 77, g * 999983L + 13)
+    val state = scala.collection.mutable.Map[Long, Array[Byte]]()
+    def runBoth(churn: Seq[(Long, Array[Byte])], dels: Seq[Long], ts: Long) = {
+      dels.foreach(state.remove)
+      churn.foreach { case (d, b) => state(d) = b }
+      val churnDf = churn.toDF("doc_id", "payload")
+      val delDf = dels.toDF("doc_id")
+      MultimodalOps.phashReconcile(churnDf, delDf, sigsA, pairsA, ts, hashOf)
+      MultimodalOps.phashReconcile(churnDf, delDf, sigsB, pairsB, ts, hashOf,
+        postings = Some(postB))
+      def pset(p: LakeTable) = p.snapshot().select("a", "b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val (ga, gb) = (pset(pairsA), pset(pairsB))
+      assert(ga == gb, s"ts=$ts: postings pairs diverge: " +
+        s"only-A=${ga -- gb} only-B=${gb -- ga}")
+      ga
+    }
+    // bootstrap: 8 groups (sizes 3,2,2,1,...) + near-dup 900 (3 bits
+    // off group0) + 901 (2 bits off group1)
+    val g0 = (0 * 1000001L + 77, 0 * 999983L + 13)
+    val g1 = (1 * 1000001L + 77, 1 * 999983L + 13)
+    val boot = (0 until 8).flatMap { g =>
+      val n = Seq(3, 2, 2, 1, 1, 1, 1, 1)(g)
+      (0 until n).map(i => (g * 10L + i, gpay(g)))
+    } ++ Seq((900L, pay(g0._1, g0._2 ^ 0x7L)), (901L, pay(g1._1 ^ 1L, g1._2 ^ 3L)))
+    val p1 = runBoth(boot, Seq.empty, 1L)
+    assert(p1.exists { case (a, b, h) => Set(a, b).contains(900L) && h > 0 },
+      s"fixture must produce a cross pair: $p1")
+    sigsA.cluster(Seq("hash_hi", "hash_lo"))
+    sigsB.cluster(Seq("hash_hi", "hash_lo"))
+    postB.cluster(Seq("blk"))
+    // delete group0's rep; re-hash group1's rep far away; demote
+    // group2's rep with a smaller id
+    runBoth(Seq((10L, pay(-5L, -6L)), (5L, gpay(2))), Seq(0L), 2L)
+    // drop the 901 near-dup; undecodable churn (NULL-ish: payload with
+    // no colon parses to null halves and must drop out) on 30
+    runBoth(Seq((30L, "x".getBytes("UTF-8")), (0L, gpay(3))), Seq(901L), 3L)
+    // drain group 2 entirely
+    runBoth(Seq.empty, Seq(20L, 21L, 5L), 4L)
+  }
+
   test("decode-census sidecar: rotation bounds the active segment; crash windows lose nothing") {
     import graft.streaming.SignatureMaintenance
     val ckpt = tmp("census_rot_")
