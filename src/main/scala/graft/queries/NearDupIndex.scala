@@ -86,7 +86,17 @@ private[graft] object NearDupIndex {
       pairs: LakeTable,
       ts: Long,
       tag: Option[String] = None,
-      postings: Option[LakeTable] = None): graft.core.SkipStats = {
+      postings: Option[LakeTable] = None,
+      // optional KEYED lookup of current (doc_id, text) rows for the
+      // given ids — lets verification read the docs table key-pruned
+      // (snapshotForKeys bounds) instead of semi-joining against the
+      // full docsSnap scan, the remaining corpus-order verify term.
+      // May return extra or stale-keyed rows for OTHER ids (the
+      // candidate semi-join re-filters, the snapshotForKeys
+      // MOR-soundness contract); must be current for the requested
+      // ids. Falls back to docsSnap above the candidate-count bound.
+      docsLookup: Option[Seq[Long] => DataFrame] = None)
+      : graft.core.SkipStats = {
     // every relation here feeds 2+ consumers (a store upsert AND a
     // band explode; the write path itself reads its input twice:
     // probe + write) — persist each once instead of re-running the
@@ -438,9 +448,22 @@ private[graft] object NearDupIndex {
           greatest(col("l.doc_id"), col("r.doc_id")).as("b")).distinct())
       val candIds = cand.select(col("a").as("doc_id"))
         .unionByName(cand.select(col("b").as("doc_id"))).distinct()
-      // verification re-shingles only docs that appear in a candidate
+      // verification re-shingles only docs that appear in a candidate;
+      // with a keyed lookup the doc rows come from a key-pruned read
+      // (bounded collect off the cached cand — candidates are O(churn)
+      // after bootstrap), with the candidate join kept on top as the
+      // exactness re-filter
+      val verifyDocs = docsLookup match {
+        case Some(f) if !storeWasEmpty =>
+          val ids = candIds.limit(PruneFpLimit + 1).collect()
+            .map(_.getLong(0))
+          if (ids.length <= PruneFpLimit)
+            f(ids.toSeq).join(candIds, "doc_id")
+          else docsSnap.join(candIds, "doc_id")
+        case _ => docsSnap.join(candIds, "doc_id")
+      }
       val newPairs = cache(star.unionByName(DedupOps.verifyJaccard(
-        cand, docsSnap.join(candIds, "doc_id"), Some(cache))))
+        cand, verifyDocs, Some(cache))))
       // materialized for the same write-sizing reason as newSigs
       newPairs.count()
 

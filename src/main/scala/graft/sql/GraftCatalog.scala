@@ -520,10 +520,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         val modality = input.getUTF8String(2).toString
         val checkpoint = input.getUTF8String(3).toString
         require(checkpoint.nonEmpty, "start_maintenance: empty checkpoint")
-        def paths(n: Int): Seq[String] = {
-          require(refs.length == n,
-            s"start_maintenance: family '$family' needs $n tables " +
-              s"(got ${refs.length}: ${refs.mkString(",")})")
+        def paths(n: Int, optional: Int = 0): Seq[String] = {
+          require(refs.length == n ||
+              (optional > 0 && refs.length == n + optional),
+            s"start_maintenance: family '$family' needs $n tables" +
+              (if (optional > 0) s" (plus up to $optional optional)"
+               else "") +
+              s" (got ${refs.length}: ${refs.mkString(",")})")
           refs.map(r => lakeOf(r).basePath)
         }
         // two concurrent CALLs with the same checkpoint must not both
@@ -548,15 +551,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             case "neardup" =>
               require(modality.isEmpty,
                 "start_maintenance: modality applies to family 'media' only")
-              val Seq(d, sg, pr) = paths(3)
-              graft.streaming.NearDupMaintenance.start(spark, d, sg, pr,
-                checkpoint)
+              // optional 4th table = the band-posting index
+              val ps = paths(3, optional = 1)
+              graft.streaming.NearDupMaintenance.start(spark, ps(0), ps(1),
+                ps(2), checkpoint, postingsPath = ps.lift(3))
             case "media" =>
-              val Seq(p, sg, pr) = paths(3)
+              // optional 4th table = the band-posting index
+              val ps = paths(3, optional = 1)
               // reuse maintain_media_index's modality grammar by CALLING
               // through the shared parser below
-              graft.streaming.SignatureMaintenance.start(spark, p, sg, pr,
-                checkpoint, hashFn = mediaHashFn(modality))
+              graft.streaming.SignatureMaintenance.start(spark, ps(0), ps(1),
+                ps(2), checkpoint, hashFn = mediaHashFn(modality),
+                postingsPath = ps.lift(3))
             case "search" =>
               require(modality.isEmpty,
                 "start_maintenance: modality applies to family 'media' only")

@@ -51,11 +51,17 @@ object NearDupMaintenance {
       sigPath: String,
       pairsPath: String,
       checkpoint: String,
-      startCommit: String = "0"): StreamingQuery = {
+      startCommit: String = "0",
+      // optional band-posting index (NearDupIndex.reconcile's postings
+      // contract): create it keyed (bk, doc_id) with statsColumns
+      // (bk, ts) and attach it from the service's FIRST batch
+      postingsPath: Option[String] = None): StreamingQuery = {
     require(LakeTable.exists(spark, sigPath),
       s"create the signature store (doc_id as primaryKey) first: $sigPath")
     require(LakeTable.exists(spark, pairsPath),
       s"create the pairs table ((a, b) as primaryKey) first: $pairsPath")
+    postingsPath.foreach(p => require(LakeTable.exists(spark, p),
+      s"create the posting index ((bk, doc_id) as primaryKey) first: $p"))
     // the CDC source fixes its schema when the stream starts; a table
     // with no commits yet has no data columns, so the maintenance
     // query would bind to a metadata-only feed and never see doc_id
@@ -72,9 +78,10 @@ object NearDupMaintenance {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sigs = LakeTable.load(spark, sigPath)
         val pairs = LakeTable.load(spark, pairsPath)
+        val postings = postingsPath.map(LakeTable.load(spark, _))
         once.runOnce(pairs, batchId) { tag =>
           applyBatch(spark, docsPath, sigs, pairs, batch, checkpoint,
-            batchId, tag)
+            batchId, tag, postings)
         }
         ()
       }
@@ -89,7 +96,8 @@ object NearDupMaintenance {
       batch: DataFrame,
       checkpoint: String,
       batchId: Long,
-      tag: Option[String]): Unit = {
+      tag: Option[String],
+      postings: Option[LakeTable] = None): Unit = {
     // persist the CDC micro-batch once: the churn/deleted splits and
     // the reconciliation's own consumers would otherwise re-run the
     // CDC net-diff per job on this continuously-hot path
@@ -110,8 +118,16 @@ object NearDupMaintenance {
       // checkpoint resets too, unlike batch ids. Same convention as
       // [[SearchIndexMaintenance]].
       val ts = OffsetLog.endOffsetInstant(spark, checkpoint, batchId).toLong
+      // candidate verification reads the docs table KEY-PRUNED
+      // (snapshotForKeys bounds; candidates are O(churn) per batch)
+      // instead of semi-joining the full snapshot scan
+      val lookup = (ids: Seq[Long]) =>
+        LakeTable.load(spark, docsPath)
+          .snapshotForKeys(ids.map(_.toString).toSet)
+          .select("doc_id", "text")
       graft.queries.NearDupIndex.reconcile(
-        upserted, deletedIds, docsSnap, sigs, pairs, ts, tag)
+        upserted, deletedIds, docsSnap, sigs, pairs, ts, tag,
+        postings = postings, docsLookup = Some(lookup))
     } finally batchC.unpersist()
   }
 }

@@ -173,11 +173,17 @@ object SignatureMaintenance {
       payloadCol: String = "payload",
       hashFn: DataFrame => DataFrame =
         graft.multimodal.MediaDecoder.aHash(_, "doc_id", "payload"),
-      startCommit: String = "0"): StreamingQuery = {
+      startCommit: String = "0",
+      // optional band-posting index (phashReconcile's postings
+      // contract): create it keyed (blk, doc_id) with statsColumns
+      // (blk, ts) and attach it from the service's FIRST batch
+      postingsPath: Option[String] = None): StreamingQuery = {
     require(LakeTable.exists(spark, sigPath),
       s"create the signature store (doc_id as primaryKey) first: $sigPath")
     require(LakeTable.exists(spark, pairsPath),
       s"create the pairs table ((a, b) as primaryKey) first: $pairsPath")
+    postingsPath.foreach(p => require(LakeTable.exists(spark, p),
+      s"create the posting index ((blk, doc_id) as primaryKey) first: $p"))
     // the CDC source fixes its schema at stream start; a payload table
     // with no commits would bind a metadata-only feed (the
     // NearDupMaintenance precondition). payloadCol checked here too:
@@ -198,6 +204,7 @@ object SignatureMaintenance {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sigs = LakeTable.load(spark, sigPath)
         val pairs = LakeTable.load(spark, pairsPath)
+        val postings = postingsPath.map(LakeTable.load(spark, _))
         once.runOnce(pairs, batchId) { tag =>
           // persist the CDC micro-batch once: the churn/deleted splits
           // and the reconcile's candidate probe all consume it
@@ -211,7 +218,7 @@ object SignatureMaintenance {
                 .endOffsetInstant(spark, checkpoint, batchId).toLong
               val stats = graft.queries.MultimodalOps.phashReconcile(
                 upserted, deletedIds, sigs, pairs, ts, tag = tag,
-                hashFn = hashFn)
+                hashFn = hashFn, postings = postings)
               // per-batch decode census, appended to a checkpoint
               // sidecar: the service's drop-rate is a monitored
               // number, not an invisible one. Written AFTER the
