@@ -149,6 +149,17 @@ final class LakeTable private[core] (
     * (no-preCombine batches are not deduped, and adopted foreign files
     * may carry duplicate keys); an instant whose action metadata is
     * archived also falls back to the full merge. */
+  /** Is `c` a commit whose added rows are key-deduped (at most one
+    * version per (key, partition))? For the write allowlist the flag
+    * defaults true (see [[SingleVersionActions]]); a REPLACE commit
+    * qualifies only when it explicitly recorded dedupedKeys=true
+    * (cluster/zorder/restore rewrite a merged snapshot and stamp it;
+    * [[migrateExternal]] adopts foreign rows verbatim and does not). */
+  private def singleVersionCommit(c: CommitMeta): Boolean =
+    (SingleVersionActions.contains(c.action) &&
+      c.dedupedKeys.getOrElse(true)) ||
+    (c.action == "replace" && c.dedupedKeys.contains(true))
+
   private def morMerged(raw: DataFrame, live: Seq[FileEntry]): DataFrame = {
     val single = props.preCombineField.isDefined &&
       !live.exists(_.external) && {
@@ -161,13 +172,83 @@ final class LakeTable private[core] (
           // uniqueness contract on its word (see the applyDeltas
           // scaladoc). Only dedupedKeys=false — a combine=true batch
           // written without a preCombine field — forces the full merge.
-          .exists(c => SingleVersionActions.contains(c.action) &&
-            c.dedupedKeys.getOrElse(true))
+          .exists(singleVersionCommit)
       }
-    if (!single) mergeOnRead(raw)
+    if (!single)
+      tieredMerge(live, raw.schema).getOrElse(mergeOnRead(raw))
     else if (raw.columns.contains(DeletedCol))
       raw.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
     else raw
+  }
+
+  /** Rows a tiered merge may hold in its delta tail before falling
+    * back to the full windowed merge: the tail's key set is collected
+    * into a (broadcast) hash join, so it must stay executor-memory
+    * sized. Beyond this a read is post-bulk-ingest, where compaction
+    * — not read-side merging — is the right tool. */
+  private def tieredMergeMaxTailRows: Long =
+    spark.conf.getOption("spark.graft.morTieredMaxTailRows")
+      .map(_.toLong).getOrElse(2000000L)
+
+  /** TIERED MOR merge — the steady-state read path for a maintained
+    * store (base era + small delta tail). [[mergeOnRead]] resolves
+    * versions with TWO window functions partitioned by key, i.e. a
+    * full shuffle+sort of the whole table per read; for a 10⁸-row
+    * store with a 10³-row tail that is a corpus-order cost on every
+    * micro-batch. When the live set is exactly
+    *
+    *   one key-deduped base instant  +  a bounded newer tail
+    *
+    * only keys PRESENT IN THE TAIL can have competing versions, so:
+    * base rows whose key is absent from the tail pass through
+    * untouched (minus stored tombstones), and the full merge runs
+    * over (tail ∪ matching base rows) — O(tail) rows. The base side
+    * is two hash-join scans against the tail's key set (AQE
+    * broadcasts it — the tail-row gate bounds its size), never a
+    * shuffle or sort of the base.
+    *
+    * Soundness: the base instant is the MINIMUM live instant, so no
+    * key has versions older than base; [[singleVersionCommit]]
+    * guarantees at most one version per key inside base; every other
+    * live version of a tail key is in the tail by construction.
+    * Partial compactions rewrite whole overlap-closed file groups
+    * ([[overlapClosure]]), so a surviving min-instant file shares no
+    * keys with later compacted output — those later files simply ride
+    * the tail. Falls back (None) whenever the shape doesn't hold:
+    * external files, archived base action, un-deduped base, or a tail
+    * larger than [[tieredMergeMaxTailRows]]. `s` is the caller's
+    * read schema (as-of-aware — never recomputed here). */
+  private def tieredMerge(
+      live: Seq[FileEntry], s: StructType): Option[DataFrame] = {
+    if (live.exists(_.external)) return None
+    val instants = live.map(_.instant).distinct
+    if (instants.size < 2) return None
+    val b = instants.min
+    val cs = timeline.commits()
+    val bc = cs.find(_.instant == b).getOrElse(return None)
+    if (!singleVersionCommit(bc)) return None
+    val (base, tail) = live.partition(_.instant == b)
+    val tailInstants = tail.map(_.instant).distinct
+    var tailRows = 0L
+    tailInstants.foreach { i =>
+      cs.find(_.instant == i) match {
+        case Some(c) => tailRows += c.totalRecords
+        case None => return None // archived — size unknown
+      }
+    }
+    if (tailRows > tieredMergeMaxTailRows) return None
+    val baseDf = readLive(base, s)
+    val tailDf = readLive(tail, s)
+    val joinCols = Seq(RecordKeyCol, PartitionPathCol)
+    val tailKeys = tailDf.select(joinCols.map(col): _*).distinct()
+    val merged = mergeOnRead(
+      baseDf.join(tailKeys, joinCols, "leftsemi").unionByName(tailDf))
+    val pass0 = baseDf.join(tailKeys, joinCols, "left_anti")
+    val pass =
+      if (pass0.columns.contains(DeletedCol))
+        pass0.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
+      else pass0
+    Some(merged.unionByName(pass))
   }
 
   /** Read a set of live file entries with full meta columns: managed
@@ -328,7 +409,44 @@ final class LakeTable private[core] (
     val (alwaysRead, prunable) =
       if (isMor) live.partition(_.delta)
       else (Seq.empty[FileEntry], live)
-    val kept = prunable.filter(f => mayMatchColStats(f, preds))
+    // eq/IN predicates are checked by BINARY SEARCH over the sorted
+    // value list (any value within [min, max] ⟺ the first value ≥ min
+    // is ≤ max): O(files × log values) driver work instead of
+    // O(files × values) — the difference between planning a 10⁵-key
+    // probe over 10⁵ clustered files in milliseconds vs minutes.
+    val sortedEq: Map[ColPred, Array[String]] = preds.iterator
+      .filter(p => p.op == "eq" && p.values.length > 8)
+      .map { p =>
+        val arr = p.values.toArray
+        if (p.isLong) java.util.Arrays.sort(arr,
+          Ordering.by((s: String) => s.toLong))
+        else java.util.Arrays.sort(arr, LakeTable.Utf8Ordering)
+        p -> arr
+      }.toMap
+    def eqHit(p: ColPred, arr: Array[String], mn: String, mx: String): Boolean = {
+      def cmp(a: String, b: String): Int =
+        if (p.isLong) java.lang.Long.compare(a.toLong, b.toLong)
+        else utf8Cmp(a, b)
+      // first value >= mn
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cmp(arr(mid), mn) < 0) lo = mid + 1 else hi = mid
+      }
+      lo < arr.length && cmp(arr(lo), mx) <= 0
+    }
+    def mayMatch(f: FileEntry): Boolean = preds.forall { p =>
+      sortedEq.get(p) match {
+        case Some(arr) =>
+          f.colStats.flatMap(_.get(p.column)) match {
+            case Some(Seq(tag, mn, mx)) if (tag == "l") == p.isLong =>
+              eqHit(p, arr, mn, mx)
+            case _ => true
+          }
+        case None => mayMatchColStats(f, Seq(p))
+      }
+    }
+    val kept = prunable.filter(mayMatch)
     val entries = alwaysRead ++ kept
     val s = withMetaSchema(schema)
     val stats = SkipStats(
@@ -627,7 +745,8 @@ final class LakeTable private[core] (
     val removed = timeline.liveFiles(None).map(_.path)
     val st =
       writeFiles(conform(withMeta(dedupBatch(df), instant), newSchema), instant)
-    doCommit(instant, "replace", st, removed, newSchema)
+    doCommit(instant, "replace", st, removed, newSchema,
+      deduped = Some(props.preCombineField.isDefined))
     instant
   }
 
@@ -2134,7 +2253,8 @@ final class LakeTable private[core] (
       val data = if (isMor) mergeOnRead(raw) else raw
       val st = writeFiles(
         data.select((MetaCols ++ sAt.fieldNames.toSeq).map(col): _*), inst)
-      doCommit(inst, "replace", st, liveNow, sAt)
+      doCommit(inst, "replace", st, liveNow, sAt,
+        deduped = Some(true))
       inst
     }
   }
@@ -2169,7 +2289,8 @@ final class LakeTable private[core] (
       val st = writeFiles(
         data.select((MetaCols ++ schema.fieldNames.toSeq).map(col): _*),
         inst, clusterBy = by, clusterFiles = targetFiles)
-      doCommit(inst, "replace", st, live.map(_.path), schema)
+      doCommit(inst, "replace", st, live.map(_.path), schema,
+        deduped = Some(true))
       inst
     })
   }
@@ -2217,7 +2338,8 @@ final class LakeTable private[core] (
       val st = writeFiles(
         data.select((MetaCols ++ schema.fieldNames.toSeq).map(col): _*),
         inst, clusterBy = Seq(z), clusterFiles = targetFiles)
-      doCommit(inst, "replace", st, live.map(_.path), schema)
+      doCommit(inst, "replace", st, live.map(_.path), schema,
+        deduped = Some(true))
       inst
     })
   }

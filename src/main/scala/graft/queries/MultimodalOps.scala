@@ -654,6 +654,13 @@ object MultimodalOps {
     }
     var sigWrite: Future[Any] = Future.successful(())
     var postWrite: Future[Any] = Future.successful(())
+    // env-gated (GRAFT_PROFILE=1) stage timing, the write-path
+    // profiler's read-side sibling — a no-op otherwise
+    val profT0 = System.nanoTime()
+    def prof(stage: String): Unit =
+      if (sys.env.get("GRAFT_PROFILE").contains("1"))
+        Console.err.println(f"[graft-profile] phashReconcile:$stage%-24s " +
+          f"${(System.nanoTime() - profT0) / 1e9}%7.3fs")
     try {
       // plans pinned BEFORE the writes below (snapshot() resolves its
       // file list eagerly); a never-written store/pairs table has a
@@ -737,6 +744,7 @@ object MultimodalOps {
         finally Await.ready(sigProbe, Duration.Inf)
       // surface a store-read failure here, not inside a later consumer
       val storeSigVals = Await.result(sigProbe, Duration.Inf)
+      prof("hash+old-sig-probe")
       // a churn doc whose NEW payload yields no signature (undecodable
       // media; an all-silent clip under the envelope hash) must DROP
       // OUT of the index — its old signature describes a superseded
@@ -750,6 +758,7 @@ object MultimodalOps {
       val undecodable = cache(churnImgs.select("doc_id")
         .join(newSigs.select("doc_id"), Seq("doc_id"), "left_anti"))
       val droppedN = undecodable.count()
+      prof("undecodable")
       val delC = cache(deletedIds.unionByName(undecodable).distinct())
       // SKEW-COLLAPSED incremental reconcile — maintains exactly the
       // [[pairsFromSigs]] contract (star edges inside byte-equal
@@ -836,6 +845,7 @@ object MultimodalOps {
       // duplicates the store read — measured slower than the serial
       // read + overlapped write
       affectedMembers.count()
+      prof("affected-members")
       val star = affectedMembers.filter(col("doc_id") =!= col("rep"))
         .select(col("rep").as("a"), col("doc_id").as("b"),
           lit(0).as("hamming"))
@@ -860,7 +870,8 @@ object MultimodalOps {
       // and the pruned probe slice BEFORE any write launches, so
       // every plan is pinned on pre-batch state.
       val postingsPlan: Option[(org.apache.spark.sql.DataFrame,
-          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
+          org.apache.spark.sql.DataFrame,
+          Option[org.apache.spark.sql.DataFrame])] =
         postings.map { p =>
           val pSnap = p.snapshot()
           val pBootstrap = !pSnap.columns.contains("blk")
@@ -876,19 +887,37 @@ object MultimodalOps {
           val postDeletes = banded(oldRepRows).select("blk", "doc_id")
           val postUpserts = banded(affectedReps)
             .select("blk", "doc_id", "hash_hi", "hash_lo")
-          val rbStored =
-            if (pBootstrap) postUpserts.limit(0)
+          // adaptive probe ([[NearDupIndex.PostingProbeCutoff]]):
+          // file pruning only bites for micro-batch-sized key sets —
+          // None keeps the rep-scan probe while the index writes
+          // below still run
+          val rbStored: Option[org.apache.spark.sql.DataFrame] =
+            if (pBootstrap) None
             else {
               val blks = banded(affectedReps).select("blk").distinct()
-                .limit(NearDupIndex.PruneBkLimit + 1).collect().map(_.getLong(0))
-              val postDf =
-                if (blks.length <= NearDupIndex.PruneBkLimit)
-                  p.snapshotSkipping(Seq(graft.core.ColPred(
-                    "blk", "eq", blks.map(_.toString).toSeq,
-                    isLong = true)))._1
-                else p.snapshot()
-              postDf.select("blk", "doc_id", "hash_hi", "hash_lo").join(
-                oldRepRows.select("doc_id"), Seq("doc_id"), "left_anti")
+                .limit(NearDupIndex.PostingProbeCutoff + 1).collect()
+                .map(_.getLong(0))
+              if (blks.length > NearDupIndex.PostingProbeCutoff) None
+              else {
+                val (df, st) = p.snapshotSkipping(Seq(graft.core.ColPred(
+                  "blk", "eq", blks.map(_.toString).toSeq,
+                  isLong = true)))
+                // MEASURED pruning gate (see NearDupIndex): scattered
+                // probe keys touching most posting files would make
+                // this a near-full scan of the widest table in the
+                // family — keep the rep-scan probe unless >50% of the
+                // base files actually skipped (small-table floor keeps
+                // tiny fixtures on the probe path)
+                if (st.kept > st.skipped && st.kept > 64) None
+                else Some(df
+                  // ROW-level filter on top of the file pruning: an
+                  // InSet at the scan keeps the candidate join
+                  // O(probe matches)
+                  .where(col("blk").isin(blks.toSeq: _*))
+                  .select("blk", "doc_id", "hash_hi", "hash_lo").join(
+                    oldRepRows.select("doc_id"), Seq("doc_id"),
+                    "left_anti"))
+              }
             }
           (postDeletes, postUpserts, rbStored)
         }
@@ -932,11 +961,11 @@ object MultimodalOps {
       // pairs wholly inside the batch are found because affected reps
       // are themselves reps
       val rbFrame = postingsPlan match {
-        case Some((_, _, rbStored)) => banded(affectedReps)
+        case Some((_, _, Some(rbStored))) => banded(affectedReps)
           .select("doc_id", "hash_hi", "hash_lo", "blk")
           .unionByName(rbStored
             .select("doc_id", "hash_hi", "hash_lo", "blk"))
-        case None =>
+        case _ =>
           val storedReps =
             if (storeWasEmpty) preSlice.limit(0)
             else preStore.select("doc_id", "hash_hi", "hash_lo", "rep")
@@ -957,10 +986,12 @@ object MultimodalOps {
         .distinct()
       val cand = cache(star.unionByName(cross))
       cand.count()
+      prof("candidates")
       // the store write must be durable before the tagged pairs commit
       // (result, not ready: a store-write failure must surface before
       // the tag is written)
       Await.result(sigWrite, Duration.Inf)
+      prof("index-writes")
       if (pairsBootstrap)
         pairs.upsert(cand.withColumn("ts", lit(ts)), tag = tag,
           combine = false)
@@ -985,6 +1016,7 @@ object MultimodalOps {
         pairs.upsertWithDeletes(cand.withColumn("ts", lit(ts)), touched,
           tag = tag, combine = false)
       }
+      prof("pairs-commit")
       ReconcileStats(hashedN, droppedN,
         skipStats.kept, skipStats.skipped, skipStats.deltaRead)
     } finally {

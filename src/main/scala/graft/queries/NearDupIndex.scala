@@ -44,10 +44,18 @@ private[graft] object NearDupIndex {
     * fall back to the lazy full-scan semi-join. */
   private[graft] val PruneFpLimit = 20000
 
-  /** Churn band-key sets up to this size prune the posting-index read
-    * FILE-wise; larger batches fall back to an unpruned posting scan
-    * (still narrow materialized rows, never the store-wide explode). */
-  private[graft] val PruneBkLimit = 100000
+  /** Adaptive posting-probe cutoff: the file-granularity col-stats
+    * index can only skip files when the probe's band-key set is SMALL
+    * relative to the posting file count (K uniformly-scattered keys
+    * hit ~min(K, files) files), so probing from postings wins exactly
+    * in the streaming micro-batch regime. Above this many churn band
+    * keys a batch keeps the rep-scan + explode probe — linear in
+    * corpus but with a small constant (a 3-column scan) — while the
+    * posting index is still MAINTAINED so later small batches prune.
+    * The system property exists so specs can force the cutoff path
+    * with small fixtures. */
+  private[graft] def PostingProbeCutoff: Int = sys.props
+    .get("graft.test.postingProbeCutoff").map(_.toInt).getOrElse(4096)
 
   /** Apply one churn batch to the index.
     *
@@ -299,7 +307,7 @@ private[graft] object NearDupIndex {
       // Stored reps of affected groups (their posting entries retire
       // this batch) come from the cached pruned slice — their fps are
       // affected by definition, so the slice contains them.
-      val postingsPlan: Option[(DataFrame, DataFrame, DataFrame)] =
+      val postingsPlan: Option[(DataFrame, DataFrame, Option[DataFrame])] =
         postings.map { p =>
           val pSnap = p.snapshot()
           val pBootstrap = !pSnap.columns.contains("bk")
@@ -321,26 +329,46 @@ private[graft] object NearDupIndex {
           // probe slice: posting entries under the churn's own band
           // keys — collected bounded (the affected reps are already
           // cached and small) so the read FILE-prunes through the
-          // bk col-stats once the posting table is clustered by bk;
-          // over the limit, an unpruned posting scan (still narrow
-          // materialized rows, never the store-wide bands explode)
-          val rbStored =
-            if (pBootstrap) postUpserts.limit(0)
+          // bk col-stats once the posting table is clustered by bk.
+          // Above [[PostingProbeCutoff]] keys pruning cannot bite
+          // (scattered keys hit every file) — None here keeps the
+          // rep-scan probe for this batch while the index writes
+          // below still run
+          val rbStored: Option[DataFrame] =
+            if (pBootstrap) None
             else {
               val bks = affectedReps
                 .select(explode(col("bands")).as("bk")).distinct()
-                .limit(PruneBkLimit + 1).collect().map(_.getString(0))
-              val postDf =
-                if (bks.length <= PruneBkLimit)
-                  p.snapshotSkipping(Seq(graft.core.ColPred(
-                    "bk", "eq", bks.toSeq, isLong = false)))._1
-                else p.snapshot()
-              // entries of affected groups' RETIRING reps are stale
-              // this batch (re-derived through affectedReps) — drop
-              // them; unaffected reps' entries are current by the
-              // lockstep invariant
-              postDf.select("bk", "doc_id").join(
-                oldRepRows.select("doc_id"), Seq("doc_id"), "left_anti")
+                .limit(PostingProbeCutoff + 1).collect()
+                .map(_.getString(0))
+              if (bks.length > PostingProbeCutoff) None
+              else {
+                val (df, st) = p.snapshotSkipping(Seq(graft.core.ColPred(
+                  "bk", "eq", bks.toSeq, isLong = false)))
+                // MEASURED pruning gate: the file skipping is planned
+                // driver-side, so its effectiveness is known before
+                // any job runs. Scattered probe keys that touch most
+                // posting base files would make this read a near-full
+                // scan of a table 16× wider than the store — strictly
+                // worse than the rep-scan probe it replaces. Probe
+                // only when pruning actually bit (>50% of base files
+                // skipped); the small-table floor keeps tiny fixtures
+                // on the probe path, where either plan is trivial.
+                if (st.kept > st.skipped && st.kept > 64) None
+                else Some(df
+                  // ROW-level filter on top of the file pruning: kept
+                  // files still hold non-probe keys, and without this
+                  // the candidate join below would drag the whole
+                  // kept slice (an InSet, codegen'd at the scan)
+                  .where(col("bk").isin(bks.toSeq: _*))
+                  // entries of affected groups' RETIRING reps are
+                  // stale this batch (re-derived through
+                  // affectedReps) — drop them; unaffected reps'
+                  // entries are current by the lockstep invariant
+                  .select("bk", "doc_id").join(
+                    oldRepRows.select("doc_id"), Seq("doc_id"),
+                    "left_anti"))
+              }
             }
           (postDeletes, postUpserts, rbStored)
         }
@@ -432,14 +460,15 @@ private[graft] object NearDupIndex {
           .select("doc_id", "bands"))
       val lb = affectedReps
         .select(col("doc_id"), explode(col("bands")).as("bk"))
-      // probe right side: with a posting index, the affected reps'
-      // own keys (in-batch pairs) plus the PRE-MATERIALIZED, file-
-      // pruned posting slice — never the store-wide rep scan +
-      // explode; without one, the full rep explode as before
+      // probe right side: with a posting index AND a micro-batch-sized
+      // key set, the affected reps' own keys (in-batch pairs) plus the
+      // PRE-MATERIALIZED, file-pruned posting slice — never the
+      // store-wide rep scan + explode; otherwise the full rep explode
+      // as before
       val rb = postingsPlan match {
-        case Some((_, _, rbStored)) => lb.unionByName(
+        case Some((_, _, Some(rbStored))) => lb.unionByName(
           rbStored.select(col("doc_id"), col("bk")))
-        case None =>
+        case _ =>
           allReps.select(col("doc_id"), explode(col("bands")).as("bk"))
       }
       val cand = cache(lb.as("l").join(rb.as("r"),

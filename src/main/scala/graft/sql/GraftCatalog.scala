@@ -505,7 +505,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
           "(tables => 'payloads,sigs,pairs', modality as in " +
           "maintain_media_index), or 'search' " +
           "(tables => 'docs,postings,stats,totals'); modality = '' for " +
-          "the text families. The returned handle (= the checkpoint) " +
+          "the text families, optionally carrying a ';cluster=<N>' " +
+          "(or bare 'cluster=<N>') delta-fold cadence for neardup/" +
+          "media. The returned handle (= the checkpoint) " +
           "stops it via stop_maintenance. The service is a Spark " +
           "streaming query owned by THIS session — it dies with the " +
           "session; re-CALL with the same checkpoint to resume " +
@@ -517,7 +519,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         val family = input.getUTF8String(0).toString
         val refs = input.getUTF8String(1).toString.split(",").toSeq
           .map(_.trim).filter(_.nonEmpty)
-        val modality = input.getUTF8String(2).toString
+        // modality may carry a trailing ';cluster=<N>' maintenance
+        // token: every N batches the service re-clusters its stores
+        // (delta-tail fold — see the services' clusterEvery doc). The
+        // text families take a bare 'cluster=<N>' (no modality).
+        val modality0 = input.getUTF8String(2).toString
+        val (modality, clusterEvery) = {
+          val parts = modality0.split(";", -1).toSeq
+          val (m, c) = parts match {
+            case Seq(one) if one.startsWith("cluster=") => ("", one)
+            case Seq(one) => (one, "")
+            case Seq(m0, c0) => (m0, c0)
+            case _ => throw new IllegalArgumentException(
+              s"start_maintenance: cannot parse modality '$modality0'")
+          }
+          val n =
+            if (c.isEmpty) 0
+            else {
+              require(c.startsWith("cluster="),
+                s"start_maintenance: expected 'cluster=<N>', got '$c'")
+              val v = try c.stripPrefix("cluster=").toInt
+                catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"start_maintenance: '$c' is not cluster=<int>") }
+              require(v > 0,
+                s"start_maintenance: cluster cadence must be positive: $c")
+              v
+            }
+          (m, n)
+        }
         val checkpoint = input.getUTF8String(3).toString
         require(checkpoint.nonEmpty, "start_maintenance: empty checkpoint")
         def paths(n: Int, optional: Int = 0): Seq[String] = {
@@ -554,7 +584,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               // optional 4th table = the band-posting index
               val ps = paths(3, optional = 1)
               graft.streaming.NearDupMaintenance.start(spark, ps(0), ps(1),
-                ps(2), checkpoint, postingsPath = ps.lift(3))
+                ps(2), checkpoint, postingsPath = ps.lift(3),
+                clusterEvery = clusterEvery)
             case "media" =>
               // optional 4th table = the band-posting index
               val ps = paths(3, optional = 1)
@@ -562,10 +593,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               // through the shared parser below
               graft.streaming.SignatureMaintenance.start(spark, ps(0), ps(1),
                 ps(2), checkpoint, hashFn = mediaHashFn(modality),
-                postingsPath = ps.lift(3))
+                postingsPath = ps.lift(3), clusterEvery = clusterEvery)
             case "search" =>
               require(modality.isEmpty,
                 "start_maintenance: modality applies to family 'media' only")
+              require(clusterEvery == 0,
+                "start_maintenance: cluster=<N> applies to the neardup " +
+                  "and media families")
               val Seq(d, po, st, to) = paths(4)
               graft.streaming.SearchIndexMaintenance.start(spark, d, po, st,
                 to, checkpoint)

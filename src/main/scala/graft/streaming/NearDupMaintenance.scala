@@ -55,7 +55,15 @@ object NearDupMaintenance {
       // optional band-posting index (NearDupIndex.reconcile's postings
       // contract): create it keyed (bk, doc_id) with statsColumns
       // (bk, ts) and attach it from the service's FIRST batch
-      postingsPath: Option[String] = None): StreamingQuery = {
+      postingsPath: Option[String] = None,
+      // fold cadence: every N batches re-cluster the sig store (by
+      // fp), the posting index (by bk) and the pairs table, folding
+      // the accumulated delta tails so the tiered MOR merge and the
+      // col-stats file skipping stay O(churn) between folds. 0 = off
+      // (tiny fixtures; an external table-service cadence). The fold
+      // is a replace commit — OCC-safe, and a crash mid-fold leaves
+      // the table unchanged.
+      clusterEvery: Int = 0): StreamingQuery = {
     require(LakeTable.exists(spark, sigPath),
       s"create the signature store (doc_id as primaryKey) first: $sigPath")
     require(LakeTable.exists(spark, pairsPath),
@@ -82,6 +90,14 @@ object NearDupMaintenance {
         once.runOnce(pairs, batchId) { tag =>
           applyBatch(spark, docsPath, sigs, pairs, batch, checkpoint,
             batchId, tag, postings)
+        }
+        // maintenance fold OUTSIDE the exactly-once block: clustering
+        // rewrites state, never content — replaying or skipping a
+        // fold is always sound
+        if (clusterEvery > 0 && batchId > 0 && batchId % clusterEvery == 0) {
+          sigs.withOcc()(sigs.cluster(Seq("fp")))
+          postings.foreach(p => p.withOcc()(p.cluster(Seq("bk"))))
+          pairs.withOcc()(pairs.cluster())
         }
         ()
       }

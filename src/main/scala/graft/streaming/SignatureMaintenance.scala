@@ -177,7 +177,15 @@ object SignatureMaintenance {
       // optional band-posting index (phashReconcile's postings
       // contract): create it keyed (blk, doc_id) with statsColumns
       // (blk, ts) and attach it from the service's FIRST batch
-      postingsPath: Option[String] = None): StreamingQuery = {
+      postingsPath: Option[String] = None,
+      // fold cadence: every N batches re-cluster the sig store (by
+      // the hash halves), the posting index (by blk) and the pairs
+      // table, folding the accumulated delta tails so the tiered MOR
+      // merge and the col-stats file skipping stay O(churn) between
+      // folds. 0 = off (tiny fixtures; an external table-service
+      // cadence). The fold is a replace commit — OCC-safe, and a
+      // crash mid-fold leaves the table unchanged.
+      clusterEvery: Int = 0): StreamingQuery = {
     require(LakeTable.exists(spark, sigPath),
       s"create the signature store (doc_id as primaryKey) first: $sigPath")
     require(LakeTable.exists(spark, pairsPath),
@@ -231,6 +239,14 @@ object SignatureMaintenance {
               appendStatsLine(spark, checkpoint, line)
             }
           } finally batchC.unpersist()
+        }
+        // maintenance fold OUTSIDE the exactly-once block: clustering
+        // rewrites state, never content — replaying or skipping a
+        // fold is always sound
+        if (clusterEvery > 0 && batchId > 0 && batchId % clusterEvery == 0) {
+          sigs.withOcc()(sigs.cluster(Seq("hash_hi", "hash_lo")))
+          postings.foreach(p => p.withOcc()(p.cluster(Seq("blk"))))
+          pairs.withOcc()(pairs.cluster())
         }
         ()
       }

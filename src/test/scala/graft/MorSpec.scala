@@ -450,4 +450,49 @@ class MorSpec extends AnyFunSuite {
       upserts = Some(Seq((1, "statement", 5L, "d1")).toDF("id", "v", "ts", "dt")))
     assert(rows(l) == Set((1, "stored", 9L)))
   }
+
+  test("tiered merge ≡ full merge over a clustered base + delta tail") {
+    // the steady-state read shape of a maintained store: one deduped
+    // base era (cluster replace) plus a small delta tail. The tiered
+    // path must land byte-identical rows to the full windowed merge,
+    // across every merge semantic: update winning, late update losing
+    // (smaller preCombine), tombstone, re-insert after tombstone, and
+    // untouched pass-through keys.
+    val t = LakeTable.create(spark, tmp(), morProps())
+    t.upsert((1 to 8).map(i => (i, s"v$i", 2L, "d1")).toDF("id", "v", "ts", "dt"))
+    t.cluster() // replace commit, dedupedKeys stamped true
+    t.upsert(Seq((2, "b2", 3L, "d1"), (9, "new", 3L, "d1")).toDF("id", "v", "ts", "dt"))
+    t.upsert(Seq((3, "late", 1L, "d1")).toDF("id", "v", "ts", "dt")) // loses to ts=2
+    t.delete(Seq((4, "d1")).toDF("id", "dt"))
+    t.upsert(Seq((4, "back", 5L, "d1")).toDF("id", "v", "ts", "dt"))
+    val expected = Set(
+      (1, "v1", 2L), (2, "b2", 3L), (3, "v3", 2L), (4, "back", 5L),
+      (5, "v5", 2L), (6, "v6", 2L), (7, "v7", 2L), (8, "v8", 2L),
+      (9, "new", 3L))
+    // plan shape: the tiered read anti-joins the base side instead of
+    // windowing the whole table
+    val plan = t.snapshot().queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"), s"tiered path not taken:\n$plan")
+    assert(rows(t) == expected)
+    // forced full merge (tail cap 0) must agree exactly
+    spark.conf.set("spark.graft.morTieredMaxTailRows", "0")
+    try {
+      val full = t.snapshot().queryExecution.optimizedPlan.toString
+      assert(!full.contains("LeftAnti"))
+      assert(rows(t) == expected)
+    } finally spark.conf.unset("spark.graft.morTieredMaxTailRows")
+  }
+
+  test("single deduped replace era reads with no merge windows") {
+    val t = LakeTable.create(spark, tmp(), morProps())
+    t.upsert(Seq((1, "a", 1L, "d1"), (2, "b", 2L, "d1")).toDF("id", "v", "ts", "dt"))
+    t.upsert(Seq((1, "a2", 3L, "d1")).toDF("id", "v", "ts", "dt"))
+    t.cluster()
+    // freshly clustered: exactly one replace instant, stamped deduped —
+    // the fast path must skip the merge windows entirely
+    val plan = t.snapshot().queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("window"),
+      s"post-cluster read still pays the merge window:\n$plan")
+    assert(rows(t) == Set((1, "a2", 3L), (2, "b", 2L)))
+  }
 }

@@ -710,6 +710,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("clusterEvery folds the service's delta tails without changing state") {
+    import graft.streaming.NearDupMaintenance
+    val docsPath = tmp("sfo_docs_")
+    val sigPath = tmp("sfo_sigs_")
+    val pairsPath = tmp("sfo_pairs_")
+    val postPath = tmp("sfo_post_")
+    val ckpt = tmp("sfo_ckpt_")
+    val docs = LakeTable.create(spark, docsPath, TableProps(
+      "sfodocs", Seq("doc_id"), Some("ts"), Seq.empty))
+    LakeTable.create(spark, sigPath, TableProps(
+      "sfosigs", Seq("doc_id"), Some("ts"), Seq.empty,
+      tableType = "mor", statsColumns = Seq("fp", "ts")))
+    LakeTable.create(spark, pairsPath, TableProps(
+      "sfopairs", Seq("a", "b"), Some("ts"), Seq.empty, tableType = "mor"))
+    LakeTable.create(spark, postPath, TableProps(
+      "sfopost", Seq("bk", "doc_id"), Some("ts"), Seq.empty,
+      tableType = "mor", statsColumns = Seq("bk", "ts")))
+    val fam = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs.upsert(Seq((1L, fam, 1L), (2L, fam + " extra", 1L))
+      .toDF("doc_id", "text", "ts"))
+    def pairSet(): Set[(Long, Long)] =
+      LakeTable.load(spark, pairsPath).snapshot()
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = NearDupMaintenance.start(spark, docsPath, sigPath, pairsPath,
+      ckpt, postingsPath = Some(postPath), clusterEvery = 1)
+    try {
+      q.processAllAvailable()
+      docs.upsert(Seq((3L, fam + " more", 2L)).toDF("doc_id", "text", "ts"))
+      q.processAllAvailable()
+      assert(pairSet() == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+      // the fold actually ran: post-bootstrap batches left replace
+      // commits on the maintained tables, and every MOR delta is
+      // folded (the live set is a single replace era)
+      val sig = LakeTable.load(spark, sigPath)
+      assert(sig.timeline.commits().exists(_.action == "replace"),
+        "no fold replace commit on the sig store")
+      docs.delete(Seq(Tuple1(2L)).toDF("doc_id"))
+      q.processAllAvailable()
+      assert(pairSet() == Set((1L, 3L)), "post-fold churn drifted")
+    } finally q.stop()
+  }
+
   test("streaming near-dup maintenance: kill/restart converges to batch answer") {
     import graft.streaming.{ExactlyOnce, NearDupMaintenance}
     import graft.queries.DedupOps
@@ -1156,9 +1199,14 @@ class StreamingSpec extends AnyFunSuite {
     // smaller-id doc demoting group2's rep
     runBoth(Seq((10L, text(9, 0)), (5L, text(2, 0))), Seq(0L), 2L)
     // batch 3: delete the near-dup variant; re-add a deleted id as a
-    // new group member; churn a doc in place (same text = same fp)
-    runBoth(Seq((0L, text(3, 0)), (21L, text(2, 0))), Seq(901L), 3L)
-    // batch 4: drain a whole group
+    // new group member; churn a doc in place (same text = same fp) —
+    // forced THROUGH the adaptive cutoff (rep-scan probe, posting
+    // writes still maintained)
+    sys.props("graft.test.postingProbeCutoff") = "1"
+    try runBoth(Seq((0L, text(3, 0)), (21L, text(2, 0))), Seq(901L), 3L)
+    finally sys.props.remove("graft.test.postingProbeCutoff")
+    // batch 4: drain a whole group — back on the posting probe, which
+    // must still be consistent after the cutoff batch's writes
     runBoth(Seq.empty, Seq(20L, 21L, 5L), 4L)
   }
 
@@ -1217,9 +1265,14 @@ class StreamingSpec extends AnyFunSuite {
     // group2's rep with a smaller id
     runBoth(Seq((10L, pay(-5L, -6L)), (5L, gpay(2))), Seq(0L), 2L)
     // drop the 901 near-dup; undecodable churn (NULL-ish: payload with
-    // no colon parses to null halves and must drop out) on 30
-    runBoth(Seq((30L, "x".getBytes("UTF-8")), (0L, gpay(3))), Seq(901L), 3L)
-    // drain group 2 entirely
+    // no colon parses to null halves and must drop out) on 30 —
+    // forced THROUGH the adaptive cutoff (rep-scan probe, posting
+    // writes still maintained)
+    sys.props("graft.test.postingProbeCutoff") = "1"
+    try runBoth(Seq((30L, "x".getBytes("UTF-8")), (0L, gpay(3))), Seq(901L), 3L)
+    finally sys.props.remove("graft.test.postingProbeCutoff")
+    // drain group 2 entirely — back on the posting probe, which must
+    // still be consistent after the cutoff batch's writes
     runBoth(Seq.empty, Seq(20L, 21L, 5L), 4L)
   }
 
