@@ -190,6 +190,14 @@ final class LakeTable private[core] (
     spark.conf.getOption("spark.graft.morTieredMaxTailRows")
       .map(_.toLong).getOrElse(2000000L)
 
+  /** Below this many total rows the plain windowed merge is already
+    * trivial and the tiered plan's extra scans/joins cost more than
+    * they save — small stores (streaming fixtures, fresh services)
+    * keep the simple plan. */
+  private def tieredMergeMinRows: Long =
+    spark.conf.getOption("spark.graft.morTieredMinRows")
+      .map(_.toLong).getOrElse(65536L)
+
   /** TIERED MOR merge — the steady-state read path for a maintained
     * store (base era + small delta tail). [[mergeOnRead]] resolves
     * versions with TWO window functions partitioned by key, i.e. a
@@ -237,6 +245,7 @@ final class LakeTable private[core] (
       }
     }
     if (tailRows > tieredMergeMaxTailRows) return None
+    if (bc.totalRecords + tailRows < tieredMergeMinRows) return None
     val baseDf = readLive(base, s)
     val tailDf = readLive(tail, s)
     val joinCols = Seq(RecordKeyCol, PartitionPathCol)
@@ -404,6 +413,17 @@ final class LakeTable private[core] (
     * compares — fine for reconcile-sized IN-lists (10³-10⁵ values);
     * callers with larger sets should skip pruning (empty preds = full
     * snapshot). */
+  /** Cheap driver-side feasibility check for [[snapshotSkipping]]:
+    * pruning can only bite when base files actually CARRY col-stats
+    * for `column` (declared statsColumns at write time) and there are
+    * enough of them for a skip to matter. Callers use this to decide
+    * whether collecting a driver-side probe key set is worth its jobs
+    * — a store that cannot prune should take the lazy full-scan path
+    * with zero extra work. */
+  def skippingWorthwhile(column: String, minFiles: Int = 2): Boolean =
+    timeline.liveFiles(None).count(f => !f.delta &&
+      f.colStats.exists(_.contains(column))) >= minFiles
+
   def snapshotSkipping(preds: Seq[ColPred]): (DataFrame, SkipStats) = {
     val live = timeline.liveFiles(None)
     val (alwaysRead, prunable) =

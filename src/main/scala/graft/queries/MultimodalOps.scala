@@ -719,8 +719,20 @@ object MultimodalOps {
       // through the ts-pruned snapshotSkipping path: every clustered
       // base file predates this batch and skips, only the delta tail
       // is read. Plans pinned NOW, before the background write.
+      // replay detection for TAGGED callers (the streaming services)
+      // is a DRIVER-SIDE metadata check, not a scan: the signature
+      // write below carries its own '<tag>:sigs' commit tag, so the
+      // sigs-committed/pairs-uncommitted crash window is visible as
+      // that tag already on the sigs timeline — a clean first run
+      // pays nothing here. Untagged batch callers have no marker
+      // protocol to consult, so they keep the conservative always-on
+      // widening (spurious widening only re-derives correct edges).
+      val sigsTag = tag.map(_ + ":sigs")
+      val replayed = tag.isEmpty || sigsTag.exists(t0 =>
+        sigs.timeline.commits().exists(_.tag.contains(t0)))
       val replaySigs =
-        if (storeWasEmpty) newSigs.limit(0).select("hash_hi", "hash_lo")
+        if (storeWasEmpty || !replayed)
+          newSigs.limit(0).select("hash_hi", "hash_lo")
         else sigs.snapshotSkipping(Seq(graft.core.ColPred(
             "ts", "eq", Seq(ts.toString), isLong = true)))._1
           .filter(col("ts") === lit(ts)).select("hash_hi", "hash_lo")
@@ -729,9 +741,13 @@ object MultimodalOps {
       // driver lets the store read below prune FILES via col-stats
       // instead of scanning the whole store per batch; beyond
       // PruneSigLimit (a rebuild, not churn) fall back to the lazy
-      // full-scan semi-join — same rows, no pruning.
+      // full-scan semi-join — same rows, no pruning. Only worth its
+      // driver jobs when the store can actually prune (declared
+      // hash col-stats on base files).
+      val pruneFeasible = !storeWasEmpty &&
+        sigs.skippingWorthwhile("hash_hi")
       val sigProbe: Future[Array[(Long, Long)]] =
-        if (storeWasEmpty) Future.successful(Array.empty)
+        if (!pruneFeasible) Future.successful(Array.empty)
         else Future {
           oldSigsOfTouched.unionByName(replaySigs)
             .distinct().limit(PruneSigLimit + 1)
@@ -775,13 +791,13 @@ object MultimodalOps {
       // plus the crash-replay widening collected above.
       val spark0 = churnImgs.sparkSession
       val newSigVals =
-        if (storeWasEmpty || storeSigVals.length > PruneSigLimit)
+        if (!pruneFeasible || storeSigVals.length > PruneSigLimit)
           Array.empty[(Long, Long)]
         else newSigs.select("hash_hi", "hash_lo").distinct()
           .limit(PruneSigLimit + 1)
           .collect().map(r => (r.getLong(0), r.getLong(1)))
       val sigVals = (storeSigVals ++ newSigVals).distinct
-      val pruneOn = !storeWasEmpty && sigVals.length <= PruneSigLimit
+      val pruneOn = pruneFeasible && sigVals.length <= PruneSigLimit
       val affectedSigs = cache(
         if (pruneOn) {
           import spark0.implicits._
@@ -949,8 +965,10 @@ object MultimodalOps {
       }
       sigWrite = Future {
         Await.result(postWrite, Duration.Inf)
+        // '<tag>:sigs' marks the sig commit itself — the replay
+        // detector above reads it from timeline metadata
         sigs.upsertWithDeletes(writeRows.withColumn("ts", lit(ts)), delC,
-          combine = false)
+          tag = sigsTag, combine = false)
       }
       // cross candidates: affected-group reps band-probed against ALL
       // group reps = the recomputed affected reps plus the STORED reps

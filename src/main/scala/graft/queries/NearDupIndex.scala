@@ -182,8 +182,20 @@ private[graft] object NearDupIndex {
         if (storeWasEmpty) newSigs.limit(0).select("fp")
         else preStore.select("doc_id", "fp")
           .join(churnIds, Seq("doc_id"), "leftsemi").select("fp")
+      // replay detection for TAGGED callers (the streaming services)
+      // is a DRIVER-SIDE metadata check, not a scan: the signature
+      // write below carries its own '<tag>:sigs' commit tag, so
+      // "attempt 1 committed sigs and died before the tagged pairs
+      // commit" is visible as that tag already on the sigs timeline —
+      // a clean first run pays nothing here. Untagged batch callers
+      // have no marker protocol to consult, so they keep the
+      // conservative always-on widening (spurious widening only
+      // re-derives already-correct edges).
+      val sigsTag = tag.map(_ + ":sigs")
+      val replayed = tag.isEmpty || sigsTag.exists(t0 =>
+        sigs.timeline.commits().exists(_.tag.contains(t0)))
       val replayFps =
-        if (storeWasEmpty) newSigs.limit(0).select("fp")
+        if (storeWasEmpty || !replayed) newSigs.limit(0).select("fp")
         else sigs.snapshotSkipping(Seq(graft.core.ColPred(
             "ts", "eq", Seq(ts.toString), isLong = true)))._1
           .filter(col("ts") === lit(ts)).select("fp")
@@ -196,8 +208,13 @@ private[graft] object NearDupIndex {
       // is a rebuild, not churn) fall back to the lazy full-scan
       // semi-join — same rows, no pruning.
       val spark0 = churn.sparkSession
+      // collecting the probe set costs driver jobs — only worth it
+      // when the store can actually prune files with it (declared
+      // fp col-stats on base files). Small or stats-less stores take
+      // the lazy full-scan semi-join with ZERO extra jobs per batch.
+      val pruneFeasible = !storeWasEmpty && sigs.skippingWorthwhile("fp")
       val fpProbe: Future[Array[String]] =
-        if (storeWasEmpty) Future.successful(Array.empty)
+        if (!pruneFeasible) Future.successful(Array.empty)
         else Future {
           oldFps.unionByName(replayFps).filter(col("fp").isNotNull)
             .distinct().limit(PruneFpLimit + 1)
@@ -214,11 +231,12 @@ private[graft] object NearDupIndex {
       // surface a store-read failure here, not inside a later consumer
       val storeFps = Await.result(fpProbe, Duration.Inf)
       val newFpVals =
-        if (storeWasEmpty || storeFps.length > PruneFpLimit) Array.empty[String]
+        if (!pruneFeasible || storeFps.length > PruneFpLimit)
+          Array.empty[String]
         else newSigs.select("fp").filter(col("fp").isNotNull)
           .distinct().limit(PruneFpLimit + 1).collect().map(_.getString(0))
       val fpVals = (storeFps ++ newFpVals).distinct
-      val pruneOn = !storeWasEmpty && fpVals.length <= PruneFpLimit
+      val pruneOn = pruneFeasible && fpVals.length <= PruneFpLimit
       // the affected-fp relation the semi-joins broadcast: the
       // collected set when pruning, the lazy union otherwise
       val affectedFps = cache(
@@ -409,8 +427,11 @@ private[graft] object NearDupIndex {
       }
       sigWrite = Future {
         Await.result(postWrite, Duration.Inf)
+        // '<tag>:sigs' marks the sig commit itself, making the
+        // sigs-committed/pairs-uncommitted crash window detectable on
+        // replay from timeline metadata alone (see replayFps above)
         sigs.upsertWithDeletes(writeRows.withColumn("ts", lit(ts)),
-          deletedC, combine = false)
+          deletedC, tag = sigsTag, combine = false)
       }
       // PAIRS tombstone side: stored pairs touching any current
       // member of an affected group (their edges are re-derived

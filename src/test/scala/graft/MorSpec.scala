@@ -470,17 +470,21 @@ class MorSpec extends AnyFunSuite {
       (5, "v5", 2L), (6, "v6", 2L), (7, "v7", 2L), (8, "v8", 2L),
       (9, "new", 3L))
     // plan shape: the tiered read anti-joins the base side instead of
-    // windowing the whole table
-    val plan = t.snapshot().queryExecution.optimizedPlan.toString
-    assert(plan.contains("LeftAnti"), s"tiered path not taken:\n$plan")
-    assert(rows(t) == expected)
-    // forced full merge (tail cap 0) must agree exactly
-    spark.conf.set("spark.graft.morTieredMaxTailRows", "0")
+    // windowing the whole table (min-rows floor lowered — the fixture
+    // is far below the production threshold)
+    spark.conf.set("spark.graft.morTieredMinRows", "0")
     try {
-      val full = t.snapshot().queryExecution.optimizedPlan.toString
-      assert(!full.contains("LeftAnti"))
+      val plan = t.snapshot().queryExecution.optimizedPlan.toString
+      assert(plan.contains("LeftAnti"), s"tiered path not taken:\n$plan")
       assert(rows(t) == expected)
-    } finally spark.conf.unset("spark.graft.morTieredMaxTailRows")
+    } finally spark.conf.unset("spark.graft.morTieredMinRows")
+    // default small-table floor + forced full merge must agree exactly
+    val full = t.snapshot().queryExecution.optimizedPlan.toString
+    assert(!full.contains("LeftAnti"))
+    assert(rows(t) == expected)
+    spark.conf.set("spark.graft.morTieredMaxTailRows", "0")
+    try assert(rows(t) == expected)
+    finally spark.conf.unset("spark.graft.morTieredMaxTailRows")
   }
 
   test("single deduped replace era reads with no merge windows") {
