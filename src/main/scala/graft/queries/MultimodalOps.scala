@@ -913,27 +913,33 @@ object MultimodalOps {
               val blks = banded(affectedReps).select("blk").distinct()
                 .limit(NearDupIndex.PostingProbeCutoff + 1).collect()
                 .map(_.getLong(0))
-              if (blks.length > NearDupIndex.PostingProbeCutoff) None
-              else {
-                val (df, st) = p.snapshotSkipping(Seq(graft.core.ColPred(
-                  "blk", "eq", blks.map(_.toString).toSeq,
-                  isLong = true)))
-                // MEASURED pruning gate (see NearDupIndex): scattered
-                // probe keys touching most posting files would make
-                // this a near-full scan of the widest table in the
-                // family — keep the rep-scan probe unless >50% of the
-                // base files actually skipped (small-table floor keeps
-                // tiny fixtures on the probe path)
-                if (st.kept > st.skipped && st.kept > 64) None
-                else Some(df
+              // FILE-PRUNED slice when the key set is micro-batch-
+              // sized and the driver-side skipping plan shows real
+              // pruning; otherwise the FULL posting scan — still
+              // narrow columns, and it replaces re-deriving the same
+              // rows via the store scan + band-key flatMap (see
+              // NearDupIndex: measured ~2× cheaper)
+              val pruned: Option[org.apache.spark.sql.DataFrame] =
+                if (blks.length > NearDupIndex.PostingProbeCutoff) None
+                else {
+                  val (df, st) = p.snapshotSkipping(Seq(graft.core.ColPred(
+                    "blk", "eq", blks.map(_.toString).toSeq,
+                    isLong = true)))
+                  if (sys.env.get("GRAFT_PROFILE").contains("1"))
+                    Console.err.println(
+                      s"[graft-profile] phashReconcile:posting-probe " +
+                        s"keys=${blks.length} kept=${st.kept} " +
+                        s"skipped=${st.skipped} delta=${st.deltaRead}")
+                  if (st.kept > st.skipped && st.kept > 64) None
                   // ROW-level filter on top of the file pruning: an
                   // InSet at the scan keeps the candidate join
                   // O(probe matches)
-                  .where(col("blk").isin(blks.toSeq: _*))
-                  .select("blk", "doc_id", "hash_hi", "hash_lo").join(
-                    oldRepRows.select("doc_id"), Seq("doc_id"),
-                    "left_anti"))
-              }
+                  else Some(df.where(col("blk").isin(blks.toSeq: _*)))
+                }
+              Some(pruned.getOrElse(pSnap)
+                .select("blk", "doc_id", "hash_hi", "hash_lo").join(
+                  oldRepRows.select("doc_id"), Seq("doc_id"),
+                  "left_anti"))
             }
           (postDeletes, postUpserts, rbStored)
         }

@@ -111,6 +111,13 @@ private[graft] object NearDupIndex {
     // shingle→hash shuffles per consumer
     val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    // env-gated (GRAFT_PROFILE=1) stage timing — phashReconcile's
+    // sibling; a no-op otherwise
+    val profT0 = System.nanoTime()
+    def prof(stage: String): Unit =
+      if (sys.env.get("GRAFT_PROFILE").contains("1"))
+        Console.err.println(f"[graft-profile] reconcile:$stage%-24s " +
+          f"${(System.nanoTime() - profT0) / 1e9}%7.3fs")
     var sigWrite: Future[Any] = Future.successful(())
     var postWrite: Future[Any] = Future.successful(())
     var touchedJob: Future[Any] = Future.successful(())
@@ -230,6 +237,7 @@ private[graft] object NearDupIndex {
       finally Await.ready(fpProbe, Duration.Inf)
       // surface a store-read failure here, not inside a later consumer
       val storeFps = Await.result(fpProbe, Duration.Inf)
+      prof("shingle+probe")
       val newFpVals =
         if (!pruneFeasible || storeFps.length > PruneFpLimit)
           Array.empty[String]
@@ -300,6 +308,7 @@ private[graft] object NearDupIndex {
       // duplicates the store read — measured slower than the serial
       // read + overlapped write
       affectedMembers.count()
+      prof("affected-members")
       // the write set is the whole (cached) affected frame plus the
       // shingle-less churn rows (rep = doc_id): every churn row and
       // every member of a group the churn touched, each carrying its
@@ -359,34 +368,41 @@ private[graft] object NearDupIndex {
                 .select(explode(col("bands")).as("bk")).distinct()
                 .limit(PostingProbeCutoff + 1).collect()
                 .map(_.getString(0))
-              if (bks.length > PostingProbeCutoff) None
-              else {
-                val (df, st) = p.snapshotSkipping(Seq(graft.core.ColPred(
-                  "bk", "eq", bks.toSeq, isLong = false)))
-                // MEASURED pruning gate: the file skipping is planned
-                // driver-side, so its effectiveness is known before
-                // any job runs. Scattered probe keys that touch most
-                // posting base files would make this read a near-full
-                // scan of a table 16× wider than the store — strictly
-                // worse than the rep-scan probe it replaces. Probe
-                // only when pruning actually bit (>50% of base files
-                // skipped); the small-table floor keeps tiny fixtures
-                // on the probe path, where either plan is trivial.
-                if (st.kept > st.skipped && st.kept > 64) None
-                else Some(df
+              // FILE-PRUNED slice when the batch's key set is micro-
+              // batch-sized AND the pruning actually bites (the
+              // skipping plan is driver-side, so effectiveness is
+              // known before any job runs; a scattered key set that
+              // touches most files gains nothing from the ColPred) —
+              // otherwise the FULL posting scan. Either way the probe
+              // side stays NARROW (bk, doc_id) columns: even unpruned,
+              // reading the posting table beats re-deriving the same
+              // rows by scanning + exploding the store's heavy bands
+              // arrays (measured ~2× on a 10⁶-doc store).
+              val pruned: Option[DataFrame] =
+                if (bks.length > PostingProbeCutoff) None
+                else {
+                  val (df, st) = p.snapshotSkipping(Seq(graft.core.ColPred(
+                    "bk", "eq", bks.toSeq, isLong = false)))
+                  if (sys.env.get("GRAFT_PROFILE").contains("1"))
+                    Console.err.println(
+                      s"[graft-profile] reconcile:posting-probe " +
+                        s"keys=${bks.length} kept=${st.kept} " +
+                        s"skipped=${st.skipped} delta=${st.deltaRead}")
+                  if (st.kept > st.skipped && st.kept > 64) None
                   // ROW-level filter on top of the file pruning: kept
                   // files still hold non-probe keys, and without this
                   // the candidate join below would drag the whole
                   // kept slice (an InSet, codegen'd at the scan)
-                  .where(col("bk").isin(bks.toSeq: _*))
-                  // entries of affected groups' RETIRING reps are
-                  // stale this batch (re-derived through
-                  // affectedReps) — drop them; unaffected reps'
-                  // entries are current by the lockstep invariant
-                  .select("bk", "doc_id").join(
-                    oldRepRows.select("doc_id"), Seq("doc_id"),
-                    "left_anti"))
-              }
+                  else Some(df.where(col("bk").isin(bks.toSeq: _*)))
+                }
+              // entries of affected groups' RETIRING reps are stale
+              // this batch (re-derived through affectedReps) — drop
+              // them; unaffected reps' entries are current by the
+              // lockstep invariant
+              Some(pruned.getOrElse(pSnap)
+                .select("bk", "doc_id").join(
+                  oldRepRows.select("doc_id"), Seq("doc_id"),
+                  "left_anti"))
             }
           (postDeletes, postUpserts, rbStored)
         }
@@ -496,6 +512,10 @@ private[graft] object NearDupIndex {
           col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
         .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
           greatest(col("l.doc_id"), col("r.doc_id")).as("b")).distinct())
+      // materialize the cached candidate set here (its first consumer
+      // below would anyway) so the stage boundary is observable
+      cand.count()
+      prof("cand-join")
       val candIds = cand.select(col("a").as("doc_id"))
         .unionByName(cand.select(col("b").as("doc_id"))).distinct()
       // verification re-shingles only docs that appear in a candidate;
@@ -512,10 +532,12 @@ private[graft] object NearDupIndex {
           else docsSnap.join(candIds, "doc_id")
         case _ => docsSnap.join(candIds, "doc_id")
       }
+      prof("cand-ids")
       val newPairs = cache(star.unionByName(DedupOps.verifyJaccard(
         cand, verifyDocs, Some(cache))))
       // materialized for the same write-sizing reason as newSigs
       newPairs.count()
+      prof("candidates+verify")
 
       // reconcile the pairs table. A never-written pairs table has a
       // zero-column snapshot — nothing stored to reconcile against,
@@ -540,6 +562,7 @@ private[graft] object NearDupIndex {
       // behind it. result, not ready: a store-write failure must
       // surface before the tag is written.
       Await.result(sigWrite, Duration.Inf)
+      prof("index-writes")
       touchedPre match {
         case None =>
           pairs.upsert(newPairs.withColumn("ts", lit(ts)), tag = tag,
@@ -552,6 +575,7 @@ private[graft] object NearDupIndex {
             newPairs.withColumn("ts", lit(ts)), touched, tag = tag,
             combine = false)
       }
+      prof("pairs-commit")
       skipStats
     } finally {
       // on a pairs-chain failure the index writes or the touched

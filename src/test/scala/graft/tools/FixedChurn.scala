@@ -35,6 +35,28 @@ object FixedChurn {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // GRAFT_PROFILE=1: per-job wall times with call sites — the
+    // decisive attribution when stage-level prof marks overlap
+    // background write futures
+    if (sys.env.get("GRAFT_PROFILE").contains("1"))
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          val t0 = new java.util.concurrent.ConcurrentHashMap[
+            Int, (Long, String)]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            t0.put(j.jobId, (System.nanoTime(), Option(j.properties
+              .getProperty("spark.job.description")).getOrElse("?")))
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val v = t0.remove(j.jobId)
+            if (v != null) {
+              val secs = (System.nanoTime() - v._1) / 1e9
+              if (secs > 0.5) Console.err.println(
+                f"[job] ${j.jobId}%4d $secs%7.2fs ${v._2.take(100)}")
+            }
+          }
+        })
     import s.implicits._
     import graft.core.{LakeTable, TableProps}
     import graft.multimodal.MediaDecoder
@@ -44,6 +66,12 @@ object FixedChurn {
     // rows per clustered file: the skipping-granularity knob (see the
     // cluster() call-site comment). Env-tunable for A/B bisects.
     val fileRows = sys.env.getOrElse("SPARK_FC_FILE_ROWS", "2500").toInt
+    // posting tables hold 16-64 entries PER DOC — file-size them by
+    // POSTING rows, not docs, or a micro-batch probe of K band keys
+    // cannot skip (K scattered keys prune only when files >> K, and
+    // the kept-file read is O(K x postFileRows))
+    val postFileRows =
+      sys.env.getOrElse("SPARK_FC_POST_FILE_ROWS", "5000").toInt
 
     def scratch(n: String): String = {
       val p = s"target/graft_scratch/fc_$n"
@@ -98,7 +126,7 @@ object FixedChurn {
       sigs.cluster(Seq("hash_hi", "hash_lo"),
         targetFiles = math.max(16, n / fileRows))
       post.cluster(Seq("blk"),
-        targetFiles = math.max(16, n * 64 / (fileRows * 16)))
+        targetFiles = math.max(16, n * 64 / postFileRows))
       val clus = (System.nanoTime() - tc) / 1e9
       val churnIds = s.range(1, 501).select(col("id").as("doc_id"))
         .unionByName(
@@ -154,7 +182,7 @@ object FixedChurn {
       val tc = System.nanoTime()
       sigs.cluster(Seq("fp"), targetFiles = math.max(16, n / fileRows))
       post.cluster(Seq("bk"),
-        targetFiles = math.max(16, n * 16 / (fileRows * 16)))
+        targetFiles = math.max(16, n * 16 / postFileRows))
       val clus = (System.nanoTime() - tc) / 1e9
       val churnIds = s.range(1, 501).select(col("id").as("doc_id"))
         .unionByName(
