@@ -737,11 +737,21 @@ object CurationOps {
     * per-doc quality column — O(pairs) + O(docs). */
   private def canonicalSelection(
       s: SparkSession, dir: String, labels: DataFrame): DataFrame = {
-    val q = DedupOps.corpus(s, dir)
+    // join FIRST, tokenize after: the quality expression (regex
+    // tokenize + classifier arithmetic) is the expensive column and
+    // only cluster MEMBERS are ever ranked — restricting the corpus
+    // by the (small, broadcastable) label set before computing it
+    // keeps the scoring O(members), not O(corpus); Catalyst does not
+    // move expensive projections across joins on its own (guide §2.3
+    // "project before the exchange", inverted: filter before the
+    // project)
+    val member0 = DedupOps.corpus(s, dir)
+      .join(labels, col("id") === col("doc_id"))
+    val member = member0
       .withColumn("toks", expr(toksExpr.format("text")))
       .withColumn("quality", qualityCol)
-      .select(col("doc_id"), round(col("quality"), 9).as("qr"))
-    val member = labels.join(q, col("id") === col("doc_id"))
+      .select(col("id"), col("lbl"), col("doc_id"),
+        round(col("quality"), 9).as("qr"))
     val w = Window.partitionBy(col("lbl"))
       .orderBy(col("qr").desc, col("doc_id").asc)
     val ranked = member.withColumn("rn", row_number().over(w))

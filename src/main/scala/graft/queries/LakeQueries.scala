@@ -517,20 +517,29 @@ object LakeQueries {
       val hitU = col("c_mktsegment") === "BUILDING" && col("c_custkey") % 3 === 0
       val hitD = col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 4 === 0
       val cow = LakeTable.create(s, scratch(s, dir, "lake18_cow"), props(true))
-      cow.upsert(base(s, dir))
-      cow.updateWhere(hitU, Map(
-        "c_acctbal" -> (dec2(col("c_acctbal")) + 500).cast("double"),
-        "c_name" -> concat(col("c_name"), lit("_u"))))
-      cow.deleteWhere(hitD)
       val mor = LakeTable.create(s, scratch(s, dir, "lake18_mor"),
         props(true).copy(tableType = "mor"))
-      mor.upsert(base(s, dir))
-      mor.upsert(base(s, dir).filter(col("c_custkey") % 5 === 0)
-        .withColumn("ts", lit(2L))
-        .withColumn("c_acctbal", (dec2(col("c_acctbal")) * 2).cast("double")))
-      mor.updateWhere(hitU, Map(
-        "c_name" -> concat(col("c_name"), lit("_u"))))
-      mor.deleteWhere(hitD)
+      // the COW and MOR DML chains touch DISJOINT tables and share
+      // only the read-only base parquet — run them concurrently (the
+      // pipe6 state-write shape): each chain stays internally serial,
+      // so the per-variant semantics are unchanged, but the gate pays
+      // ~max(chain) instead of sum
+      QueryPack.overlapping(
+          Seq(mor.basePath), Seq(cow.basePath)) {
+        mor.upsert(base(s, dir))
+        mor.upsert(base(s, dir).filter(col("c_custkey") % 5 === 0)
+          .withColumn("ts", lit(2L))
+          .withColumn("c_acctbal", (dec2(col("c_acctbal")) * 2).cast("double")))
+        mor.updateWhere(hitU, Map(
+          "c_name" -> concat(col("c_name"), lit("_u"))))
+        mor.deleteWhere(hitD)
+      } {
+        cow.upsert(base(s, dir))
+        cow.updateWhere(hitU, Map(
+          "c_acctbal" -> (dec2(col("c_acctbal")) + 500).cast("double"),
+          "c_name" -> concat(col("c_name"), lit("_u"))))
+        cow.deleteWhere(hitD)
+      }
       dataCols(cow.snapshot()).withColumn("variant", lit("cow"))
         .unionByName(dataCols(mor.snapshot()).withColumn("variant", lit("mor")))
         .orderBy("variant", "c_custkey")

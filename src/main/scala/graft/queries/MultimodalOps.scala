@@ -719,16 +719,18 @@ object MultimodalOps {
       // through the ts-pruned snapshotSkipping path: every clustered
       // base file predates this batch and skips, only the delta tail
       // is read. Plans pinned NOW, before the background write.
-      // replay detection for TAGGED callers (the streaming services)
-      // is a DRIVER-SIDE metadata check, not a scan: the signature
-      // write below carries its own '<tag>:sigs' commit tag, so the
+      // replay detection is a DRIVER-SIDE metadata check, not a scan:
+      // the signature write below carries its own commit tag —
+      // '<tag>:sigs' for tagged (streaming) callers, the synthesized
+      // 'rcsigs:<ts>' for untagged batch callers — so the
       // sigs-committed/pairs-uncommitted crash window is visible as
-      // that tag already on the sigs timeline — a clean first run
-      // pays nothing here. Untagged batch callers have no marker
-      // protocol to consult, so they keep the conservative always-on
-      // widening (spurious widening only re-derives correct edges).
-      val sigsTag = tag.map(_ + ":sigs")
-      val replayed = tag.isEmpty || sigsTag.exists(t0 =>
+      // that tag already on the sigs timeline and a clean first run
+      // pays NOTHING here (previously every untagged call paid a full
+      // ts-pruned store scan for the always-on conservative widening;
+      // a contract-violating ts reuse only triggers a spurious
+      // widening, which re-derives already-correct edges).
+      val sigsTag = Some(tag.map(_ + ":sigs").getOrElse(s"rcsigs:$ts"))
+      val replayed = sigsTag.exists(t0 =>
         sigs.timeline.commits().exists(_.tag.contains(t0)))
       val replaySigs =
         if (storeWasEmpty || !replayed)
@@ -1127,14 +1129,28 @@ object MultimodalOps {
     // come from the incremental path
     val c1 = payloads.upsert(frame(seedIds, 13, 5)
       .withColumn("ts", lit(1L)))
-    phashReconcile(payloads.snapshot().select("doc_id", "payload"),
-      delIds.limit(0), sigs, pairsT, 1L, hashFn)
-    // churn commit: final payloads for inserts + updates, tombstones
-    // for the departed slice — then ONLY the increment is read
-    payloads.upsertWithDeletes(
-      frame(churnIds, 7, 2).withColumn("ts", lit(2L)), delIds)
-    val inc = payloads.incremental(c1).select("doc_id", "payload")
-    phashReconcile(inc, delIds, sigs, pairsT, 2L, hashFn)
+    // the seed snapshot plan is pinned (eager live-file list) BEFORE
+    // the churn commit below, so the two legs can overlap: the churn
+    // payload commit + increment read touch only the payload table,
+    // the seed reconcile writes only sigs/pairs — the churn commit
+    // rides the seed reconcile's shadow instead of the serial path
+    // between the two reconciles (the pipe4 gate's shape)
+    val seedSnap = payloads.snapshot().select("doc_id", "payload")
+    val (inc, _) = QueryPack.overlapping(
+        Seq(payloads.basePath), Seq(sigs.basePath, pairsT.basePath)) {
+      // churn commit: final payloads for inserts + updates, tombstones
+      // for the departed slice — then ONLY the increment is read
+      payloads.upsertWithDeletes(
+        frame(churnIds, 7, 2).withColumn("ts", lit(2L)), delIds)
+      val inc = payloads.incremental(c1).select("doc_id", "payload")
+        .persist()
+      inc.count()
+      inc
+    } {
+      phashReconcile(seedSnap, delIds.limit(0), sigs, pairsT, 1L, hashFn)
+    }
+    try phashReconcile(inc, delIds, sigs, pairsT, 2L, hashFn)
+    finally { inc.unpersist(); () }
     pairsT.snapshot().select("a", "b", "hamming").orderBy("a", "b")
   }
 
@@ -1724,6 +1740,7 @@ object MultimodalOps {
     import scala.concurrent.duration.Duration
     def reconcileAll(
         payload: org.apache.spark.sql.DataFrame,
+        docsSnap: org.apache.spark.sql.DataFrame,
         dels: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
       val media = mods.map { case (m, hf) =>
         Future {
@@ -1737,7 +1754,7 @@ object MultimodalOps {
         graft.queries.NearDupIndex.reconcile(
           payload.select(col("doc_id"), col("txt").as("text")),
           dels,
-          payloads.snapshot().select(col("doc_id"), col("txt").as("text")),
+          docsSnap.select(col("doc_id"), col("txt").as("text")),
           txtSigs, txtPairs, ts)
       }
       Await.result(Future.sequence(media :+ text), Duration.Inf)
@@ -1745,11 +1762,29 @@ object MultimodalOps {
     }
     val c1 = payloads.upsert(
       p9Frame(docsTexts, seedIds, seed = true).withColumn("ts", lit(1L)))
-    reconcileAll(payloads.snapshot(), delIds.limit(0), 1L)
-    payloads.upsertWithDeletes(
-      p9Frame(docsTexts, churnIds, seed = false).withColumn("ts", lit(2L)),
-      delIds)
-    reconcileAll(payloads.incremental(c1), delIds, 2L)
+    // both round-1 input plans pinned (snapshot() resolves its file
+    // list eagerly) BEFORE the churn commit, so the churn payload
+    // commit + increment read (payload table only) ride the round-1
+    // reconciles' shadow (sigs/pairs tables only) instead of the
+    // serial path between the rounds — the incDedupScenario shape
+    val snap1 = payloads.snapshot()
+    val (incSnap, _) = QueryPack.overlapping(
+        Seq(payloads.basePath),
+        (stores.values.flatMap(v => Seq(v._1.basePath, v._2.basePath))
+          ++ Seq(txtSigs.basePath, txtPairs.basePath)).toSeq) {
+      payloads.upsertWithDeletes(
+        p9Frame(docsTexts, churnIds, seed = false).withColumn("ts", lit(2L)),
+        delIds)
+      val inc = payloads.incremental(c1).persist()
+      inc.count()
+      val snap2 = payloads.snapshot()
+      (inc, snap2)
+    } {
+      reconcileAll(snap1, snap1, delIds.limit(0), 1L)
+    }
+    val (inc, snap2) = incSnap
+    try reconcileAll(inc, snap2, delIds, 2L)
+    finally { inc.unpersist(); () }
     mods.map { case (m, _) =>
       stores(m)._2.snapshot()
         .select(col("a"), col("b"), lit(m).as("modality"))

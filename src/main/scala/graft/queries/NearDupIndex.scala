@@ -189,17 +189,20 @@ private[graft] object NearDupIndex {
         if (storeWasEmpty) newSigs.limit(0).select("fp")
         else preStore.select("doc_id", "fp")
           .join(churnIds, Seq("doc_id"), "leftsemi").select("fp")
-      // replay detection for TAGGED callers (the streaming services)
-      // is a DRIVER-SIDE metadata check, not a scan: the signature
-      // write below carries its own '<tag>:sigs' commit tag, so
-      // "attempt 1 committed sigs and died before the tagged pairs
-      // commit" is visible as that tag already on the sigs timeline —
-      // a clean first run pays nothing here. Untagged batch callers
-      // have no marker protocol to consult, so they keep the
-      // conservative always-on widening (spurious widening only
-      // re-derives already-correct edges).
-      val sigsTag = tag.map(_ + ":sigs")
-      val replayed = tag.isEmpty || sigsTag.exists(t0 =>
+      // replay detection is a DRIVER-SIDE metadata check, not a scan:
+      // the signature write below carries its own commit tag —
+      // '<tag>:sigs' for tagged (streaming) callers, the synthesized
+      // 'rcsigs:<ts>' for untagged batch callers (ts is the caller's
+      // per-batch monotonic stamp, so "attempt 1 at THIS batch
+      // committed sigs and died before the pairs commit" is visible
+      // as that tag already on the sigs timeline). A clean first run
+      // pays NOTHING here — previously every untagged call paid a
+      // full ts-pruned store scan for the always-on conservative
+      // widening. A contract-violating caller that reuses a ts only
+      // triggers a spurious widening, which re-derives already-
+      // correct edges (the reconcile is state-based), never corrupts.
+      val sigsTag = Some(tag.map(_ + ":sigs").getOrElse(s"rcsigs:$ts"))
+      val replayed = sigsTag.exists(t0 =>
         sigs.timeline.commits().exists(_.tag.contains(t0)))
       val replayFps =
         if (storeWasEmpty || !replayed) newSigs.limit(0).select("fp")
