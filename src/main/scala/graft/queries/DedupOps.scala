@@ -716,9 +716,17 @@ object DedupOps {
       // per-doc frame: size, set fingerprint, window-min rep — one
       // row per doc, no member array, no blocking key (dedup6 joins
       // on the gram alone)
+      // cached (the dedup5 shingle-cache trade, same reasoning): the
+      // gram derivation — word split + one md5 PER 13-gram position —
+      // is the query's dominant CPU and THREE plan subtrees consume it
+      // (the doc frame behind star/repIds, and both sides of the gram
+      // self-join); one cache round-trip of ~one array row per doc
+      // beats re-deriving per consumer, and at corpus scale the cache
+      // stays smaller than the text it derives from
       val ga = c
         .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
         .select(col("doc_id"), expr(spanGramsExpr("w")).as("ga"))
+        .persist()
       val docs = ga.filter(size(col("ga")) > 0)
         .select(col("doc_id"), size(col("ga")).cast("long").as("sz"),
           md5(array_join(array_sort(col("ga")), ",")).as("fp"))

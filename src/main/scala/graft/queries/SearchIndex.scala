@@ -46,7 +46,16 @@ private[graft] object SearchIndex {
     * outputs must both hash-equal the batch BM25 oracle. */
   def scoreTop10(post: LakeTable, stats: LakeTable, totals: LakeTable)
       : DataFrame = {
+    // cached: the postings MOR merge feeds TWO subtrees of the scoring
+    // query — the broadcast build of qt (docs 0-4's terms) and the
+    // main contrib scan — and a filter on the doc_id DATA column
+    // cannot push below the merge window (partitioned on _record_key),
+    // so without the cache the full postings merge executes twice per
+    // scoring read (guide §2.4: share one exchange). The broadcast
+    // build materializes the cache; the main scan reads it. Bench/
+    // Verify clear the session cache after each query.
     val postS = post.snapshot().select("doc_id", "term", "n", "len")
+      .persist()
     val statsS = stats.snapshot().filter(col("df") > 0).select("term", "df")
     val totS = totals.snapshot().select(col("n_docs"),
       (col("tot_len").cast("double") / col("n_docs").cast("double"))
