@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // NOTE on the round-16 driver test failure ("Failed to exec spawn
+  // helper: ... signal: 15"): the fix is REDUCING the fork surface,
+  // not changing the launch mechanism — graft.core.BareLocalFileSystem
+  // removes the chmod shell-outs that were ~all of it. (Tried and
+  // reverted: -Djdk.lang.Process.launchMechanism=FORK avoids the spawn
+  // helper but fork() of an 8 GB-heap JVM copies page tables per exec,
+  // which made the remaining FileContext chmod execs in streaming
+  // state stores catastrophically slow — st2/st3/st4 went 3-21×.)
 )

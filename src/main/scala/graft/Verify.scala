@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same engine config as the bench: local FS without chmod
+      // shell-outs (see graft.core.BareLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.core.BareLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1931,6 +1931,20 @@ final class LakeTable private[core] (
       .option(s"parquet.bloom.filter.max.bytes", 128 * 1024)
     val partBy = (if (partitioned) Seq(StagePartCol) else Nil) ++
       (if (bucketed) Seq(StageBucketCol) else Nil)
+    // separate profile phases: writerDf's sizing probe above runs a
+    // full driver-side analyze+optimize of the incoming plan; the
+    // parquet() call plans AGAIN and runs the job. phase("plan-sizing")
+    // wraps nothing extra — writerDf is built lazily above, so forcing
+    // its queryExecution here (profile builds it anyway) attributes
+    // driver planning separately from the write job.
+    if (LakeTable.ProfileEnabled) {
+      val ep = phase("plan-sizing")(writerDf.queryExecution.executedPlan)
+      val s = ep.toString
+      Console.err.println(s"[graft-profile] ${props.name}:write-plan " +
+        s"imr=${s.contains("InMemoryTableScan")} " +
+        s"scans=${"Scan parquet".r.findAllIn(s).size} " +
+        s"exch=${"Exchange".r.findAllIn(s).size} nodes=${s.linesIterator.size}")
+    }
     phase("stage-write")(
       (if (partBy.isEmpty) writer0 else writer0.partitionBy(partBy: _*))
         .parquet(stagingDir.toString))

@@ -652,6 +652,14 @@ object MultimodalOps {
     def cache(df: org.apache.spark.sql.DataFrame) = {
       cached += df.persist(); df
     }
+    // cache + TRUNCATE THE LOGICAL PLAN (lazy localCheckpoint) at the
+    // frames every later relation embeds — the [[NearDupIndex]] fix,
+    // same reasoning: self-referencing relations duplicate subtrees
+    // per reference, and by the pairs write the plan tree is in the
+    // 10⁵-node range, putting seconds of pure Catalyst/AQE driver
+    // work inside one tiny commit (guide §3.3). Checkpoint blocks are
+    // freed by the ContextCleaner; every truncated frame is O(churn).
+    def pin(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(false)
     var sigWrite: Future[Any] = Future.successful(())
     var postWrite: Future[Any] = Future.successful(())
     // env-gated (GRAFT_PROFILE=1) stage timing, the write-path
@@ -689,8 +697,8 @@ object MultimodalOps {
       // edges). Filtering here makes a NULL-hash row mean the same
       // thing as an absent row — the doc joins the undecodable
       // tombstone side below and drops out of the index.
-      val newSigs = cache(hashFn(churnImgs)
-        .filter(col("hash_hi").isNotNull && col("hash_lo").isNotNull))
+      val newSigs = cache(pin(hashFn(churnImgs)
+        .filter(col("hash_hi").isNotNull && col("hash_lo").isNotNull)))
       // ids whose stored signature this batch may retire: every churn
       // payload (hashed or not — an undecodable churn doc leaves the
       // index, see delC below) plus explicit deletes. Derivable from
@@ -729,9 +737,19 @@ object MultimodalOps {
       // ts-pruned store scan for the always-on conservative widening;
       // a contract-violating ts reuse only triggers a spurious
       // widening, which re-derives already-correct edges).
+      // reserved marker prefix + LEGACY-STORE transition guard — the
+      // [[NearDupIndex.reconcile]] rules, same reasoning: no caller tag
+      // may alias a replay marker, and a store carrying untagged sigs
+      // data commits (written by pre-protocol code, whose crash window
+      // the tag probe cannot see) falls back to conservative widening.
+      require(tag.forall(t => !t.startsWith("rcsigs")),
+        s"caller tag must not use the reserved 'rcsigs' prefix: $tag")
       val sigsTag = Some(tag.map(_ + ":sigs").getOrElse(s"rcsigs:$ts"))
+      val sigsCommits = sigs.timeline.commits()
       val replayed = sigsTag.exists(t0 =>
-        sigs.timeline.commits().exists(_.tag.contains(t0)))
+        sigsCommits.exists(_.tag.contains(t0))) ||
+        (!storeWasEmpty && sigsCommits.exists(c => c.tag.isEmpty &&
+          (c.action == "deltacommit" || c.action == "upsert")))
       val replaySigs =
         if (storeWasEmpty || !replayed)
           newSigs.limit(0).select("hash_hi", "hash_lo")
@@ -833,7 +851,7 @@ object MultimodalOps {
         } else
           (preStore.select("doc_id", "hash_hi", "hash_lo", "rep"),
             graft.core.SkipStats(0, 0, 0))
-      val preSlice = cache(preSlice0)
+      val preSlice = cache(pin(preSlice0))
       // post-churn content of the affected slice, derived WITHOUT
       // re-reading files: every churn doc has a row in newSigs, so the
       // anti-join reproduces what the read-side merge would pick
@@ -848,7 +866,7 @@ object MultimodalOps {
       // this slice, not the whole store
       import org.apache.spark.sql.expressions.Window
       val byGroup = Window.partitionBy("hash_hi", "hash_lo")
-      val affectedMembers = cache((
+      val affectedMembers = cache(pin((
         if (storeWasEmpty)
           // bootstrap: every group is affected — skip the corpus-sized
           // signature distinct + semi-join entirely (affectedSigs then
@@ -856,7 +874,7 @@ object MultimodalOps {
           // empty pre-store side, which the optimizer eliminates)
           store
         else store.join(affectedSigs, Seq("hash_hi", "hash_lo"), "leftsemi"))
-        .withColumn("rep", min("doc_id").over(byGroup)))
+        .withColumn("rep", min("doc_id").over(byGroup))))
       // materialize the shared cache (and the store MOR read under
       // it) ONCE on this thread before the background write launches:
       // racing the write future and the pairs chain into a cold cache
@@ -1010,7 +1028,7 @@ object MultimodalOps {
           hammingCol.as("hamming"))
         .filter(col("hamming") <= 7) // before distinct: see pairsFromSigs
         .distinct()
-      val cand = cache(star.unionByName(cross))
+      val cand = cache(pin(star.unionByName(cross)))
       cand.count()
       prof("candidates")
       // the store write must be durable before the tagged pairs commit
@@ -1136,21 +1154,31 @@ object MultimodalOps {
     // rides the seed reconcile's shadow instead of the serial path
     // between the two reconciles (the pipe4 gate's shape)
     val seedSnap = payloads.snapshot().select("doc_id", "payload")
-    val (inc, _) = QueryPack.overlapping(
-        Seq(payloads.basePath), Seq(sigs.basePath, pairsT.basePath)) {
-      // churn commit: final payloads for inserts + updates, tombstones
-      // for the departed slice — then ONLY the increment is read
-      payloads.upsertWithDeletes(
-        frame(churnIds, 7, 2).withColumn("ts", lit(2L)), delIds)
-      val inc = payloads.incremental(c1).select("doc_id", "payload")
-        .persist()
-      inc.count()
-      inc
-    } {
-      phashReconcile(seedSnap, delIds.limit(0), sigs, pairsT, 1L, hashFn)
+    // incLeak: if the foreground reconcile throws AFTER the background
+    // leg persisted `inc`, overlapping's await-then-rethrow would leak
+    // the cache entry until the harness clearCache — unpersist it on
+    // that path too (one try/finally over the whole lifetime of `inc`)
+    var incLeak: org.apache.spark.sql.DataFrame = null
+    try {
+      val (inc, _) = QueryPack.overlapping(
+          Seq(payloads.basePath), Seq(sigs.basePath, pairsT.basePath)) {
+        // churn commit: final payloads for inserts + updates, tombstones
+        // for the departed slice — then ONLY the increment is read
+        payloads.upsertWithDeletes(
+          frame(churnIds, 7, 2).withColumn("ts", lit(2L)), delIds)
+        val inc = payloads.incremental(c1).select("doc_id", "payload")
+          .persist()
+        incLeak = inc
+        inc.count()
+        inc
+      } {
+        phashReconcile(seedSnap, delIds.limit(0), sigs, pairsT, 1L, hashFn)
+      }
+      phashReconcile(inc, delIds, sigs, pairsT, 2L, hashFn)
+    } finally {
+      Option(incLeak).foreach(_.unpersist())
+      ()
     }
-    try phashReconcile(inc, delIds, sigs, pairsT, 2L, hashFn)
-    finally { inc.unpersist(); () }
     pairsT.snapshot().select("a", "b", "hamming").orderBy("a", "b")
   }
 
@@ -1768,23 +1796,31 @@ object MultimodalOps {
     // reconciles' shadow (sigs/pairs tables only) instead of the
     // serial path between the rounds — the incDedupScenario shape
     val snap1 = payloads.snapshot()
-    val (incSnap, _) = QueryPack.overlapping(
-        Seq(payloads.basePath),
-        (stores.values.flatMap(v => Seq(v._1.basePath, v._2.basePath))
-          ++ Seq(txtSigs.basePath, txtPairs.basePath)).toSeq) {
-      payloads.upsertWithDeletes(
-        p9Frame(docsTexts, churnIds, seed = false).withColumn("ts", lit(2L)),
-        delIds)
-      val inc = payloads.incremental(c1).persist()
-      inc.count()
-      val snap2 = payloads.snapshot()
-      (inc, snap2)
-    } {
-      reconcileAll(snap1, snap1, delIds.limit(0), 1L)
+    // incLeak: unpersist `inc` even when the round-1 reconcile throws
+    // after the background leg persisted it (see incDedupScenario)
+    var incLeak: org.apache.spark.sql.DataFrame = null
+    try {
+      val (incSnap, _) = QueryPack.overlapping(
+          Seq(payloads.basePath),
+          (stores.values.flatMap(v => Seq(v._1.basePath, v._2.basePath))
+            ++ Seq(txtSigs.basePath, txtPairs.basePath)).toSeq) {
+        payloads.upsertWithDeletes(
+          p9Frame(docsTexts, churnIds, seed = false).withColumn("ts", lit(2L)),
+          delIds)
+        val inc = payloads.incremental(c1).persist()
+        incLeak = inc
+        inc.count()
+        val snap2 = payloads.snapshot()
+        (inc, snap2)
+      } {
+        reconcileAll(snap1, snap1, delIds.limit(0), 1L)
+      }
+      val (inc, snap2) = incSnap
+      reconcileAll(inc, snap2, delIds, 2L)
+    } finally {
+      Option(incLeak).foreach(_.unpersist())
+      ()
     }
-    val (inc, snap2) = incSnap
-    try reconcileAll(inc, snap2, delIds, 2L)
-    finally { inc.unpersist(); () }
     mods.map { case (m, _) =>
       stores(m)._2.snapshot()
         .select(col("a"), col("b"), lit(m).as("modality"))

@@ -111,6 +111,21 @@ private[graft] object NearDupIndex {
     // shingle→hash shuffles per consumer
     val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cache(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    // cache + TRUNCATE THE LOGICAL PLAN (lazy localCheckpoint: the
+    // first action materializes, exactly like the persist+count
+    // pattern, but downstream consumers see a LogicalRDD leaf instead
+    // of the full lineage). Needed because the reconcile's relations
+    // embed each other repeatedly (store ⊃ newSigs, affectedFps ⊃
+    // newSigs ∪ preStore, cand = self-join, newPairs ⊃ all of them):
+    // each reference DUPLICATES the subtree, so by the pairs write the
+    // plan tree measured 326,884 nodes / 24,816 Exchanges (vs 9.5k on
+    // the bootstrap pass) and Catalyst/AQE re-walks of it put 6-9 s of
+    // pure DRIVER planning inside one tiny commit (guide §3.3: huge
+    // plans make planning itself the bottleneck; truncate with
+    // localCheckpoint). Checkpoint blocks are freed by the
+    // ContextCleaner once the frames are unreachable — bounded here:
+    // every truncated frame is O(churn).
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(false)
     // env-gated (GRAFT_PROFILE=1) stage timing — phashReconcile's
     // sibling; a no-op otherwise
     val profT0 = System.nanoTime()
@@ -154,7 +169,7 @@ private[graft] object NearDupIndex {
           "contract (missing fp/rep/ts column) - drop/recreate the sigs " +
           "AND pairs tables and rebuild with a bootstrap reconcile: " +
           sigs.basePath)
-      val newSigs = cache(DedupOps.minhashBands(churnC))
+      val newSigs = cache(pin(DedupOps.minhashBands(churnC)))
       val pairsSnap = pairs.snapshot()
       val pairsBootstrap = !pairsSnap.columns.contains("a")
       val churnIds = cache(churnC.select("doc_id")
@@ -201,9 +216,26 @@ private[graft] object NearDupIndex {
       // widening. A contract-violating caller that reuses a ts only
       // triggers a spurious widening, which re-derives already-
       // correct edges (the reconcile is state-based), never corrupts.
+      // the synthesized marker shares the sigs timeline's tag namespace
+      // with caller tags — reserve the prefix so no caller tag can ever
+      // alias a replay marker (aliasing is harmless-but-costly spurious
+      // widening; refusing it keeps the namespace unambiguous)
+      require(tag.forall(t => !t.startsWith("rcsigs")),
+        s"caller tag must not use the reserved 'rcsigs' prefix: $tag")
       val sigsTag = Some(tag.map(_ + ":sigs").getOrElse(s"rcsigs:$ts"))
+      val sigsCommits = sigs.timeline.commits()
+      // LEGACY-STORE transition guard: sigs data commits written before
+      // the tagged-sigs protocol carry NO tag, so a crash window the old
+      // always-on widening would have covered (sigs committed, pairs
+      // not) is invisible to the tag probe — any untagged sigs data
+      // commit forces the conservative widening instead of skipping it.
+      // Stores written entirely by current code never hit this (every
+      // sigs write is tagged); compaction/cluster commits ("commit"/
+      // "replace") are not data commits and don't count.
       val replayed = sigsTag.exists(t0 =>
-        sigs.timeline.commits().exists(_.tag.contains(t0)))
+        sigsCommits.exists(_.tag.contains(t0))) ||
+        (!storeWasEmpty && sigsCommits.exists(c => c.tag.isEmpty &&
+          (c.action == "deltacommit" || c.action == "upsert")))
       val replayFps =
         if (storeWasEmpty || !replayed) newSigs.limit(0).select("fp")
         else sigs.snapshotSkipping(Seq(graft.core.ColPred(
@@ -279,7 +311,7 @@ private[graft] object NearDupIndex {
         } else
           (preStore.select("doc_id", "bands", "fp", "rep"),
             graft.core.SkipStats(0, 0, 0))
-      val preSlice = cache(preSlice0)
+      val preSlice = cache(pin(preSlice0))
       // post-churn content of the affected slice, derived as newSigs ∪
       // (pre-write slice minus churn minus departed keys): every churn
       // doc has a row in newSigs, so the anti-join reproduces exactly
@@ -295,7 +327,7 @@ private[graft] object NearDupIndex {
       // runs over this slice. NULL-fp rows never match the semi-join,
       // so the shingle-less skew hotspot cannot form.
       val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-      val affectedMembers = cache((
+      val affectedMembers = cache(pin((
         if (storeWasEmpty)
           // bootstrap: every group is affected — skip the corpus-sized
           // fp distinct + semi-join (the NULL-fp filter the semi gave
@@ -304,7 +336,7 @@ private[graft] object NearDupIndex {
           // pre-store side, which the optimizer eliminates)
           store.filter(col("fp").isNotNull)
         else store.join(affectedFps, Seq("fp"), "leftsemi"))
-        .withColumn("rep", min("doc_id").over(byFp)))
+        .withColumn("rep", min("doc_id").over(byFp))))
       // materialize the shared cache (and the store MOR read under
       // it) ONCE on this thread before the background write launches:
       // racing the write future and the pairs chain into a cold cache
@@ -511,10 +543,10 @@ private[graft] object NearDupIndex {
         case _ =>
           allReps.select(col("doc_id"), explode(col("bands")).as("bk"))
       }
-      val cand = cache(lb.as("l").join(rb.as("r"),
+      val cand = cache(pin(lb.as("l").join(rb.as("r"),
           col("l.bk") === col("r.bk") && col("l.doc_id") =!= col("r.doc_id"))
         .select(least(col("l.doc_id"), col("r.doc_id")).as("a"),
-          greatest(col("l.doc_id"), col("r.doc_id")).as("b")).distinct())
+          greatest(col("l.doc_id"), col("r.doc_id")).as("b")).distinct()))
       // materialize the cached candidate set here (its first consumer
       // below would anyway) so the stage boundary is observable
       cand.count()
@@ -566,6 +598,13 @@ private[graft] object NearDupIndex {
       // surface before the tag is written.
       Await.result(sigWrite, Duration.Inf)
       prof("index-writes")
+      // profile-only cache-health probes: a warm cache recounts in
+      // ~50 ms; seconds here mean the pairs write below is about to
+      // recompute the whole verify lineage instead of reading the cache
+      if (sys.env.get("GRAFT_PROFILE").contains("1")) {
+        newPairs.count(); prof("newpairs-recount")
+        touchedPre.foreach { t => t.count(); prof("touched-recount") }
+      }
       touchedPre match {
         case None =>
           pairs.upsert(newPairs.withColumn("ts", lit(ts)), tag = tag,

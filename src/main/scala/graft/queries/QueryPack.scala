@@ -78,7 +78,15 @@ object QueryPack {
         "— the concurrent-chain helper is sound only for disjoint tables")
     val f = Future(bg)
     val r = try fg catch {
-      case t: Throwable => Await.ready(f, Duration.Inf); throw t
+      // bounded: the await exists so a failing foreground never leaves
+      // lake commits running unsupervised, but a HUNG background job
+      // must not block the foreground error forever — after the bound
+      // the original failure propagates (the bg future, if it ever
+      // completes, writes only its own declared tables)
+      case t: Throwable =>
+        try Await.ready(f, scala.concurrent.duration.Duration(10, "min"))
+        catch { case _: java.util.concurrent.TimeoutException => () }
+        throw t
     }
     (Await.result(f, Duration.Inf), r)
   }

@@ -43,7 +43,15 @@ private[graft] object SearchIndex {
     * 0-4 in the index) scored from the MAINTAINED state with the
     * shared exact-arithmetic contract ([[TextOps.Bm25]]) — used by
     * the pipe6 (batch folds) and st5 (streaming service) gates, whose
-    * outputs must both hash-equal the batch BM25 oracle. */
+    * outputs must both hash-equal the batch BM25 oracle.
+    *
+    * EAGER: the scoring runs inside this call and the returned frame
+    * is the materialized top-k as a local relation (bounded by
+    * contract at 10 rows × the ≤ 5 query docs). This is what lets the
+    * internal postings cache unpersist deterministically on exit —
+    * a long-lived driver calling this in a loop accumulates nothing —
+    * instead of leaking a cache entry per call until some caller-side
+    * clearCache. */
   def scoreTop10(post: LakeTable, stats: LakeTable, totals: LakeTable)
       : DataFrame = {
     // cached: the postings MOR merge feeds TWO subtrees of the scoring
@@ -52,22 +60,31 @@ private[graft] object SearchIndex {
     // cannot push below the merge window (partitioned on _record_key),
     // so without the cache the full postings merge executes twice per
     // scoring read (guide §2.4: share one exchange). The broadcast
-    // build materializes the cache; the main scan reads it. Bench/
-    // Verify clear the session cache after each query.
+    // build materializes the cache; the main scan reads it.
     val postS = post.snapshot().select("doc_id", "term", "n", "len")
       .persist()
-    val statsS = stats.snapshot().filter(col("df") > 0).select("term", "df")
-    val totS = totals.snapshot().select(col("n_docs"),
-      (col("tot_len").cast("double") / col("n_docs").cast("double"))
-        .as("avgdl"))
-    val qt = postS.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("q_id"), col("term"))
-    val contrib = postS.join(broadcast(qt), Seq("term"))
-      .filter(col("doc_id") =!= col("q_id"))
-      .join(statsS, "term")
-      .crossJoin(broadcast(totS))
-      .select(col("q_id"), col("doc_id"), TextOps.Bm25.microCol.as("micro"))
-    TextOps.Bm25.rankTopK(contrib)
+    try {
+      val statsS = stats.snapshot().filter(col("df") > 0).select("term", "df")
+      val totS = totals.snapshot().select(col("n_docs"),
+        (col("tot_len").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+      val qt = postS.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"), col("term"))
+      val contrib = postS.join(broadcast(qt), Seq("term"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(statsS, "term")
+        .crossJoin(broadcast(totS))
+        .select(col("q_id"), col("doc_id"), TextOps.Bm25.microCol.as("micro"))
+      val ranked = TextOps.Bm25.rankTopK(contrib)
+      // bounded collect (≤ 50 rows by the top-10 × ≤ 5 queries
+      // contract) → order-preserving local relation, so the postings
+      // cache can be dropped before returning
+      val rows = java.util.Arrays.asList(ranked.collect(): _*)
+      post.spark.createDataFrame(rows, ranked.schema)
+    } finally {
+      postS.unpersist()
+      ()
+    }
   }
 
   /** Fold one churn batch into the index.

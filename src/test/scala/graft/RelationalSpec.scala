@@ -11,6 +11,10 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // the engine's production session config: local FS without chmod
+    // shell-outs (see graft.core.BareLocalFileSystem) — tests exercise
+    // the same FS the bench/verify sessions run on
+    .config("spark.hadoop.fs.file.impl", "graft.core.BareLocalFileSystem")
     .getOrCreate()
   val sf: String = "/root/testdata/sf0.001"
 }

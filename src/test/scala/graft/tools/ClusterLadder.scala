@@ -42,6 +42,7 @@ object ClusterLadder {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "graft.core.BareLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     import s.implicits._

@@ -19,6 +19,7 @@ object CommitFloor {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "graft.core.BareLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[A](label: String, n: Int = 1)(f: => A): Unit = {

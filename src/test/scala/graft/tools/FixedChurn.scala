@@ -33,6 +33,7 @@ object FixedChurn {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "graft.core.BareLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // GRAFT_PROFILE=1: per-job wall times with call sites — the

@@ -30,6 +30,7 @@ object OccStress {
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "graft.core.BareLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

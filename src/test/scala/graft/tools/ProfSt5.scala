@@ -18,6 +18,7 @@ object ProfSt5 {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "graft.core.BareLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     def time[T](name: String)(f: => T): T = {

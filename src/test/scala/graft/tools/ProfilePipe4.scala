@@ -21,6 +21,7 @@ object ProfilePipe4 {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "graft.core.BareLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     def time[T](name: String)(f: => T): T = {

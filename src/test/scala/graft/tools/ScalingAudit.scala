@@ -117,6 +117,7 @@ object ScalingAudit {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "graft.core.BareLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     println("[scale] generating 10x data (skipped if present)")
