@@ -571,66 +571,53 @@ object DedupOps {
       import org.apache.spark.sql.expressions.Window
       val c = corpus(s, dir)
         .withColumn("blk", floor(length(col("text")) / ngramBlock))
-      // ONE cached relation: the per-doc DISTINCT-shingle ARRAY (plus
-      // source/blk riding along — no join back to the corpus). The
-      // heavy string work (regex split + per-position concat) runs
-      // once into a cache of ONE ROW PER DOC; the round-16 shape
-      // cached the EXPLODED relation instead and then paid two full
-      // corpus-size shuffles the arrays make unnecessary (guide §2.3
-      // "aggregate before you shuffle", here: never disaggregate):
-      //  - the doc frame (sz/fp/rep) came from an explode + groupBy +
-      //    collect_list over ~10⁶ md5 strings — now three IN-ROW
-      //    expressions over the array (same values: same distinct
-      //    elements, same md5-of-sorted-md5s fp);
-      //  - the verification docSets came from a second groupBy
-      //    (collect_list of shingle strings) — now the cached array
-      //    column itself, filter-only.
-      // The explode survives ONLY where rows are genuinely needed:
-      // the doc-frequency count and the prefix ranking.
-      val arr = c
-        .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
-        .select(col("doc_id"), col("source"), col("blk"),
-          expr(s"array_distinct(${shingleArrExpr(2)})").as("shs"))
-        .filter(size(col("shs")) > 0) // same drop as the explode form
-        .persist()
-      // per-doc frame in-row; rep via the same (source, blk, fp)
-      // window as blockedDocFrame — one shuffle of ONE ROW PER DOC
-      val docs = arr.select(col("doc_id"), col("source"), col("blk"),
-          size(col("shs")).cast("long").as("sz"),
-          md5(array_join(array_sort(expr("transform(shs, x -> md5(x))")),
-            ",")).as("fp"))
-        .withColumn("rep", min("doc_id").over(
-          Window.partitionBy("source", "blk", "fp")))
-      val star = docs.filter(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("a"), col("doc_id").as("b"),
-          lit(1.0).as("jaccard"))
-      val repIds = docs.filter(col("doc_id") === col("rep"))
-        .select("doc_id")
-      // everything below — df, ranking, candidates, verification —
-      // runs over REPRESENTATIVES only: duplicate members never enter
-      // the prefix index, so a k-identical cluster costs k-1 star rows
-      // instead of O(k²) candidate and verify pairs.
+      // The exploded shingle relation is narrow (scan → split →
+      // per-doc array_distinct → explode, no shuffle) but CPU-heavy —
+      // regex split + per-position concat over every document — and
+      // FOUR plan subtrees consume it (doc frequency, ranking, the
+      // candidate self-join's two sides via ranked, and the
+      // verification docSets). Measured at sf0.1: each re-derivation
+      // costs 1-6 s of codegen'd string work for a ~300k-row result,
+      // so one cache round-trip beats re-deriving — the opposite
+      // trade from dedup4, whose single consumer re-derives. At
+      // corpus scale the cache spills to disk per-executor and stays
+      // strictly smaller than the text it derives from (distinct
+      // bigrams ≤ words), so the trade survives 100×.
       //
       // Frequency/order/candidate keys use the 64-bit shingle hash, not
       // the string: a collision only merges two doc-frequency counts
       // and can only ADD candidates (verified exactly below), and
       // (df(h), h) is still one consistent total order — both keep
       // the prefix lemma lossless while the shuffles move 8-byte keys.
-      val lean = arr.join(repIds, Seq("doc_id"), "leftsemi")
-        .select(col("doc_id"), col("source"), col("blk"),
-          explode(col("shs")).as("sh"))
-        .select(col("doc_id"), col("source"), col("blk"),
-          xxhash64(col("sh")).as("h"))
-      // Doc frequency is a hash aggregate + shuffle join (NOT
-      // count-over-window on h: a window with millions of 1-2 row
-      // frames sorts the whole relation and measures ~2× slower than
-      // the partial-aggregated groupBy); size and rank share one
-      // doc-partitioned shuffle (two window functions over the same
-      // partitioning). ⌈t·sz⌉ in exact integer arithmetic — a float
-      // ceil at the boundary could shorten the prefix and break
-      // losslessness. No tiebreak beyond (df, h) is needed: rows tied
-      // on (df, h) carry the SAME h, so the set of h's in any prefix
-      // is invariant under tie order, and candidates key on h.
+      val sh = shingles(c, 2)
+        .join(c.select(col("doc_id"), col("source"), col("blk")), Seq("doc_id"))
+        .withColumn("h", xxhash64(col("sh")))
+        .persist()
+      // the ranking/candidate pipeline never touches the shingle STRING:
+      // every shuffle below moves 8-byte keys only. Doc frequency is a
+      // hash aggregate + shuffle join (NOT count-over-window on h: a
+      // window with millions of 1-2 row frames sorts the whole
+      // relation and measures ~2× slower than the partial-aggregated
+      // groupBy); size and rank share one doc-partitioned shuffle
+      // (two window functions over the same partitioning). ⌈t·sz⌉ in
+      // exact integer arithmetic — a float ceil at the boundary could
+      // shorten the prefix and break losslessness. No tiebreak beyond
+      // (df, h) is needed: rows tied on (df, h) carry the SAME h, so
+      // the set of h's in any prefix is invariant under tie order, and
+      // candidates key on h — losslessness does not depend on tie order.
+      val docs = blockedDocFrame(sh)
+      val star = docs.filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("doc_id").as("b"),
+          lit(1.0).as("jaccard"))
+      val repIds = docs.filter(col("doc_id") === col("rep"))
+        .select("doc_id")
+      // everything below — df, ranking, candidates, verification —
+      // runs over REPRESENTATIVES only (the cached sh restricted by
+      // one semi-join): duplicate members never enter the prefix
+      // index, so a k-identical cluster costs k-1 star rows here
+      // instead of O(k²) candidate and verify pairs
+      val lean = sh.select("doc_id", "h", "source", "blk")
+        .join(repIds, Seq("doc_id"), "leftsemi")
       val dfreq = lean.groupBy("h").agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy(col("doc_id"))
       val ranked = lean.join(dfreq, Seq("h"))
@@ -638,6 +625,10 @@ object DedupOps {
         .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("h"))))
         .filter(col("rn") <=
           col("sz") - expr(s"(sz * $Threshold + 9) div 10") + 1)
+      // (measured: additionally persisting `ranked` is a net LOSS —
+      // the self-join's repeated window subtrees resolve as
+      // ReusedExchange off the cached sh, so a second cache only adds
+      // a materialization barrier)
       val probes = ranked
         .withColumn("probe", explode(array(col("blk"), col("blk") + 1)))
       val cand = probes.as("sa").join(ranked.as("sb"),
@@ -649,15 +640,28 @@ object DedupOps {
         .select(least(col("sa.doc_id"), col("sb.doc_id")).as("a"),
           greatest(col("sa.doc_id"), col("sb.doc_id")).as("b"))
         .distinct()
-      // verification attaches the CACHED per-doc arrays directly
-      // (filter-only — no groupBy): both arrays are per-doc distinct,
-      // so |∩| = size(array_intersect) exactly, and the doc-array
-      // relation is small enough for AQE to broadcast (at corpus scale
-      // it degrades to a doc_id-keyed shuffle join, still
-      // O(candidates), never O(corpus²))
-      val docSets = arr.join(repIds, Seq("doc_id"), "leftsemi")
-        .select(col("doc_id"), col("shs"),
-          size(col("shs")).cast("long").as("sz"))
+        // persisted: at t = 0.3 the prefix keeps ~70% of each doc's
+        // shingles, so the candidate set is large (209k pairs at
+        // sf0.1) and BOTH verify joins consume it; un-materialized,
+        // the broadcast build of each join side re-derives the whole
+        // ranked self-join chain — stage attribution
+        // (tools/ProfDedup5) measured the final assembly at 17.6 s
+        // unpersisted vs 1.5 s with cand+docSets materialized
+        .persist()
+      // per-doc shingle SET as one array row (from the cached sh):
+      // verification joins attach two arrays per candidate pair and
+      // intersect in-line — the exploded relation is never shuffled
+      // for verification, and the doc-array relation is small enough
+      // for AQE to broadcast (at corpus scale it degrades to a
+      // doc_id-keyed shuffle join, still O(candidates), never
+      // O(corpus²)). Persisted: it feeds TWO join sides (za/zb) and
+      // each broadcast build would otherwise recompute it.
+      val docSets = sh.join(repIds, Seq("doc_id"), "leftsemi")
+        .groupBy("doc_id").agg(
+          collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
+        .persist()
+      // exact verification on the STRING shingle sets: both arrays are
+      // per-doc distinct, so |∩| = size(array_intersect) exactly
       val cross = cand
         .join(docSets.as("za"), col("a") === col("za.doc_id"))
         .join(docSets.as("zb"), col("b") === col("zb.doc_id"))
